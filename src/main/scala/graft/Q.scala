@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
+
+/** One named query in the engine's declared surface (SURVEY.md §2B): a
+  * Spark implementation plus, when SQL-expressible, an equivalent DuckDB
+  * oracle query the driver hash-compares against (SURVEY.md §5.1).
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String]) {
+  require(name.nonEmpty)
+}
+
+object Q {
+  /** Oracle-checked query. */
+  def apply(name: String, sql: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, Some(sql.stripMargin.trim))
+
+  /** Rows-only checked query (not expressible in portable SQL). */
+  def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, None)
+}
+
+/** A bundle of queries implementing one slice of SURVEY.md §2. */
+trait QueryPack { def queries: Seq[Q] }
+
+/** Exact-arithmetic helpers for oracle determinism (SURVEY.md §7.5):
+  * inputs are cast to decimals wide enough to hold their true scale, so
+  * sums/products are exact and independent of evaluation order in both
+  * Spark and DuckDB. Doubles appear in outputs only as the result of a
+  * single IEEE-deterministic division of exact values, re-rounded to a
+  * decimal.
+  */
+object Dec {
+  /** money-ish column with 2 true decimals (prices, balances, values). */
+  def money(c: Column): Column = c.cast(DecimalType(12, 2))
+  /** small factor like (1-discount), (1+tax): 2 true decimals, < 100. */
+  def factor(c: Column): Column = c.cast(DecimalType(4, 2))
+  /** generic 4-decimal cast used for final outputs. */
+  def d4(c: Column): Column = c.cast(DecimalType(18, 4))
+  /** wide lossless cast for sums of products (true scale <= 6). */
+  def w6(c: Column): Column = c.cast(DecimalType(38, 6))
+}

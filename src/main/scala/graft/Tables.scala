@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided star-schema testdata (TESTDATA.md /
+  * FIXTURES.md §A). These are the tables our engine's query surface runs
+  * over — the Spark-native analogue of the Iceberg tables the reference
+  * playground writes and then queries through its Spark container
+  * (reference: docker-compose.yml:58-81).
+  *
+  * All loaders are plain parquet scans so Catalyst predicate pushdown /
+  * column pruning reach the file source unimpeded.
+  */
+object Tables {
+  private def p(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, dir: String): DataFrame   = p(s, dir, "region")
+  def nation(s: SparkSession, dir: String): DataFrame   = p(s, dir, "nation")
+  def customer(s: SparkSession, dir: String): DataFrame = p(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame = p(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame     = p(s, dir, "part")
+  def orders(s: SparkSession, dir: String): DataFrame   = p(s, dir, "orders")
+  def lineitem(s: SparkSession, dir: String): DataFrame = p(s, dir, "lineitem")
+  def documents(s: SparkSession, dir: String): DataFrame = p(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = p(s, dir, "embeddings")
+
+  /** events.ts is ns-precision in parquet (TESTDATA). Spark's TimestampType
+    * is µs; we normalize here so every consumer sees a µs timestamp that
+    * truncates exactly like DuckDB's TIMESTAMP_NS → TIMESTAMP cast.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = p(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // Integer division: ns values (~1.7e18) exceed double's 2^53 exact
+        // range, so a float `/` would corrupt the microsecond value.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw // Spark read it as a timestamp natively
+    }
+  }
+}

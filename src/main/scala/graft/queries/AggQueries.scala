@@ -1,0 +1,274 @@
+package graft.queries
+
+import graft.{Dec, Q, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregations and window functions — SURVEY.md §2B "Aggregations",
+  * "Window functions", plus top-k-per-group.
+  *
+  * Scale notes:
+  *  - groupBy aggregates compile to partial (map-side) + final (post-
+  *    shuffle) HashAggregate automatically — the only shuffle carries
+  *    pre-combined per-group state, not rows.
+  *  - rollup/cube use Expand before aggregation; grouping columns are
+  *    projected through COALESCE sentinels so output never depends on
+  *    engine-specific NULL ordering.
+  *  - All window queries partition on a key (supplier/user/customer) so
+  *    state stays bounded per partition; none use a global (unpartitioned)
+  *    window, which would serialize on one task at scale.
+  *  - Decimal-exact sums: associative and order-independent, so partial
+  *    aggregation and AQE re-planning can never change the result
+  *    (SURVEY.md §7.5).
+  */
+object AggQueries extends QueryPack {
+
+  private val lo = lit("1998-09-03").cast("timestamp")
+
+  override def queries: Seq[Q] = Seq(
+
+    // TPC-H Q1 shape — the flagship aggregate.
+    Q(
+      "q_agg_group",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS sum_charge,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS avg_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-09-03'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""",
+    ) { (s, dir) =>
+      val price = Dec.money(col("l_extendedprice"))
+      val disc = Dec.factor(lit(1) - col("l_discount"))
+      val tax = Dec.factor(lit(1) + col("l_tax"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") < lo)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Dec.d4(sum(Dec.d4(col("l_quantity")))).as("sum_qty"),
+          Dec.d4(sum(price)).as("sum_base_price"),
+          Dec.w6(sum(price * disc)).as("sum_disc_price"),
+          Dec.w6(sum(price * disc * tax)).as("sum_charge"),
+          (sum(Dec.d4(col("l_quantity"))).cast("double") / count(lit(1)))
+            .cast(DecimalType(18, 6)).as("avg_qty"),
+          (sum(price).cast("double") / count(lit(1)))
+            .cast(DecimalType(18, 6)).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    Q(
+      "q_agg_distinct",
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_suppkey) AS n_supp,
+        |       COUNT(DISTINCT l_partkey) AS n_part,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // ROLLUP over region → nation with sentinel labels (no NULL-order traps).
+    Q(
+      "q_agg_rollup",
+      """SELECT COALESCE(r.r_name, '(all)') AS region,
+        |       COALESCE(n.n_name, '(all)') AS nation,
+        |       GROUPING(r.r_name) AS g_region, GROUPING(n.n_name) AS g_nation,
+        |       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS sum_bal,
+        |       COUNT(*) AS n
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP(r.r_name, n.n_name)
+        |ORDER BY region, nation""",
+    ) { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(
+          grouping(col("r_name")).as("g_region"),
+          grouping(col("n_name")).as("g_nation"),
+          Dec.d4(sum(Dec.money(col("c_acctbal")))).as("sum_bal"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("r_name"), lit("(all)")).as("region"),
+          coalesce(col("n_name"), lit("(all)")).as("nation"),
+          col("g_region"), col("g_nation"), col("sum_bal"), col("n"))
+        .orderBy("region", "nation")
+    },
+
+    Q(
+      "q_agg_cube",
+      """SELECT COALESCE(l_returnflag, '(all)') AS rf,
+        |       COALESCE(l_linestatus, '(all)') AS ls,
+        |       GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""",
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).as("g_rf"),
+          grouping(col("l_linestatus")).as("g_ls"),
+          Dec.d4(sum(Dec.d4(col("l_quantity")))).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("g_rf"), col("g_ls"), col("sum_qty"), col("n"))
+        .orderBy("rf", "ls")
+    },
+
+    // HLL sketch — algorithm-specific, so rows-only checked (§2B no-oracle);
+    // the scalatest asserts the estimate against the exact distinct count.
+    Q.noOracle("q_agg_approx_distinct") { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    // exact "stats" shape: min/max/sum/count + exact variance numerator
+    // n*Σx² − (Σx)² computed wholly in decimals.
+    Q(
+      "q_agg_stats",
+      """SELECT l_linestatus,
+        |  COUNT(*) AS n,
+        |  CAST(MIN(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS min_qty,
+        |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS max_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        |  CAST(COUNT(*) * SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2)))
+        |       - SUM(CAST(l_quantity AS DECIMAL(18,4))) * SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS var_numerator
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    ) { (s, dir) =>
+      val q2 = col("l_quantity").cast(DecimalType(9, 2))
+      Tables.lineitem(s, dir)
+        .groupBy("l_linestatus")
+        .agg(
+          count(lit(1)).as("n"),
+          Dec.d4(min(Dec.d4(col("l_quantity")))).as("min_qty"),
+          Dec.d4(max(Dec.d4(col("l_quantity")))).as("max_qty"),
+          Dec.d4(sum(Dec.d4(col("l_quantity")))).as("sum_qty"),
+          (count(lit(1)) * sum(q2 * q2) - sum(Dec.d4(col("l_quantity"))) * sum(Dec.d4(col("l_quantity"))))
+            .cast(DecimalType(38, 4)).as("var_numerator"))
+        .orderBy("l_linestatus")
+    },
+
+    // ---- windows ----
+
+    Q(
+      "q_win_rank",
+      """SELECT * FROM (
+        |  SELECT n_name, s_suppkey,
+        |         CAST(s_acctbal AS DECIMAL(12,2)) AS bal,
+        |         RANK() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey) AS rnk,
+        |         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey) AS rn
+        |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |) WHERE rn <= 3
+        |ORDER BY n_name, rn""",
+    ) { (s, dir) =>
+      val sup = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val w = Window.partitionBy("n_name").orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .select(col("n_name"), col("s_suppkey"), Dec.money(col("s_acctbal")).as("bal"),
+          rank().over(w).as("rnk"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("n_name", "rn")
+    },
+
+    Q(
+      "q_win_lag_lead",
+      """SELECT event_id, user_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS prev_delta_us,
+        |  LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER w - epoch_us(CAST(ts AS TIMESTAMP)) AS next_delta_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""",
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("prev_delta_us"),
+          (lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts"))).as("next_delta_us"))
+        .orderBy("event_id")
+    },
+
+    // moving 3-row sum (explicit frame) per supplier by ship date.
+    // NB: (l_orderkey, l_linenumber) is NOT unique in the generated data;
+    // (l_orderkey, l_linenumber, l_partkey, l_suppkey) is — window and
+    // output orders must be total for cross-engine determinism.
+    Q(
+      "q_win_frame",
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+        |       OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS moving_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey""",
+    ) { (s, dir) =>
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          Dec.d4(sum(Dec.d4(col("l_quantity"))).over(w)).as("moving_qty"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey")
+    },
+
+    // running (cumulative) spend per customer over order history.
+    Q(
+      "q_win_running",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""",
+    ) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          Dec.d4(sum(Dec.money(col("o_totalprice"))).over(w)).as("running_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    Q(
+      "q_topk_per_group",
+      """SELECT * FROM (
+        |  SELECT p_brand, p_partkey, CAST(p_retailprice AS DECIMAL(12,2)) AS price,
+        |         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part
+        |) WHERE rn <= 3
+        |ORDER BY p_brand, rn""",
+    ) { (s, dir) =>
+      val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc, col("p_partkey"))
+      Tables.part(s, dir)
+        .select(col("p_brand"), col("p_partkey"), Dec.money(col("p_retailprice")).as("price"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("p_brand", "rn")
+    },
+  )
+}

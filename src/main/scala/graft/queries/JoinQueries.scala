@@ -1,0 +1,184 @@
+package graft.queries
+
+import graft.{Dec, Q, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join surface — SURVEY.md §2B "Joins". Equi joins (inner/left/semi/anti),
+  * broadcast star joins, a banded theta self-join, and an as-of join.
+  *
+  * Reference analogue: equality-delete application is a left-anti join on
+  * the delete keys (deletes.rs:65-92); the star schema is what the
+  * playground's Iceberg tables + Spark query container serve
+  * (docker-compose.yml:58-81).
+  *
+  * Scale notes:
+  *  - Fact-to-fact joins (lineitem ⋈ orders) shuffle both sides on the
+  *    join key — unavoidable without co-bucketing; AQE re-plans skew.
+  *  - Dimension joins (region/nation/supplier/customer) use explicit
+  *    broadcast() hints: at 100 TB the fact side streams map-side with no
+  *    shuffle at all.
+  *  - The as-of join deliberately avoids the O(n·m) correlated-subquery
+  *    shape: it is a union + one window pass — a single shuffle on
+  *    user_id, linear in events, the standard scalable as-of pattern.
+  *  - The banded theta self-join keys on user_id (equi) so the band
+  *    predicate is evaluated inside each hash/merge group instead of a
+  *    broadcast-nested-loop over the whole table.
+  */
+object JoinQueries extends QueryPack {
+
+  override def queries: Seq[Q] = Seq(
+
+    // revenue per customer over a date slice: lineitem ⋈ orders ⋈ customer
+    Q(
+      "q_join_inner",
+      """SELECT c.c_custkey, COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |                CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+        |GROUP BY c.c_custkey
+        |ORDER BY c.c_custkey""",
+    ) { (s, dir) =>
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      val c = Tables.customer(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(c("c_custkey"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          Dec.w6(sum(Dec.money(col("l_extendedprice")) * Dec.factor(lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy("c_custkey")
+    },
+
+    // TPC-H Q5 shape: fact ⋈ tiny dims, dims broadcast.
+    Q(
+      "q_join_broadcast",
+      """SELECT r.r_name, n.n_name,
+        |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |                CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS revenue
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name IN ('ASIA', 'EUROPE')
+        |GROUP BY r.r_name, n.n_name
+        |ORDER BY r.r_name, n.n_name""",
+    ) { (s, dir) =>
+      val l = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir).filter(col("r_name").isin("ASIA", "EUROPE"))
+      l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(Dec.w6(sum(Dec.money(col("l_extendedprice")) * Dec.factor(lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // customers with their order counts, keeping order-less customers.
+    Q(
+      "q_join_left",
+      """SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        |FROM customer c
+        |LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_custkey
+        |ORDER BY c.c_custkey""",
+    ) { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, o("o_custkey") === c("c_custkey"), "left")
+        .groupBy(c("c_custkey"))
+        .agg(count(o("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    },
+
+    // EXISTS: customers having at least one urgent open order.
+    Q(
+      "q_join_semi",
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'O')
+        |ORDER BY c_custkey""",
+    ) { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "O")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
+    // NOT EXISTS: customers with no orders at all (delete-application shape,
+    // deletes.rs:65-92 — our MoR read path uses exactly this join).
+    Q(
+      "q_join_anti",
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""",
+    ) { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    },
+
+    // banded theta self-join: pairs of events by the same user within 5
+    // minutes; equi key user_id keeps it a hash join + in-group band filter.
+    Q(
+      "q_join_range_theta",
+      """SELECT a.user_id, COUNT(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts > a.ts
+        | AND epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) <= 300000000
+        |GROUP BY a.user_id
+        |ORDER BY a.user_id""",
+    ) { (s, dir) =>
+      val a = Tables.events(s, dir).select(col("user_id"), col("ts").as("ts_a"))
+      val b = Tables.events(s, dir).select(col("user_id").as("user_b"), col("ts").as("ts_b"))
+      a.join(b,
+        a("user_id") === b("user_b")
+          && col("ts_b") > col("ts_a")
+          && unix_micros(col("ts_b")) - unix_micros(col("ts_a")) <= 300000000L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    },
+
+    // as-of join: for each purchase, the most recent click at-or-before it
+    // by the same user. Union + single window pass (scalable as-of).
+    Q(
+      "q_join_asof",
+      """SELECT p.event_id, p.user_id, epoch_us(CAST(p.ts AS TIMESTAMP)) AS ts_us,
+        |       (SELECT max(epoch_us(CAST(c.ts AS TIMESTAMP))) FROM events c
+        |         WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts) AS last_click_us
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""",
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir).filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "click", 0).otherwise(1).as("rk"))
+      // clicks sort before purchases at equal ts so ties honor c.ts <= p.ts
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("rk"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("last_click_us",
+          max(when(col("rk") === 0, unix_micros(col("ts")))).over(w))
+        .filter(col("rk") === 1)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("last_click_us"))
+        .orderBy("event_id")
+    },
+  )
+}

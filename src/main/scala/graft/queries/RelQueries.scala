@@ -1,0 +1,177 @@
+package graft.queries
+
+import graft.{Dec, Q, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scans, filters, conditional projection, top-k and set operations —
+  * SURVEY.md §2B "Scans / sources / sinks", "Projections / filters",
+  * "Sorts / limits / top-k", "Set operations".
+  *
+  * Reference analogues: Parquet scan + projection (main.rs:47-77,
+  * kafka-bench.rs:272-285), consume-all counting loop
+  * (bench-kafka.rs:73-108), equality predicates (deletes.rs:65-75),
+  * take-N (bench-kafka.rs:70), size classes (main.rs:63).
+  *
+  * Scale notes: every query here is a single scan (plus at most one
+  * shuffle for global agg/sort); filters and projections are plain
+  * column expressions so Catalyst pushes them into the Parquet reader
+  * (PushedFilters / ReadSchema) — at 100 TB these prune row groups and
+  * columns at the source. Top-k compiles to TakeOrderedAndProject
+  * (per-partition heap + driver merge of k rows, never a full sort).
+  */
+object RelQueries extends QueryPack {
+
+  override def queries: Seq[Q] = Seq(
+    // NB: (l_orderkey, l_linenumber) is not unique in the generated data —
+    // the full key (l_orderkey, l_linenumber, l_partkey, l_suppkey) gives
+    // the total order §7.5 requires.
+    Q(
+      "q_scan_project",
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |       CAST(l_quantity AS DECIMAL(18,4)) AS qty, l_shipdate
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""",
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          Dec.d4(col("l_quantity")).as("qty"), col("l_shipdate"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    },
+
+    Q(
+      "q_scan_count",
+      "SELECT COUNT(*) AS cnt FROM lineitem",
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir).agg(count(lit(1)).as("cnt"))
+    },
+
+    Q(
+      "q_filter_eq",
+      """SELECT l_orderkey, l_linenumber, l_returnflag
+        |FROM lineitem WHERE l_returnflag = 'A'
+        |ORDER BY l_orderkey, l_linenumber""",
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "A")
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // TPC-H Q6 shape: range + conjunctive predicates, exact-decimal revenue.
+    Q(
+      "q_filter_range",
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS revenue,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""",
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .agg(
+          Dec.w6(sum(Dec.money(col("l_extendedprice")) * Dec.factor(col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    Q(
+      "q_filter_in_null",
+      """SELECT c_custkey,
+        |       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'NONE') AS seg
+        |FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+        |  AND NULLIF(c_mktsegment, 'FURNITURE') IS NOT NULL
+        |ORDER BY c_custkey""",
+    ) { (s, dir) =>
+      Tables.customer(s, dir)
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY")
+          && nullif(col("c_mktsegment"), lit("FURNITURE")).isNotNull)
+        .select(col("c_custkey"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("NONE")).as("seg"))
+        .orderBy("c_custkey")
+    },
+
+    Q(
+      "q_case_expr",
+      """SELECT CASE WHEN l_quantity < 10 THEN 'small'
+        |            WHEN l_quantity < 30 THEN 'medium'
+        |            ELSE 'large' END AS size_class,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY size_class""",
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(
+          when(col("l_quantity") < 10, "small")
+            .when(col("l_quantity") < 30, "medium")
+            .otherwise("large").as("size_class"),
+          col("l_quantity"))
+        .groupBy("size_class")
+        .agg(count(lit(1)).as("n"), Dec.d4(sum(Dec.d4(col("l_quantity")))).as("sum_qty"))
+        .orderBy("size_class")
+    },
+
+    Q(
+      "q_topk",
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    ) { (s, dir) =>
+      // orderBy+limit => TakeOrderedAndProject: per-partition top-k heaps,
+      // k-row merge on the driver — no global sort at any scale.
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), Dec.money(col("o_totalprice")).as("price"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    Q(
+      "q_union",
+      """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY k""",
+    ) { (s, dir) =>
+      val a = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k"))
+      val b = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+      a.union(b).distinct().orderBy("k")
+    },
+
+    Q(
+      "q_intersect",
+      """SELECT o_custkey AS k FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |INTERSECT
+        |SELECT o_custkey AS k FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |ORDER BY k""",
+    ) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      def yr(a: String, b: String) = o
+        .filter(col("o_orderdate") >= lit(a).cast("timestamp")
+          && col("o_orderdate") < lit(b).cast("timestamp"))
+        .select(col("o_custkey").as("k"))
+      yr("1996-01-01", "1997-01-01").intersect(yr("1997-01-01", "1998-01-01")).orderBy("k")
+    },
+
+    Q(
+      "q_except",
+      """SELECT o_custkey AS k FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |EXCEPT
+        |SELECT o_custkey AS k FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |ORDER BY k""",
+    ) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      def yr(a: String, b: String) = o
+        .filter(col("o_orderdate") >= lit(a).cast("timestamp")
+          && col("o_orderdate") < lit(b).cast("timestamp"))
+        .select(col("o_custkey").as("k"))
+      yr("1996-01-01", "1997-01-01").except(yr("1997-01-01", "1998-01-01")).orderBy("k")
+    },
+  )
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + semantics checks for the declared query surface on sf0.001.
+  * The DuckDB oracle is the deep correctness gate (driver-run); these
+  * specs assert structural invariants and hand-computable facts.
+  */
+class QuerySurfaceSpec extends AnyFunSuite {
+  import SparkSessionFixture.{spark, sf}
+
+  test("every declared query runs and is non-empty at sf0.001") {
+    SparkEntry.all.foreach { q =>
+      val df = q.fn(spark, sf)
+      val n = df.count()
+      assert(n > 0, s"${q.name} returned 0 rows")
+    }
+  }
+
+  test("every query name has at most one oracle and names are unique") {
+    val names = SparkEntry.all.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(names.toSet))
+  }
+
+  test("entry() flagship returns TPC-H Q1 shaped groups") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.nonEmpty && rows.length <= 6) // at most |{A,N,R}| x |{F,O}|
+    val flags = rows.map(_.getString(0)).toSet
+    assert(flags.subsetOf(Set("A", "N", "R")))
+  }
+
+  test("q_scan_count equals direct parquet count") {
+    val n = SparkEntry.queries("q_scan_count")(spark, sf).collect()(0).getLong(0)
+    assert(n == Tables.lineitem(spark, sf).count())
+  }
+
+  test("q_topk is ordered descending and bounded") {
+    val rows = SparkEntry.queries("q_topk")(spark, sf).collect()
+    assert(rows.length == 10)
+    val prices = rows.map(_.getDecimal(1).doubleValue())
+    assert(prices.sameElements(prices.sorted.reverse))
+  }
+
+  test("q_join_left keeps all customers") {
+    val n = SparkEntry.queries("q_join_left")(spark, sf).count()
+    assert(n == Tables.customer(spark, sf).count())
+  }
+
+  test("q_agg_approx_distinct is within 15% of exact") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("q_agg_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e < 0.15, s"$k: approx $a vs exact $e")
+    }
+  }
+
+  test("set ops: union is distinct, intersect+except partition the left side") {
+    val u = SparkEntry.queries("q_union")(spark, sf).collect().map(_.getLong(0))
+    assert(u.distinct.length == u.length)
+    val inter = SparkEntry.queries("q_intersect")(spark, sf).count()
+    val exc = SparkEntry.queries("q_except")(spark, sf).count()
+    val o = Tables.orders(spark, sf)
+    import org.apache.spark.sql.functions._
+    val left = o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+      && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_custkey").distinct().count()
+    assert(inter + exc == left)
+  }
+}
