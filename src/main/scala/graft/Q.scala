@@ -43,4 +43,15 @@ object Dec {
   def d4(c: Column): Column = c.cast(DecimalType(18, 4))
   /** wide lossless cast for sums of products (true scale <= 6). */
   def w6(c: Column): Column = c.cast(DecimalType(38, 6))
+
+  /** Hash-stable rendering of an exact decimal: value × 10^scale as BIGINT.
+    * Integer outputs hash identically across engines, unlike decimals whose
+    * textual scale (trailing zeros) differs between Spark and DuckDB
+    * (VERDICT r1: all 13 hash fails were representation-only). The multiply
+    * is exact — the input is first cast to DECIMAL(38, scale), so scaling by
+    * 10^scale yields an integral value with no rounding.
+    * Oracle mirror: CAST(CAST(expr AS DECIMAL(38,s)) * 10^s AS BIGINT).
+    */
+  def asLong(c: Column, scale: Int): Column =
+    (c.cast(DecimalType(38, scale)) * math.pow(10, scale).toLong).cast("long")
 }

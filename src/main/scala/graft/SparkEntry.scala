@@ -21,8 +21,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queryMap("q_agg_group")(spark, "/root/testdata/sf0.001")
 
+  /** Every query's semantics (timestamp literals, date_trunc, casts) assume
+    * UTC; pin it at plan-build time so a driver session created in another
+    * timezone can't shift date boundaries vs the timezone-less DuckDB oracle.
+    */
+  private def utcPinned(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      fn(s, dir)
+    }
+
   private lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =
-    all.map(q => q.name -> q.fn).toMap
+    all.map(q => q.name -> utcPinned(q.fn)).toMap
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = queryMap

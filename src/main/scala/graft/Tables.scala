@@ -26,12 +26,13 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame = p(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = p(s, dir, "embeddings")
 
-  /** events.ts is ns-precision in parquet (TESTDATA). Spark's TimestampType
-    * is µs; we normalize here so every consumer sees a µs timestamp that
-    * truncates exactly like DuckDB's TIMESTAMP_NS → TIMESTAMP cast.
+  /** events.ts: the shipped parquet stores µs timestamps (ts reads as
+    * TIMESTAMP natively); the LongType branch is defensive for an ns-encoded
+    * variant and only applies when the session was built with
+    * spark.sql.legacy.parquet.nanosAsLong=true (set once in the session
+    * builders — this loader is pure, no conf mutation).
     */
   def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = p(s, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -32,12 +32,12 @@ object AggQueries extends QueryPack {
     Q(
       "q_agg_group",
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS sum_charge,
-        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS avg_qty,
-        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS avg_price,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS sum_qty_x1e4,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS sum_base_price_x1e4,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS sum_disc_price_x1e6,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS sum_charge_x1e6,
+        |  CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS avg_qty_x1e6,
+        |  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS avg_price_x1e6,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1998-09-03'
@@ -51,14 +51,12 @@ object AggQueries extends QueryPack {
         .filter(col("l_shipdate") < lo)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          Dec.d4(sum(Dec.d4(col("l_quantity")))).as("sum_qty"),
-          Dec.d4(sum(price)).as("sum_base_price"),
-          Dec.w6(sum(price * disc)).as("sum_disc_price"),
-          Dec.w6(sum(price * disc * tax)).as("sum_charge"),
-          (sum(Dec.d4(col("l_quantity"))).cast("double") / count(lit(1)))
-            .cast(DecimalType(18, 6)).as("avg_qty"),
-          (sum(price).cast("double") / count(lit(1)))
-            .cast(DecimalType(18, 6)).as("avg_price"),
+          Dec.asLong(sum(Dec.d4(col("l_quantity"))), 4).as("sum_qty_x1e4"),
+          Dec.asLong(sum(price), 4).as("sum_base_price_x1e4"),
+          Dec.asLong(sum(price * disc), 6).as("sum_disc_price_x1e6"),
+          Dec.asLong(sum(price * disc * tax), 6).as("sum_charge_x1e6"),
+          Dec.asLong(sum(Dec.d4(col("l_quantity"))).cast("double") / count(lit(1)), 6).as("avg_qty_x1e6"),
+          Dec.asLong(sum(price).cast("double") / count(lit(1)), 6).as("avg_price_x1e6"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -86,7 +84,7 @@ object AggQueries extends QueryPack {
       """SELECT COALESCE(r.r_name, '(all)') AS region,
         |       COALESCE(n.n_name, '(all)') AS nation,
         |       GROUPING(r.r_name) AS g_region, GROUPING(n.n_name) AS g_nation,
-        |       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS sum_bal,
+        |       CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) * 100 AS BIGINT) AS sum_bal_x1e2,
         |       COUNT(*) AS n
         |FROM customer c
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -101,14 +99,15 @@ object AggQueries extends QueryPack {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
         .agg(
-          grouping(col("r_name")).as("g_region"),
-          grouping(col("n_name")).as("g_nation"),
-          Dec.d4(sum(Dec.money(col("c_acctbal")))).as("sum_bal"),
+          // Spark grouping() is TINYINT, DuckDB's is BIGINT — cast for hash parity.
+          grouping(col("r_name")).cast("long").as("g_region"),
+          grouping(col("n_name")).cast("long").as("g_nation"),
+          Dec.asLong(sum(Dec.money(col("c_acctbal"))), 2).as("sum_bal_x1e2"),
           count(lit(1)).as("n"))
         .select(
           coalesce(col("r_name"), lit("(all)")).as("region"),
           coalesce(col("n_name"), lit("(all)")).as("nation"),
-          col("g_region"), col("g_nation"), col("sum_bal"), col("n"))
+          col("g_region"), col("g_nation"), col("sum_bal_x1e2"), col("n"))
         .orderBy("region", "nation")
     },
 
@@ -117,7 +116,7 @@ object AggQueries extends QueryPack {
       """SELECT COALESCE(l_returnflag, '(all)') AS rf,
         |       COALESCE(l_linestatus, '(all)') AS ls,
         |       GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS sum_qty_x1e4,
         |       COUNT(*) AS n
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)
@@ -126,14 +125,14 @@ object AggQueries extends QueryPack {
       Tables.lineitem(s, dir)
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          grouping(col("l_returnflag")).as("g_rf"),
-          grouping(col("l_linestatus")).as("g_ls"),
-          Dec.d4(sum(Dec.d4(col("l_quantity")))).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"),
+          Dec.asLong(sum(Dec.d4(col("l_quantity"))), 4).as("sum_qty_x1e4"),
           count(lit(1)).as("n"))
         .select(
           coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
           coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
-          col("g_rf"), col("g_ls"), col("sum_qty"), col("n"))
+          col("g_rf"), col("g_ls"), col("sum_qty_x1e4"), col("n"))
         .orderBy("rf", "ls")
     },
 
@@ -153,11 +152,11 @@ object AggQueries extends QueryPack {
       "q_agg_stats",
       """SELECT l_linestatus,
         |  COUNT(*) AS n,
-        |  CAST(MIN(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS min_qty,
-        |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS max_qty,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
-        |  CAST(COUNT(*) * SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2)))
-        |       - SUM(CAST(l_quantity AS DECIMAL(18,4))) * SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS var_numerator
+        |  CAST(CAST(MIN(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS min_qty_x1e4,
+        |  CAST(CAST(MAX(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS max_qty_x1e4,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS sum_qty_x1e4,
+        |  CAST(CAST(COUNT(*) * SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2)))
+        |       - SUM(CAST(l_quantity AS DECIMAL(18,4))) * SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS var_num_x1e4
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
     ) { (s, dir) =>
       val q2 = col("l_quantity").cast(DecimalType(9, 2))
@@ -165,11 +164,11 @@ object AggQueries extends QueryPack {
         .groupBy("l_linestatus")
         .agg(
           count(lit(1)).as("n"),
-          Dec.d4(min(Dec.d4(col("l_quantity")))).as("min_qty"),
-          Dec.d4(max(Dec.d4(col("l_quantity")))).as("max_qty"),
-          Dec.d4(sum(Dec.d4(col("l_quantity")))).as("sum_qty"),
-          (count(lit(1)) * sum(q2 * q2) - sum(Dec.d4(col("l_quantity"))) * sum(Dec.d4(col("l_quantity"))))
-            .cast(DecimalType(38, 4)).as("var_numerator"))
+          Dec.asLong(min(Dec.d4(col("l_quantity"))), 4).as("min_qty_x1e4"),
+          Dec.asLong(max(Dec.d4(col("l_quantity"))), 4).as("max_qty_x1e4"),
+          Dec.asLong(sum(Dec.d4(col("l_quantity"))), 4).as("sum_qty_x1e4"),
+          Dec.asLong(count(lit(1)) * sum(q2 * q2) - sum(Dec.d4(col("l_quantity"))) * sum(Dec.d4(col("l_quantity"))), 4)
+            .as("var_num_x1e4"))
         .orderBy("l_linestatus")
     },
 
@@ -179,7 +178,7 @@ object AggQueries extends QueryPack {
       "q_win_rank",
       """SELECT * FROM (
         |  SELECT n_name, s_suppkey,
-        |         CAST(s_acctbal AS DECIMAL(12,2)) AS bal,
+        |         CAST(CAST(s_acctbal AS DECIMAL(38,2)) * 100 AS BIGINT) AS bal_x1e2,
         |         RANK() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey) AS rnk,
         |         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey) AS rn
         |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -189,9 +188,10 @@ object AggQueries extends QueryPack {
       val sup = Tables.supplier(s, dir)
       val n = Tables.nation(s, dir)
       val w = Window.partitionBy("n_name").orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      // Spark rank()/row_number() are INT, DuckDB's BIGINT — cast for hash parity.
       sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
-        .select(col("n_name"), col("s_suppkey"), Dec.money(col("s_acctbal")).as("bal"),
-          rank().over(w).as("rnk"), row_number().over(w).as("rn"))
+        .select(col("n_name"), col("s_suppkey"), Dec.asLong(col("s_acctbal"), 2).as("bal_x1e2"),
+          rank().over(w).cast("long").as("rnk"), row_number().over(w).cast("long").as("rn"))
         .filter(col("rn") <= 3)
         .orderBy("n_name", "rn")
     },
@@ -220,9 +220,9 @@ object AggQueries extends QueryPack {
     Q(
       "q_win_frame",
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
         |       OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
-        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS moving_qty
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS moving_qty_x1e4
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey""",
     ) { (s, dir) =>
@@ -231,7 +231,7 @@ object AggQueries extends QueryPack {
         .rowsBetween(-2, Window.currentRow)
       Tables.lineitem(s, dir)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          Dec.d4(sum(Dec.d4(col("l_quantity"))).over(w)).as("moving_qty"))
+          Dec.asLong(sum(Dec.d4(col("l_quantity"))).over(w), 4).as("moving_qty_x1e4"))
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey")
     },
 
@@ -239,9 +239,9 @@ object AggQueries extends QueryPack {
     Q(
       "q_win_running",
       """SELECT o_custkey, o_orderkey,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
         |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS running_spend
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) * 100 AS BIGINT) AS running_spend_x1e2
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""",
     ) { (s, dir) =>
@@ -250,14 +250,14 @@ object AggQueries extends QueryPack {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.orders(s, dir)
         .select(col("o_custkey"), col("o_orderkey"),
-          Dec.d4(sum(Dec.money(col("o_totalprice"))).over(w)).as("running_spend"))
+          Dec.asLong(sum(Dec.money(col("o_totalprice"))).over(w), 2).as("running_spend_x1e2"))
         .orderBy("o_custkey", "o_orderkey")
     },
 
     Q(
       "q_topk_per_group",
       """SELECT * FROM (
-        |  SELECT p_brand, p_partkey, CAST(p_retailprice AS DECIMAL(12,2)) AS price,
+        |  SELECT p_brand, p_partkey, CAST(CAST(p_retailprice AS DECIMAL(38,2)) * 100 AS BIGINT) AS price_x1e2,
         |         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
         |  FROM part
         |) WHERE rn <= 3
@@ -265,8 +265,8 @@ object AggQueries extends QueryPack {
     ) { (s, dir) =>
       val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc, col("p_partkey"))
       Tables.part(s, dir)
-        .select(col("p_brand"), col("p_partkey"), Dec.money(col("p_retailprice")).as("price"),
-          row_number().over(w).as("rn"))
+        .select(col("p_brand"), col("p_partkey"), Dec.asLong(col("p_retailprice"), 2).as("price_x1e2"),
+          row_number().over(w).cast("long").as("rn"))
         .filter(col("rn") <= 3)
         .orderBy("p_brand", "rn")
     },

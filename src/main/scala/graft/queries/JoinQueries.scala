@@ -33,8 +33,8 @@ object JoinQueries extends QueryPack {
     Q(
       "q_join_inner",
       """SELECT c.c_custkey, COUNT(*) AS n_items,
-        |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
-        |                CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS revenue
+        |       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |                CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS revenue_x1e6
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -48,12 +48,15 @@ object JoinQueries extends QueryPack {
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
           && col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
       val c = Tables.customer(s, dir)
+      // No broadcast hint on customer: it grows linearly with sf (VERDICT r1
+      // flagged a forced broadcast as a 100 TB OOM). AQE picks broadcast only
+      // when the dim is actually under the threshold at runtime.
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(c("c_custkey"))
         .agg(
           count(lit(1)).as("n_items"),
-          Dec.w6(sum(Dec.money(col("l_extendedprice")) * Dec.factor(lit(1) - col("l_discount")))).as("revenue"))
+          Dec.asLong(sum(Dec.money(col("l_extendedprice")) * Dec.factor(lit(1) - col("l_discount"))), 6).as("revenue_x1e6"))
         .orderBy("c_custkey")
     },
 
@@ -61,8 +64,8 @@ object JoinQueries extends QueryPack {
     Q(
       "q_join_broadcast",
       """SELECT r.r_name, n.n_name,
-        |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
-        |                CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS revenue
+        |       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |                CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS revenue_x1e6
         |FROM lineitem l
         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -79,7 +82,7 @@ object JoinQueries extends QueryPack {
         .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(Dec.w6(sum(Dec.money(col("l_extendedprice")) * Dec.factor(lit(1) - col("l_discount")))).as("revenue"))
+        .agg(Dec.asLong(sum(Dec.money(col("l_extendedprice")) * Dec.factor(lit(1) - col("l_discount"))), 6).as("revenue_x1e6"))
         .orderBy("r_name", "n_name")
     },
 
@@ -134,7 +137,12 @@ object JoinQueries extends QueryPack {
     },
 
     // banded theta self-join: pairs of events by the same user within 5
-    // minutes; equi key user_id keeps it a hash join + in-group band filter.
+    // minutes. Scale pattern (banded range join): the equi key is
+    // (user_id, 5-minute time bucket) — the left side is exploded into its
+    // own bucket and the next one, so every qualifying pair lands in exactly
+    // one equi-join group. Group size is bounded by per-user events per
+    // 10 minutes (not per-user total), so one hot user can no longer pin a
+    // single task at 100 TB; the band predicate filters inside each group.
     Q(
       "q_join_range_theta",
       """SELECT a.user_id, COUNT(*) AS n_pairs
@@ -145,12 +153,19 @@ object JoinQueries extends QueryPack {
         |GROUP BY a.user_id
         |ORDER BY a.user_id""",
     ) { (s, dir) =>
-      val a = Tables.events(s, dir).select(col("user_id"), col("ts").as("ts_a"))
-      val b = Tables.events(s, dir).select(col("user_id").as("user_b"), col("ts").as("ts_b"))
+      val bandUs = 300000000L // 5 minutes in µs = bucket width
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"),
+          expr(s"unix_micros(ts) div $bandUs").as("bucket"))
+      val a = ev.select(col("user_id"), col("ts").as("ts_a"),
+          explode(array(col("bucket"), col("bucket") + 1)).as("bk"))
+      val b = ev.select(col("user_id").as("user_b"), col("ts").as("ts_b"),
+          col("bucket").as("bk_b"))
       a.join(b,
         a("user_id") === b("user_b")
+          && col("bk") === col("bk_b")
           && col("ts_b") > col("ts_a")
-          && unix_micros(col("ts_b")) - unix_micros(col("ts_a")) <= 300000000L)
+          && unix_micros(col("ts_b")) - unix_micros(col("ts_a")) <= bandUs)
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("user_id")

@@ -28,13 +28,13 @@ object RelQueries extends QueryPack {
     Q(
       "q_scan_project",
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-        |       CAST(l_quantity AS DECIMAL(18,4)) AS qty, l_shipdate
+        |       CAST(CAST(l_quantity AS DECIMAL(38,4)) * 10000 AS BIGINT) AS qty_x1e4, l_shipdate
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""",
     ) { (s, dir) =>
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
-          Dec.d4(col("l_quantity")).as("qty"), col("l_shipdate"))
+          Dec.asLong(col("l_quantity"), 4).as("qty_x1e4"), col("l_shipdate"))
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     },
 
@@ -60,8 +60,8 @@ object RelQueries extends QueryPack {
     // TPC-H Q6 shape: range + conjunctive predicates, exact-decimal revenue.
     Q(
       "q_filter_range",
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |                CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS revenue,
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS revenue_x1e6,
         |       COUNT(*) AS n
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -75,7 +75,7 @@ object RelQueries extends QueryPack {
           && col("l_discount").between(0.05, 0.07)
           && col("l_quantity") < 24)
         .agg(
-          Dec.w6(sum(Dec.money(col("l_extendedprice")) * Dec.factor(col("l_discount")))).as("revenue"),
+          Dec.asLong(sum(Dec.money(col("l_extendedprice")) * Dec.factor(col("l_discount"))), 6).as("revenue_x1e6"),
           count(lit(1)).as("n"))
     },
 
@@ -102,7 +102,7 @@ object RelQueries extends QueryPack {
         |            WHEN l_quantity < 30 THEN 'medium'
         |            ELSE 'large' END AS size_class,
         |       COUNT(*) AS n,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+        |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS sum_qty_x1e4
         |FROM lineitem GROUP BY 1 ORDER BY size_class""",
     ) { (s, dir) =>
       Tables.lineitem(s, dir)
@@ -112,20 +112,20 @@ object RelQueries extends QueryPack {
             .otherwise("large").as("size_class"),
           col("l_quantity"))
         .groupBy("size_class")
-        .agg(count(lit(1)).as("n"), Dec.d4(sum(Dec.d4(col("l_quantity")))).as("sum_qty"))
+        .agg(count(lit(1)).as("n"), Dec.asLong(sum(Dec.d4(col("l_quantity"))), 4).as("sum_qty_x1e4"))
         .orderBy("size_class")
     },
 
     Q(
       "q_topk",
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(38,2)) * 100 AS BIGINT) AS price_x1e2
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
     ) { (s, dir) =>
       // orderBy+limit => TakeOrderedAndProject: per-partition top-k heaps,
       // k-row merge on the driver — no global sort at any scale.
       Tables.orders(s, dir)
-        .select(col("o_orderkey"), Dec.money(col("o_totalprice")).as("price"))
+        .select(col("o_orderkey"), Dec.asLong(col("o_totalprice"), 2).as("price_x1e2"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(10)
     },

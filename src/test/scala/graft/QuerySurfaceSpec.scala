@@ -38,7 +38,7 @@ class QuerySurfaceSpec extends AnyFunSuite {
   test("q_topk is ordered descending and bounded") {
     val rows = SparkEntry.queries("q_topk")(spark, sf).collect()
     assert(rows.length == 10)
-    val prices = rows.map(_.getDecimal(1).doubleValue())
+    val prices = rows.map(_.getLong(1))
     assert(prices.sameElements(prices.sorted.reverse))
   }
 

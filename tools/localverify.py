@@ -27,7 +27,10 @@ def norm_cell(v):
             return "NaN"
         return repr(v)
     if isinstance(v, decimal.Decimal):
-        return str(v.normalize()) if v != 0 else "0"
+        # NO normalize(): the driver's hash is representation-sensitive
+        # (r1: trailing-zero scale differences failed). f-format avoids
+        # the unreadable '1E+2' scientific rendering.
+        return f"{v:f}"
     if isinstance(v, datetime.datetime):
         return v.isoformat()
     if isinstance(v, list):
@@ -36,10 +39,12 @@ def norm_cell(v):
 
 
 def table_rows(rel, cols):
-    ordered = sorted(cols)
+    # positional reorder (duplicate names would alias under cols.index)
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
     rows = rel.fetchall()
-    idx = [cols.index(c) for c in ordered]
-    return [tuple(norm_cell(r[i]) for i in idx) for r in rows], ordered
+    return ([tuple(norm_cell(r[i]) for i in order) for r in rows],
+            [cols[i] for i in order],
+            [str(rel.types[i]) for i in order])
 
 
 def main():
@@ -57,7 +62,7 @@ def main():
         try:
             got_rel = con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
             got_cols = list(got_rel.columns)
-            got, gcols = table_rows(got_rel, got_cols)
+            got, gcols, gtypes = table_rows(got_rel, got_cols)
         except Exception as e:
             results[name] = f"READ-FAIL {e}"
             continue
@@ -67,12 +72,17 @@ def main():
         try:
             exp_rel = con.sql(oracle[name])
             exp_cols = list(exp_rel.columns)
-            exp, ecols = table_rows(exp_rel, exp_cols)
+            exp, ecols, etypes = table_rows(exp_rel, exp_cols)
         except Exception as e:
             results[name] = f"ORACLE-FAIL {str(e)[:200]}"
             continue
         if gcols != ecols:
             results[name] = f"COLS-MISMATCH spark={gcols} duck={ecols}"
+            continue
+        if gtypes != etypes:
+            # int-width / decimal-scale divergence fails the driver's hash
+            # even when values print equal (VERDICT r1 mechanism).
+            results[name] = f"TYPE-MISMATCH spark={gtypes} duck={etypes}"
             continue
         if len(got) != len(exp):
             results[name] = f"ROWCOUNT-MISMATCH spark={len(got)} duck={len(exp)}"
