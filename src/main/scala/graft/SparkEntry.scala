@@ -13,6 +13,7 @@ object SparkEntry {
     _root_.graft.queries.RelQueries,
     _root_.graft.queries.JoinQueries,
     _root_.graft.queries.AggQueries,
+    _root_.graft.queries.FuncQueries,
   )
 
   lazy val all: Seq[Q] = packs.flatMap(_.queries)
