@@ -14,6 +14,10 @@ object SparkEntry {
     _root_.graft.queries.JoinQueries,
     _root_.graft.queries.AggQueries,
     _root_.graft.queries.FuncQueries,
+    _root_.graft.queries.TextQueries,
+    _root_.graft.queries.DedupQueries,
+    _root_.graft.queries.VectorQueries,
+    _root_.graft.queries.MultimodalQueries,
   )
 
   lazy val all: Seq[Q] = packs.flatMap(_.queries)

@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (north star,
+  * BASELINE.json): tokenization + term frequencies, quality scoring,
+  * language-ID heuristic, and document fingerprinting — all over the
+  * `documents` table (FIXTURES.md §A).
+  *
+  * Determinism: outputs are strings and BIGINTs; ratios are integer-scaled
+  * (x1e4) with floor division, identical in Spark (`div`) and DuckDB (`//`).
+  *
+  * Scale notes: every query is one scan of documents plus at most one
+  * aggregation shuffle. Tokenization/fingerprinting are row-local
+  * higher-order-function expressions (no UDF, no collect); term frequency
+  * is explode → partial-agg → final-agg, the canonical word-count shape
+  * whose shuffle carries pre-combined (word, count) state.
+  */
+object TextQueries extends QueryPack {
+
+  /** words of a document (single-space separated by construction). */
+  private val W = "string_split(text, ' ')" // DuckDB spelling; Spark uses split()
+
+  override def queries: Seq[Q] = Seq(
+
+    // token frequencies over the whole corpus.
+    Q(
+      "q_text_tokens",
+      s"""SELECT word, COUNT(*) AS cnt, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM (SELECT doc_id, unnest($W) AS word FROM documents)
+         |GROUP BY word ORDER BY word""",
+    ) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("word")
+    },
+
+    // per-document quality signals: token counts, uniqueness and stopword
+    // ratios (x1e4, floor div), average token length (x1e4).
+    Q(
+      "q_text_quality",
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len($W) AS BIGINT) AS n_words,
+         |  CAST(len(list_distinct($W)) AS BIGINT) AS n_unique,
+         |  CAST((len(list_distinct($W)) * 10000) // len($W) AS BIGINT) AS uniq_ratio_x1e4,
+         |  CAST((len(list_filter($W, x -> x IN ('the','a','row','data','value'))) * 10000) // len($W) AS BIGINT) AS stop_ratio_x1e4,
+         |  CAST((CAST(list_sum(list_transform($W, x -> length(x))) AS BIGINT) * 10000) // len($W) AS BIGINT) AS avg_wlen_x1e4
+         |FROM documents ORDER BY doc_id""",
+    ) { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(col("w")).cast("long").as("n_words"),
+          size(array_distinct(col("w"))).cast("long").as("n_unique"),
+          expr("CAST((size(array_distinct(w)) * 10000L) div size(w) AS BIGINT)").as("uniq_ratio_x1e4"),
+          expr("CAST((size(filter(w, x -> x IN ('the','a','row','data','value'))) * 10000L) div size(w) AS BIGINT)").as("stop_ratio_x1e4"),
+          expr("CAST((aggregate(transform(w, x -> length(x)), 0L, (a, b) -> a + b) * 10000L) div size(w) AS BIGINT)").as("avg_wlen_x1e4"))
+        .orderBy("doc_id")
+    },
+
+    // marker-word language-ID heuristic vs the labeled lang: confusion
+    // counts per (label, prediction). The synthetic corpus shares one
+    // vocabulary, so the interesting part is the deterministic operator
+    // shape (n-gram/marker scoring), not model accuracy.
+    Q(
+      "q_text_langid",
+      """SELECT lang,
+        |  CASE WHEN (' ' || text || ' ') LIKE '% the %' OR (' ' || text || ' ') LIKE '% a %' THEN 'en'
+        |       WHEN (' ' || text || ' ') LIKE '% el %' OR (' ' || text || ' ') LIKE '% la %' THEN 'es'
+        |       WHEN (' ' || text || ' ') LIKE '% der %' OR (' ' || text || ' ') LIKE '% die %' THEN 'de'
+        |       ELSE 'unknown' END AS pred,
+        |  COUNT(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, pred""",
+    ) { (s, dir) =>
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          when(padded.like("% the %") || padded.like("% a %"), "en")
+            .when(padded.like("% el %") || padded.like("% la %"), "es")
+            .when(padded.like("% der %") || padded.like("% die %"), "de")
+            .otherwise("unknown").as("pred"))
+        .groupBy("lang", "pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    },
+
+    // polynomial rolling-hash fingerprint of the token stream (mod a
+    // 32-bit prime so every intermediate stays exact in 64-bit on both
+    // engines), plus a prefix fingerprint of the first 5 tokens — the
+    // cheap "same document head" signal.
+    Q(
+      "q_doc_fingerprint",
+      s"""SELECT doc_id,
+         |  list_reduce([CAST(0 AS BIGINT)] || list_transform($W, x -> length(x) * 131 + ascii(x[1:1])),
+         |              (h, c) -> (h * 31 + c) % 1000000007) AS fp,
+         |  list_reduce([CAST(0 AS BIGINT)] || list_transform($W[1:5], x -> length(x) * 131 + ascii(x[1:1])),
+         |              (h, c) -> (h * 31 + c) % 1000000007) AS fp_head
+         |FROM documents ORDER BY doc_id""",
+    ) { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"),
+          expr("aggregate(transform(w, x -> CAST(length(x) * 131 + ascii(substring(x, 1, 1)) AS BIGINT)), 0L, (h, c) -> (h * 31 + c) % 1000000007)").as("fp"),
+          expr("aggregate(transform(slice(w, 1, 5), x -> CAST(length(x) * 131 + ascii(substring(x, 1, 1)) AS BIGINT)), 0L, (h, c) -> (h * 31 + c) % 1000000007)").as("fp_head"))
+        .orderBy("doc_id")
+    },
+  )
+}

@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding / similarity-search operators (north star): exact per-label
+  * statistics, brute-force cosine top-k (the correctness baseline), an
+  * LSH-bucketed approximate variant (the scale path), and embedding
+  * near-dup detection — over the `embeddings` table (dim-64 float arrays).
+  *
+  * Scale notes:
+  *  - q_sim_topk broadcasts the K probe vectors against one linear scan of
+  *    embeddings (never a vectors × vectors cross join): cost K·N dot
+  *    products, embarrassingly parallel, then a per-probe top-k window
+  *    over K·N rows.
+  *  - q_sim_ann_lsh / q_dedup_embed bucket vectors by an 8-bit random-
+  *    hyperplane signature (deterministic planes from a seeded SplitMix64),
+  *    so the self-join is an equi-join on the bucket key with ~N/256-sized
+  *    groups — the pattern that survives 100× data growth; candidates are
+  *    re-scored exactly inside each bucket.
+  *  - Dot products are higher-order-function expressions (zip_with +
+  *    aggregate) — no Scala UDF in the hot path.
+  *
+  * Determinism: q_embed_stats quantizes components to scale-6 integers
+  * (exact, associative sums → DuckDB-oracle-able). The cosine queries
+  * round scores to x1e6 ints and break ties by neighbor id, but their
+  * float arithmetic is engine-specific → no-oracle; VectorSpec re-derives
+  * them brute-force on the driver and asserts equality.
+  */
+object VectorQueries extends QueryPack {
+
+  /** SplitMix64 — public-domain PRNG (Steele et al.), used to derive
+    * deterministic pseudo-random hyperplanes for LSH.
+    */
+  private def sm64(seed: Long): Long = {
+    var x = seed + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** 8 deterministic hyperplanes over dim-64 vectors, components in
+    * [-1, 1).
+    */
+  private[queries] val planes: Array[Array[Double]] =
+    Array.tabulate(8, 64)((j, i) => (sm64(j * 64L + i + 42L) % 1000L).toDouble / 1000.0)
+
+  /** cosine(a, b) as a codegen-era column expression (double math). */
+  private def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+  }
+
+  /** LSH bucket id: sign bit of the dot product against each plane. */
+  private def bucketOf(v: Column): Column =
+    planes.indices.map { j =>
+      val plane = array(planes(j).map(lit): _*)
+      val d = aggregate(zip_with(v, plane, (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, x) => acc + x)
+      when(d > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+
+  override def queries: Seq[Q] = Seq(
+
+    // per-label stats on quantized components: vector count and the
+    // squared L2 norm of the label's component-wise SUM vector — all
+    // integer-exact, so order-independent and oracle-able.
+    Q(
+      "q_embed_stats",
+      """WITH q AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qc,
+        |         vec_id
+        |  FROM embeddings),
+        |p AS (SELECT label, pos, CAST(SUM(qc) AS BIGINT) AS s FROM q GROUP BY label, pos)
+        |SELECT label,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings e WHERE e.label = p.label) AS n_vecs,
+        |  CAST(SUM(CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))) AS BIGINT) AS sumvec_normsq_x1e12
+        |FROM p GROUP BY label ORDER BY label""",
+    ) { (s, dir) =>
+      // quantize via double-multiply-then-round: float→double is exact on
+      // both engines and ROUND(double) agrees except within half-ulp of a
+      // .5 tie (a float→decimal cast does NOT agree: Spark goes through the
+      // shortest string repr, DuckDB through the exact binary expansion).
+      val quant = emb(s, dir)
+        .select(col("label"), col("vec_id"),
+          expr("transform(embedding, e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000000) AS BIGINT))").as("q"))
+      val perPos = quant
+        .select(col("label"), posexplode(col("q")).as(Seq("pos", "qc")))
+        .groupBy("label", "pos")
+        .agg(sum(col("qc")).as("s"))
+      val counts = quant.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+      perPos
+        .groupBy("label")
+        .agg(sum(expr("CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))")).cast("long")
+          .as("sumvec_normsq_x1e12"))
+        .join(counts, "label")
+        .select(col("label"), col("n_vecs"), col("sumvec_normsq_x1e12"))
+        .orderBy("label")
+    },
+
+    // brute-force cosine top-10 for 5 probe vectors: broadcast probes ×
+    // linear scan (the exact baseline every ANN variant is judged against).
+    Q.noOracle("q_sim_topk") { (s, dir) =>
+      val probes = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      val all = emb(s, dir).select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      val scored = all.crossJoin(broadcast(probes))
+        .filter(col("neighbor_id") =!= col("probe_id"))
+        .withColumn("score", cosine(col("pv"), col("nv")))
+      val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("neighbor_id"))
+      scored
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("probe_id"), col("rn"), col("neighbor_id"),
+          round(col("score") * 1e6).cast("long").as("score_x1e6"))
+        .orderBy("probe_id", "rn")
+    },
+
+    // LSH-bucketed approximate top-5: probes search only their own
+    // hyperplane bucket (~N/256 of the data) — the 100 TB-shaped plan.
+    Q.noOracle("q_sim_ann_lsh") { (s, dir) =>
+      val withBucket = emb(s, dir)
+        .select(col("vec_id"), col("embedding"), bucketOf(col("embedding")).as("bucket"))
+      val probes = withBucket.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"), col("bucket"))
+      val cands = withBucket
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"), col("bucket").as("bucket_n"))
+      val scored = cands.join(broadcast(probes),
+          col("bucket") === col("bucket_n") && col("neighbor_id") =!= col("probe_id"))
+        .withColumn("score", cosine(col("pv"), col("nv")))
+      val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("neighbor_id"))
+      scored
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("probe_id"), col("rn"), col("neighbor_id"), col("bucket"),
+          round(col("score") * 1e6).cast("long").as("score_x1e6"))
+        .orderBy("probe_id", "rn")
+    },
+
+    // embedding near-dup: nearest bucket-mate per vector with a
+    // near-duplicate flag at cosine ≥ 0.95. One row per vector that has at
+    // least one bucket-mate (the synthetic corpus has no true embedding
+    // dups — the flag column is the operator surface; the join stays the
+    // scale-safe bucketed self-join, never all-pairs).
+    Q.noOracle("q_dedup_embed") { (s, dir) =>
+      val withBucket = emb(s, dir)
+        .select(col("vec_id"), col("embedding"), bucketOf(col("embedding")).as("bucket"))
+      val a = withBucket.select(col("vec_id"), col("embedding").as("va"), col("bucket"))
+      val b = withBucket.select(col("vec_id").as("nn_id"), col("embedding").as("vb"), col("bucket").as("bucket_b"))
+      val scored = a.join(b, col("bucket") === col("bucket_b") && col("vec_id") =!= col("nn_id"))
+        .withColumn("score", cosine(col("va"), col("vb")))
+      val w = Window.partitionBy("vec_id").orderBy(col("score").desc, col("nn_id"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("nn_id"),
+          round(col("score") * 1e6).cast("long").as("score_x1e6"),
+          (col("score") >= 0.95).as("is_near_dup"))
+        .orderBy("vec_id")
+    },
+  )
+}

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deep checks for the LLM-pipeline operators whose scores are not
+  * DuckDB-oracle-able (MinHash/SimHash/cosine use engine-internal hashing
+  * or float math): re-derive ground truth on the driver at sf0.001 and
+  * assert the distributed results match it exactly.
+  */
+class LlmOpsSpec extends AnyFunSuite {
+  import SparkSessionFixture.{spark, sf}
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  // --- ground truth: shingle sets + jaccard computed in plain Scala ---
+
+  private lazy val docs: Map[Long, Set[String]] = {
+    Tables.documents(spark, sf).select("doc_id", "text").collect().map { r =>
+      val w = r.getString(1).split(" ")
+      val sh = (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+      r.getLong(0) -> sh
+    }.toMap
+  }
+
+  private lazy val trueNearPairs: Map[(Long, Long), Long] = {
+    val ids = docs.keys.toSeq.sorted
+    (for {
+      (a, i) <- ids.zipWithIndex; b <- ids.drop(i + 1)
+      inter = (docs(a) & docs(b)).size.toLong
+      uni = (docs(a) | docs(b)).size.toLong
+      if inter * 2 >= uni
+    } yield (a, b) -> (inter * 10000L) / uni).toMap
+  }
+
+  test("q_dedup_near equals brute-force shingle Jaccard ground truth") {
+    val got = q("q_dedup_near").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == trueNearPairs)
+    assert(got.nonEmpty)
+  }
+
+  test("q_dedup_minhash: exact precision, and finds the strongest near-dups") {
+    val got = q("q_dedup_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every emitted pair is a verified true near-dup with the exact score
+    got.foreach { case (pair, j) => assert(trueNearPairs.get(pair).contains(j), s"$pair") }
+    // recall on the near-identical tail (jaccard ≥ 0.9): 8 bands of 2 make
+    // a miss probability (1 - j²)^8 < 2e-6 per pair — assert full recall
+    val strong = trueNearPairs.filter(_._2 >= 9000).keySet
+    assert(strong.subsetOf(got.keySet), s"missed ${strong -- got.keySet}")
+  }
+
+  test("q_dedup_simhash pairs carry true hamming distance <= 8") {
+    val rows = q("q_dedup_simhash").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) <= 8))
+    // simhash-close pairs of this corpus should be the shingle-near ones:
+    // every returned pair must share vocabulary heavily — cross-check that
+    // at least one true near-dup pair is found (they exist at sf0.001)
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.intersect(trueNearPairs.keySet).nonEmpty)
+  }
+
+  // --- cosine ground truth on the driver ---
+
+  private lazy val vecs: Map[Long, Array[Double]] =
+    Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / math.sqrt(na * nb)
+  }
+
+  test("q_sim_topk matches driver-side brute force exactly") {
+    val got = q("q_sim_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = (0L until 5L).flatMap { p =>
+      vecs.toSeq.filter(_._1 != p)
+        .map { case (id, v) => (id, cos(vecs(p), v)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(10).zipWithIndex
+        .map { case ((id, s), i) => (p, (i + 1).toLong, id, math.round(s * 1e6)) }
+    }
+    assert(got.sorted.sameElements(expected.sorted))
+  }
+
+  test("q_sim_ann_lsh returns true cosine scores from the probe's bucket") {
+    val rows = q("q_sim_ann_lsh").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, id, score) = (r.getLong(0), r.getLong(2), r.getLong(4))
+      assert(math.round(cos(vecs(p), vecs(id)) * 1e6) == score)
+    }
+    // per-probe ranks are 1..k without gaps
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to rs.length))
+    }
+  }
+
+  test("q_dedup_embed emits each vector's true nearest bucket-mate score") {
+    val rows = q("q_dedup_embed").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, nn, score, flag) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))
+      assert(math.round(cos(vecs(v), vecs(nn)) * 1e6) == score)
+      assert(flag == (cos(vecs(v), vecs(nn)) >= 0.95))
+    }
+  }
+
+  test("q_multimodal_features: decode stub is deterministic and exact") {
+    val rows = q("q_multimodal_features").collect()
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    rows.take(20).foreach { r =>
+      val bytes = texts(r.getLong(0)).getBytes("UTF-8")
+      val checksum = bytes.foldLeft(0L)((h, c) => (h * 31 + (c & 0xff)) % 1000000007L)
+      assert(r.getLong(2) == bytes.length.toLong, "byte_len")
+      assert(r.getLong(3) == checksum, "checksum")
+      assert(r.getString(6) == bytes.take(8).map(b => f"${b & 0xff}%02x").mkString, "head_hex")
+    }
+  }
+
+  test("q_embed_stats quantized sums match driver-side exact integers") {
+    val got = q("q_embed_stats").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val byLabel = Tables.embeddings(spark, sf).select("label", "embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+      .groupBy(_._1)
+    val expected = byLabel.map { case (label, rs) =>
+      val qs = rs.map(_._2.map(f =>
+        BigDecimal.valueOf(f.toDouble * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+          .toLongExact))
+      val sums = (0 until 64).map(i => qs.map(_(i)).sum)
+      label -> (rs.length.toLong, sums.map(s => BigInt(s) * BigInt(s)).sum.toLong)
+    }
+    assert(got == expected)
+  }
+}
