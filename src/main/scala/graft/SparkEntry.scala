@@ -18,6 +18,8 @@ object SparkEntry {
     _root_.graft.queries.DedupQueries,
     _root_.graft.queries.VectorQueries,
     _root_.graft.queries.MultimodalQueries,
+    _root_.graft.queries.TableQueries,
+    _root_.graft.queries.StreamQueries,
   )
 
   lazy val all: Seq[Q] = packs.flatMap(_.queries)

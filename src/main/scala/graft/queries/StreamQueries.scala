@@ -1,0 +1,203 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.{Dec, Q, QueryPack, Tables}
+import graft.table.GraftTable
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming surface — SURVEY.md §2B "Streaming". The six q_stream_* ids
+  * are registered in their batch-equivalent form (identical semantics on
+  * identical data, verifiable by the DuckDB oracle); their genuinely
+  * incremental behavior (state updates across micro-batches, watermark
+  * eviction, session merging) is exercised with MemoryStream in
+  * StreamingSpec. t_decoupled_ingest runs a real Structured Streaming
+  * query end-to-end into the commit-log table.
+  *
+  * Reference analogues: micro-batch chunking (kafka-bench.rs:191-194),
+  * consume→convert→write→commit pipeline (bench-kafka.rs:66-173), the
+  * decoupled writer/committer epochs (decouple.rs:224-300).
+  *
+  * Scale notes: tumble/slide/dedup/stateful all shuffle once on their
+  * group key with partial aggregation; the slide variant expands each row
+  * into window_size/slide (=4) rows before aggregating — the same expand
+  * Structured Streaming performs. q_stream_watermark simulates the global
+  * arrival-ordered watermark with an unpartitioned running-max window:
+  * fine as a correctness harness, but flagged here — the real streaming
+  * path keeps watermark state per-partition + a driver max, it never
+  * sorts the world.
+  */
+object StreamQueries extends QueryPack {
+
+  override def queries: Seq[Q] = Seq(
+
+    // tumbling 1-hour windows: count + exact sum per (window, type).
+    Q(
+      "q_stream_tumble",
+      """SELECT date_trunc('hour', ts) AS ws, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS sum_value_x1e4
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
+    ) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          Dec.asLong(sum(Dec.d4(col("value"))), 4).as("sum_value_x1e4"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value_x1e4"))
+        .orderBy("ws", "event_type")
+    },
+
+    // sliding 1-hour windows every 15 minutes: each event lands in 4
+    // windows (the streaming Expand shape).
+    Q(
+      "q_stream_slide",
+      """SELECT time_bucket(INTERVAL '15 minutes', ts) - i * INTERVAL '15 minutes' AS ws,
+        |       COUNT(*) AS n
+        |FROM events, (SELECT unnest(range(4)) AS i)
+        |GROUP BY 1 ORDER BY ws""",
+    ) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("ws"), col("n"))
+        .orderBy("ws")
+    },
+
+    // session windows (30-minute gap) via gaps-and-islands: a new session
+    // starts when the per-user gap exceeds 30 minutes. Batch-equivalent of
+    // session_window(ts, "30 minutes") — asserted equal in StreamingSpec.
+    Q(
+      "q_stream_session",
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+        |                   - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+        |                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT user_id, tus,
+        |             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tus
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |      FROM g)
+        |SELECT user_id, sid, MIN(tus) AS session_start_us, MAX(tus) AS session_end_us, COUNT(*) AS n
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""",
+    ) { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val cum = Window.partitionBy("user_id").orderBy(col("tus"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("ts"), col("event_id"))
+        .withColumn("brk",
+          when(col("tus") - lag(col("tus"), 1).over(byUser) > 1800000000L, 1).otherwise(0))
+        .withColumn("sid", sum(col("brk")).over(cum).cast("long"))
+        .groupBy("user_id", "sid")
+        .agg(min(col("tus")).as("session_start_us"),
+          max(col("tus")).as("session_end_us"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id", "sid")
+    },
+
+    // watermark semantics simulated deterministically: replay events in
+    // arrival order (= event_id), drop any event older than the running
+    // max event-time minus a 10-minute watermark — the rows a streaming
+    // job with withWatermark("ts", "10 minutes") would discard.
+    Q(
+      "q_stream_watermark",
+      """WITH a AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |         MAX(epoch_us(CAST(ts AS TIMESTAMP)))
+        |           OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm
+        |  FROM events)
+        |SELECT event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN tus < wm - 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(MAX(CASE WHEN tus < wm - 600000000 THEN wm - 600000000 - tus ELSE 0 END) AS BIGINT) AS max_lateness_us
+        |FROM a GROUP BY event_type ORDER BY event_type""",
+    ) { (s, dir) =>
+      // global running max over arrival order: correctness-harness only
+      // (see scaladoc) — real watermarking is per-partition + driver max.
+      val arrival = Window.orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_type"), unix_micros(col("ts")).as("tus"), col("event_id"))
+        .withColumn("wm", max(col("tus")).over(arrival))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("tus") < col("wm") - 600000000L, 1).otherwise(0)).cast("long").as("n_late"),
+          max(when(col("tus") < col("wm") - 600000000L, col("wm") - 600000000L - col("tus"))
+            .otherwise(0L)).cast("long").as("max_lateness_us"))
+        .orderBy("event_type")
+    },
+
+    // streaming dedup shape: first arrival wins per (user_id, event_type)
+    // — the dropDuplicates keyed-state semantics, batch-equivalent form.
+    Q(
+      "q_stream_dedup",
+      """SELECT user_id, event_type,
+        |  MIN(event_id) AS first_event_id,
+        |  COUNT(*) - 1 AS n_dupes
+        |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""",
+    ) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(min(col("event_id")).as("first_event_id"),
+          (count(lit(1)) - 1).as("n_dupes"))
+        .orderBy("user_id", "event_type")
+    },
+
+    // per-user accumulator state (the committer-accumulator shape A14):
+    // final state a flatMapGroupsWithState job would hold per user.
+    Q(
+      "q_stream_stateful",
+      """SELECT user_id,
+        |  COUNT(*) AS n_events,
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_ts_us,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS total_value_x1e4
+        |FROM events GROUP BY user_id ORDER BY user_id""",
+    ) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          max(unix_micros(col("ts"))).as("last_ts_us"),
+          Dec.asLong(sum(Dec.d4(col("value"))), 4).as("total_value_x1e4"))
+        .orderBy("user_id")
+    },
+
+    // A8–A15 end-to-end: JSON-lines files (the offline Kafka stand-in,
+    // SURVEY §7.4) → Structured Streaming micro-batches (2 files per
+    // trigger = the reference's ready_chunks(2)) → foreachBatch, where
+    // executors write parquet shards and the driver performs exactly ONE
+    // commit-log append per epoch (decouple.rs:224-300).
+    Q.noOracle("t_decoupled_ingest") { (s, dir) =>
+      import s.implicits._
+      val src = Files.createTempDirectory("graft_ingest_src")
+      // 6 JSON-lines files of B2-shaped items (bench-kafka.rs:17)
+      (0 until 6).foreach { f =>
+        val lines = (0 until 50).map(i =>
+          s"""{"name":"item-$f-$i","size":"${Seq("small", "medium", "large")(i % 3)}","count":${f * 100 + i}}""")
+        Files.write(src.resolve(f"part-$f%02d.json"), String.join("\n", lines: _*).getBytes)
+      }
+      val table = GraftTable.createOrReplace(s, Files.createTempDirectory("graft_ingest_tbl").toString)
+      val stream = s.readStream
+        .schema("name STRING, size STRING, count INT")
+        .option("maxFilesPerTrigger", 2) // micro-batch = 2 files (A18)
+        .json(src.toString)
+      val query = stream.writeStream
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          table.append(batch): Unit // ONE commit per epoch
+        }
+        .start()
+      query.awaitTermination()
+      // observable result: committed snapshots and their row payloads
+      val snaps = table.snapshots.map(e => (e.seq, e.action, e.dataFiles.length))
+        .toDF("seq", "action", "n_files")
+      val total = table.read().agg(count(lit(1))).as[Long].head()
+      snaps.withColumn("total_rows", lit(total)).orderBy("seq")
+    },
+  )
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.{Q, QueryPack}
+import graft.table.GraftTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table-format operations — the reference's core capability surface
+  * (SURVEY.md §2B "Table-format ops"), exercised end-to-end on temp
+  * tables built from the B1 `items` fixture (FIXTURES.md: schema
+  * lib.rs:58-62, rows main.rs:58-67, duplicate-key delete variant
+  * deletes.rs:33-42).
+  *
+  * These are no-oracle entries (the driver checks rows > 0); the deep
+  * lineage assertions live in TableLayerSpec. Each invocation builds its
+  * own temp warehouse, so runs are hermetic and repeatable.
+  */
+object TableQueries extends QueryPack {
+
+  /** B1 `items` fixture (main.rs:58-67). */
+  private def items(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(("A", "small", 2), ("B", "medium", 15), ("C", "medium", 10),
+      ("D", "small", 20), ("E", "large", 20))
+      .toDF("name", "size", "count")
+  }
+
+  /** delete-test variant with a duplicate key "A" (deletes.rs:34). */
+  private def itemsWithDup(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(("A", "small", 2), ("A", "large", 7), ("B", "medium", 15),
+      ("C", "medium", 10), ("D", "small", 20), ("E", "large", 20))
+      .toDF("name", "size", "count")
+  }
+
+  private def tmpTable(s: SparkSession, tag: String): GraftTable =
+    GraftTable.createOrReplace(s,
+      Files.createTempDirectory(s"graft_$tag").toString)
+
+  override def queries: Seq[Q] = Seq(
+
+    // A5+A6: parquet write + atomic snapshot append (fast_append,
+    // main.rs:47-93). Two appends → two snapshots, both readable.
+    Q.noOracle("t_append_commit") { (s, _) =>
+      val t = tmpTable(s, "append")
+      t.append(items(s))
+      t.append(items(s).withColumn("count", col("count") + 100))
+      t.read().orderBy("name", "count")
+    },
+
+    // A24/A26: equality delete (merge-on-read) committed atomically with
+    // an append in ONE log entry (deletes.rs:94-110). Both rows keyed "A"
+    // disappear; the appended row keyed "A" (added in the same commit, so
+    // after the delete's scope) survives.
+    Q.noOracle("t_equality_delete") { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "delete")
+      t.append(itemsWithDup(s))
+      t.appendAndDelete(
+        Seq(("A", "reborn", 99)).toDF("name", "size", "count"),
+        Seq("A").toDF("name"),
+        equalityCols = Seq("name"))
+      t.read().orderBy("name", "count")
+    },
+
+    // snapshot time travel: read the table as of snapshot 0 (before the
+    // second append and the delete) — the Transaction-chain lineage of
+    // decouple.rs:282-296 made queryable.
+    Q.noOracle("t_time_travel") { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "travel")
+      t.append(items(s))                                       // seq 0
+      t.append(items(s).withColumn("count", col("count") + 100)) // seq 1
+      t.delete(Seq("A").toDF("name"), Seq("name"))             // seq 2
+      t.read(asOf = 0).orderBy("name", "count")
+    },
+
+    // compaction: fold MoR deletes into fresh data files via a `replace`
+    // commit; the compacted read equals the pre-compaction MoR view and
+    // no longer carries delete files.
+    Q.noOracle("t_compaction") { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "compact")
+      t.append(itemsWithDup(s))
+      t.delete(Seq("A").toDF("name"), Seq("name"))
+      t.compact()
+      t.read().orderBy("name", "count")
+    },
+
+    // A33 (declared-only Cargo.toml:53-55): two writers race on the same
+    // snapshot seq; the CAS (exclusive create of the log entry) makes one
+    // win and the other retry onto the next seq — no commit is lost.
+    Q.noOracle("t_conflict_retry") { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "conflict")
+      t.append(items(s))
+      val racers = (1 to 4).map { i =>
+        new Thread {
+          override def run(): Unit =
+            t.commitLog.commit("add", dataFiles = Seq(s"racer-$i.parquet"))
+        }
+      }
+      racers.foreach(_.start()); racers.foreach(_.join())
+      // all 5 commits present, seqs strictly consecutive — summarized as
+      // one row per snapshot
+      val snaps = t.snapshots.map(e => (e.seq, e.action, e.dataFiles.length))
+      snaps.toDF("seq", "action", "n_files").orderBy("seq")
+    },
+  )
+}

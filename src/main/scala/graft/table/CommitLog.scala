@@ -1,0 +1,158 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths, FileAlreadyExistsException}
+import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
+
+/** One committed log entry (≈ an Iceberg snapshot).
+  *
+  * Actions mirror the reference's commit surface:
+  *  - `add`      — fast_append of data files (main.rs:79-93): O(1) append
+  *    of one log entry, no rewrite of prior metadata.
+  *  - `delete`   — equality-delete files (deletes.rs:60-92) with the
+  *    equality key column names; may be combined with `add` in ONE entry,
+  *    the reference's atomic mixed commit (deletes.rs:94-110).
+  *  - `replace`  — compaction: the new file set supersedes everything
+  *    before it (copy-on-write rewrite of the merge-on-read view).
+  *
+  * Delete scoping: an equality delete applies to rows committed strictly
+  * before its own seq (Iceberg's sequence-number rule), so data added in
+  * the same mixed commit and all later appends are untouched.
+  */
+final case class LogEntry(
+    seq: Long,
+    action: String, // add | delete | mixed | replace
+    dataFiles: Seq[String],
+    deleteFiles: Seq[String],
+    equalityCols: Seq[String],
+    tsMs: Long)
+
+/** File-based commit log with CAS concurrency control — the Spark-native
+  * stand-in for the reference's Iceberg REST-catalog commit path
+  * (lib.rs:21-39, decouple.rs:269-300). One directory per table:
+  *
+  *   <root>/_log/<seq padded>.json     — one entry per commit
+  *   <root>/data/...                   — parquet data files
+  *   <root>/deletes/...                — parquet equality-delete files
+  *
+  * Commit protocol: claim seq with an atomic exclusive create
+  * (Files.createFile = O_EXCL) of `<seq>.json`, then write the entry into
+  * the claimed file. A losing committer gets FileAlreadyExistsException,
+  * re-reads the head and retries with the next seq — the conflict-retry
+  * semantics the reference declares but never shipped
+  * (Cargo.toml:53-55 "conflict" bin).
+  *
+  * Scale: a commit is one small JSON write regardless of data size —
+  * the metadata path stays O(1) per epoch while executors write data
+  * files in parallel, exactly the decoupled writer/committer shape of
+  * decouple.rs (200 writers, one committer).
+  */
+final class CommitLog(val root: Path) {
+  private val logDir = root.resolve("_log")
+  Files.createDirectories(logDir)
+  Files.createDirectories(root.resolve("data"))
+  Files.createDirectories(root.resolve("deletes"))
+
+  private def entryPath(seq: Long): Path = logDir.resolve(f"$seq%020d.json")
+
+  /** largest committed seq, or -1 for an empty log. */
+  def headSeq(): Long = {
+    val files = Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".json")).toSeq
+    if (files.isEmpty) -1L else files.map(_.stripSuffix(".json").toLong).max
+  }
+
+  /** All committed entries with seq ≤ asOf (entire log if asOf < 0). */
+  def entries(asOf: Long = Long.MaxValue): Seq[LogEntry] =
+    Files.list(logDir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .sortBy(_.getFileName.toString)
+      .map(p => Json.parseEntry(Files.readString(p)))
+      .filter(_.seq <= asOf)
+
+  /** Live table state at a snapshot: data files tagged with the seq that
+    * added them, delete files tagged likewise (both after the last
+    * `replace`, which resets history).
+    */
+  def state(asOf: Long = Long.MaxValue): (Seq[(String, Long)], Seq[(String, Long, Seq[String])]) = {
+    var data = Vector.empty[(String, Long)]
+    var dels = Vector.empty[(String, Long, Seq[String])]
+    entries(asOf).foreach { e =>
+      if (e.action == "replace") { data = Vector.empty; dels = Vector.empty }
+      data = data ++ e.dataFiles.map(_ -> e.seq)
+      dels = dels ++ e.deleteFiles.map(f => (f, e.seq, e.equalityCols))
+    }
+    (data, dels)
+  }
+
+  /** CAS commit: claims head+1, retrying on losing the race.
+    * Returns the committed seq.
+    */
+  def commit(
+      action: String,
+      dataFiles: Seq[String] = Nil,
+      deleteFiles: Seq[String] = Nil,
+      equalityCols: Seq[String] = Nil,
+      maxAttempts: Int = 50): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val seq = headSeq() + 1
+      val p = entryPath(seq)
+      try {
+        Files.createFile(p) // atomic O_EXCL claim — the CAS
+        val e = LogEntry(seq, action, dataFiles, deleteFiles, equalityCols,
+          System.currentTimeMillis())
+        Files.write(p, Json.renderEntry(e).getBytes(StandardCharsets.UTF_8))
+        return seq
+      } catch {
+        case _: FileAlreadyExistsException => attempt += 1 // lost the race; re-read head
+      }
+    }
+    throw new IllegalStateException(s"commit lost CAS race $maxAttempts times")
+  }
+}
+
+object CommitLog {
+  def apply(dir: String): CommitLog = new CommitLog(Paths.get(dir))
+}
+
+/** Minimal JSON render/parse for LogEntry — flat schema, no nesting needed,
+  * so a hand-rolled codec keeps the module dependency-free.
+  */
+private[table] object Json {
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def arr(xs: Seq[String]): String = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
+
+  def renderEntry(e: LogEntry): String =
+    s"""{"seq":${e.seq},"action":"${e.action}","dataFiles":${arr(e.dataFiles)},""" +
+      s""""deleteFiles":${arr(e.deleteFiles)},"equalityCols":${arr(e.equalityCols)},"tsMs":${e.tsMs}}"""
+
+  // parser for exactly the shape renderEntry produces (paths may contain
+  // escaped chars, never raw quotes/brackets)
+  def parseEntry(s: String): LogEntry = {
+    def longOf(key: String): Long = {
+      val m = (s""""$key":(-?\\d+)""").r.findFirstMatchIn(s)
+      m.map(_.group(1).toLong).getOrElse(sys.error(s"missing $key in $s"))
+    }
+    def strOf(key: String): String = {
+      val m = (s""""$key":"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(s)
+      m.map(_.group(1)).getOrElse(sys.error(s"missing $key in $s"))
+    }
+    def arrOf(key: String): Seq[String] = {
+      val m = (s""""$key":\\[((?:[^\\]])*)\\]""").r.findFirstMatchIn(s)
+      val body = m.map(_.group(1)).getOrElse(sys.error(s"missing $key in $s"))
+      if (body.trim.isEmpty) Nil
+      else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")
+        .replace("\\\"", "\"").replace("\\\\", "\\"))
+    }
+    LogEntry(longOf("seq"), strOf("action"), arrOf("dataFiles"),
+      arrOf("deleteFiles"), arrOf("equalityCols"), longOf("tsMs"))
+  }
+}

@@ -1,0 +1,122 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A Spark-managed table over the CommitLog: the capability port of the
+  * reference's Iceberg table (create/append/equality-delete/time-travel/
+  * compaction), re-expressed as parquet + a snapshot log instead of a
+  * REST catalog (SURVEY.md §7.3; reference main.rs / decouple.rs /
+  * deletes.rs).
+  *
+  * Read path (merge-on-read): data files are unioned with their commit
+  * seq; equality deletes anti-join rows whose key matches AND whose data
+  * seq ≤ the delete's seq — later appends are untouched, matching
+  * Iceberg's sequence-number scoping of equality deletes. Catalyst sees
+  * an ordinary left_anti join and optimizes it like any other (broadcast
+  * when the delete set is small — the common case).
+  *
+  * Write path: executors write parquet shards in parallel (df.write),
+  * then the driver performs exactly ONE O(1) commit — the decoupled
+  * many-writers/one-committer architecture of decouple.rs:112-300.
+  */
+final class GraftTable(spark: SparkSession, val root: Path) {
+  private val log = new CommitLog(root)
+
+  private def newShardDir(kind: String): Path =
+    root.resolve(kind).resolve(UUID.randomUUID().toString)
+
+  private def parquetFilesIn(dir: Path): Seq[String] =
+    Files.walk(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString).toSeq.sorted
+
+  /** fast_append: write data files, commit one `add` entry. */
+  def append(df: DataFrame): Long = {
+    val dir = newShardDir("data")
+    df.write.parquet(dir.toString)
+    log.commit("add", dataFiles = parquetFilesIn(dir))
+  }
+
+  /** equality delete: persist the key set as a delete file, commit a
+    * `delete` entry scoped to the given equality columns
+    * (deletes.rs:65-92).
+    */
+  def delete(keys: DataFrame, equalityCols: Seq[String]): Long = {
+    val dir = newShardDir("deletes")
+    keys.select(equalityCols.map(col): _*).distinct().write.parquet(dir.toString)
+    log.commit("delete", deleteFiles = parquetFilesIn(dir), equalityCols = equalityCols)
+  }
+
+  /** atomic mixed commit: new data files AND a delete in ONE log entry
+    * (deletes.rs:94-110 — appends + deletes in a single transaction).
+    */
+  def appendAndDelete(df: DataFrame, keys: DataFrame, equalityCols: Seq[String]): Long = {
+    val dDir = newShardDir("data")
+    df.write.parquet(dDir.toString)
+    val delDir = newShardDir("deletes")
+    keys.select(equalityCols.map(col): _*).distinct().write.parquet(delDir.toString)
+    log.commit("mixed", dataFiles = parquetFilesIn(dDir),
+      deleteFiles = parquetFilesIn(delDir), equalityCols = equalityCols)
+  }
+
+  /** snapshot read; `asOf` = time travel to that committed seq. */
+  def read(asOf: Long = Long.MaxValue): DataFrame = {
+    val (dataFiles, deleteFiles) = log.state(asOf)
+    if (dataFiles.isEmpty) return spark.emptyDataFrame
+    val data = dataFiles
+      .groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (seq, files) =>
+        spark.read.parquet(files.map(_._1): _*).withColumn("_seq", lit(seq))
+      }
+      .reduce(_ unionByName _)
+    val result = deleteFiles.groupBy(x => (x._2, x._3)).toSeq.sortBy(_._1._1)
+      .foldLeft(data) { case (acc, ((dseq, eqCols), files)) =>
+        // prefix the delete-side keys so the anti-join condition is
+        // unambiguous; left_anti output keeps only left columns.
+        val dels = spark.read.parquet(files.map(_._1): _*)
+          .select(eqCols.map(c => col(c).as(s"_d_$c")): _*)
+        // strictly-less: an equality delete applies to data committed
+        // BEFORE it — data in the same (mixed) commit is untouched,
+        // matching Iceberg's sequence-number rule.
+        val keyCond = eqCols.map(c => col(c) <=> col(s"_d_$c")).reduce(_ && _)
+        acc.join(dels, keyCond && (col("_seq") < lit(dseq)), "left_anti")
+      }
+    result.drop("_seq")
+  }
+
+  /** compaction: materialize the MoR view into fresh files and commit a
+    * `replace` — deletes are folded in, history before the replace is
+    * superseded (but still time-travelable).
+    */
+  def compact(): Long = {
+    val dir = newShardDir("data")
+    read().write.parquet(dir.toString)
+    log.commit("replace", dataFiles = parquetFilesIn(dir))
+  }
+
+  def snapshots: Seq[LogEntry] = log.entries()
+  def headSeq: Long = log.headSeq()
+  def commitLog: CommitLog = log
+}
+
+object GraftTable {
+  /** idempotent create: drop-if-exists then create — the reference's
+    * init() shape (lib.rs:44-78: exists → drop → create).
+    */
+  def createOrReplace(spark: SparkSession, dir: String): GraftTable = {
+    val p = Paths.get(dir)
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    Files.createDirectories(p)
+    new GraftTable(spark, p)
+  }
+
+  def open(spark: SparkSession, dir: String): GraftTable =
+    new GraftTable(spark, Paths.get(dir))
+}

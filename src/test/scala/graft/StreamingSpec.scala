@@ -1,0 +1,166 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Genuinely-incremental streaming semantics over MemoryStream: windowed
+  * aggregation batch-equivalence, session merging, watermark late-drop,
+  * keyed dedup, and custom accumulator state — the behaviors the
+  * batch-equivalent q_stream_* oracle entries cannot observe.
+  * (Reference shape: micro-batch chunks kafka-bench.rs:191-194; the
+  * committer accumulator decouple.rs:224-300.)
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkSessionFixture.spark
+  import spark.implicits._
+
+  private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  test("streaming tumbling window equals batch aggregation on same data") {
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val df = ms.toDF().toDF("ts", "typ", "v")
+    val agg = df.groupBy(window(col("ts"), "5 minutes").as("w"), col("typ"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("typ"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("tumble")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      ms.addData((ts(0), "a", 1.0), (ts(2), "a", 2.0), (ts(6), "b", 3.0))
+      q.processAllAvailable()
+      ms.addData((ts(7), "a", 4.0), (ts(12), "b", 5.0))
+      q.processAllAvailable()
+      val streamed = spark.table("tumble").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batch = Seq((ts(0), "a", 1.0), (ts(2), "a", 2.0), (ts(6), "b", 3.0),
+        (ts(7), "a", 4.0), (ts(12), "b", 5.0)).toDF("ts", "typ", "v")
+        .groupBy(window(col("ts"), "5 minutes").as("w"), col("typ"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("ws"), col("typ"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("session_window merges events within the 30-minute gap") {
+    val ms = MemoryStream[(Timestamp, Long)]
+    val df = ms.toDF().toDF("ts", "user")
+    val agg = df.groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user"), col("w.start").as("ss"), col("w.end").as("se"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // user 1: 10:00, 10:10 (one session), 11:30 (a new session)
+      ms.addData((ts(0), 1L), (ts(10), 1L),
+        (Timestamp.valueOf("2024-01-01 11:30:00"), 1L))
+      q.processAllAvailable()
+      val rows = spark.table("sess").orderBy("ss").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getLong(3) == 2) // merged session holds both events
+      assert(rows(1).getLong(3) == 1)
+      // session end extends 30 min past the last contained event
+      assert(rows(0).getTimestamp(2) == Timestamp.valueOf("2024-01-01 10:40:00"))
+    } finally q.stop()
+  }
+
+  test("watermark drops events later than 10 minutes behind max event time") {
+    val ms = MemoryStream[(Timestamp, String)]
+    val df = ms.toDF().toDF("ts", "typ")
+    val agg = df.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("wm")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      ms.addData((ts(0), "x"), (ts(25), "x")) // watermark advances to 10:15
+      q.processAllAvailable()
+      ms.addData((ts(1), "late")) // 10:01 < watermark → dropped
+      q.processAllAvailable()
+      ms.addData((ts(26), "x"))
+      q.processAllAvailable()
+      val counts = spark.table("wm").collect()
+        .groupBy(_.getTimestamp(0)).view.mapValues(_.map(_.getLong(1)).max).toMap
+      // the 10:00 window never saw the late event: count stays 1
+      assert(counts(ts(0)) == 1L)
+    } finally q.stop()
+  }
+
+  test("dropDuplicates keeps one row per key across micro-batches") {
+    val ms = MemoryStream[(Long, String)]
+    val df = ms.toDF().toDF("id", "payload")
+    val q = df.dropDuplicates("id")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      ms.addData((1L, "a-again"), (3L, "c")) // id=1 is a cross-batch dup
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("id").as[Long].collect().sorted
+      assert(ids.sameElements(Array(1L, 2L, 3L)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState accumulates per-user counts across batches") {
+    val ms = MemoryStream[(Long, Double)]
+    val counted = ms.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (n0, sum0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var sm = sum0
+          rows.foreach { r => n += 1; sm += r._2 }
+          state.update((n, sm))
+          Iterator.single((user, n, sm))
+      }
+      .toDF("user", "n", "total")
+    val q = counted.writeStream.format("memory").queryName("state")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      ms.addData((1L, 2.0), (1L, 3.0), (2L, 10.0))
+      q.processAllAvailable()
+      ms.addData((1L, 5.0))
+      q.processAllAvailable()
+      val last = spark.table("state").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).maxBy(_._1)).toMap
+      assert(last(1L) == ((3L, 10.0))) // state carried across batches
+      assert(last(2L) == ((1L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("q_stream_session batch form equals session_window streaming on events slice") {
+    // same dataset through both paths: the gaps-and-islands batch query
+    // (registered, oracle-checked) vs Spark's session_window operator
+    val sf = SparkSessionFixture.sf
+    val ev = Tables.events(spark, sf).filter(col("user_id") < 10)
+    val viaOp = ev
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("ss"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaQuery = SparkEntry.queries("q_stream_session")(spark, sf)
+      .filter(col("user_id") < 10)
+      .select(col("user_id"), col("session_start_us"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaOp == viaQuery)
+  }
+
+  test("t_decoupled_ingest commits one snapshot per micro-batch epoch") {
+    val rows = SparkEntry.queries("t_decoupled_ingest")(spark, SparkSessionFixture.sf).collect()
+    // 6 files / 2 per trigger = 3 epochs → 3 add commits
+    assert(rows.length == 3)
+    assert(rows.forall(_.getString(1) == "add"))
+    assert(rows.map(_.getLong(0)).sorted.sameElements(Array(0L, 1L, 2L)))
+    // all 300 source rows landed
+    assert(rows.head.getLong(3) == 300L)
+  }
+}

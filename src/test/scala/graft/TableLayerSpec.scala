@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.table.{CommitLog, GraftTable}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Snapshot-lineage assertions for the table layer: append → delete →
+  * time-travel → compact → conflict, on hermetic temp warehouses
+  * (reference shapes: main.rs fast_append, deletes.rs equality deletes +
+  * atomic mixed commit, decouple.rs batched commits, Cargo.toml conflict
+  * intent).
+  */
+class TableLayerSpec extends AnyFunSuite {
+  import SparkSessionFixture.spark
+  import spark.implicits._
+
+  private def freshTable(tag: String): GraftTable =
+    GraftTable.createOrReplace(spark, Files.createTempDirectory(s"spec_$tag").toString)
+
+  private val base = Seq(("A", "small", 2), ("A", "large", 7), ("B", "medium", 15),
+    ("C", "medium", 10), ("D", "small", 20), ("E", "large", 20))
+
+  private def items = base.toDF("name", "size", "count")
+
+  test("append commits accumulate snapshots and rows") {
+    val t = freshTable("append")
+    assert(t.headSeq == -1)
+    t.append(items)
+    assert(t.headSeq == 0)
+    t.append(items)
+    assert(t.headSeq == 1)
+    assert(t.read().count() == 12)
+    assert(t.snapshots.map(_.action) == Seq("add", "add"))
+  }
+
+  test("equality delete removes all matching rows, later appends survive") {
+    val t = freshTable("delete")
+    t.append(items) // 2 rows keyed A
+    t.delete(Seq("A").toDF("name"), Seq("name"))
+    val afterDelete = t.read().select("name").as[String].collect().sorted
+    assert(afterDelete.sameElements(Array("B", "C", "D", "E")))
+    // append a fresh A AFTER the delete: must survive (seq scoping)
+    t.append(Seq(("A", "post", 1)).toDF("name", "size", "count"))
+    val names = t.read().select("name").as[String].collect().sorted
+    assert(names.sameElements(Array("A", "B", "C", "D", "E")))
+  }
+
+  test("atomic mixed commit applies delete to prior data, not to its own append") {
+    val t = freshTable("mixed")
+    t.append(items)
+    t.appendAndDelete(
+      Seq(("A", "reborn", 99)).toDF("name", "size", "count"),
+      Seq("A").toDF("name"), Seq("name"))
+    val rows = t.read().filter(col("name") === "A").collect()
+    assert(rows.length == 1 && rows.head.getString(1) == "reborn")
+    // exactly one commit happened for the mixed action
+    assert(t.snapshots.map(_.action) == Seq("add", "mixed"))
+  }
+
+  test("time travel reads any historical snapshot") {
+    val t = freshTable("travel")
+    t.append(items)                                   // seq 0: 6 rows
+    t.append(items.withColumn("count", col("count") + 100)) // seq 1: 12 rows
+    t.delete(Seq("A").toDF("name"), Seq("name"))      // seq 2: 8 rows (4 A's gone)
+    assert(t.read(asOf = 0).count() == 6)
+    assert(t.read(asOf = 1).count() == 12)
+    assert(t.read(asOf = 2).count() == 8)
+    assert(t.read().count() == 8)
+  }
+
+  test("compaction preserves the MoR view and clears delete files") {
+    val t = freshTable("compact")
+    t.append(items)
+    t.delete(Seq("A").toDF("name"), Seq("name"))
+    val before = t.read().orderBy("name", "count").collect()
+    t.compact()
+    val after = t.read().orderBy("name", "count").collect()
+    assert(before.sameElements(after))
+    // post-compaction state carries data files only
+    val (dataF, delF) = t.commitLog.state()
+    assert(dataF.nonEmpty && delF.isEmpty)
+    // and history before the replace is still travelable
+    assert(t.read(asOf = 0).count() == 6)
+  }
+
+  test("concurrent committers never lose a commit (CAS retry)") {
+    val dir = Files.createTempDirectory("spec_cas").toString
+    val log = CommitLog(dir)
+    val n = 16
+    val threads = (1 to n).map { i =>
+      new Thread { override def run(): Unit = log.commit("add", dataFiles = Seq(s"f$i")) }
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val entries = log.entries()
+    assert(entries.length == n)
+    assert(entries.map(_.seq) == (0L until n.toLong))
+    // every racer's file landed exactly once
+    assert(entries.flatMap(_.dataFiles).sorted == (1 to n).map(i => s"f$i").sorted)
+  }
+
+  test("log entry JSON round-trips") {
+    val log = CommitLog(Files.createTempDirectory("spec_json").toString)
+    val seq = log.commit("mixed", dataFiles = Seq("a.parquet", "b.parquet"),
+      deleteFiles = Seq("d.parquet"), equalityCols = Seq("name", "size"))
+    val e = log.entries().last
+    assert(e.seq == seq && e.action == "mixed")
+    assert(e.dataFiles == Seq("a.parquet", "b.parquet"))
+    assert(e.deleteFiles == Seq("d.parquet"))
+    assert(e.equalityCols == Seq("name", "size"))
+  }
+}
