@@ -26,6 +26,18 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame = p(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = p(s, dir, "embeddings")
 
+  /** Spread a scan across the cluster before compute-heavy row-local
+    * stages (shingling, hashing, vector math). The testdata tables are
+    * single-file/single-row-group parquet, so Spark scans them with ONE
+    * task and every higher-order-function pipeline above them would run
+    * serially; one tiny shuffle of the raw rows buys full parallelism.
+    * At production scale the same call is a cheap no-op-ish rebalance —
+    * and compute-heavy stages after a scan want an explicit spread anyway
+    * when file sizes skew.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
   /** events.ts: the shipped parquet stores µs timestamps (ts reads as
     * TIMESTAMP natively); the LongType branch is defensive for an ns-encoded
     * variant and only applies when the session was built with

@@ -65,7 +65,7 @@ object VectorQueries extends QueryPack {
     }.reduce(_ + _)
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
+    Tables.spread(Tables.embeddings(s, dir)) // single-file scan → spread before vector math
 
   override def queries: Seq[Q] = Seq(
 
