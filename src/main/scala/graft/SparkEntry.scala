@@ -20,6 +20,7 @@ object SparkEntry {
     _root_.graft.queries.MultimodalQueries,
     _root_.graft.queries.TableQueries,
     _root_.graft.queries.StreamQueries,
+    _root_.graft.queries.AssetQueries,
   )
 
   lazy val all: Seq[Q] = packs.flatMap(_.queries)
