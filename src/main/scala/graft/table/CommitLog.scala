@@ -25,7 +25,27 @@ final case class LogEntry(
     dataFiles: Seq[String],
     deleteFiles: Seq[String],
     equalityCols: Seq[String],
-    tsMs: Long)
+    tsMs: Long,
+    // per-commit column statistics for scan pruning (Iceberg keeps these
+    // in manifest entries; one granularity coarser here — per commit):
+    // parallel arrays of column name, rendered min, rendered max. Numeric
+    // semantics (compared as BigDecimal).
+    statsCols: Seq[String] = Nil,
+    statsMin: Seq[String] = Nil,
+    statsMax: Seq[String] = Nil) {
+
+  /** Can this commit's data possibly contain rows with `col` in
+    * [lo, hi]? True when no stats were recorded for the column (never
+    * prune blind).
+    */
+  def mayContain(colName: String, lo: BigDecimal, hi: BigDecimal): Boolean = {
+    val i = statsCols.indexOf(colName)
+    i < 0 || {
+      val (mn, mx) = (BigDecimal(statsMin(i)), BigDecimal(statsMax(i)))
+      mx >= lo && mn <= hi
+    }
+  }
+}
 
 /** File-based commit log with CAS concurrency control — the Spark-native
   * stand-in for the reference's Iceberg REST-catalog commit path
@@ -72,14 +92,22 @@ final class CommitLog(val root: Path) {
 
   /** Live table state at a snapshot: data files tagged with the seq that
     * added them, delete files tagged likewise (both after the last
-    * `replace`, which resets history).
+    * `replace`, which resets history). With `prune` set, data files of
+    * commits whose recorded [min,max] for that column cannot intersect
+    * the range are skipped — Iceberg-style scan planning with data
+    * skipping (delete files are always kept: they apply regardless of
+    * where the surviving data lives).
     */
-  def state(asOf: Long = Long.MaxValue): (Seq[(String, Long)], Seq[(String, Long, Seq[String])]) = {
+  def state(
+      asOf: Long = Long.MaxValue,
+      prune: Option[(String, BigDecimal, BigDecimal)] = None)
+      : (Seq[(String, Long)], Seq[(String, Long, Seq[String])]) = {
     var data = Vector.empty[(String, Long)]
     var dels = Vector.empty[(String, Long, Seq[String])]
     entries(asOf).foreach { e =>
       if (e.action == "replace") { data = Vector.empty; dels = Vector.empty }
-      data = data ++ e.dataFiles.map(_ -> e.seq)
+      val keep = prune.forall { case (c, lo, hi) => e.mayContain(c, lo, hi) }
+      if (keep) data = data ++ e.dataFiles.map(_ -> e.seq)
       dels = dels ++ e.deleteFiles.map(f => (f, e.seq, e.equalityCols))
     }
     (data, dels)
@@ -93,6 +121,7 @@ final class CommitLog(val root: Path) {
       dataFiles: Seq[String] = Nil,
       deleteFiles: Seq[String] = Nil,
       equalityCols: Seq[String] = Nil,
+      stats: Seq[(String, String, String)] = Nil, // (col, min, max)
       maxAttempts: Int = 50): Long = {
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -101,7 +130,8 @@ final class CommitLog(val root: Path) {
       try {
         Files.createFile(p) // atomic O_EXCL claim — the CAS
         val e = LogEntry(seq, action, dataFiles, deleteFiles, equalityCols,
-          System.currentTimeMillis())
+          System.currentTimeMillis(),
+          stats.map(_._1), stats.map(_._2), stats.map(_._3))
         Files.write(p, Json.renderEntry(e).getBytes(StandardCharsets.UTF_8))
         return seq
       } catch {
@@ -132,7 +162,8 @@ private[table] object Json {
 
   def renderEntry(e: LogEntry): String =
     s"""{"seq":${e.seq},"action":"${e.action}","dataFiles":${arr(e.dataFiles)},""" +
-      s""""deleteFiles":${arr(e.deleteFiles)},"equalityCols":${arr(e.equalityCols)},"tsMs":${e.tsMs}}"""
+      s""""deleteFiles":${arr(e.deleteFiles)},"equalityCols":${arr(e.equalityCols)},"tsMs":${e.tsMs},""" +
+      s""""statsCols":${arr(e.statsCols)},"statsMin":${arr(e.statsMin)},"statsMax":${arr(e.statsMax)}}"""
 
   // parser for exactly the shape renderEntry produces (paths may contain
   // escaped chars, never raw quotes/brackets)
@@ -145,14 +176,20 @@ private[table] object Json {
       val m = (s""""$key":"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(s)
       m.map(_.group(1)).getOrElse(sys.error(s"missing $key in $s"))
     }
-    def arrOf(key: String): Seq[String] = {
+    def arrOf(key: String, required: Boolean = true): Seq[String] = {
       val m = (s""""$key":\\[((?:[^\\]])*)\\]""").r.findFirstMatchIn(s)
-      val body = m.map(_.group(1)).getOrElse(sys.error(s"missing $key in $s"))
+      val body = m.map(_.group(1)).getOrElse(
+        if (required) sys.error(s"missing $key in $s") else "")
       if (body.trim.isEmpty) Nil
       else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")
         .replace("\\\"", "\"").replace("\\\\", "\\"))
     }
     LogEntry(longOf("seq"), strOf("action"), arrOf("dataFiles"),
-      arrOf("deleteFiles"), arrOf("equalityCols"), longOf("tsMs"))
+      arrOf("deleteFiles"), arrOf("equalityCols"), longOf("tsMs"),
+      // stats fields are optional: entries from before the stats feature
+      // (or stat-less commits) parse as empty
+      arrOf("statsCols", required = false),
+      arrOf("statsMin", required = false),
+      arrOf("statsMax", required = false))
   }
 }

@@ -35,11 +35,26 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .map(_.toString).toSeq.sorted
 
-  /** fast_append: write data files, commit one `add` entry. */
-  def append(df: DataFrame): Long = {
+  /** fast_append: write data files, commit one `add` entry. With
+    * `statsCols`, the commit records min/max of those (numeric) columns —
+    * the manifest statistics Iceberg uses for scan pruning — computed in
+    * one aggregate over the batch being appended.
+    */
+  def append(df: DataFrame, statsCols: Seq[String] = Nil): Long = {
     val dir = newShardDir("data")
     df.write.parquet(dir.toString)
-    log.commit("add", dataFiles = parquetFilesIn(dir))
+    val stats =
+      if (statsCols.isEmpty) Nil
+      else {
+        val aggs = statsCols.flatMap(c =>
+          Seq(min(col(c)).cast("decimal(38,6)").as(s"mn_$c"),
+            max(col(c)).cast("decimal(38,6)").as(s"mx_$c")))
+        val row = spark.read.parquet(dir.toString).agg(aggs.head, aggs.tail: _*).collect()(0)
+        statsCols.zipWithIndex.map { case (c, i) =>
+          (c, String.valueOf(row.get(2 * i)), String.valueOf(row.get(2 * i + 1)))
+        }
+      }
+    log.commit("add", dataFiles = parquetFilesIn(dir), stats = stats)
   }
 
   /** equality delete: persist the key set as a delete file, commit a
@@ -65,8 +80,26 @@ final class GraftTable(spark: SparkSession, val root: Path) {
   }
 
   /** snapshot read; `asOf` = time travel to that committed seq. */
-  def read(asOf: Long = Long.MaxValue): DataFrame = {
-    val (dataFiles, deleteFiles) = log.state(asOf)
+  def read(asOf: Long = Long.MaxValue): DataFrame = readPruned(asOf, None)
+
+  /** range read with data skipping: commits whose recorded [min,max] for
+    * `colName` cannot intersect [lo, hi] contribute NO files to the scan
+    * (verify with prunedFileCount), and the residual filter is applied to
+    * the surviving rows. The 100 TB payoff: a time- or id-bounded query
+    * reads only the matching ingest epochs instead of the whole table.
+    */
+  def readRange(colName: String, lo: BigDecimal, hi: BigDecimal): DataFrame =
+    readPruned(Long.MaxValue, Some((colName, lo, hi)))
+      .filter(col(colName) >= lo && col(colName) <= hi)
+
+  /** data files a readRange scan would actually open. */
+  def prunedFileCount(colName: String, lo: BigDecimal, hi: BigDecimal): Int =
+    log.state(Long.MaxValue, Some((colName, lo, hi)))._1.size
+
+  private def readPruned(
+      asOf: Long,
+      prune: Option[(String, BigDecimal, BigDecimal)]): DataFrame = {
+    val (dataFiles, deleteFiles) = log.state(asOf, prune)
     if (dataFiles.isEmpty) return spark.emptyDataFrame
     val data = dataFiles
       .groupBy(_._2).toSeq.sortBy(_._1)

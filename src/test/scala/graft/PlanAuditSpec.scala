@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Automated plan-quality gate: the properties that keep these queries
+  * viable at 100 TB are asserted on the physical plans themselves, so a
+  * refactor that silently loses predicate pushdown, column pruning, the
+  * top-k operator, or sneaks in an unkeyed join fails CI — not a code
+  * review six months later.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import SparkSessionFixture.{spark, sf}
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  test("q_filter_range pushes every predicate into the parquet scan") {
+    val p = plan("q_filter_range")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("LessThan(l_quantity"))
+  }
+
+  test("q_scan_project prunes unread columns at the scan") {
+    val p = plan("q_scan_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag") && !readSchema.contains("l_comment"),
+      s"unpruned: $readSchema")
+    assert(readSchema.contains("l_quantity"))
+  }
+
+  test("q_topk compiles to TakeOrderedAndProject, not a global sort") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_join_broadcast broadcasts the bounded dims") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_agg_group uses two-phase hash aggregation") {
+    val p = plan("q_agg_group")
+    // partial + final HashAggregate around the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("Exchange"))
+  }
+
+  test("no query plan contains an unkeyed CartesianProduct") {
+    // q_sim_topk's probe fan-out is an intended broadcast nested loop
+    // (K probes against the scan); a plain CartesianProduct is always a bug.
+    val audited = SparkEntry.all.map(_.name)
+      .filterNot(_.startsWith("t_")) // table scenarios execute side effects on build
+    audited.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a CartesianProduct")
+    }
+  }
+
+  test("q_join_inner leaves join selection to the optimizer (no forced broadcast of customer)") {
+    // at test scale the optimizer may well broadcast — the audit is that
+    // the PLAN resolves and contains a keyed join, with no ResolvedHint
+    // forcing the growing dimension
+    val df: DataFrame = SparkEntry.queries("q_join_inner")(spark, sf)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"), "forced join hint on a growing dim")
+    val p = plan("q_join_inner")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
+}

@@ -100,6 +100,31 @@ class TableLayerSpec extends AnyFunSuite {
     assert(entries.flatMap(_.dataFiles).sorted == (1 to n).map(i => s"f$i").sorted)
   }
 
+  test("range reads skip commits via recorded min/max stats") {
+    val t = freshTable("skip")
+    // three ingest epochs with disjoint count ranges
+    def batch(lo: Int) = (lo until lo + 10).map(i => (s"k$i", "x", i)).toDF("name", "size", "count")
+    t.append(batch(0), statsCols = Seq("count"))    // files: [0, 9]
+    t.append(batch(100), statsCols = Seq("count"))  // files: [100, 109]
+    t.append(batch(200), statsCols = Seq("count"))  // files: [200, 209]
+    val allFiles = t.commitLog.state()._1.size
+    // a range query touching only epoch 2 opens only its files
+    val hit = t.prunedFileCount("count", BigDecimal(100), BigDecimal(105))
+    assert(hit < allFiles && hit > 0, s"pruned $hit of $allFiles")
+    val rows = t.readRange("count", BigDecimal(100), BigDecimal(105))
+      .select("count").as[Int].collect().sorted
+    assert(rows.sameElements(100 to 105))
+    // pruning never changes results: equals the unpruned filtered read
+    val full = t.read().filter($"count" >= 100 && $"count" <= 105)
+      .select("count").as[Int].collect().sorted
+    assert(rows.sameElements(full))
+    // out-of-range query opens nothing
+    assert(t.prunedFileCount("count", BigDecimal(500), BigDecimal(600)) == 0)
+    // a stat-less commit is never pruned (prune blind is forbidden)
+    t.append(batch(300)) // no stats
+    assert(t.readRange("count", BigDecimal(300), BigDecimal(305)).count() == 6)
+  }
+
   test("log entry JSON round-trips") {
     val log = CommitLog(Files.createTempDirectory("spec_json").toString)
     val seq = log.commit("mixed", dataFiles = Seq("a.parquet", "b.parquet"),
