@@ -32,7 +32,11 @@ final case class LogEntry(
     // semantics (compared as BigDecimal).
     statsCols: Seq[String] = Nil,
     statsMin: Seq[String] = Nil,
-    statsMax: Seq[String] = Nil) {
+    statsMax: Seq[String] = Nil,
+    // Spark StructType JSON of the data committed by this entry — the
+    // schema-per-snapshot record that makes evolution trackable
+    // (reference: explicit stable field ids, lib.rs:58-62).
+    schemaJson: String = "") {
 
   /** Can this commit's data possibly contain rows with `col` in
     * [lo, hi]? True when no stats were recorded for the column (never
@@ -122,6 +126,7 @@ final class CommitLog(val root: Path) {
       deleteFiles: Seq[String] = Nil,
       equalityCols: Seq[String] = Nil,
       stats: Seq[(String, String, String)] = Nil, // (col, min, max)
+      schemaJson: String = "",
       maxAttempts: Int = 50): Long = {
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -131,7 +136,7 @@ final class CommitLog(val root: Path) {
         Files.createFile(p) // atomic O_EXCL claim — the CAS
         val e = LogEntry(seq, action, dataFiles, deleteFiles, equalityCols,
           System.currentTimeMillis(),
-          stats.map(_._1), stats.map(_._2), stats.map(_._3))
+          stats.map(_._1), stats.map(_._2), stats.map(_._3), schemaJson)
         Files.write(p, Json.renderEntry(e).getBytes(StandardCharsets.UTF_8))
         return seq
       } catch {
@@ -163,7 +168,8 @@ private[table] object Json {
   def renderEntry(e: LogEntry): String =
     s"""{"seq":${e.seq},"action":"${e.action}","dataFiles":${arr(e.dataFiles)},""" +
       s""""deleteFiles":${arr(e.deleteFiles)},"equalityCols":${arr(e.equalityCols)},"tsMs":${e.tsMs},""" +
-      s""""statsCols":${arr(e.statsCols)},"statsMin":${arr(e.statsMin)},"statsMax":${arr(e.statsMax)}}"""
+      s""""statsCols":${arr(e.statsCols)},"statsMin":${arr(e.statsMin)},"statsMax":${arr(e.statsMax)},""" +
+      s""""schemaJson":"${esc(e.schemaJson)}"}"""
 
   // parser for exactly the shape renderEntry produces (paths may contain
   // escaped chars, never raw quotes/brackets)
@@ -172,9 +178,11 @@ private[table] object Json {
       val m = (s""""$key":(-?\\d+)""").r.findFirstMatchIn(s)
       m.map(_.group(1).toLong).getOrElse(sys.error(s"missing $key in $s"))
     }
-    def strOf(key: String): String = {
+    def strOf(key: String, required: Boolean = true): String = {
       val m = (s""""$key":"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(s)
-      m.map(_.group(1)).getOrElse(sys.error(s"missing $key in $s"))
+      val raw = m.map(_.group(1)).getOrElse(
+        if (required) sys.error(s"missing $key in $s") else "")
+      raw.replace("\\\"", "\"").replace("\\\\", "\\")
     }
     def arrOf(key: String, required: Boolean = true): Seq[String] = {
       val m = (s""""$key":\\[((?:[^\\]])*)\\]""").r.findFirstMatchIn(s)
@@ -190,6 +198,7 @@ private[table] object Json {
       // (or stat-less commits) parse as empty
       arrOf("statsCols", required = false),
       arrOf("statsMin", required = false),
-      arrOf("statsMax", required = false))
+      arrOf("statsMax", required = false),
+      strOf("schemaJson", required = false))
   }
 }

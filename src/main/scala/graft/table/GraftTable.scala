@@ -54,7 +54,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
           (c, String.valueOf(row.get(2 * i)), String.valueOf(row.get(2 * i + 1)))
         }
       }
-    log.commit("add", dataFiles = parquetFilesIn(dir), stats = stats)
+    log.commit("add", dataFiles = parquetFilesIn(dir), stats = stats,
+      schemaJson = df.schema.json)
   }
 
   /** equality delete: persist the key set as a delete file, commit a
@@ -76,7 +77,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     val delDir = newShardDir("deletes")
     keys.select(equalityCols.map(col): _*).distinct().write.parquet(delDir.toString)
     log.commit("mixed", dataFiles = parquetFilesIn(dDir),
-      deleteFiles = parquetFilesIn(delDir), equalityCols = equalityCols)
+      deleteFiles = parquetFilesIn(delDir), equalityCols = equalityCols,
+      schemaJson = df.schema.json)
   }
 
   /** snapshot read; `asOf` = time travel to that committed seq. */
@@ -101,12 +103,15 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       prune: Option[(String, BigDecimal, BigDecimal)]): DataFrame = {
     val (dataFiles, deleteFiles) = log.state(asOf, prune)
     if (dataFiles.isEmpty) return spark.emptyDataFrame
+    // allowMissingColumns = schema evolution on read: snapshots written
+    // before a column was added contribute nulls for it (add-column
+    // evolution; the per-snapshot schema is recorded in the log entry).
     val data = dataFiles
       .groupBy(_._2).toSeq.sortBy(_._1)
       .map { case (seq, files) =>
         spark.read.parquet(files.map(_._1): _*).withColumn("_seq", lit(seq))
       }
-      .reduce(_ unionByName _)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
     val result = deleteFiles.groupBy(x => (x._2, x._3)).toSeq.sortBy(_._1._1)
       .foldLeft(data) { case (acc, ((dseq, eqCols), files)) =>
         // prefix the delete-side keys so the anti-join condition is
@@ -128,9 +133,19 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     */
   def compact(): Long = {
     val dir = newShardDir("data")
-    read().write.parquet(dir.toString)
-    log.commit("replace", dataFiles = parquetFilesIn(dir))
+    val view = read()
+    view.write.parquet(dir.toString)
+    log.commit("replace", dataFiles = parquetFilesIn(dir),
+      schemaJson = view.schema.json)
   }
+
+  /** schema recorded at (the latest data commit ≤) `seq` — the evolution
+    * history a catalog would serve.
+    */
+  def schemaAt(seq: Long = Long.MaxValue): Option[org.apache.spark.sql.types.StructType] =
+    log.entries(seq).filter(_.schemaJson.nonEmpty).lastOption
+      .map(e => org.apache.spark.sql.types.DataType.fromJson(e.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
 
   def snapshots: Seq[LogEntry] = log.entries()
   def headSeq: Long = log.headSeq()

@@ -125,6 +125,25 @@ class TableLayerSpec extends AnyFunSuite {
     assert(t.readRange("count", BigDecimal(300), BigDecimal(305)).count() == 6)
   }
 
+  test("add-column schema evolution: old snapshots read with nulls, history tracked") {
+    val t = freshTable("evolve")
+    t.append(Seq(("A", 1), ("B", 2)).toDF("name", "count"))           // v1 schema
+    t.append(Seq(("C", 3, "eu"), ("D", 4, "us")).toDF("name", "count", "region")) // v2 adds region
+    val full = t.read()
+    assert(full.columns.toSeq == Seq("name", "count", "region"))
+    val regions = full.orderBy("name").select("region").collect().map(r => Option(r.getString(0)))
+    assert(regions.sameElements(Array(None, None, Some("eu"), Some("us"))))
+    // schema history: as of seq 0 the table had no region column
+    assert(t.schemaAt(0).get.fieldNames.toSeq == Seq("name", "count"))
+    assert(t.schemaAt().get.fieldNames.toSeq == Seq("name", "count", "region"))
+    // time travel respects the old shape's data
+    assert(t.read(asOf = 0).columns.toSeq == Seq("name", "count"))
+    // and compaction carries the evolved schema forward
+    t.compact()
+    assert(t.read().columns.toSeq == Seq("name", "count", "region"))
+    assert(t.read().count() == 4)
+  }
+
   test("log entry JSON round-trips") {
     val log = CommitLog(Files.createTempDirectory("spec_json").toString)
     val seq = log.commit("mixed", dataFiles = Seq("a.parquet", "b.parquet"),
