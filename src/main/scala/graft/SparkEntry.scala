@@ -36,6 +36,9 @@ object SparkEntry {
   private def utcPinned(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {
       s.conf.set("spark.sql.session.timeZone", "UTC")
+      // native function registration is per-session and idempotent; the
+      // driver may hand us a session built without our extensions
+      _root_.graft.functions.GraftFunctions.register(s)
       fn(s, dir)
     }
 

@@ -89,6 +89,27 @@ object TextQueries extends QueryPack {
         .orderBy("lang", "pred")
     },
 
+    // BPE-ish token counting: subword segmentation by a deterministic
+    // regex (letter runs / digit runs / single other-chars) — the cheap
+    // pre-tokenizer pass every BPE pipeline starts from — compared with
+    // whitespace word counts. Integer outputs only.
+    Q(
+      "q_text_bpe_tokens",
+      s"""SELECT doc_id,
+         |  CAST(len($W) AS BIGINT) AS n_words,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_subtokens,
+         |  CAST(len(list_filter(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'), t -> length(t) >= 5)) AS BIGINT) AS n_long_tokens
+         |FROM documents ORDER BY doc_id""",
+    ) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long").as("n_subtokens"),
+          size(filter(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"),
+            t => length(t) >= 5)).cast("long").as("n_long_tokens"))
+        .orderBy("doc_id")
+    },
+
     // polynomial rolling-hash fingerprint of the token stream (mod a
     // 32-bit prime so every intermediate stays exact in 64-bit on both
     // engines), plus a prefix fingerprint of the first 5 tokens — the

@@ -47,20 +47,21 @@ object VectorQueries extends QueryPack {
   private[queries] val planes: Array[Array[Double]] =
     Array.tabulate(8, 64)((j, i) => (sm64(j * 64L + i + 42L) % 1000L).toDouble / 1000.0)
 
-  /** cosine(a, b) as a codegen-era column expression (double math). */
+  /** cosine(a, b) over the native codegen'd dot product (graft_vecdot, a
+    * Catalyst Expression — see graft.functions.VecDot): the whole score
+    * computation stays inside one whole-stage-codegen span instead of
+    * interpreted zip_with/aggregate lambdas.
+    */
   private def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+    def dot(x: Column, y: Column) = call_function("graft_vecdot", x, y)
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
   }
 
-  /** LSH bucket id: sign bit of the dot product against each plane. */
+  /** LSH bucket id: sign bit of the native dot product against each plane. */
   private def bucketOf(v: Column): Column =
     planes.indices.map { j =>
       val plane = array(planes(j).map(lit): _*)
-      val d = aggregate(zip_with(v, plane, (x, p) => x.cast("double") * p),
-        lit(0.0), (acc, x) => acc + x)
+      val d = call_function("graft_vecdot", v, plane)
       when(d > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
 
