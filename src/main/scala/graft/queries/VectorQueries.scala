@@ -146,6 +146,46 @@ object VectorQueries extends QueryPack {
         .orderBy("probe_id", "rn")
     },
 
+    // IVF-flat approximate top-5: a fixed codebook (the first 16 vectors
+    // serve as deterministic coarse centroids — a k-means iteration would
+    // add quality, not change the plan shape), every vector assigned to
+    // its nearest centroid's inverted list in one scan, probes searching
+    // the nprobe=2 nearest lists. The 100 TB shape: the codebook
+    // broadcasts (it is small by construction), assignment is one
+    // embarrassingly-parallel pass, and each query touches ~nprobe/nlist
+    // of the data.
+    Q.noOracle("q_sim_ann_ivf") { (s, dir) =>
+      val all = emb(s, dir)
+      val centroids = all.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      // nearest-k centroids per vector (cosine; ties by centroid id)
+      def assign(df: DataFrame, idCol: String, vecCol: String, k: Int, out: String): DataFrame = {
+        val scored = df.crossJoin(broadcast(centroids))
+          .withColumn("csim", cosine(col(vecCol), col("cv")))
+        val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cid"))
+        scored.withColumn("crn", row_number().over(w))
+          .filter(col("crn") <= k)
+          .drop("cv", "csim", "crn")
+          .withColumnRenamed("cid", out)
+      }
+      val lists = assign(all.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", 1, "list_id")
+      val probes = assign(
+        all.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pv")),
+        "probe_id", "pv", 2, "probe_list") // nprobe = 2
+      val scored = lists.join(broadcast(probes),
+          col("list_id") === col("probe_list") && col("vec_id") =!= col("probe_id"))
+        .withColumn("score", cosine(col("pv"), col("embedding")))
+      val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("vec_id"))
+      scored
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"),
+          col("list_id"), round(col("score") * 1e6).cast("long").as("score_x1e6"))
+        .orderBy("probe_id", "rn")
+    },
+
     // embedding near-dup: nearest bucket-mate per vector with a
     // near-duplicate flag at cosine ≥ 0.95. One row per vector that has at
     // least one bucket-mate (the synthetic corpus has no true embedding

@@ -100,6 +100,26 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_sim_ann_ivf scores are true cosines and lists assign to nearest centroid") {
+    val rows = q("q_sim_ann_ivf").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, id, score) = (r.getLong(0), r.getLong(2), r.getLong(4))
+      assert(math.round(cos(vecs(p), vecs(id)) * 1e6) == score)
+    }
+    // each returned neighbor's list really is its nearest of the 16 centroids
+    val centroids = (0L until 16L).map(c => c -> vecs(c)).toMap
+    rows.foreach { r =>
+      val (id, listId) = (r.getLong(2), r.getLong(3))
+      val best = centroids.minBy { case (c, cv) => (-cos(vecs(id), cv), c) }._1
+      assert(best == listId, s"vec $id assigned $listId, nearest is $best")
+    }
+    // ranks contiguous per probe
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to rs.length))
+    }
+  }
+
   test("q_dedup_embed emits each vector's true nearest bucket-mate score") {
     val rows = q("q_dedup_embed").collect()
     assert(rows.nonEmpty)
