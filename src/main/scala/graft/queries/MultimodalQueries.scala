@@ -22,6 +22,19 @@ final case class MediaFeatures(
     fake_height: Int,
     head_hex: String)
 
+/** Output of the full decode → resize → frame-sample pipeline. */
+final case class MediaProcessed(
+    doc_id: Long,
+    media_type: String,
+    byte_len: Long,
+    checksum: Long,
+    fake_width: Int,
+    fake_height: Int,
+    resized_w: Int,
+    resized_h: Int,
+    frame_offsets: Seq[Long],
+    frame_hex: Seq[String])
+
 /** Multimodal-column plumbing (north star): treat media as opaque binary
   * columns with typed metadata, and run decode / feature-extract as a
   * partition-batched typed transformation.
@@ -72,6 +85,27 @@ object MultimodalQueries extends QueryPack {
       .as[MediaBlob]
   }
 
+  /** STUB resize: a real implementation scales pixel buffers; the fake
+    * maps the decoded dimensions onto a max-256 bounding box with aspect
+    * preserved — the arithmetic a thumbnailer performs, minus the pixels.
+    */
+  private[queries] def resizeStub(w: Int, h: Int, maxSide: Int = 256): (Int, Int) = {
+    val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+    (math.max(1, math.round(w * scale).toInt), math.max(1, math.round(h * scale).toInt))
+  }
+
+  /** STUB frame sampling: a real implementation seeks k keyframes; the
+    * fake samples k evenly-spaced byte offsets and hex-dumps 4 bytes at
+    * each — same signature, same batch shape.
+    */
+  private[queries] def frameSampleStub(content: Array[Byte], k: Int): (Seq[Long], Seq[String]) = {
+    val n = content.length
+    val offsets = (0 until k).map(i => (i.toLong * n) / k)
+    val frames = offsets.map(o =>
+      content.slice(o.toInt, math.min(o.toInt + 4, n)).map(b => f"${b & 0xff}%02x").mkString)
+    (offsets, frames)
+  }
+
   override def queries: Seq[Q] = Seq(
     // feature extraction over the binary column, batched per partition.
     Q.noOracle("q_multimodal_features") { (s, dir) =>
@@ -79,6 +113,24 @@ object MultimodalQueries extends QueryPack {
       blobs(s, dir)
         .repartition(col("media_type")) // same-codec payloads co-located
         .mapPartitions(_.map(decodeStub)) // batch boundary = partition
+        .toDF()
+        .orderBy("doc_id")
+    },
+
+    // the full media pipeline: decode → resize → frame-sample, composed
+    // inside ONE mapPartitions pass (one codec/session init per batch, no
+    // intermediate materialization — how a production decoder chain runs).
+    Q.noOracle("q_multimodal_pipeline") { (s, dir) =>
+      import s.implicits._
+      blobs(s, dir)
+        .repartition(col("media_type"))
+        .mapPartitions(_.map { b =>
+          val f = decodeStub(b)
+          val (rw, rh) = resizeStub(f.fake_width, f.fake_height)
+          val (offsets, frames) = frameSampleStub(b.content, k = 4)
+          MediaProcessed(f.doc_id, f.media_type, f.byte_len, f.checksum,
+            f.fake_width, f.fake_height, rw, rh, offsets, frames)
+        })
         .toDF()
         .orderBy("doc_id")
     },

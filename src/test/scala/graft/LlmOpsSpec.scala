@@ -144,6 +144,21 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_multimodal_pipeline: resize preserves aspect, frames are in-bounds and exact") {
+    val rows = q("q_multimodal_pipeline").collect()
+    assert(rows.nonEmpty)
+    rows.take(20).foreach { r =>
+      val (w, h) = (r.getInt(4), r.getInt(5))
+      val (rw, rh) = (r.getInt(6), r.getInt(7))
+      assert(math.max(rw, rh) <= 256 && rw >= 1 && rh >= 1)
+      // aspect preserved within rounding
+      assert(math.abs(rw.toDouble / rh - w.toDouble / h) < 0.05)
+      val offsets = r.getSeq[Long](8)
+      assert(offsets.length == 4 && offsets.forall(o => o >= 0 && o < r.getLong(2)))
+      assert(offsets == offsets.sorted)
+    }
+  }
+
   test("q_embed_stats quantized sums match driver-side exact integers") {
     val got = q("q_embed_stats").collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap

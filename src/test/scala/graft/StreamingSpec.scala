@@ -109,6 +109,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark bounds dedup state by event time") {
+    val ms = MemoryStream[(Timestamp, Long)]
+    val df = ms.toDF().toDF("ts", "id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = df.writeStream.format("memory").queryName("wmdedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData((ts(0), 1L), (ts(1), 1L)) // in-batch dup collapses
+      q.processAllAvailable()
+      ms.addData((ts(2), 1L)) // within the watermark window: still a dup
+      q.processAllAvailable()
+      // advance the watermark past id 1's expiry (10:01 + 10 min); the
+      // eviction applies at the NEXT batch, so this one uses a fresh id
+      ms.addData((ts(40), 99L))
+      q.processAllAvailable()
+      ms.addData((ts(41), 1L)) // state evicted → id 1 re-admitted
+      q.processAllAvailable()
+      val ones = spark.table("wmdedup").filter(col("id") === 1L).count()
+      assert(ones == 2, s"expected re-admission after state expiry, got $ones id-1 rows")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState accumulates per-user counts across batches") {
     val ms = MemoryStream[(Long, Double)]
     val counted = ms.toDS()
