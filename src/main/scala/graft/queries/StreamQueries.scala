@@ -182,10 +182,11 @@ object StreamQueries extends QueryPack {
         Files.write(src.resolve(f"part-$f%02d.json"), String.join("\n", lines: _*).getBytes)
       }
       val table = GraftTable.createOrReplace(s, Files.createTempDirectory("graft_ingest_tbl").toString)
-      val stream = s.readStream
-        .schema("name STRING, size STRING, count INT")
-        .option("maxFilesPerTrigger", 2) // micro-batch = 2 files (A18)
-        .json(src.toString)
+      // IngestSource seam: the JSON-file stand-in is interchangeable with
+      // graft.sources.KafkaSource when a Kafka connector jar is present
+      val stream = _root_.graft.sources.JsonFileSource(
+        src.toString, "name STRING, size STRING, count INT",
+        maxFilesPerTrigger = 2 /* micro-batch = 2 files (A18) */).load(s)
       val query = stream.writeStream
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>

@@ -89,6 +89,32 @@ object TableQueries extends QueryPack {
       t.read().orderBy("name", "count")
     },
 
+    // Iceberg-manifest-style data skipping: three ingest epochs with
+    // recorded count stats; the range read opens only the epoch whose
+    // [min,max] intersects and returns exactly the matching rows.
+    Q.noOracle("t_data_skipping") { (s, _) =>
+      val t = tmpTable(s, "skipping")
+      import s.implicits._
+      def batch(lo: Int) = (lo until lo + 10).map(i => (s"k$i", "x", i)).toDF("name", "size", "count")
+      t.append(batch(0), statsCols = Seq("count"))
+      t.append(batch(100), statsCols = Seq("count"))
+      t.append(batch(200), statsCols = Seq("count"))
+      val opened = t.prunedFileCount("count", BigDecimal(100), BigDecimal(105))
+      t.readRange("count", BigDecimal(100), BigDecimal(105))
+        .withColumn("files_opened", lit(opened))
+        .orderBy("count")
+    },
+
+    // per-snapshot schema recording + add-column evolution: rows written
+    // before the column was added read as nulls; history is travelable.
+    Q.noOracle("t_schema_evolution") { (s, _) =>
+      val t = tmpTable(s, "evolution")
+      import s.implicits._
+      t.append(Seq(("A", 1), ("B", 2)).toDF("name", "count"))
+      t.append(Seq(("C", 3, "eu"), ("D", 4, "us")).toDF("name", "count", "region"))
+      t.read().orderBy("name")
+    },
+
     // A33 (declared-only Cargo.toml:53-55): two writers race on the same
     // snapshot seq; the CAS (exclusive create of the log entry) makes one
     // win and the other retry onto the next seq — no commit is lost.
