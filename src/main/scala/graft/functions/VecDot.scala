@@ -90,3 +90,19 @@ object GraftFunctions {
       (children: Seq[Expression]) => VecDot(children(0), children(1)),
       "scala_udf")
 }
+
+/** Production wiring: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  * (or `builder.withExtensions(new GraftExtensions)`) registers the
+  * engine's native functions at session build — the
+  * SparkSessionExtensions path for clusters the engine doesn't
+  * bootstrap itself. The harness uses GraftFunctions.register instead
+  * because the driver hands us an already-built session.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_vecdot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VecDot].getCanonicalName, "graft_vecdot"),
+      (children: Seq[Expression]) => VecDot(children(0), children(1))))
+}

@@ -94,7 +94,9 @@ object VectorQueries extends QueryPack {
         .select(col("label"), col("vec_id"),
           expr("transform(embedding, e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000000) AS BIGINT))").as("q"))
       val perPos = quant
-        .select(col("label"), posexplode(col("q")).as(Seq("pos", "qc")))
+        // outer: skip the optimizer's pushed-down non-empty guard, which
+        // would re-evaluate the quantization transform at the scan
+        .select(col("label"), posexplode_outer(col("q")).as(Seq("pos", "qc")))
         .groupBy("label", "pos")
         .agg(sum(col("qc")).as("s"))
       val counts = quant.groupBy("label").agg(count(lit(1)).as("n_vecs"))

@@ -145,6 +145,19 @@ final class CommitLog(val root: Path) {
     }
     throw new IllegalStateException(s"commit lost CAS race $maxAttempts times")
   }
+
+  /** drop log entries with seq < before (snapshot expiration: bounded
+    * metadata; history earlier than `before` stops being travelable).
+    */
+  def expireBefore(before: Long): Int = {
+    val victims = Files.list(logDir).iterator().asScala.toSeq
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".json") && n.stripSuffix(".json").toLong < before
+      }
+    victims.foreach(Files.delete)
+    victims.size
+  }
 }
 
 object CommitLog {

@@ -139,6 +139,28 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       schemaJson = view.schema.json)
   }
 
+  /** Snapshot expiration + orphan-file removal (Iceberg's
+    * expire_snapshots ∘ remove_orphan_files): compacts the current MoR
+    * view into a replace commit, drops every older log entry, and deletes
+    * data/delete files no longer referenced. Reads are unchanged; time
+    * travel before the expiration point is — deliberately — gone, which
+    * is what bounds metadata and reclaims storage on a long-lived table.
+    */
+  def expireSnapshots(): Long = {
+    val seq = compact()
+    log.expireBefore(seq)
+    val referenced = log.state()._1.map(x => Paths.get(x._1)).toSet
+    Seq("data", "deletes").foreach { kind =>
+      val dir = root.resolve(kind)
+      if (Files.exists(dir)) {
+        Files.walk(dir).iterator().asScala.toSeq
+          .filter(p => p.getFileName.toString.endsWith(".parquet") && !referenced.contains(p))
+          .foreach(Files.delete)
+      }
+    }
+    seq
+  }
+
   /** schema recorded at (the latest data commit ≤) `seq` — the evolution
     * history a catalog would serve.
     */

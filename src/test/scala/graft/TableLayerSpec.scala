@@ -144,6 +144,29 @@ class TableLayerSpec extends AnyFunSuite {
     assert(t.read().count() == 4)
   }
 
+  test("expireSnapshots bounds metadata and removes orphan files, reads unchanged") {
+    import java.nio.file.{Files => JFiles}
+    import scala.jdk.CollectionConverters._
+    val t = freshTable("expire")
+    t.append(items)
+    t.delete(Seq("A").toDF("name"), Seq("name"))
+    t.append(Seq(("F", "new", 7)).toDF("name", "size", "count"))
+    val before = t.read().orderBy("name", "count").collect()
+    def parquetCount = JFiles.walk(t.root).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    val filesBefore = parquetCount
+    t.expireSnapshots()
+    // one surviving snapshot, same data, fewer physical files
+    assert(t.snapshots.length == 1 && t.snapshots.head.action == "replace")
+    assert(t.read().orderBy("name", "count").collect().sameElements(before))
+    assert(parquetCount < filesBefore, s"no orphans removed ($filesBefore)")
+    // pre-expiration history is gone by design
+    assert(t.read(asOf = 0).isEmpty)
+    // and the table keeps working: new appends commit after the replace
+    t.append(Seq(("G", "post", 8)).toDF("name", "size", "count"))
+    assert(t.read().count() == before.length + 1)
+  }
+
   test("log entry JSON round-trips") {
     val log = CommitLog(Files.createTempDirectory("spec_json").toString)
     val seq = log.commit("mixed", dataFiles = Seq("a.parquet", "b.parquet"),
