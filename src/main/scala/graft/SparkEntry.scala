@@ -36,8 +36,12 @@ object SparkEntry {
   private def utcPinned(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {
       s.conf.set("spark.sql.session.timeZone", "UTC")
-      // native function registration is per-session and idempotent; the
-      // driver may hand us a session built without our extensions
+      // events.parquet stores TIMESTAMP(NANOS) (verified: a session
+      // without this flag throws PARQUET_TYPE_ILLEGAL on the scan); the
+      // driver may hand us a session built without it, so pin it before
+      // the plan is built, exactly like the timezone.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // native function registration is per-session and idempotent
       _root_.graft.functions.GraftFunctions.register(s)
       fn(s, dir)
     }

@@ -38,11 +38,13 @@ object Tables {
   def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
-  /** events.ts: the shipped parquet stores µs timestamps (ts reads as
-    * TIMESTAMP natively); the LongType branch is defensive for an ns-encoded
-    * variant and only applies when the session was built with
-    * spark.sql.legacy.parquet.nanosAsLong=true (set once in the session
-    * builders — this loader is pure, no conf mutation).
+  /** events.ts: the shipped parquet stores TIMESTAMP(NANOS) — a session
+    * without spark.sql.legacy.parquet.nanosAsLong=true throws
+    * PARQUET_TYPE_ILLEGAL on the scan (verified empirically; the flag is
+    * pinned in SparkEntry's per-query wrapper and in every session
+    * builder — this loader stays pure, no conf mutation). With the flag,
+    * ts arrives as a raw ns LONG and the branch below normalizes to a µs
+    * timestamp; the TimestampType branch covers a µs-encoded variant.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     val raw = p(s, dir, "events")

@@ -39,6 +39,8 @@ case class VecDot(left: Expression, right: Expression)
     case _ => false
   }
 
+  // null ELEMENTS contribute 0 to the sum (same in both eval paths);
+  // null ARRAYS propagate null via the nullSafe wrappers.
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -47,27 +49,37 @@ case class VecDot(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      s += xv * yv
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+        s += xv * yv
+      }
       i += 1
     }
     s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val getL = if (isFloat(left)) (v: String) => s"(double) $v.getFloat(i)"
-               else (v: String) => s"$v.getDouble(i)"
-    val getR = if (isFloat(right)) (v: String) => s"(double) $v.getFloat(i)"
-               else (v: String) => s"$v.getDouble(i)"
+    // fresh identifiers: two VecDots in one codegen scope (e.g. a product
+    // of dot products over non-nullable children, where nullSafeCodeGen
+    // adds no isolating block) must not redeclare the same variables
+    val n = ctx.freshName("vdN")
+    val acc = ctx.freshName("vdAcc")
+    val i = ctx.freshName("vdI")
+    val getL = if (isFloat(left)) (v: String) => s"(double) $v.getFloat($i)"
+               else (v: String) => s"$v.getDouble($i)"
+    val getR = if (isFloat(right)) (v: String) => s"(double) $v.getFloat($i)"
+               else (v: String) => s"$v.getDouble($i)"
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += ${getL(a)} * ${getR(b)};
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += ${getL(a)} * ${getR(b)};
+         |  }
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
   }

@@ -36,8 +36,8 @@ object AggQueries extends QueryPack {
         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS sum_base_price_x1e4,
         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS sum_disc_price_x1e6,
         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS sum_charge_x1e6,
-        |  CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS avg_qty_x1e6,
-        |  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS avg_price_x1e6,
+        |  CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 1000000) AS BIGINT) AS avg_qty_x1e6,
+        |  CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) * 1000000) AS BIGINT) AS avg_price_x1e6,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1998-09-03'
@@ -55,8 +55,14 @@ object AggQueries extends QueryPack {
           Dec.asLong(sum(price), 4).as("sum_base_price_x1e4"),
           Dec.asLong(sum(price * disc), 6).as("sum_disc_price_x1e6"),
           Dec.asLong(sum(price * disc * tax), 6).as("sum_charge_x1e6"),
-          Dec.asLong(sum(Dec.d4(col("l_quantity"))).cast("double") / count(lit(1)), 6).as("avg_qty_x1e6"),
-          Dec.asLong(sum(price).cast("double") / count(lit(1)), 6).as("avg_price_x1e6"),
+          // doubles are quantized via ROUND, never a double→decimal cast
+          // (§7.5: Spark casts through the shortest string repr, DuckDB
+          // through the exact binary expansion — they can differ by 1 ulp
+          // of the target scale)
+          round(sum(Dec.d4(col("l_quantity"))).cast("double") / count(lit(1)) * 1e6)
+            .cast("long").as("avg_qty_x1e6"),
+          round(sum(price).cast("double") / count(lit(1)) * 1e6)
+            .cast("long").as("avg_price_x1e6"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },

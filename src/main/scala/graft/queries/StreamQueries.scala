@@ -71,21 +71,23 @@ object StreamQueries extends QueryPack {
     Q(
       "q_stream_session",
       """WITH g AS (
-        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
         |         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
         |                   - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
         |                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
         |              THEN 1 ELSE 0 END AS brk
         |  FROM events),
         |s AS (SELECT user_id, tus,
-        |             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tus
+        |             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
         |      FROM g)
         |SELECT user_id, sid, MIN(tus) AS session_start_us, MAX(tus) AS session_end_us, COUNT(*) AS n
         |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""",
     ) { (s, dir) =>
       val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val cum = Window.partitionBy("user_id").orderBy(col("tus"))
+      // event_id tiebreak: rows with equal (user_id, tus) must fold into
+      // the running sum in the same order on both engines (§7.5 rule 1)
+      val cum = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, dir)
         .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("ts"), col("event_id"))

@@ -79,17 +79,30 @@ final class CommitLog(val root: Path) {
 
   private def entryPath(seq: Long): Path = logDir.resolve(f"$seq%020d.json")
 
-  /** largest committed seq, or -1 for an empty log. */
-  def headSeq(): Long = {
-    val files = Files.list(logDir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".json")).toSeq
+  /** list a directory with the stream closed (Files.list leaks a
+    * directory fd until GC otherwise — commits/reads run per epoch).
+    */
+  private def listed[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(dir)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
+  /** largest claimed seq, or -1 for an empty log. Claimed-but-unwritten
+    * entries count: their seq must never be reused.
+    */
+  def headSeq(): Long = listed(logDir) { it =>
+    val files = it.map(_.getFileName.toString).filter(_.endsWith(".json")).toSeq
     if (files.isEmpty) -1L else files.map(_.stripSuffix(".json").toLong).max
   }
 
-  /** All committed entries with seq ≤ asOf (entire log if asOf < 0). */
+  /** All committed entries with seq ≤ asOf. Zero-length entry files are
+    * claims whose content is not yet (or never was — a crashed committer)
+    * atomically moved in; they are skipped, which makes reads correct
+    * concurrently with in-flight commits and after committer crashes.
+    */
   def entries(asOf: Long = Long.MaxValue): Seq[LogEntry] =
-    Files.list(logDir).iterator().asScala.toSeq
-      .filter(_.getFileName.toString.endsWith(".json"))
+    listed(logDir)(_.toSeq)
+      .filter(p => p.getFileName.toString.endsWith(".json") && Files.size(p) > 0)
       .sortBy(_.getFileName.toString)
       .map(p => Json.parseEntry(Files.readString(p)))
       .filter(_.seq <= asOf)
@@ -137,7 +150,14 @@ final class CommitLog(val root: Path) {
         val e = LogEntry(seq, action, dataFiles, deleteFiles, equalityCols,
           System.currentTimeMillis(),
           stats.map(_._1), stats.map(_._2), stats.map(_._3), schemaJson)
-        Files.write(p, Json.renderEntry(e).getBytes(StandardCharsets.UTF_8))
+        // content becomes visible atomically: write a temp file, then
+        // rename over the claimed (empty) entry. Readers see either an
+        // empty claim (skipped by entries()) or the full entry — never a
+        // partial write.
+        val tmp = Files.createTempFile(logDir, s".$seq-", ".tmp")
+        Files.write(tmp, Json.renderEntry(e).getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         return seq
       } catch {
         case _: FileAlreadyExistsException => attempt += 1 // lost the race; re-read head
@@ -150,7 +170,7 @@ final class CommitLog(val root: Path) {
     * metadata; history earlier than `before` stops being travelable).
     */
   def expireBefore(before: Long): Int = {
-    val victims = Files.list(logDir).iterator().asScala.toSeq
+    val victims = listed(logDir)(_.toSeq)
       .filter { p =>
         val n = p.getFileName.toString
         n.endsWith(".json") && n.stripSuffix(".json").toLong < before
@@ -202,8 +222,11 @@ private[table] object Json {
       val body = m.map(_.group(1)).getOrElse(
         if (required) sys.error(s"missing $key in $s") else "")
       if (body.trim.isEmpty) Nil
-      else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")
-        .replace("\\\"", "\"").replace("\\\\", "\\"))
+      else body.trim.stripPrefix("\"").stripSuffix("\"")
+        // split on the quote-comma-quote element boundary, not bare commas
+        // — file paths may legally contain commas
+        .split("\",\"", -1).toSeq
+        .map(_.replace("\\\"", "\"").replace("\\\\", "\\"))
     }
     LogEntry(longOf("seq"), strOf("action"), arrOf("dataFiles"),
       arrOf("deleteFiles"), arrOf("equalityCols"), longOf("tsMs"),

@@ -30,10 +30,17 @@ final class GraftTable(spark: SparkSession, val root: Path) {
   private def newShardDir(kind: String): Path =
     root.resolve(kind).resolve(UUID.randomUUID().toString)
 
+  /** walk with the stream closed (Files.walk leaks a directory fd
+    * until GC otherwise).
+    */
+  private def walked[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.walk(dir)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   private def parquetFilesIn(dir: Path): Seq[String] =
-    Files.walk(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .map(_.toString).toSeq.sorted
+    walked(dir)(_.filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString).toSeq.sorted)
 
   /** fast_append: write data files, commit one `add` entry. With
     * `statsCols`, the commit records min/max of those (numeric) columns —
@@ -102,7 +109,15 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       asOf: Long,
       prune: Option[(String, BigDecimal, BigDecimal)]): DataFrame = {
     val (dataFiles, deleteFiles) = log.state(asOf, prune)
-    if (dataFiles.isEmpty) return spark.emptyDataFrame
+    if (dataFiles.isEmpty) {
+      // preserve the table schema on an all-pruned/empty read so callers
+      // (readRange's residual filter included) can still resolve columns
+      return schemaAt(asOf) match {
+        case Some(sch) =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+        case None => spark.emptyDataFrame
+      }
+    }
     // allowMissingColumns = schema evolution on read: snapshots written
     // before a column was added contribute nulls for it (add-column
     // evolution; the per-snapshot schema is recorded in the log entry).
@@ -153,7 +168,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     Seq("data", "deletes").foreach { kind =>
       val dir = root.resolve(kind)
       if (Files.exists(dir)) {
-        Files.walk(dir).iterator().asScala.toSeq
+        walked(dir)(_.toSeq)
           .filter(p => p.getFileName.toString.endsWith(".parquet") && !referenced.contains(p))
           .foreach(Files.delete)
       }
@@ -181,7 +196,9 @@ object GraftTable {
   def createOrReplace(spark: SparkSession, dir: String): GraftTable = {
     val p = Paths.get(dir)
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      val s = Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally s.close()
     }
     Files.createDirectories(p)
     new GraftTable(spark, p)

@@ -167,6 +167,26 @@ class TableLayerSpec extends AnyFunSuite {
     assert(t.read().count() == before.length + 1)
   }
 
+  test("reads skip an abandoned commit claim; its seq is never reused") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val dir = JFiles.createTempDirectory("spec_claim").toString
+    val log = CommitLog(dir)
+    log.commit("add", dataFiles = Seq("f0"))
+    // a committer crashed after claiming seq 1 but before moving content in
+    JFiles.createFile(JPaths.get(dir, "_log", f"${1L}%020d.json"))
+    assert(log.entries().map(_.seq) == Seq(0L)) // reader unaffected
+    val next = log.commit("add", dataFiles = Seq("f2"))
+    assert(next == 2L) // the abandoned claim's seq is not reused
+    assert(log.entries().map(_.seq) == Seq(0L, 2L))
+  }
+
+  test("file paths containing commas survive the log round-trip") {
+    val log = CommitLog(java.nio.file.Files.createTempDirectory("spec_comma").toString)
+    val weird = Seq("/data/run,v2/part-0.parquet", "/plain/part-1.parquet")
+    log.commit("add", dataFiles = weird)
+    assert(log.entries().last.dataFiles == weird)
+  }
+
   test("log entry JSON round-trips") {
     val log = CommitLog(Files.createTempDirectory("spec_json").toString)
     val seq = log.commit("mixed", dataFiles = Seq("a.parquet", "b.parquet"),

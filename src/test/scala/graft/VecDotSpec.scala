@@ -43,6 +43,23 @@ class VecDotSpec extends AnyFunSuite {
     got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
   }
 
+  test("two dot products in one codegen scope compile (fresh variable names)") {
+    // non-nullable literal children give nullSafeCodeGen no isolating
+    // block — fixed identifiers would redeclare and break Janino,
+    // silently falling back to interpreted execution
+    val df = Seq(1).toDF("x").select(
+      (call_function("graft_vecdot", array(lit(1.0f), lit(2.0f)), array(lit(3.0f), lit(4.0f))) *
+        call_function("graft_vecdot", array(lit(5.0f)), array(lit(6.0f)))).as("p"))
+    assert(df.as[Double].head() == 11.0 * 30.0)
+  }
+
+  test("null array elements contribute zero, not garbage") {
+    val df = Seq((Seq(Some(1.0f), None, Some(3.0f)), Seq(Some(2.0f), Some(9.0f), Some(4.0f))))
+      .toDF("a", "b")
+    val v = df.select(call_function("graft_vecdot", col("a"), col("b"))).as[Double].head()
+    assert(v == 2.0 + 0.0 + 12.0)
+  }
+
   test("rejects non-array inputs at analysis") {
     val df = Seq((1, 2)).toDF("a", "b")
     val err = intercept[Exception] {
