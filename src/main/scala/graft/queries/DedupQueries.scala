@@ -68,6 +68,18 @@ object DedupQueries extends QueryPack {
       // explode stage at sf0.1.
       .repartition(col("doc_id"))
 
+  /** Ordered candidate pairs from a bucketed relation: `buckets` carries a
+    * `members` array of structs with a `doc_id` field; each bucket row
+    * expands to its (a, b) member pairs with a.doc_id < b.doc_id. Shared
+    * by the shingle, MinHash-band and SimHash-chunk pipelines.
+    */
+  private def expandPairs(buckets: DataFrame): DataFrame =
+    buckets
+      .filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+
   /** exact Jaccard ≥ 0.5 pairs in one pass: explode shingles (carrying the
     * set size), bucket by shingle, expand pairs inside each bucket, then
     * count shared shingles per pair — inter is exact because EVERY shared
@@ -84,12 +96,7 @@ object DedupQueries extends QueryPack {
       explode_outer(col("shingles")).as("sg"))
     val buckets = ex.groupBy("sg")
       .agg(collect_list(struct(col("doc_id"), col("ns"))).as("members"))
-      .filter(size(col("members")) > 1)
-    val pairs = buckets
-      .select(explode(col("members")).as("a"), col("members"))
-      .select(col("a"), explode(col("members")).as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-    pairs
+    expandPairs(buckets)
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         col("a.ns").as("na"), col("b.ns").as("nb"))
       .agg(count(lit(1)).as("inter"))
@@ -160,11 +167,7 @@ object DedupQueries extends QueryPack {
             .as("bb"))
       val buckets = banded.groupBy(col("bb.band"), col("bb.bkey"))
         .agg(collect_list(struct(col("doc_id"), col("shingles"))).as("members"))
-        .filter(size(col("members")) > 1)
-      val pairs = buckets
-        .select(explode(col("members")).as("a"), col("members"))
-        .select(col("a"), explode(col("members")).as("b"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
+      val pairs = expandPairs(buckets)
         // same pair can collide in several bands — keep one copy
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .agg(first(col("a.shingles")).as("sa"), first(col("b.shingles")).as("sb"))
@@ -202,12 +205,8 @@ object DedupQueries extends QueryPack {
           .as("cc"))
       val buckets = chunked.groupBy(col("cc.chunk"), col("cc.ckey"))
         .agg(collect_list(struct(col("doc_id"), col("sh"))).as("members"))
-        .filter(size(col("members")) > 1)
       orderedOutput(
-        buckets
-          .select(explode(col("members")).as("a"), col("members"))
-          .select(col("a"), explode(col("members")).as("b"))
-          .filter(col("a.doc_id") < col("b.doc_id"))
+        expandPairs(buckets)
           .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
           .agg(first(col("a.sh")).as("sha"), first(col("b.sh")).as("shb"))
           .withColumn("hamming", bit_count(expr("sha ^ shb")).cast("long"))
