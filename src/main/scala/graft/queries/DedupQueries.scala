@@ -186,14 +186,14 @@ object DedupQueries extends QueryPack {
     // for hamming ≤ 3, best-effort beyond); emitted with exact hamming
     // distance ≤ 8. Chunks explode from one projection of the signature.
     Q.noOracle("q_dedup_simhash") { (s, dir) =>
-      // token multiset votes: bit i of simhash = sign of Σ_tokens cnt * (±1)
+      // token multiset votes: bit i of simhash = sign of Σ_instances (±1).
+      // Voting per token INSTANCE equals voting per distinct token weighted
+      // by count, so no (doc, tok) pre-aggregation — one shuffle, not two.
       val tokens = Tables.spread(Tables.documents(s, dir))
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(count(lit(1)).as("cnt"))
+        .select(col("doc_id"), explode_outer(split(col("text"), " ")).as("tok"))
         .withColumn("th", xxhash64(col("tok")))
       val bitSums = (0 until 64).map(i =>
-        sum(when(expr(s"(th >> $i) & 1") === 1, col("cnt")).otherwise(-col("cnt"))).as(s"s$i"))
+        sum(when(expr(s"(th >> $i) & 1") === 1, 1).otherwise(-1)).as(s"s$i"))
       val voted = tokens.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       val simhash = (0 until 64)
         .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L))
