@@ -15,6 +15,11 @@ run / fork := true
 // otherwise every line gets an "[info] " prefix and the driver cannot parse
 // Bench's single JSON line (BENCH_r01.json: "parsed": null).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// No "[success] Total time: ..." epilogue after the run: the driver captures
+// a bounded tail of stdout, and every extra trailing line pushes the front of
+// Bench's JSON line out of that window (BENCH_r02.json: "parsed": null with
+// the line visibly truncated mid-JSON).
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

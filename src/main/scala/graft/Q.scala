@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions}
 import org.apache.spark.sql.types.DecimalType
 
 /** One named query in the engine's declared surface (SURVEY.md §2B): a
@@ -47,11 +47,20 @@ object Dec {
   /** Hash-stable rendering of an exact decimal: value × 10^scale as BIGINT.
     * Integer outputs hash identically across engines, unlike decimals whose
     * textual scale (trailing zeros) differs between Spark and DuckDB
-    * (VERDICT r1: all 13 hash fails were representation-only). The multiply
-    * is exact — the input is first cast to DECIMAL(38, scale), so scaling by
-    * 10^scale yields an integral value with no rounding.
+    * (VERDICT r1: all 13 hash fails were representation-only).
+    *
+    * Exactness: the input is bounded to DECIMAL(28, scale) — ample for any
+    * verified measure, |value| < 10^(28-scale) ≥ 10^20 — and the multiplier
+    * is a DECIMAL(scale+1, 0) literal, so the product type is
+    * DECIMAL(30+scale, scale) ≤ precision 38: no rounding and no overflow.
+    * The former (38, scale) cast could exceed precision 38 on multiply,
+    * which non-ANSI Spark nulls SILENTLY while DuckDB promotes to HUGEINT —
+    * a scale-dependent divergence (ADVICE r2).
     * Oracle mirror: CAST(CAST(expr AS DECIMAL(38,s)) * 10^s AS BIGINT).
     */
-  def asLong(c: Column, scale: Int): Column =
-    (c.cast(DecimalType(38, scale)) * math.pow(10, scale).toLong).cast("long")
+  def asLong(c: Column, scale: Int): Column = {
+    require(scale >= 0 && scale <= 8, s"asLong scale $scale outside exact range 0..8")
+    val pow10 = functions.lit(new java.math.BigDecimal(java.math.BigInteger.TEN.pow(scale)))
+    (c.cast(DecimalType(28, scale)) * pow10).cast("long")
+  }
 }

@@ -22,7 +22,12 @@ final case class MediaFeatures(
     fake_height: Int,
     head_hex: String)
 
-/** Output of the full decode → resize → frame-sample pipeline. */
+/** Output of the full decode → resize → frame-sample pipeline. The frame
+  * lists are rendered as CSV strings in the OUTPUT schema only (the driver's
+  * rows-only check sorts result cells, and raw array cells crash that sort —
+  * CORRECTNESS_r02 q_multimodal_pipeline / ADVICE r2); the in-pipeline
+  * representation stays `Seq` (frameSampleStub).
+  */
 final case class MediaProcessed(
     doc_id: Long,
     media_type: String,
@@ -32,8 +37,8 @@ final case class MediaProcessed(
     fake_height: Int,
     resized_w: Int,
     resized_h: Int,
-    frame_offsets: Seq[Long],
-    frame_hex: Seq[String])
+    frame_offsets_csv: String,
+    frame_hex_csv: String)
 
 /** Multimodal-column plumbing (north star): treat media as opaque binary
   * columns with typed metadata, and run decode / feature-extract as a
@@ -129,7 +134,8 @@ object MultimodalQueries extends QueryPack {
           val (rw, rh) = resizeStub(f.fake_width, f.fake_height)
           val (offsets, frames) = frameSampleStub(b.content, k = 4)
           MediaProcessed(f.doc_id, f.media_type, f.byte_len, f.checksum,
-            f.fake_width, f.fake_height, rw, rh, offsets, frames)
+            f.fake_width, f.fake_height, rw, rh,
+            offsets.mkString(","), frames.mkString(","))
         })
         .toDF()
         .orderBy("doc_id")

@@ -184,57 +184,48 @@ object CommitLog {
   def apply(dir: String): CommitLog = new CommitLog(Paths.get(dir))
 }
 
-/** Minimal JSON render/parse for LogEntry — flat schema, no nesting needed,
-  * so a hand-rolled codec keeps the module dependency-free.
+/** JSON codec for LogEntry via Jackson (already on the Spark classpath) —
+  * a real parser, so paths containing ']', '","', quotes, or any other
+  * JSON-significant bytes round-trip exactly (ADVICE r2: the former
+  * hand-rolled regex parser truncated such entries silently).
   */
 private[table] object Json {
-  private def esc(s: String): String =
-    s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
+  import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+  private val mapper = new ObjectMapper()
+
+  def renderEntry(e: LogEntry): String = {
+    val o = mapper.createObjectNode()
+    def arr(k: String, xs: Seq[String]): Unit = {
+      val a = o.putArray(k); xs.foreach(a.add)
     }
+    o.put("seq", e.seq)
+    o.put("action", e.action)
+    arr("dataFiles", e.dataFiles)
+    arr("deleteFiles", e.deleteFiles)
+    arr("equalityCols", e.equalityCols)
+    o.put("tsMs", e.tsMs)
+    arr("statsCols", e.statsCols)
+    arr("statsMin", e.statsMin)
+    arr("statsMax", e.statsMax)
+    o.put("schemaJson", e.schemaJson)
+    mapper.writeValueAsString(o)
+  }
 
-  private def arr(xs: Seq[String]): String = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
-
-  def renderEntry(e: LogEntry): String =
-    s"""{"seq":${e.seq},"action":"${e.action}","dataFiles":${arr(e.dataFiles)},""" +
-      s""""deleteFiles":${arr(e.deleteFiles)},"equalityCols":${arr(e.equalityCols)},"tsMs":${e.tsMs},""" +
-      s""""statsCols":${arr(e.statsCols)},"statsMin":${arr(e.statsMin)},"statsMax":${arr(e.statsMax)},""" +
-      s""""schemaJson":"${esc(e.schemaJson)}"}"""
-
-  // parser for exactly the shape renderEntry produces (paths may contain
-  // escaped chars, never raw quotes/brackets)
   def parseEntry(s: String): LogEntry = {
-    def longOf(key: String): Long = {
-      val m = (s""""$key":(-?\\d+)""").r.findFirstMatchIn(s)
-      m.map(_.group(1).toLong).getOrElse(sys.error(s"missing $key in $s"))
+    val n = mapper.readTree(s)
+    def req(key: String): JsonNode = {
+      val v = n.get(key)
+      if (v == null) sys.error(s"missing $key in $s") else v
     }
-    def strOf(key: String, required: Boolean = true): String = {
-      val m = (s""""$key":"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(s)
-      val raw = m.map(_.group(1)).getOrElse(
-        if (required) sys.error(s"missing $key in $s") else "")
-      raw.replace("\\\"", "\"").replace("\\\\", "\\")
+    // stats/schema fields are optional: entries from before those features
+    // (or stat-less commits) parse as empty
+    def arr(key: String): Seq[String] = {
+      val a = n.get(key)
+      if (a == null) Nil else (0 until a.size).map(a.get(_).asText())
     }
-    def arrOf(key: String, required: Boolean = true): Seq[String] = {
-      val m = (s""""$key":\\[((?:[^\\]])*)\\]""").r.findFirstMatchIn(s)
-      val body = m.map(_.group(1)).getOrElse(
-        if (required) sys.error(s"missing $key in $s") else "")
-      if (body.trim.isEmpty) Nil
-      else body.trim.stripPrefix("\"").stripSuffix("\"")
-        // split on the quote-comma-quote element boundary, not bare commas
-        // — file paths may legally contain commas
-        .split("\",\"", -1).toSeq
-        .map(_.replace("\\\"", "\"").replace("\\\\", "\\"))
-    }
-    LogEntry(longOf("seq"), strOf("action"), arrOf("dataFiles"),
-      arrOf("deleteFiles"), arrOf("equalityCols"), longOf("tsMs"),
-      // stats fields are optional: entries from before the stats feature
-      // (or stat-less commits) parse as empty
-      arrOf("statsCols", required = false),
-      arrOf("statsMin", required = false),
-      arrOf("statsMax", required = false),
-      strOf("schemaJson", required = false))
+    LogEntry(req("seq").asLong, req("action").asText, arr("dataFiles"),
+      arr("deleteFiles"), arr("equalityCols"), req("tsMs").asLong,
+      arr("statsCols"), arr("statsMin"), arr("statsMax"),
+      if (n.has("schemaJson")) n.get("schemaJson").asText else "")
   }
 }

@@ -57,8 +57,13 @@ final class GraftTable(spark: SparkSession, val root: Path) {
           Seq(min(col(c)).cast("decimal(38,6)").as(s"mn_$c"),
             max(col(c)).cast("decimal(38,6)").as(s"mx_$c")))
         val row = spark.read.parquet(dir.toString).agg(aggs.head, aggs.tail: _*).collect()(0)
-        statsCols.zipWithIndex.map { case (c, i) =>
-          (c, String.valueOf(row.get(2 * i)), String.valueOf(row.get(2 * i + 1)))
+        // A column that is all-null in this batch (or non-numeric, nulled by
+        // the decimal cast) has null min/max: record NO stats for it, so
+        // mayContain falls back to never-prune-blind instead of choking on a
+        // literal "null" at read time (ADVICE r2).
+        statsCols.zipWithIndex.flatMap { case (c, i) =>
+          if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
+          else Some((c, row.get(2 * i).toString, row.get(2 * i + 1).toString))
         }
       }
     log.commit("add", dataFiles = parquetFilesIn(dir), stats = stats,

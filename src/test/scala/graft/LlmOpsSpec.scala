@@ -153,7 +153,7 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(math.max(rw, rh) <= 256 && rw >= 1 && rh >= 1)
       // aspect preserved within rounding
       assert(math.abs(rw.toDouble / rh - w.toDouble / h) < 0.05)
-      val offsets = r.getSeq[Long](8)
+      val offsets = r.getString(8).split(",").toSeq.map(_.toLong)
       assert(offsets.length == 4 && offsets.forall(o => o >= 0 && o < r.getLong(2)))
       assert(offsets == offsets.sorted)
     }

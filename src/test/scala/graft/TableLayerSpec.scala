@@ -125,6 +125,24 @@ class TableLayerSpec extends AnyFunSuite {
     assert(t.readRange("count", BigDecimal(300), BigDecimal(305)).count() == 6)
   }
 
+  test("all-null stats column does not poison later range reads") {
+    val t = freshTable("nullstats")
+    // the batch's stats column is entirely null: min/max are null, so NO
+    // stats must be recorded for it (a literal "null" min/max would make
+    // every later mayContain throw NumberFormatException — ADVICE r2)
+    val nullBatch = Seq(("A", "x"), ("B", "y"))
+      .toDF("name", "size")
+      .withColumn("count", lit(null).cast("int"))
+    t.append(nullBatch, statsCols = Seq("count"))
+    assert(t.commitLog.entries().last.statsCols.isEmpty)
+    t.append(Seq(("C", "z", 5)).toDF("name", "size", "count"), statsCols = Seq("count"))
+    // range read survives the stat-less commit and never prunes it blind
+    val got = t.readRange("count", BigDecimal(0), BigDecimal(10))
+      .select("count").as[Int].collect().toSeq
+    assert(got == Seq(5))
+    assert(t.prunedFileCount("count", BigDecimal(0), BigDecimal(10)) >= 2)
+  }
+
   test("add-column schema evolution: old snapshots read with nulls, history tracked") {
     val t = freshTable("evolve")
     t.append(Seq(("A", 1), ("B", 2)).toDF("name", "count"))           // v1 schema
