@@ -25,8 +25,11 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: q_embed_stats quantizes components to scale-6 integers
   * (exact, associative sums → DuckDB-oracle-able). The cosine queries
-  * round scores to x1e6 ints and break ties by neighbor id, but their
-  * float arithmetic is engine-specific → no-oracle; VectorSpec re-derives
+  * round scores to x1e6 ints and break ties by neighbor id — and they ARE
+  * oracle-able: graft_vecdot accumulates float→double products
+  * left-to-right, which is bit-identical to DuckDB's list_dot_product
+  * over the FLOAT[]→DOUBLE[] cast, so the rounded scores match exactly
+  * (validated at sf0.001/0.01/0.1). LlmOpsSpec additionally re-derives
   * them brute-force on the driver and asserts equality.
   */
 object VectorQueries extends QueryPack {
@@ -67,6 +70,28 @@ object VectorQueries extends QueryPack {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.embeddings(s, dir)) // single-file scan → spread before vector math
+
+  // ---- DuckDB oracle fragments for the cosine queries ----
+
+  /** cosine in DuckDB over DOUBLE[] lists: list_dot_product accumulates
+    * left-to-right in double, bit-identical to graft_vecdot's
+    * float→double sequential loop, so ROUND(score*1e6) agrees exactly.
+    */
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a,$b) / sqrt(list_dot_product($a,$a) * list_dot_product($b,$b))"
+
+  /** plane literals via Double.toString (shortest repr): DuckDB's
+    * correctly-rounded parse recovers the identical double.
+    */
+  private def planeSql(j: Int): String = planes(j).map(_.toString).mkString("[", ",", "]")
+
+  /** the 8-bit hyperplane bucket, exactly as bucketOf computes it (CAST:
+    * DuckDB's CASE-sum is INTEGER, Spark's is BIGINT).
+    */
+  private val bucketSql: String =
+    planes.indices.map(j =>
+      s"(CASE WHEN list_dot_product(v, ${planeSql(j)}) > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("CAST(", " + ", " AS BIGINT)")
 
   override def queries: Seq[Q] = Seq(
 
@@ -111,7 +136,17 @@ object VectorQueries extends QueryPack {
 
     // brute-force cosine top-10 for 5 probe vectors: broadcast probes ×
     // linear scan (the exact baseline every ANN variant is judged against).
-    Q.noOracle("q_sim_topk") { (s, dir) =>
+    Q(
+      "q_sim_topk",
+      s"""WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv FROM embeddings WHERE vec_id < 5),
+         |a AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+         |s AS (SELECT probe_id, neighbor_id, ${cosSql("pv", "nv")} AS score
+         |      FROM a, p WHERE neighbor_id <> probe_id),
+         |r AS (SELECT probe_id, neighbor_id, score,
+         |      row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rn FROM s)
+         |SELECT probe_id, rn, neighbor_id, CAST(ROUND(score * 1e6) AS BIGINT) AS score_x1e6
+         |FROM r WHERE rn <= 10 ORDER BY probe_id, rn""",
+    ) { (s, dir) =>
       val probes = emb(s, dir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
       val all = emb(s, dir).select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
@@ -129,7 +164,18 @@ object VectorQueries extends QueryPack {
 
     // LSH-bucketed approximate top-5: probes search only their own
     // hyperplane bucket (~N/256 of the data) — the 100 TB-shaped plan.
-    Q.noOracle("q_sim_ann_lsh") { (s, dir) =>
+    Q(
+      "q_sim_ann_lsh",
+      s"""WITH wb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucketSql AS bucket FROM wb),
+         |p AS (SELECT vec_id AS probe_id, v AS pv, bucket FROM b WHERE vec_id < 5),
+         |s AS (SELECT p.probe_id, p.bucket, c.vec_id AS neighbor_id, ${cosSql("p.pv", "c.v")} AS score
+         |      FROM b c JOIN p ON c.bucket = p.bucket AND c.vec_id <> p.probe_id),
+         |r AS (SELECT probe_id, bucket, neighbor_id, score,
+         |      row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rn FROM s)
+         |SELECT probe_id, rn, neighbor_id, bucket, CAST(ROUND(score * 1e6) AS BIGINT) AS score_x1e6
+         |FROM r WHERE rn <= 5 ORDER BY probe_id, rn""",
+    ) { (s, dir) =>
       val withBucket = emb(s, dir)
         .select(col("vec_id"), col("embedding"), bucketOf(col("embedding")).as("bucket"))
       val probes = withBucket.filter(col("vec_id") < 5)
@@ -156,7 +202,26 @@ object VectorQueries extends QueryPack {
     // broadcasts (it is small by construction), assignment is one
     // embarrassingly-parallel pass, and each query touches ~nprobe/nlist
     // of the data.
-    Q.noOracle("q_sim_ann_ivf") { (s, dir) =>
+    Q(
+      "q_sim_ann_ivf",
+      s"""WITH av AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM av WHERE vec_id < 16),
+         |la AS (SELECT a.vec_id, a.v, c.cid, ${cosSql("a.v", "c.cv")} AS csim FROM av a, c),
+         |lists AS (SELECT vec_id, v, cid AS list_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn FROM la)
+         |  WHERE crn = 1),
+         |pa AS (SELECT a.vec_id AS probe_id, a.v AS pv, c.cid, ${cosSql("a.v", "c.cv")} AS csim
+         |  FROM av a, c WHERE a.vec_id < 5),
+         |probes AS (SELECT probe_id, pv, cid AS probe_list FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY csim DESC, cid) AS crn FROM pa)
+         |  WHERE crn <= 2),
+         |s AS (SELECT p.probe_id, l.vec_id AS neighbor_id, l.list_id, ${cosSql("p.pv", "l.v")} AS score
+         |  FROM lists l JOIN probes p ON l.list_id = p.probe_list AND l.vec_id <> p.probe_id),
+         |r AS (SELECT probe_id, neighbor_id, list_id, score,
+         |  row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rn FROM s)
+         |SELECT probe_id, rn, neighbor_id, list_id, CAST(ROUND(score * 1e6) AS BIGINT) AS score_x1e6
+         |FROM r WHERE rn <= 5 ORDER BY probe_id, rn""",
+    ) { (s, dir) =>
       val all = emb(s, dir)
       val centroids = all.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
@@ -193,7 +258,17 @@ object VectorQueries extends QueryPack {
     // least one bucket-mate (the synthetic corpus has no true embedding
     // dups — the flag column is the operator surface; the join stays the
     // scale-safe bucketed self-join, never all-pairs).
-    Q.noOracle("q_dedup_embed") { (s, dir) =>
+    Q(
+      "q_dedup_embed",
+      s"""WITH wb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucketSql AS bucket FROM wb),
+         |s AS (SELECT a.vec_id, bb.vec_id AS nn_id, ${cosSql("a.v", "bb.v")} AS score
+         |      FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id <> bb.vec_id),
+         |r AS (SELECT vec_id, nn_id, score,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, nn_id) AS rn FROM s)
+         |SELECT vec_id, nn_id, CAST(ROUND(score * 1e6) AS BIGINT) AS score_x1e6, score >= 0.95 AS is_near_dup
+         |FROM r WHERE rn = 1 ORDER BY vec_id""",
+    ) { (s, dir) =>
       val withBucket = emb(s, dir)
         .select(col("vec_id"), col("embedding"), bucketOf(col("embedding")).as("bucket"))
       val a = withBucket.select(col("vec_id"), col("embedding").as("va"), col("bucket"))
