@@ -8,8 +8,11 @@ import org.apache.spark.sql.functions._
   * reference ingests 68-field `AssetMessage` JSON from Kafka; here the
   * same shapes — JSON-in-string, string arrays, array<struct<source,
   * values[]>> — are generated deterministically and queried with the
-  * array/struct/JSON surface. Rows-only checked (the generator has no
-  * DuckDB-side twin); AssetGenSpec asserts hand-computed facts.
+  * array/struct/JSON surface. The generator is a pure arithmetic
+  * projection of `id`, so the oracle re-derives the aggregate directly
+  * from range(0, n) in DuckDB (the JSON/array round-trips cancel out:
+  * `net` = 'net-' || id%5, size(values) = (id+k)%2 + 1, …); AssetGenSpec
+  * additionally asserts hand-computed generator facts.
   *
   * Scale: generation is a parallel `spark.range` projection; the query is
   * one explode + one partial-agg shuffle keyed by (attackSurface, source).
@@ -17,7 +20,24 @@ import org.apache.spark.sql.functions._
 object AssetQueries extends QueryPack {
 
   override def queries: Seq[Q] = Seq(
-    Q.noOracle("q_asset_nested") { (s, _) =>
+    Q(
+      "q_asset_nested",
+      """WITH ids AS (SELECT range AS id FROM range(0, 10000)),
+        |ex AS (SELECT id, unnest(range(0,3)) AS k FROM ids),
+        |r AS (SELECT id,
+        |    ['Other','Internal','External'][CAST(id % 3 AS INT) + 1] AS attackSurface,
+        |    ['crowdstrike','qualys','tenable'][CAST((id + k) % 3 AS INT) + 1] AS cf_source,
+        |    'net-' || CAST(id % 5 AS VARCHAR) AS net,
+        |    CAST((id + k) % 2 AS BIGINT) + 1 AS n_values,
+        |    CAST(id % 3 AS BIGINT) + 1 AS n_sources
+        |  FROM ex)
+        |SELECT attackSurface, cf_source, net,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_values) AS BIGINT) AS total_values,
+        |  CAST(SUM(n_sources) AS BIGINT) AS sum_sources,
+        |  CAST(COUNT(DISTINCT id) AS BIGINT) AS n_events
+        |FROM r GROUP BY 1,2,3 ORDER BY 1,2,3""",
+    ) { (s, _) =>
       AssetGen.assets(s, 10000L)
         .select(
           col("eventId"),
