@@ -189,15 +189,29 @@ object DedupQueries extends QueryPack {
       // token multiset votes: bit i of simhash = sign of Σ_instances (±1).
       // Voting per token INSTANCE equals voting per distinct token weighted
       // by count, so no (doc, tok) pre-aggregation — one shuffle, not two.
+      // The ±1 vote sum is derived, not aggregated: with b_i = Σ bit_i and
+      // n = token count, Σ(±1) = 2·b_i − n. The 64 per-bit counters are
+      // SIMD-in-a-register packed, 4 16-bit lanes per long (bit g+16·l in
+      // lane l of packed counter g): 17 aggregate buffers instead of 65,
+      // which keeps the generated HashAggregate small enough to compile
+      // fast — the bench runs every query cold, so janino compile time IS
+      // query time. Lane 3 (shift 48) bounds tokens/doc at 32767 before
+      // signed-long overflow; documents carry ≲2k tokens at every sf.
       val tokens = Tables.spread(Tables.documents(s, dir))
         .select(col("doc_id"), explode_outer(split(col("text"), " ")).as("tok"))
         .withColumn("th", xxhash64(col("tok")))
-      val bitSums = (0 until 64).map(i =>
-        sum(when(expr(s"(th >> $i) & 1") === 1, 1).otherwise(-1)).as(s"s$i"))
-      val voted = tokens.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      val simhash = (0 until 64)
-        .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L))
-        .reduce(_ + _) // deterministic: plain long addition of disjoint bits
+      val packedSums = (0 until 16).map { g =>
+        val lanes = (0 until 4)
+          .map(l => s"(((th >> ${g + 16 * l}) & 1) << ${16 * l})")
+          .mkString(" | ")
+        sum(expr(lanes)).as(s"p$g")
+      } :+ count(lit(1)).as("n")
+      val voted = tokens.groupBy("doc_id").agg(packedSums.head, packedSums.tail: _*)
+      val simhash = (0 until 64).map { i =>
+        val (g, l) = (i % 16, i / 16)
+        val b = expr(s"(p$g >> ${16 * l}) & 65535")
+        when(b * 2 > col("n"), lit(1L << i)).otherwise(0L)
+      }.reduce(_ + _) // deterministic: plain long addition of disjoint bits
       val sig = voted.select(col("doc_id"), simhash.as("sh"))
       val chunked = sig.select(col("doc_id"), col("sh"),
         explode_outer(expr( // outer: skip the pushed-down non-empty guard

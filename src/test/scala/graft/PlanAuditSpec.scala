@@ -60,6 +60,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_sim_topk probes broadcast against the scan (no shuffle of the big side)") {
+    val p = plan("q_sim_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "probe fan-out should be broadcast")
+  }
+
+  test("q_sim_ann_lsh joins probes to candidates by bucket key with a broadcast") {
+    val p = plan("q_sim_ann_lsh")
+    assert(p.contains("BroadcastHashJoin"), "bucket equi-join should broadcast the probes")
+  }
+
+  test("q_dedup_near has no join operator at all (bucket-collect, never all-pairs)") {
+    val p = plan("q_dedup_near")
+    assert(!p.contains("Join"), "near-dup must stay the groupBy-collect shape")
+  }
+
   test("q_join_inner leaves join selection to the optimizer (no forced broadcast of customer)") {
     // at test scale the optimizer may well broadcast — the audit is that
     // the PLAN resolves and contains a keyed join, with no ResolvedHint
