@@ -111,9 +111,33 @@ object MultimodalQueries extends QueryPack {
     (offsets, frames)
   }
 
+  /** DuckDB twin of decodeStub over the (ASCII) document text: the
+    * checksum fold replays via list_reduce in BIGINT, hex via
+    * lower(hex(substring(...))). Shared CTE of both multimodal oracles.
+    */
+  private val featureCte: String =
+    """WITH f AS (
+      |  SELECT doc_id, text,
+      |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+      |    CAST(length(text) AS BIGINT) AS byte_len,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(1, length(text)+1), i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT))),
+      |      (h, c) -> (h*31 + c) % 1000000007) AS checksum
+      |  FROM documents),
+      |d AS (
+      |  SELECT *, CAST(16 + (checksum % 64) * 4 AS INT) AS fake_width,
+      |            CAST(16 + ((checksum // 64) % 64) * 4 AS INT) AS fake_height
+      |  FROM f)""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     // feature extraction over the binary column, batched per partition.
-    Q.noOracle("q_multimodal_features") { (s, dir) =>
+    Q(
+      "q_multimodal_features",
+      s"""$featureCte
+         |SELECT doc_id, media_type, byte_len, checksum, fake_width, fake_height,
+         |  lower(hex(substring(text, 1, 8))) AS head_hex
+         |FROM d ORDER BY doc_id""",
+    ) { (s, dir) =>
       import s.implicits._
       blobs(s, dir)
         .repartition(col("media_type")) // same-codec payloads co-located
@@ -125,7 +149,18 @@ object MultimodalQueries extends QueryPack {
     // the full media pipeline: decode → resize → frame-sample, composed
     // inside ONE mapPartitions pass (one codec/session init per batch, no
     // intermediate materialization — how a production decoder chain runs).
-    Q.noOracle("q_multimodal_pipeline") { (s, dir) =>
+    Q(
+      "q_multimodal_pipeline",
+      s"""$featureCte,
+         |r AS (
+         |  SELECT *, least(1.0, 256.0 / greatest(fake_width, fake_height)) AS scale FROM d)
+         |SELECT doc_id, media_type, byte_len, checksum, fake_width, fake_height,
+         |  CAST(greatest(1, ROUND(fake_width * scale)) AS INT) AS resized_w,
+         |  CAST(greatest(1, ROUND(fake_height * scale)) AS INT) AS resized_h,
+         |  array_to_string(list_transform(range(0,4), i -> (i * byte_len) // 4), ',') AS frame_offsets_csv,
+         |  array_to_string(list_transform(range(0,4), i -> lower(hex(substring(text, CAST((i * byte_len) // 4 AS INT) + 1, 4)))), ',') AS frame_hex_csv
+         |FROM r ORDER BY doc_id""",
+    ) { (s, dir) =>
       import s.implicits._
       blobs(s, dir)
         .repartition(col("media_type"))
