@@ -26,12 +26,25 @@ import org.apache.spark.sql.functions._
   * stop-shingles) is the standard guard and composes with this plan.
   *
   * Determinism: thresholds use integer math (2*inter >= union ⟺
-  * Jaccard ≥ 0.5); scores are floor-divided scaled integers; MinHash/
-  * SimHash use xxhash64 (fixed seed inside Spark) so results are stable
-  * across runs — but not reproducible in DuckDB, hence no-oracle for
-  * those two (their exactness is asserted in LlmOpsSpec instead).
+  * Jaccard ≥ 0.5); scores are floor-divided scaled integers. MinHash and
+  * SimHash hash through md5 (bit-identical in Spark and DuckDB) truncated
+  * to 60 bits, so BOTH are fully DuckDB-oracle-able — the oracle replays
+  * the identical signatures, band buckets and chunk keys, reproducing
+  * even the probabilistic recall misses exactly. (q_dedup_near's internal
+  * shingle hash stays xxhash64: its hashes never influence the output —
+  * only set equality — so the faster engine-internal hash is fine there.)
   */
 object DedupQueries extends QueryPack {
+
+  /** 60-bit cross-engine hash: first 15 hex chars of md5, parsed as an
+    * integer. Spark: CONV(hex,16,10)→BIGINT; DuckDB: CAST('0x'||hex AS
+    * BIGINT). Uniform (md5 avalanche), positive, identical in both
+    * engines — the primitive that makes MinHash/SimHash oracle-able.
+    */
+  private def h60(e: String): String =
+    s"CAST(CONV(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+  private def h60Sql(e: String): String =
+    s"CAST('0x' || substring(md5($e), 1, 15) AS BIGINT)"
 
   /** Deterministic total order for an output-sized result. A plain
     * orderBy range-samples its input — which RE-RUNS the whole upstream
@@ -147,30 +160,69 @@ object DedupQueries extends QueryPack {
       orderedOutput(jaccardPairs(shingled(s, dir)), "da", "db")
     },
 
-    // MinHash + LSH: 16 hash functions (xxhash64 salted by index), 8 bands
-    // of 2 — the s-curve knee sits near (1/b)^(1/r) ≈ 0.35, right for a
-    // 0.5-Jaccard dedup threshold, and pairs at j ≥ 0.9 are missed with
-    // probability (1-j²)^8 < 2e-6. Candidates agree on at least one band
-    // key and are verified with exact Jaccard ≥ 0.5 (row-local
-    // array_intersect on the collected shingle sets): probabilistic
-    // recall, exact precision. The whole signature+band computation is a
-    // single projection over one scan — bands come from an exploded
-    // transform, not 8 unioned subplans.
-    Q.noOracle("q_dedup_minhash") { (s, dir) =>
+    // MinHash + LSH: 16 hash functions via Kirsch-Mitzenmacher double
+    // hashing — ONE md5 per shingle yields h1 (hex 1-15) and h2 (hex
+    // 16-30, reduced mod 2^56), and g_j = h1 + j·h2 gives the 16
+    // signatures with plain arithmetic (max value 2^60 + 15·2^56 < 2^61:
+    // no overflow in either engine; DuckDB would error on one, Spark
+    // would wrap silently). 8 bands of 2 — the s-curve knee sits near
+    // (1/b)^(1/r) ≈ 0.35, right for a 0.5-Jaccard dedup threshold, and
+    // pairs at j ≥ 0.9 are missed with probability (1-j²)^8 < 2e-6.
+    // Candidates agree on at least one band (the raw (sig, sig) pair is
+    // the band key — no extra hash), verified with exact Jaccard ≥ 0.5
+    // (row-local array_intersect on the collected h1 sets): probabilistic
+    // recall, exact precision. The oracle replays the identical md5-based
+    // signatures, so even the banding's recall misses reproduce exactly.
+    Q(
+      "q_dedup_minhash",
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id,
+         |        list_distinct(list_transform(range(0, len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shs
+         |      FROM d),
+         |hh AS (SELECT doc_id, list_transform(shs, x -> struct_pack(
+         |          h1 := ${h60Sql("x")},
+         |          h2 := CAST('0x' || substring(md5(x), 16, 15) AS BIGINT) % 72057594037927936)) AS hs
+         |       FROM s),
+         |sg AS (SELECT doc_id,
+         |        list_transform(hs, p -> p.h1) AS bh,
+         |        list_transform(range(0, 16), j -> list_min(list_transform(hs, p -> p.h1 + j * p.h2))) AS sig
+         |      FROM hh),
+         |ex AS (SELECT doc_id, band, sig[2*band+1] AS k1, sig[2*band+2] AS k2
+         |       FROM (SELECT doc_id, sig, unnest(range(0, 8)) AS band FROM sg)),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |         FROM ex a JOIN ex b ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id),
+         |jc AS (SELECT da, db,
+         |        CAST(len(list_intersect(x.bh, y.bh)) AS BIGINT) AS inter,
+         |        CAST(len(x.bh) + len(y.bh) - len(list_intersect(x.bh, y.bh)) AS BIGINT) AS uni
+         |      FROM cand JOIN sg x ON x.doc_id = da JOIN sg y ON y.doc_id = db)
+         |SELECT da, db, CAST((inter * 10000) // uni AS BIGINT) AS jacc_x1e4
+         |FROM jc WHERE inter * 2 >= uni
+         |ORDER BY da, db""",
+    ) { (s, dir) =>
+      val base = Tables.spread(Tables.documents(s, dir))
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"),
+          expr(s"""transform(array_distinct(transform(sequence(0, size(w) - 3), i -> concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))),
+                  |  x -> named_struct('h1', ${h60("x")},
+                  |    'h2', CAST(CONV(substring(md5(x), 16, 15), 16, 10) AS BIGINT) % 72057594037927936L))""".stripMargin)
+            .as("hs"))
+        // materialization boundary — same rationale as shingled()
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), expr("transform(hs, p -> p.h1)").as("bh"), col("hs"))
       val sigArr = expr(
-        "transform(sequence(0, 15), j -> array_min(transform(shingles, x -> xxhash64(j, x))))")
-      val banded = shingled(s, dir)
-        .select(col("doc_id"), col("shingles"), sigArr.as("sig"))
-        .select(col("doc_id"), col("shingles"),
+        "transform(sequence(0, 15), j -> array_min(transform(hs, p -> p.h1 + j * p.h2)))")
+      val banded = base
+        .select(col("doc_id"), col("bh"), sigArr.as("sig"))
+        .select(col("doc_id"), col("bh"),
           explode_outer(expr( // outer: skip the pushed-down non-empty guard
-            "transform(sequence(0, 7), b -> named_struct('band', b, 'bkey', xxhash64(element_at(sig, 2*b+1), element_at(sig, 2*b+2))))"))
+            "transform(sequence(0, 7), bd -> named_struct('band', bd, 'k1', element_at(sig, 2*bd+1), 'k2', element_at(sig, 2*bd+2)))"))
             .as("bb"))
-      val buckets = banded.groupBy(col("bb.band"), col("bb.bkey"))
-        .agg(collect_list(struct(col("doc_id"), col("shingles"))).as("members"))
+      val buckets = banded.groupBy(col("bb.band"), col("bb.k1"), col("bb.k2"))
+        .agg(collect_list(struct(col("doc_id"), col("bh"))).as("members"))
       val pairs = expandPairs(buckets)
         // same pair can collide in several bands — keep one copy
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .agg(first(col("a.shingles")).as("sa"), first(col("b.shingles")).as("sb"))
+        .agg(first(col("a.bh")).as("sa"), first(col("b.bh")).as("sb"))
       orderedOutput(
         pairs
           .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
@@ -181,41 +233,59 @@ object DedupQueries extends QueryPack {
         "da", "db")
     },
 
-    // SimHash: 64-bit signature from per-token xxhash64 votes; candidate
-    // pairs share at least one of four 16-bit chunks (guaranteed complete
+    // SimHash: 60-bit signature from per-token md5-h60 votes; candidate
+    // pairs share at least one of four 15-bit chunks (guaranteed complete
     // for hamming ≤ 3, best-effort beyond); emitted with exact hamming
     // distance ≤ 8. Chunks explode from one projection of the signature.
-    Q.noOracle("q_dedup_simhash") { (s, dir) =>
+    // The oracle replays the identical hash → identical signatures,
+    // chunk buckets, and pairs.
+    Q(
+      "q_dedup_simhash",
+      s"""WITH d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |t AS (SELECT doc_id, ${h60Sql("tok")} AS th FROM d),
+         |v AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |        ${(0 until 60).map(i => s"CAST(SUM((th >> $i) & 1) AS BIGINT) AS b$i").mkString(", ")}
+         |      FROM t GROUP BY doc_id),
+         |sh AS (SELECT doc_id, CAST(${(0 until 60).map(i => s"(CASE WHEN 2*b$i > n THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS sh
+         |       FROM v),
+         |ex AS (SELECT doc_id, sh, c, (sh >> CAST(c*15 AS INT)) & 32767 AS ck
+         |       FROM (SELECT doc_id, sh, unnest(range(0, 4)) AS c FROM sh)),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sh AS sha, b.sh AS shb
+         |         FROM ex a JOIN ex b ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id)
+         |SELECT da, db, CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sha, shb)) <= 8
+         |ORDER BY da, db""",
+    ) { (s, dir) =>
       // token multiset votes: bit i of simhash = sign of Σ_instances (±1).
       // Voting per token INSTANCE equals voting per distinct token weighted
       // by count, so no (doc, tok) pre-aggregation — one shuffle, not two.
       // The ±1 vote sum is derived, not aggregated: with b_i = Σ bit_i and
-      // n = token count, Σ(±1) = 2·b_i − n. The 64 per-bit counters are
-      // SIMD-in-a-register packed, 4 16-bit lanes per long (bit g+16·l in
-      // lane l of packed counter g): 17 aggregate buffers instead of 65,
+      // n = token count, Σ(±1) = 2·b_i − n. The 60 per-bit counters are
+      // SIMD-in-a-register packed, 4 16-bit lanes per long (bit g+15·l in
+      // lane l of packed counter g): 16 aggregate buffers instead of 61,
       // which keeps the generated HashAggregate small enough to compile
       // fast — the bench runs every query cold, so janino compile time IS
       // query time. Lane 3 (shift 48) bounds tokens/doc at 32767 before
       // signed-long overflow; documents carry ≲2k tokens at every sf.
       val tokens = Tables.spread(Tables.documents(s, dir))
         .select(col("doc_id"), explode_outer(split(col("text"), " ")).as("tok"))
-        .withColumn("th", xxhash64(col("tok")))
-      val packedSums = (0 until 16).map { g =>
+        .withColumn("th", expr(h60("tok")))
+      val packedSums = (0 until 15).map { g =>
         val lanes = (0 until 4)
-          .map(l => s"(((th >> ${g + 16 * l}) & 1) << ${16 * l})")
+          .map(l => s"(((th >> ${g + 15 * l}) & 1) << ${16 * l})")
           .mkString(" | ")
         sum(expr(lanes)).as(s"p$g")
       } :+ count(lit(1)).as("n")
       val voted = tokens.groupBy("doc_id").agg(packedSums.head, packedSums.tail: _*)
-      val simhash = (0 until 64).map { i =>
-        val (g, l) = (i % 16, i / 16)
+      val simhash = (0 until 60).map { i =>
+        val (g, l) = (i % 15, i / 15)
         val b = expr(s"(p$g >> ${16 * l}) & 65535")
         when(b * 2 > col("n"), lit(1L << i)).otherwise(0L)
       }.reduce(_ + _) // deterministic: plain long addition of disjoint bits
       val sig = voted.select(col("doc_id"), simhash.as("sh"))
       val chunked = sig.select(col("doc_id"), col("sh"),
         explode_outer(expr( // outer: skip the pushed-down non-empty guard
-          "transform(sequence(0, 3), c -> named_struct('chunk', c, 'ckey', (sh >> (c * 16)) & 65535))"))
+          "transform(sequence(0, 3), c -> named_struct('chunk', c, 'ckey', (sh >> (c * 15)) & 32767))"))
           .as("cc"))
       val buckets = chunked.groupBy(col("cc.chunk"), col("cc.ckey"))
         .agg(collect_list(struct(col("doc_id"), col("sh"))).as("members"))
