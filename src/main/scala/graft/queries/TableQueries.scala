@@ -13,9 +13,15 @@ import org.apache.spark.sql.functions._
   * lib.rs:58-62, rows main.rs:58-67, duplicate-key delete variant
   * deletes.rs:33-42).
   *
-  * These are no-oracle entries (the driver checks rows > 0); the deep
-  * lineage assertions live in TableLayerSpec. Each invocation builds its
-  * own temp warehouse, so runs are hermetic and repeatable.
+  * Every scenario is hermetic (own temp warehouse) and fully
+  * deterministic, so each carries a hand-computed GOLDEN oracle — a
+  * VALUES literal of the exact expected output derived from the Iceberg
+  * sequence-number rules. The driver's DuckDB compare then pins the
+  * table layer's semantics value-exactly, not just rows>0; the deep
+  * lineage assertions additionally live in TableLayerSpec. The two
+  * scenarios that expose physical file counts pin their shard count with
+  * an explicit repartition in the FIXTURE prep (the count would
+  * otherwise depend on session parallelism).
   */
 object TableQueries extends QueryPack {
 
@@ -43,7 +49,14 @@ object TableQueries extends QueryPack {
 
     // A5+A6: parquet write + atomic snapshot append (fast_append,
     // main.rs:47-93). Two appends → two snapshots, both readable.
-    Q.noOracle("t_append_commit") { (s, _) =>
+    Q(
+      "t_append_commit",
+      """SELECT * FROM (VALUES
+        |  ('A','small',2),('A','small',102),('B','medium',15),('B','medium',115),
+        |  ('C','medium',10),('C','medium',110),('D','small',20),('D','small',120),
+        |  ('E','large',20),('E','large',120)) AS t(name, size, count)
+        |ORDER BY name, count""",
+    ) { (s, _) =>
       val t = tmpTable(s, "append")
       t.append(items(s))
       t.append(items(s).withColumn("count", col("count") + 100))
@@ -54,7 +67,13 @@ object TableQueries extends QueryPack {
     // an append in ONE log entry (deletes.rs:94-110). Both rows keyed "A"
     // disappear; the appended row keyed "A" (added in the same commit, so
     // after the delete's scope) survives.
-    Q.noOracle("t_equality_delete") { (s, _) =>
+    Q(
+      "t_equality_delete",
+      """SELECT * FROM (VALUES
+        |  ('A','reborn',99),('B','medium',15),('C','medium',10),
+        |  ('D','small',20),('E','large',20)) AS t(name, size, count)
+        |ORDER BY name, count""",
+    ) { (s, _) =>
       import s.implicits._
       val t = tmpTable(s, "delete")
       t.append(itemsWithDup(s))
@@ -68,7 +87,13 @@ object TableQueries extends QueryPack {
     // snapshot time travel: read the table as of snapshot 0 (before the
     // second append and the delete) — the Transaction-chain lineage of
     // decouple.rs:282-296 made queryable.
-    Q.noOracle("t_time_travel") { (s, _) =>
+    Q(
+      "t_time_travel",
+      """SELECT * FROM (VALUES
+        |  ('A','small',2),('B','medium',15),('C','medium',10),
+        |  ('D','small',20),('E','large',20)) AS t(name, size, count)
+        |ORDER BY name, count""",
+    ) { (s, _) =>
       import s.implicits._
       val t = tmpTable(s, "travel")
       t.append(items(s))                                       // seq 0
@@ -80,7 +105,13 @@ object TableQueries extends QueryPack {
     // compaction: fold MoR deletes into fresh data files via a `replace`
     // commit; the compacted read equals the pre-compaction MoR view and
     // no longer carries delete files.
-    Q.noOracle("t_compaction") { (s, _) =>
+    Q(
+      "t_compaction",
+      """SELECT * FROM (VALUES
+        |  ('B','medium',15),('C','medium',10),
+        |  ('D','small',20),('E','large',20)) AS t(name, size, count)
+        |ORDER BY name, count""",
+    ) { (s, _) =>
       import s.implicits._
       val t = tmpTable(s, "compact")
       t.append(itemsWithDup(s))
@@ -92,10 +123,20 @@ object TableQueries extends QueryPack {
     // Iceberg-manifest-style data skipping: three ingest epochs with
     // recorded count stats; the range read opens only the epoch whose
     // [min,max] intersects and returns exactly the matching rows.
-    Q.noOracle("t_data_skipping") { (s, _) =>
+    Q(
+      "t_data_skipping",
+      """SELECT * FROM (VALUES
+        |  ('k100','x',100,2),('k101','x',101,2),('k102','x',102,2),
+        |  ('k103','x',103,2),('k104','x',104,2),('k105','x',105,2))
+        |  AS t(name, size, count, files_opened)
+        |ORDER BY count""",
+    ) { (s, _) =>
       val t = tmpTable(s, "skipping")
       import s.implicits._
-      def batch(lo: Int) = (lo until lo + 10).map(i => (s"k$i", "x", i)).toDF("name", "size", "count")
+      // repartition(2) pins each epoch at exactly 2 parquet shards so the
+      // files_opened golden is parallelism-independent
+      def batch(lo: Int) = (lo until lo + 10).map(i => (s"k$i", "x", i))
+        .toDF("name", "size", "count").repartition(2)
       t.append(batch(0), statsCols = Seq("count"))
       t.append(batch(100), statsCols = Seq("count"))
       t.append(batch(200), statsCols = Seq("count"))
@@ -107,7 +148,13 @@ object TableQueries extends QueryPack {
 
     // per-snapshot schema recording + add-column evolution: rows written
     // before the column was added read as nulls; history is travelable.
-    Q.noOracle("t_schema_evolution") { (s, _) =>
+    Q(
+      "t_schema_evolution",
+      """SELECT * FROM (VALUES
+        |  ('A',1,NULL),('B',2,NULL),('C',3,'eu'),('D',4,'us'))
+        |  AS t(name, count, region)
+        |ORDER BY name""",
+    ) { (s, _) =>
       val t = tmpTable(s, "evolution")
       import s.implicits._
       t.append(Seq(("A", 1), ("B", 2)).toDF("name", "count"))
@@ -118,10 +165,18 @@ object TableQueries extends QueryPack {
     // A33 (declared-only Cargo.toml:53-55): two writers race on the same
     // snapshot seq; the CAS (exclusive create of the log entry) makes one
     // win and the other retry onto the next seq — no commit is lost.
-    Q.noOracle("t_conflict_retry") { (s, _) =>
+    Q(
+      "t_conflict_retry",
+      """SELECT CAST(seq AS BIGINT) AS seq, action, n_files FROM (VALUES
+        |  (0,'add',1),(1,'add',1),(2,'add',1),(3,'add',1),(4,'add',1))
+        |  AS t(seq, action, n_files)
+        |ORDER BY seq""",
+    ) { (s, _) =>
       import s.implicits._
       val t = tmpTable(s, "conflict")
-      t.append(items(s))
+      // repartition(1): one shard for the seed epoch, so n_files is
+      // parallelism-independent in the golden
+      t.append(items(s).repartition(1))
       val racers = (1 to 4).map { i =>
         new Thread {
           override def run(): Unit =
