@@ -174,7 +174,18 @@ object StreamQueries extends QueryPack {
     // trigger = the reference's ready_chunks(2)) → foreachBatch, where
     // executors write parquet shards and the driver performs exactly ONE
     // commit-log append per epoch (decouple.rs:224-300).
-    Q.noOracle("t_decoupled_ingest") { (s, dir) =>
+    // Golden oracle: AvailableNow + maxFilesPerTrigger=2 deterministically
+    // batches the 6 files (listing order) into 3 epochs of 100 rows, each
+    // committed once. Row counts — not physical shard counts, which depend
+    // on file-source bin-packing — are the observable pinned here.
+    Q(
+      "t_decoupled_ingest",
+      """SELECT CAST(seq AS BIGINT) AS seq, action, CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(total_rows AS BIGINT) AS total_rows
+        |FROM (VALUES (0,'add',100,300),(1,'add',100,300),(2,'add',100,300))
+        |  AS t(seq, action, n_rows, total_rows)
+        |ORDER BY seq""",
+    ) { (s, dir) =>
       import s.implicits._
       val src = Files.createTempDirectory("graft_ingest_src")
       // 6 JSON-lines files of B2-shaped items (bench-kafka.rs:17)
@@ -189,16 +200,20 @@ object StreamQueries extends QueryPack {
       val stream = _root_.graft.sources.JsonFileSource(
         src.toString, "name STRING, size STRING, count INT",
         maxFilesPerTrigger = 2 /* micro-batch = 2 files (A18) */).load(s)
+      val epochRows = scala.collection.concurrent.TrieMap.empty[Long, Long]
       val query = stream.writeStream
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          table.append(batch): Unit // ONE commit per epoch
+          batch.persist()
+          val n = batch.count()
+          epochRows(table.append(batch)) = n // ONE commit per epoch
+          batch.unpersist(): Unit
         }
         .start()
       query.awaitTermination()
       // observable result: committed snapshots and their row payloads
-      val snaps = table.snapshots.map(e => (e.seq, e.action, e.dataFiles.length))
-        .toDF("seq", "action", "n_files")
+      val snaps = table.snapshots.map(e => (e.seq, e.action, epochRows(e.seq)))
+        .toDF("seq", "action", "n_rows")
       val total = table.read().agg(count(lit(1))).as[Long].head()
       snaps.withColumn("total_rows", lit(total)).orderBy("seq")
     },
