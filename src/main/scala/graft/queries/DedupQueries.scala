@@ -58,21 +58,32 @@ object DedupQueries extends QueryPack {
   private def orderedOutput(df: DataFrame, cols: String*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
 
+  /** Distinct 3-word shingle STRINGS of the token array `w`, guarded for
+    * documents with fewer than 3 tokens (empty array — matching the
+    * oracles' `range(0, len(w)-2)`, which is empty there; unguarded,
+    * Spark's `sequence(0, size(w)-3)` would DESCEND and the element_at
+    * would throw). Shared by the shingle-Jaccard and MinHash pipelines so
+    * the shingle definition can never desynchronize between them.
+    */
+  private val trigramsExpr: String =
+    """CASE WHEN size(w) >= 3
+      |  THEN array_distinct(transform(sequence(0, size(w) - 3),
+      |    i -> concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
+      |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
+
   /** doc_id + distinct 3-word shingles, hashed to BIGINT at creation:
     * every downstream group/intersect then operates on longs instead of
     * ~15-char strings. A 64-bit collision among the distinct shingles of
     * a corpus partition has probability ~n²/2⁶⁴ — negligible next to the
-    * sampling noise of any dedup pipeline. (Documents have ≥10 words at
-    * every sf, so sequence(0, size-3) is always non-descending. The
-    * spread() matters: the single-file scan would otherwise run the
-    * whole shingling pipeline in one task.)
+    * sampling noise of any dedup pipeline. (The spread() matters: the
+    * single-file scan would otherwise run the whole shingling pipeline in
+    * one task.)
     */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.documents(s, dir))
       .withColumn("w", split(col("text"), " "))
       .select(col("doc_id"),
-        expr("array_distinct(transform(sequence(0, size(w) - 3), i -> xxhash64(concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))))")
-          .as("shingles"))
+        expr(s"transform($trigramsExpr, x -> xxhash64(x))").as("shingles"))
       // materialization boundary: without it, downstream projections that
       // explode `shingles` AND reference it again (size, array_min
       // signatures) re-evaluate the whole HOF construction per OUTPUT row
@@ -107,6 +118,10 @@ object DedupQueries extends QueryPack {
     // the outer variant is semantically identical and skips the guard.
     val ex = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("ns"),
       explode_outer(col("shingles")).as("sg"))
+      // explode_outer emits one NULL row for an empty shingle set (a <3-token
+      // doc); SQL's equi-join never matches NULL, so drop it to stay aligned
+      // with the oracle. Sits above the Generate — no pushdown re-evaluation.
+      .filter(col("sg").isNotNull)
     val buckets = ex.groupBy("sg")
       .agg(collect_list(struct(col("doc_id"), col("ns"))).as("members"))
     expandPairs(buckets)
@@ -179,9 +194,9 @@ object DedupQueries extends QueryPack {
          |s AS (SELECT doc_id,
          |        list_distinct(list_transform(range(0, len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shs
          |      FROM d),
-         |hh AS (SELECT doc_id, list_transform(shs, x -> struct_pack(
-         |          h1 := ${h60Sql("x")},
-         |          h2 := CAST('0x' || substring(md5(x), 16, 15) AS BIGINT) % 72057594037927936)) AS hs
+         |hh AS (SELECT doc_id, list_transform(list_transform(shs, x -> md5(x)), h -> struct_pack(
+         |          h1 := CAST('0x' || substring(h, 1, 15) AS BIGINT),
+         |          h2 := CAST('0x' || substring(h, 16, 15) AS BIGINT) % 72057594037927936)) AS hs
          |       FROM s),
          |sg AS (SELECT doc_id,
          |        list_transform(hs, p -> p.h1) AS bh,
@@ -201,10 +216,17 @@ object DedupQueries extends QueryPack {
     ) { (s, dir) =>
       val base = Tables.spread(Tables.documents(s, dir))
         .withColumn("w", split(col("text"), " "))
+        // empty shingle set → NULL signatures; SQL's equi-join never
+        // matches NULL band keys, so exclude <3-token docs to match the
+        // oracle. Filtered HERE on the cheap token count: a filter on the
+        // constructed hs would be pushed below the repartition and
+        // re-evaluate the md5 transform once per row just for the guard.
+        .filter(size(col("w")) >= 3)
         .select(col("doc_id"),
-          expr(s"""transform(array_distinct(transform(sequence(0, size(w) - 3), i -> concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))),
-                  |  x -> named_struct('h1', ${h60("x")},
-                  |    'h2', CAST(CONV(substring(md5(x), 16, 15), 16, 10) AS BIGINT) % 72057594037927936L))""".stripMargin)
+          // ONE md5 per distinct shingle; h1/h2 are slices of its hex
+          expr(s"""transform(transform($trigramsExpr, x -> md5(x)),
+                  |  h -> named_struct('h1', CAST(CONV(substring(h, 1, 15), 16, 10) AS BIGINT),
+                  |    'h2', CAST(CONV(substring(h, 16, 15), 16, 10) AS BIGINT) % 72057594037927936L))""".stripMargin)
             .as("hs"))
         // materialization boundary — same rationale as shingled()
         .repartition(col("doc_id"))
