@@ -3,7 +3,7 @@ package graft.queries
 import java.nio.file.Files
 
 import graft.{Q, QueryPack}
-import graft.table.GraftTable
+import graft.table.{GraftTable, PartitionSpec, Transform}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -122,12 +122,19 @@ object TableQueries extends QueryPack {
 
     // Iceberg-manifest-style data skipping: three ingest epochs with
     // recorded count stats; the range read opens only the epoch whose
-    // [min,max] intersects and returns exactly the matching rows.
+    // bounds intersect and returns exactly the matching rows. The probe
+    // spans the WHOLE middle epoch so the golden holds at either stats
+    // granularity: every surviving shard provably intersects, every other
+    // epoch's shard provably cannot (with a narrower probe, which of the
+    // epoch's round-robin shards intersects would depend on the row
+    // split — nondeterministic under per-file stats).
     Q(
       "t_data_skipping",
       """SELECT * FROM (VALUES
         |  ('k100','x',100,2),('k101','x',101,2),('k102','x',102,2),
-        |  ('k103','x',103,2),('k104','x',104,2),('k105','x',105,2))
+        |  ('k103','x',103,2),('k104','x',104,2),('k105','x',105,2),
+        |  ('k106','x',106,2),('k107','x',107,2),('k108','x',108,2),
+        |  ('k109','x',109,2))
         |  AS t(name, size, count, files_opened)
         |ORDER BY count""",
     ) { (s, _) =>
@@ -140,8 +147,8 @@ object TableQueries extends QueryPack {
       t.append(batch(0), statsCols = Seq("count"))
       t.append(batch(100), statsCols = Seq("count"))
       t.append(batch(200), statsCols = Seq("count"))
-      val opened = t.prunedFileCount("count", BigDecimal(100), BigDecimal(105))
-      t.readRange("count", BigDecimal(100), BigDecimal(105))
+      val opened = t.prunedFileCount("count", BigDecimal(100), BigDecimal(109))
+      t.readRange("count", BigDecimal(100), BigDecimal(109))
         .withColumn("files_opened", lit(opened))
         .orderBy("count")
     },
@@ -160,6 +167,68 @@ object TableQueries extends QueryPack {
       t.append(Seq(("A", 1), ("B", 2)).toDF("name", "count"))
       t.append(Seq(("C", 3, "eu"), ("D", 4, "us")).toDF("name", "count", "region"))
       t.read().orderBy("name")
+    },
+
+    // Hidden partitioning (Iceberg partition-spec semantics): two epochs
+    // written under truncate(10, count); queries filter on the SOURCE
+    // column and the table resolves partition values itself. Each epoch
+    // writes exactly one file per partition value (repartition by the
+    // partition value — the anti-small-files write shape), so files_opened
+    // goldens are parallelism-independent: 6 data files total, the eq
+    // probe opens 1, the range probe 2.
+    Q(
+      "t_partition_prune",
+      """SELECT * FROM (VALUES
+        |  ('eq15','B','medium',15,1),
+        |  ('range100_119','A','small',102,2),
+        |  ('range100_119','B','medium',115,2),
+        |  ('range100_119','C','medium',110,2))
+        |  AS t(probe, name, size, count, files_opened)
+        |ORDER BY probe, name""",
+    ) { (s, _) =>
+      val t = tmpTable(s, "partition")
+      val spec = PartitionSpec("count", Transform.Truncate(10))
+      t.appendPartitioned(items(s), spec, statsCols = Seq("count"))
+      t.appendPartitioned(items(s).withColumn("count", col("count") + 100),
+        spec, statsCols = Seq("count"))
+      val eq = t.readEq("count", 15)
+        .withColumn("probe", lit("eq15"))
+        .withColumn("files_opened", lit(t.prunedFileCountEq("count", 15)))
+      val range = t.readRange("count", BigDecimal(100), BigDecimal(119))
+        .withColumn("probe", lit("range100_119"))
+        .withColumn("files_opened",
+          lit(t.prunedFileCount("count", BigDecimal(100), BigDecimal(119))))
+      eq.unionByName(range)
+        .select("probe", "name", "size", "count", "files_opened")
+        .orderBy("probe", "name")
+    },
+
+    // Sort-clustered compaction (rewrite_data_files with a sort order):
+    // three stat-less ingest epochs interleave the key domain, so a
+    // bounded read must open all 6 files; compactSorted range-partitions
+    // the (delete-folded) view into 3 disjoint-range files with per-file
+    // bounds, after which the same probe opens exactly 1. Clustering is
+    // what converts file stats into skipped I/O.
+    Q(
+      "t_sorted_compaction",
+      """SELECT * FROM (VALUES ('k29', 29, 6, 1))
+        |  AS t(name, count, files_before, files_after)""",
+    ) { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "sortcompact")
+      // batch b carries counts {b, b+3, ..., b+27}: every epoch straddles
+      // the whole domain, the worst case for pruning. repartition(2) pins
+      // 2 shards per epoch.
+      def batch(b: Int) = (0 until 10).map(i => (s"k${b + 3 * i}", b + 3 * i))
+        .toDF("name", "count").repartition(2)
+      (0 until 3).foreach(b => t.append(batch(b)))
+      t.delete(Seq("k0").toDF("name"), Seq("name"))
+      val before = t.prunedFileCount("count", BigDecimal(29), BigDecimal(29))
+      t.compactSorted("count", numFiles = 3)
+      val after = t.prunedFileCount("count", BigDecimal(29), BigDecimal(29))
+      t.readRange("count", BigDecimal(29), BigDecimal(29))
+        .withColumn("files_before", lit(before))
+        .withColumn("files_after", lit(after))
     },
 
     // A33 (declared-only Cargo.toml:53-55): two writers race on the same

@@ -36,7 +36,19 @@ final case class LogEntry(
     // Spark StructType JSON of the data committed by this entry — the
     // schema-per-snapshot record that makes evolution trackable
     // (reference: explicit stable field ids, lib.rs:58-62).
-    schemaJson: String = "") {
+    schemaJson: String = "",
+    // PER-FILE column bounds, parallel to dataFiles — the granularity
+    // Iceberg manifests actually store (one stats map per data file).
+    // Commit-level stats above remain as the coarse fallback; a file with
+    // an entry here is pruned individually, which is what makes sorted
+    // compaction and partitioned writes pay off at read time.
+    fileStats: Seq[Map[String, (String, String)]] = Nil,
+    // partition spec under which this entry's data was written, rendered
+    // as "transform(args,col)" (e.g. "truncate(10,count)"), "" = none.
+    // Iceberg's hidden partitioning: readers filter on the SOURCE column
+    // and the table resolves the transform — they never see partition
+    // values.
+    partSpec: String = "") {
 
   /** Can this commit's data possibly contain rows with `col` in
     * [lo, hi]? True when no stats were recorded for the column (never
@@ -49,6 +61,16 @@ final case class LogEntry(
       mx >= lo && mn <= hi
     }
   }
+
+  /** Can data file `i` possibly contain rows with `col` in [lo, hi]?
+    * File-level bounds win when recorded; otherwise falls back to the
+    * commit-level answer (never prune blind).
+    */
+  def fileMayContain(i: Int, colName: String, lo: BigDecimal, hi: BigDecimal): Boolean =
+    fileStats.lift(i).flatMap(_.get(colName)) match {
+      case Some((mn, mx)) => BigDecimal(mx) >= lo && BigDecimal(mn) <= hi
+      case None => mayContain(colName, lo, hi)
+    }
 }
 
 /** File-based commit log with CAS concurrency control — the Spark-native
@@ -109,22 +131,25 @@ final class CommitLog(val root: Path) {
 
   /** Live table state at a snapshot: data files tagged with the seq that
     * added them, delete files tagged likewise (both after the last
-    * `replace`, which resets history). With `prune` set, data files of
-    * commits whose recorded [min,max] for that column cannot intersect
-    * the range are skipped — Iceberg-style scan planning with data
-    * skipping (delete files are always kept: they apply regardless of
-    * where the surviving data lives).
+    * `replace`, which resets history). With `prune` non-empty, a data
+    * file survives only if EVERY (col, lo, hi) range can intersect its
+    * recorded bounds — file-level when present, commit-level fallback —
+    * Iceberg-style scan planning with data skipping (delete files are
+    * always kept: they apply regardless of where the surviving data
+    * lives).
     */
   def state(
       asOf: Long = Long.MaxValue,
-      prune: Option[(String, BigDecimal, BigDecimal)] = None)
+      prune: Seq[(String, BigDecimal, BigDecimal)] = Nil)
       : (Seq[(String, Long)], Seq[(String, Long, Seq[String])]) = {
     var data = Vector.empty[(String, Long)]
     var dels = Vector.empty[(String, Long, Seq[String])]
     entries(asOf).foreach { e =>
       if (e.action == "replace") { data = Vector.empty; dels = Vector.empty }
-      val keep = prune.forall { case (c, lo, hi) => e.mayContain(c, lo, hi) }
-      if (keep) data = data ++ e.dataFiles.map(_ -> e.seq)
+      data = data ++ e.dataFiles.zipWithIndex.collect {
+        case (f, i) if prune.forall { case (c, lo, hi) => e.fileMayContain(i, c, lo, hi) } =>
+          f -> e.seq
+      }
       dels = dels ++ e.deleteFiles.map(f => (f, e.seq, e.equalityCols))
     }
     (data, dels)
@@ -140,7 +165,11 @@ final class CommitLog(val root: Path) {
       equalityCols: Seq[String] = Nil,
       stats: Seq[(String, String, String)] = Nil, // (col, min, max)
       schemaJson: String = "",
+      fileStats: Seq[Map[String, (String, String)]] = Nil,
+      partSpec: String = "",
       maxAttempts: Int = 50): Long = {
+    require(fileStats.isEmpty || fileStats.size == dataFiles.size,
+      s"fileStats (${fileStats.size}) must parallel dataFiles (${dataFiles.size})")
     var attempt = 0
     while (attempt < maxAttempts) {
       val seq = headSeq() + 1
@@ -149,7 +178,8 @@ final class CommitLog(val root: Path) {
         Files.createFile(p) // atomic O_EXCL claim — the CAS
         val e = LogEntry(seq, action, dataFiles, deleteFiles, equalityCols,
           System.currentTimeMillis(),
-          stats.map(_._1), stats.map(_._2), stats.map(_._3), schemaJson)
+          stats.map(_._1), stats.map(_._2), stats.map(_._3), schemaJson,
+          fileStats, partSpec)
         // content becomes visible atomically: write a temp file, then
         // rename over the claimed (empty) entry. Readers see either an
         // empty claim (skipped by entries()) or the full entry — never a
@@ -208,6 +238,16 @@ private[table] object Json {
     arr("statsMin", e.statsMin)
     arr("statsMax", e.statsMax)
     o.put("schemaJson", e.schemaJson)
+    if (e.fileStats.nonEmpty) {
+      val fs = o.putArray("fileStats")
+      e.fileStats.foreach { m =>
+        val fo = fs.addObject()
+        m.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+          val a = fo.putArray(c); a.add(mn); a.add(mx)
+        }
+      }
+    }
+    if (e.partSpec.nonEmpty) o.put("partSpec", e.partSpec)
     mapper.writeValueAsString(o)
   }
 
@@ -223,9 +263,21 @@ private[table] object Json {
       val a = n.get(key)
       if (a == null) Nil else (0 until a.size).map(a.get(_).asText())
     }
+    val fileStats: Seq[Map[String, (String, String)]] = {
+      val a = n.get("fileStats")
+      if (a == null) Nil
+      else (0 until a.size).map { i =>
+        val fo = a.get(i)
+        fo.fieldNames().asScala.map { c =>
+          c -> (fo.get(c).get(0).asText, fo.get(c).get(1).asText)
+        }.toMap
+      }
+    }
     LogEntry(req("seq").asLong, req("action").asText, arr("dataFiles"),
       arr("deleteFiles"), arr("equalityCols"), req("tsMs").asLong,
       arr("statsCols"), arr("statsMin"), arr("statsMax"),
-      if (n.has("schemaJson")) n.get("schemaJson").asText else "")
+      if (n.has("schemaJson")) n.get("schemaJson").asText else "",
+      fileStats,
+      if (n.has("partSpec")) n.get("partSpec").asText else "")
   }
 }

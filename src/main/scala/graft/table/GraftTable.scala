@@ -42,32 +42,122 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     walked(dir)(_.filter(p => p.getFileName.toString.endsWith(".parquet"))
       .map(_.toString).toSeq.sorted)
 
+  /** commit-level (col, min, max) over whatever was just written. */
+  private def commitStats(dir: Path, statsCols: Seq[String]): Seq[(String, String, String)] =
+    if (statsCols.isEmpty) Nil
+    else {
+      val aggs = statsCols.flatMap(c =>
+        Seq(min(col(c)).cast("decimal(38,6)").as(s"mn_$c"),
+          max(col(c)).cast("decimal(38,6)").as(s"mx_$c")))
+      val row = spark.read.parquet(dir.toString).agg(aggs.head, aggs.tail: _*).collect()(0)
+      // A column that is all-null in this batch (or non-numeric, nulled by
+      // the decimal cast) has null min/max: record NO stats for it, so
+      // mayContain falls back to never-prune-blind instead of choking on a
+      // literal "null" at read time (ADVICE r2).
+      statsCols.zipWithIndex.flatMap { case (c, i) =>
+        if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
+        else Some((c, row.get(2 * i).toString, row.get(2 * i + 1).toString))
+      }
+    }
+
+  /** PER-FILE (Iceberg-manifest-granularity) column bounds for the files
+    * just written to `dir`, keyed to match `files` (plain paths). One
+    * column-pruned aggregate scan over the shard dir — grouped by
+    * input_file_name(), so cost is O(statsCols), not O(files).
+    */
+  private def perFileStats(
+      dir: Path, files: Seq[String], statsCols: Seq[String]): Seq[Map[String, (String, String)]] =
+    if (statsCols.isEmpty) Nil
+    else {
+      val aggs = statsCols.flatMap(c =>
+        Seq(min(col(c)).cast("decimal(38,6)").as(s"mn_$c"),
+          max(col(c)).cast("decimal(38,6)").as(s"mx_$c")))
+      val byFile = spark.read.parquet(dir.toString)
+        .groupBy(input_file_name().as("_f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          // input_file_name yields a file URI; normalize to the plain path
+          val path = Paths.get(new java.net.URI(r.getString(0)).getPath).toString
+          path -> statsCols.zipWithIndex.flatMap { case (c, i) =>
+            if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
+            else Some(c -> (r.get(1 + 2 * i).toString, r.get(2 + 2 * i).toString))
+          }.toMap
+        }.toMap
+      files.map(f => byFile.getOrElse(f, Map.empty))
+    }
+
   /** fast_append: write data files, commit one `add` entry. With
-    * `statsCols`, the commit records min/max of those (numeric) columns —
-    * the manifest statistics Iceberg uses for scan pruning — computed in
-    * one aggregate over the batch being appended.
+    * `statsCols`, the commit records min/max of those (numeric) columns at
+    * BOTH commit and per-file granularity — the manifest statistics
+    * Iceberg uses for scan pruning.
     */
   def append(df: DataFrame, statsCols: Seq[String] = Nil): Long = {
     val dir = newShardDir("data")
     df.write.parquet(dir.toString)
-    val stats =
-      if (statsCols.isEmpty) Nil
-      else {
-        val aggs = statsCols.flatMap(c =>
-          Seq(min(col(c)).cast("decimal(38,6)").as(s"mn_$c"),
-            max(col(c)).cast("decimal(38,6)").as(s"mx_$c")))
-        val row = spark.read.parquet(dir.toString).agg(aggs.head, aggs.tail: _*).collect()(0)
-        // A column that is all-null in this batch (or non-numeric, nulled by
-        // the decimal cast) has null min/max: record NO stats for it, so
-        // mayContain falls back to never-prune-blind instead of choking on a
-        // literal "null" at read time (ADVICE r2).
-        statsCols.zipWithIndex.flatMap { case (c, i) =>
-          if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
-          else Some((c, row.get(2 * i).toString, row.get(2 * i + 1).toString))
-        }
+    val files = parquetFilesIn(dir)
+    log.commit("add", dataFiles = files, stats = commitStats(dir, statsCols),
+      schemaJson = df.schema.json,
+      fileStats = perFileStats(dir, files, statsCols))
+  }
+
+  /** Partitioned fast_append (hidden partitioning): data is clustered and
+    * laid out by `spec.transform(spec.col)`, and each file's partition
+    * value is recorded as an exact [v, v] file-stat on the derived
+    * partition column — so partition pruning IS file pruning, exactly how
+    * Iceberg turns a manifest's partition tuple into scan pruning.
+    *
+    * Write shape for scale: repartition BY the partition value first, so
+    * each partition value is written by exactly one task — one file per
+    * partition per epoch instead of (tasks × partitions) small files, the
+    * classic small-files explosion on a 1000-executor cluster. Readers
+    * filter on the SOURCE column via readEq/readRange; the transform
+    * never leaks into queries.
+    */
+  def appendPartitioned(df: DataFrame, spec: PartitionSpec,
+      statsCols: Seq[String] = Nil): Long = {
+    require(!df.columns.contains(PartCol),
+      s"column name $PartCol is reserved for the partition value")
+    val dir = newShardDir("data")
+    df.withColumn(PartCol, spec.transform.expr(col(spec.col)))
+      .repartition(col(PartCol))
+      .write.partitionBy(PartCol).parquet(dir.toString)
+    val files = parquetFilesIn(dir)
+    // the partition value is exact from the directory name — no scan
+    val partStat: Seq[Map[String, (String, String)]] = files.map { f =>
+      partValueFromPath(f) match {
+        case Some(v) => Map(PartCol -> (v, v))
+        case None => Map.empty[String, (String, String)]
       }
-    log.commit("add", dataFiles = parquetFilesIn(dir), stats = stats,
-      schemaJson = df.schema.json)
+    }
+    val extra = perFileStats(dir, files, statsCols)
+    val merged =
+      if (extra.isEmpty) partStat
+      else partStat.zip(extra).map { case (a, b) => a ++ b }
+    log.commit("add", dataFiles = files, stats = commitStats(dir, statsCols),
+      schemaJson = df.schema.json, fileStats = merged, partSpec = spec.render)
+  }
+
+  private val PartCol = "_p"
+
+  private def partValueFromPath(f: String): Option[String] =
+    f.split('/').find(_.startsWith(s"$PartCol="))
+      .map(_.stripPrefix(s"$PartCol="))
+      .filter(v => v.nonEmpty && v != "__HIVE_DEFAULT_PARTITION__")
+
+  /** latest partition spec recorded in the log, if any. */
+  def partitionSpec: Option[PartitionSpec] =
+    log.entries().reverse.iterator.map(_.partSpec).find(_.nonEmpty)
+      .flatMap(Transform.parse).map { case (c, t) => PartitionSpec(c, t) }
+
+  /** engine-evaluated partition value of a literal — one local one-row
+    * job, so bucket hashing always matches the write path bit-for-bit.
+    */
+  def partitionValueOf(spec: PartitionSpec, value: Any): BigDecimal = {
+    import spark.implicits._
+    val rendered = spark.range(1)
+      .select(spec.transform.expr(typedLit(value)).cast("string")).as[String].head()
+    BigDecimal(rendered)
   }
 
   /** equality delete: persist the key set as a delete file, commit a
@@ -94,25 +184,76 @@ final class GraftTable(spark: SparkSession, val root: Path) {
   }
 
   /** snapshot read; `asOf` = time travel to that committed seq. */
-  def read(asOf: Long = Long.MaxValue): DataFrame = readPruned(asOf, None)
+  def read(asOf: Long = Long.MaxValue): DataFrame = readPruned(asOf, Nil)
 
-  /** range read with data skipping: commits whose recorded [min,max] for
-    * `colName` cannot intersect [lo, hi] contribute NO files to the scan
-    * (verify with prunedFileCount), and the residual filter is applied to
-    * the surviving rows. The 100 TB payoff: a time- or id-bounded query
-    * reads only the matching ingest epochs instead of the whole table.
+  /** range read with data skipping: files whose recorded [min,max] for
+    * `colName` cannot intersect [lo, hi] are not opened (verify with
+    * prunedFileCount), and the residual filter is applied to the
+    * surviving rows. If the table is partitioned on `colName` with an
+    * order-preserving transform, the range ALSO prunes on partition
+    * values — hidden partitioning: the caller names only the source
+    * column. The 100 TB payoff: a time- or id-bounded query reads only
+    * the matching files instead of the whole table.
     */
   def readRange(colName: String, lo: BigDecimal, hi: BigDecimal): DataFrame =
-    readPruned(Long.MaxValue, Some((colName, lo, hi)))
+    readPruned(Long.MaxValue, rangePrunes(colName, lo, hi))
       .filter(col(colName) >= lo && col(colName) <= hi)
+
+  /** point read: like readRange but also prunes through a BUCKET
+    * partition spec (equality is the one predicate a non-order-preserving
+    * transform supports, same rule as Iceberg).
+    */
+  def readEq(colName: String, value: Any): DataFrame = {
+    val prunes = partitionSpec match {
+      case Some(spec) if spec.col == colName =>
+        val pv = partitionValueOf(spec, value)
+        Seq((PartCol, pv, pv)) ++ numericBound(value).map(v => (colName, v, v))
+      case _ => numericBound(value).map(v => (colName, v, v)).toSeq
+    }
+    readPruned(Long.MaxValue, prunes).filter(col(colName) === lit(value))
+  }
 
   /** data files a readRange scan would actually open. */
   def prunedFileCount(colName: String, lo: BigDecimal, hi: BigDecimal): Int =
-    log.state(Long.MaxValue, Some((colName, lo, hi)))._1.size
+    log.state(Long.MaxValue, rangePrunes(colName, lo, hi))._1.size
+
+  /** data files a readEq scan would actually open. */
+  def prunedFileCountEq(colName: String, value: Any): Int = {
+    val prunes = partitionSpec match {
+      case Some(spec) if spec.col == colName =>
+        val pv = partitionValueOf(spec, value)
+        Seq((PartCol, pv, pv)) ++ numericBound(value).map(v => (colName, v, v))
+      case _ => numericBound(value).map(v => (colName, v, v)).toSeq
+    }
+    log.state(Long.MaxValue, prunes)._1.size
+  }
+
+  private def numericBound(value: Any): Option[BigDecimal] = value match {
+    case n: Int => Some(BigDecimal(n))
+    case n: Long => Some(BigDecimal(n))
+    case n: Double => Some(BigDecimal(n))
+    case n: BigDecimal => Some(n)
+    case n: java.math.BigDecimal => Some(BigDecimal(n))
+    case _ => None // string/other keys: partition (bucket) pruning only
+  }
+
+  /** range predicates for a bounded read: file stats on the source column
+    * plus, when the spec is order-preserving on that column, the
+    * transformed partition-value range.
+    */
+  private def rangePrunes(
+      colName: String, lo: BigDecimal, hi: BigDecimal): Seq[(String, BigDecimal, BigDecimal)] = {
+    val base = Seq((colName, lo, hi))
+    partitionSpec match {
+      case Some(spec) if spec.col == colName && spec.transform.orderPreserving =>
+        base :+ ((PartCol, spec.transform.eval(lo), spec.transform.eval(hi)))
+      case _ => base
+    }
+  }
 
   private def readPruned(
       asOf: Long,
-      prune: Option[(String, BigDecimal, BigDecimal)]): DataFrame = {
+      prune: Seq[(String, BigDecimal, BigDecimal)]): DataFrame = {
     val (dataFiles, deleteFiles) = log.state(asOf, prune)
     if (dataFiles.isEmpty) {
       // preserve the table schema on an all-pruned/empty read so callers
@@ -157,6 +298,28 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     view.write.parquet(dir.toString)
     log.commit("replace", dataFiles = parquetFilesIn(dir),
       schemaJson = view.schema.json)
+  }
+
+  /** Sort-clustered compaction (Iceberg's rewrite_data_files with a sort
+    * order): the MoR view is range-repartitioned on `sortCol` into
+    * `numFiles` files with DISJOINT value ranges, and per-file bounds are
+    * recorded. After this, a bounded read opens only the files whose
+    * range intersects — on an unsorted table every file straddles the
+    * whole domain and nothing prunes; clustering is what converts file
+    * stats into actual skipped I/O. This is the standard maintenance step
+    * that keeps a 100 TB time-series table readable by key range.
+    */
+  def compactSorted(sortCol: String, numFiles: Int): Long = {
+    val dir = newShardDir("data")
+    val view = read()
+    view.repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.parquet(dir.toString)
+    val files = parquetFilesIn(dir)
+    log.commit("replace", dataFiles = files,
+      stats = commitStats(dir, Seq(sortCol)),
+      schemaJson = view.schema.json,
+      fileStats = perFileStats(dir, files, Seq(sortCol)))
   }
 
   /** Snapshot expiration + orphan-file removal (Iceberg's

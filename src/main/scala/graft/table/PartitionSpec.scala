@@ -1,0 +1,109 @@
+package graft.table
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Iceberg-style partition transforms (hidden partitioning): the table is
+  * physically laid out by `transform(sourceCol)`, but readers only ever
+  * filter on the SOURCE column — the table resolves predicates to
+  * partition values itself. This is the reference table format's headline
+  * layout feature (the Iceberg spec's partition-spec section); the
+  * reference playground leaves its tables unpartitioned, but its compose
+  * file ships Spark precisely to query Iceberg tables, whose scans begin
+  * with partition pruning.
+  *
+  * Each transform declares whether it is order-preserving:
+  *  - order-preserving (identity, truncate, epochDay) ⇒ a RANGE predicate
+  *    on the source column maps to a range of partition values, so both
+  *    point and range reads prune.
+  *  - non-order-preserving (bucket) ⇒ only EQUALITY predicates prune
+  *    (Iceberg applies the same rule).
+  *
+  * Partition values are rendered as BigDecimal-parsable strings so file
+  * pruning reuses the numeric fileStats machinery in [[LogEntry]].
+  */
+sealed trait Transform {
+  /** partition value as a Spark expression over the source column. */
+  def expr(c: Column): Column
+  /** driver-side evaluation for a literal predicate bound; must agree
+    * exactly with `expr` (both are integer arithmetic on BigDecimal).
+    */
+  def eval(v: BigDecimal): BigDecimal
+  def orderPreserving: Boolean
+  def render(col: String): String
+}
+
+object Transform {
+  /** identity: partition value = source value (numeric). */
+  case object Identity extends Transform {
+    def expr(c: Column): Column = c.cast("decimal(38,0)")
+    def eval(v: BigDecimal): BigDecimal = v
+    def orderPreserving = true
+    def render(col: String): String = s"identity($col)"
+  }
+
+  /** truncate(w): floor(v / w) * w — Iceberg's numeric truncate. */
+  final case class Truncate(w: Long) extends Transform {
+    require(w > 0, s"truncate width must be positive: $w")
+    def expr(c: Column): Column =
+      (floor(c.cast("decimal(38,0)") / w) * w).cast("decimal(38,0)")
+    def eval(v: BigDecimal): BigDecimal = {
+      // floorDiv semantics for negatives, matching Spark's floor()
+      val q = (v / w).setScale(0, BigDecimal.RoundingMode.FLOOR)
+      q * w
+    }
+    def orderPreserving = true
+    def render(col: String): String = s"truncate($w,$col)"
+  }
+
+  /** day on an epoch-microseconds long (the reference's event timestamps,
+    * kafka-load-gen/main.go:53,189): partition value = epoch day.
+    */
+  case object EpochDay extends Transform {
+    private val DayUs = BigDecimal(86400000000L)
+    def expr(c: Column): Column =
+      floor(c.cast("decimal(38,0)") / DayUs.toLong).cast("decimal(38,0)")
+    def eval(v: BigDecimal): BigDecimal =
+      (v / DayUs).setScale(0, BigDecimal.RoundingMode.FLOOR)
+    def orderPreserving = true
+    def render(col: String): String = s"epochday($col)"
+  }
+
+  /** bucket(n): xxhash64(v) mod n. Spark's xxhash64 is the engine-side
+    * hash; driver-side equality bounds are computed by a one-row local
+    * Spark job (GraftTable.partitionValueOf) rather than a re-implemented
+    * hash, so the two can never diverge.
+    */
+  final case class Bucket(n: Int) extends Transform {
+    require(n > 0, s"bucket count must be positive: $n")
+    def expr(c: Column): Column = pmod(xxhash64(c), lit(n)).cast("decimal(38,0)")
+    def eval(v: BigDecimal): BigDecimal =
+      throw new UnsupportedOperationException(
+        "bucket values are engine-evaluated (GraftTable.partitionValueOf)")
+    def orderPreserving = false
+    def render(col: String): String = s"bucket($n,$col)"
+  }
+
+  /** parse "transform(args,col)" as rendered above. */
+  def parse(s: String): Option[(String, Transform)] = {
+    val Id = """identity\(([^)]+)\)""".r
+    val Tr = """truncate\((\d+),([^)]+)\)""".r
+    val Ed = """epochday\(([^)]+)\)""".r
+    val Bu = """bucket\((\d+),([^)]+)\)""".r
+    s match {
+      case Id(c) => Some(c -> Identity)
+      case Tr(w, c) => Some(c -> Truncate(w.toLong))
+      case Ed(c) => Some(c -> EpochDay)
+      case Bu(n, c) => Some(c -> Bucket(n.toInt))
+      case _ => None
+    }
+  }
+}
+
+/** A table's partition layout: one source column + one transform (the
+  * common single-dimension case; multi-dimensional specs compose as
+  * nested directories and are out of scope here).
+  */
+final case class PartitionSpec(col: String, transform: Transform) {
+  def render: String = transform.render(col)
+}

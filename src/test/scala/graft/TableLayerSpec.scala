@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import graft.table.{CommitLog, GraftTable}
+import graft.table.{CommitLog, GraftTable, PartitionSpec, Transform}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -203,6 +203,105 @@ class TableLayerSpec extends AnyFunSuite {
     val weird = Seq("/data/run,v2/part-0.parquet", "/plain/part-1.parquet")
     log.commit("add", dataFiles = weird)
     assert(log.entries().last.dataFiles == weird)
+  }
+
+  test("append records per-file bounds at Iceberg-manifest granularity") {
+    val t = freshTable("filestats")
+    // one epoch, two shards with disjoint count ranges via an explicit
+    // range repartition — per-FILE stats must separate them even though
+    // the commit-level range covers both
+    val df = (0 until 20).map(i => (s"k$i", i)).toDF("name", "count")
+      .repartitionByRange(2, $"count")
+    t.append(df, statsCols = Seq("count"))
+    val e = t.commitLog.entries().last
+    assert(e.dataFiles.size == 2 && e.fileStats.size == 2)
+    // commit-level pruning alone could not skip either file for a probe
+    // at the max; file-level bounds open exactly one
+    assert(t.prunedFileCount("count", BigDecimal(19), BigDecimal(19)) == 1)
+    assert(t.readRange("count", BigDecimal(19), BigDecimal(19)).count() == 1)
+  }
+
+  test("hidden partitioning: truncate spec prunes point and range reads") {
+    val t = freshTable("partspec")
+    val spec = PartitionSpec("count", Transform.Truncate(10))
+    def batch(lo: Int) = (lo until lo + 30).map(i => (s"k$i", i)).toDF("name", "count")
+    t.appendPartitioned(batch(0), spec)   // partitions 0,10,20 → 3 files
+    t.appendPartitioned(batch(100), spec) // partitions 100,110,120 → 3 files
+    assert(t.partitionSpec.contains(spec))
+    assert(t.commitLog.state()._1.size == 6)
+    // point read resolves the transform itself (caller names the SOURCE col)
+    assert(t.prunedFileCountEq("count", 15) == 1)
+    assert(t.readEq("count", 15).select("name").as[String].head() == "k15")
+    // order-preserving transform ⇒ range predicates prune too
+    assert(t.prunedFileCount("count", BigDecimal(100), BigDecimal(119)) == 2)
+    val got = t.readRange("count", BigDecimal(100), BigDecimal(119))
+      .select("count").as[Int].collect().sorted
+    assert(got.sameElements(100 to 119))
+    // pruning never changes results vs the unpruned filtered read
+    val full = t.read().filter($"count" >= 100 && $"count" <= 119)
+      .select("count").as[Int].collect().sorted
+    assert(got.sameElements(full))
+  }
+
+  test("hidden partitioning: bucket spec prunes string-key point reads") {
+    val t = freshTable("bucket")
+    val spec = PartitionSpec("name", Transform.Bucket(8))
+    t.appendPartitioned(items, spec)
+    val total = t.commitLog.state()._1.size
+    // equality probe opens exactly the key's bucket file
+    val opened = t.prunedFileCountEq("name", "C")
+    assert(opened == 1, s"opened $opened of $total")
+    val rows = t.readEq("name", "C").collect()
+    assert(rows.length == 1 && rows.head.getInt(2) == 10)
+    // a key in no bucket with data may still open its (empty-of-key)
+    // bucket file but must return nothing
+    assert(t.readEq("name", "ZZZ").isEmpty)
+    // bucket is not order-preserving: range reads must NOT partition-prune
+    // (file count equals total — never prune blind through a hash)
+    assert(t.prunedFileCount("name", BigDecimal(0), BigDecimal(1)) == total)
+  }
+
+  test("partitioned append keeps delete/time-travel semantics intact") {
+    val t = freshTable("partmor")
+    val spec = PartitionSpec("count", Transform.Truncate(10))
+    t.appendPartitioned(items, spec)
+    t.delete(Seq("A").toDF("name"), Seq("name"))
+    val names = t.read().select("name").as[String].collect().sorted
+    assert(names.sameElements(Array("B", "C", "D", "E")))
+    assert(t.read(asOf = 0).count() == 6)
+    // partition column never leaks into reader-visible schema
+    assert(!t.read().columns.contains("_p"))
+  }
+
+  test("compactSorted clusters files into disjoint ranges that prune") {
+    val t = freshTable("sortcompact")
+    def batch(b: Int) = (0 until 10).map(i => (s"k${b + 3 * i}", b + 3 * i))
+      .toDF("name", "count").repartition(2)
+    (0 until 3).foreach(b => t.append(batch(b))) // stat-less: nothing prunes
+    assert(t.prunedFileCount("count", BigDecimal(29), BigDecimal(29)) == 6)
+    val before = t.read().orderBy("name").collect()
+    t.compactSorted("count", numFiles = 3)
+    // same data, now 3 files with disjoint recorded ranges
+    assert(t.read().orderBy("name").collect().sameElements(before))
+    assert(t.commitLog.state()._1.size == 3)
+    assert(t.prunedFileCount("count", BigDecimal(29), BigDecimal(29)) == 1)
+    // every point probe opens at most one file and returns exactly its row
+    Seq(0, 13, 29).foreach { v =>
+      assert(t.prunedFileCount("count", BigDecimal(v), BigDecimal(v)) == 1)
+      assert(t.readRange("count", BigDecimal(v), BigDecimal(v)).count() == 1)
+    }
+  }
+
+  test("partition transforms parse back from their rendered form") {
+    val specs = Seq(
+      PartitionSpec("count", Transform.Identity),
+      PartitionSpec("count", Transform.Truncate(1000)),
+      PartitionSpec("ts", Transform.EpochDay),
+      PartitionSpec("name", Transform.Bucket(64)))
+    specs.foreach { s =>
+      assert(Transform.parse(s.render).contains(s.col -> s.transform), s.render)
+    }
+    assert(Transform.parse("zorder(a,b)").isEmpty)
   }
 
   test("log entry JSON round-trips") {
