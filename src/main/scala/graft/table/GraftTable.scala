@@ -42,9 +42,12 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     walked(dir)(_.filter(p => p.getFileName.toString.endsWith(".parquet"))
       .map(_.toString).toSeq.sorted)
 
-  /** commit-level (col, min, max) over whatever was just written. */
+  /** commit-level (col, min, max) over whatever was just written.
+    * An empty shard dir (all rows deleted, then compacted) has no files
+    * to read and no stats to record.
+    */
   private def commitStats(dir: Path, statsCols: Seq[String]): Seq[(String, String, String)] =
-    if (statsCols.isEmpty) Nil
+    if (statsCols.isEmpty || parquetFilesIn(dir).isEmpty) Nil
     else {
       val aggs = statsCols.flatMap(c =>
         Seq(min(col(c)).cast("decimal(38,6)").as(s"mn_$c"),
@@ -67,7 +70,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     */
   private def perFileStats(
       dir: Path, files: Seq[String], statsCols: Seq[String]): Seq[Map[String, (String, String)]] =
-    if (statsCols.isEmpty) Nil
+    if (statsCols.isEmpty || files.isEmpty) Nil
     else {
       val aggs = statsCols.flatMap(c =>
         Seq(min(col(c)).cast("decimal(38,6)").as(s"mn_$c"),

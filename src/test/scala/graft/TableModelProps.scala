@@ -1,0 +1,147 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.table.{GraftTable, PartitionSpec, Transform}
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Model-based property test for the table layer: a random sequence of
+  * append / delete / mixed-commit / compact operations runs against BOTH
+  * the real GraftTable and a ~30-line in-memory model written straight
+  * from the Iceberg sequence-number spec (an equality delete removes rows
+  * whose data sequence is strictly below its own; a replace folds the
+  * current view and resets history forward). After the sequence, read()
+  * AND every time-travel read(asOf) must match the model exactly.
+  *
+  * This is the strongest correctness artifact for the table layer: the
+  * scenario tests pin hand-picked lineages, this pins ALL lineages the
+  * generator can express (including partitioned appends, whose read
+  * semantics must be indistinguishable from plain appends).
+  */
+object TableModelProps extends Properties("graft-table-model") {
+
+  // each case builds a real table and runs ~12 Spark jobs; 8 cases give
+  // ~50 random lineages across runs without dominating the suite
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkSessionFixture.spark
+
+  private type Row = (String, Int)
+
+  sealed private trait Op
+  private case class Append(rows: List[Row], partitioned: Boolean) extends Op
+  private case class Delete(keys: List[String]) extends Op
+  private case class Mixed(rows: List[Row], keys: List[String]) extends Op
+  private case object Compact extends Op
+  private case object CompactSorted extends Op
+
+  /** expected read(asOf) by replaying the op prefix under the spec rules. */
+  private def model(ops: List[Op], asOf: Int): List[Row] = {
+    var rows = Vector.empty[(Row, Int)] // (row, data seq)
+    var dels = Vector.empty[(String, Int)] // (key, delete seq)
+    ops.take(asOf + 1).zipWithIndex.foreach { case (op, seq) =>
+      def view = rows.collect {
+        case (r, s) if !dels.exists { case (k, ds) => k == r._1 && s < ds } => r
+      }
+      op match {
+        case Append(rs, _) => rows ++= rs.map(_ -> seq)
+        case Delete(ks) => dels ++= ks.map(_ -> seq)
+        case Mixed(rs, ks) =>
+          // one atomic entry: the delete scopes to data BELOW this seq,
+          // the appended rows carry this seq and therefore survive it
+          dels ++= ks.map(_ -> seq)
+          rows ++= rs.map(_ -> seq)
+        case Compact | CompactSorted =>
+          rows = view.map(_ -> seq)
+          dels = Vector.empty
+      }
+    }
+    rows.collect {
+      case (r, s) if !dels.exists { case (k, ds) => k == r._1 && s < ds } => r
+    }.toList
+  }
+
+  private val genRow: Gen[Row] = for {
+    name <- Gen.oneOf("A", "B", "C", "D", "E", "F")
+    count <- Gen.choose(0, 99)
+  } yield (name, count)
+
+  private val genOp: Gen[Op] = Gen.frequency(
+    4 -> (for {
+      rows <- Gen.nonEmptyListOf(genRow).map(_.take(5))
+      part <- Gen.oneOf(true, false)
+    } yield Append(rows, part)),
+    2 -> Gen.nonEmptyListOf(Gen.oneOf("A", "B", "C", "D", "E", "F"))
+      .map(ks => Delete(ks.distinct.take(3))),
+    1 -> (for {
+      rows <- Gen.nonEmptyListOf(genRow).map(_.take(3))
+      keys <- Gen.nonEmptyListOf(Gen.oneOf("A", "B", "C", "D", "E", "F"))
+    } yield Mixed(rows, keys.distinct.take(2))),
+    1 -> Gen.const(Compact),
+    1 -> Gen.const(CompactSorted))
+
+  // first op is always an append so deletes/compactions have substance
+  private val genOps: Gen[List[Op]] = for {
+    first <- Gen.nonEmptyListOf(genRow).map(rs => Append(rs.take(5), partitioned = false))
+    rest <- Gen.listOfN(5, genOp)
+  } yield first :: rest
+
+  private def sortedRows(rs: Seq[Row]): List[Row] =
+    rs.sortBy(r => (r._1, r._2)).toList
+
+  property("read() and every read(asOf) match the sequence-number model") =
+    forAll(genOps) { ops =>
+      import spark.implicits._
+      val t = GraftTable.createOrReplace(spark,
+        Files.createTempDirectory("prop_model").toString)
+      val spec = PartitionSpec("count", Transform.Truncate(25))
+      ops.foreach {
+        case Append(rows, partitioned) =>
+          val df = rows.toDF("name", "count")
+          if (partitioned) t.appendPartitioned(df, spec, statsCols = Seq("count"))
+          else t.append(df, statsCols = Seq("count"))
+        case Delete(keys) => t.delete(keys.toDF("name"), Seq("name"))
+        case Mixed(rows, keys) =>
+          t.appendAndDelete(rows.toDF("name", "count"), keys.toDF("name"), Seq("name"))
+        case Compact => t.compact()
+        case CompactSorted => t.compactSorted("count", numFiles = 2)
+      }
+      def actual(asOf: Int): List[Row] = sortedRows(
+        t.read(if (asOf == ops.size - 1) Long.MaxValue else asOf.toLong)
+          .select("name", "count").as[Row].collect().toSeq)
+      // head read plus every historical snapshot
+      (0 until ops.size).forall { asOf =>
+        val got = actual(asOf)
+        val want = sortedRows(model(ops, asOf))
+        val ok = got == want
+        if (!ok) println(s"MISMATCH asOf=$asOf ops=$ops\n got=$got\n want=$want")
+        ok
+      }
+    }
+
+  property("bounded reads equal filtered full reads on random lineages") =
+    forAll(genOps, Gen.choose(0, 99), Gen.choose(0, 99)) { (ops, a, b) =>
+      import spark.implicits._
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val t = GraftTable.createOrReplace(spark,
+        Files.createTempDirectory("prop_range").toString)
+      val spec = PartitionSpec("count", Transform.Truncate(25))
+      ops.foreach {
+        case Append(rows, partitioned) =>
+          val df = rows.toDF("name", "count")
+          if (partitioned) t.appendPartitioned(df, spec, statsCols = Seq("count"))
+          else t.append(df, statsCols = Seq("count"))
+        case Delete(keys) => t.delete(keys.toDF("name"), Seq("name"))
+        case Mixed(rows, keys) =>
+          t.appendAndDelete(rows.toDF("name", "count"), keys.toDF("name"), Seq("name"))
+        case Compact => t.compact()
+        case CompactSorted => t.compactSorted("count", numFiles = 2)
+      }
+      val pruned = sortedRows(t.readRange("count", BigDecimal(lo), BigDecimal(hi))
+        .select("name", "count").as[Row].collect().toSeq)
+      val want = sortedRows(model(ops, ops.size - 1).filter(r => r._2 >= lo && r._2 <= hi))
+      pruned == want
+    }
+}
