@@ -130,5 +130,62 @@ object TextQueries extends QueryPack {
           expr("aggregate(transform(slice(w, 1, 5), x -> CAST(length(x) * 131 + ascii(substring(x, 1, 1)) AS BIGINT)), 0L, (h, c) -> (h * 31 + c) % 1000000007)").as("fp_head"))
         .orderBy("doc_id")
     },
+
+    // deterministic stratified train/val split — the canonical sampling
+    // pattern for a 100 TB corpus: assignment is a pure hash of the
+    // stable key (no orderBy+rand, no global shuffle, reproducible across
+    // runs and engines), stratified per language. 60-bit md5 hash mod 100
+    // < 90 → train. Output: per-stratum split sizes.
+    Q(
+      "q_sample_split",
+      """SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM (SELECT lang, n_chars,
+        |        CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90
+        |             THEN 'train' ELSE 'val' END AS split
+        |      FROM documents)
+        |GROUP BY lang, split ORDER BY lang, split""",
+    ) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), col("n_chars"),
+          when(expr("CAST(CONV(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100") < 90,
+            "train").otherwise("val").as("split"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy("lang", "split")
+    },
+
+    // greedy sequence packing into 2048-token context windows: docs are
+    // packed in doc_id order WITHIN each language stratum (the window is
+    // partitioned — a global unpartitioned cumsum would serialize the
+    // whole corpus through one task at scale); a doc joins the bin its
+    // cumulative start offset falls in. Output: per-bin occupancy — the
+    // batch manifest a training dataloader consumes.
+    Q(
+      "q_pack_sequences",
+      """SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM (
+        |  SELECT lang, doc_id, n_tok,
+        |    CAST((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) // 2048 AS BIGINT) AS bin
+        |  FROM (SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents))
+        |GROUP BY lang, bin ORDER BY lang, bin""",
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        // `div`, not `/`: Spark's / on longs is DOUBLE division
+        .withColumn("bin", expr("CAST((cum - n_tok) div 2048 AS BIGINT)"))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("lang", "bin")
+    },
   )
 }

@@ -174,4 +174,47 @@ class LlmOpsSpec extends AnyFunSuite {
     }
     assert(got == expected)
   }
+
+  test("q_sample_split is a deterministic partition of the corpus, ~90/10") {
+    val rows = q("q_sample_split").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val total = rows.values.sum
+    assert(total == Tables.documents(spark, sf).count())
+    val train = rows.collect { case ((_, "train"), n) => n }.sum
+    // hash split is binomial around 90%; sf0.001 has 500 docs → ±4σ ≈ 6%
+    val frac = train.toDouble / total
+    assert(frac > 0.84 && frac < 0.96, s"train fraction $frac")
+    // determinism: a second run yields the identical assignment
+    val again = q("q_sample_split").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(again == rows)
+  }
+
+  test("q_pack_sequences bins are contiguous, complete, and capacity-consistent") {
+    val bins = q("q_pack_sequences").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // completeness: every doc is packed exactly once
+    assert(bins.map(_._3).sum == docs.length)
+    assert(bins.map(_._4).sum == docs.map(_._3).sum)
+    docs.groupBy(_._1).foreach { case (lang, ds) =>
+      val langBins = bins.filter(_._1 == lang).sortBy(_._2)
+      // bins are consecutive from 0 and doc-id ranges never overlap
+      assert(langBins.map(_._2).sameElements(langBins.indices.map(_.toLong)))
+      langBins.sliding(2).foreach {
+        case Array(a, b) => assert(a._6 < b._5, s"$lang bins overlap: $a $b")
+        case _ =>
+      }
+      // greedy rule replayed on the driver gives the same bin per doc
+      var cum = 0L
+      val expected = ds.sortBy(_._2).map { d =>
+        val bin = cum / 2048; cum += d._3; (bin, d._3)
+      }
+      val expAgg = expected.groupBy(_._1).view.mapValues(v => (v.length.toLong, v.map(_._2).sum)).toMap
+      val gotAgg = langBins.map(b => b._2 -> (b._3, b._4)).toMap
+      assert(gotAgg == expAgg, s"$lang occupancy mismatch")
+    }
+  }
 }
