@@ -231,6 +231,68 @@ object TableQueries extends QueryPack {
         .withColumn("files_after", lit(after))
     },
 
+    // MERGE-by-key upsert: one atomic commit equality-deletes the incoming
+    // keys from prior data and appends the new rows — latest row wins,
+    // untouched keys survive (deletes.rs:94-110 generalized).
+    Q(
+      "t_upsert",
+      """SELECT * FROM (VALUES
+        |  ('A','small',2),('B','patched',99),('C','medium',10),
+        |  ('D','small',20),('E','large',20),('F','new',1)) AS t(name, size, count)
+        |ORDER BY name""",
+    ) { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "upsert")
+      t.append(items(s))
+      t.upsert(Seq(("B", "patched", 99), ("F", "new", 1)).toDF("name", "size", "count"),
+        keyCols = Seq("name"))
+      t.read().orderBy("name")
+    },
+
+    // Iceberg tag refs + ref-aware retention: a training run tags its
+    // input snapshot; later deletes/appends and even snapshot expiration
+    // leave the tagged read byte-identical, while the head moves on.
+    Q(
+      "t_snapshot_tag",
+      """SELECT * FROM (VALUES
+        |  ('head','B','medium',15),('head','C','medium',10),('head','D','small',20),
+        |  ('head','E','large',20),('head','F','post',1),
+        |  ('tag','A','small',2),('tag','B','medium',15),('tag','C','medium',10),
+        |  ('tag','D','small',20),('tag','E','large',20)) AS t(view, name, size, count)
+        |ORDER BY view, name""",
+    ) { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "tag")
+      t.append(items(s))                                   // seq 0
+      t.tag("train-v1")                                    // pin it
+      t.delete(Seq("A").toDF("name"), Seq("name"))         // seq 1
+      t.append(Seq(("F", "post", 1)).toDF("name", "size", "count")) // seq 2
+      t.expireSnapshots() // must RETAIN the tag's history
+      t.readTag("train-v1").withColumn("view", lit("tag"))
+        .unionByName(t.read().withColumn("view", lit("head")))
+        .select("view", "name", "size", "count")
+        .orderBy("view", "name")
+    },
+
+    // Iceberg metadata tables (SELECT * FROM t.snapshots): the table's
+    // own commit history as a queryable DataFrame.
+    Q(
+      "t_metadata_tables",
+      """SELECT CAST(seq AS BIGINT) AS seq, action, n_data_files, n_delete_files
+        |FROM (VALUES (0,'add',1,0),(1,'delete',0,1),(2,'add',1,0))
+        |  AS t(seq, action, n_data_files, n_delete_files)
+        |ORDER BY seq""",
+    ) { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "meta")
+      t.append(items(s).repartition(1))
+      t.delete(Seq("A").toDF("name"), Seq("name"))
+      t.append(Seq(("F", "post", 1)).toDF("name", "size", "count").repartition(1))
+      t.snapshotsMeta
+        .select("seq", "action", "n_data_files", "n_delete_files")
+        .orderBy("seq")
+    },
+
     // A33 (declared-only Cargo.toml:53-55): two writers race on the same
     // snapshot seq; the CAS (exclusive create of the log entry) makes one
     // win and the other retry onto the next seq — no commit is lost.

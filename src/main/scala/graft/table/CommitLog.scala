@@ -196,6 +196,42 @@ final class CommitLog(val root: Path) {
     throw new IllegalStateException(s"commit lost CAS race $maxAttempts times")
   }
 
+  // ---- named refs (Iceberg tags): immutable pointers to a snapshot ----
+  private val refsDir = root.resolve("_refs")
+
+  /** create an immutable tag at `seq` (Iceberg's tag refs — the handle a
+    * training run records so its exact input snapshot stays reproducible).
+    * Exclusive create: tagging an existing name fails, like the CAS.
+    */
+  def createTag(name: String, seq: Long): Unit = {
+    require(name.nonEmpty && !name.contains('/') && !name.contains(' '),
+      s"invalid tag name: $name")
+    require(entries().exists(_.seq == seq), s"tag $name targets uncommitted seq $seq")
+    Files.createDirectories(refsDir)
+    val p = refsDir.resolve(s"$name.json")
+    // O_EXCL claim, then atomic content move — same protocol as commit();
+    // a plain ATOMIC_MOVE would silently replace an existing tag
+    try Files.createFile(p)
+    catch {
+      case _: FileAlreadyExistsException =>
+        throw new IllegalStateException(s"tag already exists: $name")
+    }
+    val tmp = Files.createTempFile(refsDir, s".$name-", ".tmp")
+    Files.write(tmp, s"""{"name":${Json.quote(name)},"seq":$seq}"""
+      .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def tags: Map[String, Long] =
+    if (!Files.exists(refsDir)) Map.empty
+    else listed(refsDir)(_.filter(_.getFileName.toString.endsWith(".json")).toSeq)
+      .map(p => Json.parseTag(Files.readString(p)))
+      .toMap
+
+  def dropTag(name: String): Boolean =
+    Files.deleteIfExists(refsDir.resolve(s"$name.json"))
+
   /** drop log entries with seq < before (snapshot expiration: bounded
     * metadata; history earlier than `before` stops being travelable).
     */
@@ -222,6 +258,13 @@ object CommitLog {
 private[table] object Json {
   import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   private val mapper = new ObjectMapper()
+
+  def quote(s: String): String = mapper.writeValueAsString(s)
+
+  def parseTag(s: String): (String, Long) = {
+    val n = mapper.readTree(s)
+    (n.get("name").asText, n.get("seq").asLong)
+  }
 
   def renderEntry(e: LogEntry): String = {
     val o = mapper.createObjectNode()

@@ -189,6 +189,57 @@ final class GraftTable(spark: SparkSession, val root: Path) {
   /** snapshot read; `asOf` = time travel to that committed seq. */
   def read(asOf: Long = Long.MaxValue): DataFrame = readPruned(asOf, Nil)
 
+  /** upsert (MERGE by key): one atomic commit that equality-deletes the
+    * incoming keys from prior data and appends the new rows — row-level
+    * update semantics on immutable files, the reference's
+    * append+delete-in-one-transaction shape (deletes.rs:94-110)
+    * generalized to "latest row wins".
+    */
+  def upsert(df: DataFrame, keyCols: Seq[String]): Long =
+    appendAndDelete(df, df.select(keyCols.map(col): _*), keyCols)
+
+  /** immutable named snapshot (Iceberg tag): the handle a training run
+    * records so its exact input stays reproducible. Tagged history
+    * survives expireSnapshots.
+    */
+  def tag(name: String, seq: Long = -1L): Unit =
+    log.createTag(name, if (seq < 0) headSeq else seq)
+
+  def readTag(name: String): DataFrame = {
+    val seq = log.tags.getOrElse(name,
+      throw new NoSuchElementException(s"no such tag: $name"))
+    read(asOf = seq)
+  }
+
+  def tags: Map[String, Long] = log.tags
+
+  /** Iceberg metadata tables: the table's own history and live-file
+    * manifest exposed as queryable DataFrames (`SELECT * FROM t.snapshots
+    * / t.files` in Iceberg-Spark). Paths/timestamps are in the schema but
+    * scenario goldens select the deterministic columns.
+    */
+  def snapshotsMeta: DataFrame = {
+    import spark.implicits._
+    snapshots.map(e => (e.seq, e.action, e.dataFiles.size, e.deleteFiles.size,
+      e.equalityCols.mkString(","), e.partSpec, e.tsMs))
+      .toDF("seq", "action", "n_data_files", "n_delete_files",
+        "equality_cols", "part_spec", "ts_ms")
+  }
+
+  def filesMeta: DataFrame = {
+    import spark.implicits._
+    val live = log.state()
+    val entriesBySeq = snapshots.map(e => e.seq -> e).toMap
+    live._1.map { case (f, seq) =>
+      val e = entriesBySeq(seq)
+      val i = e.dataFiles.indexOf(f)
+      val stats = e.fileStats.lift(i).getOrElse(Map.empty)
+        .toSeq.sortBy(_._1).map { case (c, (mn, mx)) => s"$c:[$mn,$mx]" }
+        .mkString(";")
+      (f, seq, e.action, stats)
+    }.toDF("path", "added_seq", "action", "file_stats")
+  }
+
   /** range read with data skipping: files whose recorded [min,max] for
     * `colName` cannot intersect [lo, hi] are not opened (verify with
     * prunedFileCount), and the residual filter is applied to the
@@ -334,8 +385,23 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     */
   def expireSnapshots(): Long = {
     val seq = compact()
-    log.expireBefore(seq)
-    val referenced = log.state()._1.map(x => Paths.get(x._1)).toSet
+    // tagged snapshots are retained (Iceberg's ref-aware retention): a
+    // tag's replay needs every entry from its last preceding `replace`
+    // (its history base) through the tag itself, so expiration keeps
+    // everything from the earliest such base; orphan removal keeps every
+    // data AND delete file referenced at head or at any tag
+    val all = log.entries()
+    def baseFor(at: Long): Long =
+      all.filter(e => e.seq <= at && e.action == "replace")
+        .lastOption.map(_.seq).getOrElse(0L)
+    val keepFrom = (log.tags.values.toSeq.map(baseFor) :+ seq).min
+    log.expireBefore(keepFrom)
+    // keep every file any RETAINED entry references (head, tags, and the
+    // time-travel points between them stay readable); only files of
+    // dropped entries are orphans
+    val referenced = log.entries()
+      .flatMap(e => e.dataFiles ++ e.deleteFiles)
+      .map(Paths.get(_)).toSet
     Seq("data", "deletes").foreach { kind =>
       val dir = root.resolve(kind)
       if (Files.exists(dir)) {

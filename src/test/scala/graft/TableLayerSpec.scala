@@ -292,6 +292,60 @@ class TableLayerSpec extends AnyFunSuite {
     }
   }
 
+  test("upsert replaces keyed rows atomically, untouched keys survive") {
+    val t = freshTable("upsert")
+    t.append(items) // two A rows
+    t.upsert(Seq(("A", "patched", 99), ("F", "new", 1)).toDF("name", "size", "count"),
+      keyCols = Seq("name"))
+    val got = t.read().select("name", "size", "count").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).sorted.toSeq
+    assert(got == Seq(("A", "patched", 99), ("B", "medium", 15), ("C", "medium", 10),
+      ("D", "small", 20), ("E", "large", 20), ("F", "new", 1)))
+    // exactly one commit: pre-upsert state is one time-travel step back
+    assert(t.snapshots.map(_.action) == Seq("add", "mixed"))
+    assert(t.read(asOf = 0).count() == 6)
+  }
+
+  test("tags pin snapshots, survive expiration, and are immutable") {
+    val t = freshTable("tags")
+    t.append(items)                       // seq 0: 6 rows
+    t.tag("train-v1")
+    t.delete(Seq("A").toDF("name"), Seq("name"))
+    t.append(Seq(("F", "post", 1)).toDF("name", "size", "count"))
+    assert(t.tags == Map("train-v1" -> 0L))
+    // duplicate tag name must fail (immutability), as must a bogus seq
+    intercept[IllegalStateException](t.tag("train-v1"))
+    intercept[IllegalArgumentException](t.tag("bad", 99L))
+    val tagged = t.readTag("train-v1").orderBy("name", "count").collect()
+    assert(tagged.length == 6)
+    t.expireSnapshots()
+    // the tagged read is byte-identical after expiration; head unaffected
+    assert(t.readTag("train-v1").orderBy("name", "count").collect().sameElements(tagged))
+    assert(t.read().count() == 5) // B,C,D,E (A deleted; 2 A rows) + F
+    // intermediate retained history is also still readable
+    assert(t.read(asOf = 1).count() == 4)
+    // untagged tables still expire fully (previous behavior intact)
+    t.commitLog.dropTag("train-v1")
+    t.expireSnapshots()
+    assert(t.snapshots.length == 1 && t.snapshots.head.action == "replace")
+  }
+
+  test("metadata tables expose history and the live-file manifest") {
+    val t = freshTable("meta")
+    t.append(items.repartition(1), statsCols = Seq("count"))
+    t.delete(Seq("A").toDF("name"), Seq("name"))
+    t.compact()
+    val snaps = t.snapshotsMeta.orderBy("seq")
+      .select("seq", "action", "n_data_files", "n_delete_files").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(snaps.map(s => (s._1, s._2)) == Seq((0L, "add"), (1L, "delete"), (2L, "replace")))
+    assert(snaps.head._3 == 1 && snaps(1)._4 == 1)
+    // live manifest: only the replace's files, carrying their stats
+    val files = t.filesMeta.collect()
+    assert(files.forall(_.getLong(1) == 2L))
+    assert(files.map(_.getString(0)).toSet == t.commitLog.state()._1.map(_._1).toSet)
+  }
+
   test("partition transforms parse back from their rendered form") {
     val specs = Seq(
       PartitionSpec("count", Transform.Identity),
