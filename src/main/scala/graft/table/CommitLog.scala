@@ -73,6 +73,16 @@ final case class LogEntry(
     }
 }
 
+/** One scan-pruning predicate: keep files whose recorded bounds for `col`
+  * can intersect [lo, hi]. With `requireSpec` set, the predicate applies
+  * ONLY to entries committed under exactly that partition spec — partition
+  * values computed under one transform must never prune data written under
+  * another (Iceberg scopes partition predicates by manifest spec-id the
+  * same way); non-matching entries simply aren't pruned by it.
+  */
+final case class Prune(
+    col: String, lo: BigDecimal, hi: BigDecimal, requireSpec: String = "")
+
 /** File-based commit log with CAS concurrency control — the Spark-native
   * stand-in for the reference's Iceberg REST-catalog commit path
   * (lib.rs:21-39, decouple.rs:269-300). One directory per table:
@@ -132,7 +142,7 @@ final class CommitLog(val root: Path) {
   /** Live table state at a snapshot: data files tagged with the seq that
     * added them, delete files tagged likewise (both after the last
     * `replace`, which resets history). With `prune` non-empty, a data
-    * file survives only if EVERY (col, lo, hi) range can intersect its
+    * file survives only if EVERY applicable [[Prune]] can intersect its
     * recorded bounds — file-level when present, commit-level fallback —
     * Iceberg-style scan planning with data skipping (delete files are
     * always kept: they apply regardless of where the surviving data
@@ -140,20 +150,9 @@ final class CommitLog(val root: Path) {
     */
   def state(
       asOf: Long = Long.MaxValue,
-      prune: Seq[(String, BigDecimal, BigDecimal)] = Nil)
-      : (Seq[(String, Long)], Seq[(String, Long, Seq[String])]) = {
-    var data = Vector.empty[(String, Long)]
-    var dels = Vector.empty[(String, Long, Seq[String])]
-    entries(asOf).foreach { e =>
-      if (e.action == "replace") { data = Vector.empty; dels = Vector.empty }
-      data = data ++ e.dataFiles.zipWithIndex.collect {
-        case (f, i) if prune.forall { case (c, lo, hi) => e.fileMayContain(i, c, lo, hi) } =>
-          f -> e.seq
-      }
-      dels = dels ++ e.deleteFiles.map(f => (f, e.seq, e.equalityCols))
-    }
-    (data, dels)
-  }
+      prune: Seq[Prune] = Nil)
+      : (Seq[(String, Long)], Seq[(String, Long, Seq[String])]) =
+    CommitLog.stateFrom(entries(asOf), prune)
 
   /** CAS commit: claims head+1, retrying on losing the race.
     * Returns the committed seq.
@@ -223,9 +222,14 @@ final class CommitLog(val root: Path) {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** committed tags; zero-length files are in-flight/abandoned claims of
+    * createTag and are skipped, exactly like entries() skips commit
+    * claims — parsing one would poison every tags()/expireSnapshots call.
+    */
   def tags: Map[String, Long] =
     if (!Files.exists(refsDir)) Map.empty
-    else listed(refsDir)(_.filter(_.getFileName.toString.endsWith(".json")).toSeq)
+    else listed(refsDir)(_.filter(p =>
+        p.getFileName.toString.endsWith(".json") && Files.size(p) > 0).toSeq)
       .map(p => Json.parseTag(Files.readString(p)))
       .toMap
 
@@ -248,6 +252,28 @@ final class CommitLog(val root: Path) {
 
 object CommitLog {
   def apply(dir: String): CommitLog = new CommitLog(Paths.get(dir))
+
+  /** state() over ALREADY-PARSED entries — read paths parse the log once
+    * and derive spec + state from the same snapshot of it.
+    */
+  def stateFrom(
+      entries: Seq[LogEntry],
+      prune: Seq[Prune] = Nil)
+      : (Seq[(String, Long)], Seq[(String, Long, Seq[String])]) = {
+    var data = Vector.empty[(String, Long)]
+    var dels = Vector.empty[(String, Long, Seq[String])]
+    entries.foreach { e =>
+      if (e.action == "replace") { data = Vector.empty; dels = Vector.empty }
+      data = data ++ e.dataFiles.zipWithIndex.collect {
+        case (f, i) if prune.forall(p =>
+          (p.requireSpec.nonEmpty && e.partSpec != p.requireSpec) ||
+            e.fileMayContain(i, p.col, p.lo, p.hi)) =>
+          f -> e.seq
+      }
+      dels = dels ++ e.deleteFiles.map(f => (f, e.seq, e.equalityCols))
+    }
+    (data, dels)
+  }
 }
 
 /** JSON codec for LogEntry via Jackson (already on the Spark classpath) —

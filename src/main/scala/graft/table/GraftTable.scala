@@ -42,27 +42,6 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     walked(dir)(_.filter(p => p.getFileName.toString.endsWith(".parquet"))
       .map(_.toString).toSeq.sorted)
 
-  /** commit-level (col, min, max) over whatever was just written.
-    * An empty shard dir (all rows deleted, then compacted) has no files
-    * to read and no stats to record.
-    */
-  private def commitStats(dir: Path, statsCols: Seq[String]): Seq[(String, String, String)] =
-    if (statsCols.isEmpty || parquetFilesIn(dir).isEmpty) Nil
-    else {
-      val aggs = statsCols.flatMap(c =>
-        Seq(min(col(c)).cast("decimal(38,6)").as(s"mn_$c"),
-          max(col(c)).cast("decimal(38,6)").as(s"mx_$c")))
-      val row = spark.read.parquet(dir.toString).agg(aggs.head, aggs.tail: _*).collect()(0)
-      // A column that is all-null in this batch (or non-numeric, nulled by
-      // the decimal cast) has null min/max: record NO stats for it, so
-      // mayContain falls back to never-prune-blind instead of choking on a
-      // literal "null" at read time (ADVICE r2).
-      statsCols.zipWithIndex.flatMap { case (c, i) =>
-        if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
-        else Some((c, row.get(2 * i).toString, row.get(2 * i + 1).toString))
-      }
-    }
-
   /** PER-FILE (Iceberg-manifest-granularity) column bounds for the files
     * just written to `dir`, keyed to match `files` (plain paths). One
     * column-pruned aggregate scan over the shard dir — grouped by
@@ -82,6 +61,9 @@ final class GraftTable(spark: SparkSession, val root: Path) {
         .map { r =>
           // input_file_name yields a file URI; normalize to the plain path
           val path = Paths.get(new java.net.URI(r.getString(0)).getPath).toString
+          // a column that is all-null in a file (or non-numeric, nulled by
+          // the decimal cast) gets NO entry, so pruning falls back to
+          // never-prune-blind instead of choking on "null" (ADVICE r2)
           path -> statsCols.zipWithIndex.flatMap { case (c, i) =>
             if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
             else Some(c -> (r.get(1 + 2 * i).toString, r.get(2 + 2 * i).toString))
@@ -90,18 +72,34 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       files.map(f => byFile.getOrElse(f, Map.empty))
     }
 
+  /** commit-level bounds folded FROM the per-file bounds (min of mins,
+    * max of maxes over files carrying the column) — the same one scan
+    * serves both granularities. Keeps the already-rendered strings, so
+    * the fold can't change a value's representation.
+    */
+  private def foldStats(
+      fileStats: Seq[Map[String, (String, String)]],
+      statsCols: Seq[String]): Seq[(String, String, String)] =
+    statsCols.flatMap { c =>
+      val bounds = fileStats.flatMap(_.get(c))
+      if (bounds.isEmpty) None
+      else Some((c,
+        bounds.minBy(b => BigDecimal(b._1))._1,
+        bounds.maxBy(b => BigDecimal(b._2))._2))
+    }
+
   /** fast_append: write data files, commit one `add` entry. With
     * `statsCols`, the commit records min/max of those (numeric) columns at
     * BOTH commit and per-file granularity — the manifest statistics
-    * Iceberg uses for scan pruning.
+    * Iceberg uses for scan pruning — from a single aggregate scan.
     */
   def append(df: DataFrame, statsCols: Seq[String] = Nil): Long = {
     val dir = newShardDir("data")
     df.write.parquet(dir.toString)
     val files = parquetFilesIn(dir)
-    log.commit("add", dataFiles = files, stats = commitStats(dir, statsCols),
-      schemaJson = df.schema.json,
-      fileStats = perFileStats(dir, files, statsCols))
+    val fs = perFileStats(dir, files, statsCols)
+    log.commit("add", dataFiles = files, stats = foldStats(fs, statsCols),
+      schemaJson = df.schema.json, fileStats = fs)
   }
 
   /** Partitioned fast_append (hidden partitioning): data is clustered and
@@ -137,7 +135,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     val merged =
       if (extra.isEmpty) partStat
       else partStat.zip(extra).map { case (a, b) => a ++ b }
-    log.commit("add", dataFiles = files, stats = commitStats(dir, statsCols),
+    log.commit("add", dataFiles = files, stats = foldStats(extra, statsCols),
       schemaJson = df.schema.json, fileStats = merged, partSpec = spec.render)
   }
 
@@ -149,18 +147,41 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       .filter(v => v.nonEmpty && v != "__HIVE_DEFAULT_PARTITION__")
 
   /** latest partition spec recorded in the log, if any. */
-  def partitionSpec: Option[PartitionSpec] =
-    log.entries().reverse.iterator.map(_.partSpec).find(_.nonEmpty)
+  def partitionSpec: Option[PartitionSpec] = specFrom(log.entries())
+
+  private def specFrom(entries: Seq[LogEntry]): Option[PartitionSpec] =
+    entries.reverse.iterator.map(_.partSpec).find(_.nonEmpty)
       .flatMap(Transform.parse).map { case (c, t) => PartitionSpec(c, t) }
+
+  private def schemaFrom(entries: Seq[LogEntry]): Option[org.apache.spark.sql.types.StructType] =
+    entries.filter(_.schemaJson.nonEmpty).lastOption
+      .map(e => org.apache.spark.sql.types.DataType.fromJson(e.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
 
   /** engine-evaluated partition value of a literal — one local one-row
     * job, so bucket hashing always matches the write path bit-for-bit.
+    * The literal is first cast to the COLUMN's recorded type: xxhash64 of
+    * IntegerType(42) and LongType(42) differ, so hashing the literal with
+    * its runtime Scala type would compute the wrong bucket and silently
+    * prune the right file. None when the transform yields null for the
+    * value (e.g. a non-numeric literal against a numeric transform) —
+    * callers then skip partition pruning instead of crashing
+    * (never-prune-blind).
     */
-  def partitionValueOf(spec: PartitionSpec, value: Any): BigDecimal = {
+  def partitionValueOf(spec: PartitionSpec, value: Any,
+      colType: Option[org.apache.spark.sql.types.DataType] = None): Option[BigDecimal] = {
     import spark.implicits._
-    val rendered = spark.range(1)
-      .select(spec.transform.expr(typedLit(value)).cast("string")).as[String].head()
-    BigDecimal(rendered)
+    val typed = colType
+      .orElse(schemaAt().flatMap(_.fields.find(_.name == spec.col)).map(_.dataType))
+      .map(t => typedLit(value).cast(t)).getOrElse(typedLit(value))
+    // Try: under ANSI an uncastable literal throws here; the read then
+    // proceeds unpruned and the residual filter surfaces the clear error
+    // (or an empty result in non-ANSI sessions) — never an opaque crash
+    // inside scan planning
+    scala.util.Try(
+      spark.range(1)
+        .select(spec.transform.expr(typed).cast("string")).as[String].head())
+      .toOption.flatMap(Option(_)).map(BigDecimal(_))
   }
 
   /** equality delete: persist the key set as a delete file, commit a
@@ -195,15 +216,34 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * append+delete-in-one-transaction shape (deletes.rs:94-110)
     * generalized to "latest row wins".
     */
-  def upsert(df: DataFrame, keyCols: Seq[String]): Long =
-    appendAndDelete(df, df.select(keyCols.map(col): _*), keyCols)
+  def upsert(df: DataFrame, keyCols: Seq[String]): Long = {
+    val dDir = newShardDir("data")
+    df.write.parquet(dDir.toString)
+    // the delete-key set comes from the data ALREADY WRITTEN, not from a
+    // second evaluation of df's lineage: a non-deterministic source
+    // (sample(), mid-ingest re-read) would otherwise delete keys it never
+    // appended, or append rows whose old versions survive
+    val delDir = newShardDir("deletes")
+    spark.read.schema(df.schema).parquet(dDir.toString)
+      .select(keyCols.map(col): _*).distinct().write.parquet(delDir.toString)
+    log.commit("mixed", dataFiles = parquetFilesIn(dDir),
+      deleteFiles = parquetFilesIn(delDir), equalityCols = keyCols,
+      schemaJson = df.schema.json)
+  }
 
   /** immutable named snapshot (Iceberg tag): the handle a training run
     * records so its exact input stays reproducible. Tagged history
-    * survives expireSnapshots.
+    * survives expireSnapshots. The default pins the last COMMITTED
+    * snapshot — headSeq() counts claimed-but-unwritten entries (a racing
+    * or crashed committer), which are not taggable.
     */
-  def tag(name: String, seq: Long = -1L): Unit =
-    log.createTag(name, if (seq < 0) headSeq else seq)
+  def tag(name: String, seq: Long = -1L): Unit = {
+    val target =
+      if (seq >= 0) seq
+      else log.entries().lastOption.map(_.seq)
+        .getOrElse(throw new IllegalStateException("cannot tag an empty table"))
+    log.createTag(name, target)
+  }
 
   def readTag(name: String): DataFrame = {
     val seq = log.tags.getOrElse(name,
@@ -249,37 +289,32 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * column. The 100 TB payoff: a time- or id-bounded query reads only
     * the matching files instead of the whole table.
     */
-  def readRange(colName: String, lo: BigDecimal, hi: BigDecimal): DataFrame =
-    readPruned(Long.MaxValue, rangePrunes(colName, lo, hi))
+  def readRange(colName: String, lo: BigDecimal, hi: BigDecimal): DataFrame = {
+    val entries = log.entries()
+    readPruned(entries, rangePrunes(entries, colName, lo, hi))
       .filter(col(colName) >= lo && col(colName) <= hi)
+  }
 
   /** point read: like readRange but also prunes through a BUCKET
     * partition spec (equality is the one predicate a non-order-preserving
     * transform supports, same rule as Iceberg).
     */
   def readEq(colName: String, value: Any): DataFrame = {
-    val prunes = partitionSpec match {
-      case Some(spec) if spec.col == colName =>
-        val pv = partitionValueOf(spec, value)
-        Seq((PartCol, pv, pv)) ++ numericBound(value).map(v => (colName, v, v))
-      case _ => numericBound(value).map(v => (colName, v, v)).toSeq
-    }
-    readPruned(Long.MaxValue, prunes).filter(col(colName) === lit(value))
+    val entries = log.entries()
+    readPruned(entries, eqPrunes(entries, colName, value))
+      .filter(col(colName) === lit(value))
   }
 
   /** data files a readRange scan would actually open. */
-  def prunedFileCount(colName: String, lo: BigDecimal, hi: BigDecimal): Int =
-    log.state(Long.MaxValue, rangePrunes(colName, lo, hi))._1.size
+  def prunedFileCount(colName: String, lo: BigDecimal, hi: BigDecimal): Int = {
+    val entries = log.entries()
+    CommitLog.stateFrom(entries, rangePrunes(entries, colName, lo, hi))._1.size
+  }
 
   /** data files a readEq scan would actually open. */
   def prunedFileCountEq(colName: String, value: Any): Int = {
-    val prunes = partitionSpec match {
-      case Some(spec) if spec.col == colName =>
-        val pv = partitionValueOf(spec, value)
-        Seq((PartCol, pv, pv)) ++ numericBound(value).map(v => (colName, v, v))
-      case _ => numericBound(value).map(v => (colName, v, v)).toSeq
-    }
-    log.state(Long.MaxValue, prunes)._1.size
+    val entries = log.entries()
+    CommitLog.stateFrom(entries, eqPrunes(entries, colName, value))._1.size
   }
 
   private def numericBound(value: Any): Option[BigDecimal] = value match {
@@ -293,22 +328,48 @@ final class GraftTable(spark: SparkSession, val root: Path) {
 
   /** range predicates for a bounded read: file stats on the source column
     * plus, when the spec is order-preserving on that column, the
-    * transformed partition-value range.
+    * transformed partition-value range. The partition predicate carries
+    * `requireSpec`, so it only prunes entries written under THIS spec —
+    * epochs written under an older/different transform keep their
+    * source-column pruning but are never pruned by a foreign partition
+    * value (Iceberg's per-manifest spec-id scoping).
     */
-  private def rangePrunes(
-      colName: String, lo: BigDecimal, hi: BigDecimal): Seq[(String, BigDecimal, BigDecimal)] = {
-    val base = Seq((colName, lo, hi))
-    partitionSpec match {
+  private def rangePrunes(entries: Seq[LogEntry],
+      colName: String, lo: BigDecimal, hi: BigDecimal): Seq[Prune] = {
+    val base = Seq(Prune(colName, lo, hi))
+    specFrom(entries) match {
       case Some(spec) if spec.col == colName && spec.transform.orderPreserving =>
-        base :+ ((PartCol, spec.transform.eval(lo), spec.transform.eval(hi)))
+        base :+ Prune(PartCol, spec.transform.eval(lo), spec.transform.eval(hi),
+          requireSpec = spec.render)
       case _ => base
     }
   }
 
-  private def readPruned(
-      asOf: Long,
-      prune: Seq[(String, BigDecimal, BigDecimal)]): DataFrame = {
-    val (dataFiles, deleteFiles) = log.state(asOf, prune)
+  /** equality predicates for a point read — shared by readEq and
+    * prunedFileCountEq so the reported file count can never drift from
+    * what the read actually opens.
+    */
+  private def eqPrunes(entries: Seq[LogEntry], colName: String, value: Any): Seq[Prune] = {
+    val partPrune = specFrom(entries) match {
+      case Some(spec) if spec.col == colName =>
+        val colType = schemaFrom(entries).flatMap(_.fields.find(_.name == colName)).map(_.dataType)
+        partitionValueOf(spec, value, colType)
+          .map(pv => Prune(PartCol, pv, pv, requireSpec = spec.render)).toSeq
+      case _ => Nil
+    }
+    partPrune ++ numericBound(value).map(v => Prune(colName, v, v))
+  }
+
+  private def readPruned(entries: Seq[LogEntry], prune: Seq[Prune]): DataFrame =
+    readPrunedState(CommitLog.stateFrom(entries, prune), asOf = Long.MaxValue)
+
+  private def readPruned(asOf: Long, prune: Seq[Prune]): DataFrame =
+    readPrunedState(log.state(asOf, prune), asOf)
+
+  private def readPrunedState(
+      state: (Seq[(String, Long)], Seq[(String, Long, Seq[String])]),
+      asOf: Long): DataFrame = {
+    val (dataFiles, deleteFiles) = state
     if (dataFiles.isEmpty) {
       // preserve the table schema on an all-pruned/empty read so callers
       // (readRange's residual filter included) can still resolve columns
@@ -370,10 +431,11 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       .sortWithinPartitions(sortCol)
       .write.parquet(dir.toString)
     val files = parquetFilesIn(dir)
+    val fs = perFileStats(dir, files, Seq(sortCol))
     log.commit("replace", dataFiles = files,
-      stats = commitStats(dir, Seq(sortCol)),
+      stats = foldStats(fs, Seq(sortCol)),
       schemaJson = view.schema.json,
-      fileStats = perFileStats(dir, files, Seq(sortCol)))
+      fileStats = fs)
   }
 
   /** Snapshot expiration + orphan-file removal (Iceberg's

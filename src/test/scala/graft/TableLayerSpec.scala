@@ -346,6 +346,88 @@ class TableLayerSpec extends AnyFunSuite {
     assert(files.map(_.getString(0)).toSet == t.commitLog.state()._1.map(_._1).toSet)
   }
 
+  test("a partition-spec change never prunes old epochs with the new transform") {
+    val t = freshTable("specchange")
+    def batch(lo: Int) = (lo until lo + 30).map(i => (s"k$i", i)).toDF("name", "count")
+    t.appendPartitioned(batch(0), PartitionSpec("count", Transform.Truncate(10)))
+    // later epochs switch to a coarser spec: truncate(100) renders _p=0
+    // for counts 20..29, which under the OLD spec means bucket 0-9 — a
+    // spec-blind prune would drop the epoch-1 files silently
+    t.appendPartitioned(batch(100), PartitionSpec("count", Transform.Truncate(100)))
+    val got = t.readRange("count", BigDecimal(20), BigDecimal(29))
+      .select("count").as[Int].collect().sorted
+    assert(got.sameElements(20 to 29), s"lost rows across spec change: ${got.toSeq}")
+    // and a bucket spec on ANOTHER column must not consult count bounds
+    t.appendPartitioned(batch(200), PartitionSpec("name", Transform.Bucket(4)))
+    val all = t.readRange("count", BigDecimal(0), BigDecimal(300))
+    assert(all.count() == 90)
+  }
+
+  test("bucket pruning hashes the literal as the COLUMN type") {
+    val t = freshTable("buckettype")
+    // id written as LONG; the probe literal arrives as Int — xxhash64 of
+    // IntegerType(7) != LongType(7), so an uncast literal would compute
+    // the wrong bucket and silently return nothing
+    val df = (0L until 20L).map(i => (i, s"v$i")).toDF("id", "payload")
+    t.appendPartitioned(df, PartitionSpec("id", Transform.Bucket(8)))
+    val got = t.readEq("id", 7).select("payload").as[String].collect()
+    assert(got.sameElements(Array("v7")))
+    assert(t.prunedFileCountEq("id", 7) == 1)
+  }
+
+  test("a non-castable probe yields no partition value, not an opaque prune crash") {
+    val t = freshTable("badprobe")
+    val spec = PartitionSpec("count", Transform.Truncate(10))
+    t.appendPartitioned(items, spec)
+    // ANSI: the cast of 'abc' to INT throws inside the one-row job;
+    // partitionValueOf must swallow it into None so scan planning falls
+    // back to never-prune-blind (the residual filter then surfaces the
+    // clear ANSI type error, or an empty result in non-ANSI sessions)
+    assert(t.partitionValueOf(spec, "abc").isEmpty)
+    // a castable numeric probe still resolves
+    assert(t.partitionValueOf(spec, 15).contains(BigDecimal(10)))
+  }
+
+  test("an abandoned tag claim does not poison tags or expiration") {
+    import java.nio.file.{Files => JFiles}
+    val t = freshTable("tagclaim")
+    t.append(items)
+    t.tag("good")
+    // a committer crashed between claiming the tag file and moving content
+    JFiles.createDirectories(t.root.resolve("_refs"))
+    JFiles.createFile(t.root.resolve("_refs").resolve("crashed.json"))
+    assert(t.tags == Map("good" -> 0L))
+    assert(t.readTag("good").count() == 6)
+    t.expireSnapshots() // must not throw on the empty claim
+  }
+
+  test("default tag target is the last COMMITTED seq, not a pending claim") {
+    import java.nio.file.{Files => JFiles}
+    val t = freshTable("tagdefault")
+    t.append(items) // seq 0
+    // a racing committer has claimed seq 1 but not yet written it
+    JFiles.createFile(t.root.resolve("_log").resolve(f"${1L}%020d.json"))
+    t.tag("pin") // must resolve to 0, not fail on uncommitted 1
+    assert(t.tags("pin") == 0L)
+  }
+
+  test("upsert with a non-deterministic source stays key-consistent") {
+    val t = freshTable("upsertnd")
+    val base = (0 until 100).map(i => (i, "old")).toDF("id", "val")
+    t.append(base)
+    // rand()-filtered input: each evaluation yields a different subset.
+    // The delete-key set must come from the data actually written, so
+    // after the upsert every id still appears EXACTLY once.
+    val patch = spark.range(0, 100).toDF("id")
+      .filter(rand() < 0.5)
+      .withColumn("val", lit("new"))
+    t.upsert(patch, keyCols = Seq("id"))
+    val counts = t.read().groupBy("id").count()
+      .filter($"count" =!= 1).count()
+    assert(counts == 0, "some id vanished or duplicated under a non-deterministic upsert")
+    assert(t.read().count() == 100)
+  }
+
   test("partition transforms parse back from their rendered form") {
     val specs = Seq(
       PartitionSpec("count", Transform.Identity),
