@@ -76,6 +76,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "near-dup must stay the groupBy-collect shape")
   }
 
+  test("q_pack_sequences windows are partitioned by stratum, never global") {
+    val p = plan("q_pack_sequences")
+    // the cumsum window must hash-partition on lang; a global (empty
+    // partitionBy) window would funnel the whole corpus into one task.
+    // The only single-partition exchange allowed is the final output sort.
+    assert(p.contains("hashpartitioning(lang"),
+      "window cumsum must partition by lang")
+    val windowLines = p.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(windowLines.nonEmpty)
+    assert(!windowLines.contains("SinglePartition"), "global window detected")
+  }
+
+  test("q_sample_split is hash-assign + one aggregation (no rand, no extra shuffle)") {
+    val p = plan("q_sample_split")
+    assert(!p.toLowerCase.contains("rand("), "sampling must be deterministic hash, not rand()")
+    // exactly: partial agg -> exchange -> final agg -> output sort.
+    // More exchanges would mean the assignment itself shuffles.
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"$exchanges exchanges; hash-split should add none beyond agg+sort")
+  }
+
   test("q_join_inner leaves join selection to the optimizer (no forced broadcast of customer)") {
     // at test scale the optimizer may well broadcast — the audit is that
     // the PLAN resolves and contains a keyed join, with no ResolvedHint

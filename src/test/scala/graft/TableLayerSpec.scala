@@ -428,6 +428,25 @@ class TableLayerSpec extends AnyFunSuite {
     assert(t.read().count() == 100)
   }
 
+  test("EpochDay partitioning of the events fact table prunes day-window reads") {
+    // the 100 TB story: a time-series fact table laid out by ingest day;
+    // a bounded dashboard query opens only its days' files
+    val t = freshTable("events_day")
+    val ev = Tables.events(spark, SparkSessionFixture.sf)
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+    t.appendPartitioned(ev, PartitionSpec("ts_us", Transform.EpochDay))
+    val total = t.commitLog.state()._1.size
+    assert(total >= 25, s"one file per day expected, got $total") // ~30 days of data
+    val lo = BigDecimal(java.time.LocalDate.of(2024, 1, 10).toEpochDay * 86400000000L)
+    val hi = BigDecimal(java.time.LocalDate.of(2024, 1, 15).toEpochDay * 86400000000L - 1)
+    val opened = t.prunedFileCount("ts_us", lo, hi)
+    assert(opened <= 5, s"5-day window opened $opened of $total files")
+    val got = t.readRange("ts_us", lo, hi).select("event_id").as[Long].collect().sorted
+    val want = ev.filter($"ts_us" >= lo.toLong && $"ts_us" <= hi.toLong)
+      .select("event_id").as[Long].collect().sorted
+    assert(got.sameElements(want))
+  }
+
   test("partition transforms parse back from their rendered form") {
     val specs = Seq(
       PartitionSpec("count", Transform.Identity),
