@@ -34,6 +34,7 @@ object TableModelProps extends Properties("graft-table-model") {
   private case class Append(rows: List[Row], partitioned: Boolean) extends Op
   private case class Delete(keys: List[String]) extends Op
   private case class Mixed(rows: List[Row], keys: List[String]) extends Op
+  private case class Upsert(rows: List[Row]) extends Op
   private case object Compact extends Op
   private case object CompactSorted extends Op
 
@@ -52,6 +53,11 @@ object TableModelProps extends Properties("graft-table-model") {
           // one atomic entry: the delete scopes to data BELOW this seq,
           // the appended rows carry this seq and therefore survive it
           dels ++= ks.map(_ -> seq)
+          rows ++= rs.map(_ -> seq)
+        case Upsert(rs) =>
+          // MERGE: delete exactly the incoming keys from prior data, then
+          // append — one atomic entry, latest row wins
+          dels ++= rs.map(_._1).distinct.map(_ -> seq)
           rows ++= rs.map(_ -> seq)
         case Compact | CompactSorted =>
           rows = view.map(_ -> seq)
@@ -79,6 +85,7 @@ object TableModelProps extends Properties("graft-table-model") {
       rows <- Gen.nonEmptyListOf(genRow).map(_.take(3))
       keys <- Gen.nonEmptyListOf(Gen.oneOf("A", "B", "C", "D", "E", "F"))
     } yield Mixed(rows, keys.distinct.take(2))),
+    1 -> Gen.nonEmptyListOf(genRow).map(rs => Upsert(rs.take(3))),
     1 -> Gen.const(Compact),
     1 -> Gen.const(CompactSorted))
 
@@ -105,6 +112,8 @@ object TableModelProps extends Properties("graft-table-model") {
         case Delete(keys) => t.delete(keys.toDF("name"), Seq("name"))
         case Mixed(rows, keys) =>
           t.appendAndDelete(rows.toDF("name", "count"), keys.toDF("name"), Seq("name"))
+        case Upsert(rows) =>
+          t.upsert(rows.toDF("name", "count"), keyCols = Seq("name"))
         case Compact => t.compact()
         case CompactSorted => t.compactSorted("count", numFiles = 2)
       }
@@ -136,6 +145,8 @@ object TableModelProps extends Properties("graft-table-model") {
         case Delete(keys) => t.delete(keys.toDF("name"), Seq("name"))
         case Mixed(rows, keys) =>
           t.appendAndDelete(rows.toDF("name", "count"), keys.toDF("name"), Seq("name"))
+        case Upsert(rows) =>
+          t.upsert(rows.toDF("name", "count"), keyCols = Seq("name"))
         case Compact => t.compact()
         case CompactSorted => t.compactSorted("count", numFiles = 2)
       }
