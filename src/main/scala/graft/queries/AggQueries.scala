@@ -178,6 +178,33 @@ object AggQueries extends QueryPack {
         .orderBy("l_linestatus")
     },
 
+    // exact percentiles (quartiles + median) per group. Cross-engine
+    // determinism: both engines use the same linear-interpolation
+    // definition (pos = q·(n−1)); q ∈ {¼, ½, ¾} have power-of-2
+    // denominators and l_quantity is integer-valued, so every
+    // intermediate double (pos, fraction, interpolated value) is EXACT
+    // and ×100 renders an exact BIGINT — no float-representation skew.
+    // (Arbitrary q like 0.9 would interpolate on 1/10ths, which binary
+    // doubles cannot represent — deliberately avoided.)
+    Q(
+      "q_agg_percentile",
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n,
+        |  CAST(quantile_cont(l_quantity, 0.25) * 100 AS BIGINT) AS p25_x1e2,
+        |  CAST(quantile_cont(l_quantity, 0.5)  * 100 AS BIGINT) AS p50_x1e2,
+        |  CAST(quantile_cont(l_quantity, 0.75) * 100 AS BIGINT) AS p75_x1e2
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("CAST(percentile(l_quantity, 0.25) * 100 AS BIGINT)").as("p25_x1e2"),
+          expr("CAST(percentile(l_quantity, 0.5)  * 100 AS BIGINT)").as("p50_x1e2"),
+          expr("CAST(percentile(l_quantity, 0.75) * 100 AS BIGINT)").as("p75_x1e2"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- windows ----
 
     Q(
