@@ -249,6 +249,26 @@ object TableQueries extends QueryPack {
       t.read().orderBy("name")
     },
 
+    // POSITIONAL delete (Iceberg v2's second delete flavor): rows are
+    // addressed physically as (file, row ordinal) via readWithPos, so ONE
+    // of two rows sharing key 'A' can be removed surgically — not
+    // expressible as an equality predicate on the key.
+    Q(
+      "t_positional_delete",
+      """SELECT * FROM (VALUES
+        |  ('A','large',7),('B','medium',15),('C','medium',10),
+        |  ('D','small',20),('E','large',20)) AS t(name, size, count)
+        |ORDER BY name, count""",
+    ) { (s, _) =>
+      val t = tmpTable(s, "posdel")
+      t.append(itemsWithDup(s)) // two rows keyed A: (small,2) and (large,7)
+      val victim = t.readWithPos()
+        .filter(col("name") === "A" && col("count") === 2)
+        .select("_file", "_pos")
+      t.deleteAt(victim)
+      t.read().orderBy("name", "count")
+    },
+
     // Iceberg tag refs + ref-aware retention: a training run tags its
     // input snapshot; later deletes/appends and even snapshot expiration
     // leave the tagged read byte-identical, while the head moves on.

@@ -194,6 +194,33 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     log.commit("delete", deleteFiles = parquetFilesIn(dir), equalityCols = equalityCols)
   }
 
+  /** physical row address columns exposed by readWithPos / consumed by
+    * deleteAt: Spark's file-source _metadata struct.
+    */
+  private val FileCol = "_file"
+  private val PosCol = "_pos"
+
+  /** snapshot read carrying each row's physical address (file path + row
+    * ordinal) — the handle a positional delete targets.
+    */
+  def readWithPos(asOf: Long = Long.MaxValue): DataFrame =
+    readPruned(asOf, Nil, keepLineage = true)
+
+  /** POSITIONAL delete (the second Iceberg v2 delete flavor next to
+    * equality deletes): `positions` addresses rows as (_file, _pos) from
+    * readWithPos. Unlike an equality delete it can remove ONE of several
+    * identical rows — e.g. a single corrupt duplicate — because it names
+    * the physical row, not a key predicate. Data files are immutable, so
+    * a position uniquely identifies a row forever (until a replace
+    * rewrites the file set, which folds prior deletes in).
+    */
+  def deleteAt(positions: DataFrame): Long = {
+    val dir = newShardDir("deletes")
+    positions.select(col(FileCol), col(PosCol)).distinct().write.parquet(dir.toString)
+    // empty equalityCols marks the positional flavor in the log entry
+    log.commit("posdelete", deleteFiles = parquetFilesIn(dir))
+  }
+
   /** atomic mixed commit: new data files AND a delete in ONE log entry
     * (deletes.rs:94-110 — appends + deletes in a single transaction).
     */
@@ -363,12 +390,14 @@ final class GraftTable(spark: SparkSession, val root: Path) {
   private def readPruned(entries: Seq[LogEntry], prune: Seq[Prune]): DataFrame =
     readPrunedState(CommitLog.stateFrom(entries, prune), asOf = Long.MaxValue)
 
-  private def readPruned(asOf: Long, prune: Seq[Prune]): DataFrame =
-    readPrunedState(log.state(asOf, prune), asOf)
+  private def readPruned(asOf: Long, prune: Seq[Prune],
+      keepLineage: Boolean = false): DataFrame =
+    readPrunedState(log.state(asOf, prune), asOf, keepLineage)
 
   private def readPrunedState(
       state: (Seq[(String, Long)], Seq[(String, Long, Seq[String])]),
-      asOf: Long): DataFrame = {
+      asOf: Long,
+      keepLineage: Boolean = false): DataFrame = {
     val (dataFiles, deleteFiles) = state
     if (dataFiles.isEmpty) {
       // preserve the table schema on an all-pruned/empty read so callers
@@ -379,28 +408,48 @@ final class GraftTable(spark: SparkSession, val root: Path) {
         case None => spark.emptyDataFrame
       }
     }
+    // positional deletes (empty equalityCols) address rows physically, so
+    // the scan must carry each row's (file, ordinal) — also kept when the
+    // caller asked for lineage (readWithPos)
+    val needsPos = keepLineage || deleteFiles.exists(_._3.isEmpty)
     // allowMissingColumns = schema evolution on read: snapshots written
     // before a column was added contribute nulls for it (add-column
     // evolution; the per-snapshot schema is recorded in the log entry).
     val data = dataFiles
       .groupBy(_._2).toSeq.sortBy(_._1)
       .map { case (seq, files) =>
-        spark.read.parquet(files.map(_._1): _*).withColumn("_seq", lit(seq))
+        val df = spark.read.parquet(files.map(_._1): _*).withColumn("_seq", lit(seq))
+        if (needsPos)
+          df.withColumn(FileCol, col("_metadata.file_path"))
+            .withColumn(PosCol, col("_metadata.row_index"))
+        else df
       }
       .reduce(_.unionByName(_, allowMissingColumns = true))
     val result = deleteFiles.groupBy(x => (x._2, x._3)).toSeq.sortBy(_._1._1)
       .foldLeft(data) { case (acc, ((dseq, eqCols), files)) =>
-        // prefix the delete-side keys so the anti-join condition is
-        // unambiguous; left_anti output keeps only left columns.
-        val dels = spark.read.parquet(files.map(_._1): _*)
-          .select(eqCols.map(c => col(c).as(s"_d_$c")): _*)
-        // strictly-less: an equality delete applies to data committed
-        // BEFORE it — data in the same (mixed) commit is untouched,
-        // matching Iceberg's sequence-number rule.
-        val keyCond = eqCols.map(c => col(c) <=> col(s"_d_$c")).reduce(_ && _)
-        acc.join(dels, keyCond && (col("_seq") < lit(dseq)), "left_anti")
+        if (eqCols.isEmpty) {
+          // positional flavor: drop exactly the addressed rows. The seq
+          // guard is redundant (files are immutable, an address can only
+          // name a row that predates the delete) but kept for symmetry.
+          val dels = spark.read.parquet(files.map(_._1): _*)
+            .select(col(FileCol).as(s"_d$FileCol"), col(PosCol).as(s"_d$PosCol"))
+          acc.join(dels,
+            col(FileCol) === col(s"_d$FileCol") && col(PosCol) === col(s"_d$PosCol") &&
+              (col("_seq") < lit(dseq)), "left_anti")
+        } else {
+          // prefix the delete-side keys so the anti-join condition is
+          // unambiguous; left_anti output keeps only left columns.
+          val dels = spark.read.parquet(files.map(_._1): _*)
+            .select(eqCols.map(c => col(c).as(s"_d_$c")): _*)
+          // strictly-less: an equality delete applies to data committed
+          // BEFORE it — data in the same (mixed) commit is untouched,
+          // matching Iceberg's sequence-number rule.
+          val keyCond = eqCols.map(c => col(c) <=> col(s"_d_$c")).reduce(_ && _)
+          acc.join(dels, keyCond && (col("_seq") < lit(dseq)), "left_anti")
+        }
       }
-    result.drop("_seq")
+    val cleaned = result.drop("_seq")
+    if (keepLineage) cleaned else cleaned.drop(FileCol, PosCol)
   }
 
   /** compaction: materialize the MoR view into fresh files and commit a

@@ -292,6 +292,29 @@ class TableLayerSpec extends AnyFunSuite {
     }
   }
 
+  test("positional delete removes exactly one of two IDENTICAL rows") {
+    val t = freshTable("posdel")
+    // two byte-identical rows: no equality predicate can separate them
+    t.append(Seq(("A", "small", 2), ("A", "small", 2), ("B", "big", 9))
+      .toDF("name", "size", "count"))
+    val victims = t.readWithPos().filter($"name" === "A")
+      .orderBy("_pos").limit(1).select("_file", "_pos")
+    t.deleteAt(victims)
+    val as = t.read().filter($"name" === "A").collect()
+    assert(as.length == 1, "exactly one duplicate must survive")
+    assert(t.read().count() == 2)
+    // time travel: before the positional delete both rows exist
+    assert(t.read(asOf = 0).count() == 3)
+    // later appends are untouched and compaction folds the delete in
+    t.append(Seq(("A", "small", 2)).toDF("name", "size", "count"))
+    assert(t.read().count() == 3)
+    t.compact()
+    assert(t.read().count() == 3)
+    assert(t.commitLog.state()._2.isEmpty, "compaction clears delete files")
+    // lineage columns never leak into plain reads
+    assert(!t.read().columns.exists(c => c == "_file" || c == "_pos"))
+  }
+
   test("upsert replaces keyed rows atomically, untouched keys survive") {
     val t = freshTable("upsert")
     t.append(items) // two A rows
