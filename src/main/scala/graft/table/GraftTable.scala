@@ -8,10 +8,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A Spark-managed table over the CommitLog: the capability port of the
-  * reference's Iceberg table (create/append/equality-delete/time-travel/
-  * compaction), re-expressed as parquet + a snapshot log instead of a
-  * REST catalog (SURVEY.md §7.3; reference main.rs / decouple.rs /
-  * deletes.rs).
+  * reference's Iceberg table (create/append/equality+positional deletes/
+  * time-travel/compaction/hidden partitioning/tags/metadata tables),
+  * re-expressed as parquet + a snapshot log instead of a REST catalog
+  * (SURVEY.md §7.3; reference main.rs / decouple.rs / deletes.rs).
   *
   * Read path (merge-on-read): data files are unioned with their commit
   * seq; equality deletes anti-join rows whose key matches AND whose data
