@@ -221,17 +221,25 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     log.commit("posdelete", deleteFiles = parquetFilesIn(dir))
   }
 
+  /** shared tail of the mixed (append+delete-in-one-transaction) commits:
+    * write the key set as a delete file and commit both file sets atomically.
+    */
+  private def mixedCommit(dDir: Path, keys: DataFrame, equalityCols: Seq[String],
+      schemaJson: String): Long = {
+    val delDir = newShardDir("deletes")
+    keys.select(equalityCols.map(col): _*).distinct().write.parquet(delDir.toString)
+    log.commit("mixed", dataFiles = parquetFilesIn(dDir),
+      deleteFiles = parquetFilesIn(delDir), equalityCols = equalityCols,
+      schemaJson = schemaJson)
+  }
+
   /** atomic mixed commit: new data files AND a delete in ONE log entry
     * (deletes.rs:94-110 — appends + deletes in a single transaction).
     */
   def appendAndDelete(df: DataFrame, keys: DataFrame, equalityCols: Seq[String]): Long = {
     val dDir = newShardDir("data")
     df.write.parquet(dDir.toString)
-    val delDir = newShardDir("deletes")
-    keys.select(equalityCols.map(col): _*).distinct().write.parquet(delDir.toString)
-    log.commit("mixed", dataFiles = parquetFilesIn(dDir),
-      deleteFiles = parquetFilesIn(delDir), equalityCols = equalityCols,
-      schemaJson = df.schema.json)
+    mixedCommit(dDir, keys, equalityCols, df.schema.json)
   }
 
   /** snapshot read; `asOf` = time travel to that committed seq. */
@@ -250,12 +258,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     // second evaluation of df's lineage: a non-deterministic source
     // (sample(), mid-ingest re-read) would otherwise delete keys it never
     // appended, or append rows whose old versions survive
-    val delDir = newShardDir("deletes")
-    spark.read.schema(df.schema).parquet(dDir.toString)
-      .select(keyCols.map(col): _*).distinct().write.parquet(delDir.toString)
-    log.commit("mixed", dataFiles = parquetFilesIn(dDir),
-      deleteFiles = parquetFilesIn(delDir), equalityCols = keyCols,
-      schemaJson = df.schema.json)
+    val written = spark.read.schema(df.schema).parquet(dDir.toString)
+    mixedCommit(dDir, written, keyCols, df.schema.json)
   }
 
   /** immutable named snapshot (Iceberg tag): the handle a training run
@@ -297,10 +301,13 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     import spark.implicits._
     val live = log.state()
     val entriesBySeq = snapshots.map(e => e.seq -> e).toMap
+    // per-entry file→index maps keep this O(files), not O(files²)
+    val indexBySeq = entriesBySeq.map { case (s, e) =>
+      s -> e.dataFiles.zipWithIndex.toMap
+    }
     live._1.map { case (f, seq) =>
       val e = entriesBySeq(seq)
-      val i = e.dataFiles.indexOf(f)
-      val stats = e.fileStats.lift(i).getOrElse(Map.empty)
+      val stats = indexBySeq(seq).get(f).flatMap(e.fileStats.lift).getOrElse(Map.empty)
         .toSeq.sortBy(_._1).map { case (c, (mn, mx)) => s"$c:[$mn,$mx]" }
         .mkString(";")
       (f, seq, e.action, stats)
@@ -528,9 +535,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * history a catalog would serve.
     */
   def schemaAt(seq: Long = Long.MaxValue): Option[org.apache.spark.sql.types.StructType] =
-    log.entries(seq).filter(_.schemaJson.nonEmpty).lastOption
-      .map(e => org.apache.spark.sql.types.DataType.fromJson(e.schemaJson)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    schemaFrom(log.entries(seq))
 
   def snapshots: Seq[LogEntry] = log.entries()
   def headSeq: Long = log.headSeq()

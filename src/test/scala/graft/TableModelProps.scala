@@ -98,25 +98,32 @@ object TableModelProps extends Properties("graft-table-model") {
   private def sortedRows(rs: Seq[Row]): List[Row] =
     rs.sortBy(r => (r._1, r._2)).toList
 
+  /** build a fresh table and interpret the op sequence against it. */
+  private def run(tag: String, ops: List[Op]): GraftTable = {
+    import spark.implicits._
+    val t = GraftTable.createOrReplace(spark,
+      Files.createTempDirectory(tag).toString)
+    val spec = PartitionSpec("count", Transform.Truncate(25))
+    ops.foreach {
+      case Append(rows, partitioned) =>
+        val df = rows.toDF("name", "count")
+        if (partitioned) t.appendPartitioned(df, spec, statsCols = Seq("count"))
+        else t.append(df, statsCols = Seq("count"))
+      case Delete(keys) => t.delete(keys.toDF("name"), Seq("name"))
+      case Mixed(rows, keys) =>
+        t.appendAndDelete(rows.toDF("name", "count"), keys.toDF("name"), Seq("name"))
+      case Upsert(rows) =>
+        t.upsert(rows.toDF("name", "count"), keyCols = Seq("name"))
+      case Compact => t.compact()
+      case CompactSorted => t.compactSorted("count", numFiles = 2)
+    }
+    t
+  }
+
   property("read() and every read(asOf) match the sequence-number model") =
     forAll(genOps) { ops =>
       import spark.implicits._
-      val t = GraftTable.createOrReplace(spark,
-        Files.createTempDirectory("prop_model").toString)
-      val spec = PartitionSpec("count", Transform.Truncate(25))
-      ops.foreach {
-        case Append(rows, partitioned) =>
-          val df = rows.toDF("name", "count")
-          if (partitioned) t.appendPartitioned(df, spec, statsCols = Seq("count"))
-          else t.append(df, statsCols = Seq("count"))
-        case Delete(keys) => t.delete(keys.toDF("name"), Seq("name"))
-        case Mixed(rows, keys) =>
-          t.appendAndDelete(rows.toDF("name", "count"), keys.toDF("name"), Seq("name"))
-        case Upsert(rows) =>
-          t.upsert(rows.toDF("name", "count"), keyCols = Seq("name"))
-        case Compact => t.compact()
-        case CompactSorted => t.compactSorted("count", numFiles = 2)
-      }
+      val t = run("prop_model", ops)
       def actual(asOf: Int): List[Row] = sortedRows(
         t.read(if (asOf == ops.size - 1) Long.MaxValue else asOf.toLong)
           .select("name", "count").as[Row].collect().toSeq)
@@ -134,22 +141,7 @@ object TableModelProps extends Properties("graft-table-model") {
     forAll(genOps, Gen.choose(0, 99), Gen.choose(0, 99)) { (ops, a, b) =>
       import spark.implicits._
       val (lo, hi) = (math.min(a, b), math.max(a, b))
-      val t = GraftTable.createOrReplace(spark,
-        Files.createTempDirectory("prop_range").toString)
-      val spec = PartitionSpec("count", Transform.Truncate(25))
-      ops.foreach {
-        case Append(rows, partitioned) =>
-          val df = rows.toDF("name", "count")
-          if (partitioned) t.appendPartitioned(df, spec, statsCols = Seq("count"))
-          else t.append(df, statsCols = Seq("count"))
-        case Delete(keys) => t.delete(keys.toDF("name"), Seq("name"))
-        case Mixed(rows, keys) =>
-          t.appendAndDelete(rows.toDF("name", "count"), keys.toDF("name"), Seq("name"))
-        case Upsert(rows) =>
-          t.upsert(rows.toDF("name", "count"), keyCols = Seq("name"))
-        case Compact => t.compact()
-        case CompactSorted => t.compactSorted("count", numFiles = 2)
-      }
+      val t = run("prop_range", ops)
       val pruned = sortedRows(t.readRange("count", BigDecimal(lo), BigDecimal(hi))
         .select("name", "count").as[Row].collect().toSeq)
       val want = sortedRows(model(ops, ops.size - 1).filter(r => r._2 >= lo && r._2 <= hi))
