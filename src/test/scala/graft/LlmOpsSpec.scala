@@ -62,6 +62,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.intersect(trueNearPairs.keySet).nonEmpty)
   }
 
+  test("hot-bucket cap drops stop-shingle buckets but keeps real near-dups") {
+    import spark.implicits._
+    // adversarial corpus: 12 docs share ONE stop-shingle (each doc's whole
+    // set) — uncapped that bucket alone yields all 66 pairs at jaccard 1.0;
+    // plus one genuine near-dup pair on cold shingles.
+    val sh = ((1L to 12L).map(i => (i, Array(100L)))
+      :+ (20L, Array(5L, 6L, 7L)) :+ (21L, Array(5L, 6L, 8L)))
+      .toDF("doc_id", "shingles")
+    val uncapped = graft.queries.DedupQueries.jaccardPairs(sh, cap = 1000L).collect()
+    assert(uncapped.length == 66 + 1, "uncapped: hot bucket explodes to all pairs")
+    // cap=8 < 12: the stop-shingle bucket is dropped entirely; the cold
+    // near-dup pair is untouched. Candidate work is bounded by cap².
+    val capped = graft.queries.DedupQueries.jaccardPairs(sh, cap = 8L).collect()
+    assert(capped.length == 1)
+    val r = capped.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (20L, 21L, 5000L))
+  }
+
   // --- cosine ground truth on the driver ---
 
   private lazy val vecs: Map[Long, Array[Double]] =

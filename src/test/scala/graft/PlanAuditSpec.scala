@@ -71,9 +71,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "bucket equi-join should broadcast the probes")
   }
 
-  test("q_dedup_near has no join operator at all (bucket-collect, never all-pairs)") {
+  test("q_dedup_near never shuffles a join (bucket-collect, never all-pairs)") {
+    // the only join allowed is the hot-bucket guard's BROADCAST anti-join
+    // (tiny over-cap key set); a shuffled join would mean the all-pairs
+    // self-join shape crept back in.
     val p = plan("q_dedup_near")
-    assert(!p.contains("Join"), "near-dup must stay the groupBy-collect shape")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "near-dup must stay the groupBy-collect shape")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "hot-bucket guard should be a broadcast anti-join")
   }
 
   test("q_pack_sequences windows are partitioned by stratum, never global") {
@@ -95,6 +101,37 @@ class PlanAuditSpec extends AnyFunSuite {
     // More exchanges would mean the assignment itself shuffles.
     val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
     assert(exchanges <= 2, s"$exchanges exchanges; hash-split should add none beyond agg+sort")
+  }
+
+  test("no q_* plan funnels data through Exchange SinglePartition except documented sinks") {
+    // Two legitimate SinglePartition shapes exist:
+    //  (a) a global aggregate — the exchange carries one partial-agg row per
+    //      upstream partition (O(partitions), fine at any scale); in the
+    //      plan text its child line is an Aggregate with keys=[].
+    //  (b) the dedup packs' orderedOutput sink — repartition(1)+sort over a
+    //      provably small pair list, documented as the oracle's total-order
+    //      artifact (SURVEY §8).
+    // Anything else (global windows, global sorts mid-plan) is a funnel
+    // that serializes the table through one task — the q_stream_watermark
+    // bug class. This sweep keeps it from coming back.
+    val sinkQueries = Set("q_dedup_near", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed")
+    val audited = SparkEntry.all.map(_.name)
+      .filterNot(_.startsWith("t_")) // table scenarios execute side effects on build
+    audited.foreach { name =>
+      val p = SparkEntry.queries(name)(spark, sf).queryExecution
+        .explainString(ExplainMode.fromString("simple"))
+      val lines = p.linesIterator.toVector
+      lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
+        case (line, i) =>
+          val child = lines.lift(i + 1).getOrElse("")
+          val globalAgg = child.contains("Aggregate(keys=[]") ||
+            child.contains("Aggregate(key=[]")
+          val allowedSink = sinkQueries.contains(name) &&
+            line.contains("REPARTITION_BY_NUM")
+          assert(globalAgg || allowedSink,
+            s"$name: single-partition funnel:\n$line\n$child")
+      }
+    }
   }
 
   test("q_join_inner leaves join selection to the optimizer (no forced broadcast of customer)") {
