@@ -46,8 +46,10 @@ object Tables {
     * ts arrives as a raw ns LONG and the branch below normalizes to a µs
     * timestamp; the TimestampType branch covers a µs-encoded variant.
     */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    val raw = p(s, dir, "events")
+  def events(s: SparkSession, dir: String): DataFrame =
+    normalizeEventsTs(p(s, dir, "events"))
+
+  private def normalizeEventsTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // Integer division: ns values (~1.7e18) exceed double's 2^53 exact
@@ -55,5 +57,20 @@ object Tables {
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw // Spark read it as a timestamp natively
     }
+
+  /** [[events]] as a Structured Streaming file source: same file, same ts
+    * normalization, with the schema pinned from a batch footer read (file
+    * streams cannot infer). FileStreamSource monitors a DIRECTORY, so the
+    * single testdata file is staged behind a symlink in a temp landing
+    * dir — the same landing-zone shape a real ingest has, where a Kafka
+    * topic (connector jar absent offline) would drop in as the source.
+    */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val path = Paths.get(s"$dir/events.parquet").toAbsolutePath
+    val landing = Files.createTempDirectory("graft_events_landing")
+    Files.createSymbolicLink(landing.resolve("events.parquet"), path)
+    val schema = s.read.parquet(path.toString).schema
+    normalizeEventsTs(s.readStream.schema(schema).parquet(landing.toString))
   }
 }
