@@ -203,6 +203,39 @@ object TableQueries extends QueryPack {
         .orderBy("probe", "name")
     },
 
+    // Multi-dimensional hidden partitioning (Iceberg composed specs; the
+    // reference's event workload is day(ts)+bucket(id)-shaped,
+    // kafka-load-gen/main.go:52-53): identity(day) × truncate(5,val) lays
+    // one epoch out as a 2×2 directory grid = 4 files, one per partition
+    // tuple. Each probe names only ITS source column and prunes on that
+    // dimension independently — 2 of 4 files opened either way.
+    Q(
+      "t_partition_multidim",
+      """SELECT * FROM (VALUES
+        |  ('eq_day1','c',1,2,2),('eq_day1','d',1,8,2),
+        |  ('range_val0_4','a',0,1,2),('range_val0_4','c',1,2,2))
+        |  AS t(probe, name, day, val, files_opened)
+        |ORDER BY probe, name""",
+    ) { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "multidim")
+      val rows = Seq(("a", 0, 1), ("b", 0, 7), ("c", 1, 2), ("d", 1, 8))
+        .toDF("name", "day", "val")
+      t.appendPartitioned(rows,
+        Seq(PartitionSpec("day", Transform.Identity),
+          PartitionSpec("val", Transform.Truncate(5))), Nil)
+      val eq = t.readEq("day", 1)
+        .withColumn("probe", lit("eq_day1"))
+        .withColumn("files_opened", lit(t.prunedFileCountEq("day", 1)))
+      val range = t.readRange("val", BigDecimal(0), BigDecimal(4))
+        .withColumn("probe", lit("range_val0_4"))
+        .withColumn("files_opened",
+          lit(t.prunedFileCount("val", BigDecimal(0), BigDecimal(4))))
+      eq.unionByName(range)
+        .select("probe", "name", "day", "val", "files_opened")
+        .orderBy("probe", "name")
+    },
+
     // Sort-clustered compaction (rewrite_data_files with a sort order):
     // three stat-less ingest epochs interleave the key domain, so a
     // bounded read must open all 6 files; compactSorted range-partitions

@@ -117,55 +117,88 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * never leaks into queries.
     */
   def appendPartitioned(df: DataFrame, spec: PartitionSpec,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil): Long =
+    appendPartitioned(df, Seq(spec), statsCols)
+
+  /** Multi-dimensional hidden partitioning: Iceberg specs compose several
+    * (column, transform) dimensions — e.g. day(ts) + bucket(id), exactly
+    * the reference's event workload shape (kafka-load-gen/main.go:52-53:
+    * rolling timestamps + stable ids). Each dimension derives its own
+    * partition column and path segment (nested directories), each file
+    * records the full partition TUPLE as exact per-dimension file stats,
+    * and readEq/readRange prune on every dimension whose source column
+    * matches — independently, so a day-bounded probe and an id-point
+    * probe each open only their slice of the grid.
+    */
+  def appendPartitioned(df: DataFrame, specs: Seq[PartitionSpec],
+      statsCols: Seq[String]): Long = {
+    require(specs.nonEmpty, "at least one partition dimension")
+    require(specs.map(_.col).distinct.size == specs.size,
+      "one transform per source column")
     requireNoReserved(df)
     val dir = newShardDir("data")
-    df.withColumn(PartCol, spec.transform.expr(col(spec.col)))
-      .repartition(col(PartCol))
-      .write.partitionBy(PartCol).parquet(dir.toString)
-    val files = parquetFilesIn(dir)
-    // the partition value is exact from the directory name — no scan
-    val partStat: Seq[Map[String, (String, String)]] = files.map { f =>
-      partValueFromPath(f) match {
-        case Some(v) => Map(PartCol -> (v, v))
-        case None => Map.empty[String, (String, String)]
+    val pcols = specs.indices.map(partColFor)
+    specs.zipWithIndex.foldLeft(df) { case (d, (sp, i)) =>
+        d.withColumn(partColFor(i), sp.transform.expr(col(sp.col)))
       }
+      .repartition(pcols.map(col): _*)
+      .write.partitionBy(pcols: _*).parquet(dir.toString)
+    val files = parquetFilesIn(dir)
+    // the partition tuple is exact from the directory names — no scan
+    val partStat: Seq[Map[String, (String, String)]] = files.map { f =>
+      specs.indices.flatMap(i =>
+        partValueFromPath(f, i).map(v => partColFor(i) -> (v, v))).toMap
     }
     val extra = perFileStats(dir, files, statsCols)
     val merged =
       if (extra.isEmpty) partStat
       else partStat.zip(extra).map { case (a, b) => a ++ b }
     log.commit("add", dataFiles = files, stats = foldStats(extra, statsCols),
-      schemaJson = df.schema.json, fileStats = merged, partSpec = spec.render)
+      schemaJson = df.schema.json, fileStats = merged,
+      partSpec = PartitionSpec.renderAll(specs))
   }
 
   private val PartCol = "_p"
   private val SeqCol = "_seq"
 
-  /** Every column name the table layer synthesizes: the partition value
-    * (_p, write path), the commit sequence (_seq, MoR read path), and the
-    * physical row address (_file/_pos, positional deletes). A user column
-    * with one of these names would be silently overwritten by the MoR
-    * machinery and dropped on plain reads — reject it at the write.
+  /** partition-value column for dimension `i`; dimension 0 keeps the
+    * original single-spec name so existing logs stay readable.
+    */
+  private def partColFor(i: Int): String = if (i == 0) PartCol else s"_p$i"
+
+  /** Every column name the table layer synthesizes: the partition values
+    * (_p, _p1, …, write path), the commit sequence (_seq, MoR read path),
+    * and the physical row address (_file/_pos, positional deletes). A
+    * user column with one of these names would be silently overwritten by
+    * the MoR machinery and dropped on plain reads — reject it at the
+    * write.
     */
   private def requireNoReserved(df: DataFrame): Unit = {
-    val clash = df.columns.filter(Set(PartCol, SeqCol, FileCol, PosCol))
+    val named = Set(PartCol, SeqCol, FileCol, PosCol)
+    val clash = df.columns.filter(c => named(c) || c.matches("_p\\d+"))
     require(clash.isEmpty,
       s"reserved column name(s) ${clash.mkString(", ")}: " +
-        s"$PartCol/$SeqCol/$FileCol/$PosCol are synthesized by the table layer")
+        s"$PartCol[n]/$SeqCol/$FileCol/$PosCol are synthesized by the table layer")
   }
 
-  private def partValueFromPath(f: String): Option[String] =
-    f.split('/').find(_.startsWith(s"$PartCol="))
-      .map(_.stripPrefix(s"$PartCol="))
+  private def partValueFromPath(f: String, dim: Int): Option[String] = {
+    val prefix = s"${partColFor(dim)}="
+    f.split('/').find(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix))
       .filter(v => v.nonEmpty && v != "__HIVE_DEFAULT_PARTITION__")
+  }
 
-  /** latest partition spec recorded in the log, if any. */
-  def partitionSpec: Option[PartitionSpec] = specFrom(log.entries())
+  /** latest partition spec dimensions recorded in the log (empty when the
+    * table is unpartitioned).
+    */
+  def partitionSpecs: Seq[PartitionSpec] = specsFrom(log.entries())
 
-  private def specFrom(entries: Seq[LogEntry]): Option[PartitionSpec] =
+  /** single-dimension convenience view of [[partitionSpecs]]. */
+  def partitionSpec: Option[PartitionSpec] = partitionSpecs.headOption
+
+  private def specsFrom(entries: Seq[LogEntry]): Seq[PartitionSpec] =
     entries.reverse.iterator.map(_.partSpec).find(_.nonEmpty)
-      .flatMap(Transform.parse).map { case (c, t) => PartitionSpec(c, t) }
+      .map(PartitionSpec.parseAll).getOrElse(Nil)
 
   private def schemaFrom(entries: Seq[LogEntry]): Option[org.apache.spark.sql.types.StructType] =
     entries.filter(_.schemaJson.nonEmpty).lastOption
@@ -386,12 +419,12 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     */
   private def rangePrunes(entries: Seq[LogEntry],
       colName: String, lo: BigDecimal, hi: BigDecimal): Seq[Prune] = {
-    val base = Seq(Prune(colName, lo, hi))
-    specFrom(entries) match {
-      case Some(spec) if spec.col == colName && spec.transform.orderPreserving =>
-        base :+ Prune(PartCol, spec.transform.eval(lo), spec.transform.eval(hi),
-          requireSpec = spec.render)
-      case _ => base
+    val specs = specsFrom(entries)
+    val render = PartitionSpec.renderAll(specs)
+    Prune(colName, lo, hi) +: specs.zipWithIndex.collect {
+      case (sp, i) if sp.col == colName && sp.transform.orderPreserving =>
+        Prune(partColFor(i), sp.transform.eval(lo), sp.transform.eval(hi),
+          requireSpec = render)
     }
   }
 
@@ -400,14 +433,16 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * what the read actually opens.
     */
   private def eqPrunes(entries: Seq[LogEntry], colName: String, value: Any): Seq[Prune] = {
-    val partPrune = specFrom(entries) match {
-      case Some(spec) if spec.col == colName =>
-        val colType = schemaFrom(entries).flatMap(_.fields.find(_.name == colName)).map(_.dataType)
-        partitionValueOf(spec, value, colType)
-          .map(pv => Prune(PartCol, pv, pv, requireSpec = spec.render)).toSeq
-      case _ => Nil
-    }
-    partPrune ++ numericBound(value).map(v => Prune(colName, v, v))
+    val specs = specsFrom(entries)
+    val render = PartitionSpec.renderAll(specs)
+    lazy val colType =
+      schemaFrom(entries).flatMap(_.fields.find(_.name == colName)).map(_.dataType)
+    val partPrunes = specs.zipWithIndex.collect {
+      case (sp, i) if sp.col == colName =>
+        partitionValueOf(sp, value, colType)
+          .map(pv => Prune(partColFor(i), pv, pv, requireSpec = render))
+    }.flatten
+    partPrunes ++ numericBound(value).map(v => Prune(colName, v, v))
   }
 
   private def readPruned(entries: Seq[LogEntry], prune: Seq[Prune]): DataFrame =

@@ -118,10 +118,32 @@ object Transform {
   }
 }
 
-/** A table's partition layout: one source column + one transform (the
-  * common single-dimension case; multi-dimensional specs compose as
-  * nested directories and are out of scope here).
+/** One dimension of a table's partition layout: a source column + a
+  * transform. Specs compose: `Seq(PartitionSpec("ts", EpochDay),
+  * PartitionSpec("id", Bucket(8)))` lays the table out as nested
+  * day/bucket directories with per-dimension pruning
+  * (GraftTable.appendPartitioned).
   */
 final case class PartitionSpec(col: String, transform: Transform) {
   def render: String = transform.render(col)
+}
+
+object PartitionSpec {
+  /** multi-dimension log rendering: "+"-joined per-dimension renderings
+    * ('+' cannot occur inside a rendering). Order IS the dimension index.
+    */
+  def renderAll(specs: Seq[PartitionSpec]): String =
+    specs.map(_.render).mkString("+")
+
+  /** All-or-nothing inverse of [[renderAll]]: a partially parseable spec
+    * must disable pruning entirely — dropping only the unparseable
+    * dimension would shift the survivors' indices onto the wrong _pN
+    * columns and prune the wrong files.
+    */
+  def parseAll(s: String): Seq[PartitionSpec] = {
+    val parts = s.split('+').toSeq.map(Transform.parse)
+    if (parts.nonEmpty && parts.forall(_.isDefined))
+      parts.flatten.map { case (c, t) => PartitionSpec(c, t) }
+    else Nil
+  }
 }

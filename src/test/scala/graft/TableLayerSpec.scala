@@ -261,6 +261,44 @@ class TableLayerSpec extends AnyFunSuite {
     assert(t.prunedFileCount("name", BigDecimal(0), BigDecimal(1)) == total)
   }
 
+  test("multi-dimensional spec: each dimension prunes independently") {
+    val t = freshTable("multidim")
+    val specs = Seq(PartitionSpec("day", Transform.Identity),
+      PartitionSpec("val", Transform.Truncate(5)))
+    val rows = Seq(("a", 0, 1), ("b", 0, 7), ("c", 1, 2), ("d", 1, 8), ("e", 2, 3))
+      .toDF("name", "day", "val")
+    t.appendPartitioned(rows, specs, Nil)
+    assert(t.partitionSpecs == specs)
+    assert(t.partitionSpec.contains(specs.head)) // single-dim view intact
+    // 5 distinct (day, val-bucket) tuples → 5 files, one per tuple
+    assert(t.commitLog.state()._1.size == 5)
+    // day dimension: point probe opens only day=1's grid row
+    assert(t.prunedFileCountEq("day", 1) == 2)
+    assert(t.readEq("day", 1).select("name").as[String].collect().sorted
+      .sameElements(Array("c", "d")))
+    // val dimension: order-preserving truncate range probe opens bucket 0
+    assert(t.prunedFileCount("val", BigDecimal(0), BigDecimal(4)) == 3)
+    assert(t.readRange("val", BigDecimal(0), BigDecimal(4))
+      .select("name").as[String].collect().sorted
+      .sameElements(Array("a", "c", "e")))
+    // identity range on the day dimension prunes as well
+    assert(t.prunedFileCount("day", BigDecimal(0), BigDecimal(0)) == 2)
+    // no synthesized partition column leaks into the reader schema
+    assert(!t.read().columns.exists(c => c == "_p" || c.matches("_p\\d+")))
+  }
+
+  test("fractional source values: driver eval mirrors the engine's cast (ADVICE r3)") {
+    val t = freshTable("fracpart")
+    val rows = Seq(("x", 19.6), ("y", 10.2)).toDF("name", "v")
+    t.appendPartitioned(rows, PartitionSpec("v", Transform.Truncate(10)))
+    // engine: cast(19.6 as decimal(38,0)) rounds HALF_UP → 20 → partition
+    // 20. A floor-divide eval of the probe bound would compute partition
+    // 10 and silently prune the file that holds the row.
+    assert(t.readRange("v", BigDecimal("19.6"), BigDecimal("19.6"))
+      .select("name").as[String].collect().sameElements(Array("x")))
+    assert(t.readEq("v", 19.6).select("name").as[String].head() == "x")
+  }
+
   test("partitioned append keeps delete/time-travel semantics intact") {
     val t = freshTable("partmor")
     val spec = PartitionSpec("count", Transform.Truncate(10))
