@@ -203,6 +203,25 @@ object TableQueries extends QueryPack {
         .orderBy("probe", "name")
     },
 
+    // Field-id schema evolution (Iceberg's stable-id model, lib.rs:58-62):
+    // rename + int→long widening are metadata-only commits; files written
+    // under the old name/narrow type resolve BY ID on read — no rewrite.
+    Q(
+      "t_schema_rename",
+      """SELECT * FROM (VALUES
+        |  ('A',CAST(1 AS BIGINT)),('B',CAST(2 AS BIGINT)),
+        |  ('C',CAST(3000000000 AS BIGINT))) AS t(name, qty)
+        |ORDER BY name""",
+    ) { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "rename")
+      t.append(Seq(("A", 1), ("B", 2)).toDF("name", "count"))
+      t.renameColumn("count", "qty")
+      t.widenColumn("qty", org.apache.spark.sql.types.LongType)
+      t.append(Seq(("C", 3000000000L)).toDF("name", "qty"))
+      t.read().orderBy("name")
+    },
+
     // Multi-dimensional hidden partitioning (Iceberg composed specs; the
     // reference's event workload is day(ts)+bucket(id)-shaped,
     // kafka-load-gen/main.go:52-53): identity(day) × truncate(5,val) lays

@@ -6,6 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, MetadataBuilder, StructField, StructType}
 
 /** A Spark-managed table over the CommitLog: the capability port of the
   * reference's Iceberg table (create/append/equality+positional deletes/
@@ -100,7 +101,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     val files = parquetFilesIn(dir)
     val fs = perFileStats(dir, files, statsCols)
     log.commit("add", dataFiles = files, stats = foldStats(fs, statsCols),
-      schemaJson = df.schema.json, fileStats = fs)
+      schemaJson = idSchemaJson(df.schema), fileStats = fs)
   }
 
   /** Partitioned fast_append (hidden partitioning): data is clustered and
@@ -154,7 +155,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       if (extra.isEmpty) partStat
       else partStat.zip(extra).map { case (a, b) => a ++ b }
     log.commit("add", dataFiles = files, stats = foldStats(extra, statsCols),
-      schemaJson = df.schema.json, fileStats = merged,
+      schemaJson = idSchemaJson(df.schema), fileStats = merged,
       partSpec = PartitionSpec.renderAll(specs))
   }
 
@@ -200,10 +201,98 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     entries.reverse.iterator.map(_.partSpec).find(_.nonEmpty)
       .map(PartitionSpec.parseAll).getOrElse(Nil)
 
-  private def schemaFrom(entries: Seq[LogEntry]): Option[org.apache.spark.sql.types.StructType] =
+  private def schemaFrom(entries: Seq[LogEntry]): Option[StructType] =
     entries.filter(_.schemaJson.nonEmpty).lastOption
-      .map(e => org.apache.spark.sql.types.DataType.fromJson(e.schemaJson)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .map(e => DataType.fromJson(e.schemaJson).asInstanceOf[StructType])
+
+  // ---- field-id schema evolution (Iceberg's stable-id model, the
+  // reference's explicit field ids in lib.rs:58-62): every column gets a
+  // stable id recorded in the per-snapshot schema JSON (StructField
+  // metadata); reads resolve old files to the current schema BY ID, so
+  // renames and safe type widenings never rewrite data files. ----
+
+  private val FidKey = "graft_fid"
+
+  private def fieldId(f: StructField): Option[Long] =
+    if (f.metadata.contains(FidKey)) Some(f.metadata.getLong(FidKey)) else None
+
+  /** Stamp stable field ids onto `schema`: a name present in the previous
+    * recorded schema keeps its id (renames preserve ids only through
+    * [[renameColumn]], matching Iceberg's name-resolution-on-write); new
+    * names get fresh ids above every id previously assigned.
+    */
+  private def withFieldIds(schema: StructType, prev: Option[StructType]): StructType = {
+    val prevByName =
+      prev.map(_.fields.map(f => f.name -> f).toMap).getOrElse(Map.empty[String, StructField])
+    var next = prev.map(_.fields.flatMap(fieldId).foldLeft(0L)(math.max)).getOrElse(0L)
+    StructType(schema.fields.map { f =>
+      val id = prevByName.get(f.name).flatMap(fieldId).getOrElse { next += 1; next }
+      f.copy(metadata =
+        new MetadataBuilder().withMetadata(f.metadata).putLong(FidKey, id).build())
+    })
+  }
+
+  private def idSchemaJson(schema: StructType): String =
+    withFieldIds(schema, schemaAt()).json
+
+  /** Rename a column, preserving its stable field id (Iceberg rename): a
+    * metadata-only commit — no data file is touched, and files written
+    * under the old name keep resolving to the new one by id on read.
+    */
+  def renameColumn(oldName: String, newName: String): Long = {
+    val cur = schemaAt().getOrElse(
+      throw new IllegalStateException("cannot evolve an empty table"))
+    require(cur.fieldNames.contains(oldName), s"no such column: $oldName")
+    require(!cur.fieldNames.contains(newName), s"column already exists: $newName")
+    val next = StructType(cur.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    log.commit("schema", schemaJson = next.json)
+  }
+
+  /** Widen a column's type in place — Iceberg's safe promotions only
+    * (int→long, float→double). Metadata-only commit; old files keep their
+    * narrow physical type and are cast up on read.
+    */
+  def widenColumn(name: String, to: DataType): Long = {
+    val cur = schemaAt().getOrElse(
+      throw new IllegalStateException("cannot evolve an empty table"))
+    val f = cur.fields.find(_.name == name)
+      .getOrElse(throw new NoSuchElementException(s"no such column: $name"))
+    val safe = (f.dataType, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (a, b) => a == b
+    }
+    require(safe, s"unsafe type change: ${f.dataType.simpleString} -> ${to.simpleString}")
+    val next = StructType(cur.fields.map(x =>
+      if (x.name == name) x.copy(dataType = to) else x))
+    log.commit("schema", schemaJson = next.json)
+  }
+
+  /** Align one epoch's files to the CURRENT schema by stable field id:
+    * columns renamed since the epoch was written are renamed on the fly;
+    * types widened since are cast up. Fields without ids, or absent from
+    * the current schema, pass through untouched (add-column evolution is
+    * handled by unionByName downstream).
+    */
+  private def alignByFieldId(
+      df: DataFrame, at: Option[StructType], cur: Option[StructType]): DataFrame =
+    (at, cur) match {
+      case (Some(a), Some(c)) =>
+        val curById = c.fields.flatMap(f => fieldId(f).map(_ -> f)).toMap
+        a.fields.foldLeft(df) { case (d, f) =>
+          fieldId(f).flatMap(curById.get) match {
+            case Some(t) if d.columns.contains(f.name) =>
+              val renamed =
+                if (t.name != f.name) d.withColumnRenamed(f.name, t.name) else d
+              if (t.dataType != f.dataType)
+                renamed.withColumn(t.name, col(t.name).cast(t.dataType))
+              else renamed
+            case _ => d
+          }
+        }
+      case _ => df
+    }
 
   /** engine-evaluated partition value of a literal — one local one-row
     * job, so bucket hashing always matches the write path bit-for-bit.
@@ -287,7 +376,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     requireNoReserved(df)
     val dDir = newShardDir("data")
     df.write.parquet(dDir.toString)
-    mixedCommit(dDir, keys, equalityCols, df.schema.json)
+    mixedCommit(dDir, keys, equalityCols, idSchemaJson(df.schema))
   }
 
   /** snapshot read; `asOf` = time travel to that committed seq. */
@@ -308,7 +397,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     // (sample(), mid-ingest re-read) would otherwise delete keys it never
     // appended, or append rows whose old versions survive
     val written = spark.read.schema(df.schema).parquet(dDir.toString)
-    mixedCommit(dDir, written, keyCols, df.schema.json)
+    mixedCommit(dDir, written, keyCols, idSchemaJson(df.schema))
   }
 
   /** immutable named snapshot (Iceberg tag): the handle a training run
@@ -446,21 +535,27 @@ final class GraftTable(spark: SparkSession, val root: Path) {
   }
 
   private def readPruned(entries: Seq[LogEntry], prune: Seq[Prune]): DataFrame =
-    readPrunedState(CommitLog.stateFrom(entries, prune), asOf = Long.MaxValue)
+    readPrunedState(CommitLog.stateFrom(entries, prune), entries)
 
   private def readPruned(asOf: Long, prune: Seq[Prune],
-      keepLineage: Boolean = false): DataFrame =
-    readPrunedState(log.state(asOf, prune), asOf, keepLineage)
+      keepLineage: Boolean = false): DataFrame = {
+    val entries = log.entries(asOf)
+    readPrunedState(CommitLog.stateFrom(entries, prune), entries, keepLineage)
+  }
 
   private def readPrunedState(
       state: (Seq[(String, Long)], Seq[(String, Long, Seq[String])]),
-      asOf: Long,
+      entries: Seq[LogEntry],
       keepLineage: Boolean = false): DataFrame = {
     val (dataFiles, deleteFiles) = state
+    // schema as of any point of this read's history — drives field-id
+    // alignment of old epochs onto the CURRENT schema (renames/widenings)
+    val current = schemaFrom(entries)
+    def schemaAtSeq(seq: Long) = schemaFrom(entries.filter(_.seq <= seq))
     if (dataFiles.isEmpty) {
       // preserve the table schema on an all-pruned/empty read so callers
       // (readRange's residual filter included) can still resolve columns
-      return schemaAt(asOf) match {
+      return current match {
         case Some(sch) =>
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
         case None => spark.emptyDataFrame
@@ -470,13 +565,15 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     // the scan must carry each row's (file, ordinal) — also kept when the
     // caller asked for lineage (readWithPos)
     val needsPos = keepLineage || deleteFiles.exists(_._3.isEmpty)
-    // allowMissingColumns = schema evolution on read: snapshots written
-    // before a column was added contribute nulls for it (add-column
-    // evolution; the per-snapshot schema is recorded in the log entry).
+    // allowMissingColumns = add-column evolution on read: snapshots written
+    // before a column was added contribute nulls for it; alignByFieldId
+    // first maps each epoch's names/types onto the current schema by id.
     val data = dataFiles
       .groupBy(_._2).toSeq.sortBy(_._1)
       .map { case (seq, files) =>
-        val df = spark.read.parquet(files.map(_._1): _*).withColumn("_seq", lit(seq))
+        val raw = spark.read.parquet(files.map(_._1): _*)
+        val df = alignByFieldId(raw, schemaAtSeq(seq), current)
+          .withColumn("_seq", lit(seq))
         if (needsPos)
           df.withColumn(FileCol, col("_metadata.file_path"))
             .withColumn(PosCol, col("_metadata.row_index"))
@@ -495,14 +592,25 @@ final class GraftTable(spark: SparkSession, val root: Path) {
             col(FileCol) === col(s"_d$FileCol") && col(PosCol) === col(s"_d$PosCol") &&
               (col("_seq") < lit(dseq)), "left_anti")
         } else {
+          // equality keys were recorded under the names current AT DELETE
+          // time; resolve them to today's names by field id so a delete
+          // still applies after the key column was renamed (Iceberg scopes
+          // delete files by field id the same way).
+          val toCurrent: Map[String, String] = (schemaAtSeq(dseq), current) match {
+            case (Some(a), Some(c)) =>
+              val curById = c.fields.flatMap(f => fieldId(f).map(_ -> f.name)).toMap
+              a.fields.flatMap(f => fieldId(f).flatMap(curById.get).map(f.name -> _)).toMap
+            case _ => Map.empty
+          }
           // prefix the delete-side keys so the anti-join condition is
           // unambiguous; left_anti output keeps only left columns.
           val dels = spark.read.parquet(files.map(_._1): _*)
-            .select(eqCols.map(c => col(c).as(s"_d_$c")): _*)
+            .select(eqCols.map(c => col(c).as(s"_d_${toCurrent.getOrElse(c, c)}")): _*)
           // strictly-less: an equality delete applies to data committed
           // BEFORE it — data in the same (mixed) commit is untouched,
           // matching Iceberg's sequence-number rule.
-          val keyCond = eqCols.map(c => col(c) <=> col(s"_d_$c")).reduce(_ && _)
+          val keyCond = eqCols.map(toCurrent.withDefault(identity))
+            .map(c => col(c) <=> col(s"_d_$c")).reduce(_ && _)
           acc.join(dels, keyCond && (col("_seq") < lit(dseq)), "left_anti")
         }
       }
@@ -519,7 +627,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     val view = read()
     view.write.parquet(dir.toString)
     log.commit("replace", dataFiles = parquetFilesIn(dir),
-      schemaJson = view.schema.json)
+      schemaJson = idSchemaJson(view.schema))
   }
 
   /** Sort-clustered compaction (Iceberg's rewrite_data_files with a sort
@@ -541,7 +649,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     val fs = perFileStats(dir, files, Seq(sortCol))
     log.commit("replace", dataFiles = files,
       stats = foldStats(fs, Seq(sortCol)),
-      schemaJson = view.schema.json,
+      schemaJson = idSchemaJson(view.schema),
       fileStats = fs)
   }
 

@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import graft.table.{CommitLog, GraftTable, PartitionSpec, Transform}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Snapshot-lineage assertions for the table layer: append → delete →
@@ -259,6 +260,45 @@ class TableLayerSpec extends AnyFunSuite {
     // bucket is not order-preserving: range reads must NOT partition-prune
     // (file count equals total — never prune blind through a hash)
     assert(t.prunedFileCount("name", BigDecimal(0), BigDecimal(1)) == total)
+  }
+
+  test("rename evolution: field ids keep old files readable under the new name") {
+    val t = freshTable("rename")
+    t.append(Seq(("A", 1), ("B", 2)).toDF("name", "count"))
+    t.renameColumn("count", "qty")
+    // old files resolve to the new name BY ID — no rewrite
+    assert(t.read().columns.toSeq == Seq("name", "qty"))
+    assert(t.read().orderBy("name").select("qty").as[Int].collect()
+      .sameElements(Array(1, 2)))
+    // appends under the new name share the field id; epochs union cleanly
+    t.append(Seq(("C", 3)).toDF("name", "qty"))
+    assert(t.read().select("qty").as[Int].collect().sorted.sameElements(Array(1, 2, 3)))
+    // time travel to before the rename still shows the historical name
+    assert(t.read(asOf = 0).columns.toSeq == Seq("name", "count"))
+    // invalid renames are rejected
+    intercept[IllegalArgumentException](t.renameColumn("nope", "x"))
+    intercept[IllegalArgumentException](t.renameColumn("qty", "name"))
+  }
+
+  test("equality delete keyed on a later-renamed column still applies") {
+    val t = freshTable("rendel")
+    t.append(items)
+    t.delete(Seq("A").toDF("name"), Seq("name")) // recorded under old name
+    t.renameColumn("name", "item")
+    val got = t.read().select("item").as[String].collect().sorted
+    assert(got.sameElements(Array("B", "C", "D", "E")))
+  }
+
+  test("int→long widening: old int files read as long, wide rows append") {
+    val t = freshTable("widen")
+    t.append(Seq(("A", 1), ("B", 2)).toDF("name", "count"))
+    t.widenColumn("count", LongType)
+    assert(t.read().schema("count").dataType == LongType)
+    t.append(Seq(("C", 3000000000L)).toDF("name", "count")) // > Int.MaxValue
+    assert(t.read().select("count").as[Long].collect().sorted
+      .sameElements(Array(1L, 2L, 3000000000L)))
+    // narrowing is rejected
+    intercept[IllegalArgumentException](t.widenColumn("count", IntegerType))
   }
 
   test("multi-dimensional spec: each dimension prunes independently") {
