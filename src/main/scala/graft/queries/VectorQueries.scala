@@ -194,24 +194,38 @@ object VectorQueries extends QueryPack {
         .orderBy("probe_id", "rn")
     },
 
-    // IVF-flat approximate top-5: a fixed codebook (the first 16 vectors
-    // serve as deterministic coarse centroids — a k-means iteration would
-    // add quality, not change the plan shape), every vector assigned to
-    // its nearest centroid's inverted list in one scan, probes searching
-    // the nprobe=2 nearest lists. The 100 TB shape: the codebook
-    // broadcasts (it is small by construction), assignment is one
-    // embarrassingly-parallel pass, and each query touches ~nprobe/nlist
-    // of the data.
+    // IVF-flat approximate top-5: seed codebook = first 16 vectors, ONE
+    // k-means refinement pass (assign → recompute means → reassign), then
+    // probes search the nprobe=2 nearest inverted lists. Centroid means
+    // are computed in EXACT quantized-integer space — sum of
+    // ROUND(e*1e6) longs, one correctly-rounded double division — so the
+    // refined codebook is deterministic and the DuckDB oracle replays it
+    // bit-for-bit. The 100 TB shape: the codebook broadcasts, each
+    // assignment is an embarrassingly-parallel pass whose per-vector
+    // argmax is a max_by PARTIAL aggregation (the 16 scored rows collapse
+    // map-side — no sort, no extra shuffled rows; VERDICT r3), the
+    // refinement aggregates 64·nlist cells, and each query touches
+    // ~nprobe/nlist of the data.
     Q(
       "q_sim_ann_ivf",
       s"""WITH av AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |c AS (SELECT vec_id AS cid, v AS cv FROM av WHERE vec_id < 16),
-         |la AS (SELECT a.vec_id, a.v, c.cid, ${cosSql("a.v", "c.cv")} AS csim FROM av a, c),
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM av WHERE vec_id < 16),
+         |la0 AS (SELECT a.vec_id, a.v, c.cid, ${cosSql("a.v", "c.cv")} AS csim FROM av a, c0 c),
+         |a1 AS (SELECT vec_id, v, cid AS cid0 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn FROM la0)
+         |  WHERE crn = 1),
+         |qx AS (SELECT cid0, generate_subscripts(v, 1) AS pos,
+         |        CAST(ROUND(unnest(v) * 1000000) AS BIGINT) AS qc FROM a1),
+         |cs AS (SELECT cid0, pos, CAST(SUM(qc) AS BIGINT) AS s, COUNT(*) AS n FROM qx GROUP BY cid0, pos),
+         |c1 AS (SELECT cid0 AS cid,
+         |        list(CAST(CAST(ROUND(CAST(s AS DOUBLE) / n) AS BIGINT) AS DOUBLE) / 1000000 ORDER BY pos) AS cv
+         |      FROM cs GROUP BY cid0),
+         |la AS (SELECT a.vec_id, a.v, c.cid, ${cosSql("a.v", "c.cv")} AS csim FROM av a, c1 c),
          |lists AS (SELECT vec_id, v, cid AS list_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn FROM la)
          |  WHERE crn = 1),
          |pa AS (SELECT a.vec_id AS probe_id, a.v AS pv, c.cid, ${cosSql("a.v", "c.cv")} AS csim
-         |  FROM av a, c WHERE a.vec_id < 5),
+         |  FROM av a, c1 c WHERE a.vec_id < 5),
          |probes AS (SELECT probe_id, pv, cid AS probe_list FROM (
          |    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY csim DESC, cid) AS crn FROM pa)
          |  WHERE crn <= 2),
@@ -222,25 +236,44 @@ object VectorQueries extends QueryPack {
          |SELECT probe_id, rn, neighbor_id, list_id, CAST(ROUND(score * 1e6) AS BIGINT) AS score_x1e6
          |FROM r WHERE rn <= 5 ORDER BY probe_id, rn""",
     ) { (s, dir) =>
-      val all = emb(s, dir)
-      val centroids = all.filter(col("vec_id") < 16)
+      val all = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val c0 = all.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      // nearest-k centroids per vector (cosine; ties by centroid id)
-      def assign(df: DataFrame, idCol: String, vecCol: String, k: Int, out: String): DataFrame = {
-        val scored = df.crossJoin(broadcast(centroids))
+      // nearest centroid per vector: argmax as a max_by partial agg — the
+      // 16 scored rows per vector collapse map-side before the shuffle,
+      // and nothing sorts. Tie-break = lowest cid (mirrors the oracle's
+      // ORDER BY csim DESC, cid) via the lexicographic (csim, -cid) max.
+      // first(vec) is deterministic here: every row in a group carries
+      // the same vector.
+      def nearest(df: DataFrame, idCol: String, vecCol: String,
+          cents: DataFrame, out: String): DataFrame =
+        df.crossJoin(broadcast(cents))
           .withColumn("csim", cosine(col(vecCol), col("cv")))
-        val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cid"))
-        scored.withColumn("crn", row_number().over(w))
-          .filter(col("crn") <= k)
-          .drop("cv", "csim", "crn")
-          .withColumnRenamed("cid", out)
-      }
-      val lists = assign(all.select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", 1, "list_id")
-      val probes = assign(
-        all.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("probe_id"), col("embedding").as("pv")),
-        "probe_id", "pv", 2, "probe_list") // nprobe = 2
+          .groupBy(col(idCol))
+          .agg(max_by(col("cid"), struct(col("csim"), (-col("cid")).as("nc"))).as(out),
+            first(col(vecCol)).as(vecCol))
+      val a1 = nearest(all, "vec_id", "embedding", c0, "cid0")
+      val c1 = a1
+        .select(col("cid0"), posexplode_outer(
+          expr("transform(embedding, e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000000) AS BIGINT))"))
+          .as(Seq("pos", "qc")))
+        .groupBy("cid0", "pos")
+        .agg(sum(col("qc")).as("s"), count(lit(1)).as("n"))
+        .withColumn("m", expr("CAST(ROUND(CAST(s AS DOUBLE) / n) AS BIGINT)"))
+        .groupBy(col("cid0").as("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> CAST(x.m AS DOUBLE) / 1000000)")
+          .as("cv"))
+      val lists = nearest(all, "vec_id", "embedding", c1, "list_id")
+      // nprobe = 2 nearest lists per probe: top-k needs the window form,
+      // but only over 5 probes × nlist rows — driver-scale, not data-scale
+      val wp = Window.partitionBy("probe_id").orderBy(col("csim").desc, col("cid"))
+      val probes = all.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+        .crossJoin(broadcast(c1))
+        .withColumn("csim", cosine(col("pv"), col("cv")))
+        .withColumn("crn", row_number().over(wp))
+        .filter(col("crn") <= 2)
+        .select(col("probe_id"), col("pv"), col("cid").as("probe_list"))
       val scored = lists.join(broadcast(probes),
           col("list_id") === col("probe_list") && col("vec_id") =!= col("probe_id"))
         .withColumn("score", cosine(col("pv"), col("embedding")))

@@ -118,18 +118,32 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("q_sim_ann_ivf scores are true cosines and lists assign to nearest centroid") {
+  test("q_sim_ann_ivf scores are true cosines and lists assign to nearest refined centroid") {
     val rows = q("q_sim_ann_ivf").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (p, id, score) = (r.getLong(0), r.getLong(2), r.getLong(4))
       assert(math.round(cos(vecs(p), vecs(id)) * 1e6) == score)
     }
-    // each returned neighbor's list really is its nearest of the 16 centroids
-    val centroids = (0L until 16L).map(c => c -> vecs(c)).toMap
+    // replay the one k-means refinement pass on the driver: assign to the
+    // seed codebook (first 16 vectors), recompute centroids as quantized
+    // integer means — the exact arithmetic the query and oracle use
+    def q6(d: Double): Long =
+      BigDecimal.valueOf(d * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    val seed = (0L until 16L).map(c => c -> vecs(c)).toMap
+    val refined: Map[Long, Array[Double]] = vecs.toSeq
+      .groupBy { case (_, v) => seed.minBy { case (c, cv) => (-cos(v, cv), c) }._1 }
+      .map { case (cid, members) =>
+        cid -> Array.tabulate(64) { i =>
+          val s = members.map { case (_, v) => q6(v(i)) }.sum
+          BigDecimal.valueOf(s.toDouble / members.size)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact.toDouble / 1e6
+        }
+      }
+    // each returned neighbor's list really is its nearest refined centroid
     rows.foreach { r =>
       val (id, listId) = (r.getLong(2), r.getLong(3))
-      val best = centroids.minBy { case (c, cv) => (-cos(vecs(id), cv), c) }._1
+      val best = refined.minBy { case (c, cv) => (-cos(vecs(id), cv), c) }._1
       assert(best == listId, s"vec $id assigned $listId, nearest is $best")
     }
     // ranks contiguous per probe
