@@ -109,14 +109,20 @@ object DedupQueries extends QueryPack {
   private[graft] val MaxBucketDf = 1000
 
   /** Drop rows of `ex` whose bucket key `keyCol` occurs more than `cap`
-    * times: one extra count aggregate on the key (map-side partial, so the
-    * hot keys' counts collapse early), then a BROADCAST anti-join of the
-    * few over-cap keys — the main path gains no shuffle and no sort.
+    * times: repartition by the key ONCE, count per key (no further
+    * exchange — co-partitioned), then a BROADCAST anti-join of the few
+    * over-cap keys. The shared repartition is the same shuffle the
+    * downstream bucket-collect needs anyway (callers group by `keyCol`,
+    * and the broadcast join preserves partitioning), and ReuseExchange
+    * dedupes it across the count and collect branches — so the guard
+    * costs one small aggregate, not a second pass over the exploded
+    * relation.
     */
   private[graft] def dropHotBuckets(ex: DataFrame, keyCol: String, cap: Long): DataFrame = {
-    val hot = ex.groupBy(col(keyCol)).agg(count(lit(1)).as("_df"))
+    val parted = ex.repartition(col(keyCol))
+    val hot = parted.groupBy(col(keyCol)).agg(count(lit(1)).as("_df"))
       .filter(col("_df") > cap).select(col(keyCol))
-    ex.join(broadcast(hot), Seq(keyCol), "left_anti")
+    parted.join(broadcast(hot), Seq(keyCol), "left_anti")
   }
 
   /** Ordered candidate pairs from a bucketed relation: `buckets` carries a
@@ -273,8 +279,10 @@ object DedupQueries extends QueryPack {
           explode_outer(expr( // outer: skip the pushed-down non-empty guard
             "transform(sequence(0, 7), bd -> named_struct('band', bd, 'k1', element_at(sig, 2*bd+1), 'k2', element_at(sig, 2*bd+2)))"))
             .as("bb"))
+      // group by the bucket STRUCT itself (not its fields): the grouping
+      // then reuses dropHotBuckets' partitioning — zero extra exchange
       val buckets = dropHotBuckets(banded, "bb", MaxBucketDf)
-        .groupBy(col("bb.band"), col("bb.k1"), col("bb.k2"))
+        .groupBy(col("bb"))
         .agg(collect_list(struct(col("doc_id"), col("bh"))).as("members"))
       val pairs = expandPairs(buckets)
         // same pair can collide in several bands — keep one copy
@@ -347,8 +355,9 @@ object DedupQueries extends QueryPack {
         explode_outer(expr( // outer: skip the pushed-down non-empty guard
           "transform(sequence(0, 3), c -> named_struct('chunk', c, 'ckey', (sh >> (c * 15)) & 32767))"))
           .as("cc"))
+      // struct grouping reuses the guard's partitioning (no extra exchange)
       val buckets = dropHotBuckets(chunked, "cc", MaxBucketDf)
-        .groupBy(col("cc.chunk"), col("cc.ckey"))
+        .groupBy(col("cc"))
         .agg(collect_list(struct(col("doc_id"), col("sh"))).as("members"))
       orderedOutput(
         expandPairs(buckets)
