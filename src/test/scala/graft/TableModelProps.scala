@@ -37,6 +37,14 @@ object TableModelProps extends Properties("graft-table-model") {
   private case class Upsert(rows: List[Row]) extends Op
   private case object Compact extends Op
   private case object CompactSorted extends Op
+  // field-id evolution, interleaved with everything else: RenameKey
+  // toggles the key column "name" <-> "key" (so deletes recorded under
+  // one name must keep applying under the other), WidenCount promotes
+  // count int -> long (idempotent re-widen included). Both are
+  // metadata-only commits: row content is untouched, so the MODEL is
+  // unchanged — only the interpreter's column bookkeeping moves.
+  private case object RenameKey extends Op
+  private case object WidenCount extends Op
 
   /** expected read(asOf) by replaying the op prefix under the spec rules. */
   private def model(ops: List[Op], asOf: Int): List[Row] = {
@@ -62,6 +70,7 @@ object TableModelProps extends Properties("graft-table-model") {
         case Compact | CompactSorted =>
           rows = view.map(_ -> seq)
           dels = Vector.empty
+        case RenameKey | WidenCount => () // metadata-only: one seq, no rows
       }
     }
     rows.collect {
@@ -87,7 +96,16 @@ object TableModelProps extends Properties("graft-table-model") {
     } yield Mixed(rows, keys.distinct.take(2))),
     1 -> Gen.nonEmptyListOf(genRow).map(rs => Upsert(rs.take(3))),
     1 -> Gen.const(Compact),
-    1 -> Gen.const(CompactSorted))
+    1 -> Gen.const(CompactSorted),
+    1 -> Gen.const(RenameKey),
+    1 -> Gen.const(WidenCount))
+
+  /** key-column name in effect after the op prefix (renames toggle it). */
+  private def keyColAt(ops: List[Op], asOf: Int): String =
+    ops.take(asOf + 1).foldLeft("name") {
+      case (n, RenameKey) => if (n == "name") "key" else "name"
+      case (n, _) => n
+    }
 
   // first op is always an append so deletes/compactions have substance
   private val genOps: Gen[List[Op]] = for {
@@ -98,24 +116,33 @@ object TableModelProps extends Properties("graft-table-model") {
   private def sortedRows(rs: Seq[Row]): List[Row] =
     rs.sortBy(r => (r._1, r._2)).toList
 
-  /** build a fresh table and interpret the op sequence against it. */
+  /** build a fresh table and interpret the op sequence against it —
+    * always addressing columns by their name CURRENT at that op.
+    */
   private def run(tag: String, ops: List[Op]): GraftTable = {
     import spark.implicits._
     val t = GraftTable.createOrReplace(spark,
       Files.createTempDirectory(tag).toString)
     val spec = PartitionSpec("count", Transform.Truncate(25))
+    var keyCol = "name"
     ops.foreach {
       case Append(rows, partitioned) =>
-        val df = rows.toDF("name", "count")
+        val df = rows.toDF(keyCol, "count")
         if (partitioned) t.appendPartitioned(df, spec, statsCols = Seq("count"))
         else t.append(df, statsCols = Seq("count"))
-      case Delete(keys) => t.delete(keys.toDF("name"), Seq("name"))
+      case Delete(keys) => t.delete(keys.toDF(keyCol), Seq(keyCol))
       case Mixed(rows, keys) =>
-        t.appendAndDelete(rows.toDF("name", "count"), keys.toDF("name"), Seq("name"))
+        t.appendAndDelete(rows.toDF(keyCol, "count"), keys.toDF(keyCol), Seq(keyCol))
       case Upsert(rows) =>
-        t.upsert(rows.toDF("name", "count"), keyCols = Seq("name"))
+        t.upsert(rows.toDF(keyCol, "count"), keyCols = Seq(keyCol))
       case Compact => t.compact()
       case CompactSorted => t.compactSorted("count", numFiles = 2)
+      case RenameKey =>
+        val next = if (keyCol == "name") "key" else "name"
+        t.renameColumn(keyCol, next)
+        keyCol = next
+      case WidenCount =>
+        t.widenColumn("count", org.apache.spark.sql.types.LongType)
     }
     t
   }
@@ -124,9 +151,13 @@ object TableModelProps extends Properties("graft-table-model") {
     forAll(genOps) { ops =>
       import spark.implicits._
       val t = run("prop_model", ops)
+      // select by the name in effect AT that snapshot (renames are part of
+      // history); cast count to int so a widen doesn't change the decoder
       def actual(asOf: Int): List[Row] = sortedRows(
         t.read(if (asOf == ops.size - 1) Long.MaxValue else asOf.toLong)
-          .select("name", "count").as[Row].collect().toSeq)
+          .select(org.apache.spark.sql.functions.col(keyColAt(ops, asOf)).as("name"),
+            org.apache.spark.sql.functions.col("count").cast("int").as("count"))
+          .as[Row].collect().toSeq)
       // head read plus every historical snapshot
       (0 until ops.size).forall { asOf =>
         val got = actual(asOf)
@@ -143,7 +174,9 @@ object TableModelProps extends Properties("graft-table-model") {
       val (lo, hi) = (math.min(a, b), math.max(a, b))
       val t = run("prop_range", ops)
       val pruned = sortedRows(t.readRange("count", BigDecimal(lo), BigDecimal(hi))
-        .select("name", "count").as[Row].collect().toSeq)
+        .select(org.apache.spark.sql.functions.col(keyColAt(ops, ops.size - 1)).as("name"),
+          org.apache.spark.sql.functions.col("count").cast("int").as("count"))
+        .as[Row].collect().toSeq)
       val want = sortedRows(model(ops, ops.size - 1).filter(r => r._2 >= lo && r._2 <= hi))
       pruned == want
     }
