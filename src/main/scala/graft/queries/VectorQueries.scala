@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   *    hyperplane signature (deterministic planes from a seeded SplitMix64),
   *    so the self-join is an equi-join on the bucket key with ~N/256-sized
   *    groups — the pattern that survives 100× data growth; candidates are
-  *    re-scored exactly inside each bucket.
+  *    re-scored exactly inside each bucket. Unlike the text-dedup buckets
+  *    (whose hot-key cap drops stop-shingles), hyperplane buckets grow
+  *    uniformly with N — the scaling knob is the PLANE COUNT: each added
+  *    plane halves expected bucket size, so hold Σ bucket² ≈ N²/2^planes
+  *    at budget by setting planes ≈ log2(N / target_bucket_size).
   *  - Dot products are higher-order-function expressions (zip_with +
   *    aggregate) — no Scala UDF in the hot path.
   *

@@ -102,6 +102,18 @@ final case class Prune(
   * the metadata path stays O(1) per epoch while executors write data
   * files in parallel, exactly the decoupled writer/committer shape of
   * decouple.rs (200 writers, one committer).
+  *
+  * Object-store deployment note: the CAS here relies on POSIX O_EXCL
+  * create, which S3-class stores do not provide (PUT is
+  * last-writer-wins). Deploying this log onto S3 requires swapping the
+  * claim step for an external atomic primitive — a conditional PUT
+  * (If-None-Match, where the store supports it), a DynamoDB-style lock
+  * table, or a REST catalog endpoint (which is exactly what the
+  * reference delegates to: its Iceberg REST catalog serializes commits
+  * server-side, lib.rs:21-39 + docker-compose.yml:5-43). Everything
+  * else in this class — entry format, seq discipline, retry loop, tag
+  * refs — carries over unchanged; only `Files.createFile` is the
+  * POSIX-conditional seam.
   */
 final class CommitLog(val root: Path) {
   private val logDir = root.resolve("_log")
