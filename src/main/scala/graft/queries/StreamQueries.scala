@@ -9,14 +9,17 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-/** Streaming surface — SURVEY.md §2B "Streaming". q_stream_tumble and
-  * q_stream_dedup execute GENUINE incremental Structured Streaming in
-  * their registered form (AvailableNow file stream → streaming state →
-  * memory sink, via [[streamedEvents]]), and t_decoupled_ingest streams
-  * end-to-end into the commit-log table. The remaining q_stream_* ids are
-  * registered batch-equivalent (identical semantics on identical data,
-  * verifiable by the DuckDB oracle); their incremental behavior (state
-  * updates across micro-batches, watermark eviction, session merging) is
+/** Streaming surface — SURVEY.md §2B "Streaming". q_stream_tumble,
+  * q_stream_slide and q_stream_dedup execute GENUINE incremental
+  * Structured Streaming in their registered form (AvailableNow file
+  * stream → streaming state → memory sink, via [[streamedEvents]]), and
+  * t_decoupled_ingest streams end-to-end into the commit-log table. The
+  * remaining q_stream_* ids are registered batch-equivalent, each for a
+  * hard engine reason — session_window does not support complete mode,
+  * streaming aggregation forbids exact countDistinct (q_stream_stateful),
+  * and the watermark query SIMULATES lateness accounting the engine only
+  * exposes as dropped rows; their incremental behavior (state updates
+  * across micro-batches, watermark eviction, session merging) is
   * exercised with MemoryStream in StreamingSpec.
   *
   * Reference analogues: micro-batch chunking (kafka-bench.rs:191-194),
@@ -78,7 +81,8 @@ object StreamQueries extends QueryPack {
     },
 
     // sliding 1-hour windows every 15 minutes: each event lands in 4
-    // windows (the streaming Expand shape).
+    // windows (the streaming Expand shape) — executed INCREMENTALLY like
+    // tumble: the Expand runs inside the streaming aggregation.
     Q(
       "q_stream_slide",
       """SELECT time_bucket(INTERVAL '15 minutes', ts) - i * INTERVAL '15 minutes' AS ws,
@@ -86,11 +90,11 @@ object StreamQueries extends QueryPack {
         |FROM events, (SELECT unnest(range(4)) AS i)
         |GROUP BY 1 ORDER BY ws""",
     ) { (s, dir) =>
-      Tables.events(s, dir)
-        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("w.start").as("ws"), col("n"))
-        .orderBy("ws")
+      streamedEvents(s, dir) { ev =>
+        ev.groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("w.start").as("ws"), col("n"))
+      }.orderBy("ws")
     },
 
     // session windows (30-minute gap) via gaps-and-islands: a new session
