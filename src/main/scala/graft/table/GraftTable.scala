@@ -250,8 +250,9 @@ final class GraftTable(spark: SparkSession, val root: Path) {
   }
 
   /** Widen a column's type in place — Iceberg's safe promotions only
-    * (int→long, float→double). Metadata-only commit; old files keep their
-    * narrow physical type and are cast up on read.
+    * (int→long, float→double, decimal precision increase at the same
+    * scale). Metadata-only commit; old files keep their narrow physical
+    * type and are cast up on read.
     */
   def widenColumn(name: String, to: DataType): Long = {
     val cur = schemaAt().getOrElse(
@@ -261,6 +262,9 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     val safe = (f.dataType, to) match {
       case (IntegerType, LongType) => true
       case (FloatType, DoubleType) => true
+      case (a: org.apache.spark.sql.types.DecimalType,
+            b: org.apache.spark.sql.types.DecimalType) =>
+        b.scale == a.scale && b.precision >= a.precision
       case (a, b) => a == b
     }
     require(safe, s"unsafe type change: ${f.dataType.simpleString} -> ${to.simpleString}")

@@ -297,8 +297,26 @@ class TableLayerSpec extends AnyFunSuite {
     t.append(Seq(("C", 3000000000L)).toDF("name", "count")) // > Int.MaxValue
     assert(t.read().select("count").as[Long].collect().sorted
       .sameElements(Array(1L, 2L, 3000000000L)))
+    // an equality delete keyed on the widened column still matches the
+    // narrow historical rows (int keys coerce against the long view)
+    t.delete(Seq(1).toDF("count"), Seq("count"))
+    assert(t.read().select("name").as[String].collect().sorted
+      .sameElements(Array("B", "C")))
     // narrowing is rejected
     intercept[IllegalArgumentException](t.widenColumn("count", IntegerType))
+  }
+
+  test("decimal precision widening at fixed scale; scale change rejected") {
+    import org.apache.spark.sql.types.DecimalType
+    val t = freshTable("decwiden")
+    t.append(Seq(("A", BigDecimal("12.34")), ("B", BigDecimal("56.78")))
+      .toDF("name", "amt").select(col("name"), col("amt").cast(DecimalType(10, 2)).as("amt")))
+    t.widenColumn("amt", DecimalType(20, 2))
+    assert(t.read().schema("amt").dataType == DecimalType(20, 2))
+    assert(t.read().orderBy("name").select("amt").as[java.math.BigDecimal].collect()
+      .map(_.toPlainString).sameElements(Array("12.34", "56.78")))
+    intercept[IllegalArgumentException](t.widenColumn("amt", DecimalType(20, 4)))
+    intercept[IllegalArgumentException](t.widenColumn("amt", DecimalType(8, 2)))
   }
 
   test("multi-dimensional spec: each dimension prunes independently") {
