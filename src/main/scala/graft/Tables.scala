@@ -69,7 +69,11 @@ object Tables {
     import java.nio.file.{Files, Paths}
     val path = Paths.get(s"$dir/events.parquet").toAbsolutePath
     val landing = Files.createTempDirectory("graft_events_landing")
-    Files.createSymbolicLink(landing.resolve("events.parquet"), path)
+    val link = Files.createSymbolicLink(landing.resolve("events.parquet"), path)
+    // registration order matters: deleteOnExit runs LIFO, so the dir is
+    // registered first and deleted last (after its link)
+    landing.toFile.deleteOnExit()
+    link.toFile.deleteOnExit()
     val schema = s.read.parquet(path.toString).schema
     normalizeEventsTs(s.readStream.schema(schema).parquet(landing.toString))
   }

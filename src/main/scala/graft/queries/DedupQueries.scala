@@ -193,12 +193,12 @@ object DedupQueries extends QueryPack {
     // shingle-bucket count plan above.
     Q(
       "q_dedup_near",
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |s AS (SELECT doc_id,
         |        list_distinct(list_transform(range(0, len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shs
         |      FROM d),
         |ex0 AS (SELECT doc_id, unnest(shs) AS sg FROM s),
-        |hot AS (SELECT sg FROM ex0 GROUP BY sg HAVING COUNT(*) > 1000),
+        |hot AS (SELECT sg FROM ex0 GROUP BY sg HAVING COUNT(*) > $MaxBucketDf),
         |ex AS (SELECT * FROM ex0 WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.sg = ex0.sg)),
         |n AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS ns FROM s),
         |p AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
@@ -241,7 +241,7 @@ object DedupQueries extends QueryPack {
          |      FROM hh),
          |ex0 AS (SELECT doc_id, band, sig[2*band+1] AS k1, sig[2*band+2] AS k2
          |       FROM (SELECT doc_id, sig, unnest(range(0, 8)) AS band FROM sg)),
-         |hot AS (SELECT band, k1, k2 FROM ex0 GROUP BY band, k1, k2 HAVING COUNT(*) > 1000),
+         |hot AS (SELECT band, k1, k2 FROM ex0 GROUP BY band, k1, k2 HAVING COUNT(*) > $MaxBucketDf),
          |ex AS (SELECT * FROM ex0 WHERE NOT EXISTS (SELECT 1 FROM hot
          |        WHERE hot.band = ex0.band AND hot.k1 = ex0.k1 AND hot.k2 = ex0.k2)),
          |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
@@ -315,7 +315,7 @@ object DedupQueries extends QueryPack {
          |       FROM v),
          |ex0 AS (SELECT doc_id, sh, c, (sh >> CAST(c*15 AS INT)) & 32767 AS ck
          |       FROM (SELECT doc_id, sh, unnest(range(0, 4)) AS c FROM sh)),
-         |hot AS (SELECT c, ck FROM ex0 GROUP BY c, ck HAVING COUNT(*) > 1000),
+         |hot AS (SELECT c, ck FROM ex0 GROUP BY c, ck HAVING COUNT(*) > $MaxBucketDf),
          |ex AS (SELECT * FROM ex0 WHERE NOT EXISTS (SELECT 1 FROM hot
          |        WHERE hot.c = ex0.c AND hot.ck = ex0.ck)),
          |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sh AS sha, b.sh AS shb

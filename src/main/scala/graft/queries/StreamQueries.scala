@@ -56,7 +56,13 @@ object StreamQueries extends QueryPack {
       .queryName(sink)
       .start()
     query.awaitTermination()
-    s.table(sink)
+    // detach the result from the sink (eager localCheckpoint), then drop
+    // the temp view — otherwise every invocation pins its full result in
+    // the driver for the session lifetime (Verify/Bench/tests run these
+    // queries dozens of times in one JVM)
+    val result = s.table(sink).localCheckpoint(true)
+    s.catalog.dropTempView(sink)
+    result
   }
 
   override def queries: Seq[Q] = Seq(

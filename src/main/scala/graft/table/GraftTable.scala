@@ -219,12 +219,16 @@ final class GraftTable(spark: SparkSession, val root: Path) {
   /** Stamp stable field ids onto `schema`: a name present in the previous
     * recorded schema keeps its id (renames preserve ids only through
     * [[renameColumn]], matching Iceberg's name-resolution-on-write); new
-    * names get fresh ids above every id previously assigned.
+    * names get fresh ids above `floor` — the max id EVER assigned, over
+    * all historical schemas, not just the latest: a schema-narrowing
+    * append followed by a new column must never recycle a dropped
+    * column's id, or alignByFieldId would rebind old data into the new
+    * column (Iceberg's last-assigned-id counter serves the same purpose).
     */
-  private def withFieldIds(schema: StructType, prev: Option[StructType]): StructType = {
+  private def withFieldIds(schema: StructType, prev: Option[StructType], floor: Long): StructType = {
     val prevByName =
       prev.map(_.fields.map(f => f.name -> f).toMap).getOrElse(Map.empty[String, StructField])
-    var next = prev.map(_.fields.flatMap(fieldId).foldLeft(0L)(math.max)).getOrElse(0L)
+    var next = floor
     StructType(schema.fields.map { f =>
       val id = prevByName.get(f.name).flatMap(fieldId).getOrElse { next += 1; next }
       f.copy(metadata =
@@ -232,8 +236,24 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     })
   }
 
-  private def idSchemaJson(schema: StructType): String =
-    withFieldIds(schema, schemaAt()).json
+  private def idSchemaJson(schema: StructType): String = {
+    val hist = log.entries().filter(_.schemaJson.nonEmpty)
+      .map(e => DataType.fromJson(e.schemaJson).asInstanceOf[StructType])
+    val floor = hist.flatMap(_.fields).flatMap(fieldId).foldLeft(0L)(math.max)
+    withFieldIds(schema, hist.lastOption, floor).json
+  }
+
+  /** Iceberg's safe type promotions — shared by widenColumn (write-time
+    * check) and alignByFieldId (read-time cast guard).
+    */
+  private def safeWiden(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case (a: org.apache.spark.sql.types.DecimalType,
+          b: org.apache.spark.sql.types.DecimalType) =>
+      b.scale == a.scale && b.precision >= a.precision
+    case (a, b) => a == b
+  }
 
   /** Rename a column, preserving its stable field id (Iceberg rename): a
     * metadata-only commit — no data file is touched, and files written
@@ -259,15 +279,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       throw new IllegalStateException("cannot evolve an empty table"))
     val f = cur.fields.find(_.name == name)
       .getOrElse(throw new NoSuchElementException(s"no such column: $name"))
-    val safe = (f.dataType, to) match {
-      case (IntegerType, LongType) => true
-      case (FloatType, DoubleType) => true
-      case (a: org.apache.spark.sql.types.DecimalType,
-            b: org.apache.spark.sql.types.DecimalType) =>
-        b.scale == a.scale && b.precision >= a.precision
-      case (a, b) => a == b
-    }
-    require(safe, s"unsafe type change: ${f.dataType.simpleString} -> ${to.simpleString}")
+    require(safeWiden(f.dataType, to),
+      s"unsafe type change: ${f.dataType.simpleString} -> ${to.simpleString}")
     val next = StructType(cur.fields.map(x =>
       if (x.name == name) x.copy(dataType = to) else x))
     log.commit("schema", schemaJson = next.json)
@@ -278,23 +291,34 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * types widened since are cast up. Fields without ids, or absent from
     * the current schema, pass through untouched (add-column evolution is
     * handled by unionByName downstream).
+    *
+    * All renames happen in ONE simultaneous select: sequential
+    * withColumnRenamed would collide on swap-shaped rename histories
+    * (rename y→z then x→y: renaming the old epoch's x→y first yields two
+    * y columns, and the second rename grabs both). The cast fires only
+    * for safe WIDENINGS — if a later append narrowed the declared type,
+    * the file's own (wider) type is kept and unionByName coerces the
+    * union up, as it always did; a forced narrowing cast would throw
+    * under ANSI on the very rows that used to read fine.
     */
   private def alignByFieldId(
       df: DataFrame, at: Option[StructType], cur: Option[StructType]): DataFrame =
     (at, cur) match {
       case (Some(a), Some(c)) =>
         val curById = c.fields.flatMap(f => fieldId(f).map(_ -> f)).toMap
-        a.fields.foldLeft(df) { case (d, f) =>
-          fieldId(f).flatMap(curById.get) match {
-            case Some(t) if d.columns.contains(f.name) =>
-              val renamed =
-                if (t.name != f.name) d.withColumnRenamed(f.name, t.name) else d
-              if (t.dataType != f.dataType)
-                renamed.withColumn(t.name, col(t.name).cast(t.dataType))
-              else renamed
-            case _ => d
+        val atByName = a.fields.map(f => f.name -> f).toMap
+        val cols = df.columns.map { name =>
+          atByName.get(name).flatMap(f => fieldId(f).flatMap(curById.get).map(f -> _)) match {
+            case Some((f, t)) =>
+              val base =
+                if (t.dataType != f.dataType && safeWiden(f.dataType, t.dataType))
+                  col(name).cast(t.dataType)
+                else col(name)
+              base.as(t.name)
+            case None => col(name)
           }
         }
+        df.select(cols.toSeq: _*)
       case _ => df
     }
 

@@ -306,6 +306,41 @@ class TableLayerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.widenColumn("count", IntegerType))
   }
 
+  test("field ids are never recycled after a schema-narrowing append") {
+    val t = freshTable("idfloor")
+    t.append(Seq(("A", 1), ("B", 2)).toDF("name", "count")) // ids 1, 2
+    t.append(Seq("C").toDF("name"))                         // narrowing: id 2 vanishes
+    t.append(Seq(("D", 9)).toDF("name", "qty"))             // must get a FRESH id, not 2
+    val byName = t.read().collect()
+      .map(r => r.getString(r.fieldIndex("name")) -> r).toMap
+    // with a recycled id, epoch 0's count would rebind into qty (A.qty=1)
+    assert(byName("A").isNullAt(byName("A").fieldIndex("qty")))
+    assert(byName("A").getInt(byName("A").fieldIndex("count")) == 1)
+    assert(byName("D").getInt(byName("D").fieldIndex("qty")) == 9)
+  }
+
+  test("swap-shaped rename chains read without column collisions") {
+    val t = freshTable("renswap")
+    t.append(Seq(("A", 1, 10)).toDF("k", "x", "y"))
+    t.renameColumn("y", "z")
+    t.renameColumn("x", "y") // old epoch now maps x->y AND y->z at once
+    val r = t.read()
+    assert(r.columns.toSeq == Seq("k", "y", "z"))
+    val row = r.collect().head
+    assert(row.getInt(1) == 1 && row.getInt(2) == 10)
+  }
+
+  test("a narrowing append does not break reads of wide historical rows") {
+    val t = freshTable("narrow")
+    t.append(Seq(("A", 3000000000L)).toDF("name", "count")) // long epoch
+    t.append(Seq(("B", 2)).toDF("name", "count")) // int epoch narrows the declared type
+    // the wide epoch must NOT be force-cast down (ANSI would throw);
+    // unionByName coerces the union up instead, as before evolution
+    val got = t.read().orderBy("name")
+      .select(col("count").cast("long")).as[Long].collect()
+    assert(got.sameElements(Array(3000000000L, 2L)))
+  }
+
   test("decimal precision widening at fixed scale; scale change rejected") {
     import org.apache.spark.sql.types.DecimalType
     val t = freshTable("decwiden")
