@@ -54,15 +54,24 @@ object VectorQueries extends QueryPack {
   private[queries] val planes: Array[Array[Double]] =
     Array.tabulate(8, 64)((j, i) => (sm64(j * 64L + i + 42L) % 1000L).toDouble / 1000.0)
 
-  /** cosine(a, b) over the native codegen'd dot product (graft_vecdot, a
-    * Catalyst Expression — see graft.functions.VecDot): the whole score
-    * computation stays inside one whole-stage-codegen span instead of
-    * interpreted zip_with/aggregate lambdas.
+  /** native codegen'd dot product (graft_vecdot, a Catalyst Expression —
+    * see graft.functions.VecDot): scores stay inside one
+    * whole-stage-codegen span instead of interpreted zip_with/aggregate
+    * lambdas.
     */
-  private def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = call_function("graft_vecdot", x, y)
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
-  }
+  private def dot(x: Column, y: Column): Column = call_function("graft_vecdot", x, y)
+
+  /** cosine(a, b) with PRECOMPUTED self-dots: dot(v,v) is a function of
+    * the vector alone, so it is evaluated once per vector (a projection
+    * before the join) and reused across every candidate pair — 3× fewer
+    * dot products in the pair-scoring hot loop than the naive
+    * dot(a,b)/sqrt(dot(a,a)·dot(b,b)) per row, which Catalyst cannot CSE
+    * across rows. Bit-identical scores: the precomputed value is the
+    * same sequential accumulation of the same array, so the DuckDB
+    * oracles (which inline the norms) still agree exactly.
+    */
+  private def cosine(ab: Column, na: Column, nb: Column): Column =
+    ab / sqrt(na * nb)
 
   /** LSH bucket id: sign bit of the native dot product against each plane. */
   private def bucketOf(v: Column): Column =
@@ -153,10 +162,12 @@ object VectorQueries extends QueryPack {
     ) { (s, dir) =>
       val probes = emb(s, dir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+        .withColumn("pn", dot(col("pv"), col("pv")))
       val all = emb(s, dir).select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+        .withColumn("nn", dot(col("nv"), col("nv")))
       val scored = all.crossJoin(broadcast(probes))
         .filter(col("neighbor_id") =!= col("probe_id"))
-        .withColumn("score", cosine(col("pv"), col("nv")))
+        .withColumn("score", cosine(dot(col("pv"), col("nv")), col("pn"), col("nn")))
       val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("neighbor_id"))
       scored
         .withColumn("rn", row_number().over(w).cast("long"))
@@ -181,14 +192,17 @@ object VectorQueries extends QueryPack {
          |FROM r WHERE rn <= 5 ORDER BY probe_id, rn""",
     ) { (s, dir) =>
       val withBucket = emb(s, dir)
-        .select(col("vec_id"), col("embedding"), bucketOf(col("embedding")).as("bucket"))
+        .select(col("vec_id"), col("embedding"), bucketOf(col("embedding")).as("bucket"),
+          dot(col("embedding"), col("embedding")).as("vn"))
       val probes = withBucket.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"), col("bucket"))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"), col("bucket"),
+          col("vn").as("pn"))
       val cands = withBucket
-        .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"), col("bucket").as("bucket_n"))
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+          col("bucket").as("bucket_n"), col("vn").as("nn"))
       val scored = cands.join(broadcast(probes),
           col("bucket") === col("bucket_n") && col("neighbor_id") =!= col("probe_id"))
-        .withColumn("score", cosine(col("pv"), col("nv")))
+        .withColumn("score", cosine(dot(col("pv"), col("nv")), col("pn"), col("nn")))
       val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("neighbor_id"))
       scored
         .withColumn("rn", row_number().over(w).cast("long"))
@@ -241,21 +255,23 @@ object VectorQueries extends QueryPack {
          |FROM r WHERE rn <= 5 ORDER BY probe_id, rn""",
     ) { (s, dir) =>
       val all = emb(s, dir).select(col("vec_id"), col("embedding"))
+        .withColumn("vn", dot(col("embedding"), col("embedding")))
       val c0 = all.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("vn").as("cn"))
       // nearest centroid per vector: argmax as a max_by partial agg — the
       // 16 scored rows per vector collapse map-side before the shuffle,
       // and nothing sorts. Tie-break = lowest cid (mirrors the oracle's
       // ORDER BY csim DESC, cid) via the lexicographic (csim, -cid) max.
-      // first(vec) is deterministic here: every row in a group carries
-      // the same vector.
+      // first(vec)/first(vn) are deterministic here: every row in a group
+      // carries the same vector. Centroid/vector norms ride along
+      // precomputed ("cn"/"vn"), so assignment costs ONE dot per pair.
       def nearest(df: DataFrame, idCol: String, vecCol: String,
           cents: DataFrame, out: String): DataFrame =
         df.crossJoin(broadcast(cents))
-          .withColumn("csim", cosine(col(vecCol), col("cv")))
+          .withColumn("csim", cosine(dot(col(vecCol), col("cv")), col("vn"), col("cn")))
           .groupBy(col(idCol))
           .agg(max_by(col("cid"), struct(col("csim"), (-col("cid")).as("nc"))).as(out),
-            first(col(vecCol)).as(vecCol))
+            first(col(vecCol)).as(vecCol), first(col("vn")).as("vn"))
       val a1 = nearest(all, "vec_id", "embedding", c0, "cid0")
       val c1 = a1
         .select(col("cid0"), posexplode_outer(
@@ -267,20 +283,21 @@ object VectorQueries extends QueryPack {
         .groupBy(col("cid0").as("cid"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> CAST(x.m AS DOUBLE) / 1000000)")
           .as("cv"))
+        .withColumn("cn", dot(col("cv"), col("cv")))
       val lists = nearest(all, "vec_id", "embedding", c1, "list_id")
       // nprobe = 2 nearest lists per probe: top-k needs the window form,
       // but only over 5 probes × nlist rows — driver-scale, not data-scale
       val wp = Window.partitionBy("probe_id").orderBy(col("csim").desc, col("cid"))
       val probes = all.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"), col("vn").as("pn"))
         .crossJoin(broadcast(c1))
-        .withColumn("csim", cosine(col("pv"), col("cv")))
+        .withColumn("csim", cosine(dot(col("pv"), col("cv")), col("pn"), col("cn")))
         .withColumn("crn", row_number().over(wp))
         .filter(col("crn") <= 2)
-        .select(col("probe_id"), col("pv"), col("cid").as("probe_list"))
+        .select(col("probe_id"), col("pv"), col("pn"), col("cid").as("probe_list"))
       val scored = lists.join(broadcast(probes),
           col("list_id") === col("probe_list") && col("vec_id") =!= col("probe_id"))
-        .withColumn("score", cosine(col("pv"), col("embedding")))
+        .withColumn("score", cosine(dot(col("pv"), col("embedding")), col("pn"), col("vn")))
       val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("vec_id"))
       scored
         .withColumn("rn", row_number().over(w).cast("long"))
@@ -307,11 +324,14 @@ object VectorQueries extends QueryPack {
          |FROM r WHERE rn = 1 ORDER BY vec_id""",
     ) { (s, dir) =>
       val withBucket = emb(s, dir)
-        .select(col("vec_id"), col("embedding"), bucketOf(col("embedding")).as("bucket"))
-      val a = withBucket.select(col("vec_id"), col("embedding").as("va"), col("bucket"))
-      val b = withBucket.select(col("vec_id").as("nn_id"), col("embedding").as("vb"), col("bucket").as("bucket_b"))
+        .select(col("vec_id"), col("embedding"), bucketOf(col("embedding")).as("bucket"),
+          dot(col("embedding"), col("embedding")).as("vn"))
+      val a = withBucket.select(col("vec_id"), col("embedding").as("va"), col("bucket"),
+        col("vn").as("na"))
+      val b = withBucket.select(col("vec_id").as("nn_id"), col("embedding").as("vb"),
+        col("bucket").as("bucket_b"), col("vn").as("nb"))
       val scored = a.join(b, col("bucket") === col("bucket_b") && col("vec_id") =!= col("nn_id"))
-        .withColumn("score", cosine(col("va"), col("vb")))
+        .withColumn("score", cosine(dot(col("va"), col("vb")), col("na"), col("nb")))
       val w = Window.partitionBy("vec_id").orderBy(col("score").desc, col("nn_id"))
       scored
         .withColumn("rn", row_number().over(w))
