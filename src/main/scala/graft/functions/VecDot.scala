@@ -96,11 +96,16 @@ case class VecDot(left: Expression, right: Expression)
   * without extensions).
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vecdot",
       (children: Seq[Expression]) => VecDot(children(0), children(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_sig",
+      (children: Seq[Expression]) => MinHashSig(children(0)),
+      "scala_udf")
+  }
 }
 
 /** Production wiring: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
@@ -111,10 +116,16 @@ object GraftFunctions {
   * because the driver hands us an already-built session.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_vecdot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[VecDot].getCanonicalName, "graft_vecdot"),
       (children: Seq[Expression]) => VecDot(children(0), children(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash_sig"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinHashSig].getCanonicalName, "graft_minhash_sig"),
+      (children: Seq[Expression]) => MinHashSig(children(0))))
+  }
 }

@@ -271,8 +271,11 @@ object DedupQueries extends QueryPack {
         // materialization boundary — same rationale as shingled()
         .repartition(col("doc_id"))
         .select(col("doc_id"), expr("transform(hs, p -> p.h1)").as("bh"), col("hs"))
-      val sigArr = expr(
-        "transform(sequence(0, 15), j -> array_min(transform(hs, p -> p.h1 + j * p.h2)))")
+      // all 16 signature minimums in one native codegen pass over hs
+      // (graft.functions.MinHashSig) — the HOF equivalent
+      // transform(sequence(0,15), j -> array_min(transform(hs, ...)))
+      // walks the array 16 times through interpreted lambdas
+      val sigArr = call_function("graft_minhash_sig", col("hs"))
       val banded = base
         .select(col("doc_id"), col("bh"), sigArr.as("sig"))
         .select(col("doc_id"), col("bh"),

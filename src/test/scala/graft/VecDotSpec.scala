@@ -4,8 +4,15 @@ import graft.functions.GraftFunctions
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The native dot-product Expression: interpreted and codegen'd paths,
-  * mixed float/double inputs, null propagation, and codegen viability.
+/** fixtures for the MinHashSig codegen test: file-scope so the product
+  * encoder gets a proper TypeTag.
+  */
+case class MhEntry(h1: Long, h2: Long)
+case class MhDoc(hs: Seq[MhEntry])
+
+/** The native dot-product and minhash-signature Expressions: interpreted
+  * and codegen'd paths, mixed float/double inputs, null propagation, and
+  * codegen viability.
   */
 class VecDotSpec extends AnyFunSuite {
   import SparkSessionFixture.spark
@@ -67,5 +74,52 @@ class VecDotSpec extends AnyFunSuite {
     }
     assert(err.getMessage.toLowerCase.contains("array") ||
       err.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
+  // ---- graft_minhash_sig: the one-pass signature Expression ----
+
+  private val hofSig =
+    "transform(sequence(0, 15), j -> array_min(transform(hs, p -> p.h1 + j * p.h2)))"
+
+  test("graft_minhash_sig equals the 16-pass HOF form on random hash arrays") {
+    // the pipeline's domain: h1 < 2^60, h2 < 2^56, so h1 + 15*h2 < 2^61
+    // never overflows (DedupQueries scaladoc) — random inputs stay inside
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)(
+      Seq.fill(1 + rnd.nextInt(40))(
+        (rnd.nextLong() & ((1L << 60) - 1), rnd.nextLong() & ((1L << 56) - 1))))
+    val df = rows.toDF("raw")
+      .select(expr("transform(raw, p -> named_struct('h1', p._1, 'h2', p._2))").as("hs"))
+    val both = df.select(
+      call_function("graft_minhash_sig", col("hs")).as("native"),
+      expr(hofSig).as("hof"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("graft_minhash_sig on an empty array yields 16 nulls (array_min parity)") {
+    val df = Seq(Tuple1(Seq.empty[(Long, Long)])).toDF("raw")
+      .select(expr("transform(raw, p -> named_struct('h1', p._1, 'h2', p._2))").as("hs"))
+    val r = df.select(call_function("graft_minhash_sig", col("hs"))).collect().head
+    val got = r.getSeq[Any](0)
+    assert(got.length == 16 && got.forall(_ == null))
+  }
+
+  test("graft_minhash_sig stays inside whole-stage codegen") {
+    // hs must come from a SCAN: a foldable input is constant-folded, a
+    // transform() in the projection is a CodegenFallback HOF that breaks
+    // the span, and Project-over-LocalRelation is evaluated eagerly by
+    // ConvertToLocalRelation — a parquet round-trip defeats all three
+    val dir = java.nio.file.Files.createTempDirectory("mhsig").toString
+    Seq(MhDoc(Seq(MhEntry(1, 2), MhEntry(3, 4)))).toDS()
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .select(call_function("graft_minhash_sig", col("hs")).as("sig"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_minhash_sig"), plan)
+    // g_j: entry (1,2) → 1+2j always below entry (3,4) → 3+4j
+    val sig = df.collect().head.getSeq[Long](0)
+    assert(sig == (0 until 16).map(j => 1L + 2L * j))
   }
 }
