@@ -155,6 +155,49 @@ object TextQueries extends QueryPack {
         .orderBy("lang", "split")
     },
 
+    // the operators COMPOSED as a real curation pipeline — what a user of
+    // this engine actually runs end-to-end over a raw corpus: quality
+    // gate (≥10 words, ≥50% unique tokens) → exact-dedup keeper (first
+    // doc_id per content hash) → deterministic hash split → per-stratum
+    // corpus manifest. Plan: scan → row-local quality projection/filter →
+    // ONE keyed shuffle for the keeper window (partitioned by content
+    // hash) → ONE agg shuffle. Nothing global, nothing collected — the
+    // whole pipeline holds its shape at 100 TB.
+    Q(
+      "q_pipeline_curate",
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, text,
+         |         CAST(len($W) AS BIGINT) AS n_tok,
+         |         CAST(len(list_distinct($W)) AS BIGINT) AS n_unique
+         |  FROM documents),
+         |f AS (SELECT * FROM q WHERE n_tok >= 10 AND n_unique * 2 >= n_tok),
+         |k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk FROM f),
+         |s AS (SELECT lang, n_tok,
+         |        CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90
+         |             THEN 'train' ELSE 'val' END AS split
+         |      FROM k WHERE rk = 1)
+         |SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+         |FROM s GROUP BY lang, split ORDER BY lang, split""",
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val quality = Tables.documents(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"), col("lang"), col("text"),
+          size(col("w")).cast("long").as("n_tok"),
+          size(array_distinct(col("w"))).cast("long").as("n_unique"))
+        .filter(col("n_tok") >= 10 && col("n_unique") * 2 >= col("n_tok"))
+      val keeper = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+      quality
+        .withColumn("rk", row_number().over(keeper))
+        .filter(col("rk") === 1)
+        .select(col("lang"), col("n_tok"),
+          when(expr("CAST(CONV(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100") < 90,
+            "train").otherwise("val").as("split"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+        .orderBy("lang", "split")
+    },
+
     // greedy sequence packing into 2048-token context windows: docs are
     // packed in doc_id order WITHIN each language stratum (the window is
     // partitioned — a global unpartitioned cumsum would serialize the

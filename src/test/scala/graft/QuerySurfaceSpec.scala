@@ -60,6 +60,42 @@ class QuerySurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("GraftSession.attach applies engine defaults and registers native functions") {
+    val s = GraftSession.attach(spark.newSession())
+    assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
+    assert(s.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+    assert(s.sql("SELECT graft_vecdot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .head.getDouble(0) == 11.0)
+  }
+
+  test("q_pipeline_curate: composed stages agree with running them separately") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_pipeline_curate")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows.nonEmpty)
+    // replay the pipeline on the driver from raw documents
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    val kept = docs
+      .filter { case (_, _, t) =>
+        val w = t.split(" "); w.length >= 10 && w.distinct.length * 2 >= w.length
+      }
+      .groupBy { case (_, _, t) => md5hex(t) }.values.map(_.minBy(_._1)) // keeper
+    val expected = kept.toSeq
+      .map { case (id, lang, t) =>
+        val split =
+          if (java.lang.Long.parseLong(md5hex(id.toString).take(15), 16) % 100 < 90) "train"
+          else "val"
+        ((lang, split), t.split(" ").length.toLong)
+      }
+      .groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    assert(rows == expected)
+  }
+
   test("set ops: union is distinct, intersect+except partition the left side") {
     val u = SparkEntry.queries("q_union")(spark, sf).collect().map(_.getLong(0))
     assert(u.distinct.length == u.length)

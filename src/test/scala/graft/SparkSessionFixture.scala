@@ -16,6 +16,10 @@ object SparkSessionFixture {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // native functions registered up front: specs exercise raw Q.fn
+    // plans (bypassing SparkEntry's per-query wrapper), which must not
+    // depend on another suite having registered them first
+    _root_.graft.functions.GraftFunctions.register(s)
     s
   }
   val sf: String = "/root/testdata/sf0.001"
