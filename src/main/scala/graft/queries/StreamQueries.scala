@@ -45,6 +45,13 @@ object StreamQueries extends QueryPack {
     * types) — orders of magnitude smaller than the stream — so the sink
     * is driver-safe at any supported sf. Unique sink name per invocation:
     * Verify/Bench/tests may run the same query repeatedly in one session.
+    *
+    * Complete mode is the ORACLE's requirement, not the production shape:
+    * the oracle compares against the full history, so state must retain
+    * every group. A continuous 100 TB deployment of the same aggregation
+    * runs withWatermark + append/update mode instead — state bounded by
+    * the watermark horizon, emitted windows finalized and evicted — the
+    * exact path exercised in StreamingSpec's watermark/eviction tests.
     */
   private def streamedEvents(s: SparkSession, dir: String)(
       agg: DataFrame => DataFrame): DataFrame = {
