@@ -155,6 +155,48 @@ object TextQueries extends QueryPack {
         .orderBy("lang", "split")
     },
 
+    // benchmark decontamination — the standard pre-training hygiene pass:
+    // flag corpus documents sharing any 8-gram with a benchmark set
+    // (here: docs 0-4 stand in for the eval suite). The benchmark side is
+    // SMALL by nature (eval suites are thousands of docs), so its
+    // distinct gram set broadcasts and the corpus is checked in ONE
+    // embarrassingly-parallel pass + one per-doc agg — never a shuffle of
+    // corpus grams against corpus grams. Emits every corpus doc with its
+    // hit count, so clean corpora still produce the full manifest.
+    Q(
+      "q_decontaminate",
+      s"""WITH d AS (SELECT doc_id, $W AS w FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(w) - 7),
+         |        i -> array_to_string(w[i+1:i+8], ' ')))) AS gm
+         |      FROM d),
+         |bench AS (SELECT DISTINCT gm FROM g WHERE doc_id < 5),
+         |hits AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n
+         |         FROM g JOIN bench USING (gm) WHERE g.doc_id >= 5 GROUP BY g.doc_id)
+         |SELECT d.doc_id, COALESCE(hits.n, 0) AS n_gram_hits, COALESCE(hits.n, 0) > 0 AS contaminated
+         |FROM d LEFT JOIN hits ON d.doc_id = hits.doc_id
+         |WHERE d.doc_id >= 5 ORDER BY d.doc_id""",
+    ) { (s, dir) =>
+      val octgrams =
+        """CASE WHEN size(w) >= 8
+          |  THEN array_distinct(transform(sequence(0, size(w) - 8),
+          |    i -> concat_ws(' ', slice(w, i + 1, 8))))
+          |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
+      val grams = Tables.spread(Tables.documents(s, dir))
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"), explode_outer(expr(octgrams)).as("gm"))
+        .filter(col("gm").isNotNull)
+      val bench = grams.filter(col("doc_id") < 5).select("gm").distinct()
+      val hits = grams.filter(col("doc_id") >= 5)
+        .join(broadcast(bench), "gm")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n"))
+      Tables.documents(s, dir).filter(col("doc_id") >= 5).select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n"), lit(0L)).as("n_gram_hits"),
+          (coalesce(col("n"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    },
+
     // the operators COMPOSED as a real curation pipeline — what a user of
     // this engine actually runs end-to-end over a raw corpus: quality
     // gate (≥10 words, ≥50% unique tokens) → exact-dedup keeper (first

@@ -62,6 +62,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.intersect(trueNearPairs.keySet).nonEmpty)
   }
 
+  test("q_decontaminate equals brute-force 8-gram overlap ground truth") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ")
+      (0 to w.length - 8).map(i => w.slice(i, i + 8).mkString(" ")).toSet
+    }
+    val bench = texts.filter(_._1 < 5).values.flatMap(grams).toSet
+    val expected = texts.filter(_._1 >= 5).map { case (id, t) =>
+      id -> grams(t).count(bench)
+    }
+    val got = q("q_decontaminate").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, n) =>
+      assert(got(id) == ((n.toLong, n > 0)), s"doc $id")
+    }
+    // the synthetic corpus contains near-dups of the bench docs at every
+    // sf — the operator must actually flag something
+    assert(got.values.exists(_._2), "no contamination found at all")
+  }
+
   test("hot-bucket cap drops stop-shingle buckets but keeps real near-dups") {
     import spark.implicits._
     // adversarial corpus: 12 docs share ONE stop-shingle (each doc's whole
