@@ -155,6 +155,42 @@ object TextQueries extends QueryPack {
         .orderBy("lang", "split")
     },
 
+    // intra-document repetition score (the Gopher/C4 quality-filter
+    // family): fraction of the doc's bigrams taken by its single most
+    // frequent bigram, x1e4 floor-div. Highly repetitive docs (boilerplate,
+    // generation loops) score high and get filtered upstream of training.
+    // Shape: explode bigrams → per-(doc, gram) count → per-doc max/sum —
+    // two keyed shuffles, both partial-aggregated, ∝ corpus tokens.
+    Q(
+      "q_text_repetition",
+      s"""WITH d AS (SELECT doc_id, $W AS w FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(range(0, len(w) - 1),
+         |        i -> w[i+1] || ' ' || w[i+2])) AS gm
+         |      FROM d),
+         |c AS (SELECT doc_id, gm, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY doc_id, gm)
+         |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+         |  CAST(MAX(n) AS BIGINT) AS top_bigram_n,
+         |  CAST((MAX(n) * 10000) // SUM(n) AS BIGINT) AS rep_ratio_x1e4
+         |FROM c GROUP BY doc_id ORDER BY doc_id""",
+    ) { (s, dir) =>
+      val bigrams =
+        """CASE WHEN size(w) >= 2
+          |  THEN transform(sequence(0, size(w) - 2),
+          |    i -> concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2)))
+          |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
+      Tables.spread(Tables.documents(s, dir))
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"), explode_outer(expr(bigrams)).as("gm"))
+        .filter(col("gm").isNotNull)
+        .groupBy("doc_id", "gm")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(sum(col("n")).as("n_bigrams"),
+          max(col("n")).as("top_bigram_n"),
+          expr("CAST((MAX(n) * 10000L) div SUM(n) AS BIGINT)").as("rep_ratio_x1e4"))
+        .orderBy("doc_id")
+    },
+
     // benchmark decontamination — the standard pre-training hygiene pass:
     // flag corpus documents sharing any 8-gram with a benchmark set
     // (here: docs 0-4 stand in for the eval suite). The benchmark side is

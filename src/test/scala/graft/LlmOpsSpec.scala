@@ -62,6 +62,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.intersect(trueNearPairs.keySet).nonEmpty)
   }
 
+  test("q_text_repetition equals brute-force bigram counts") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = q("q_text_repetition").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.size == texts.size)
+    texts.foreach { case (id, t) =>
+      val w = t.split(" ")
+      val counts = w.sliding(2).map(_.mkString(" ")).toSeq.groupBy(identity).map(_._2.size)
+      val (total, top) = (counts.sum.toLong, counts.max.toLong)
+      assert(got(id) == ((total, top, top * 10000 / total)), s"doc $id")
+    }
+  }
+
   test("q_decontaminate equals brute-force 8-gram overlap ground truth") {
     val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
