@@ -31,7 +31,9 @@ object TableModelProps extends Properties("graft-table-model") {
   private type Row = (String, Int)
 
   sealed private trait Op
-  private case class Append(rows: List[Row], partitioned: Boolean) extends Op
+  // partitioned: 0 = plain append, 1 = single-dim spec, 2 = multi-dim
+  // (truncate(count) + bucket(name)) — reads must be indistinguishable
+  private case class Append(rows: List[Row], partitioned: Int) extends Op
   private case class Delete(keys: List[String]) extends Op
   private case class Mixed(rows: List[Row], keys: List[String]) extends Op
   private case class Upsert(rows: List[Row]) extends Op
@@ -86,7 +88,7 @@ object TableModelProps extends Properties("graft-table-model") {
   private val genOp: Gen[Op] = Gen.frequency(
     4 -> (for {
       rows <- Gen.nonEmptyListOf(genRow).map(_.take(5))
-      part <- Gen.oneOf(true, false)
+      part <- Gen.oneOf(0, 1, 2)
     } yield Append(rows, part)),
     2 -> Gen.nonEmptyListOf(Gen.oneOf("A", "B", "C", "D", "E", "F"))
       .map(ks => Delete(ks.distinct.take(3))),
@@ -109,7 +111,7 @@ object TableModelProps extends Properties("graft-table-model") {
 
   // first op is always an append so deletes/compactions have substance
   private val genOps: Gen[List[Op]] = for {
-    first <- Gen.nonEmptyListOf(genRow).map(rs => Append(rs.take(5), partitioned = false))
+    first <- Gen.nonEmptyListOf(genRow).map(rs => Append(rs.take(5), partitioned = 0))
     rest <- Gen.listOfN(5, genOp)
   } yield first :: rest
 
@@ -128,8 +130,12 @@ object TableModelProps extends Properties("graft-table-model") {
     ops.foreach {
       case Append(rows, partitioned) =>
         val df = rows.toDF(keyCol, "count")
-        if (partitioned) t.appendPartitioned(df, spec, statsCols = Seq("count"))
-        else t.append(df, statsCols = Seq("count"))
+        partitioned match {
+          case 0 => t.append(df, statsCols = Seq("count"))
+          case 1 => t.appendPartitioned(df, spec, statsCols = Seq("count"))
+          case _ => t.appendPartitioned(df,
+            Seq(spec, PartitionSpec(keyCol, Transform.Bucket(4))), Seq("count"))
+        }
       case Delete(keys) => t.delete(keys.toDF(keyCol), Seq(keyCol))
       case Mixed(rows, keys) =>
         t.appendAndDelete(rows.toDF(keyCol, "count"), keys.toDF(keyCol), Seq(keyCol))
