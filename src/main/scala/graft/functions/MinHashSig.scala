@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -19,7 +20,10 @@ import org.apache.spark.sql.types._
   *
   * Arithmetic is plain wrapping long addition — bit-identical to the
   * higher-order form and to the DuckDB oracle's list_transform replay,
-  * so q_dedup_minhash's CORRECTNESS rows are unaffected.
+  * so q_dedup_minhash's CORRECTNESS rows are unaffected. A NULL input
+  * array also matches the HOF exactly: transform(sequence(0,15), ...)
+  * over a null hs yields [null × 16], not NULL — so this expression is
+  * never null (its ELEMENTS are nullable).
   */
 case class MinHashSig(child: Expression) extends UnaryExpression {
 
@@ -35,8 +39,17 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
+  override def nullable: Boolean = false
+
+  private lazy val allNull: GenericArrayData =
+    new GenericArrayData(Array.fill[Any](Bands)(null))
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) allNull else compute(v.asInstanceOf[ArrayData])
+  }
+
+  private def compute(a: ArrayData): GenericArrayData = {
     val n = a.numElements()
     val mins = new Array[Long](Bands)
     val has = new Array[Boolean](Bands)
@@ -62,6 +75,9 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val allNullRef =
+      ctx.addReferenceObj("mhAllNull", allNull, classOf[GenericArrayData].getName)
     val n = ctx.freshName("mhN")
     val mins = ctx.freshName("mhMins")
     val has = ctx.freshName("mhHas")
@@ -71,31 +87,37 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
     val g = ctx.freshName("mhG")
     val h2 = ctx.freshName("mhH2")
     val out = ctx.freshName("mhOut")
-    nullSafeCodeGen(ctx, ev, a => {
+    val a = childGen.value
+    val resultCode =
       s"""
-         |int $n = $a.numElements();
-         |long[] $mins = new long[$Bands];
-         |boolean[] $has = new boolean[$Bands];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i)) {
-         |    ${classOf[InternalRow].getName} $r = $a.getStruct($i, 2);
-         |    if (!$r.isNullAt(0) && !$r.isNullAt(1)) {
-         |      long $h2 = $r.getLong(1);
-         |      long $g = $r.getLong(0);
-         |      for (int $j = 0; $j < $Bands; $j++) {
-         |        if (!$has[$j] || $g < $mins[$j]) { $mins[$j] = $g; $has[$j] = true; }
-         |        $g += $h2;
+         |${classOf[ArrayData].getName} ${ev.value};
+         |if (${childGen.isNull}) {
+         |  ${ev.value} = $allNullRef;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long[] $mins = new long[$Bands];
+         |  boolean[] $has = new boolean[$Bands];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i)) {
+         |      ${classOf[InternalRow].getName} $r = $a.getStruct($i, 2);
+         |      if (!$r.isNullAt(0) && !$r.isNullAt(1)) {
+         |        long $h2 = $r.getLong(1);
+         |        long $g = $r.getLong(0);
+         |        for (int $j = 0; $j < $Bands; $j++) {
+         |          if (!$has[$j] || $g < $mins[$j]) { $mins[$j] = $g; $has[$j] = true; }
+         |          $g += $h2;
+         |        }
          |      }
          |    }
          |  }
+         |  Object[] $out = new Object[$Bands];
+         |  for (int $j = 0; $j < $Bands; $j++) {
+         |    $out[$j] = $has[$j] ? (Object) java.lang.Long.valueOf($mins[$j]) : null;
+         |  }
+         |  ${ev.value} = new ${classOf[GenericArrayData].getName}($out);
          |}
-         |Object[] $out = new Object[$Bands];
-         |for (int $j = 0; $j < $Bands; $j++) {
-         |  $out[$j] = $has[$j] ? (Object) java.lang.Long.valueOf($mins[$j]) : null;
-         |}
-         |${ev.value} = new ${classOf[GenericArrayData].getName}($out);
        """.stripMargin
-    })
+    ev.copy(code = code"${childGen.code}$resultCode", isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -67,8 +67,12 @@ class LlmOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val got = q("q_text_repetition").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    assert(got.size == texts.size)
-    texts.foreach { case (id, t) =>
+    // docs with <2 tokens have no bigrams and (correctly) no output row
+    // on either engine — replay only over docs that produce bigrams
+    // (sliding(2) would fabricate a 1-word partial window for them)
+    val withBigrams = texts.filter(_._2.split(" ").length >= 2)
+    assert(got.size == withBigrams.size)
+    withBigrams.foreach { case (id, t) =>
       val w = t.split(" ")
       val counts = w.sliding(2).map(_.mkString(" ")).toSeq.groupBy(identity).map(_._2.size)
       val (total, top) = (counts.sum.toLong, counts.max.toLong)

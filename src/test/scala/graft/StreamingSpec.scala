@@ -31,7 +31,12 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     val started = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new StreamingQueryListener {
-      override def onQueryStarted(e: QueryStartedEvent): Unit = started.add(e.name)
+      // String.valueOf: an UNNAMED query has a null name, and
+      // ConcurrentLinkedQueue.add(null) would throw inside the listener
+      // bus — exactly masking the regression (dropped queryName) this
+      // test exists to surface
+      override def onQueryStarted(e: QueryStartedEvent): Unit =
+        started.add(String.valueOf(e.name))
       override def onQueryProgress(e: QueryProgressEvent): Unit = ()
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     }

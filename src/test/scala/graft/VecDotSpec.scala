@@ -106,6 +106,17 @@ class VecDotSpec extends AnyFunSuite {
     assert(got.length == 16 && got.forall(_ == null))
   }
 
+  test("graft_minhash_sig on a NULL array yields 16 nulls, not NULL (HOF parity)") {
+    // transform(sequence(0,15), j -> array_min(transform(NULL, ...))) is
+    // [null × 16], never NULL — the native form must match
+    val df = Seq(Tuple1(Option.empty[Seq[(Long, Long)]])).toDF("raw")
+      .select(expr("transform(raw, p -> named_struct('h1', p._1, 'h2', p._2))").as("hs"))
+    val r = df.select(call_function("graft_minhash_sig", col("hs"))).collect().head
+    assert(!r.isNullAt(0))
+    val got = r.getSeq[Any](0)
+    assert(got.length == 16 && got.forall(_ == null))
+  }
+
   test("graft_minhash_sig stays inside whole-stage codegen") {
     // hs must come from a SCAN: a foldable input is constant-folded, a
     // transform() in the projection is a CodegenFallback HOF that breaks
