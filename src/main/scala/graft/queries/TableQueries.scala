@@ -365,6 +365,37 @@ object TableQueries extends QueryPack {
         .orderBy("seq")
     },
 
+    // The table layer serving the LLM pipeline: a PERSISTENT incremental
+    // dedup index. Epoch 1 commits the first half of the corpus's content
+    // hashes into a bucket-partitioned table; the second half (the "new
+    // batch") is then checked against the index with a keyed join — the
+    // 100 TB shape for deduping fresh data against ALL history without
+    // rescanning it: the index is hidden-partitioned by hash bucket, the
+    // new batch shuffles once on the same key, and the optimizer is left
+    // to choose the join strategy (no forced broadcast of a growing
+    // index). Emits every new doc with its known-dup flag.
+    Q(
+      "t_dedup_index",
+      """WITH half AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS h FROM documents),
+        |old AS (SELECT DISTINCT md5(text) AS th FROM documents, half WHERE doc_id < half.h),
+        |new AS (SELECT doc_id, md5(text) AS th FROM documents, half WHERE doc_id >= half.h)
+        |SELECT n.doc_id, (o.th IS NOT NULL) AS known_dup
+        |FROM new n LEFT JOIN old o ON n.th = o.th ORDER BY n.doc_id""",
+    ) { (s, dir) =>
+      val docs = _root_.graft.Tables.documents(s, dir)
+      val half = docs.count() / 2
+      val t = tmpTable(s, "dedupidx")
+      t.appendPartitioned(
+        docs.filter(col("doc_id") < half).select(md5(col("text")).as("th")).distinct(),
+        PartitionSpec("th", Transform.Bucket(8)))
+      val idx = t.read().withColumn("known", lit(true))
+      docs.filter(col("doc_id") >= half)
+        .select(col("doc_id"), md5(col("text")).as("th"))
+        .join(idx, Seq("th"), "left")
+        .select(col("doc_id"), coalesce(col("known"), lit(false)).as("known_dup"))
+        .orderBy("doc_id")
+    },
+
     // A33 (declared-only Cargo.toml:53-55): two writers race on the same
     // snapshot seq; the CAS (exclusive create of the log entry) makes one
     // win and the other retry onto the next seq — no commit is lost.
