@@ -64,16 +64,34 @@ object Tables {
     * single testdata file is staged behind a symlink in a temp landing
     * dir — the same landing-zone shape a real ingest has, where a Kafka
     * topic (connector jar absent offline) would drop in as the source.
+    *
+    * The landing dir is cached per resolved source file (ADVICE r4): a
+    * long-lived driver session runs the streamed queries dozens of times
+    * (Verify, Bench + its warmup, tests), and a fresh temp dir per call
+    * would accumulate both disk dirs and deleteOnExit entries in JVM
+    * memory for the session lifetime. The dir's content is just a link to
+    * an immutable file, so one dir per source is always valid, for every
+    * session. Filesystems without symlink support fall back to a copy.
     */
+  private val landingDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val path = Paths.get(s"$dir/events.parquet").toAbsolutePath
-    val landing = Files.createTempDirectory("graft_events_landing")
-    val link = Files.createSymbolicLink(landing.resolve("events.parquet"), path)
-    // registration order matters: deleteOnExit runs LIFO, so the dir is
-    // registered first and deleted last (after its link)
-    landing.toFile.deleteOnExit()
-    link.toFile.deleteOnExit()
+    val landing = landingDirs.computeIfAbsent(path.toString, { _ =>
+      val d = Files.createTempDirectory("graft_events_landing")
+      val staged =
+        try Files.createSymbolicLink(d.resolve("events.parquet"), path)
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+          Files.copy(path, d.resolve("events.parquet"))
+        }
+      // registration order matters: deleteOnExit runs LIFO, so the dir is
+      // registered first and deleted last (after its content)
+      d.toFile.deleteOnExit()
+      staged.toFile.deleteOnExit()
+      d
+    })
     val schema = s.read.parquet(path.toString).schema
     normalizeEventsTs(s.readStream.schema(schema).parquet(landing.toString))
   }

@@ -105,6 +105,17 @@ object DedupQueries extends QueryPack {
     * above every testdata bucket (max 25 docs/shingle at sf0.1), so the
     * oracle-checked outputs are unchanged; the SQL oracles replay the same
     * cap, so outputs stay identical even if data ever crosses it.
+    *
+    * RECALL LOSS (explicit, ADVICE r4): a document whose ENTIRE key set is
+    * hot — a pure-boilerplate page whose every shingle/band/chunk exceeds
+    * the cap — cannot pair with anything after the guard; such docs are
+    * invisible to the near-dup pass by construction. The mitigation chain:
+    * byte-identical boilerplate is caught upstream by q_dedup_exact (hash
+    * dedup has no cap), and q_dedup_near scores the survivors over the
+    * RETAINED key universe (ns counts post-cap shingles — see
+    * [[jaccardPairs]]), so docs that mix boilerplate with real content
+    * keep full recall on their non-hot keys instead of having the dead
+    * hot keys dilute their union term.
     */
   private[graft] val MaxBucketDf = 1000
 
@@ -117,6 +128,15 @@ object DedupQueries extends QueryPack {
     * dedupes it across the count and collect branches — so the guard
     * costs one small aggregate, not a second pass over the exploded
     * relation.
+    *
+    * INVARIANT: `keyCol` (and every field of it, when it is a struct) must
+    * be non-null. Spark's struct equality treats null fields as equal
+    * while the oracle's NOT EXISTS equi-join never matches NULL, so a
+    * null-keyed row would be dropped here but kept by the oracle. All
+    * three callers guarantee it: shingle keys are explicitly
+    * null-filtered after explode_outer, and band/chunk keys are built
+    * from signatures of docs pre-filtered to ≥1 token / ≥3 tokens, whose
+    * every struct field is a non-null arithmetic derivation.
     */
   private[graft] def dropHotBuckets(ex: DataFrame, keyCol: String, cap: Long): DataFrame = {
     val parted = ex.repartition(col(keyCol))
@@ -137,10 +157,21 @@ object DedupQueries extends QueryPack {
       .select(col("a"), explode(col("members")).as("b"))
       .filter(col("a.doc_id") < col("b.doc_id"))
 
-  /** exact Jaccard ≥ 0.5 pairs in one pass: explode shingles (carrying the
-    * set size), bucket by shingle, expand pairs inside each bucket, then
-    * count shared shingles per pair — inter is exact because EVERY shared
-    * shingle contributes one bucket co-occurrence.
+  /** exact Jaccard ≥ 0.5 pairs in one pass: explode shingles, bucket by
+    * shingle, expand pairs inside each bucket, then count shared shingles
+    * per pair — inter is exact because EVERY shared shingle contributes
+    * one bucket co-occurrence.
+    *
+    * The Jaccard is scored over the RETAINED key universe: `ns` counts a
+    * document's shingles that SURVIVE the hot-bucket guard, because
+    * `inter` can only ever count surviving co-occurrences. Using the full
+    * pre-cap set size would skew scores low for boilerplate-heavy docs —
+    * the dropped hot keys would inflate the union term while being
+    * structurally unable to contribute to the intersection (ADVICE r4).
+    * Cost: one extra partial-agg shuffle (map-side collapse to ~one row
+    * per (partition, doc)) plus two keyed joins that attach ns to the
+    * OUTPUT-sized pair set — both O(docs), dwarfed by the shingle
+    * explosion upstream at any scale.
     */
   private[graft] def jaccardPairs(sh: DataFrame, cap: Long = MaxBucketDf): DataFrame = {
     // explode_outer, not explode: plain explode makes the optimizer push a
@@ -150,19 +181,23 @@ object DedupQueries extends QueryPack {
     // spread Exchange). Shingle arrays are never empty (≥10 words/doc), so
     // the outer variant is semantically identical and skips the guard.
     val ex = dropHotBuckets(
-      sh.select(col("doc_id"), size(col("shingles")).cast("long").as("ns"),
+      sh.select(col("doc_id"),
         explode_outer(col("shingles")).as("sg"))
         // explode_outer emits one NULL row for an empty shingle set (a <3-token
         // doc); SQL's equi-join never matches NULL, so drop it to stay aligned
         // with the oracle. Sits above the Generate — no pushdown re-evaluation.
         .filter(col("sg").isNotNull),
       "sg", cap)
+    // retained-universe set size; shares ex's sg-partitioned exchange with
+    // the bucket collect (ReuseExchange), then collapses map-side.
+    val ns = ex.groupBy("doc_id").agg(count(lit(1)).as("ns"))
     val buckets = ex.groupBy("sg")
-      .agg(collect_list(struct(col("doc_id"), col("ns"))).as("members"))
+      .agg(collect_list(struct(col("doc_id"))).as("members"))
     expandPairs(buckets)
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        col("a.ns").as("na"), col("b.ns").as("nb"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("inter"))
+      .join(ns.select(col("doc_id").as("da"), col("ns").as("na")), "da")
+      .join(ns.select(col("doc_id").as("db"), col("ns").as("nb")), "db")
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * 2 >= col("uni"))
       .select(col("da"), col("db"),
@@ -200,7 +235,7 @@ object DedupQueries extends QueryPack {
         |ex0 AS (SELECT doc_id, unnest(shs) AS sg FROM s),
         |hot AS (SELECT sg FROM ex0 GROUP BY sg HAVING COUNT(*) > $MaxBucketDf),
         |ex AS (SELECT * FROM ex0 WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.sg = ex0.sg)),
-        |n AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS ns FROM s),
+        |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ns FROM ex GROUP BY doc_id),
         |p AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
         |      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
         |      GROUP BY 1, 2)

@@ -290,7 +290,12 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * columns renamed since the epoch was written are renamed on the fly;
     * types widened since are cast up. Fields without ids, or absent from
     * the current schema, pass through untouched (add-column evolution is
-    * handled by unionByName downstream).
+    * handled by unionByName downstream) — EXCEPT when the current schema
+    * binds the same NAME to a different id: then the epoch's column is an
+    * orphan of a dropped field that was later re-added under the same
+    * name, and by-id resolution must read NULL for it (Iceberg
+    * semantics). Passing it through would let unionByName rebind the
+    * historical values into the new column by name, so it is dropped.
     *
     * All renames happen in ONE simultaneous select: sequential
     * withColumnRenamed would collide on swap-shaped rename histories
@@ -306,16 +311,23 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     (at, cur) match {
       case (Some(a), Some(c)) =>
         val curById = c.fields.flatMap(f => fieldId(f).map(_ -> f)).toMap
+        val curIdByName = c.fields.flatMap(f => fieldId(f).map(f.name -> _)).toMap
         val atByName = a.fields.map(f => f.name -> f).toMap
-        val cols = df.columns.map { name =>
-          atByName.get(name).flatMap(f => fieldId(f).flatMap(curById.get).map(f -> _)) match {
-            case Some((f, t)) =>
-              val base =
-                if (t.dataType != f.dataType && safeWiden(f.dataType, t.dataType))
-                  col(name).cast(t.dataType)
-                else col(name)
-              base.as(t.name)
-            case None => col(name)
+        val cols = df.columns.flatMap { name =>
+          atByName.get(name).flatMap(f => fieldId(f).map(f -> _)) match {
+            case Some((f, id)) =>
+              curById.get(id) match {
+                case Some(t) =>
+                  val base =
+                    if (t.dataType != f.dataType && safeWiden(f.dataType, t.dataType))
+                      col(name).cast(t.dataType)
+                    else col(name)
+                  Some(base.as(t.name))
+                case None if curIdByName.get(name).exists(_ != id) =>
+                  None // orphaned id shadowed by a re-added same-name field
+                case None => Some(col(name))
+              }
+            case None => Some(col(name))
           }
         }
         df.select(cols.toSeq: _*)

@@ -104,18 +104,26 @@ class LlmOpsSpec extends AnyFunSuite {
 
   test("hot-bucket cap drops stop-shingle buckets but keeps real near-dups") {
     import spark.implicits._
-    // adversarial corpus: 12 docs share ONE stop-shingle (each doc's whole
-    // set) — uncapped that bucket alone yields all 66 pairs at jaccard 1.0;
-    // plus one genuine near-dup pair on cold shingles.
+    // adversarial corpus: 12 pure-boilerplate docs share ONE stop-shingle
+    // (each doc's whole set) — uncapped that bucket alone yields all 66
+    // pairs at jaccard 1.0; plus one genuine near-dup pair whose docs ALSO
+    // carry the hot shingle next to their cold content shingles (the
+    // boilerplate-plus-content shape the retained-universe ns protects).
     val sh = ((1L to 12L).map(i => (i, Array(100L)))
-      :+ (20L, Array(5L, 6L, 7L)) :+ (21L, Array(5L, 6L, 8L)))
+      :+ (20L, Array(5L, 6L, 7L, 100L)) :+ (21L, Array(5L, 6L, 8L, 100L)))
       .toDF("doc_id", "shingles")
     val uncapped = graft.queries.DedupQueries.jaccardPairs(sh, cap = 1000L).collect()
     assert(uncapped.length == 66 + 1, "uncapped: hot bucket explodes to all pairs")
-    // cap=8 < 12: the stop-shingle bucket is dropped entirely; the cold
-    // near-dup pair is untouched. Candidate work is bounded by cap².
+    // cap=8 < 12: the stop-shingle bucket is dropped entirely; the twelve
+    // boilerplate-only docs lose all keys (documented recall loss — exact
+    // dedup is the net for those); the mixed docs keep their cold keys.
+    // Candidate work is bounded by cap².
     val capped = graft.queries.DedupQueries.jaccardPairs(sh, cap = 8L).collect()
     assert(capped.length == 1)
+    // ns is scored over the RETAINED universe: {5,6,7} vs {5,6,8} →
+    // inter 2, union 4, jaccard 0.5 — the pair SURVIVES. With the full
+    // pre-cap sets ({5,6,7,100} vs {5,6,8,100}) the dead hot key would
+    // inflate the union to 6 and wrongly drop it below threshold.
     val r = capped.head
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (20L, 21L, 5000L))
   }

@@ -71,13 +71,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "bucket equi-join should broadcast the probes")
   }
 
-  test("q_dedup_near never shuffles a join (bucket-collect, never all-pairs)") {
-    // the only join allowed is the hot-bucket guard's BROADCAST anti-join
-    // (tiny over-cap key set); a shuffled join would mean the all-pairs
-    // self-join shape crept back in.
+  test("q_dedup_near stays bucket-collect — the exploded relation is never self-joined") {
+    // allowed joins: the hot-bucket guard's BROADCAST anti-join (tiny
+    // over-cap key set) plus the two keyed joins attaching the
+    // retained-universe ns to the OUTPUT-sized pair set. An all-pairs
+    // self-join of the exploded relation would show up as a THIRD
+    // shuffled join (and as a CartesianProduct-free but quadratic plan).
     val p = plan("q_dedup_near")
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      "near-dup must stay the groupBy-collect shape")
+    val shuffledJoins =
+      raw"\(\d+\) (SortMergeJoin|ShuffledHashJoin)".r.findAllIn(p).size
+    assert(shuffledJoins <= 2,
+      s"$shuffledJoins shuffled joins; only the two pair-level ns attachments are allowed")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       "hot-bucket guard should be a broadcast anti-join")
   }
@@ -126,19 +130,34 @@ class PlanAuditSpec extends AnyFunSuite {
     val audited = SparkEntry.all.map(_.name)
       .filterNot(_.startsWith("t_")) // table scenarios execute side effects on build
       .filterNot(streamed)
+    // walk the physical plan NODES, not the explain text (ADVICE r4: the
+    // string form of operators changes across Spark versions; a matcher on
+    // case classes either compiles against the real API or fails loudly)
+    import org.apache.spark.sql.execution.{InputAdapter, SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.{REPARTITION_BY_NUM, ShuffleExchangeExec}
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case w: WholeStageCodegenExec => unwrap(w.child)
+      case i: InputAdapter => unwrap(i.child)
+      case other => other
+    }
     audited.foreach { name =>
-      val p = SparkEntry.queries(name)(spark, sf).queryExecution
-        .explainString(ExplainMode.fromString("simple"))
-      val lines = p.linesIterator.toVector
-      lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
-        case (line, i) =>
-          val child = lines.lift(i + 1).getOrElse("")
-          val globalAgg = child.contains("Aggregate(keys=[]") ||
-            child.contains("Aggregate(key=[]")
-          val allowedSink = sinkQueries.contains(name) &&
-            line.contains("REPARTITION_BY_NUM")
-          assert(globalAgg || allowedSink,
-            s"$name: single-partition funnel:\n$line\n$child")
+      val root = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan // AQE wraps as a leaf
+        case p => p
+      }
+      root.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning.numPartitions == 1 => e
+      }.foreach { e =>
+        val child = unwrap(e.child)
+        val globalAgg = child match {
+          case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+          case _ => false
+        }
+        val allowedSink = sinkQueries.contains(name) && e.shuffleOrigin == REPARTITION_BY_NUM
+        assert(globalAgg || allowedSink,
+          s"$name: single-partition funnel: ${e.nodeName} over ${child.nodeName}")
       }
     }
   }

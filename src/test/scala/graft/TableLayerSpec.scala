@@ -319,6 +319,20 @@ class TableLayerSpec extends AnyFunSuite {
     assert(byName("D").getInt(byName("D").fieldIndex("qty")) == 9)
   }
 
+  test("a column re-added under the SAME name does not inherit orphaned history") {
+    val t = freshTable("idreadd")
+    t.append(Seq(("A", 1), ("B", 2)).toDF("name", "count")) // count: id 2
+    t.append(Seq("C").toDF("name"))                         // narrowing: id 2 dropped
+    t.append(Seq(("D", 9)).toDF("name", "count"))           // count re-added: FRESH id
+    val byName = t.read().collect()
+      .map(r => r.getString(r.fieldIndex("name")) -> r).toMap
+    // by-id resolution: epoch 0's orphaned count (id 2) must NOT merge by
+    // name into the re-added count — Iceberg reads NULL for A and B
+    assert(byName("A").isNullAt(byName("A").fieldIndex("count")))
+    assert(byName("B").isNullAt(byName("B").fieldIndex("count")))
+    assert(byName("D").getInt(byName("D").fieldIndex("count")) == 9)
+  }
+
   test("swap-shaped rename chains read without column collisions") {
     val t = freshTable("renswap")
     t.append(Seq(("A", 1, 10)).toDF("k", "x", "y"))
