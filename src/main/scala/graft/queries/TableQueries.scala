@@ -102,6 +102,31 @@ object TableQueries extends QueryPack {
       t.read(asOf = 0).orderBy("name", "count")
     },
 
+    // incremental append scan (CDC consumption): rows added AFTER seq 0,
+    // with the in-range delete applied — the primitive a downstream
+    // pipeline uses to process only what's new since its last checkpoint.
+    // seq 1's B,115 was appended then equality-deleted at seq 2, so it is
+    // NOT emitted; seq 3's B,215 postdates the delete and is. seq 0's five
+    // rows never enter the scan (their files are pruned by seq before
+    // planning — incremental cost ∝ new data, not table size).
+    Q(
+      "t_incremental_read",
+      """SELECT * FROM (VALUES
+        |  ('A','small',102),('A','small',202),('B','medium',215),
+        |  ('C','medium',110),('C','medium',210),('D','small',120),
+        |  ('D','small',220),('E','large',120),('E','large',220))
+        |  AS t(name, size, count)
+        |ORDER BY name, count""",
+    ) { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "incr")
+      t.append(items(s))                                         // seq 0
+      t.append(items(s).withColumn("count", col("count") + 100)) // seq 1
+      t.delete(Seq("B").toDF("name"), Seq("name"))               // seq 2
+      t.append(items(s).withColumn("count", col("count") + 200)) // seq 3
+      t.readIncremental(fromSeq = 0).orderBy("name", "count")
+    },
+
     // compaction: fold MoR deletes into fresh data files via a `replace`
     // commit; the compacted read equals the pre-compaction MoR view and
     // no longer carries delete files.

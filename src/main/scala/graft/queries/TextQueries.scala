@@ -276,6 +276,113 @@ object TextQueries extends QueryPack {
         .orderBy("lang", "split")
     },
 
+    // fixed-size token chunking with overlap — the stride-window pass that
+    // turns documents into training sequences (chunk 32 tokens, stride 24
+    // → 8-token overlap between neighbors). Entirely row-local: each doc
+    // expands to ceil(n_tok/24) chunk rows via one HOF projection + one
+    // Generate, no shuffle until the output sort; chunk content is pinned
+    // by the same rolling-hash fingerprint q_doc_fingerprint uses, so the
+    // oracle verifies byte-exact chunk boundaries, not just counts.
+    Q(
+      "q_chunk_docs",
+      s"""WITH d AS (SELECT doc_id, $W AS w FROM documents),
+         |c AS (SELECT doc_id, w, unnest(range(0, (len(w) - 1) // 24 + 1)) AS ci FROM d)
+         |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx, CAST(ci * 24 AS BIGINT) AS start_tok,
+         |  CAST(len(w[ci*24+1 : ci*24+32]) AS BIGINT) AS n_tok,
+         |  list_reduce([CAST(0 AS BIGINT)] || list_transform(w[ci*24+1 : ci*24+32], x -> length(x) * 131 + ascii(x[1:1])),
+         |              (h, t) -> (h * 31 + t) % 1000000007) AS chunk_fp
+         |FROM c ORDER BY doc_id, chunk_idx""",
+    ) { (s, dir) =>
+      // explode_outer for the usual reason (the array is never empty — w
+      // has ≥1 element — and plain explode pushes a size-guard below the
+      // spread that re-evaluates the chunk construction in the scan task)
+      val chunks = expr(
+        """transform(sequence(0, CAST((size(w) - 1) div 24 AS INT)),
+          |  ci -> named_struct(
+          |    'chunk_idx', CAST(ci AS BIGINT),
+          |    'start_tok', CAST(ci * 24 AS BIGINT),
+          |    'n_tok', CAST(size(slice(w, ci * 24 + 1, 32)) AS BIGINT),
+          |    'chunk_fp', aggregate(transform(slice(w, ci * 24 + 1, 32),
+          |        x -> CAST(length(x) * 131 + ascii(substring(x, 1, 1)) AS BIGINT)),
+          |      0L, (h, t) -> (h * 31 + t) % 1000000007)))""".stripMargin)
+      Tables.spread(Tables.documents(s, dir))
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"), explode_outer(chunks).as("ck"))
+        .select(col("doc_id"), col("ck.chunk_idx").as("chunk_idx"),
+          col("ck.start_tok").as("start_tok"), col("ck.n_tok").as("n_tok"),
+          col("ck.chunk_fp").as("chunk_fp"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // TF-IDF-style term salience: top-3 terms per document by tf/df ratio
+    // (integer-scaled floor div — a log-free idf surrogate that ranks
+    // identically for fixed tf, and stays bit-exact across engines where
+    // ln() would not). Join-free plan: df is a count window over the
+    // (doc, word) tf relation partitioned by word — one shuffle for tf,
+    // one for df, one for the per-doc top-k window; every shuffle keyed,
+    // every aggregation partial. The per-word window carries vocab-sized
+    // partitions (bounded by corpus doc count), never the corpus itself.
+    Q(
+      "q_tfidf",
+      s"""WITH tf AS (
+         |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($W) AS word FROM documents)
+         |  GROUP BY doc_id, word),
+         |d AS (SELECT doc_id, word, tf,
+         |        CAST(COUNT(*) OVER (PARTITION BY word) AS BIGINT) AS df
+         |      FROM tf),
+         |r AS (SELECT doc_id, word, tf, df,
+         |        CAST((tf * 1000000) // df AS BIGINT) AS salience_x1e6,
+         |        ROW_NUMBER() OVER (PARTITION BY doc_id
+         |          ORDER BY (tf * 1000000) // df DESC, word) AS rk
+         |      FROM d)
+         |SELECT doc_id, word, tf, df, salience_x1e6
+         |FROM r WHERE rk <= 3 ORDER BY doc_id, salience_x1e6 DESC, word""",
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.spread(Tables.documents(s, dir))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val byWord = Window.partitionBy("word")
+      val topPerDoc = Window.partitionBy("doc_id")
+        .orderBy(col("salience_x1e6").desc, col("word"))
+      tf.withColumn("df", count(lit(1)).over(byWord).cast("long"))
+        .withColumn("salience_x1e6", expr("CAST((tf * 1000000L) div df AS BIGINT)"))
+        .withColumn("rk", row_number().over(topPerDoc))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "word", "tf", "df", "salience_x1e6")
+        .orderBy(col("doc_id"), col("salience_x1e6").desc, col("word"))
+    },
+
+    // deny-list scrubbing — the PII-redaction shape (emails/IDs/secrets in
+    // production; a token deny-list here, since the synthetic corpus has
+    // no PII): every match is replaced and counted, and the scrubbed text
+    // is pinned by md5 so the oracle verifies the REPLACEMENT bytes, not
+    // just the counts. Row-local regex projection, no shuffle before the
+    // output sort. Pattern uses \b word boundaries + alternation — the
+    // subset of regex semantics Java and RE2 share exactly.
+    Q(
+      "q_text_scrub",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(key|hash|user)\b')) AS BIGINT) AS n_redacted,
+        |  md5(regexp_replace(text, '\b(key|hash|user)\b', '[REDACTED]', 'g')) AS scrubbed_md5,
+        |  CAST(length(regexp_replace(text, '\b(key|hash|user)\b', '[REDACTED]', 'g')) AS BIGINT) AS scrubbed_len
+        |FROM documents ORDER BY doc_id""",
+    ) { (s, dir) =>
+      // patterns passed through the Scala API, NOT an expr() SQL literal:
+      // Spark SQL string literals eat backslash escapes ('\b' → backspace)
+      // while DuckDB's single quotes keep them raw — the API route keeps
+      // one spelling of the pattern valid in both engines.
+      val pat = "\\b(key|hash|user)\\b"
+      val scrubbed = regexp_replace(col("text"), pat, "[REDACTED]")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit(pat)).cast("long").as("n_redacted"),
+          md5(scrubbed).as("scrubbed_md5"),
+          length(scrubbed).cast("long").as("scrubbed_len"))
+        .orderBy("doc_id")
+    },
+
     // greedy sequence packing into 2048-token context windows: docs are
     // packed in doc_id order WITHIN each language stratum (the window is
     // partitioned — a global unpartitioned cumsum would serialize the

@@ -422,6 +422,33 @@ final class GraftTable(spark: SparkSession, val root: Path) {
   /** snapshot read; `asOf` = time travel to that committed seq. */
   def read(asOf: Long = Long.MaxValue): DataFrame = readPruned(asOf, Nil)
 
+  /** Incremental (CDC-style) read — Iceberg's incremental append scan:
+    * the rows ADDED by commits in (fromSeq, toSeq] that are still live at
+    * toSeq. The downstream-consumer primitive: a pipeline that processed
+    * the table up to snapshot `fromSeq` calls this to get exactly the new
+    * rows, paying for the NEW files only — the historical files are never
+    * opened (the seq filter prunes them from the manifest before any scan
+    * is planned). Deletes committed in range still apply to in-range data
+    * (an equality delete scopes data with seq strictly below it), so a
+    * row appended and then deleted inside the range is not emitted.
+    *
+    * Like Iceberg, the range must not cross a `replace` (compaction)
+    * commit: a replace rewrites surviving history into fresh files with a
+    * new seq, so "added since" becomes indistinguishable from "rewritten
+    * since" and the scan would re-emit old rows as new. Callers consume
+    * incrementally BETWEEN compaction generations (or re-baseline with a
+    * full read after one) — the same contract Iceberg enforces by
+    * throwing on non-append snapshots in range.
+    */
+  def readIncremental(fromSeq: Long, toSeq: Long = Long.MaxValue): DataFrame = {
+    val entries = log.entries(toSeq)
+    require(!entries.exists(e => e.seq > fromSeq && e.action == "replace"),
+      s"incremental read ($fromSeq, $toSeq] crosses a replace/compaction commit; " +
+        "re-baseline with a full read instead")
+    val (dataFiles, deleteFiles) = CommitLog.stateFrom(entries)
+    readPrunedState((dataFiles.filter(_._2 > fromSeq), deleteFiles), entries)
+  }
+
   /** upsert (MERGE by key): one atomic commit that equality-deletes the
     * incoming keys from prior data and appends the new rows — row-level
     * update semantics on immutable files, the reference's

@@ -319,6 +319,30 @@ class TableLayerSpec extends AnyFunSuite {
     assert(byName("D").getInt(byName("D").fieldIndex("qty")) == 9)
   }
 
+  test("incremental read returns exactly the live rows added in range") {
+    val t = freshTable("increm")
+    t.append(Seq(("A", 1), ("B", 2)).toDF("name", "count"))  // seq 0
+    t.append(Seq(("C", 3), ("D", 4)).toDF("name", "count"))  // seq 1
+    t.delete(Seq("C").toDF("name"), Seq("name"))             // seq 2
+    t.append(Seq(("E", 5)).toDF("name", "count"))            // seq 3
+    def names(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("name").as[String].collect().sorted.toSeq
+    // full range from "before the table existed" equals a plain read
+    assert(names(t.readIncremental(-1)) == names(t.read()))
+    // (0, latest]: C was added then deleted in range — not emitted
+    assert(names(t.readIncremental(0)) == Seq("D", "E"))
+    // bounded upper end: (0, 1] sees C alive (the delete postdates toSeq)
+    assert(names(t.readIncremental(0, 1)) == Seq("C", "D"))
+    // empty range at the head
+    assert(t.readIncremental(3).count() == 0)
+    // a replace in range breaks append-only lineage — refused
+    t.compact()                                              // seq 4: replace
+    intercept[IllegalArgumentException](t.readIncremental(0))
+    // re-baselined consumption after the compaction generation works
+    t.append(Seq(("F", 6)).toDF("name", "count"))            // seq 5
+    assert(names(t.readIncremental(4)) == Seq("F"))
+  }
+
   test("a column re-added under the SAME name does not inherit orphaned history") {
     val t = freshTable("idreadd")
     t.append(Seq(("A", 1), ("B", 2)).toDF("name", "count")) // count: id 2
