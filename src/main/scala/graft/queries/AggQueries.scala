@@ -287,6 +287,105 @@ object AggQueries extends QueryPack {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // explicit GROUPING SETS (the general form rollup/cube specialize):
+    // (flag, status), (flag), and grand total in ONE pass — the same
+    // Expand + two-phase hash agg plan as q_agg_rollup, with per-row
+    // grouping flags distinguishing the levels.
+    Q(
+      "q_agg_grouping_sets",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) * 100 AS BIGINT) AS sum_qty_x1e2
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""",
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"),
+          count(lit(1)).as("n"),
+          Dec.asLong(sum(Dec.money(col("l_quantity"))), 2).as("sum_qty_x1e2"))
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n", "sum_qty_x1e2")
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    },
+
+    // distribution ranks per partition: quartile (ntile) + integer percent
+    // rank, computed with the all-integer ((rank-1)*1e6) div (n-1) formula
+    // instead of percent_rank()'s double (floor-div is bit-exact across
+    // engines; double division then cast is not — Spark truncates, DuckDB
+    // rounds). One keyed window shuffle on the segment.
+    Q(
+      "q_win_ntile",
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(((rank() OVER w - 1) * 1000000) // (COUNT(*) OVER (PARTITION BY c_mktsegment) - 1) AS BIGINT) AS pr_x1e6
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""",
+    ) { (s, dir) =>
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+      val seg = Window.partitionBy("c_mktsegment")
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          rank().over(w).cast("long").as("_rk"),
+          count(lit(1)).over(seg).cast("long").as("_n"))
+        .withColumn("pr_x1e6", expr("CAST(((_rk - 1) * 1000000L) div (_n - 1) AS BIGINT)"))
+        .select("c_custkey", "c_mktsegment", "quartile", "pr_x1e6")
+        .orderBy("c_custkey")
+    },
+
+    // PIVOT: per-nation customer counts spread across the five market
+    // segments as columns. The pivot values are an explicit literal list —
+    // the scale-safe form: pivot without values makes the engine collect
+    // the distinct segment set to the driver before planning.
+    Q(
+      "q_pivot",
+      """SELECT c_nationkey,
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS n_automobile,
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END) AS BIGINT) AS n_building,
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END) AS BIGINT) AS n_furniture,
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END) AS BIGINT) AS n_household,
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END) AS BIGINT) AS n_machinery
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+    ) { (s, dir) =>
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"))
+        .pivot("c_mktsegment", segs)
+        .agg(count(lit(1)))
+        .select(col("c_nationkey") +:
+          segs.map(v => coalesce(col(v), lit(0L)).as(s"n_${v.toLowerCase}")): _*)
+        .orderBy("c_nationkey")
+    },
+
+    // UNPIVOT (melt): per-priority order metrics back to long form — the
+    // inverse reshape, row-local after one aggregation shuffle.
+    Q(
+      "q_unpivot",
+      """WITH a AS (SELECT o_orderpriority,
+        |             CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        |           FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM a
+        |UNION ALL
+        |SELECT o_orderpriority, 'n_customers' AS metric, n_customers AS value FROM a
+        |ORDER BY o_orderpriority, metric""",
+    ) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("n_orders"), col("n_customers")), "metric", "value")
+        .orderBy("o_orderpriority", "metric")
+    },
+
     Q(
       "q_topk_per_group",
       """SELECT * FROM (

@@ -136,6 +136,34 @@ object JoinQueries extends QueryPack {
         .orderBy("c_custkey")
     },
 
+    // FULL OUTER join: a positive-balance customer roster reconciled
+    // against per-customer order counts — unmatched rows survive on BOTH
+    // sides (customers with no orders; ordering customers missing from the
+    // roster). Shuffled keyed join of two pre-aggregated/filtered inputs;
+    // a full-outer can never broadcast, so keeping both sides reduced
+    // before the join is the scale move.
+    Q(
+      "q_join_full",
+      """SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+        |       c.c_custkey IS NOT NULL AS in_roster,
+        |       COALESCE(o.n_orders, 0) AS n_orders
+        |FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 0) c
+        |FULL JOIN (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |           FROM orders GROUP BY o_custkey) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""",
+    ) { (s, dir) =>
+      val roster = Tables.customer(s, dir)
+        .filter(col("c_acctbal") > 0).select("c_custkey")
+      val counts = Tables.orders(s, dir)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      roster.join(counts, roster("c_custkey") === counts("o_custkey"), "full")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_custkey").isNotNull.as("in_roster"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("custkey")
+    },
+
     // banded theta self-join: pairs of events by the same user within 5
     // minutes. Scale pattern (banded range join): the equi key is
     // (user_id, 5-minute time bucket) — the left side is exploded into its
