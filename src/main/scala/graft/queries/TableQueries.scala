@@ -102,6 +102,36 @@ object TableQueries extends QueryPack {
       t.read(asOf = 0).orderBy("name", "count")
     },
 
+    // write-audit-publish on a branch (Iceberg branch refs): a risky batch
+    // is staged on branch "audit" — an append plus the fix for the bad row
+    // the audit found — while main keeps serving its 5 rows untouched
+    // (main_rows_during_audit pins the isolation). publishBranch then
+    // fast-forwards main metadata-only: the branch's data files are
+    // adopted by path, never rewritten.
+    Q(
+      "t_branch_wap",
+      """SELECT name, size, count, CAST(5 AS BIGINT) AS main_rows_during_audit
+        |FROM (VALUES
+        |  ('A','small',2),('A','small',102),('B','medium',15),
+        |  ('C','medium',10),('C','medium',110),('D','small',20),
+        |  ('D','small',120),('E','large',20),('E','large',120))
+        |  AS t(name, size, count)
+        |ORDER BY name, count""",
+    ) { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "wap")
+      t.append(items(s))                                          // main seq 0
+      val b = t.createBranch("audit")
+      b.append(items(s).withColumn("count", col("count") + 100))  // staged
+      // the audit finds (B,115) bad and fixes it ON THE BRANCH
+      b.delete(Seq(("B", 115)).toDF("name", "count"), Seq("name", "count"))
+      val mainDuringAudit = t.read().count()                      // isolation: 5
+      t.publishBranch("audit")
+      t.read()
+        .withColumn("main_rows_during_audit", lit(mainDuringAudit))
+        .orderBy("name", "count")
+    },
+
     // incremental append scan (CDC consumption): rows added AFTER seq 0,
     // with the in-range delete applied — the primitive a downstream
     // pipeline uses to process only what's new since its last checkpoint.

@@ -422,6 +422,72 @@ final class GraftTable(spark: SparkSession, val root: Path) {
   /** snapshot read; `asOf` = time travel to that committed seq. */
   def read(asOf: Long = Long.MaxValue): DataFrame = readPruned(asOf, Nil)
 
+  // ---- branches: Iceberg branch refs, used as write-audit-publish.
+  // A branch is an isolated staging lineage seeded with a copy of the
+  // committed log METADATA (O(snapshots) small JSON entries — data files
+  // are shared by absolute path, never copied). Risky writes land on the
+  // branch, the audit reads the branch view, and publishBranch
+  // fast-forwards main — the WAP pattern Iceberg ships for exactly the
+  // "validate a batch before the table's consumers see it" need a
+  // training-data pipeline has. ----
+
+  private def branchRoot(name: String): Path = {
+    require(name.nonEmpty && !name.contains('/') && !name.contains(' '),
+      s"invalid branch name: $name")
+    root.resolve("_branches").resolve(name)
+  }
+
+  /** Create branch `name` at the current head and return it as a table.
+    * Exclusive: creating an existing branch fails (like tag creation).
+    */
+  def createBranch(name: String): GraftTable = {
+    val bRoot = branchRoot(name)
+    require(!Files.exists(bRoot), s"branch already exists: $name")
+    val bLog = bRoot.resolve("_log")
+    Files.createDirectories(bLog)
+    val es = log.entries()
+    es.foreach { e =>
+      Files.write(bLog.resolve(f"${e.seq}%020d.json"),
+        Json.renderEntry(e).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    Files.writeString(bRoot.resolve("_base"),
+      es.lastOption.map(_.seq).getOrElse(-1L).toString)
+    new GraftTable(spark, bRoot)
+  }
+
+  /** Open an existing branch as a table (appends/deletes/reads/time
+    * travel all work on it — it IS a table over its own log).
+    */
+  def branch(name: String): GraftTable = {
+    val bRoot = branchRoot(name)
+    require(Files.exists(bRoot), s"no such branch: $name")
+    new GraftTable(spark, bRoot)
+  }
+
+  /** Publish (Iceberg fast-forward): replay the branch's staged commits
+    * onto main — metadata-only, one CAS commit per staged entry; the data
+    * files the branch wrote are adopted by path, never rewritten or
+    * copied. Precondition: main's head still equals the branch's base —
+    * concurrent main commits mean the audit no longer describes what
+    * publishing would produce, so the caller re-branches and re-audits
+    * (Iceberg's fast-forward refuses non-ancestors the same way).
+    * Returns the new main seqs.
+    */
+  def publishBranch(name: String): Seq[Long] = {
+    val bRoot = branchRoot(name)
+    require(Files.exists(bRoot), s"no such branch: $name")
+    val base = Files.readString(bRoot.resolve("_base")).trim.toLong
+    val head = log.entries().lastOption.map(_.seq).getOrElse(-1L)
+    require(head == base,
+      s"main advanced past branch base ($base -> $head); re-branch and re-audit")
+    val staged = new CommitLog(bRoot).entries().filter(_.seq > base)
+    staged.map { e =>
+      log.commit(e.action, e.dataFiles, e.deleteFiles, e.equalityCols,
+        e.statsCols.lazyZip(e.statsMin).lazyZip(e.statsMax).toSeq,
+        e.schemaJson, e.fileStats, e.partSpec)
+    }
+  }
+
   /** Incremental (CDC-style) read — Iceberg's incremental append scan:
     * the rows ADDED by commits in (fromSeq, toSeq] that are still live at
     * toSeq. The downstream-consumer primitive: a pipeline that processed

@@ -319,6 +319,37 @@ class TableLayerSpec extends AnyFunSuite {
     assert(byName("D").getInt(byName("D").fieldIndex("qty")) == 9)
   }
 
+  test("branches isolate staged writes and publish by fast-forward") {
+    val t = freshTable("branch")
+    t.append(Seq(("A", 1), ("B", 2)).toDF("name", "count"))      // main seq 0
+    val b = t.createBranch("stage")
+    b.append(Seq(("C", 3)).toDF("name", "count"))
+    b.delete(Seq("A").toDF("name"), Seq("name"))
+    // isolation: main unchanged while the branch sees its own lineage
+    assert(t.read().count() == 2)
+    assert(b.read().select("name").as[String].collect().sorted.toSeq == Seq("B", "C"))
+    // the branch is a full table: time travel to its base works
+    assert(b.read(asOf = 0).count() == 2)
+    // re-opening by name sees the same state
+    assert(t.branch("stage").read().count() == 2)
+    intercept[IllegalArgumentException](t.createBranch("stage")) // exclusive
+    // publish fast-forwards main to the audited view
+    val seqs = t.publishBranch("stage")
+    assert(seqs.nonEmpty)
+    assert(t.read().select("name").as[String].collect().sorted.toSeq == Seq("B", "C"))
+  }
+
+  test("publish refuses a branch whose base main has advanced past") {
+    val t = freshTable("branchdiv")
+    t.append(Seq(("A", 1)).toDF("name", "count"))
+    val b = t.createBranch("stage")
+    b.append(Seq(("B", 2)).toDF("name", "count"))
+    t.append(Seq(("Z", 9)).toDF("name", "count")) // main diverges
+    intercept[IllegalArgumentException](t.publishBranch("stage"))
+    // main is untouched by the refused publish
+    assert(t.read().select("name").as[String].collect().sorted.toSeq == Seq("A", "Z"))
+  }
+
   test("incremental read returns exactly the live rows added in range") {
     val t = freshTable("increm")
     t.append(Seq(("A", 1), ("B", 2)).toDF("name", "count"))  // seq 0
