@@ -199,6 +199,48 @@ object JoinQueries extends QueryPack {
         .orderBy("user_id")
     },
 
+    // skew-salted join — the hot-key mitigation registered as a surface
+    // query (SkewSaltingSpec proves the task-balance property on an
+    // adversarial 90%-one-key dataset; this registers the PATTERN over
+    // testdata). l_returnflag has 3 values with ~half the table on 'N':
+    // an unsalted shuffle join on it would send half of lineitem to one
+    // task. The fact side salts each row deterministically into 8
+    // subtasks (hash of its unique key — never rand(), reproducible);
+    // the dim side replicates each row ×8 with a generated salt. The join
+    // keys on (flag, salt), so every task holds ≤ ~1/8 of a hot key. The
+    // shuffle_hash hint keeps the demonstration honest: AQE would
+    // otherwise broadcast this tiny literal dim away (the real use case
+    // is a dim too big to broadcast — salting is what remains when both
+    // broadcast and AQE skew-split don't apply, e.g. under a required
+    // sort-merge output partitioning). Salt never reaches the output, so
+    // the oracle is the plain unsalted join.
+    Q(
+      "q_join_skew_salted",
+      """SELECT d.flag_class, COUNT(*) AS n,
+        |       CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) * 100 AS BIGINT) AS sum_qty_x1e2
+        |FROM lineitem l
+        |JOIN (VALUES ('A','returned'),('N','kept'),('R','returned')) AS d(flag, flag_class)
+        |  ON l.l_returnflag = d.flag
+        |GROUP BY d.flag_class
+        |ORDER BY d.flag_class""",
+    ) { (s, dir) =>
+      import s.implicits._
+      val salt = 8
+      val fact = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_quantity"),
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salt))
+            .cast("int").as("_salt"))
+      val dim = Seq(("A", "returned"), ("N", "kept"), ("R", "returned"))
+        .toDF("flag", "flag_class")
+        .withColumn("_salt", explode(sequence(lit(0), lit(salt - 1))))
+      fact.join(dim.hint("shuffle_hash"),
+          fact("l_returnflag") === dim("flag") && fact("_salt") === dim("_salt"))
+        .groupBy("flag_class")
+        .agg(count(lit(1)).as("n"),
+          Dec.asLong(sum(Dec.money(col("l_quantity"))), 2).as("sum_qty_x1e2"))
+        .orderBy("flag_class")
+    },
+
     // as-of join: for each purchase, the most recent click at-or-before it
     // by the same user. Union + single window pass (scalable as-of).
     Q(

@@ -102,6 +102,44 @@ object TableQueries extends QueryPack {
       t.read(asOf = 0).orderBy("name", "count")
     },
 
+    // source/sink format breadth: the same lineitem slice round-trips
+    // through CSV, JSON-lines, and parquet sinks and is read back through
+    // each source with a PINNED schema (inference on CSV/JSON is a
+    // full-extra-pass antipattern at scale and can drift types); all
+    // three must reproduce the parquet-derived aggregate exactly. Columns
+    // are restricted to types every text format round-trips losslessly
+    // (BIGINT, integral-valued DOUBLE, VARCHAR).
+    Q(
+      "t_format_roundtrip",
+      """WITH s AS (SELECT l_orderkey, l_quantity, l_returnflag
+        |           FROM lineitem WHERE l_linenumber = 1),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+        |             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) * 100 AS BIGINT) AS sum_qty_x1e2
+        |      FROM s)
+        |SELECT fmt, n, sum_key, sum_qty_x1e2
+        |FROM a, (VALUES ('csv'),('json'),('parquet')) AS f(fmt)
+        |ORDER BY fmt""",
+    ) { (s, dir) =>
+      val slice = graft.Tables.lineitem(s, dir)
+        .filter(col("l_linenumber") === 1)
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+      val schema = slice.schema
+      val base = Files.createTempDirectory("graft_fmt")
+      slice.write.option("header", "true").csv(base.resolve("csv").toString)
+      slice.write.json(base.resolve("json").toString)
+      slice.write.parquet(base.resolve("pq").toString)
+      def summary(df: DataFrame, fmt: String): DataFrame =
+        df.agg(count(lit(1)).as("n"),
+            sum(col("l_orderkey")).cast("long").as("sum_key"),
+            graft.Dec.asLong(sum(graft.Dec.money(col("l_quantity"))), 2).as("sum_qty_x1e2"))
+          .select(lit(fmt).as("fmt"), col("n"), col("sum_key"), col("sum_qty_x1e2"))
+      summary(s.read.option("header", "true").schema(schema).csv(base.resolve("csv").toString), "csv")
+        .unionByName(summary(s.read.schema(schema).json(base.resolve("json").toString), "json"))
+        .unionByName(summary(s.read.parquet(base.resolve("pq").toString), "parquet"))
+        .orderBy("fmt")
+    },
+
     // write-audit-publish on a branch (Iceberg branch refs): a risky batch
     // is staged on branch "audit" — an append plus the fix for the bad row
     // the audit found — while main keeps serving its 5 rows untouched

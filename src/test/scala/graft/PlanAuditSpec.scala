@@ -162,6 +162,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_join_skew_salted joins on the composite (key, salt) — hot keys split across tasks") {
+    val p = plan("q_join_skew_salted")
+    // the physical join must key on BOTH the flag and the salt; a plan
+    // that dropped the salt from the join keys would re-concentrate the
+    // hot key in one task and silently defeat the pattern
+    val joinLine = p.linesIterator.filter(_.contains("Join"))
+      .find(l => l.contains("ShuffledHashJoin") || l.contains("SortMergeJoin"))
+    assert(joinLine.nonEmpty, "salted join must shuffle (broadcast would bypass the salt)")
+    val keys = p.linesIterator.find(_.trim.startsWith("Left keys")).getOrElse(joinLine.get)
+    assert(keys.contains("_salt"), s"salt missing from join keys: $keys")
+  }
+
   test("q_join_inner leaves join selection to the optimizer (no forced broadcast of customer)") {
     // at test scale the optimizer may well broadcast — the audit is that
     // the PLAN resolves and contains a keyed join, with no ResolvedHint
