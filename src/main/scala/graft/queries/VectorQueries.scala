@@ -341,5 +341,47 @@ object VectorQueries extends QueryPack {
           (col("score") >= 0.95).as("is_near_dup"))
         .orderBy("vec_id")
     },
+
+    // int8 embedding quantization — the storage-compression pass a 100 TB
+    // embedding store runs (4× smaller than float32, 8× than float64):
+    // per-vector symmetric scale 127/max|e|, q_i = round(e_i · scale).
+    // Entirely row-local (one HOF projection, no shuffle before the
+    // output sort); the quantized vector is pinned by min/max/sum and a
+    // rolling integer hash, so the oracle verifies every element, not a
+    // summary. Cross-engine determinism: floats are promoted via exact
+    // CAST to DOUBLE, the scale is one division and one multiply per
+    // element (identical IEEE ops in both engines), and ROUND(double)
+    // half-up away-from-zero agrees between Spark and DuckDB (validated
+    // by the IVF k-means pass, r4).
+    Q(
+      "q_embed_quantize",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, ev, list_max(list_transform(ev, x -> abs(x))) AS ma FROM e),
+        |z AS (SELECT vec_id,
+        |        CASE WHEN ma = 0 THEN list_transform(ev, x -> CAST(0 AS BIGINT))
+        |             ELSE list_transform(ev, x -> CAST(ROUND(x * (CAST(127 AS DOUBLE) / ma)) AS BIGINT)) END AS qv
+        |      FROM m)
+        |SELECT vec_id,
+        |  CAST(list_min(qv) AS BIGINT) AS qmin,
+        |  CAST(list_max(qv) AS BIGINT) AS qmax,
+        |  CAST(list_sum(qv) AS BIGINT) AS qsum,
+        |  list_reduce([CAST(0 AS BIGINT)] || list_transform(qv, v -> v + 128),
+        |              (h, c) -> (h * 31 + c) % 1000000007) AS qhash
+        |FROM z ORDER BY vec_id""",
+    ) { (s, dir) =>
+      Tables.spread(Tables.embeddings(s, dir))
+        .withColumn("ev", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("ma", expr("array_max(transform(ev, x -> abs(x)))"))
+        .withColumn("qv", expr(
+          """CASE WHEN ma = 0D THEN transform(ev, x -> 0L)
+            |     ELSE transform(ev, x -> CAST(ROUND(x * (CAST(127 AS DOUBLE) / ma)) AS BIGINT)) END""".stripMargin))
+        .select(col("vec_id"),
+          expr("CAST(array_min(qv) AS BIGINT)").as("qmin"),
+          expr("CAST(array_max(qv) AS BIGINT)").as("qmax"),
+          expr("aggregate(qv, 0L, (a, b) -> a + b)").as("qsum"),
+          expr("aggregate(transform(qv, v -> v + 128L), 0L, (h, c) -> (h * 31 + c) % 1000000007)").as("qhash"))
+        .orderBy("vec_id")
+    },
   )
 }
