@@ -287,6 +287,33 @@ object AggQueries extends QueryPack {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // RANGE frame over event TIME (vs q_win_frame's ROWS frame): trailing
+    // 10-minute count/sum per user — the "activity in the last N minutes"
+    // shape. RANGE is the determinism-safe frame for timestamps: all peers
+    // at an equal order value are in or out TOGETHER, so tie order can
+    // never change the result (a ROWS frame over a non-unique key would).
+    // One keyed window shuffle on user_id.
+    Q(
+      "q_win_range_frame",
+      """SELECT event_id, user_id,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_10m,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4)) * 10000 AS BIGINT) AS sum_10m_x1e4
+        |FROM (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+        |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""",
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("tus")
+        .rangeBetween(-600000000L, 0)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tus"), col("value"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_10m"),
+          Dec.asLong(sum(Dec.d4(col("value"))).over(w), 4).as("sum_10m_x1e4"))
+        .orderBy("event_id")
+    },
+
     // explicit GROUPING SETS (the general form rollup/cube specialize):
     // (flag, status), (flag), and grand total in ONE pass — the same
     // Expand + two-phase hash agg plan as q_agg_rollup, with per-row
