@@ -102,6 +102,33 @@ object TableQueries extends QueryPack {
       t.read(asOf = 0).orderBy("name", "count")
     },
 
+    // rollback (Iceberg rollback_to_snapshot): a bad batch lands at seq 2,
+    // rollbackTo(1) reinstates the seq-1 state as a NEW replace commit —
+    // metadata-only here (no pending deletes: the old files are adopted
+    // by path, nothing is read or rewritten), and the bad snapshot stays
+    // time-travelable. rows_before_rollback pins that the bad batch was
+    // really live before the rollback.
+    Q(
+      "t_rollback",
+      """SELECT name, size, count, CAST(15 AS BIGINT) AS rows_before_rollback
+        |FROM (VALUES
+        |  ('A','small',2),('A','small',102),('B','medium',15),
+        |  ('B','medium',115),('C','medium',10),('C','medium',110),
+        |  ('D','small',20),('D','small',120),('E','large',20),
+        |  ('E','large',120)) AS t(name, size, count)
+        |ORDER BY name, count""",
+    ) { (s, _) =>
+      val t = tmpTable(s, "rollback")
+      t.append(items(s))                                          // seq 0
+      t.append(items(s).withColumn("count", col("count") + 100))  // seq 1
+      t.append(items(s).withColumn("count", col("count") + 900))  // seq 2: bad
+      val rowsBad = t.read().count()                              // 15
+      t.rollbackTo(1)                                             // seq 3
+      t.read()
+        .withColumn("rows_before_rollback", lit(rowsBad))
+        .orderBy("name", "count")
+    },
+
     // source/sink format breadth: the same lineitem slice round-trips
     // through CSV, JSON-lines, and parquet sinks and is read back through
     // each source with a PINNED schema (inference on CSV/JSON is a

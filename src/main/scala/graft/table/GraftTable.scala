@@ -763,6 +763,46 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       schemaJson = idSchemaJson(view.schema))
   }
 
+  /** Roll the table back to its committed state at `seq` (Iceberg
+    * rollback): a NEW `replace` commit — history is preserved, the
+    * rolled-over snapshots stay time-travelable until expiration.
+    *
+    * When the target state carries no pending delete files (the common
+    * case — e.g. right after a compaction generation), the rollback is
+    * METADATA-ONLY: the old files are reinstated by path with their
+    * per-file stats carried over, no data is read or written. A target
+    * state with pending MoR deletes is materialized instead (deletes
+    * folded into fresh files, as compaction does): a replace entry holds
+    * one flat file list and cannot re-encode multiple delete scopes.
+    * The reinstating entry records no partition spec, so spec-scoped
+    * partition pruning degrades to never-prune-blind for those files
+    * (the preserved per-file partition-value stats still prune
+    * source-column bounds); the next compaction re-establishes full
+    * pruning.
+    */
+  def rollbackTo(seq: Long): Long = {
+    val entries = log.entries(seq)
+    require(entries.nonEmpty, s"no committed snapshot at or before $seq")
+    val (dataFiles, deleteFiles) = CommitLog.stateFrom(entries)
+    val schemaJson =
+      entries.filter(_.schemaJson.nonEmpty).lastOption.map(_.schemaJson).getOrElse("")
+    if (deleteFiles.isEmpty) {
+      // metadata-only: adopt the live files by path, keep their stats
+      val byEntry = entries.map(e => e.seq -> e).toMap
+      val fs = dataFiles.map { case (f, s) =>
+        val e = byEntry(s)
+        e.fileStats.lift(e.dataFiles.indexOf(f)).getOrElse(Map.empty[String, (String, String)])
+      }
+      log.commit("replace", dataFiles = dataFiles.map(_._1),
+        schemaJson = schemaJson, fileStats = fs)
+    } else {
+      val dir = newShardDir("data")
+      val view = read(asOf = seq)
+      view.write.parquet(dir.toString)
+      log.commit("replace", dataFiles = parquetFilesIn(dir), schemaJson = schemaJson)
+    }
+  }
+
   /** Sort-clustered compaction (Iceberg's rewrite_data_files with a sort
     * order): the MoR view is range-repartitioned on `sortCol` into
     * `numFiles` files with DISJOINT value ranges, and per-file bounds are

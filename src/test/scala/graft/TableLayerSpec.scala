@@ -319,6 +319,29 @@ class TableLayerSpec extends AnyFunSuite {
     assert(byName("D").getInt(byName("D").fieldIndex("qty")) == 9)
   }
 
+  test("rollback reinstates an old state, preserves history, and is metadata-only without deletes") {
+    val t = freshTable("rollback")
+    t.append(Seq(("A", 1)).toDF("name", "count"))       // seq 0
+    t.append(Seq(("B", 2)).toDF("name", "count"))       // seq 1
+    t.append(Seq(("X", 9)).toDF("name", "count"))       // seq 2: bad
+    def dataFileCount: Long = {
+      val s = java.nio.file.Files.walk(t.root.resolve("data"))
+      try s.filter(p => p.getFileName.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    val before = dataFileCount
+    t.rollbackTo(1)                                     // seq 3
+    assert(dataFileCount == before, "no-delete rollback must not write data files")
+    assert(t.read().select("name").as[String].collect().sorted.toSeq == Seq("A", "B"))
+    // the rolled-over snapshot is still travelable (rollback is a new commit)
+    assert(t.read(asOf = 2).count() == 3)
+    // rolling back over a pending MoR delete materializes the view
+    t.delete(Seq("A").toDF("name"), Seq("name"))        // seq 4
+    t.append(Seq(("C", 3)).toDF("name", "count"))       // seq 5
+    t.rollbackTo(4)                                     // state has a delete file
+    assert(t.read().select("name").as[String].collect().sorted.toSeq == Seq("B"))
+  }
+
   test("branches isolate staged writes and publish by fast-forward") {
     val t = freshTable("branch")
     t.append(Seq(("A", 1), ("B", 2)).toDF("name", "count"))      // main seq 0
