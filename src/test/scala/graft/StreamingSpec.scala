@@ -101,6 +101,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with preceding clicks") {
+    // the two-stream flavor of the as-of/banded family (q_join_asof /
+    // q_join_range_theta register the batch forms): both sides carry
+    // watermarks and the join condition bounds event-time distance, which
+    // is exactly what lets the engine evict join state — unbounded
+    // stream-stream joins retain both streams forever.
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val purchases = MemoryStream[(Timestamp, Long)]
+    val c = clicks.toDF().toDF("cts", "cuser").withWatermark("cts", "10 minutes")
+    val p = purchases.toDF().toDF("pts", "puser").withWatermark("pts", "10 minutes")
+    val joined = p.join(c,
+      expr("puser = cuser AND cts BETWEEN pts - INTERVAL 15 minutes AND pts"))
+      .select(col("puser"), col("pts"), col("cts"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData((ts(0), 1L), (ts(5), 1L), (ts(0), 2L))
+      purchases.addData((ts(10), 1L)) // in range of both user-1 clicks
+      q.processAllAvailable()
+      purchases.addData((ts(30), 2L)) // user-2 click is 30 min old: out of range
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      assert(rows == Set((1L, ts(10), ts(0)), (1L, ts(10), ts(5))))
+    } finally q.stop()
+  }
+
   test("watermark drops events later than 10 minutes behind max event time") {
     val ms = MemoryStream[(Timestamp, String)]
     val df = ms.toDF().toDF("ts", "typ")
