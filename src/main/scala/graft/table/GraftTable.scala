@@ -768,12 +768,17 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * rolled-over snapshots stay time-travelable until expiration.
     *
     * When the target state carries no pending delete files (the common
-    * case — e.g. right after a compaction generation), the rollback is
-    * METADATA-ONLY: the old files are reinstated by path with their
-    * per-file stats carried over, no data is read or written. A target
-    * state with pending MoR deletes is materialized instead (deletes
-    * folded into fresh files, as compaction does): a replace entry holds
-    * one flat file list and cannot re-encode multiple delete scopes.
+    * case — e.g. right after a compaction generation) AND every
+    * file-contributing entry at or below the target recorded the same
+    * schema, the rollback is METADATA-ONLY: the old files are reinstated
+    * by path with their per-file stats carried over, no data is read or
+    * written. Otherwise the target view is materialized into fresh files
+    * (as compaction does). Both conditions are load-bearing: a replace
+    * entry holds one flat file list, so it cannot re-encode multiple
+    * delete scopes, and it reads all its files in ONE scan, so it cannot
+    * align files whose physical schemas straddle a rename/widen boundary
+    * (the normal read path aligns per source epoch; a flat adoption
+    * would mis-merge them).
     * The reinstating entry records no partition spec, so spec-scoped
     * partition pruning degrades to never-prune-blind for those files
     * (the preserved per-file partition-value stats still prune
@@ -786,7 +791,13 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     val (dataFiles, deleteFiles) = CommitLog.stateFrom(entries)
     val schemaJson =
       entries.filter(_.schemaJson.nonEmpty).lastOption.map(_.schemaJson).getOrElse("")
-    if (deleteFiles.isEmpty) {
+    val liveSeqs = dataFiles.map(_._2).toSet
+    // uniform ACROSS the live files AND equal to the schema the replace
+    // entry will record — a metadata-only rename/widen after the last
+    // data commit changes the latter without touching any file
+    val uniformSchema = (entries.filter(e => liveSeqs(e.seq) && e.dataFiles.nonEmpty)
+      .map(_.schemaJson) :+ schemaJson).distinct.size <= 1
+    if (deleteFiles.isEmpty && uniformSchema) {
       // metadata-only: adopt the live files by path, keep their stats
       val byEntry = entries.map(e => e.seq -> e).toMap
       val fs = dataFiles.map { case (f, s) =>

@@ -47,6 +47,12 @@ object TableModelProps extends Properties("graft-table-model") {
   // unchanged — only the interpreter's column bookkeeping moves.
   private case object RenameKey extends Op
   private case object WidenCount extends Op
+  // rollback to a prior snapshot (clamped to an existing one at run
+  // time): semantically a replace whose content is the view at the
+  // target — exercises BOTH rollback paths, since random lineages put
+  // renames/widenings and pending deletes below the target (materialize)
+  // as well as plain append runs (metadata-only file adoption).
+  private case class Rollback(rawTarget: Int) extends Op
 
   /** expected read(asOf) by replaying the op prefix under the spec rules. */
   private def model(ops: List[Op], asOf: Int): List[Row] = {
@@ -71,6 +77,10 @@ object TableModelProps extends Properties("graft-table-model") {
           rows ++= rs.map(_ -> seq)
         case Compact | CompactSorted =>
           rows = view.map(_ -> seq)
+          dels = Vector.empty
+        case Rollback(raw) =>
+          // the view at the clamped target becomes this seq's content
+          rows = model(ops, math.min(raw, seq - 1)).map(_ -> seq).toVector
           dels = Vector.empty
         case RenameKey | WidenCount => () // metadata-only: one seq, no rows
       }
@@ -100,14 +110,21 @@ object TableModelProps extends Properties("graft-table-model") {
     1 -> Gen.const(Compact),
     1 -> Gen.const(CompactSorted),
     1 -> Gen.const(RenameKey),
-    1 -> Gen.const(WidenCount))
+    1 -> Gen.const(WidenCount),
+    1 -> Gen.choose(0, 5).map(Rollback))
 
-  /** key-column name in effect after the op prefix (renames toggle it). */
-  private def keyColAt(ops: List[Op], asOf: Int): String =
-    ops.take(asOf + 1).foldLeft("name") {
-      case (n, RenameKey) => if (n == "name") "key" else "name"
-      case (n, _) => n
+  /** key-column name in effect after the op prefix (renames toggle it;
+    * a rollback reinstates the name current at its target snapshot).
+    */
+  private def keyColAt(ops: List[Op], asOf: Int): String = {
+    var n = "name"
+    ops.take(asOf + 1).zipWithIndex.foreach {
+      case (RenameKey, _) => n = if (n == "name") "key" else "name"
+      case (Rollback(raw), i) => n = keyColAt(ops, math.min(raw, i - 1))
+      case _ => ()
     }
+    n
+  }
 
   // first op is always an append so deletes/compactions have substance
   private val genOps: Gen[List[Op]] = for {
@@ -127,7 +144,7 @@ object TableModelProps extends Properties("graft-table-model") {
       Files.createTempDirectory(tag).toString)
     val spec = PartitionSpec("count", Transform.Truncate(25))
     var keyCol = "name"
-    ops.foreach {
+    ops.zipWithIndex.foreach { case (op, idx) => op match {
       case Append(rows, partitioned) =>
         val df = rows.toDF(keyCol, "count")
         partitioned match {
@@ -149,7 +166,11 @@ object TableModelProps extends Properties("graft-table-model") {
         keyCol = next
       case WidenCount =>
         t.widenColumn("count", org.apache.spark.sql.types.LongType)
-    }
+      case Rollback(raw) =>
+        val target = math.min(raw, idx - 1)
+        t.rollbackTo(target.toLong)
+        keyCol = keyColAt(ops, target)
+    }}
     t
   }
 
