@@ -455,6 +455,14 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     new GraftTable(spark, bRoot)
   }
 
+  /** Existing branch names (empty when none were ever created). */
+  def branches: Seq[String] = {
+    val dir = root.resolve("_branches")
+    if (!Files.exists(dir)) Nil
+    else walked(dir)(_.toSeq).filter(p => Files.isDirectory(p) && p.getParent == dir)
+      .map(_.getFileName.toString).sorted
+  }
+
   /** Open an existing branch as a table (appends/deletes/reads/time
     * travel all work on it — it IS a table over its own log).
     */

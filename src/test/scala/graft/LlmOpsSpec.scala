@@ -128,6 +128,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (20L, 21L, 5000L))
   }
 
+  test("q_embed_quantize matches driver-side int8 quantization exactly") {
+    val got = q("q_embed_quantize").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.keySet == vecs.keySet)
+    // HALF_UP away-from-zero to mirror Spark/DuckDB ROUND (Scala's
+    // math.round is half-toward-positive-infinity — wrong for negatives)
+    def rnd(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    vecs.foreach { case (id, v) =>
+      val ma = v.map(math.abs).max
+      val qv = if (ma == 0) v.map(_ => 0L) else v.map(x => rnd(x * (127.0 / ma)))
+      val qhash = qv.foldLeft(0L)((h, c) => (h * 31 + c + 128) % 1000000007)
+      assert(got(id) == ((qv.min, qv.max, qv.sum, qhash)), s"vec $id")
+      // a symmetric scale puts the extreme component exactly at ±127
+      assert(qv.map(math.abs).max == (if (ma == 0) 0L else 127L))
+    }
+  }
+
   // --- cosine ground truth on the driver ---
 
   private lazy val vecs: Map[Long, Array[Double]] =

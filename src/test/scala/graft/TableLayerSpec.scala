@@ -360,6 +360,7 @@ class TableLayerSpec extends AnyFunSuite {
     val seqs = t.publishBranch("stage")
     assert(seqs.nonEmpty)
     assert(t.read().select("name").as[String].collect().sorted.toSeq == Seq("B", "C"))
+    assert(t.branches == Seq("stage"))
   }
 
   test("publish refuses a branch whose base main has advanced past") {
