@@ -336,6 +336,70 @@ object DedupQueries extends QueryPack {
         "da", "db")
     },
 
+    // duplicate CLUSTERING — the step after pair generation that corpus
+    // dedup actually ships: connected components over the near-dup pair
+    // graph, one keeper per component (min doc_id). Spark side: iterative
+    // min-label propagation — per iteration one keyed join + one keyed
+    // min-aggregate, lineage cut by an eager localCheckpoint so iteration
+    // N's plan does not replay iterations 0..N-1 (and the expensive
+    // shingle pipeline runs ONCE, checkpointed, not once per iteration).
+    // Iterations ∝ component diameter: near-dup components are
+    // quasi-cliques (diameter 2-3) because their members share most
+    // shingles, so convergence is a handful of rounds even at corpus
+    // scale; the loop fails loudly if a pathological graph exceeds the
+    // cap rather than returning a half-propagated labeling. The
+    // convergence check collects ONE scalar per round. Oracle: DuckDB
+    // computes the identical closure with a recursive CTE.
+    Q(
+      "q_dedup_cluster",
+      s"""WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(0, len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shs
+        |      FROM d),
+        |ex0 AS (SELECT doc_id, unnest(shs) AS sg FROM s),
+        |hot AS (SELECT sg FROM ex0 GROUP BY sg HAVING COUNT(*) > $MaxBucketDf),
+        |ex AS (SELECT * FROM ex0 WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.sg = ex0.sg)),
+        |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ns FROM ex GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+        |      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pr AS (SELECT da, db
+        |       FROM p JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
+        |       WHERE inter * 2 >= na.ns + nb.ns - inter),
+        |e AS (SELECT da AS src, db AS dst FROM pr UNION ALL SELECT db, da FROM pr),
+        |nd AS (SELECT DISTINCT src AS id FROM e),
+        |r AS (SELECT id, id AS lbl FROM nd
+        |      UNION
+        |      SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.id)
+        |SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id,
+        |       (MIN(lbl) = id) AS is_keeper
+        |FROM r GROUP BY id ORDER BY doc_id""",
+    ) { (s, dir) =>
+      val pairs = jaccardPairs(shingled(s, dir)).select(col("da"), col("db"))
+      val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+        .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+        .localCheckpoint(true)
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id")).localCheckpoint(true)
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 20) {
+        val prop = edges.join(labels, edges("src") === labels("id"))
+          .select(col("dst").as("id"), col("lbl"))
+          .union(labels.select(col("id"), col("lbl")))
+          .groupBy("id").agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint(true)
+        changed = prop.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
+          .filter(col("lbl") =!= col("old")).count()
+        labels = prop
+        rounds += 1
+      }
+      require(changed == 0, s"label propagation did not converge in $rounds rounds")
+      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+        (col("lbl") === col("id")).as("is_keeper"))
+        .orderBy("doc_id")
+    },
+
     // SimHash: 60-bit signature from per-token md5-h60 votes; candidate
     // pairs share at least one of four 15-bit chunks (guaranteed complete
     // for hamming ≤ 3, best-effort beyond); emitted with exact hamming

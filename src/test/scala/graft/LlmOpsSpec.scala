@@ -128,6 +128,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (20L, 21L, 5000L))
   }
 
+  test("q_dedup_cluster equals driver-side connected components over the pair graph") {
+    import scala.collection.mutable
+    val adj = mutable.Map.empty[Long, mutable.Set[Long]]
+    trueNearPairs.keys.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, mutable.Set.empty) += a
+    }
+    val expected = mutable.Map.empty[Long, Long]
+    adj.keys.toSeq.sorted.foreach { start =>
+      if (!expected.contains(start)) {
+        val comp = mutable.Set(start)
+        val queue = mutable.Queue(start)
+        while (queue.nonEmpty) adj(queue.dequeue()).foreach { n =>
+          if (comp.add(n)) queue.enqueue(n)
+        }
+        val cid = comp.min
+        comp.foreach(n => expected(n) = cid)
+      }
+    }
+    val got = q("q_dedup_cluster").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, cid) =>
+      assert(got(id) == ((cid, id == cid)), s"doc $id")
+    }
+    // at least one multi-member cluster exists in the synthetic corpus
+    assert(expected.exists { case (id, cid) => id != cid })
+  }
+
   test("q_embed_quantize matches driver-side int8 quantization exactly") {
     val got = q("q_embed_quantize").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
