@@ -413,6 +413,93 @@ object AggQueries extends QueryPack {
         .orderBy("o_orderpriority", "metric")
     },
 
+    // Sessionization (gaps-and-islands): per-user sessions cut at >30-min
+    // inactivity gaps — the batch twin of q_stream_session, and the shape
+    // every clickstream/agent-trace pipeline needs before per-session
+    // aggregation. One keyed shuffle (user_id); the boundary flag and the
+    // running session counter share the same ordered window, and the
+    // per-session rollup re-uses the user_id partitioning (session_id is
+    // a refinement of the window key, so no second exchange of raw rows).
+    Q(
+      "q_sessionize",
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (SELECT user_id, event_id, ts,
+        |        CASE WHEN LAG(ts) OVER w IS NULL
+        |               OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+        |      FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(MIN(epoch_us(ts)) AS BIGINT) AS start_us,
+        |  CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS dur_us
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""",
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val prev = lag(col("ts"), 1).over(w)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("new_s",
+          when(prev.isNull || unix_micros(col("ts")) - unix_micros(prev) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(w))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("start_us"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("dur_us"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // Mode (most frequent value) per group with a DETERMINISTIC tie-break
+    // (count DESC, then lexicographic) — max_by alone ties arbitrarily,
+    // which can never hash-match across engines. Two-phase: one partial-
+    // agg'd keyed shuffle to (user, type) counts, then a row_number window
+    // over ≤5 rows per user — the window input is already aggregate-sized.
+    Q(
+      "q_agg_mode",
+      """SELECT user_id, event_type AS mode_event_type, n FROM (
+        |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type) AS rn
+        |  FROM events GROUP BY user_id, event_type)
+        |WHERE rn = 1 ORDER BY user_id""",
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("n").desc, col("event_type"))
+      Tables.events(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_event_type"), col("n"))
+        .orderBy("user_id")
+    },
+
+    // Fixed-width histogram: events.value binned into 50-unit buckets per
+    // event type. Binning is row-local integer arithmetic on the exact
+    // ×1e4 value (value ≥ 0 in this corpus, so Spark's truncating `div`
+    // and DuckDB's flooring `//` agree); the only shuffle carries
+    // (type, bucket) partial aggregates — the canonical distributed-
+    // histogram plan at any scale.
+    Q(
+      "q_histogram",
+      """WITH b AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(38,4)) * 10000 AS BIGINT) AS v4
+        |  FROM events)
+        |SELECT event_type, CAST(v4 // 500000 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v4) AS BIGINT) AS sum_v_x1e4
+        |FROM b GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""",
+    ) { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), Dec.asLong(col("value"), 4).as("v4"))
+        .withColumn("bucket", expr("v4 div 500000"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"), sum(col("v4")).cast("long").as("sum_v_x1e4"))
+        .orderBy("event_type", "bucket")
+    },
+
     Q(
       "q_topk_per_group",
       """SELECT * FROM (

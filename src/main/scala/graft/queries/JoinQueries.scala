@@ -164,6 +164,54 @@ object JoinQueries extends QueryPack {
         .orderBy("custkey")
     },
 
+    // Co-located (bucketed) join: both sides pre-bucketed on the join key
+    // at write time, so the recurring fact-to-fact join reads matching
+    // buckets directly — ZERO exchange on either input, the pattern that
+    // amortizes one bucketing shuffle across every future join at 100 TB.
+    // join_added_exchanges is pinned from the ACTUAL physical plan: the
+    // whole query may contain exactly one Exchange (the aggregation's),
+    // so the value in every output row is 0. Built on an isolated cloned
+    // session so auto-broadcast can be disabled for the plan without
+    // leaking that conf into other registered queries (the clone keeps it
+    // until the driver materializes this DataFrame).
+    Q(
+      "q_join_colocated",
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) * 100 AS BIGINT) AS sum_qty_x1e2,
+        |  CAST(0 AS BIGINT) AS join_added_exchanges
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    ) { (s, dir) =>
+      val iso = s.newSession()
+      iso.conf.set("spark.sql.session.timeZone", "UTC")
+      iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      iso.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions", "32"))
+      // tiny sf would broadcast and hide the bucket alignment; the plan we
+      // register must be the one a large fact-to-fact join gets
+      iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val base = java.nio.file.Files.createTempDirectory("graft_colocated").toString
+      iso.sql("DROP TABLE IF EXISTS li_colocated")
+      iso.sql("DROP TABLE IF EXISTS o_colocated")
+      Tables.lineitem(iso, dir).select("l_orderkey", "l_quantity")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/li").saveAsTable("li_colocated")
+      Tables.orders(iso, dir).select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/o").saveAsTable("o_colocated")
+      val joined = iso.table("li_colocated")
+        .join(iso.table("o_colocated"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Dec.asLong(sum(Dec.money(col("l_quantity"))), 2).as("sum_qty_x1e2"))
+      val exchanges = joined.queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        .linesIterator.count(l => l.matches("""\(\d+\) .*Exchange.*"""))
+      joined
+        .withColumn("join_added_exchanges", lit(exchanges.toLong - 1L))
+        .orderBy("o_orderpriority")
+    },
+
     // banded theta self-join: pairs of events by the same user within 5
     // minutes. Scale pattern (banded range join): the equi key is
     // (user_id, 5-minute time bucket) — the left side is exploded into its

@@ -12,7 +12,9 @@ import org.apache.spark.sql.streaming.Trigger
 /** Streaming surface — SURVEY.md §2B "Streaming". q_stream_tumble,
   * q_stream_slide and q_stream_dedup execute GENUINE incremental
   * Structured Streaming in their registered form (AvailableNow file
-  * stream → streaming state → memory sink, via [[streamedEvents]]), and
+  * stream → streaming state → memory sink, via [[streamedEvents]]),
+  * q_stream_join runs a real watermarked stream-stream interval join
+  * (via [[streamedJoin]]), and
   * t_decoupled_ingest streams end-to-end into the commit-log table. The
   * remaining q_stream_* ids are registered batch-equivalent, each for a
   * hard engine reason — session_window does not support complete mode,
@@ -67,6 +69,33 @@ object StreamQueries extends QueryPack {
     // the temp view — otherwise every invocation pins its full result in
     // the driver for the session lifetime (Verify/Bench/tests run these
     // queries dozens of times in one JVM)
+    val result = s.table(sink).localCheckpoint(true)
+    s.catalog.dropTempView(sink)
+    result
+  }
+
+  /** Run a STREAM-STREAM join for real: two independent AvailableNow file
+    * streams over the events landing dir, joined with watermarks on both
+    * sides, append-mode into a memory sink. Inner-join pairs are emitted
+    * as matches arrive (append mode is the only mode stream-stream joins
+    * support), and the single staged file arrives as ONE micro-batch
+    * (file source, no maxFilesPerTrigger), so no match can straddle a
+    * watermark eviction — the emitted pair set is exactly the batch
+    * join's, making the entry oracle-able. In a continuous deployment the
+    * same query holds state bounded by watermark + join window, the exact
+    * eviction path exercised in StreamingSpec's interval-join test.
+    */
+  private def streamedJoin(s: SparkSession, dir: String)(
+      join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val sink = "graft_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = join(Tables.eventsStream(s, dir), Tables.eventsStream(s, dir))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .start()
+    query.awaitTermination()
     val result = s.table(sink).localCheckpoint(true)
     s.catalog.dropTempView(sink)
     result
@@ -198,6 +227,43 @@ object StreamQueries extends QueryPack {
           .agg(min(col("event_id")).as("first_event_id"),
             (count(lit(1)) - 1).as("n_dupes"))
       }.orderBy("user_id", "event_type")
+    },
+
+    // stream-stream interval join, executed GENUINELY streaming: each
+    // purchase joined to the same user's clicks in the preceding 10
+    // minutes — attribution, the canonical stream-stream shape. Both
+    // sides carry watermarks (required for state eviction) and the join
+    // condition time-bounds the match window, so state per key is bounded
+    // by watermark + 10 min in a continuous deployment. Registered form
+    // emits the exact pair set of the batch interval join (see
+    // [[streamedJoin]]); output is pair-level but interval-bounded —
+    // ∝ clicks-per-user-per-10-min, not clicks².
+    Q(
+      "q_stream_join",
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        |  epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS lead_us
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+        |ORDER BY purchase_id, click_id""",
+    ) { (s, dir) =>
+      streamedJoin(s, dir) { (l, r) =>
+        val p = l.filter(col("event_type") === "purchase")
+          .withWatermark("ts", "10 minutes")
+          .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+            col("ts").as("p_ts"))
+        val c = r.filter(col("event_type") === "click")
+          .withWatermark("ts", "10 minutes")
+          .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+            col("ts").as("c_ts"))
+        p.join(c,
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+            col("c_ts") < col("p_ts"))
+          .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+            (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lead_us"))
+      }.orderBy("purchase_id", "click_id")
     },
 
     // per-user accumulator state (the committer-accumulator shape A14):

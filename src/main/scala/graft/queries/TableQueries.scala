@@ -2,6 +2,8 @@ package graft.queries
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import graft.{Q, QueryPack}
 import graft.table.{GraftTable, PartitionSpec, Transform}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -514,6 +516,91 @@ object TableQueries extends QueryPack {
         .join(idx, Seq("th"), "left")
         .select(col("doc_id"), coalesce(col("known"), lit(false)).as("known_dup"))
         .orderBy("doc_id")
+    },
+
+    // Snapshot expiration as a REGISTERED maintenance op (Iceberg
+    // expire_snapshots; t_snapshot_tag shows tags SURVIVING expiration,
+    // this scenario shows expiration actually RECLAIMING): with no tag
+    // pinning history, expire folds the head into one replace commit,
+    // drops every older log entry, and deletes the now-unreferenced data
+    // AND delete files from storage. snaps_before/after pin the metadata
+    // bound; orphans_gone pins physical reclamation (every parquet left
+    // on disk is referenced by a retained snapshot — a boolean, so the
+    // golden is independent of shard parallelism).
+    Q(
+      "t_expire_snapshots",
+      """SELECT * FROM (VALUES
+        |  ('B','medium',15),('B','medium',115),('C','medium',10),
+        |  ('C','medium',110),('D','small',20),('D','small',120),
+        |  ('E','large',20),('E','large',120))
+        |  AS t(name, size, count)
+        |CROSS JOIN (VALUES (CAST(3 AS BIGINT), CAST(1 AS BIGINT), true))
+        |  AS m(snaps_before, snaps_after, orphans_gone)
+        |ORDER BY name, count""",
+    ) { (s, _) =>
+      import s.implicits._
+      val root = Files.createTempDirectory("graft_expire")
+      val t = GraftTable.createOrReplace(s, root.toString)
+      t.append(items(s))                                          // seq 0
+      t.append(items(s).withColumn("count", col("count") + 100))  // seq 1
+      t.delete(Seq("A").toDF("name"), Seq("name"))                // seq 2
+      val before = t.snapshots.size.toLong                        // 3
+      t.expireSnapshots()                                         // replace @3, drop 0-2
+      val after = t.snapshots.size.toLong                         // 1
+      val referenced = t.snapshots
+        .flatMap(e => e.dataFiles ++ e.deleteFiles).toSet
+      val onDisk = Seq("data", "deletes").flatMap { kind =>
+        val d = root.resolve(kind)
+        if (!Files.exists(d)) Nil
+        else {
+          val st = Files.walk(d)
+          try st.iterator().asScala.filter(_.toString.endsWith(".parquet")).map(_.toString).toList
+          finally st.close()
+        }
+      }.toSet
+      t.read()
+        .withColumn("snaps_before", lit(before))
+        .withColumn("snaps_after", lit(after))
+        .withColumn("orphans_gone", lit(onDisk == referenced))
+        .orderBy("name", "count")
+    },
+
+    // Partition-spec EVOLUTION (Iceberg's per-file spec model): epoch 1
+    // lands under truncate(10,count), epoch 2 under truncate(100,count).
+    // Probes still name only the source column; the new spec prunes the
+    // new epoch's files by partition value, while old-spec files are
+    // never pruned with the new transform (the requireSpec guard) — they
+    // fall back to their per-file column stats, so every probe here still
+    // opens exactly one of the 4 files. No rewrite happened at the spec
+    // change: evolution is metadata-only, exactly Iceberg's rule.
+    Q(
+      "t_partition_evolution",
+      """SELECT * FROM (VALUES
+        |  ('eq15','B','medium',15,1),
+        |  ('eq110','C','medium',110,1),
+        |  ('range10_19','B','medium',15,1),
+        |  ('range10_19','C','medium',10,1))
+        |  AS t(probe, name, size, count, files_opened)
+        |ORDER BY probe, name""",
+    ) { (s, _) =>
+      val t = tmpTable(s, "specevo")
+      t.appendPartitioned(items(s),
+        PartitionSpec("count", Transform.Truncate(10)), statsCols = Seq("count"))
+      t.appendPartitioned(items(s).withColumn("count", col("count") + 100),
+        PartitionSpec("count", Transform.Truncate(100)), statsCols = Seq("count"))
+      val eq15 = t.readEq("count", 15)
+        .withColumn("probe", lit("eq15"))
+        .withColumn("files_opened", lit(t.prunedFileCountEq("count", 15)))
+      val eq110 = t.readEq("count", 110)
+        .withColumn("probe", lit("eq110"))
+        .withColumn("files_opened", lit(t.prunedFileCountEq("count", 110)))
+      val range = t.readRange("count", BigDecimal(10), BigDecimal(19))
+        .withColumn("probe", lit("range10_19"))
+        .withColumn("files_opened",
+          lit(t.prunedFileCount("count", BigDecimal(10), BigDecimal(19))))
+      eq15.unionByName(eq110).unionByName(range)
+        .select("probe", "name", "size", "count", "files_opened")
+        .orderBy("probe", "name")
     },
 
     // A33 (declared-only Cargo.toml:53-55): two writers race on the same

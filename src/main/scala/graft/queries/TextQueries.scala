@@ -415,5 +415,40 @@ object TextQueries extends QueryPack {
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
         .orderBy("lang", "bin")
     },
+
+    // Inverted-index build (the retrieval/decontamination index shape):
+    // per term, document frequency, total occurrences, and a COMMUTATIVE
+    // postings fingerprint — sum of per-doc hashes mod p — that pins the
+    // exact posting SET without materializing it. Deliberate scale shape:
+    // collect_list postings for a stop word is the classic hot-key OOM;
+    // a commutative fingerprint keeps both shuffles fully partial-
+    // aggregated (map-side combine), so a term seen in every document
+    // costs the same as a rare one. All arithmetic stays in BIGINT range:
+    // doc_id < 2^40 would still bound hash < p·2^40 < 2^63 after the
+    // per-row mod.
+    Q(
+      "q_inverted_index",
+      s"""WITH d AS (SELECT doc_id, unnest($W) AS word FROM documents),
+         |t AS (SELECT word, doc_id, CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM d GROUP BY word, doc_id)
+         |SELECT word, CAST(COUNT(*) AS BIGINT) AS df,
+         |  CAST(SUM(n) AS BIGINT) AS n_occ,
+         |  CAST(SUM((doc_id * 2654435761) % 1000000007) % 1000000007 AS BIGINT) AS postings_fp,
+         |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+         |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+         |FROM t GROUP BY word ORDER BY word""",
+    ) { (s, dir) =>
+      Tables.spread(Tables.documents(s, dir))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("word", "doc_id").agg(count(lit(1)).as("n"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("df"),
+          sum(col("n")).cast("long").as("n_occ"),
+          (sum(expr("(doc_id * 2654435761L) % 1000000007L")) % 1000000007L)
+            .cast("long").as("postings_fp"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("word")
+    },
   )
 }
