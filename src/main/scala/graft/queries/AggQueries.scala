@@ -205,6 +205,50 @@ object AggQueries extends QueryPack {
         .orderBy("l_returnflag")
     },
 
+    // Approximate quantiles (the second sketch after HLL): the
+    // mergeable-summary family a 100 TB engine needs when exact
+    // percentile's per-group value buffers don't fit. No oracle — the
+    // sketch is algorithm-specific, like q_agg_approx_distinct; the
+    // registered entry is bounded against exact percentile in
+    // QuerySurfaceSpec via the sketch's own accuracy contract
+    // (relativeError 1/accuracy).
+    Q.noOracle("q_agg_approx_quantile") { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(approx_percentile(l_extendedprice, 0.5, 1000) * 100 AS BIGINT)")
+            .as("p50_approx_x1e2"),
+          expr("CAST(approx_percentile(l_extendedprice, 0.99, 1000) * 100 AS BIGINT)")
+            .as("p99_approx_x1e2"))
+        .orderBy("l_returnflag")
+    },
+
+    // first/last/nth value windows with explicit full frames: last_value
+    // over the DEFAULT frame (unbounded→current) is the classic silent
+    // bug (it returns the current row); the full frame + total tie order
+    // makes all three deterministic and cross-engine exact.
+    Q(
+      "q_win_first_last",
+      """SELECT o_custkey, o_orderkey,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_order,
+        |  LAST_VALUE(o_orderkey) OVER w AS last_order,
+        |  NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""",
+    ) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          last(col("o_orderkey")).over(w).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // ---- windows ----
 
     Q(

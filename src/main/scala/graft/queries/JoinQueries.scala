@@ -212,6 +212,48 @@ object JoinQueries extends QueryPack {
         .orderBy("o_orderpriority")
     },
 
+    // Dynamic partition pruning: the fact table is laid out partitioned by
+    // the join key; joining it to a FILTERED dim makes Catalyst inject the
+    // dim's key set into the fact scan's PartitionFilters at runtime
+    // (broadcast reuse), so only the matching partition directories are
+    // ever read — the star-schema scan pattern that turns a 100 TB fact
+    // scan into a per-segment read without any explicit predicate on the
+    // fact side. dpp_active is pinned from the actual plan text
+    // ("dynamicpruning" in the scan's partition filters).
+    Q(
+      "q_join_dpp",
+      """WITH dim AS (SELECT * FROM (VALUES ('purchase', 10), ('signup', 5))
+        |             AS d(event_type, weight) WHERE weight > 0)
+        |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(*) * MAX(d.weight) AS BIGINT) AS weighted,
+        |  true AS dpp_active
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""",
+    ) { (s, dir) =>
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_dpp")
+      val base = root.resolve("events").toString
+      // one file per partition dir (anti-small-files), hive-style layout
+      Tables.events(s, dir).repartition(col("event_type"))
+        .write.partitionBy("event_type").parquet(base)
+      val fact = s.read.parquet(base)
+      // the dim must be a FILE relation: a literal LocalRelation gets its
+      // Filter constant-folded away (ConvertToLocalRelation), erasing the
+      // selective predicate the DPP rule keys on — verified empirically
+      val dimPath = root.resolve("dim").toString
+      Seq(("purchase", 10L), ("signup", 5L), ("error", 0L))
+        .toDF("event_type", "weight").write.parquet(dimPath)
+      val dim = s.read.parquet(dimPath)
+        .filter(col("weight") > 0) // the selective dim predicate DPP keys on
+      val agg = fact.join(dim, Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), (count(lit(1)) * max(col("weight"))).as("weighted"))
+      val dpp = agg.queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        .contains("dynamicpruning")
+      agg.withColumn("dpp_active", lit(dpp)).orderBy("event_type")
+    },
+
     // banded theta self-join: pairs of events by the same user within 5
     // minutes. Scale pattern (banded range join): the equi key is
     // (user_id, 5-minute time bucket) — the left side is exploded into its

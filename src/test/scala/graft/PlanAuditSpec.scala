@@ -174,6 +174,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(keys.contains("_salt"), s"salt missing from join keys: $keys")
   }
 
+  test("q_sessionize runs both windows AND the session rollup on one user_id shuffle") {
+    val p = plan("q_sessionize")
+    assert(p.contains("hashpartitioning(user_id"),
+      "session windows must partition by user_id")
+    // lag-flag window, running-sum window, and the (user_id, session_id)
+    // rollup all satisfy their distribution from the SAME user_id
+    // partitioning (subset rule); only the output sort may add an exchange
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2,
+      s"$exchanges exchanges; sessionization should shuffle raw rows exactly once")
+  }
+
+  test("q_inverted_index never materializes postings (no collect, fully partial-agg'd)") {
+    val p = plan("q_inverted_index")
+    assert(!p.contains("collect_list") && !p.contains("ObjectHashAggregate"),
+      "postings must be fingerprinted commutatively, not collected")
+    // (word, doc_id) agg + word agg + output sort; a hot-key collect or a
+    // non-partial aggregate path would change the operator set
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "both aggregations should be two-phase hash aggregates")
+  }
+
+  test("q_join_colocated reads buckets and adds no join-input exchange") {
+    val p = plan("q_join_colocated")
+    assert(p.contains("SelectedBucketsCount"), "scan did not use buckets")
+    val hashExchanges = p.linesIterator
+      .count(l => l.trim.startsWith("Exchange hashpartitioning"))
+    // the single hash exchange is the aggregation's (o_orderpriority);
+    // bucket-aligned join inputs must add none
+    assert(hashExchanges <= 1,
+      s"$hashExchanges hash exchanges; bucketed join inputs must not shuffle")
+  }
+
   test("q_join_inner leaves join selection to the optimizer (no forced broadcast of customer)") {
     // at test scale the optimizer may well broadcast — the audit is that
     // the PLAN resolves and contains a keyed join, with no ResolvedHint

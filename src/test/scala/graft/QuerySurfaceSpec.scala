@@ -60,6 +60,28 @@ class QuerySurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("q_agg_approx_quantile lands within the sketch's rank-error band of exact") {
+    import org.apache.spark.sql.functions._
+    // accuracy=1000 guarantees rank error <= n/1000; asserting against the
+    // much looser p40..p60 / p95..p100 envelope keeps the test stable while
+    // still catching a broken sketch or a swapped percentile argument
+    val approx = SparkEntry.queries("q_agg_approx_quantile")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(expr("CAST(percentile(l_extendedprice, 0.4) * 100 AS BIGINT)").as("p40"),
+        expr("CAST(percentile(l_extendedprice, 0.6) * 100 AS BIGINT)").as("p60"),
+        expr("CAST(percentile(l_extendedprice, 0.95) * 100 AS BIGINT)").as("p95"),
+        expr("CAST(MAX(l_extendedprice) * 100 AS BIGINT)").as("pmax"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    exact.foreach { case (k, (p40, p60, p95, pmax)) =>
+      val (a50, a99) = approx(k)
+      assert(a50 >= p40 && a50 <= p60, s"$k: approx p50 $a50 outside [$p40, $p60]")
+      assert(a99 >= p95 && a99 <= pmax, s"$k: approx p99 $a99 outside [$p95, $pmax]")
+    }
+  }
+
   test("GraftSession.attach applies engine defaults and registers native functions") {
     val s = GraftSession.attach(spark.newSession())
     assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
