@@ -497,6 +497,78 @@ object AggQueries extends QueryPack {
         .orderBy("user_id", "session_id")
     },
 
+    // Conversion funnel (click → later purchase), cohorted by first-click
+    // day: the event-analytics staple. The per-user first-click window and
+    // the per-user reduction share ONE user_id shuffle (the window key);
+    // the cohort rollup then aggregates user-sized rows. Ratio is exact
+    // integer ×1e4 floor-div (all counts non-negative).
+    Q(
+      "q_funnel",
+      """WITH w AS (SELECT user_id, event_type, ts,
+        |        MIN(CASE WHEN event_type = 'click' THEN ts END)
+        |          OVER (PARTITION BY user_id) AS first_click
+        |      FROM events),
+        |u AS (SELECT user_id, MIN(first_click) AS fc,
+        |        MIN(CASE WHEN event_type = 'purchase' AND ts > first_click THEN ts END) AS conv_ts
+        |      FROM w WHERE first_click IS NOT NULL GROUP BY user_id)
+        |SELECT CAST(CAST(fc AS TIMESTAMP) AS DATE) AS cohort,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clicked,
+        |  CAST(COUNT(conv_ts) AS BIGINT) AS n_converted,
+        |  CAST(COUNT(conv_ts) * 10000 // COUNT(*) AS BIGINT) AS conv_x1e4
+        |FROM u GROUP BY 1 ORDER BY cohort""",
+    ) { (s, dir) =>
+      val wu = Window.partitionBy("user_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("first_click",
+          min(when(col("event_type") === "click", col("ts"))).over(wu))
+        .filter(col("first_click").isNotNull)
+        .groupBy("user_id")
+        .agg(min(col("first_click")).as("fc"),
+          min(when(col("event_type") === "purchase" && col("ts") > col("first_click"),
+            col("ts"))).as("conv_ts"))
+        .groupBy(to_date(col("fc")).as("cohort"))
+        .agg(count(lit(1)).as("n_clicked"),
+          count(col("conv_ts")).as("n_converted"),
+          expr("CAST(count(conv_ts) * 10000L div count(1) AS BIGINT)").as("conv_x1e4"))
+        .orderBy("cohort")
+    },
+
+    // Weekly cohort retention: users grouped by their first active week,
+    // retained = active again the NEXT week. Weeks are integer
+    // epoch-microsecond div (identical arithmetic in both engines —
+    // date_trunc('week') start-of-week conventions are not portable).
+    // Same one-shuffle shape as q_funnel: per-user window + reduction on
+    // the user_id key, then a cohort rollup of user-sized rows.
+    Q(
+      "q_retention",
+      """WITH a AS (SELECT user_id,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk FROM events),
+        |w AS (SELECT user_id, wk, MIN(wk) OVER (PARTITION BY user_id) AS wk0 FROM a),
+        |u AS (SELECT user_id, MIN(wk0) AS wk0,
+        |        MAX(CASE WHEN wk = wk0 + 1 THEN 1 ELSE 0 END) AS retained
+        |      FROM w GROUP BY user_id)
+        |SELECT CAST(wk0 AS BIGINT) AS cohort_week,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(retained) AS BIGINT) AS n_retained,
+        |  CAST(SUM(retained) * 10000 // COUNT(*) AS BIGINT) AS ret_x1e4
+        |FROM u GROUP BY wk0 ORDER BY cohort_week""",
+    ) { (s, dir) =>
+      val wu = Window.partitionBy("user_id")
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000L").as("wk"))
+        .withColumn("wk0", min(col("wk")).over(wu))
+        .groupBy("user_id")
+        .agg(min(col("wk0")).as("wk0"),
+          max(when(col("wk") === col("wk0") + 1, 1L).otherwise(0L)).as("retained"))
+        .groupBy(col("wk0").as("cohort_week"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("retained")).cast("long").as("n_retained"),
+          expr("CAST(sum(retained) * 10000L div count(1) AS BIGINT)").as("ret_x1e4"))
+        .orderBy("cohort_week")
+    },
+
     // Mode (most frequent value) per group with a DETERMINISTIC tie-break
     // (count DESC, then lexicographic) — max_by alone ties arbitrarily,
     // which can never hash-match across engines. Two-phase: one partial-

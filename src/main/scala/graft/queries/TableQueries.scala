@@ -518,6 +518,39 @@ object TableQueries extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // Z-order compaction (rewrite_data_files with zorder(x, y)): two
+    // interleaved ingest epochs leave 4 files that straddle BOTH
+    // dimension domains — a probe on either dimension opens all 4. The
+    // z-order rewrite clusters the 16×16 grid into 4 quadrant files
+    // (deterministic equal z-ranges), after which a low-x probe and a
+    // low-y probe each open exactly 2 of 4 — the multi-dimensional
+    // clustering a lexicographic sort can't give (it would prune only its
+    // leading column). Golden pins the probe aggregate and all three
+    // file counts.
+    Q(
+      "t_zorder",
+      """SELECT CAST(64 AS BIGINT) AS n, CAST(2016 AS BIGINT) AS sum_v,
+        |  4 AS files_before, 2 AS files_x_after, 2 AS files_y_after""",
+    ) { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "zorder")
+      val grid = for { x <- 0 until 16; y <- 0 until 16 } yield (x, y, x * 16 + y)
+      // two epochs, each round-robin split into 2 files spanning the whole
+      // grid — the worst case for pruning on every dimension
+      val (e1, e2) = grid.partition { case (x, y, _) => (x + y) % 2 == 0 }
+      t.append(e1.toDF("x", "y", "v").repartition(2), statsCols = Seq("x", "y"))
+      t.append(e2.toDF("x", "y", "v").repartition(2), statsCols = Seq("x", "y"))
+      val before = t.prunedFileCount("x", BigDecimal(0), BigDecimal(3))
+      t.compactZOrder(Seq("x", "y"), numFiles = 4)
+      val afterX = t.prunedFileCount("x", BigDecimal(0), BigDecimal(3))
+      val afterY = t.prunedFileCount("y", BigDecimal(0), BigDecimal(3))
+      t.readRange("x", BigDecimal(0), BigDecimal(3))
+        .agg(count(lit(1)).as("n"), sum(col("v")).cast("long").as("sum_v"))
+        .withColumn("files_before", lit(before))
+        .withColumn("files_x_after", lit(afterX))
+        .withColumn("files_y_after", lit(afterY))
+    },
+
     // Snapshot expiration as a REGISTERED maintenance op (Iceberg
     // expire_snapshots; t_snapshot_tag shows tags SURVIVING expiration,
     // this scenario shows expiration actually RECLAIMING): with no tag

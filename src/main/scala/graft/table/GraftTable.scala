@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, MetadataBuilder, StructField, StructType}
 
@@ -169,13 +169,14 @@ final class GraftTable(spark: SparkSession, val root: Path) {
 
   /** Every column name the table layer synthesizes: the partition values
     * (_p, _p1, …, write path), the commit sequence (_seq, MoR read path),
-    * and the physical row address (_file/_pos, positional deletes). A
+    * and the physical row address (_file/_pos, positional deletes), and the
+    * z-order rewrite's scratch columns (_zval/_zq). A
     * user column with one of these names would be silently overwritten by
     * the MoR machinery and dropped on plain reads — reject it at the
     * write.
     */
   private def requireNoReserved(df: DataFrame): Unit = {
-    val named = Set(PartCol, SeqCol, FileCol, PosCol)
+    val named = Set(PartCol, SeqCol, FileCol, PosCol, "_zval", "_zq")
     val clash = df.columns.filter(c => named(c) || c.matches("_p\\d+"))
     require(clash.isEmpty,
       s"reserved column name(s) ${clash.mkString(", ")}: " +
@@ -841,6 +842,60 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     val fs = perFileStats(dir, files, Seq(sortCol))
     log.commit("replace", dataFiles = files,
       stats = foldStats(fs, Seq(sortCol)),
+      schemaJson = idSchemaJson(view.schema),
+      fileStats = fs)
+  }
+
+  /** Z-order compaction (Iceberg's rewrite_data_files with zorder(a, b)):
+    * interleave the bits of the min-max-normalized dimension values and
+    * cluster files by equal Z-VALUE RANGES, so per-file bounds shrink on
+    * BOTH dimensions at once — a lexicographic sort only ever prunes its
+    * leading column. numFiles must be a power of 4: each file then covers
+    * exactly one cell of the √n × √n quadrant grid, which also makes the
+    * file layout deterministic (explicit z-range bucketing, not sampled
+    * range boundaries — RangePartitioner's reservoir sampling could
+    * otherwise wobble a file edge across a quadrant line and flip the
+    * pruning counts this rewrite exists to improve).
+    *
+    * The min/max normalization bounds come from one aggregate collect —
+    * metadata-sized (1 row), the same driver-side scale as the per-file
+    * stats fold. Null dimension values normalize to 0 (sort first).
+    */
+  def compactZOrder(cols: Seq[String], numFiles: Int): Long = {
+    require(cols.size == 2, "z-order is implemented for two dimensions")
+    require(Set(4, 16, 64, 256)(numFiles), s"numFiles must be a power of 4, got $numFiles")
+    val dir = newShardDir("data")
+    val view = read()
+    val Seq(a, b) = cols
+    val bounds = view.agg(
+      min(col(a)).cast("double"), max(col(a)).cast("double"),
+      min(col(b)).cast("double"), max(col(b)).cast("double")).collect()(0)
+    def norm(c: String, lo: Double, hi: Double): Column = {
+      val span = hi - lo
+      if (span <= 0) lit(0L)
+      else least(lit(65535L), greatest(lit(0L),
+        floor((col(c).cast("double") - lit(lo)) * 65535.0 / span).cast("long")))
+    }
+    // Morton spread: value bit i -> z bit 2i (the other dim fills 2i+1)
+    def spreadBits(c: Column): Column =
+      (0 until 16).map(i => shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), 2 * i))
+        .reduce(_ bitwiseOR _)
+    val z = spreadBits(norm(a, bounds.getDouble(0), bounds.getDouble(1)))
+      .bitwiseOR(shiftleft(spreadBits(norm(b, bounds.getDouble(2), bounds.getDouble(3))), 1))
+    // explicit equal z-range bucket per file: top log2(numFiles) bits
+    val shift = 32 - (math.log(numFiles) / math.log(2)).round.toInt
+    val zq = shiftright(z, shift)
+    val outCols = view.columns.map(col).toIndexedSeq
+    view
+      .withColumn("_zval", z).withColumn("_zq", zq)
+      .repartitionByRange(numFiles, col("_zq"))
+      .sortWithinPartitions("_zval")
+      .select(outCols: _*)
+      .write.parquet(dir.toString)
+    val files = parquetFilesIn(dir)
+    val fs = perFileStats(dir, files, cols)
+    log.commit("replace", dataFiles = files,
+      stats = foldStats(fs, cols),
       schemaJson = idSchemaJson(view.schema),
       fileStats = fs)
   }
