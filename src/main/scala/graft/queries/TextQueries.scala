@@ -416,6 +416,51 @@ object TextQueries extends QueryPack {
         .orderBy("lang", "bin")
     },
 
+    // Corpus collocation mining (the PMI family): adjacent-token bigrams
+    // ranked by integer lift = nab·N / (na·nb), where na/nb are the
+    // bigram relation's own marginals — the standard PMI estimate over a
+    // bigram table. Join-free like q_tfidf: marginals attach via
+    // token-partitioned count windows (hot-token partitions are bounded
+    // by that token's distinct pairings, not corpus size); the corpus
+    // total N attaches via a one-row broadcast, not a global window
+    // (which would funnel the bigram relation through one task). Top-20
+    // by (lift, a, b) total order → TakeOrderedAndProject.
+    Q(
+      "q_cooccur",
+      s"""WITH d AS (SELECT doc_id, $W AS w FROM documents),
+         |i AS (SELECT doc_id, w, unnest(range(0, len(w) - 1)) AS i FROM d),
+         |g AS (SELECT w[i+1] AS a, w[i+2] AS b FROM i),
+         |c AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nab FROM g GROUP BY a, b),
+         |m AS (SELECT a, b, nab,
+         |        SUM(nab) OVER (PARTITION BY a) AS na,
+         |        SUM(nab) OVER (PARTITION BY b) AS nb
+         |      FROM c),
+         |t AS (SELECT CAST(SUM(nab) AS BIGINT) AS total FROM c)
+         |SELECT a, b, nab, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+         |  CAST(nab * total * 10000 // (na * nb) AS BIGINT) AS lift_x1e4
+         |FROM m, t WHERE nab >= 5
+         |ORDER BY lift_x1e4 DESC, a, b LIMIT 20""",
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val bigrams = Tables.spread(Tables.documents(s, dir))
+        .withColumn("w", split(col("text"), " "))
+        .select(posexplode(expr(
+          "transform(slice(w, 1, size(w) - 1), (x, i) -> struct(x AS a, w[i + 1] AS b))"))
+          .as(Seq("_i", "g")))
+        .select(col("g.a").as("a"), col("g.b").as("b"))
+      val c = bigrams.groupBy("a", "b").agg(count(lit(1)).as("nab"))
+      val total = c.agg(sum(col("nab")).cast("long").as("total"))
+      c.withColumn("na", sum(col("nab")).over(Window.partitionBy("a")))
+        .withColumn("nb", sum(col("nab")).over(Window.partitionBy("b")))
+        .filter(col("nab") >= 5)
+        .crossJoin(broadcast(total))
+        .select(col("a"), col("b"), col("nab"),
+          col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+          expr("CAST(nab * total * 10000L div (na * nb) AS BIGINT)").as("lift_x1e4"))
+        .orderBy(col("lift_x1e4").desc, col("a"), col("b"))
+        .limit(20)
+    },
+
     // Inverted-index build (the retrieval/decontamination index shape):
     // per term, document frequency, total occurrences, and a COMMUTATIVE
     // postings fingerprint — sum of per-doc hashes mod p — that pins the
