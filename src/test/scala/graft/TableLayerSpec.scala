@@ -516,6 +516,22 @@ class TableLayerSpec extends AnyFunSuite {
     }
   }
 
+  test("compactZOrder preserves data under nulls, a constant dimension, and MoR deletes") {
+    val t = freshTable("zorderedge")
+    // y is CONSTANT (span 0 → normalizes to 0) and x carries nulls
+    // (normalize to 0, sort first); a delete must be folded by the rewrite
+    val rows = Seq((Some(1), 5, "a"), (None, 5, "b"), (Some(9), 5, "c"), (Some(4), 5, "d"))
+    t.append(rows.toDF("x", "y", "name"))
+    t.delete(Seq("d").toDF("name"), Seq("name"))
+    val before = t.read().orderBy("name").collect()
+    t.compactZOrder(Seq("x", "y"), numFiles = 4)
+    assert(t.read().orderBy("name").collect().sameElements(before))
+    // the rewrite is a replace commit: no delete files remain in state
+    assert(t.commitLog.state()._2.isEmpty)
+    // non-power-of-4 file counts are rejected loudly
+    intercept[IllegalArgumentException](t.compactZOrder(Seq("x", "y"), numFiles = 8))
+  }
+
   test("positional delete removes exactly one of two IDENTICAL rows") {
     val t = freshTable("posdel")
     // two byte-identical rows: no equality predicate can separate them
