@@ -423,6 +423,21 @@ final class GraftTable(spark: SparkSession, val root: Path) {
   /** snapshot read; `asOf` = time travel to that committed seq. */
   def read(asOf: Long = Long.MaxValue): DataFrame = readPruned(asOf, Nil)
 
+  /** Iceberg's `TIMESTAMP AS OF` flavor of time travel: read the snapshot
+    * that was current at wall-clock `tsMs` — the last commit whose
+    * recorded timestamp (the committer's clock, like Iceberg's
+    * snapshot-log entries) is ≤ it. Spec-tested rather than registered:
+    * wall-clock timestamps are not oracle-reproducible. Refuses a
+    * timestamp before the first commit, matching Iceberg's "cannot find a
+    * snapshot older than" error.
+    */
+  def readAsOfTime(tsMs: Long): DataFrame = {
+    val at = log.entries().filter(_.tsMs <= tsMs).map(_.seq).maxOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot committed at or before timestamp $tsMs"))
+    read(asOf = at)
+  }
+
   // ---- branches: Iceberg branch refs, used as write-audit-publish.
   // A branch is an isolated staging lineage seeded with a copy of the
   // committed log METADATA (O(snapshots) small JSON entries — data files

@@ -516,6 +516,20 @@ class TableLayerSpec extends AnyFunSuite {
     }
   }
 
+  test("timestamp time travel reads the snapshot current at that wall-clock time") {
+    val t = freshTable("tstravel")
+    t.append(items)                                            // seq 0
+    val ts0 = t.snapshots.head.tsMs
+    // commit clocks have ms granularity; guarantee the second commit
+    // lands on a strictly later timestamp so the boundary is decidable
+    while (System.currentTimeMillis() <= ts0) Thread.sleep(1)
+    t.append(items.withColumn("count", col("count") + 100))    // seq 1
+    assert(t.snapshots(1).tsMs > ts0, "precondition: distinct commit timestamps")
+    assert(t.readAsOfTime(ts0).count() == 6)                   // seq-0 view
+    assert(t.readAsOfTime(System.currentTimeMillis()).count() == 12) // head
+    intercept[IllegalArgumentException](t.readAsOfTime(ts0 - 1))
+  }
+
   test("compactZOrder preserves data under nulls, a constant dimension, and MoR deletes") {
     val t = freshTable("zorderedge")
     // y is CONSTANT (span 0 → normalizes to 0) and x carries nulls
