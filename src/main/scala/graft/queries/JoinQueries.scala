@@ -212,6 +212,44 @@ object JoinQueries extends QueryPack {
         .orderBy("o_orderpriority")
     },
 
+    // The raw SQL entry path: TPC-H Q3 (shipping-priority) submitted as
+    // SQL TEXT through spark.sql over temp views — the interface a BI
+    // tool or notebook user hits, exercising the parser/analyzer front
+    // end the DataFrame queries bypass. Catalyst produces the same
+    // optimized plan either way (join reorder, pushdown, partial agg,
+    // TakeOrderedAndProject for the LIMIT). Adapted to this corpus:
+    // o_orderpriority stands in for TPC-H's o_shippriority.
+    Q(
+      "q_sql_q3",
+      """SELECT l_orderkey,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS revenue_x1e6,
+        |  o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue_x1e6 DESC, l_orderkey
+        |LIMIT 10""",
+    ) { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("v_q3_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("v_q3_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_q3_lineitem")
+      s.sql("""
+        SELECT l_orderkey,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS revenue_x1e6,
+          o_orderdate, o_orderpriority
+        FROM v_q3_customer JOIN v_q3_orders ON c_custkey = o_custkey
+        JOIN v_q3_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue_x1e6 DESC, l_orderkey
+        LIMIT 10""")
+    },
+
     // Dynamic partition pruning: the fact table is laid out partitioned by
     // the join key; joining it to a FILTERED dim makes Catalyst inject the
     // dim's key set into the fact scan's PartitionFilters at runtime
