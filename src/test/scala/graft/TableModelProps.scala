@@ -39,6 +39,10 @@ object TableModelProps extends Properties("graft-table-model") {
   private case class Upsert(rows: List[Row]) extends Op
   private case object Compact extends Op
   private case object CompactSorted extends Op
+  // z-order rewrite: same replace semantics as Compact, different layout;
+  // both dims point at the one numeric column (layout is irrelevant to
+  // the model, only the replace semantics are)
+  private case object CompactZOrder extends Op
   // field-id evolution, interleaved with everything else: RenameKey
   // toggles the key column "name" <-> "key" (so deletes recorded under
   // one name must keep applying under the other), WidenCount promotes
@@ -75,7 +79,7 @@ object TableModelProps extends Properties("graft-table-model") {
           // append — one atomic entry, latest row wins
           dels ++= rs.map(_._1).distinct.map(_ -> seq)
           rows ++= rs.map(_ -> seq)
-        case Compact | CompactSorted =>
+        case Compact | CompactSorted | CompactZOrder =>
           rows = view.map(_ -> seq)
           dels = Vector.empty
         case Rollback(raw) =>
@@ -109,6 +113,7 @@ object TableModelProps extends Properties("graft-table-model") {
     1 -> Gen.nonEmptyListOf(genRow).map(rs => Upsert(rs.take(3))),
     1 -> Gen.const(Compact),
     1 -> Gen.const(CompactSorted),
+    1 -> Gen.const(CompactZOrder),
     1 -> Gen.const(RenameKey),
     1 -> Gen.const(WidenCount),
     1 -> Gen.choose(0, 5).map(Rollback))
@@ -160,6 +165,7 @@ object TableModelProps extends Properties("graft-table-model") {
         t.upsert(rows.toDF(keyCol, "count"), keyCols = Seq(keyCol))
       case Compact => t.compact()
       case CompactSorted => t.compactSorted("count", numFiles = 2)
+      case CompactZOrder => t.compactZOrder(Seq("count", "count"), numFiles = 4)
       case RenameKey =>
         val next = if (keyCol == "name") "key" else "name"
         t.renameColumn(keyCol, next)
