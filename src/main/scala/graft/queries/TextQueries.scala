@@ -461,6 +461,43 @@ object TextQueries extends QueryPack {
         .limit(20)
     },
 
+    // Trigram language-model table (the n-gram LM construction pass):
+    // conditional next-token probability p(c|ab) = nabc/nab with the
+    // prefix marginal nab taken over the trigram relation itself —
+    // completing the n-gram family (unigram tf → bigram collocations →
+    // trigram conditionals). Same join-free doctrine as q_cooccur: the
+    // marginal attaches via an (a, b)-partitioned window (bounded by
+    // that prefix's distinct continuations), counts are two-phase hash
+    // aggregates, top-20 by total order → TakeOrderedAndProject.
+    Q(
+      "q_ngram_lm",
+      s"""WITH d AS (SELECT doc_id, $W AS w FROM documents),
+         |i AS (SELECT w, unnest(range(0, len(w) - 2)) AS i FROM d),
+         |g AS (SELECT w[i+1] AS a, w[i+2] AS b, w[i+3] AS c FROM i),
+         |t AS (SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS nabc FROM g GROUP BY a, b, c),
+         |m AS (SELECT a, b, c, nabc, SUM(nabc) OVER (PARTITION BY a, b) AS nab FROM t)
+         |SELECT a, b, c, nabc, CAST(nab AS BIGINT) AS nab,
+         |  CAST(nabc * 10000 // nab AS BIGINT) AS p_x1e4
+         |FROM m WHERE nabc >= 5
+         |ORDER BY nabc DESC, a, b, c LIMIT 20""",
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.spread(Tables.documents(s, dir))
+        .withColumn("w", split(col("text"), " "))
+        .select(explode(expr(
+          "transform(slice(w, 1, size(w) - 2), (x, i) -> struct(x AS a, w[i + 1] AS b, w[i + 2] AS c))"))
+          .as("g"))
+        .select(col("g.a").as("a"), col("g.b").as("b"), col("g.c").as("c"))
+        .groupBy("a", "b", "c").agg(count(lit(1)).as("nabc"))
+        .withColumn("nab", sum(col("nabc")).over(Window.partitionBy("a", "b")))
+        .filter(col("nabc") >= 5)
+        .select(col("a"), col("b"), col("c"), col("nabc"),
+          col("nab").cast("long").as("nab"),
+          expr("CAST(nabc * 10000L div nab AS BIGINT)").as("p_x1e4"))
+        .orderBy(col("nabc").desc, col("a"), col("b"), col("c"))
+        .limit(20)
+    },
+
     // Inverted-index build (the retrieval/decontamination index shape):
     // per term, document frequency, total occurrences, and a COMMUTATIVE
     // postings fingerprint — sum of per-doc hashes mod p — that pins the
