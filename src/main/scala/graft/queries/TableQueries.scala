@@ -663,5 +663,77 @@ object TableQueries extends QueryPack {
       val snaps = t.snapshots.map(e => (e.seq, e.action, e.dataFiles.length))
       snaps.toDF("seq", "action", "n_files").orderBy("seq")
     },
+
+    // Metadata checkpointing (Iceberg's rewrite_manifests applied to the
+    // log): after 3 commits, checkpoint() folds the per-commit entry
+    // files into ONE checkpoint file — a fresh read now opens 1 + O(new
+    // commits) metadata files instead of one per historical commit, the
+    // property that keeps planning cost flat after a million commits.
+    // meta_files pins the fold (1 checkpoint + 1 post-checkpoint entry);
+    // travel_rows pins that checkpointed history stays time-travelable;
+    // the data rows pin that MoR semantics (the seq-2 delete) survive the
+    // fold unchanged.
+    Q(
+      "t_log_checkpoint",
+      """SELECT * FROM (VALUES
+        |  ('A','small',202),
+        |  ('B','medium',15),('B','medium',115),('B','medium',215),
+        |  ('C','medium',10),('C','medium',110),('C','medium',210),
+        |  ('D','small',20),('D','small',120),('D','small',220),
+        |  ('E','large',20),('E','large',120),('E','large',220))
+        |  AS t(name, size, count)
+        |CROSS JOIN (VALUES (CAST(2 AS BIGINT), 2, CAST(5 AS BIGINT)))
+        |  AS m(ckpt_seq, meta_files, travel_rows)
+        |ORDER BY name, count""",
+    ) { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "ckpt")
+      t.append(items(s))                                          // seq 0
+      t.append(items(s).withColumn("count", col("count") + 100))  // seq 1
+      t.delete(Seq("A").toDF("name"), Seq("name"))                // seq 2
+      val ckptSeq = t.checkpointMetadata()                        // folds 0-2
+      t.append(items(s).withColumn("count", col("count") + 200))  // seq 3
+      val travelRows = t.read(asOf = 0).count()                   // 5
+      t.read()
+        .withColumn("ckpt_seq", lit(ckptSeq))
+        .withColumn("meta_files", lit(t.commitLog.metaFileCount))
+        .withColumn("travel_rows", lit(travelRows))
+        .orderBy("name", "count")
+    },
+
+    // Changelog (CDC) read — Iceberg's create_changelog_view: row-level
+    // changes in (0, head], each stamped with change_type/change_seq. The
+    // mixed commit at seq 1 emits BOTH its delete (the pre-commit 'A'
+    // row, matched via the equality keys against the seq-0 state) and its
+    // insert (the reborn 'A' — untouched by its own delete, the seq
+    // scoping rule); seq 2 emits a pure delete; seq 3 pure inserts. A
+    // downstream consumer replays exactly these rows in commit order
+    // instead of diffing snapshots — cost ∝ changed data, not history.
+    Q(
+      "t_changelog",
+      """SELECT * FROM (VALUES
+        |  ('A','small',2,'delete',CAST(1 AS BIGINT)),
+        |  ('A','reborn',99,'insert',CAST(1 AS BIGINT)),
+        |  ('B','medium',15,'delete',CAST(2 AS BIGINT)),
+        |  ('A','small',102,'insert',CAST(3 AS BIGINT)),
+        |  ('B','medium',115,'insert',CAST(3 AS BIGINT)),
+        |  ('C','medium',110,'insert',CAST(3 AS BIGINT)),
+        |  ('D','small',120,'insert',CAST(3 AS BIGINT)),
+        |  ('E','large',120,'insert',CAST(3 AS BIGINT)))
+        |  AS t(name, size, count, change_type, change_seq)
+        |ORDER BY change_seq, change_type, name, count""",
+    ) { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "changelog")
+      t.append(items(s))                                          // seq 0
+      t.appendAndDelete(                                          // seq 1: mixed
+        Seq(("A", "reborn", 99)).toDF("name", "size", "count"),
+        Seq("A").toDF("name"), equalityCols = Seq("name"))
+      t.delete(Seq("B").toDF("name"), Seq("name"))                // seq 2
+      t.append(items(s).withColumn("count", col("count") + 100))  // seq 3
+      t.readChangelog(fromSeq = 0)
+        .select("name", "size", "count", "change_type", "change_seq")
+        .orderBy("change_seq", "change_type", "name", "count")
+    },
   )
 }

@@ -123,6 +123,22 @@ final class CommitLog(val root: Path) {
 
   private def entryPath(seq: Long): Path = logDir.resolve(f"$seq%020d.json")
 
+  // metadata checkpoints: _log/_ckpt/<top seq>.json holds EVERY committed
+  // entry with seq <= its name folded into one JSON array — the Iceberg
+  // manifest-list idea applied to the log. After checkpoint() a fresh
+  // reader opens 1 + O(tail) files instead of O(all commits); nothing
+  // about entry content, time travel, or the CAS protocol changes.
+  private val ckptDir = logDir.resolve("_ckpt")
+
+  private def ckptSeqOf(p: Path): Long =
+    p.getFileName.toString.stripSuffix(".json").toLong
+
+  private def latestCkpt: Option[Path] =
+    if (!Files.exists(ckptDir)) None
+    else listed(ckptDir)(_.filter(p =>
+        p.getFileName.toString.endsWith(".json") && Files.size(p) > 0).toSeq)
+      .sortBy(_.getFileName.toString).lastOption
+
   /** list a directory with the stream closed (Files.list leaks a
     * directory fd until GC otherwise — commits/reads run per epoch).
     */
@@ -132,24 +148,91 @@ final class CommitLog(val root: Path) {
   }
 
   /** largest claimed seq, or -1 for an empty log. Claimed-but-unwritten
-    * entries count: their seq must never be reused.
+    * entries count: their seq must never be reused — and so do seqs folded
+    * into a checkpoint, whose individual files no longer exist.
     */
   def headSeq(): Long = listed(logDir) { it =>
     val files = it.map(_.getFileName.toString).filter(_.endsWith(".json")).toSeq
-    if (files.isEmpty) -1L else files.map(_.stripSuffix(".json").toLong).max
+    val tail = if (files.isEmpty) -1L else files.map(_.stripSuffix(".json").toLong).max
+    math.max(tail, latestCkpt.map(ckptSeqOf).getOrElse(-1L))
   }
 
   /** All committed entries with seq ≤ asOf. Zero-length entry files are
     * claims whose content is not yet (or never was — a crashed committer)
     * atomically moved in; they are skipped, which makes reads correct
     * concurrently with in-flight commits and after committer crashes.
+    * When a checkpoint exists, entries up to its seq come from the ONE
+    * checkpoint file; only the tail is read file-per-entry. A reader that
+    * races checkpoint() can see an entry file vanish between listing and
+    * reading — the fold that deleted it has made its content available in
+    * the checkpoint, so the read is retried once against the new layout.
     */
   def entries(asOf: Long = Long.MaxValue): Seq[LogEntry] =
-    listed(logDir)(_.toSeq)
-      .filter(p => p.getFileName.toString.endsWith(".json") && Files.size(p) > 0)
+    try entriesOnce(asOf)
+    catch { case _: java.nio.file.NoSuchFileException => entriesOnce(asOf) }
+
+  private def entriesOnce(asOf: Long): Seq[LogEntry] = {
+    val ck = latestCkpt
+    val ckSeq = ck.map(ckptSeqOf).getOrElse(-1L)
+    val base = ck.map(p => Json.parseEntries(Files.readString(p))).getOrElse(Nil)
+    val tail = listed(logDir)(_.toSeq)
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".json") && n.stripSuffix(".json").toLong > ckSeq
+      }
+      .filter(Files.size(_) > 0)
       .sortBy(_.getFileName.toString)
       .map(p => Json.parseEntry(Files.readString(p)))
-      .filter(_.seq <= asOf)
+    (base ++ tail).filter(_.seq <= asOf)
+  }
+
+  /** Fold every committed entry into one checkpoint file and delete the
+    * per-entry files (and any superseded checkpoint) it covers — Iceberg's
+    * rewrite_manifests for the log: the metadata a reader must open stops
+    * growing with commit count. Returns the checkpointed head seq (-1 on
+    * an empty log). Safe concurrently with commits: a racing committer
+    * claims headSeq()+1, which is above the fold; a racing reader retries
+    * through the checkpoint (see entries()). Content is unchanged, so
+    * time travel, tags, branches, and incremental reads all still see the
+    * identical history.
+    */
+  def checkpoint(): Long = {
+    val es = entriesOnce(Long.MaxValue)
+    if (es.isEmpty) return -1L
+    val top = es.map(_.seq).max
+    Files.createDirectories(ckptDir)
+    val p = ckptDir.resolve(f"$top%020d.json")
+    if (!Files.exists(p)) {
+      val tmp = Files.createTempFile(ckptDir, s".$top-", ".tmp")
+      Files.write(tmp, Json.renderEntries(es).getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // folded entry files (including crashed empty claims ≤ top — their
+    // seqs stay burned via the checkpoint's name) and older checkpoints
+    // are redundant now
+    listed(logDir)(_.toSeq).filter { q =>
+      val n = q.getFileName.toString
+      n.endsWith(".json") && n.stripSuffix(".json").toLong <= top
+    }.foreach(Files.deleteIfExists)
+    listed(ckptDir)(_.toSeq).filter { q =>
+      q.getFileName.toString.endsWith(".json") && ckptSeqOf(q) < top
+    }.foreach(Files.deleteIfExists)
+    top
+  }
+
+  /** Physical metadata files a fresh read opens: tail entry files plus the
+    * checkpoint, if any — the quantity checkpoint() bounds.
+    */
+  def metaFileCount: Int = {
+    val ck = latestCkpt
+    val ckSeq = ck.map(ckptSeqOf).getOrElse(-1L)
+    val tail = listed(logDir)(_.count { p =>
+      val n = p.getFileName.toString
+      n.endsWith(".json") && n.stripSuffix(".json").toLong > ckSeq
+    })
+    tail + ck.size
+  }
 
   /** Live table state at a snapshot: data files tagged with the seq that
     * added them, delete files tagged likewise (both after the last
@@ -250,6 +333,10 @@ final class CommitLog(val root: Path) {
 
   /** drop log entries with seq < before (snapshot expiration: bounded
     * metadata; history earlier than `before` stops being travelable).
+    * Checkpointed entries expire too: the checkpoint is rewritten with
+    * only the surviving entries, under its original name — keeping the
+    * top seq claimed (headSeq must never regress past burned seqs) even
+    * when every entry inside it expires.
     */
   def expireBefore(before: Long): Int = {
     val victims = listed(logDir)(_.toSeq)
@@ -258,7 +345,19 @@ final class CommitLog(val root: Path) {
         n.endsWith(".json") && n.stripSuffix(".json").toLong < before
       }
     victims.foreach(Files.delete)
-    victims.size
+    val fromCkpt = latestCkpt.map { p =>
+      val es = Json.parseEntries(Files.readString(p))
+      val keep = es.filter(_.seq >= before)
+      if (keep.size == es.size) 0
+      else {
+        val tmp = Files.createTempFile(ckptDir, s".expire-", ".tmp")
+        Files.write(tmp, Json.renderEntries(keep).getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        es.size - keep.size
+      }
+    }.getOrElse(0)
+    victims.size + fromCkpt
   }
 }
 
@@ -332,11 +431,21 @@ private[table] object Json {
     mapper.writeValueAsString(o)
   }
 
-  def parseEntry(s: String): LogEntry = {
-    val n = mapper.readTree(s)
+  /** checkpoint payload: a JSON array of entry objects. */
+  def renderEntries(es: Seq[LogEntry]): String =
+    es.map(renderEntry).mkString("[", ",", "]")
+
+  def parseEntries(s: String): Seq[LogEntry] = {
+    val a = mapper.readTree(s)
+    (0 until a.size).map(i => parseNode(a.get(i)))
+  }
+
+  def parseEntry(s: String): LogEntry = parseNode(mapper.readTree(s))
+
+  private def parseNode(n: JsonNode): LogEntry = {
     def req(key: String): JsonNode = {
       val v = n.get(key)
-      if (v == null) sys.error(s"missing $key in $s") else v
+      if (v == null) sys.error(s"missing $key in $n") else v
     }
     // stats/schema fields are optional: entries from before those features
     // (or stat-less commits) parse as empty

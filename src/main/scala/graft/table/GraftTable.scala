@@ -539,6 +539,62 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     readPrunedState((dataFiles.filter(_._2 > fromSeq), deleteFiles), entries)
   }
 
+  /** Changelog (CDC) read — Iceberg's create_changelog_view: every row
+    * CHANGE in (fromSeq, toSeq], with `change_type` ('insert'/'delete')
+    * and `change_seq` (the commit that made it). Inserts are the rows a
+    * commit appended that survive its own scope (a mixed commit's delete
+    * never touches its own append — seq rule); deletes are the rows of
+    * the PRE-commit state matched by that commit's equality-delete keys,
+    * so a downstream consumer can replay row-level effects in commit
+    * order instead of diffing full snapshots.
+    *
+    * Scale: the plan is a union of one bounded term per commit in range —
+    * insert terms open only that commit's files (seq-pruned before
+    * planning, like readIncremental); each delete term is the MoR view at
+    * seq-1 semi-joined to that commit's (small) key files, which
+    * data-skipping bounds to intersecting files. Cost ∝ changed data ×
+    * commits in range, never ∝ table history. Like readIncremental, the
+    * range must not cross a `replace`: a rewrite has no row-level delta.
+    */
+  def readChangelog(fromSeq: Long, toSeq: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val all = log.entries(toSeq)
+    require(!all.exists(e => e.seq > fromSeq && e.action == "replace"),
+      s"changelog read ($fromSeq, $toSeq] crosses a replace/compaction commit; " +
+        "re-baseline with a full read instead")
+    val frames = all.filter(_.seq > fromSeq).flatMap { e =>
+      val dels =
+        if (e.deleteFiles.isEmpty) None
+        else {
+          val keys = spark.read.parquet(e.deleteFiles: _*)
+          Some(read(asOf = e.seq - 1)
+            .join(keys, e.equalityCols, "left_semi")
+            .withColumn("change_type", lit("delete"))
+            .withColumn("change_seq", lit(e.seq)))
+        }
+      val ins =
+        if (e.dataFiles.isEmpty) None
+        else Some(readIncremental(e.seq - 1, e.seq)
+          .withColumn("change_type", lit("insert"))
+          .withColumn("change_seq", lit(e.seq)))
+      dels.toSeq ++ ins.toSeq
+    }
+    frames match {
+      case Seq() =>
+        read(toSeq).limit(0)
+          .withColumn("change_type", lit(""))
+          .withColumn("change_seq", lit(0L))
+      case fs => fs.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
+
+  /** Fold the commit log into one checkpoint file (see
+    * CommitLog.checkpoint): after N commits a fresh read plans from
+    * 1 + O(new commits) metadata files instead of N. Pure metadata —
+    * no data file is read or moved, and all history stays travelable.
+    */
+  def checkpointMetadata(): Long = log.checkpoint()
+
   /** upsert (MERGE by key): one atomic commit that equality-deletes the
     * incoming keys from prior data and appends the new rows — row-level
     * update semantics on immutable files, the reference's

@@ -746,4 +746,54 @@ class TableLayerSpec extends AnyFunSuite {
     assert(e.deleteFiles == Seq("d.parquet"))
     assert(e.equalityCols == Seq("name", "size"))
   }
+
+  test("metadata checkpoint folds the log without changing history or the CAS") {
+    val t = freshTable("ckpt")
+    t.append(items)                                        // seq 0
+    t.delete(Seq("A").toDF("name"), Seq("name"))           // seq 1
+    t.append(Seq(("F", "post", 1)).toDF("name", "size", "count")) // seq 2
+    t.tag("audited", 1)
+    val entriesBefore = t.snapshots
+    assert(t.commitLog.metaFileCount == 3)
+    assert(t.checkpointMetadata() == 2)
+    assert(t.commitLog.metaFileCount == 1)
+    // identical history through the checkpoint: entries, head, time
+    // travel, tags — nothing observable changed but the file count
+    assert(t.snapshots == entriesBefore)
+    assert(t.headSeq == 2)
+    assert(t.read(asOf = 0).count() == 6)
+    assert(t.readTag("audited").count() == 4)
+    // the CAS continues above the fold; a second checkpoint re-folds
+    t.append(Seq(("G", "post", 2)).toDF("name", "size", "count")) // seq 3
+    assert(t.headSeq == 3 && t.commitLog.metaFileCount == 2)
+    assert(t.checkpointMetadata() == 3)
+    assert(t.commitLog.metaFileCount == 1)
+    assert(t.read().count() == 6) // B C D E + F + G
+    // checkpointing an already-checkpointed log is a no-op
+    assert(t.checkpointMetadata() == 3)
+    // expiration still works when the victims live inside the checkpoint
+    t.commitLog.dropTag("audited")
+    t.expireSnapshots()
+    assert(t.read().count() == 6)
+    assert(t.snapshots.size == 1)
+  }
+
+  test("changelog emits per-commit row deltas and refuses replace ranges") {
+    val t = freshTable("changelog")
+    t.append(items)                                        // seq 0
+    t.delete(Seq("A").toDF("name"), Seq("name"))           // seq 1
+    t.append(Seq(("F", "new", 1)).toDF("name", "size", "count")) // seq 2
+    val ch = t.readChangelog(fromSeq = 0)
+      .select("name", "change_type", "change_seq")
+      .as[(String, String, Long)].collect().sortBy(r => (r._3, r._2, r._1))
+    // seq 1 deletes BOTH 'A' rows of the pre-commit state; seq 2 inserts F
+    assert(ch.toSeq == Seq(("A", "delete", 1L), ("A", "delete", 1L), ("F", "insert", 2L)))
+    // an empty range yields no rows but the full changelog schema
+    val empty = t.readChangelog(fromSeq = t.headSeq)
+    assert(empty.count() == 0)
+    assert(empty.columns.contains("change_type") && empty.columns.contains("change_seq"))
+    // a compaction in range has no row-level delta — refuse, like Iceberg
+    t.compact()                                            // seq 3: replace
+    intercept[IllegalArgumentException](t.readChangelog(fromSeq = 0))
+  }
 }

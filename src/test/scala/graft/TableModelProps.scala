@@ -201,6 +201,25 @@ object TableModelProps extends Properties("graft-table-model") {
       }
     }
 
+  property("a metadata checkpoint never changes any read(asOf)") =
+    forAll(genOps) { ops =>
+      import spark.implicits._
+      val t = run("prop_ckpt", ops)
+      def reads(): List[List[Row]] = (0 until ops.size).toList.map { asOf =>
+        sortedRows(t.read(if (asOf == ops.size - 1) Long.MaxValue else asOf.toLong)
+          .select(org.apache.spark.sql.functions.col(keyColAt(ops, asOf)).as("name"),
+            org.apache.spark.sql.functions.col("count").cast("int").as("count"))
+          .as[Row].collect().toSeq)
+      }
+      val before = reads()
+      t.checkpointMetadata()
+      // every op is one commit, so a full fold leaves exactly one meta file
+      val folded = t.commitLog.metaFileCount == 1
+      val same = reads() == before
+      if (!folded || !same) println(s"CKPT MISMATCH ops=$ops folded=$folded same=$same")
+      folded && same
+    }
+
   property("bounded reads equal filtered full reads on random lineages") =
     forAll(genOps, Gen.choose(0, 99), Gen.choose(0, 99)) { (ops, a, b) =>
       import spark.implicits._
