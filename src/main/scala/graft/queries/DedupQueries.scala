@@ -173,7 +173,7 @@ object DedupQueries extends QueryPack {
     * OUTPUT-sized pair set — both O(docs), dwarfed by the shingle
     * explosion upstream at any scale.
     */
-  private[graft] def jaccardPairs(sh: DataFrame, cap: Long = MaxBucketDf): DataFrame = {
+  private[graft] def pairCounts(sh: DataFrame, cap: Long = MaxBucketDf): DataFrame = {
     // explode_outer, not explode: plain explode makes the optimizer push a
     // `size(arr)>0 AND isnotnull(arr)` guard all the way down to the scan,
     // where it re-evaluates the whole shingle construction per row in the
@@ -198,11 +198,30 @@ object DedupQueries extends QueryPack {
       .agg(count(lit(1)).as("inter"))
       .join(ns.select(col("doc_id").as("da"), col("ns").as("na")), "da")
       .join(ns.select(col("doc_id").as("db"), col("ns").as("nb")), "db")
+  }
+
+  private[graft] def jaccardPairs(sh: DataFrame, cap: Long = MaxBucketDf): DataFrame =
+    pairCounts(sh, cap)
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * 2 >= col("uni"))
       .select(col("da"), col("db"),
         expr("CAST((inter * 10000L) div uni AS BIGINT)").as("jacc_x1e4"))
-  }
+
+  /** Containment-scored pairs from the same shingle-bucket counts:
+    * inter / min(na, nb) ≥ 0.8. The inclusion-detection class Jaccard
+    * structurally misses — a short doc quoted whole inside a long one has
+    * jaccard ≈ ns_short/ns_long (arbitrarily low) but containment 1.0.
+    * `contained` names the doc whose shingle set is the (weakly) smaller
+    * side, ties to the lower id. Same plan shape and cost as jaccardPairs:
+    * only the output-sized final projection differs.
+    */
+  private[graft] def containmentPairs(sh: DataFrame, cap: Long = MaxBucketDf): DataFrame =
+    pairCounts(sh, cap)
+      .withColumn("mn", least(col("na"), col("nb")))
+      .filter(col("inter") * 10 >= col("mn") * 8)
+      .select(col("da"), col("db"),
+        expr("CAST((inter * 10000L) div mn AS BIGINT)").as("cont_x1e4"),
+        when(col("na") <= col("nb"), col("da")).otherwise(col("db")).as("contained"))
 
   override def queries: Seq[Q] = Seq(
 
@@ -245,6 +264,35 @@ object DedupQueries extends QueryPack {
         |ORDER BY da, db""",
     ) { (s, dir) =>
       orderedOutput(jaccardPairs(shingled(s, dir)), "da", "db")
+    },
+
+    // Containment near-dup (quote/boilerplate-inclusion detection): pairs
+    // whose shared shingles cover ≥ 80% of the SMALLER shingle set. The
+    // dedup class Jaccard misses by construction: a short doc reproduced
+    // inside a long one scores jaccard ≈ short/long (below any threshold)
+    // but containment 1.0. Same bucket-count plan as q_dedup_near — only
+    // the output-sized final score differs.
+    Q(
+      "q_dedup_containment",
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(0, len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shs
+        |      FROM d),
+        |ex0 AS (SELECT doc_id, unnest(shs) AS sg FROM s),
+        |hot AS (SELECT sg FROM ex0 GROUP BY sg HAVING COUNT(*) > $MaxBucketDf),
+        |ex AS (SELECT * FROM ex0 WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.sg = ex0.sg)),
+        |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ns FROM ex GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+        |      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT da, db,
+        |  CAST((inter * 10000) // least(na.ns, nb.ns) AS BIGINT) AS cont_x1e4,
+        |  CASE WHEN na.ns <= nb.ns THEN da ELSE db END AS contained
+        |FROM p JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
+        |WHERE inter * 10 >= least(na.ns, nb.ns) * 8
+        |ORDER BY da, db""",
+    ) { (s, dir) =>
+      orderedOutput(containmentPairs(shingled(s, dir)), "da", "db")
     },
 
     // MinHash + LSH: 16 hash functions via Kirsch-Mitzenmacher double

@@ -128,6 +128,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (20L, 21L, 5000L))
   }
 
+  test("q_dedup_containment flags inclusion pairs Jaccard structurally misses") {
+    import spark.implicits._
+    // doc 2's four shingles all appear in 20-shingle doc 1 (a short doc
+    // quoted whole inside a long one): jaccard = 4/20 = 0.2 — invisible
+    // to the 0.5 gate — but containment = 4/min(20,4) = 1.0. Doc 3 shares
+    // nothing and must produce no pair.
+    val sh = Seq(
+      (1L, (1L to 20L).toArray),
+      (2L, Array(3L, 4L, 5L, 6L)),
+      (3L, Array(100L, 101L, 102L)))
+      .toDF("doc_id", "shingles")
+    assert(graft.queries.DedupQueries.jaccardPairs(sh).collect().isEmpty,
+      "jaccard misses the inclusion pair")
+    val cont = graft.queries.DedupQueries.containmentPairs(sh).collect()
+    assert(cont.length == 1)
+    val r = cont.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (1L, 2L, 10000L, 2L))
+  }
+
   test("q_dedup_cluster equals driver-side connected components over the pair graph") {
     import scala.collection.mutable
     val adj = mutable.Map.empty[Long, mutable.Set[Long]]
