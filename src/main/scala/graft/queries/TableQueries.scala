@@ -701,6 +701,49 @@ object TableQueries extends QueryPack {
         .orderBy("name", "count")
     },
 
+    // Standalone orphan-file vacuum (Iceberg's remove_orphan_files):
+    // a crashed writer left a parquet in data/ that no commit references
+    // — invisible to reads but occupying storage forever. The vacuum
+    // removes exactly it (files_before/removed/files_after pinned; both
+    // epochs repartition(1) so physical counts are parallelism-
+    // independent) while every committed file and ALL history survive —
+    // unlike expireSnapshots, which trades history for space.
+    Q(
+      "t_vacuum_orphans",
+      """SELECT * FROM (VALUES
+        |  ('A','small',2),('A','small',102),('B','medium',15),('B','medium',115),
+        |  ('C','medium',10),('C','medium',110),('D','small',20),('D','small',120),
+        |  ('E','large',20),('E','large',120)) AS t(name, size, count)
+        |CROSS JOIN (VALUES (3, 1, 2, CAST(5 AS BIGINT)))
+        |  AS m(files_before, removed, files_after, travel_rows)
+        |ORDER BY name, count""",
+    ) { (s, _) =>
+      val root = Files.createTempDirectory("graft_vacuum")
+      val t = GraftTable.createOrReplace(s, root.toString)
+      t.append(items(s).repartition(1))                                         // seq 0
+      t.append(items(s).withColumn("count", col("count") + 100).repartition(1)) // seq 1
+      // a crashed writer: data written, commit never reached
+      items(s).repartition(1).write.mode("append")
+        .parquet(root.resolve("data").resolve("crashed").toString)
+      def parquetCount: Int = {
+        val st = Files.walk(root.resolve("data"))
+        try st.iterator().asScala.count(_.toString.endsWith(".parquet"))
+        finally st.close()
+      }
+      val before = parquetCount
+      // negative horizon → cutoff in the future: vacuum regardless of
+      // age (the scenario's files are seconds old; the DEFAULT 3h horizon
+      // that protects in-flight writers is spec-tested)
+      val removed = t.removeOrphanFiles(olderThanMs = -60000L)
+      val after = parquetCount
+      t.read()
+        .withColumn("files_before", lit(before))
+        .withColumn("removed", lit(removed))
+        .withColumn("files_after", lit(after))
+        .withColumn("travel_rows", lit(t.read(asOf = 0).count()))
+        .orderBy("name", "count")
+    },
+
     // Changelog (CDC) read — Iceberg's create_changelog_view: row-level
     // changes in (0, head], each stamped with change_type/change_seq. The
     // mixed commit at seq 1 emits BOTH its delete (the pre-commit 'A'

@@ -971,6 +971,34 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       fileStats = fs)
   }
 
+  /** Orphan-file removal WITHOUT expiration (Iceberg's standalone
+    * remove_orphan_files): delete parquet files under data/ and deletes/
+    * that NO log entry references — the debris of crashed or still-racing
+    * writers, which wrote files but never won (or reached) a commit. No
+    * snapshot is touched: all history stays travelable, unlike
+    * expireSnapshots which trades history for space. `olderThanMs` is the
+    * safety horizon (Iceberg's older_than): an in-flight writer's files
+    * are younger than it and survive; the default (3h, Iceberg's) makes
+    * the maintenance job safe to run beside live ingest. Returns the
+    * number of files removed.
+    */
+  def removeOrphanFiles(olderThanMs: Long = 3L * 3600 * 1000): Int = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val referenced = log.entries()
+      .flatMap(e => e.dataFiles ++ e.deleteFiles)
+      .map(Paths.get(_)).toSet
+    val victims = Seq("data", "deletes").flatMap { kind =>
+      val dir = root.resolve(kind)
+      if (!Files.exists(dir)) Nil
+      else walked(dir)(_.toSeq).filter { p =>
+        p.getFileName.toString.endsWith(".parquet") && !referenced.contains(p) &&
+          Files.getLastModifiedTime(p).toMillis < cutoff
+      }
+    }
+    victims.foreach(Files.delete)
+    victims.size
+  }
+
   /** Snapshot expiration + orphan-file removal (Iceberg's
     * expire_snapshots ∘ remove_orphan_files): compacts the current MoR
     * view into a replace commit, drops every older log entry, and deletes

@@ -778,6 +778,22 @@ class TableLayerSpec extends AnyFunSuite {
     assert(t.snapshots.size == 1)
   }
 
+  test("orphan vacuum spares referenced files and young files inside the horizon") {
+    val root = Files.createTempDirectory("spec_vacuum")
+    val t = GraftTable.createOrReplace(spark, root.toString)
+    t.append(items.repartition(1))
+    t.delete(Seq("A").toDF("name"), Seq("name")) // a referenced DELETE file too
+    // a crashed writer's debris, seconds old
+    items.repartition(1).write.parquet(root.resolve("data").resolve("stray").toString)
+    // the default 3h horizon protects it (it could be an in-flight write)
+    assert(t.removeOrphanFiles() == 0)
+    // a future cutoff vacuums it; committed data and delete files survive
+    assert(t.removeOrphanFiles(olderThanMs = -60000L) == 1)
+    assert(t.removeOrphanFiles(olderThanMs = -60000L) == 0) // idempotent
+    assert(t.read().count() == 4)
+    assert(t.read(asOf = 0).count() == 6) // history untouched, unlike expire
+  }
+
   test("changelog emits per-commit row deltas and refuses replace ranges") {
     val t = freshTable("changelog")
     t.append(items)                                        // seq 0

@@ -201,6 +201,59 @@ object TableModelProps extends Properties("graft-table-model") {
       }
     }
 
+  // changelog fuzz runs on flat lineages: no replace (refused by
+  // contract) and no rename/widen (a range crossing a schema change
+  // unions frames of different shapes — scenario-tested, not fuzzed)
+  private val genFlatOp: Gen[Op] = Gen.frequency(
+    4 -> (for {
+      rows <- Gen.nonEmptyListOf(genRow).map(_.take(5))
+      part <- Gen.oneOf(0, 1, 2)
+    } yield Append(rows, part)),
+    2 -> Gen.nonEmptyListOf(Gen.oneOf("A", "B", "C", "D", "E", "F"))
+      .map(ks => Delete(ks.distinct.take(3))),
+    1 -> (for {
+      rows <- Gen.nonEmptyListOf(genRow).map(_.take(3))
+      keys <- Gen.nonEmptyListOf(Gen.oneOf("A", "B", "C", "D", "E", "F"))
+    } yield Mixed(rows, keys.distinct.take(2))),
+    1 -> Gen.nonEmptyListOf(genRow).map(rs => Upsert(rs.take(3))))
+
+  private val genFlatOps: Gen[List[Op]] = for {
+    first <- Gen.nonEmptyListOf(genRow).map(rs => Append(rs.take(5), partitioned = 0))
+    rest <- Gen.listOfN(4, genFlatOp)
+  } yield first :: rest
+
+  property("readChangelog matches the model's per-commit deltas") =
+    forAll(genFlatOps, Gen.choose(-1, 4)) { (ops, fromRaw) =>
+      import spark.implicits._
+      val from = math.min(fromRaw, ops.size - 1)
+      val t = run("prop_changelog", ops)
+      // expected: replay each in-range commit against the model's view
+      // of the table just before it
+      var want = List.empty[(String, Int, String, Long)]
+      ops.zipWithIndex.filter(_._2 > from).foreach { case (op, seq) =>
+        def view = model(ops, seq - 1)
+        def dels(keys: Seq[String]) =
+          view.filter(r => keys.contains(r._1)).map(r => (r._1, r._2, "delete", seq.toLong))
+        def ins(rows: Seq[Row]) = rows.map(r => (r._1, r._2, "insert", seq.toLong))
+        op match {
+          case Append(rs, _) => want ++= ins(rs)
+          case Delete(ks) => want ++= dels(ks)
+          case Mixed(rs, ks) => want ++= dels(ks) ++ ins(rs)
+          case Upsert(rs) => want ++= dels(rs.map(_._1).distinct) ++ ins(rs)
+          case _ => ()
+        }
+      }
+      val got = t.readChangelog(from.toLong)
+        .select(org.apache.spark.sql.functions.col("name"),
+          org.apache.spark.sql.functions.col("count").cast("int"),
+          org.apache.spark.sql.functions.col("change_type"),
+          org.apache.spark.sql.functions.col("change_seq"))
+        .as[(String, Int, String, Long)].collect().toList
+      val ok = got.sorted == want.sorted
+      if (!ok) println(s"CHANGELOG MISMATCH from=$from ops=$ops\n got=${got.sorted}\n want=${want.sorted}")
+      ok
+    }
+
   property("a metadata checkpoint never changes any read(asOf)") =
     forAll(genOps) { ops =>
       import spark.implicits._
