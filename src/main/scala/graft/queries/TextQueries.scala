@@ -498,6 +498,49 @@ object TextQueries extends QueryPack {
         .limit(20)
     },
 
+    // Corpus-LM plausibility scoring (the KenLM-style quality filter,
+    // closing the n-gram family): each doc scored by the occurrence-
+    // weighted mean conditional probability of its trigrams under the
+    // corpus's own trigram LM — generation loops and boilerplate score
+    // high, character noise scores near zero. Join-free like q_tfidf:
+    // the LM attaches to the per-(doc, trigram) tf relation via two count
+    // windows whose partitions are bounded by a trigram's DISTINCT
+    // (doc, continuation) spread, not its raw occurrence count; the
+    // per-doc rollup is a two-phase hash agg. All integer: p_x1e6 per
+    // trigram, weighted-mean div per doc (nabc·1e6 stays in BIGINT for
+    // any corpus under ~9e12 trigram occurrences).
+    Q(
+      "q_lm_score",
+      s"""WITH d AS (SELECT doc_id, $W AS w FROM documents),
+         |i AS (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i FROM d),
+         |g AS (SELECT doc_id, w[i+1] AS a, w[i+2] AS b, w[i+3] AS c FROM i),
+         |t AS (SELECT doc_id, a, b, c, CAST(COUNT(*) AS BIGINT) AS nd
+         |      FROM g GROUP BY doc_id, a, b, c),
+         |m AS (SELECT doc_id, nd,
+         |        SUM(nd) OVER (PARTITION BY a, b, c) AS nabc,
+         |        SUM(nd) OVER (PARTITION BY a, b) AS nab
+         |      FROM t)
+         |SELECT doc_id, CAST(SUM(nd) AS BIGINT) AS n_tri,
+         |  CAST(SUM(nd * ((nabc * 1000000) // nab)) // SUM(nd) AS BIGINT) AS score_x1e6
+         |FROM m GROUP BY doc_id ORDER BY doc_id""",
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.spread(Tables.documents(s, dir))
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          "transform(slice(w, 1, size(w) - 2), (x, i) -> struct(x AS a, w[i + 1] AS b, w[i + 2] AS c))"))
+          .as("g"))
+        .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"), col("g.c").as("c"))
+        .groupBy("doc_id", "a", "b", "c").agg(count(lit(1)).as("nd"))
+      tf.withColumn("nabc", sum(col("nd")).over(Window.partitionBy("a", "b", "c")))
+        .withColumn("nab", sum(col("nd")).over(Window.partitionBy("a", "b")))
+        .withColumn("p6", expr("CAST(nabc * 1000000L div nab AS BIGINT)"))
+        .groupBy("doc_id")
+        .agg(sum(col("nd")).cast("long").as("n_tri"),
+          expr("CAST(sum(nd * p6) div sum(nd) AS BIGINT)").as("score_x1e6"))
+        .orderBy("doc_id")
+    },
+
     // Inverted-index build (the retrieval/decontamination index shape):
     // per term, document frequency, total occurrences, and a COMMUTATIVE
     // postings fingerprint — sum of per-doc hashes mod p — that pins the

@@ -80,6 +80,30 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_lm_score equals brute-force corpus-LM replay") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // corpus LM: trigram and prefix counts over ALL occurrences
+    val occ = texts.flatMap { case (id, t) =>
+      val w = t.split(" ")
+      (0 until w.length - 2).map(i => (id, (w(i), w(i + 1), w(i + 2))))
+    }
+    val nabc = occ.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nab = occ.groupBy(o => (o._2._1, o._2._2)).view.mapValues(_.size.toLong).toMap
+    val want = occ.groupBy(_._1).map { case (id, os) =>
+      val p6s = os.map(o => nabc(o._2) * 1000000L / nab((o._2._1, o._2._2)))
+      id -> (os.size.toLong, p6s.sum / os.size)
+    }
+    val got = q("q_lm_score").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size == want.size)
+    want.foreach { case (id, exp) => assert(got(id) == exp, s"doc $id") }
+    // sanity of the filter signal: some doc repeats trigrams (score > the
+    // all-unique-continuation floor would be corpus-dependent; just check
+    // scores are within (0, 1e6])
+    assert(got.values.forall { case (_, s) => s > 0 && s <= 1000000L })
+  }
+
   test("q_decontaminate equals brute-force 8-gram overlap ground truth") {
     val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
