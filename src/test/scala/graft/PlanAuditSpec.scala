@@ -118,7 +118,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // Anything else (global windows, global sorts mid-plan) is a funnel
     // that serializes the table through one task — the q_stream_watermark
     // bug class. This sweep keeps it from coming back.
-    val sinkQueries = Set("q_dedup_near", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed")
+    val sinkQueries = Set("q_dedup_near", "q_dedup_containment", "q_dedup_minhash",
+      "q_dedup_simhash", "q_dedup_embed")
     // The three genuinely-streamed entries return a sink scan — their
     // registered plan is the memory table, not the streaming aggregation,
     // so this sweep cannot see inside them. That is safe by construction:
