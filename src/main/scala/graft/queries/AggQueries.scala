@@ -223,6 +223,24 @@ object AggQueries extends QueryPack {
         .orderBy("l_returnflag")
     },
 
+    // Mergeable-sketch rollup (the incremental-pipeline pattern at
+    // 100 TB): one DataSketches HLL per (event_type, day) — what a daily
+    // job would materialize — then the stored sketches MERGE to the
+    // full-range distinct-user count without touching a row again. HLL
+    // union is lossless (register-wise max), so the merged estimate
+    // equals a direct whole-range sketch bit-for-bit; QuerySurfaceSpec
+    // asserts that equality plus the ±ε bound vs exact distinct.
+    // No-oracle like the other sketches (binary is algorithm-specific).
+    Q.noOracle("q_sketch_hll_union") { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("days_merged"),
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"))
+        .orderBy("event_type")
+    },
+
     // first/last/nth value windows with explicit full frames: last_value
     // over the DEFAULT frame (unbounded→current) is the classic silent
     // bug (it returns the current row); the full frame + total tie order

@@ -82,6 +82,27 @@ class QuerySurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("q_sketch_hll_union: merging daily sketches is lossless and near exact") {
+    import org.apache.spark.sql.functions._
+    val merged = SparkEntry.queries("q_sketch_hll_union")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // lossless mergeability: union of per-day sketches == one direct
+    // whole-range sketch, register for register (the property that lets a
+    // daily pipeline answer any-range distincts without rescanning)
+    val direct = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == direct, "merged daily sketches diverge from the direct sketch")
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(merged(k) - n) <= math.max(1L, (n * 0.15).toLong),
+        s"$k: estimate ${merged(k)} vs exact $n")
+    }
+  }
+
   test("GraftSession.attach applies engine defaults and registers native functions") {
     val s = GraftSession.attach(spark.newSession())
     assert(s.conf.get("spark.sql.session.timeZone") == "UTC")

@@ -778,6 +778,31 @@ class TableLayerSpec extends AnyFunSuite {
     assert(t.snapshots.size == 1)
   }
 
+  test("checkpoint races concurrent committers without losing or reordering entries") {
+    val t = freshTable("ckptrace")
+    t.append(items.repartition(1)) // seq 0
+    val committers = (1 to 3).map { i =>
+      new Thread {
+        override def run(): Unit =
+          (1 to 10).foreach(j => t.commitLog.commit("add", dataFiles = Seq(s"r$i-$j.parquet")))
+      }
+    }
+    val folder = new Thread {
+      override def run(): Unit =
+        (1 to 10).foreach { _ => t.commitLog.checkpoint(); Thread.sleep(2) }
+    }
+    (committers :+ folder).foreach(_.start())
+    (committers :+ folder).foreach(_.join())
+    // CAS + fold must preserve a gapless, duplicate-free sequence with
+    // every racing commit's file present
+    val es = t.commitLog.entries()
+    assert(es.map(_.seq).toList == (0L to 30L).toList)
+    assert(es.flatMap(_.dataFiles).distinct.size == 31)
+    t.commitLog.checkpoint()
+    assert(t.commitLog.metaFileCount == 1)
+    assert(t.commitLog.entries().map(_.seq).toList == (0L to 30L).toList)
+  }
+
   test("orphan vacuum spares referenced files and young files inside the horizon") {
     val root = Files.createTempDirectory("spec_vacuum")
     val t = GraftTable.createOrReplace(spark, root.toString)
