@@ -701,6 +701,49 @@ object TableQueries extends QueryPack {
         .orderBy("name", "count")
     },
 
+    // Incremental materialized-view maintenance — the changelog's
+    // payoff: a per-size (count, sum) aggregate materialized at snapshot
+    // 0 is advanced to head by applying ONLY the changelog deltas
+    // (insert → +1/+v, delete → −1/−v), never rescanning history — cost
+    // ∝ changed rows. matches_full pins that the incrementally
+    // maintained view equals a full recompute at head, including a group
+    // born after the base ('reborn') and groups shrunk by deletes.
+    Q(
+      "t_incremental_mv",
+      """SELECT size, CAST(n AS BIGINT) AS n_rows, CAST(s AS BIGINT) AS sum_count,
+        |  true AS matches_full
+        |FROM (VALUES
+        |  ('large', 2, 140), ('medium', 3, 235),
+        |  ('reborn', 1, 99), ('small', 3, 242)) AS t(size, n, s)
+        |ORDER BY size""",
+    ) { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "incmv")
+      t.append(items(s))                                          // seq 0
+      t.appendAndDelete(                                          // seq 1: mixed
+        Seq(("A", "reborn", 99)).toDF("name", "size", "count"),
+        Seq("A").toDF("name"), equalityCols = Seq("name"))
+      t.delete(Seq("B").toDF("name"), Seq("name"))                // seq 2
+      t.append(items(s).withColumn("count", col("count") + 100))  // seq 3
+      def agg(df: DataFrame) = df.groupBy("size")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("count")).cast("long").as("sum_count"))
+      val base = agg(t.read(asOf = 0))
+      val delta = t.readChangelog(fromSeq = 0)
+        .withColumn("sgn", when(col("change_type") === "insert", 1L).otherwise(-1L))
+        .groupBy("size")
+        .agg(sum(col("sgn")).as("dn"), sum(col("sgn") * col("count")).as("dsum"))
+      val merged = base.join(delta, Seq("size"), "full_outer")
+        .select(col("size"),
+          (coalesce(col("n_rows"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_rows"),
+          (coalesce(col("sum_count"), lit(0L)) + coalesce(col("dsum"), lit(0L))).as("sum_count"))
+        .filter(col("n_rows") > 0)
+      val full = agg(t.read())
+      // MV-sized equality check (groups, not rows): symmetric difference
+      val matches = merged.exceptAll(full).count() == 0 && full.exceptAll(merged).count() == 0
+      merged.withColumn("matches_full", lit(matches)).orderBy("size")
+    },
+
     // Standalone orphan-file vacuum (Iceberg's remove_orphan_files):
     // a crashed writer left a parquet in data/ that no commit references
     // — invisible to reads but occupying storage forever. The vacuum
