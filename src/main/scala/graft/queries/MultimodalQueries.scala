@@ -22,6 +22,21 @@ final case class MediaFeatures(
     fake_height: Int,
     head_hex: String)
 
+/** A REAL encoded image payload: doc_id + PNG bytes (see
+  * q_multimodal_image_decode).
+  */
+final case class ImagePng(doc_id: Long, png: Array[Byte])
+
+/** Features extracted from REAL decoded pixels. */
+final case class ImageFeatures(
+    doc_id: Long,
+    media_w: Int,
+    media_h: Int,
+    sum_r: Long,
+    sum_g: Long,
+    sum_b: Long,
+    mean_r_x100: Long)
+
 /** Output of the full decode → resize → frame-sample pipeline. The frame
   * lists are rendered as CSV strings in the OUTPUT schema only (the driver's
   * rows-only check sorts result cells, and raw array cells crash that sort —
@@ -44,12 +59,16 @@ final case class MediaProcessed(
   * columns with typed metadata, and run decode / feature-extract as a
   * partition-batched typed transformation.
   *
-  * The decode step is a clearly-marked STUB (the container has no
-  * image/audio codecs): it produces deterministic fake features derived
-  * only from the bytes. Everything around it — the binary schema, the
-  * Encoder-backed Dataset, the per-partition batch iteration (the Scala
-  * analogue of a pandas-batch UDF), the metadata-partitioned layout — is
-  * the real Spark plumbing a production decoder would drop into.
+  * The generic decode step is a clearly-marked STUB (the container has
+  * no audio/video codecs): it produces deterministic fake features
+  * derived only from the bytes. Everything around it — the binary
+  * schema, the Encoder-backed Dataset, the per-partition batch iteration
+  * (the Scala analogue of a pandas-batch UDF), the metadata-partitioned
+  * layout — is the real Spark plumbing a production decoder would drop
+  * into. For IMAGES the platform does ship a codec (the JDK's
+  * javax.imageio PNG support), so q_multimodal_image_decode runs a real
+  * encode→decode roundtrip with oracle-verified pixel statistics — no
+  * stub on that path.
   *
   * Scale notes: mapPartitions keeps the decoder call amortized per batch
   * (codec init once per partition, not per row); repartitioning by
@@ -129,6 +148,48 @@ object MultimodalQueries extends QueryPack {
       |            CAST(16 + ((checksum // 64) % 64) * 4 AS INT) AS fake_height
       |  FROM f)""".stripMargin
 
+  /** deterministic pixel pattern: channel values are closed-form in
+    * (doc_id, x, y), so the oracle can verify REAL-decoder output without
+    * ever seeing the encoded bytes.
+    */
+  private[graft] def dims(docId: Long): (Int, Int) =
+    ((8 + (docId % 5) * 4).toInt, (8 + ((docId / 5) % 5) * 4).toInt)
+  private[graft] def px(docId: Long, x: Int, y: Int): (Int, Int, Int) =
+    (((x * 7 + y * 13 + docId) % 256).toInt,
+      ((x * 3 + y * 5 + 2 * docId) % 256).toInt,
+      ((x + y + 3 * docId) % 256).toInt)
+
+  /** encode side (the ingest stage): synthesize the pattern into a
+    * BufferedImage and compress through the JDK's REAL PNG encoder.
+    */
+  private[graft] def encodePng(docId: Long): ImagePng = {
+    import java.awt.image.BufferedImage
+    val (w, h) = dims(docId)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(docId, x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    ImagePng(docId, out.toByteArray)
+  }
+
+  /** decode side: a REAL codec pass — ImageIO parses the PNG bytes back
+    * to pixels, and features are computed from the DECODED raster (not
+    * from the generator), so the roundtrip is what is verified.
+    */
+  private[graft] def decodePng(blob: ImagePng): ImageFeatures = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob.png))
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+    }
+    ImageFeatures(blob.doc_id, w, h, sr, sg, sb, sr * 100L / (w.toLong * h))
+  }
+
   override def queries: Seq[Q] = Seq(
     // feature extraction over the binary column, batched per partition.
     Q(
@@ -172,6 +233,41 @@ object MultimodalQueries extends QueryPack {
             f.fake_width, f.fake_height, rw, rh,
             offsets.mkString(","), frames.mkString(","))
         })
+        .toDF()
+        .orderBy("doc_id")
+    },
+
+    // REAL image codec path (no stub): deterministic RGB patterns are
+    // compressed through the JDK's actual PNG encoder on the ingest side,
+    // then a mapPartitions decode stage runs the actual PNG decoder and
+    // extracts channel statistics from the DECODED raster. PNG is
+    // lossless, so the oracle verifies the real roundtrip from the
+    // closed-form pixel function alone — it never sees the bytes (whose
+    // encoding is JVM-specific and deliberately excluded from output).
+    // This replaces the stub for the one modality the platform ships a
+    // codec for; audio/video remain honestly stubbed above.
+    Q(
+      "q_multimodal_image_decode",
+      """WITH dims AS (SELECT doc_id,
+        |    CAST(8 + (doc_id % 5) * 4 AS INT) AS w,
+        |    CAST(8 + ((doc_id // 5) % 5) * 4 AS INT) AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w*h)) AS i FROM dims),
+        |c AS (SELECT doc_id, w, h, i % w AS x, i // w AS y FROM px),
+        |s AS (SELECT doc_id, w, h,
+        |    CAST(SUM((x*7 + y*13 + doc_id) % 256) AS BIGINT) AS sum_r,
+        |    CAST(SUM((x*3 + y*5 + 2*doc_id) % 256) AS BIGINT) AS sum_g,
+        |    CAST(SUM((x + y + 3*doc_id) % 256) AS BIGINT) AS sum_b
+        |  FROM c GROUP BY doc_id, w, h)
+        |SELECT doc_id, w AS media_w, h AS media_h, sum_r, sum_g, sum_b,
+        |  CAST(sum_r * 100 // (w*h) AS BIGINT) AS mean_r_x100
+        |FROM s ORDER BY doc_id""",
+    ) { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(encodePng)) // REAL PNG encoder, executor-side
+        .mapPartitions(_.map(decodePng)) // REAL PNG decoder, batch-amortized
         .toDF()
         .orderBy("doc_id")
     },

@@ -331,6 +331,30 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_multimodal_image_decode: real PNG roundtrip returns exact pattern sums") {
+    import graft.queries.MultimodalQueries.{decodePng, dims, encodePng, px}
+    // driver-side ground truth from the closed form, vs the REAL
+    // ImageIO encode→decode roundtrip for a few ids
+    Seq(0L, 7L, 123L).foreach { id =>
+      val f = decodePng(encodePng(id))
+      val (w, h) = dims(id)
+      val want = (for { y <- 0 until h; x <- 0 until w } yield px(id, x, y))
+      assert((f.media_w, f.media_h) == (w, h))
+      assert(f.sum_r == want.map(_._1.toLong).sum, s"id $id sum_r")
+      assert(f.sum_g == want.map(_._2.toLong).sum, s"id $id sum_g")
+      assert(f.sum_b == want.map(_._3.toLong).sum, s"id $id sum_b")
+    }
+    // and the registered query end-to-end on the fixture
+    val rows = q("q_multimodal_image_decode").collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.take(5).foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = dims(id)
+      val wantR = (for { y <- 0 until h; x <- 0 until w } yield px(id, x, y)._1.toLong).sum
+      assert((r.getInt(1), r.getInt(2), r.getLong(3)) == (w, h, wantR), s"doc $id")
+    }
+  }
+
   test("q_embed_stats quantized sums match driver-side exact integers") {
     val got = q("q_embed_stats").collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
