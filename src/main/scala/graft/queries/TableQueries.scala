@@ -147,7 +147,7 @@ object TableQueries extends QueryPack {
         |             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) * 100 AS BIGINT) AS sum_qty_x1e2
         |      FROM s)
         |SELECT fmt, n, sum_key, sum_qty_x1e2
-        |FROM a, (VALUES ('csv'),('json'),('parquet')) AS f(fmt)
+        |FROM a, (VALUES ('csv'),('json'),('orc'),('parquet')) AS f(fmt)
         |ORDER BY fmt""",
     ) { (s, dir) =>
       val slice = graft.Tables.lineitem(s, dir)
@@ -157,6 +157,7 @@ object TableQueries extends QueryPack {
       val base = Files.createTempDirectory("graft_fmt")
       slice.write.option("header", "true").csv(base.resolve("csv").toString)
       slice.write.json(base.resolve("json").toString)
+      slice.write.orc(base.resolve("orc").toString) // native ORC, no connector jar
       slice.write.parquet(base.resolve("pq").toString)
       def summary(df: DataFrame, fmt: String): DataFrame =
         df.agg(count(lit(1)).as("n"),
@@ -165,6 +166,7 @@ object TableQueries extends QueryPack {
           .select(lit(fmt).as("fmt"), col("n"), col("sum_key"), col("sum_qty_x1e2"))
       summary(s.read.option("header", "true").schema(schema).csv(base.resolve("csv").toString), "csv")
         .unionByName(summary(s.read.schema(schema).json(base.resolve("json").toString), "json"))
+        .unionByName(summary(s.read.schema(schema).orc(base.resolve("orc").toString), "orc"))
         .unionByName(summary(s.read.parquet(base.resolve("pq").toString), "parquet"))
         .orderBy("fmt")
     },
