@@ -634,6 +634,52 @@ object AggQueries extends QueryPack {
         .orderBy("event_type", "bucket")
     },
 
+    // σ-outlier detection (the sample-cleaning pass of a training
+    // pipeline) with EXACT arithmetic: |x−μ| > kσ is evaluated as the
+    // cross-multiplied integer inequality (n·x − S)² > k²·(n·Q − S²) —
+    // no sqrt, no float μ/σ, so both engines agree bit-for-bit. One agg
+    // pass for per-type moments (exact ×1e4 / ×1e8 integer sums), the
+    // tiny per-type stats broadcast back over one scan, per-type rollup.
+    // Magnitude audit: n·v4 ≤ ~6e13 (long), squared ≤ ~4e27 — inside
+    // DECIMAL(38,0) on Spark and HUGEINT on DuckDB; never a silent
+    // overflow on either engine.
+    Q(
+      "q_anomaly_sigma",
+      """WITH b AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(38,4)) * 10000 AS BIGINT) AS v4
+        |  FROM events),
+        |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(v4) AS HUGEINT) AS s4,
+        |    SUM(CAST(v4 AS HUGEINT) * v4) AS q8
+        |  FROM b GROUP BY event_type)
+        |SELECT b.event_type, n, CAST(s4 // n AS BIGINT) AS mean_x1e4,
+        |  CAST(SUM(CASE WHEN (n * v4 - s4) * (n * v4 - s4)
+        |                     > 4 * (n * q8 - s4 * s4) THEN 1 ELSE 0 END) AS BIGINT) AS beyond_2s,
+        |  CAST(SUM(CASE WHEN (n * v4 - s4) * (n * v4 - s4)
+        |                     > 9 * (n * q8 - s4 * s4) THEN 1 ELSE 0 END) AS BIGINT) AS beyond_3s
+        |FROM b JOIN st ON st.event_type = b.event_type
+        |GROUP BY b.event_type, n, s4
+        |ORDER BY b.event_type""",
+    ) { (s, dir) =>
+      val b = Tables.events(s, dir)
+        .select(col("event_type"), Dec.asLong(col("value"), 4).as("v4"))
+      val st = b.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("v4")).cast(DecimalType(38, 0)).as("s4"),
+        sum(col("v4").cast(DecimalType(19, 0)) * col("v4")).cast(DecimalType(38, 0)).as("q8"))
+      b.join(broadcast(st), "event_type")
+        .withColumn("dev", expr("CAST(n * v4 AS DECIMAL(38,0)) - s4"))
+        .withColumn("varnum", expr("CAST(n AS DECIMAL(38,0)) * q8 - s4 * s4"))
+        .groupBy(col("event_type"), col("n"), col("s4"))
+        .agg(
+          sum(when(expr("dev * dev > 4 * varnum"), 1L).otherwise(0L)).cast("long").as("beyond_2s"),
+          sum(when(expr("dev * dev > 9 * varnum"), 1L).otherwise(0L)).cast("long").as("beyond_3s"))
+        .select(col("event_type"), col("n"),
+          expr("CAST(s4 div n AS BIGINT)").as("mean_x1e4"),
+          col("beyond_2s"), col("beyond_3s"))
+        .orderBy("event_type")
+    },
+
     Q(
       "q_topk_per_group",
       """SELECT * FROM (
