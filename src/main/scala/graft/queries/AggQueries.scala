@@ -680,6 +680,51 @@ object AggQueries extends QueryPack {
         .orderBy("event_type")
     },
 
+    // Time-series resample + gap-fill: hourly counts per type on a
+    // COMPLETE hour spine (missing hours materialized as 0), with
+    // forward-fill (last observation carried forward) — the resampling
+    // pass time-series features need before joining onto a regular grid.
+    // Scale shape: the raw scan collapses to (type, hour) counts first
+    // (two-phase agg); the spine is generated from a one-row broadcast
+    // bounds and joined against the AGGREGATE-sized counts, never the
+    // raw events; the ffill window partitions by type over spine-sized
+    // rows. No driver loops, no global window.
+    Q(
+      "q_ts_resample",
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hh,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(hh) AS mn, MAX(hh) AS mx FROM h),
+        |types AS (SELECT DISTINCT event_type FROM h),
+        |spine AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hh
+        |          FROM types, bounds),
+        |j AS (SELECT s.event_type, s.hh, COALESCE(h.n, 0) AS n, h.n AS n_raw
+        |      FROM spine s LEFT JOIN h ON h.event_type = s.event_type AND h.hh = s.hh)
+        |SELECT event_type, hh, n, (n_raw IS NULL) AS is_gap,
+        |  COALESCE(last_value(n_raw IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY hh
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS n_ff
+        |FROM j ORDER BY event_type, hh""",
+    ) { (s, dir) =>
+      val h = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hh"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = h.agg(min(col("hh")).as("mn"), max(col("hh")).as("mx"))
+      val spine = h.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(expr("sequence(mn, mx, interval 1 hour)")).as("hh"))
+      val w = Window.partitionBy("event_type").orderBy("hh")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(h, Seq("event_type", "hh"), "left")
+        .select(col("event_type"), col("hh"),
+          coalesce(col("n"), lit(0L)).as("n"), col("n").as("n_raw"))
+        .withColumn("is_gap", col("n_raw").isNull)
+        .withColumn("n_ff", coalesce(last(col("n_raw"), ignoreNulls = true).over(w), lit(0L)))
+        .drop("n_raw")
+        .orderBy("event_type", "hh")
+    },
+
     Q(
       "q_topk_per_group",
       """SELECT * FROM (
