@@ -208,6 +208,31 @@ class PlanAuditSpec extends AnyFunSuite {
       s"$hashExchanges hash exchanges; bucketed join inputs must not shuffle")
   }
 
+  test("q_anomaly_sigma broadcasts the per-type stats, never shuffling the scan for the join") {
+    val p = plan("q_anomaly_sigma")
+    assert(p.contains("BroadcastHashJoin"), "stats must broadcast back over the scan")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "joining raw events by shuffle defeats the broadcast-stats shape")
+  }
+
+  test("q_ts_resample joins the spine against aggregate-sized counts, not raw events") {
+    val p = plan("q_ts_resample")
+    // the (type, hour) collapse must happen BELOW the spine join: a
+    // two-phase hash agg on the scan side, and the only non-broadcast
+    // join keys on (event_type, hh) — aggregate-sized on both sides
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the one-row bounds must attach by broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_lm_score windows partition by trigram keys, and the rollup is two-phase") {
+    val p = plan("q_lm_score")
+    assert(p.contains("hashpartitioning(a"), "LM windows must partition by the n-gram key")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "tf relation and per-doc rollup should both be two-phase hash aggregates")
+  }
+
   test("q_join_inner leaves join selection to the optimizer (no forced broadcast of customer)") {
     // at test scale the optimizer may well broadcast — the audit is that
     // the PLAN resolves and contains a keyed join, with no ResolvedHint
