@@ -771,10 +771,16 @@ class TableLayerSpec extends AnyFunSuite {
     assert(t.read().count() == 6) // B C D E + F + G
     // checkpointing an already-checkpointed log is a no-op
     assert(t.checkpointMetadata() == 3)
+    // a branch created FROM a checkpointed table sees the same history
+    // (createBranch reads through the checkpoint) and publishes cleanly
+    val br = t.createBranch("from-ckpt")
+    br.append(Seq(("H", "branch", 3)).toDF("name", "size", "count"))
+    t.publishBranch("from-ckpt")
+    assert(t.read().count() == 7)
     // expiration still works when the victims live inside the checkpoint
     t.commitLog.dropTag("audited")
     t.expireSnapshots()
-    assert(t.read().count() == 6)
+    assert(t.read().count() == 7)
     assert(t.snapshots.size == 1)
   }
 
