@@ -155,6 +155,38 @@ object TextQueries extends QueryPack {
         .orderBy("lang", "split")
     },
 
+    // Domain-reweighted sampling (the Pile/Dolma-style mixing pass):
+    // each source gets a target inclusion rate (tiered 10/35/60/85% here,
+    // derived from the source id) and every doc keeps or drops by the
+    // SAME md5-hash rule as q_sample_split — deterministic and
+    // replayable, so a training mix is reproducible doc-for-doc and a
+    // re-run (or a resumed pipeline) makes identical choices. Row-local
+    // decision, one partial-agg'd rollup; no rand(), no global sort.
+    Q(
+      "q_sample_weighted",
+      """SELECT source, rate_pct, CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  CAST(SUM(keep) AS BIGINT) AS n_kept,
+        |  CAST((SUM(keep) * 10000) // COUNT(*) AS BIGINT) AS kept_x1e4
+        |FROM (SELECT source,
+        |        10 + (CAST(substring(source, 4) AS INT) % 4) * 25 AS rate_pct,
+        |        CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+        |             < 10 + (CAST(substring(source, 4) AS INT) % 4) * 25
+        |             THEN 1 ELSE 0 END AS keep
+        |      FROM documents)
+        |GROUP BY source, rate_pct ORDER BY source""",
+    ) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"),
+          (lit(10) + (expr("CAST(substring(source, 4, 10) AS INT)") % 4) * 25).as("rate_pct"),
+          when(expr("CAST(CONV(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100")
+            < lit(10) + (expr("CAST(substring(source, 4, 10) AS INT)") % 4) * 25, 1L)
+            .otherwise(0L).as("keep"))
+        .groupBy("source", "rate_pct")
+        .agg(count(lit(1)).as("n_total"), sum(col("keep")).cast("long").as("n_kept"),
+          expr("CAST(sum(keep) * 10000L div count(1) AS BIGINT)").as("kept_x1e4"))
+        .orderBy("source")
+    },
+
     // intra-document repetition score (the Gopher/C4 quality-filter
     // family): fraction of the doc's bigrams taken by its single most
     // frequent bigram, x1e4 floor-div. Highly repetitive docs (boilerplate,
