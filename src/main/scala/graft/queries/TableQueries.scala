@@ -703,6 +703,33 @@ object TableQueries extends QueryPack {
         .orderBy("name", "count")
     },
 
+    // Atomic partition overwrite (Iceberg's dynamic overwrite — the
+    // daily-backfill op): the truncate(10) partition holding counts
+    // 10..19 is replaced in ONE commit with exactly the incoming rows;
+    // partitions 0 and 20 never move, and time travel still reads the
+    // pre-overwrite table (travel_rows pins it). The replaced partition's
+    // old rows vanish via equality-delete keys scoped below the commit,
+    // so the replacement itself survives.
+    Q(
+      "t_partition_overwrite",
+      """SELECT name, size, count, CAST(5 AS BIGINT) AS travel_rows
+        |FROM (VALUES
+        |  ('A','small',2),('B2','medium',11),('D','small',20),
+        |  ('E','large',20),('F','mid',12)) AS t(name, size, count)
+        |ORDER BY name, count""",
+    ) { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "povr")
+      t.appendPartitioned(items(s),
+        PartitionSpec("count", Transform.Truncate(10)), statsCols = Seq("count")) // seq 0
+      t.overwritePartitions(
+        Seq(("B2", "medium", 11), ("F", "mid", 12)).toDF("name", "size", "count"),
+        PartitionSpec("count", Transform.Truncate(10)), statsCols = Seq("count")) // seq 1
+      t.read()
+        .withColumn("travel_rows", lit(t.read(asOf = 0).count()))
+        .orderBy("name", "count")
+    },
+
     // Incremental materialized-view maintenance — the changelog's
     // payoff: a per-size (count, sum) aggregate materialized at snapshot
     // 0 is advanced to head by applying ONLY the changelog deltas

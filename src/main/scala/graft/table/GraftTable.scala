@@ -159,6 +159,48 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       partSpec = PartitionSpec.renderAll(specs))
   }
 
+  /** Atomic partition overwrite (Iceberg's dynamic overwrite / INSERT
+    * OVERWRITE PARTITION — the daily-backfill op): replace, in ONE
+    * commit, every partition the incoming data touches with exactly the
+    * incoming content. The replacement lands partition-laid-out with
+    * per-file stats (future reads prune like any partitioned append);
+    * the displaced rows are removed via equality-delete keys — the
+    * distinct source values currently living in the touched partitions,
+    * discovered from the incoming data's partition values. Untouched
+    * partitions never move; time travel sees the pre-overwrite state.
+    * Like upsert, keys come from the files ALREADY WRITTEN, not from a
+    * second evaluation of a possibly non-deterministic `df` lineage.
+    */
+  def overwritePartitions(df: DataFrame, spec: PartitionSpec,
+      statsCols: Seq[String] = Nil): Long = {
+    requireNoReserved(df)
+    val dir = newShardDir("data")
+    df.withColumn(PartCol, spec.transform.expr(col(spec.col)))
+      .repartition(col(PartCol))
+      .write.partitionBy(PartCol).parquet(dir.toString)
+    val files = parquetFilesIn(dir)
+    val partStat: Seq[Map[String, (String, String)]] =
+      files.map(f => partValueFromPath(f, 0).map(v => PartCol -> (v, v)).toMap)
+    val extra = perFileStats(dir, files, statsCols)
+    val merged =
+      if (extra.isEmpty) partStat
+      else partStat.zip(extra).map { case (a, b) => a ++ b }
+    val written = spark.read.schema(df.schema).parquet(dir.toString)
+    val pv = written.select(spec.transform.expr(col(spec.col)).as("_pv")).distinct()
+    // existing rows of the touched partitions -> distinct delete keys.
+    // The keys overlapping the new data are harmless: the delete scopes
+    // to seq strictly below this commit, so the replacement survives it.
+    val victims = read()
+      .join(pv, spec.transform.expr(col(spec.col)) === col("_pv"), "left_semi")
+      .select(col(spec.col)).distinct()
+    val delDir = newShardDir("deletes")
+    victims.write.parquet(delDir.toString)
+    log.commit("mixed", dataFiles = files, deleteFiles = parquetFilesIn(delDir),
+      equalityCols = Seq(spec.col), stats = foldStats(extra, statsCols),
+      schemaJson = idSchemaJson(df.schema), fileStats = merged,
+      partSpec = spec.render)
+  }
+
   private val PartCol = "_p"
   private val SeqCol = "_seq"
 

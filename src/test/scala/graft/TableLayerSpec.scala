@@ -784,6 +784,32 @@ class TableLayerSpec extends AnyFunSuite {
     assert(t.snapshots.size == 1)
   }
 
+  test("partition overwrite replaces only touched partitions, atomically") {
+    val t = freshTable("povr")
+    val spec = PartitionSpec("count", Transform.Truncate(10))
+    t.appendPartitioned(items, spec, statsCols = Seq("count")) // counts 2,7,15,10,20,20
+    // overwrite BOTH partition 0 (counts 0-9) and partition 10, leaving 20
+    t.overwritePartitions(
+      Seq(("N1", "x", 3), ("N2", "x", 14)).toDF("name", "size", "count"),
+      spec, statsCols = Seq("count"))
+    val names = t.read().select("name").as[String].collect().sorted
+    // partition 0 had A(2), A(7); partition 10 had B(15), C(10) — all gone;
+    // partition 20 (D, E) untouched
+    assert(names.sameElements(Array("D", "E", "N1", "N2")))
+    // one atomic commit; pre-overwrite state still travelable
+    assert(t.snapshots.map(_.action) == Seq("add", "mixed"))
+    assert(t.read(asOf = 0).count() == 6)
+    // the replacement is partition-laid-out: an equality probe on the new
+    // value prunes to the one new partition-10 file (the old partition-10
+    // file also intersects — its rows are delete-masked, not unlisted)
+    assert(t.readEq("count", 14).filter(col("name") === "N2").count() == 1)
+    // re-overwriting the same partition with a key that also existed
+    // before keeps exactly the latest copy
+    t.overwritePartitions(Seq(("N2", "y", 15)).toDF("name", "size", "count"), spec)
+    val n2 = t.read().filter(col("name") === "N2").collect()
+    assert(n2.length == 1 && n2.head.getString(1) == "y")
+  }
+
   test("checkpoint races concurrent committers without losing or reordering entries") {
     val t = freshTable("ckptrace")
     t.append(items.repartition(1)) // seq 0
