@@ -983,6 +983,11 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     val bounds = view.agg(
       min(col(a)).cast("double"), max(col(a)).cast("double"),
       min(col(b)).cast("double"), max(col(b)).cast("double")).collect()(0)
+    // an empty view (everything deleted) or an all-null dimension has no
+    // bounds: treat it as a zero-span dim (norm = 0), so the rewrite
+    // degenerates to the same empty/flat replace any compaction produces
+    // instead of throwing on a null min (found by the model fuzzer)
+    def bd(i: Int): Double = if (bounds.isNullAt(i)) 0.0 else bounds.getDouble(i)
     def norm(c: String, lo: Double, hi: Double): Column = {
       val span = hi - lo
       if (span <= 0) lit(0L)
@@ -993,8 +998,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     def spreadBits(c: Column): Column =
       (0 until 16).map(i => shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), 2 * i))
         .reduce(_ bitwiseOR _)
-    val z = spreadBits(norm(a, bounds.getDouble(0), bounds.getDouble(1)))
-      .bitwiseOR(shiftleft(spreadBits(norm(b, bounds.getDouble(2), bounds.getDouble(3))), 1))
+    val z = spreadBits(norm(a, bd(0), bd(1)))
+      .bitwiseOR(shiftleft(spreadBits(norm(b, bd(2), bd(3))), 1))
     // explicit equal z-range bucket per file: top log2(numFiles) bits
     val shift = 32 - (math.log(numFiles) / math.log(2)).round.toInt
     val zq = shiftright(z, shift)

@@ -546,6 +546,19 @@ class TableLayerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.compactZOrder(Seq("x", "y"), numFiles = 8))
   }
 
+  test("compactZOrder of a fully-deleted table is an empty replace, not a crash") {
+    val t = freshTable("zempty")
+    t.append(items)
+    t.delete(Seq("A", "B", "C", "D", "E").toDF("name"), Seq("name"))
+    assert(t.read().count() == 0)
+    t.compactZOrder(Seq("count", "count"), numFiles = 4) // fuzzer-found NPE class
+    assert(t.read().count() == 0)
+    assert(t.snapshots.last.action == "replace")
+    // the table stays writable after the empty rewrite
+    t.append(Seq(("F", "post", 1)).toDF("name", "size", "count"))
+    assert(t.read().count() == 1)
+  }
+
   test("positional delete removes exactly one of two IDENTICAL rows") {
     val t = freshTable("posdel")
     // two byte-identical rows: no equality predicate can separate them

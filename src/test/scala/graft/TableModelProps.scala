@@ -57,15 +57,25 @@ object TableModelProps extends Properties("graft-table-model") {
   // renames/widenings and pending deletes below the target (materialize)
   // as well as plain append runs (metadata-only file adoption).
   private case class Rollback(rawTarget: Int) extends Op
+  // atomic partition overwrite under the shared truncate(25) spec: every
+  // partition value the incoming rows touch loses its PRIOR rows (a
+  // partition-predicate delete, not a key delete) and gains the incoming
+  // rows — one seq
+  private case class OverwritePart(rows: List[Row]) extends Op
 
   /** expected read(asOf) by replaying the op prefix under the spec rules. */
+  /** truncate(25) partition value of a count — the spec run() writes under. */
+  private def pval(c: Int): Int = c - c % 25
+
   private def model(ops: List[Op], asOf: Int): List[Row] = {
     var rows = Vector.empty[(Row, Int)] // (row, data seq)
     var dels = Vector.empty[(String, Int)] // (key, delete seq)
+    var pdels = Vector.empty[(Int, Int)] // (partition value, delete seq)
+    def dead(r: Row, s: Int): Boolean =
+      dels.exists { case (k, ds) => k == r._1 && s < ds } ||
+        pdels.exists { case (p, ds) => pval(r._2) == p && s < ds }
     ops.take(asOf + 1).zipWithIndex.foreach { case (op, seq) =>
-      def view = rows.collect {
-        case (r, s) if !dels.exists { case (k, ds) => k == r._1 && s < ds } => r
-      }
+      def view = rows.collect { case (r, s) if !dead(r, s) => r }
       op match {
         case Append(rs, _) => rows ++= rs.map(_ -> seq)
         case Delete(ks) => dels ++= ks.map(_ -> seq)
@@ -79,19 +89,24 @@ object TableModelProps extends Properties("graft-table-model") {
           // append — one atomic entry, latest row wins
           dels ++= rs.map(_._1).distinct.map(_ -> seq)
           rows ++= rs.map(_ -> seq)
+        case OverwritePart(rs) =>
+          // partition-predicate delete: every partition the incoming rows
+          // touch loses its PRIOR rows; the incoming rows carry this seq
+          pdels ++= rs.map(r => pval(r._2)).distinct.map(_ -> seq)
+          rows ++= rs.map(_ -> seq)
         case Compact | CompactSorted | CompactZOrder =>
           rows = view.map(_ -> seq)
           dels = Vector.empty
+          pdels = Vector.empty
         case Rollback(raw) =>
           // the view at the clamped target becomes this seq's content
           rows = model(ops, math.min(raw, seq - 1)).map(_ -> seq).toVector
           dels = Vector.empty
+          pdels = Vector.empty
         case RenameKey | WidenCount => () // metadata-only: one seq, no rows
       }
     }
-    rows.collect {
-      case (r, s) if !dels.exists { case (k, ds) => k == r._1 && s < ds } => r
-    }.toList
+    rows.collect { case (r, s) if !dead(r, s) => r }.toList
   }
 
   private val genRow: Gen[Row] = for {
@@ -111,6 +126,7 @@ object TableModelProps extends Properties("graft-table-model") {
       keys <- Gen.nonEmptyListOf(Gen.oneOf("A", "B", "C", "D", "E", "F"))
     } yield Mixed(rows, keys.distinct.take(2))),
     1 -> Gen.nonEmptyListOf(genRow).map(rs => Upsert(rs.take(3))),
+    1 -> Gen.nonEmptyListOf(genRow).map(rs => OverwritePart(rs.take(3))),
     1 -> Gen.const(Compact),
     1 -> Gen.const(CompactSorted),
     1 -> Gen.const(CompactZOrder),
@@ -163,6 +179,8 @@ object TableModelProps extends Properties("graft-table-model") {
         t.appendAndDelete(rows.toDF(keyCol, "count"), keys.toDF(keyCol), Seq(keyCol))
       case Upsert(rows) =>
         t.upsert(rows.toDF(keyCol, "count"), keyCols = Seq(keyCol))
+      case OverwritePart(rows) =>
+        t.overwritePartitions(rows.toDF(keyCol, "count"), spec, statsCols = Seq("count"))
       case Compact => t.compact()
       case CompactSorted => t.compactSorted("count", numFiles = 2)
       case CompactZOrder => t.compactZOrder(Seq("count", "count"), numFiles = 4)
@@ -215,7 +233,8 @@ object TableModelProps extends Properties("graft-table-model") {
       rows <- Gen.nonEmptyListOf(genRow).map(_.take(3))
       keys <- Gen.nonEmptyListOf(Gen.oneOf("A", "B", "C", "D", "E", "F"))
     } yield Mixed(rows, keys.distinct.take(2))),
-    1 -> Gen.nonEmptyListOf(genRow).map(rs => Upsert(rs.take(3))))
+    1 -> Gen.nonEmptyListOf(genRow).map(rs => Upsert(rs.take(3))),
+    1 -> Gen.nonEmptyListOf(genRow).map(rs => OverwritePart(rs.take(3))))
 
   private val genFlatOps: Gen[List[Op]] = for {
     first <- Gen.nonEmptyListOf(genRow).map(rs => Append(rs.take(5), partitioned = 0))
@@ -240,6 +259,13 @@ object TableModelProps extends Properties("graft-table-model") {
           case Delete(ks) => want ++= dels(ks)
           case Mixed(rs, ks) => want ++= dels(ks) ++ ins(rs)
           case Upsert(rs) => want ++= dels(rs.map(_._1).distinct) ++ ins(rs)
+          case OverwritePart(rs) =>
+            // partition-predicate delete: the pre-commit rows of every
+            // touched partition, then the incoming rows as inserts
+            val pv = rs.map(r => pval(r._2)).distinct
+            want ++= view.filter(r => pv.contains(pval(r._2)))
+              .map(r => (r._1, r._2, "delete", seq.toLong))
+            want ++= ins(rs)
           case _ => ()
         }
       }
