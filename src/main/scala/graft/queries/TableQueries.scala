@@ -703,6 +703,37 @@ object TableQueries extends QueryPack {
         .orderBy("name", "count")
     },
 
+    // STRING-column data skipping (Iceberg prunes string manifest bounds
+    // lexicographically, same as numerics): two shards with disjoint name
+    // ranges; a name-range probe and a string point probe each open ONE
+    // file (files_opened pinned). String stats record native
+    // lexicographic min/max, so write-side fold and read-side compare
+    // share one ordering by construction.
+    Q(
+      "t_string_skipping",
+      """SELECT * FROM (VALUES
+        |  ('eq_oscar','oscar',5,1),
+        |  ('range_a_c','alpha',1,1),('range_a_c','beta',2,1))
+        |  AS t(probe, name, count, files_opened)
+        |ORDER BY probe, name""",
+    ) { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "strskip")
+      t.append(Seq(("alpha", "x", 1), ("beta", "x", 2), ("carol", "x", 3))
+        .toDF("name", "size", "count").repartition(1), statsCols = Seq("name"))
+      t.append(Seq(("nina", "x", 4), ("oscar", "x", 5), ("zed", "x", 6))
+        .toDF("name", "size", "count").repartition(1), statsCols = Seq("name"))
+      val range = t.readRangeStr("name", "a", "c")
+        .withColumn("probe", lit("range_a_c"))
+        .withColumn("files_opened", lit(t.prunedFileCountStr("name", "a", "c")))
+      val eq = t.readEq("name", "oscar")
+        .withColumn("probe", lit("eq_oscar"))
+        .withColumn("files_opened", lit(t.prunedFileCountEq("name", "oscar")))
+      range.unionByName(eq)
+        .select("probe", "name", "count", "files_opened")
+        .orderBy("probe", "name")
+    },
+
     // Atomic partition overwrite (Iceberg's dynamic overwrite — the
     // daily-backfill op): the truncate(10) partition holding counts
     // 10..19 is replaced in ONE commit with exactly the incoming rows;

@@ -50,26 +50,36 @@ final case class LogEntry(
     // values.
     partSpec: String = "") {
 
-  /** Can this commit's data possibly contain rows with `col` in
-    * [lo, hi]? True when no stats were recorded for the column (never
-    * prune blind).
+  /** bounds-intersection under the PRUNE's ordering: string prunes
+    * compare lexicographically (string columns record native min/max —
+    * same ordering at write and read); numeric prunes parse the decimal
+    * rendering. A probe mistyped against the column's recorded kind may
+    * fail to parse — never prune blind on it.
     */
-  def mayContain(colName: String, lo: BigDecimal, hi: BigDecimal): Boolean = {
-    val i = statsCols.indexOf(colName)
-    i < 0 || {
-      val (mn, mx) = (BigDecimal(statsMin(i)), BigDecimal(statsMax(i)))
-      mx >= lo && mn <= hi
+  private def intersects(mn: String, mx: String, p: Prune): Boolean =
+    p.strBounds match {
+      case Some((lo, hi)) => mx >= lo && mn <= hi
+      case None =>
+        try BigDecimal(mx) >= p.lo && BigDecimal(mn) <= p.hi
+        catch { case _: NumberFormatException => true }
     }
+
+  /** Can this commit's data possibly contain rows matching `p`? True
+    * when no stats were recorded for the column (never prune blind).
+    */
+  def mayContain(p: Prune): Boolean = {
+    val i = statsCols.indexOf(p.col)
+    i < 0 || intersects(statsMin(i), statsMax(i), p)
   }
 
-  /** Can data file `i` possibly contain rows with `col` in [lo, hi]?
-    * File-level bounds win when recorded; otherwise falls back to the
-    * commit-level answer (never prune blind).
+  /** Can data file `i` possibly contain rows matching `p`? File-level
+    * bounds win when recorded; otherwise falls back to the commit-level
+    * answer (never prune blind).
     */
-  def fileMayContain(i: Int, colName: String, lo: BigDecimal, hi: BigDecimal): Boolean =
-    fileStats.lift(i).flatMap(_.get(colName)) match {
-      case Some((mn, mx)) => BigDecimal(mx) >= lo && BigDecimal(mn) <= hi
-      case None => mayContain(colName, lo, hi)
+  def fileMayContain(i: Int, p: Prune): Boolean =
+    fileStats.lift(i).flatMap(_.get(p.col)) match {
+      case Some((mn, mx)) => intersects(mn, mx, p)
+      case None => mayContain(p)
     }
 }
 
@@ -78,10 +88,19 @@ final case class LogEntry(
   * ONLY to entries committed under exactly that partition spec — partition
   * values computed under one transform must never prune data written under
   * another (Iceberg scopes partition predicates by manifest spec-id the
-  * same way); non-matching entries simply aren't pruned by it.
+  * same way); non-matching entries simply aren't pruned by it. With
+  * `strBounds` set the predicate is LEXICOGRAPHIC (string-column stats;
+  * lo/hi are unused) — Iceberg prunes string manifests the same way.
   */
 final case class Prune(
-    col: String, lo: BigDecimal, hi: BigDecimal, requireSpec: String = "")
+    col: String, lo: BigDecimal, hi: BigDecimal, requireSpec: String = "",
+    strBounds: Option[(String, String)] = None)
+
+object Prune {
+  /** lexicographic range predicate for a STRING column. */
+  def str(col: String, lo: String, hi: String): Prune =
+    Prune(col, 0, 0, strBounds = Some((lo, hi)))
+}
 
 /** File-based commit log with CAS concurrency control — the Spark-native
   * stand-in for the reference's Iceberg REST-catalog commit path
@@ -378,7 +397,7 @@ object CommitLog {
       data = data ++ e.dataFiles.zipWithIndex.collect {
         case (f, i) if prune.forall(p =>
           (p.requireSpec.nonEmpty && e.partSpec != p.requireSpec) ||
-            e.fileMayContain(i, p.col, p.lo, p.hi)) =>
+            e.fileMayContain(i, p)) =>
           f -> e.seq
       }
       dels = dels ++ e.deleteFiles.map(f => (f, e.seq, e.equalityCols))

@@ -49,13 +49,25 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * input_file_name(), so cost is O(statsCols), not O(files).
     */
   private def perFileStats(
-      dir: Path, files: Seq[String], statsCols: Seq[String]): Seq[Map[String, (String, String)]] =
-    if (statsCols.isEmpty || files.isEmpty) Nil
+      dir: Path, files: Seq[String], statsCols: Seq[String])
+      : (Seq[Map[String, (String, String)]], Set[String]) =
+    if (statsCols.isEmpty || files.isEmpty) (Nil, Set.empty)
     else {
-      val aggs = statsCols.flatMap(c =>
-        Seq(min(col(c)).cast("decimal(38,6)").as(s"mn_$c"),
-          max(col(c)).cast("decimal(38,6)").as(s"mx_$c")))
-      val byFile = spark.read.parquet(dir.toString)
+      val df0 = spark.read.parquet(dir.toString)
+      // STRING columns keep their native lexicographic min/max — the
+      // ordering string prunes compare with at read time; everything
+      // else normalizes through decimal so renderings parse numerically.
+      // The ordering is fixed by column TYPE at write time, and fold +
+      // prune reuse it, so the two can never disagree.
+      val strCols = statsCols.filter(c =>
+        df0.schema.find(_.name == c)
+          .exists(_.dataType == org.apache.spark.sql.types.StringType)).toSet
+      val aggs = statsCols.flatMap { c =>
+        if (strCols(c)) Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))
+        else Seq(min(col(c)).cast("decimal(38,6)").as(s"mn_$c"),
+          max(col(c)).cast("decimal(38,6)").as(s"mx_$c"))
+      }
+      val byFile = df0
         .groupBy(input_file_name().as("_f"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
@@ -70,7 +82,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
             else Some(c -> (r.get(1 + 2 * i).toString, r.get(2 + 2 * i).toString))
           }.toMap
         }.toMap
-      files.map(f => byFile.getOrElse(f, Map.empty))
+      (files.map(f => byFile.getOrElse(f, Map.empty)), strCols)
     }
 
   /** commit-level bounds folded FROM the per-file bounds (min of mins,
@@ -80,10 +92,13 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     */
   private def foldStats(
       fileStats: Seq[Map[String, (String, String)]],
-      statsCols: Seq[String]): Seq[(String, String, String)] =
+      statsCols: Seq[String],
+      strCols: Set[String] = Set.empty): Seq[(String, String, String)] =
     statsCols.flatMap { c =>
       val bounds = fileStats.flatMap(_.get(c))
       if (bounds.isEmpty) None
+      else if (strCols(c)) // lexicographic fold, matching string prunes
+        Some((c, bounds.map(_._1).min, bounds.map(_._2).max))
       else Some((c,
         bounds.minBy(b => BigDecimal(b._1))._1,
         bounds.maxBy(b => BigDecimal(b._2))._2))
@@ -99,8 +114,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     val dir = newShardDir("data")
     df.write.parquet(dir.toString)
     val files = parquetFilesIn(dir)
-    val fs = perFileStats(dir, files, statsCols)
-    log.commit("add", dataFiles = files, stats = foldStats(fs, statsCols),
+    val (fs, strCols) = perFileStats(dir, files, statsCols)
+    log.commit("add", dataFiles = files, stats = foldStats(fs, statsCols, strCols),
       schemaJson = idSchemaJson(df.schema), fileStats = fs)
   }
 
@@ -150,11 +165,11 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       specs.indices.flatMap(i =>
         partValueFromPath(f, i).map(v => partColFor(i) -> (v, v))).toMap
     }
-    val extra = perFileStats(dir, files, statsCols)
+    val (extra, strCols) = perFileStats(dir, files, statsCols)
     val merged =
       if (extra.isEmpty) partStat
       else partStat.zip(extra).map { case (a, b) => a ++ b }
-    log.commit("add", dataFiles = files, stats = foldStats(extra, statsCols),
+    log.commit("add", dataFiles = files, stats = foldStats(extra, statsCols, strCols),
       schemaJson = idSchemaJson(df.schema), fileStats = merged,
       partSpec = PartitionSpec.renderAll(specs))
   }
@@ -181,7 +196,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     val files = parquetFilesIn(dir)
     val partStat: Seq[Map[String, (String, String)]] =
       files.map(f => partValueFromPath(f, 0).map(v => PartCol -> (v, v)).toMap)
-    val extra = perFileStats(dir, files, statsCols)
+    val (extra, strCols) = perFileStats(dir, files, statsCols)
     val merged =
       if (extra.isEmpty) partStat
       else partStat.zip(extra).map { case (a, b) => a ++ b }
@@ -196,7 +211,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     val delDir = newShardDir("deletes")
     victims.write.parquet(delDir.toString)
     log.commit("mixed", dataFiles = files, deleteFiles = parquetFilesIn(delDir),
-      equalityCols = Seq(spec.col), stats = foldStats(extra, statsCols),
+      equalityCols = Seq(spec.col), stats = foldStats(extra, statsCols, strCols),
       schemaJson = idSchemaJson(df.schema), fileStats = merged,
       partSpec = spec.render)
   }
@@ -738,6 +753,26 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     CommitLog.stateFrom(entries, rangePrunes(entries, colName, lo, hi))._1.size
   }
 
+  /** bounded read on a STRING column: opens only files whose recorded
+    * LEXICOGRAPHIC min/max can intersect [lo, hi] — Iceberg prunes string
+    * manifest bounds the same way. String stats are recorded natively
+    * (perFileStats), so write-side fold and read-side compare share one
+    * ordering. The 100 TB case: name-prefix / URL-range scans over a
+    * string-clustered layout (compactSorted on the string key) open only
+    * the matching files.
+    */
+  def readRangeStr(colName: String, lo: String, hi: String): DataFrame = {
+    val entries = log.entries()
+    readPruned(entries, Seq(Prune.str(colName, lo, hi)))
+      .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+  }
+
+  /** data files a readRangeStr scan would actually open. */
+  def prunedFileCountStr(colName: String, lo: String, hi: String): Int = {
+    val entries = log.entries()
+    CommitLog.stateFrom(entries, Seq(Prune.str(colName, lo, hi)))._1.size
+  }
+
   /** data files a readEq scan would actually open. */
   def prunedFileCountEq(colName: String, value: Any): Int = {
     val entries = log.entries()
@@ -786,7 +821,12 @@ final class GraftTable(spark: SparkSession, val root: Path) {
         partitionValueOf(sp, value, colType)
           .map(pv => Prune(partColFor(i), pv, pv, requireSpec = render))
     }.flatten
-    partPrunes ++ numericBound(value).map(v => Prune(colName, v, v))
+    partPrunes ++ (value match {
+      // string point probes prune on lexicographic stats; numerics on
+      // decimal stats; anything else only through partition values above
+      case s: String => Seq(Prune.str(colName, s, s))
+      case v => numericBound(v).map(n => Prune(colName, n, n)).toSeq
+    })
   }
 
   private def readPruned(entries: Seq[LogEntry], prune: Seq[Prune]): DataFrame =
@@ -952,9 +992,9 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       .sortWithinPartitions(sortCol)
       .write.parquet(dir.toString)
     val files = parquetFilesIn(dir)
-    val fs = perFileStats(dir, files, Seq(sortCol))
+    val (fs, strCols) = perFileStats(dir, files, Seq(sortCol))
     log.commit("replace", dataFiles = files,
-      stats = foldStats(fs, Seq(sortCol)),
+      stats = foldStats(fs, Seq(sortCol), strCols),
       schemaJson = idSchemaJson(view.schema),
       fileStats = fs)
   }
@@ -1011,9 +1051,9 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       .select(outCols: _*)
       .write.parquet(dir.toString)
     val files = parquetFilesIn(dir)
-    val fs = perFileStats(dir, files, cols)
+    val (fs, strCols) = perFileStats(dir, files, cols)
     log.commit("replace", dataFiles = files,
-      stats = foldStats(fs, cols),
+      stats = foldStats(fs, cols, strCols),
       schemaJson = idSchemaJson(view.schema),
       fileStats = fs)
   }

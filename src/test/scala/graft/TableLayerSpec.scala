@@ -797,6 +797,26 @@ class TableLayerSpec extends AnyFunSuite {
     assert(t.snapshots.size == 1)
   }
 
+  test("string-column stats prune lexicographic range and point reads") {
+    val t = freshTable("strskip")
+    t.append(Seq(("alpha", "x", 1), ("beta", "x", 2), ("carol", "x", 3))
+      .toDF("name", "size", "count").repartition(1), statsCols = Seq("name"))
+    t.append(Seq(("nina", "x", 4), ("oscar", "x", 5), ("zed", "x", 6))
+      .toDF("name", "size", "count").repartition(1), statsCols = Seq("name"))
+    // [a, c] intersects only [alpha, carol]; carol itself sorts above "c"
+    assert(t.prunedFileCountStr("name", "a", "c") == 1)
+    assert(t.readRangeStr("name", "a", "c").count() == 2)
+    // [p, t] intersects only [nina, zed]
+    assert(t.prunedFileCountStr("name", "p", "t") == 1)
+    // a string point probe prunes through the same lexicographic stats
+    assert(t.prunedFileCountEq("name", "oscar") == 1)
+    assert(t.readEq("name", "oscar").count() == 1)
+    // a spanning range opens both files; deletes still apply on top
+    assert(t.prunedFileCountStr("name", "b", "o") == 2)
+    t.delete(Seq("beta").toDF("name"), Seq("name"))
+    assert(t.readRangeStr("name", "a", "c").count() == 1)
+  }
+
   test("partition overwrite replaces only touched partitions, atomically") {
     val t = freshTable("povr")
     val spec = PartitionSpec("count", Transform.Truncate(10))
