@@ -619,19 +619,40 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     require(!all.exists(e => e.seq > fromSeq && e.action == "replace"),
       s"changelog read ($fromSeq, $toSeq] crosses a replace/compaction commit; " +
         "re-baseline with a full read instead")
+    // every term is renamed to the HEAD-schema name of its field id:
+    // a range crossing a renameColumn would otherwise union the delete
+    // terms (read at seq-1, under the historical name) with insert terms
+    // under the new name, double-columning the output. Ids absent from
+    // the head schema (dropped columns) are dropped from the term.
+    val headSchema = schemaFrom(all)
+    def alignToHead(df: DataFrame, atSeq: Long): DataFrame =
+      (schemaFrom(all.filter(_.seq <= atSeq)), headSchema) match {
+        case (Some(at), Some(head)) =>
+          val headName = head.fields.flatMap(f => fieldId(f).map(_ -> f.name)).toMap
+          val cols = at.fields.toSeq.flatMap { f =>
+            fieldId(f).flatMap(headName.get) match {
+              case Some(hn) => Some(col(f.name).as(hn))
+              case None if fieldId(f).isEmpty => Some(col(f.name)) // pre-id era
+              case None => None // dropped from the head schema
+            }
+          }
+          df.select(cols: _*)
+        case _ => df
+      }
     val frames = all.filter(_.seq > fromSeq).flatMap { e =>
       val dels =
         if (e.deleteFiles.isEmpty) None
         else {
           val keys = spark.read.parquet(e.deleteFiles: _*)
-          Some(read(asOf = e.seq - 1)
-            .join(keys, e.equalityCols, "left_semi")
+          Some(alignToHead(
+            read(asOf = e.seq - 1).join(keys, e.equalityCols, "left_semi"),
+            e.seq - 1)
             .withColumn("change_type", lit("delete"))
             .withColumn("change_seq", lit(e.seq)))
         }
       val ins =
         if (e.dataFiles.isEmpty) None
-        else Some(readIncremental(e.seq - 1, e.seq)
+        else Some(alignToHead(readIncremental(e.seq - 1, e.seq), e.seq)
           .withColumn("change_type", lit("insert"))
           .withColumn("change_seq", lit(e.seq)))
       dels.toSeq ++ ins.toSeq

@@ -884,6 +884,20 @@ class TableLayerSpec extends AnyFunSuite {
     assert(t.read(asOf = 0).count() == 6) // history untouched, unlike expire
   }
 
+  test("changelog crossing a rename emits every term under the head-schema name") {
+    val t = freshTable("chrename")
+    t.append(items)                                       // seq 0: 'name'
+    t.delete(Seq("A").toDF("name"), Seq("name"))          // seq 1 (pre-rename delete)
+    t.renameColumn("name", "key")                         // seq 2 (metadata-only)
+    t.append(Seq(("F", "post", 1)).toDF("key", "size", "count")) // seq 3
+    val ch = t.readChangelog(fromSeq = 0)
+    // ONE key column named per the head schema — no 'name'/'key' split
+    assert(ch.columns.count(c => c == "key") == 1 && !ch.columns.contains("name"))
+    val rows = ch.select("key", "change_type", "change_seq")
+      .as[(String, String, Long)].collect().sortBy(r => (r._3, r._1))
+    assert(rows.toSeq == Seq(("A", "delete", 1L), ("A", "delete", 1L), ("F", "insert", 3L)))
+  }
+
   test("changelog emits per-commit row deltas and refuses replace ranges") {
     val t = freshTable("changelog")
     t.append(items)                                        // seq 0
