@@ -219,9 +219,9 @@ object TableModelProps extends Properties("graft-table-model") {
       }
     }
 
-  // changelog fuzz runs on flat lineages: no replace (refused by
-  // contract) and no rename/widen (a range crossing a schema change
-  // unions frames of different shapes — scenario-tested, not fuzzed)
+  // changelog fuzz runs on replace-free lineages (a replace range is
+  // refused by contract); renames/widenings ARE included — every term
+  // must come out under the HEAD-schema column names (alignToHead)
   private val genFlatOp: Gen[Op] = Gen.frequency(
     4 -> (for {
       rows <- Gen.nonEmptyListOf(genRow).map(_.take(5))
@@ -234,7 +234,9 @@ object TableModelProps extends Properties("graft-table-model") {
       keys <- Gen.nonEmptyListOf(Gen.oneOf("A", "B", "C", "D", "E", "F"))
     } yield Mixed(rows, keys.distinct.take(2))),
     1 -> Gen.nonEmptyListOf(genRow).map(rs => Upsert(rs.take(3))),
-    1 -> Gen.nonEmptyListOf(genRow).map(rs => OverwritePart(rs.take(3))))
+    1 -> Gen.nonEmptyListOf(genRow).map(rs => OverwritePart(rs.take(3))),
+    1 -> Gen.const(RenameKey),
+    1 -> Gen.const(WidenCount))
 
   private val genFlatOps: Gen[List[Op]] = for {
     first <- Gen.nonEmptyListOf(genRow).map(rs => Append(rs.take(5), partitioned = 0))
@@ -269,8 +271,10 @@ object TableModelProps extends Properties("graft-table-model") {
           case _ => ()
         }
       }
+      // address the key column by its HEAD-schema name: alignToHead must
+      // have renamed every term to it, whatever name its commit used
       val got = t.readChangelog(from.toLong)
-        .select(org.apache.spark.sql.functions.col("name"),
+        .select(org.apache.spark.sql.functions.col(keyColAt(ops, ops.size - 1)),
           org.apache.spark.sql.functions.col("count").cast("int"),
           org.apache.spark.sql.functions.col("change_type"),
           org.apache.spark.sql.functions.col("change_seq"))
