@@ -98,8 +98,8 @@ final case class Prune(
 
 object Prune {
   /** lexicographic range predicate for a STRING column. */
-  def str(col: String, lo: String, hi: String): Prune =
-    Prune(col, 0, 0, strBounds = Some((lo, hi)))
+  def str(col: String, lo: String, hi: String, requireSpec: String = ""): Prune =
+    Prune(col, 0, 0, requireSpec, strBounds = Some((lo, hi)))
 }
 
 /** File-based commit log with CAS concurrency control — the Spark-native

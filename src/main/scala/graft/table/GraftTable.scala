@@ -244,6 +244,10 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     val prefix = s"${partColFor(dim)}="
     f.split('/').find(_.startsWith(prefix))
       .map(_.stripPrefix(prefix))
+      // Spark %XX-escapes path-unsafe chars in partition dir names;
+      // string partition VALUES must compare unescaped (numerics are
+      // never escaped, so this is a no-op for them)
+      .map(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName)
       .filter(v => v.nonEmpty && v != "__HIVE_DEFAULT_PARTITION__")
   }
 
@@ -416,6 +420,21 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       spark.range(1)
         .select(spec.transform.expr(typed).cast("string")).as[String].head())
       .toOption.flatMap(Option(_)).map(BigDecimal(_))
+  }
+
+  /** engine-side evaluation of a STRING-valued transform on a literal —
+    * one local one-row job, same doctrine as [[partitionValueOf]]: the
+    * bound is computed by the exact expression that laid the data out
+    * (character semantics included), never a driver re-implementation.
+    */
+  private def partitionValueStrOf(spec: PartitionSpec, value: Any): Option[String] = {
+    import spark.implicits._
+    scala.util.Try(
+      spark.range(1)
+        .select(spec.transform.expr(
+          typedLit(value).cast(org.apache.spark.sql.types.StringType)))
+        .as[String].head())
+      .toOption.flatMap(Option(_))
   }
 
   /** equality delete: persist the key set as a delete file, commit a
@@ -784,14 +803,34 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     */
   def readRangeStr(colName: String, lo: String, hi: String): DataFrame = {
     val entries = log.entries()
-    readPruned(entries, Seq(Prune.str(colName, lo, hi)))
+    readPruned(entries, rangePrunesStr(entries, colName, lo, hi))
       .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 
   /** data files a readRangeStr scan would actually open. */
   def prunedFileCountStr(colName: String, lo: String, hi: String): Int = {
     val entries = log.entries()
-    CommitLog.stateFrom(entries, Seq(Prune.str(colName, lo, hi)))._1.size
+    CommitLog.stateFrom(entries, rangePrunesStr(entries, colName, lo, hi))._1.size
+  }
+
+  /** string-range predicates: lexicographic file stats on the source
+    * column plus, for a string-valued order-preserving spec dimension
+    * (truncstr — a prefix sorts ≤ everything it prefixes), the
+    * transformed partition-value range, spec-scoped like every partition
+    * predicate.
+    */
+  private def rangePrunesStr(entries: Seq[LogEntry],
+      colName: String, lo: String, hi: String): Seq[Prune] = {
+    val specs = specsFrom(entries)
+    val render = PartitionSpec.renderAll(specs)
+    Prune.str(colName, lo, hi) +: specs.zipWithIndex.collect {
+      case (sp, i) if sp.col == colName && sp.transform.orderPreserving &&
+          sp.transform.stringValued =>
+        for {
+          plo <- partitionValueStrOf(sp, lo)
+          phi <- partitionValueStrOf(sp, hi)
+        } yield Prune.str(partColFor(i), plo, phi, requireSpec = render)
+    }.flatten
   }
 
   /** data files a readEq scan would actually open. */
@@ -838,6 +877,12 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     lazy val colType =
       schemaFrom(entries).flatMap(_.fields.find(_.name == colName)).map(_.dataType)
     val partPrunes = specs.zipWithIndex.collect {
+      // prune kind follows the PARTITION VALUE's kind, not the probe's:
+      // bucket-on-string is numeric-valued (the hash IS the value),
+      // truncstr is string-valued
+      case (sp, i) if sp.col == colName && sp.transform.stringValued =>
+        partitionValueStrOf(sp, value)
+          .map(pv => Prune.str(partColFor(i), pv, pv, requireSpec = render))
       case (sp, i) if sp.col == colName =>
         partitionValueOf(sp, value, colType)
           .map(pv => Prune(partColFor(i), pv, pv, requireSpec = render))

@@ -30,6 +30,11 @@ sealed trait Transform {
     */
   def eval(v: BigDecimal): BigDecimal
   def orderPreserving: Boolean
+  /** true when partition VALUES are strings (lexicographic pruning);
+    * numeric-valued transforms prune through BigDecimal bounds. Note
+    * bucket-on-string is numeric-valued: the hash is the value.
+    */
+  def stringValued: Boolean = false
   def render(col: String): String
 }
 
@@ -74,6 +79,24 @@ object Transform {
     def render(col: String): String = s"truncate($w,$col)"
   }
 
+  /** truncate(w) on a STRING column — Iceberg's string truncate: the
+    * first w characters, order-preserving under lexicographic compare
+    * (a prefix sorts ≤ everything it prefixes), so name-range probes
+    * prune through the partition value like numeric ranges. Predicate
+    * bounds are engine-evaluated (GraftTable.partitionValueStrOf), never
+    * re-implemented driver-side — same doctrine as Bucket.
+    */
+  final case class TruncateStr(w: Int) extends Transform {
+    require(w > 0, s"truncate width must be positive: $w")
+    def expr(c: Column): Column = substring(c, 1, w)
+    def eval(v: BigDecimal): BigDecimal =
+      throw new UnsupportedOperationException(
+        "string-truncate values are engine-evaluated (GraftTable.partitionValueStrOf)")
+    def orderPreserving = true
+    override def stringValued = true
+    def render(col: String): String = s"truncstr($w,$col)"
+  }
+
   /** day on an epoch-microseconds long (the reference's event timestamps,
     * kafka-load-gen/main.go:53,189): partition value = epoch day.
     */
@@ -106,11 +129,13 @@ object Transform {
   def parse(s: String): Option[(String, Transform)] = {
     val Id = """identity\(([^)]+)\)""".r
     val Tr = """truncate\((\d+),([^)]+)\)""".r
+    val Ts = """truncstr\((\d+),([^)]+)\)""".r
     val Ed = """epochday\(([^)]+)\)""".r
     val Bu = """bucket\((\d+),([^)]+)\)""".r
     s match {
       case Id(c) => Some(c -> Identity)
       case Tr(w, c) => Some(c -> Truncate(w.toLong))
+      case Ts(w, c) => Some(c -> TruncateStr(w.toInt))
       case Ed(c) => Some(c -> EpochDay)
       case Bu(n, c) => Some(c -> Bucket(n.toInt))
       case _ => None

@@ -742,7 +742,8 @@ class TableLayerSpec extends AnyFunSuite {
       PartitionSpec("count", Transform.Identity),
       PartitionSpec("count", Transform.Truncate(1000)),
       PartitionSpec("ts", Transform.EpochDay),
-      PartitionSpec("name", Transform.Bucket(64)))
+      PartitionSpec("name", Transform.Bucket(64)),
+      PartitionSpec("name", Transform.TruncateStr(2)))
     specs.foreach { s =>
       assert(Transform.parse(s.render).contains(s.col -> s.transform), s.render)
     }
@@ -795,6 +796,25 @@ class TableLayerSpec extends AnyFunSuite {
     t.expireSnapshots()
     assert(t.read().count() == 7)
     assert(t.snapshots.size == 1)
+  }
+
+  test("truncstr hidden partitioning prunes string point and range probes") {
+    val t = freshTable("truncstr")
+    val spec = PartitionSpec("name", Transform.TruncateStr(1))
+    // 4 partitions (a, b, n, z), one file each (repartition by pcol)
+    t.appendPartitioned(
+      Seq(("alpha", "x", 1), ("beta", "x", 2), ("nina", "x", 3), ("zed", "x", 4))
+        .toDF("name", "size", "count"), spec, statsCols = Nil)
+    // point probe: only the 'b' partition file opens
+    assert(t.prunedFileCountEq("name", "beta") == 1)
+    assert(t.readEq("name", "beta").count() == 1)
+    // range probe [aa, b~]: prefixes 'a' and 'b' intersect, 'n'/'z' pruned
+    assert(t.prunedFileCountStr("name", "aa", "bz") == 2)
+    assert(t.readRangeStr("name", "aa", "bz").count() == 2)
+    // a miss prunes everything
+    assert(t.prunedFileCountEq("name", "quark") == 0)
+    // the spec round-trips through the log rendering
+    assert(t.partitionSpec.contains(spec))
   }
 
   test("string-column stats prune lexicographic range and point reads") {
