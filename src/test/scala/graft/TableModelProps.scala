@@ -32,7 +32,8 @@ object TableModelProps extends Properties("graft-table-model") {
 
   sealed private trait Op
   // partitioned: 0 = plain append, 1 = single-dim spec, 2 = multi-dim
-  // (truncate(count) + bucket(name)) — reads must be indistinguishable
+  // (truncate(count) + bucket(name)), 3 = string-prefix spec on the key
+  // column (truncstr) — reads must be indistinguishable
   private case class Append(rows: List[Row], partitioned: Int) extends Op
   private case class Delete(keys: List[String]) extends Op
   private case class Mixed(rows: List[Row], keys: List[String]) extends Op
@@ -63,9 +64,10 @@ object TableModelProps extends Properties("graft-table-model") {
   // rows — one seq
   private case class OverwritePart(rows: List[Row]) extends Op
 
-  /** expected read(asOf) by replaying the op prefix under the spec rules. */
   /** truncate(25) partition value of a count — the spec run() writes under. */
   private def pval(c: Int): Int = c - c % 25
+
+  /** expected read(asOf) by replaying the op prefix under the spec rules. */
 
   private def model(ops: List[Op], asOf: Int): List[Row] = {
     var rows = Vector.empty[(Row, Int)] // (row, data seq)
@@ -117,7 +119,7 @@ object TableModelProps extends Properties("graft-table-model") {
   private val genOp: Gen[Op] = Gen.frequency(
     4 -> (for {
       rows <- Gen.nonEmptyListOf(genRow).map(_.take(5))
-      part <- Gen.oneOf(0, 1, 2)
+      part <- Gen.oneOf(0, 1, 2, 3)
     } yield Append(rows, part)),
     2 -> Gen.nonEmptyListOf(Gen.oneOf("A", "B", "C", "D", "E", "F"))
       .map(ks => Delete(ks.distinct.take(3))),
@@ -171,6 +173,8 @@ object TableModelProps extends Properties("graft-table-model") {
         partitioned match {
           case 0 => t.append(df, statsCols = Seq("count"))
           case 1 => t.appendPartitioned(df, spec, statsCols = Seq("count"))
+          case 3 => t.appendPartitioned(df,
+            PartitionSpec(keyCol, Transform.TruncateStr(1)), statsCols = Seq("count"))
           case _ => t.appendPartitioned(df,
             Seq(spec, PartitionSpec(keyCol, Transform.Bucket(4))), Seq("count"))
         }
@@ -225,7 +229,7 @@ object TableModelProps extends Properties("graft-table-model") {
   private val genFlatOp: Gen[Op] = Gen.frequency(
     4 -> (for {
       rows <- Gen.nonEmptyListOf(genRow).map(_.take(5))
-      part <- Gen.oneOf(0, 1, 2)
+      part <- Gen.oneOf(0, 1, 2, 3)
     } yield Append(rows, part)),
     2 -> Gen.nonEmptyListOf(Gen.oneOf("A", "B", "C", "D", "E", "F"))
       .map(ks => Delete(ks.distinct.take(3))),
