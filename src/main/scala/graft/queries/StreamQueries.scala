@@ -359,5 +359,47 @@ object StreamQueries extends QueryPack {
       val total = table.read().agg(count(lit(1))).as[Long].head()
       snaps.withColumn("total_rows", lit(total)).orderBy("seq")
     },
+
+    // Streaming CDC-apply (the Debezium-to-lakehouse loop): each
+    // micro-batch of a change stream MERGEs into the table via one atomic
+    // upsert commit — latest row per key wins across epochs, and every
+    // intermediate state stays time-travelable. Epoch ORDER matters for
+    // upserts (unlike the append-only ingest above), so the staged files
+    // carry strictly increasing modification times — the file source's
+    // processing order. Three epochs: seed {A,B,C} → update A, insert D
+    // → update B, update A again.
+    Q(
+      "t_streaming_upsert",
+      """SELECT name, count, 3 AS n_commits, CAST(3 AS BIGINT) AS rows_at_seq0
+        |FROM (VALUES ('A',30),('B',20),('C',1),('D',1)) AS t(name, count)
+        |ORDER BY name""",
+    ) { (s, _) =>
+      val src = Files.createTempDirectory("graft_cdc_src")
+      val epochs = Seq(
+        Seq("A" -> 1, "B" -> 1, "C" -> 1),
+        Seq("A" -> 10, "D" -> 1),
+        Seq("B" -> 20, "A" -> 30))
+      epochs.zipWithIndex.foreach { case (rows, f) =>
+        val p = src.resolve(f"part-$f%02d.json")
+        Files.write(p, rows.map { case (k, v) => s"""{"name":"$k","count":$v}""" }
+          .mkString("\n").getBytes)
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + f * 60000L))
+      }
+      val table = GraftTable.createOrReplace(s, Files.createTempDirectory("graft_cdc_tbl").toString)
+      val stream = _root_.graft.sources.JsonFileSource(
+        src.toString, "name STRING, count INT", maxFilesPerTrigger = 1).load(s)
+      val query = stream.writeStream
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          table.upsert(batch, keyCols = Seq("name")): Unit // ONE MERGE commit per epoch
+        }
+        .start()
+      query.awaitTermination()
+      table.read()
+        .withColumn("n_commits", lit(table.snapshots.size))
+        .withColumn("rows_at_seq0", lit(table.read(asOf = 0).count()))
+        .orderBy("name")
+    },
   )
 }
