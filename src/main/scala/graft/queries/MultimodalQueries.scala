@@ -37,6 +37,11 @@ final case class ImageFeatures(
     sum_b: Long,
     mean_r_x100: Long)
 
+/** A 64-bit perceptual hash split into four 16-bit chunks (the SimHash
+  * chunk-bucketing trick applied to images).
+  */
+final case class PhashChunks(doc_id: Long, c0: Long, c1: Long, c2: Long, c3: Long)
+
 /** Output of the full decode → resize → frame-sample pipeline. The frame
   * lists are rendered as CSV strings in the OUTPUT schema only (the driver's
   * rows-only check sorts result cells, and raw array cells crash that sort —
@@ -190,6 +195,46 @@ object MultimodalQueries extends QueryPack {
     ImageFeatures(blob.doc_id, w, h, sr, sg, sb, sr * 100L / (w.toLong * h))
   }
 
+  /** 8×8 grayscale pattern for the pHash corpus: docs sharing doc_id % 50
+    * are near-identical (one id-dependent noise pixel apart) — the
+    * duplicate-group structure image dedup exists to find. Closed-form,
+    * so the oracle can replay it without decoding.
+    */
+  private[graft] def phashPx(d: Long, x: Int, y: Int): Int = {
+    // group-dependent FREQUENCY, not offset: an additive constant would
+    // cancel out of an average hash (g and mean shift together) and
+    // collapse every group to one hash; this ramp gives all 50 groups
+    // distinct bit patterns (verified exhaustively)
+    val base = (((x + y * 8) * (11 + 7 * (d % 50))) % 256).toInt
+    val nx = ((d / 50) % 8).toInt
+    val ny = ((d / 50 / 8) % 8).toInt
+    if (x == nx && y == ny) (base + 128) % 256 else base
+  }
+
+  private[graft] def encodePhashPng(d: Long): ImagePng = {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val v = phashPx(d, x, y)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    ImagePng(d, out.toByteArray)
+  }
+
+  /** average-hash from the REAL decoded raster: bit i = (pixel i > mean),
+    * packed into four 16-bit chunks for SimHash-style bucketing.
+    */
+  private[graft] def phashOf(blob: ImagePng): PhashChunks = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob.png))
+    val g = Array.tabulate(64)(i => img.getRGB(i % 8, i / 8) & 0xff)
+    val mean = g.sum / 64
+    val ch = Array.tabulate(4)(c =>
+      (0 until 16).map(j => if (g(16 * c + j) > mean) 1L << j else 0L).sum)
+    PhashChunks(blob.doc_id, ch(0), ch(1), ch(2), ch(3))
+  }
+
   override def queries: Seq[Q] = Seq(
     // feature extraction over the binary column, batched per partition.
     Q(
@@ -269,6 +314,84 @@ object MultimodalQueries extends QueryPack {
         .mapPartitions(_.map(encodePng)) // REAL PNG encoder, executor-side
         .mapPartitions(_.map(decodePng)) // REAL PNG decoder, batch-amortized
         .toDF()
+        .orderBy("doc_id")
+    },
+
+    // Image near-dup via perceptual hash — the multimodal dedup pass,
+    // composed from REAL codec work: 8×8 grayscale patterns (docs sharing
+    // doc_id % 50 are one noise pixel apart) go through the actual PNG
+    // encode→decode, the average-hash is computed from the DECODED
+    // raster, and candidates bucket by 16-bit hash chunks (the SimHash
+    // trick — never all-pairs; the shared hot-bucket guard applies), then
+    // verify exact hamming ≤ 8. Output is per-doc mate statistics
+    // (doc-count-sized). The oracle replays the closed-form pixels —
+    // PNG losslessness is what makes a real-codec query oracle-exact.
+    Q(
+      "q_dedup_image_phash",
+      s"""WITH d AS (SELECT doc_id FROM documents),
+        |px AS (SELECT doc_id, unnest(range(0, 64)) AS i FROM d),
+        |v AS (SELECT doc_id, i,
+        |        CASE WHEN (i % 8) = (doc_id // 50) % 8 AND (i // 8) = ((doc_id // 50) // 8) % 8
+        |             THEN (i * (11 + 7 * (doc_id % 50)) + 128) % 256
+        |             ELSE (i * (11 + 7 * (doc_id % 50))) % 256 END AS g
+        |      FROM px),
+        |m AS (SELECT doc_id, SUM(g) // 64 AS mean FROM v GROUP BY doc_id),
+        |b AS (SELECT v.doc_id, i // 16 AS ci,
+        |        CASE WHEN g > mean THEN 1 << (CAST(i AS INT) % 16) ELSE 0 END AS bv
+        |      FROM v JOIN m USING (doc_id)),
+        |ch AS (SELECT doc_id, ci, CAST(SUM(bv) AS BIGINT) AS c FROM b GROUP BY doc_id, ci),
+        |hot AS (SELECT ci, c FROM ch GROUP BY ci, c HAVING COUNT(*) > ${graft.queries.DedupQueries.MaxBucketDf}),
+        |ex AS (SELECT * FROM ch WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.ci = ch.ci AND hot.c = ch.c)),
+        |cand AS (SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db
+        |         FROM ex a JOIN ex b2 ON a.ci = b2.ci AND a.c = b2.c AND a.doc_id <> b2.doc_id),
+        |h AS (SELECT doc_id, list(c ORDER BY ci) AS cs FROM ch GROUP BY doc_id),
+        |p AS (SELECT da, db,
+        |        CAST(bit_count(xor(x.cs[1], y.cs[1])) + bit_count(xor(x.cs[2], y.cs[2]))
+        |           + bit_count(xor(x.cs[3], y.cs[3])) + bit_count(xor(x.cs[4], y.cs[4])) AS BIGINT) AS hamming
+        |      FROM cand JOIN h x ON x.doc_id = da JOIN h y ON y.doc_id = db),
+        |pp AS (SELECT * FROM p WHERE hamming <= 8)
+        |SELECT d.doc_id, CAST(COALESCE(n_mates, 0) AS BIGINT) AS n_mates,
+        |  CAST(COALESCE(min_mate, -1) AS BIGINT) AS min_mate,
+        |  CAST(COALESCE(min_hamming, -1) AS BIGINT) AS min_hamming
+        |FROM d LEFT JOIN (
+        |  SELECT da, COUNT(*) AS n_mates, MIN(db) AS min_mate, MIN(hamming) AS min_hamming
+        |  FROM pp GROUP BY da) s ON s.da = d.doc_id
+        |ORDER BY doc_id""",
+    ) { (s, dir) =>
+      import s.implicits._
+      val ph = Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(d => phashOf(encodePhashPng(d)))) // REAL codec roundtrip
+        .toDF()
+      val ex = ph.select(col("doc_id"),
+        posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))).as(Seq("ci", "c")))
+        .select(col("doc_id"), struct(col("ci"), col("c")).as("ck"))
+      val buckets = DedupQueries.dropHotBuckets(ex, "ck", DedupQueries.MaxBucketDf)
+        .groupBy("ck").agg(collect_list(struct(col("doc_id"))).as("members"))
+        .filter(size(col("members")) > 1)
+      val cand = buckets
+        .select(explode(col("members")).as("a"), col("members"))
+        .select(col("a.doc_id").as("da"), explode(col("members")).as("b"))
+        .select(col("da"), col("b.doc_id").as("db"))
+        .filter(col("da") =!= col("db")).distinct()
+      def side(p: String) = ph.select(col("doc_id").as(s"d$p"),
+        col("c0").as(s"${p}0"), col("c1").as(s"${p}1"),
+        col("c2").as(s"${p}2"), col("c3").as(s"${p}3"))
+      val mates = cand
+        .join(side("a").withColumnRenamed("da", "da_"), col("da") === col("da_")).drop("da_")
+        .join(side("b").withColumnRenamed("db", "db_"), col("db") === col("db_")).drop("db_")
+        .withColumn("hamming", expr(
+          "CAST(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + bit_count(a2 ^ b2) + bit_count(a3 ^ b3) AS BIGINT)"))
+        .filter(col("hamming") <= 8)
+        .groupBy("da")
+        .agg(count(lit(1)).as("n_mates"), min(col("db")).as("min_mate"),
+          min(col("hamming")).as("min_hamming"))
+      ph.select(col("doc_id"))
+        .join(mates.withColumnRenamed("da", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_mates"), lit(0L)).as("n_mates"),
+          coalesce(col("min_mate"), lit(-1L)).as("min_mate"),
+          coalesce(col("min_hamming"), lit(-1L)).as("min_hamming"))
         .orderBy("doc_id")
     },
   )

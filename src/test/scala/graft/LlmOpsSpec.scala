@@ -355,6 +355,32 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_image_phash finds exactly the same-pattern image groups") {
+    import graft.queries.MultimodalQueries.{encodePhashPng, phashOf, phashPx}
+    // the real roundtrip hash equals the closed-form replay
+    Seq(0L, 7L, 123L, 499L).foreach { d =>
+      val got = phashOf(encodePhashPng(d))
+      val g = Array.tabulate(64)(i => phashPx(d, i % 8, i / 8))
+      val mean = g.sum / 64
+      val want = Array.tabulate(4)(c =>
+        (0 until 16).map(j => if (g(16 * c + j) > mean) 1L << j else 0L).sum)
+      assert((got.c0, got.c1, got.c2, got.c3) == (want(0), want(1), want(2), want(3)), s"doc $d")
+    }
+    // mates are exactly the doc's same-pattern group (doc_id % 50), with
+    // the noise pixel keeping hamming small but nonzero for most pairs
+    val nDocs = Tables.documents(spark, sf).count()
+    val rows = q("q_dedup_image_phash").collect()
+    assert(rows.length == nDocs)
+    val groupSize = nDocs / 50
+    rows.foreach { r =>
+      val (id, mates, minMate) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(mates == groupSize - 1, s"doc $id mates")
+      val expectedMin = if (id < 50) id + 50 else id % 50
+      assert(minMate == expectedMin, s"doc $id min mate")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 8, s"doc $id hamming")
+    }
+  }
+
   test("q_embed_stats quantized sums match driver-side exact integers") {
     val got = q("q_embed_stats").collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
