@@ -799,8 +799,11 @@ object TableQueries extends QueryPack {
           (coalesce(col("sum_count"), lit(0L)) + coalesce(col("dsum"), lit(0L))).as("sum_count"))
         .filter(col("n_rows") > 0)
       val full = agg(t.read())
-      // MV-sized equality check (groups, not rows): symmetric difference
-      val matches = merged.exceptAll(full).count() == 0 && full.exceptAll(merged).count() == 0
+      // MV-sized equality check (a handful of groups — driver-safe, and
+      // two small collects beat two exceptAll shuffle jobs)
+      def rows(df: DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      val matches = rows(merged) == rows(full)
       merged.withColumn("matches_full", lit(matches)).orderBy("size")
     },
 
