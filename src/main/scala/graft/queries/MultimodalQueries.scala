@@ -42,6 +42,17 @@ final case class ImageFeatures(
   */
 final case class PhashChunks(doc_id: Long, c0: Long, c1: Long, c2: Long, c3: Long)
 
+/** A REAL encoded audio payload: doc_id + WAV bytes. */
+final case class AudioWav(doc_id: Long, wav: Array[Byte])
+
+/** Features extracted from REAL decoded PCM samples. */
+final case class AudioFeatures(
+    doc_id: Long,
+    n_samples: Long,
+    sum_abs: Long,
+    peak: Long,
+    zero_crossings: Long)
+
 /** Output of the full decode → resize → frame-sample pipeline. The frame
   * lists are rendered as CSV strings in the OUTPUT schema only (the driver's
   * rows-only check sorts result cells, and raw array cells crash that sort —
@@ -235,6 +246,54 @@ object MultimodalQueries extends QueryPack {
     PhashChunks(blob.doc_id, ch(0), ch(1), ch(2), ch(3))
   }
 
+  /** deterministic 16-bit PCM sawtooth: sample i of doc d, closed-form so
+    * the oracle can verify REAL-decoder output without parsing WAV.
+    */
+  private[graft] def pcmSample(d: Long, i: Int): Int =
+    (((i * (3 + d % 40)) % 2048) - 1024).toInt
+
+  private[graft] val PcmLen = 800
+
+  /** encode side: synthesize the waveform and wrap it through the JDK's
+    * REAL WAV encoder (javax.sound.sampled — headless-safe stream IO).
+    */
+  private[graft] def encodeWav(d: Long): AudioWav = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(8000f, 16, 1, true /*signed*/, false /*little-endian*/)
+    val pcm = new Array[Byte](PcmLen * 2)
+    (0 until PcmLen).foreach { i =>
+      val s = pcmSample(d, i)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, PcmLen.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    AudioWav(d, out.toByteArray)
+  }
+
+  /** decode side: the REAL WAV decoder parses the container back to PCM,
+    * and features come from the DECODED samples.
+    */
+  private[graft] def decodeWav(blob: AudioWav): AudioFeatures = {
+    import javax.sound.sampled.AudioSystem
+    val in = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(blob.wav))
+    val bytes = in.readAllBytes()
+    val n = bytes.length / 2
+    var (sumAbs, peak, zc) = (0L, 0L, 0L)
+    var prev = 0
+    (0 until n).foreach { i =>
+      val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+      sumAbs += math.abs(s)
+      peak = math.max(peak, math.abs(s).toLong)
+      if (i > 0 && ((s < 0) != (prev < 0))) zc += 1
+      prev = s
+    }
+    AudioFeatures(blob.doc_id, n.toLong, sumAbs, peak, zc)
+  }
+
   override def queries: Seq[Q] = Seq(
     // feature extraction over the binary column, batched per partition.
     Q(
@@ -313,6 +372,35 @@ object MultimodalQueries extends QueryPack {
         .select(col("doc_id")).as[Long]
         .mapPartitions(_.map(encodePng)) // REAL PNG encoder, executor-side
         .mapPartitions(_.map(decodePng)) // REAL PNG decoder, batch-amortized
+        .toDF()
+        .orderBy("doc_id")
+    },
+
+    // REAL audio codec path (no stub): deterministic 16-bit PCM sawtooth
+    // waveforms wrap through the JDK's actual WAV encoder
+    // (javax.sound.sampled), a mapPartitions stage runs the actual WAV
+    // decoder, and energy/peak/zero-crossing features come from the
+    // DECODED samples. PCM in a WAV container is lossless, so the oracle
+    // verifies the roundtrip from the closed-form sample function alone.
+    // With this and the PNG path, image AND audio run real codecs; only
+    // video remains honestly stubbed (no such codec ships in the JDK).
+    Q(
+      "q_multimodal_audio_decode",
+      """WITH d AS (SELECT doc_id FROM documents),
+        |i AS (SELECT doc_id, unnest(range(0, 800)) AS i FROM d),
+        |s AS (SELECT doc_id, i, (i * (3 + doc_id % 40)) % 2048 - 1024 AS v FROM i),
+        |z AS (SELECT doc_id, i, v, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(MAX(abs(v)) AS BIGINT) AS peak,
+        |  CAST(SUM(CASE WHEN pv IS NOT NULL AND (v < 0) <> (pv < 0) THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |FROM z GROUP BY doc_id ORDER BY doc_id""",
+    ) { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(encodeWav)) // REAL WAV encoder, executor-side
+        .mapPartitions(_.map(decodeWav)) // REAL WAV decoder, batch-amortized
         .toDF()
         .orderBy("doc_id")
     },

@@ -355,6 +355,19 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_multimodal_audio_decode: real WAV roundtrip returns exact sample stats") {
+    import graft.queries.MultimodalQueries.{decodeWav, encodeWav, pcmSample, PcmLen}
+    Seq(0L, 13L, 499L).foreach { d =>
+      val f = decodeWav(encodeWav(d))
+      val s = Array.tabulate(PcmLen)(i => pcmSample(d, i))
+      assert(f.n_samples == PcmLen)
+      assert(f.sum_abs == s.map(v => math.abs(v).toLong).sum, s"doc $d sum_abs")
+      assert(f.peak == s.map(math.abs).max, s"doc $d peak")
+      val zc = (1 until PcmLen).count(i => (s(i) < 0) != (s(i - 1) < 0))
+      assert(f.zero_crossings == zc, s"doc $d zero crossings")
+    }
+  }
+
   test("q_dedup_image_phash finds exactly the same-pattern image groups") {
     import graft.queries.MultimodalQueries.{encodePhashPng, phashOf, phashPx}
     // the real roundtrip hash equals the closed-form replay
