@@ -27,6 +27,25 @@ import org.apache.spark.sql.functions._
   */
 object JoinQueries extends QueryPack {
 
+  // Per-(JVM, dataset dir) cache of derived layouts (bucketed tables,
+  // hive-partitioned facts): writing the layout IS the amortized one-time
+  // cost these queries demonstrate, and rebuilding into a fresh temp dir
+  // on every invocation would redo the heavy write and leak one dataset
+  // copy per bench/verify/plan-sweep run for the driver session's
+  // lifetime — the same per-call leak Tables.landingDirs fixed (ADVICE
+  // r4). Keyed by dir so different scale factors coexist in one JVM.
+  private val colocatedBases =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val dppRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** deterministic per-dir catalog-name suffix: bucketed table names are
+    * JVM-global (the catalog is shared across cloned sessions), so each
+    * dataset dir gets its own pair instead of dropping + rewriting.
+    */
+  private def dirTag(dir: String): String =
+    (dir.hashCode.toLong & 0xffffffffL).toHexString
+
   override def queries: Seq[Q] = Seq(
 
     // revenue per customer over a date slice: lineitem ⋈ orders ⋈ customer
@@ -190,17 +209,21 @@ object JoinQueries extends QueryPack {
       // tiny sf would broadcast and hide the bucket alignment; the plan we
       // register must be the one a large fact-to-fact join gets
       iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val base = java.nio.file.Files.createTempDirectory("graft_colocated").toString
-      iso.sql("DROP TABLE IF EXISTS li_colocated")
-      iso.sql("DROP TABLE IF EXISTS o_colocated")
-      Tables.lineitem(iso, dir).select("l_orderkey", "l_quantity")
-        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$base/li").saveAsTable("li_colocated")
-      Tables.orders(iso, dir).select("o_orderkey", "o_orderpriority")
-        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$base/o").saveAsTable("o_colocated")
-      val joined = iso.table("li_colocated")
-        .join(iso.table("o_colocated"), col("l_orderkey") === col("o_orderkey"))
+      val (liName, oName) = (s"li_colocated_${dirTag(dir)}", s"o_colocated_${dirTag(dir)}")
+      colocatedBases.computeIfAbsent(dir, { _ =>
+        val base = java.nio.file.Files.createTempDirectory("graft_colocated").toString
+        iso.sql(s"DROP TABLE IF EXISTS $liName")
+        iso.sql(s"DROP TABLE IF EXISTS $oName")
+        Tables.lineitem(iso, dir).select("l_orderkey", "l_quantity")
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$base/li").saveAsTable(liName)
+        Tables.orders(iso, dir).select("o_orderkey", "o_orderpriority")
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$base/o").saveAsTable(oName)
+        base
+      })
+      val joined = iso.table(liName)
+        .join(iso.table(oName), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
           Dec.asLong(sum(Dec.money(col("l_quantity"))), 2).as("sum_qty_x1e2"))
@@ -269,19 +292,20 @@ object JoinQueries extends QueryPack {
         |GROUP BY e.event_type ORDER BY e.event_type""",
     ) { (s, dir) =>
       import s.implicits._
-      val root = java.nio.file.Files.createTempDirectory("graft_dpp")
-      val base = root.resolve("events").toString
-      // one file per partition dir (anti-small-files), hive-style layout
-      Tables.events(s, dir).repartition(col("event_type"))
-        .write.partitionBy("event_type").parquet(base)
-      val fact = s.read.parquet(base)
-      // the dim must be a FILE relation: a literal LocalRelation gets its
-      // Filter constant-folded away (ConvertToLocalRelation), erasing the
-      // selective predicate the DPP rule keys on — verified empirically
-      val dimPath = root.resolve("dim").toString
-      Seq(("purchase", 10L), ("signup", 5L), ("error", 0L))
-        .toDF("event_type", "weight").write.parquet(dimPath)
-      val dim = s.read.parquet(dimPath)
+      val root = dppRoots.computeIfAbsent(dir, { _ =>
+        val r = java.nio.file.Files.createTempDirectory("graft_dpp")
+        // one file per partition dir (anti-small-files), hive-style layout
+        Tables.events(s, dir).repartition(col("event_type"))
+          .write.partitionBy("event_type").parquet(r.resolve("events").toString)
+        // the dim must be a FILE relation: a literal LocalRelation gets its
+        // Filter constant-folded away (ConvertToLocalRelation), erasing the
+        // selective predicate the DPP rule keys on — verified empirically
+        Seq(("purchase", 10L), ("signup", 5L), ("error", 0L))
+          .toDF("event_type", "weight").write.parquet(r.resolve("dim").toString)
+        r
+      })
+      val fact = s.read.parquet(root.resolve("events").toString)
+      val dim = s.read.parquet(root.resolve("dim").toString)
         .filter(col("weight") > 0) // the selective dim predicate DPP keys on
       val agg = fact.join(dim, Seq("event_type"))
         .groupBy("event_type")

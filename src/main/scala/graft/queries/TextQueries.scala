@@ -477,7 +477,7 @@ object TextQueries extends QueryPack {
       val bigrams = Tables.spread(Tables.documents(s, dir))
         .withColumn("w", split(col("text"), " "))
         .select(posexplode(expr(
-          "transform(slice(w, 1, size(w) - 1), (x, i) -> struct(x AS a, w[i + 1] AS b))"))
+          "transform(slice(w, 1, greatest(size(w) - 1, 0)), (x, i) -> struct(x AS a, w[i + 1] AS b))"))
           .as(Seq("_i", "g")))
         .select(col("g.a").as("a"), col("g.b").as("b"))
       val c = bigrams.groupBy("a", "b").agg(count(lit(1)).as("nab"))
@@ -517,7 +517,7 @@ object TextQueries extends QueryPack {
       Tables.spread(Tables.documents(s, dir))
         .withColumn("w", split(col("text"), " "))
         .select(explode(expr(
-          "transform(slice(w, 1, size(w) - 2), (x, i) -> struct(x AS a, w[i + 1] AS b, w[i + 2] AS c))"))
+          "transform(slice(w, 1, greatest(size(w) - 2, 0)), (x, i) -> struct(x AS a, w[i + 1] AS b, w[i + 2] AS c))"))
           .as("g"))
         .select(col("g.a").as("a"), col("g.b").as("b"), col("g.c").as("c"))
         .groupBy("a", "b", "c").agg(count(lit(1)).as("nabc"))
@@ -560,7 +560,7 @@ object TextQueries extends QueryPack {
       val tf = Tables.spread(Tables.documents(s, dir))
         .withColumn("w", split(col("text"), " "))
         .select(col("doc_id"), explode(expr(
-          "transform(slice(w, 1, size(w) - 2), (x, i) -> struct(x AS a, w[i + 1] AS b, w[i + 2] AS c))"))
+          "transform(slice(w, 1, greatest(size(w) - 2, 0)), (x, i) -> struct(x AS a, w[i + 1] AS b, w[i + 2] AS c))"))
           .as("g"))
         .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"), col("g.c").as("c"))
         .groupBy("doc_id", "a", "b", "c").agg(count(lit(1)).as("nd"))

@@ -192,28 +192,41 @@ final class CommitLog(val root: Path) {
 
   private def entriesOnce(asOf: Long): Seq[LogEntry] = {
     val ck = latestCkpt
-    val ckSeq = ck.map(ckptSeqOf).getOrElse(-1L)
     val base = ck.map(p => Json.parseEntries(Files.readString(p))).getOrElse(Nil)
+    // An entry file is part of the log unless the checkpoint already
+    // contains its seq. Filtering by CONTAINMENT rather than `seq > ckSeq`
+    // keeps a straggler commit visible: a committer that claimed its seq
+    // before a checkpoint folded PAST it completes its atomic move after
+    // the fold, leaving a committed entry file below the checkpoint's name
+    // — absent from the checkpoint but fully valid. The next checkpoint
+    // folds it in like any tail entry.
+    val baseSeqs = base.map(_.seq).toSet
     val tail = listed(logDir)(_.toSeq)
       .filter { p =>
         val n = p.getFileName.toString
-        n.endsWith(".json") && n.stripSuffix(".json").toLong > ckSeq
+        n.endsWith(".json") && !baseSeqs.contains(n.stripSuffix(".json").toLong)
       }
       .filter(Files.size(_) > 0)
-      .sortBy(_.getFileName.toString)
       .map(p => Json.parseEntry(Files.readString(p)))
-    (base ++ tail).filter(_.seq <= asOf)
+    // state replay (replace resets, delete scoping) depends on seq order,
+    // and a straggler may sort below checkpointed entries
+    (base ++ tail).sortBy(_.seq).filter(_.seq <= asOf)
   }
 
   /** Fold every committed entry into one checkpoint file and delete the
     * per-entry files (and any superseded checkpoint) it covers — Iceberg's
     * rewrite_manifests for the log: the metadata a reader must open stops
     * growing with commit count. Returns the checkpointed head seq (-1 on
-    * an empty log). Safe concurrently with commits: a racing committer
-    * claims headSeq()+1, which is above the fold; a racing reader retries
-    * through the checkpoint (see entries()). Content is unchanged, so
-    * time travel, tags, branches, and incremental reads all still see the
-    * identical history.
+    * an empty log). Safe concurrently with commits: a committer that
+    * claims after the fold gets headSeq()+1, above the checkpoint; one
+    * whose claim was IN FLIGHT below the fold completes its atomic move
+    * untouched — the fold deletes ONLY entry files it folded, never
+    * claims, and entries() reads every non-empty file whose seq the
+    * checkpoint does not contain, so the straggler stays visible and the
+    * next checkpoint (the fold always rewrites, even at an unchanged top
+    * seq) folds it in. A racing reader retries through the checkpoint
+    * (see entries()). Content is unchanged, so time travel, tags,
+    * branches, and incremental reads all still see the identical history.
     */
   def checkpoint(): Long = {
     val es = entriesOnce(Long.MaxValue)
@@ -221,18 +234,20 @@ final class CommitLog(val root: Path) {
     val top = es.map(_.seq).max
     Files.createDirectories(ckptDir)
     val p = ckptDir.resolve(f"$top%020d.json")
-    if (!Files.exists(p)) {
-      val tmp = Files.createTempFile(ckptDir, s".$top-", ".tmp")
-      Files.write(tmp, Json.renderEntries(es).getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-    // folded entry files (including crashed empty claims ≤ top — their
-    // seqs stay burned via the checkpoint's name) and older checkpoints
-    // are redundant now
+    val tmp = Files.createTempFile(ckptDir, s".$top-", ".tmp")
+    Files.write(tmp, Json.renderEntries(es).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // Delete exactly the entry files this fold contains. An in-flight or
+    // crashed claim (empty file, skipped by the fold) is left alone: a
+    // commit completing between the fold and this sweep is non-empty and
+    // NOT in `folded`, and deleting it would lose it — crashed claims
+    // persist (seqs burned, contents none) until snapshot expiration
+    // drops them. Older checkpoints are redundant now.
+    val folded = es.map(_.seq).toSet
     listed(logDir)(_.toSeq).filter { q =>
       val n = q.getFileName.toString
-      n.endsWith(".json") && n.stripSuffix(".json").toLong <= top
+      n.endsWith(".json") && folded.contains(n.stripSuffix(".json").toLong)
     }.foreach(Files.deleteIfExists)
     listed(ckptDir)(_.toSeq).filter { q =>
       q.getFileName.toString.endsWith(".json") && ckptSeqOf(q) < top
@@ -245,10 +260,11 @@ final class CommitLog(val root: Path) {
     */
   def metaFileCount: Int = {
     val ck = latestCkpt
-    val ckSeq = ck.map(ckptSeqOf).getOrElse(-1L)
+    val baseSeqs = ck.map(p => Json.parseEntries(Files.readString(p)).map(_.seq).toSet)
+      .getOrElse(Set.empty[Long])
     val tail = listed(logDir)(_.count { p =>
       val n = p.getFileName.toString
-      n.endsWith(".json") && n.stripSuffix(".json").toLong > ckSeq
+      n.endsWith(".json") && !baseSeqs.contains(n.stripSuffix(".json").toLong)
     })
     tail + ck.size
   }

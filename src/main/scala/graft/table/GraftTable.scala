@@ -551,8 +551,14 @@ final class GraftTable(spark: SparkSession, val root: Path) {
   def branches: Seq[String] = {
     val dir = root.resolve("_branches")
     if (!Files.exists(dir)) Nil
-    else walked(dir)(_.toSeq).filter(p => Files.isDirectory(p) && p.getParent == dir)
-      .map(_.getFileName.toString).sorted
+    else {
+      // one flat directory listing — Files.walk would recurse through
+      // every branch's whole log + staged data tree just to name them
+      val s = Files.list(dir)
+      try s.iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+    }
   }
 
   /** Open an existing branch as a table (appends/deletes/reads/time
@@ -658,22 +664,35 @@ final class GraftTable(spark: SparkSession, val root: Path) {
           df.select(cols: _*)
         case _ => df
       }
+    // every per-commit term derives from the ONE parsed `all` — calling
+    // read()/readIncremental() here would re-list and re-parse the whole
+    // log per commit in range, making metadata I/O O(range × history)
+    // instead of the documented O(range)
+    def entriesAt(atSeq: Long) = all.filter(_.seq <= atSeq)
     val frames = all.filter(_.seq > fromSeq).flatMap { e =>
       val dels =
         if (e.deleteFiles.isEmpty) None
         else {
           val keys = spark.read.parquet(e.deleteFiles: _*)
+          val pre = entriesAt(e.seq - 1)
           Some(alignToHead(
-            read(asOf = e.seq - 1).join(keys, e.equalityCols, "left_semi"),
+            readPrunedState(CommitLog.stateFrom(pre), pre)
+              .join(keys, e.equalityCols, "left_semi"),
             e.seq - 1)
             .withColumn("change_type", lit("delete"))
             .withColumn("change_seq", lit(e.seq)))
         }
       val ins =
         if (e.dataFiles.isEmpty) None
-        else Some(alignToHead(readIncremental(e.seq - 1, e.seq), e.seq)
-          .withColumn("change_type", lit("insert"))
-          .withColumn("change_seq", lit(e.seq)))
+        else {
+          val at = entriesAt(e.seq)
+          val (dataFiles, deleteFiles) = CommitLog.stateFrom(at)
+          Some(alignToHead(
+            readPrunedState((dataFiles.filter(_._2 > e.seq - 1), deleteFiles), at),
+            e.seq)
+            .withColumn("change_type", lit("insert"))
+            .withColumn("change_seq", lit(e.seq)))
+        }
       dels.toSeq ++ ins.toSeq
     }
     frames match {
@@ -823,7 +842,17 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       colName: String, lo: String, hi: String): Seq[Prune] = {
     val specs = specsFrom(entries)
     val render = PartitionSpec.renderAll(specs)
-    Prune.str(colName, lo, hi) +: specs.zipWithIndex.collect {
+    // lexicographic stats exist only for STRING columns (perFileStats);
+    // against a numeric column's decimal renderings a lexicographic
+    // compare false-prunes, so a mistyped call gets no source-column
+    // prune — the residual filter still applies (same kind rule as
+    // eqPrunes)
+    val src =
+      if (schemaFrom(entries).flatMap(_.fields.find(_.name == colName))
+          .exists(_.dataType == org.apache.spark.sql.types.StringType))
+        Seq(Prune.str(colName, lo, hi))
+      else Nil
+    src ++ specs.zipWithIndex.collect {
       case (sp, i) if sp.col == colName && sp.transform.orderPreserving &&
           sp.transform.stringValued =>
         for {
@@ -887,10 +916,23 @@ final class GraftTable(spark: SparkSession, val root: Path) {
         partitionValueOf(sp, value, colType)
           .map(pv => Prune(partColFor(i), pv, pv, requireSpec = render))
     }.flatten
+    val isStrCol = colType.contains(org.apache.spark.sql.types.StringType)
     partPrunes ++ (value match {
-      // string point probes prune on lexicographic stats; numerics on
-      // decimal stats; anything else only through partition values above
-      case s: String => Seq(Prune.str(colName, s, s))
+      // the prune KIND must follow the column's recorded stats kind
+      // (fixed by column type at write time): string columns record
+      // native lexicographic bounds, everything else decimal renderings.
+      // A String probe against a numeric column therefore parses
+      // numerically (no prune when it can't) — comparing it
+      // lexicographically against decimal renderings would false-prune
+      // ("2.000000" > "150"). A probe of the wrong kind for the column
+      // never prunes the source column; partition prunes above (typed by
+      // the partition VALUE) still apply, and the residual filter keeps
+      // the read correct.
+      case s: String if isStrCol => Seq(Prune.str(colName, s, s))
+      case s: String =>
+        try Seq(Prune(colName, BigDecimal(s), BigDecimal(s)))
+        catch { case _: NumberFormatException => Nil }
+      case _ if isStrCol => Nil
       case v => numericBound(v).map(n => Prune(colName, n, n)).toSeq
     })
   }
@@ -1135,11 +1177,25 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * the maintenance job safe to run beside live ingest. Returns the
     * number of files removed.
     */
-  def removeOrphanFiles(olderThanMs: Long = 3L * 3600 * 1000): Int = {
-    val cutoff = System.currentTimeMillis() - olderThanMs
-    val referenced = log.entries()
+  /** Every data/delete file any REF of this table still references: the
+    * main log plus every branch's copied log. A branch shares its base
+    * history's files with main BY PATH (createBranch copies metadata
+    * only), so a maintenance sweep that consulted main's log alone would
+    * delete files an un-published audit branch still reads — breaking
+    * branch reads and the later publishBranch replay. Iceberg's
+    * remove_orphan_files / expire_snapshots are ref-aware for branches
+    * the same way they are for tags.
+    */
+  private def referencedByAnyRef: Set[Path] = {
+    val branchEntries = branches.flatMap(n => new CommitLog(branchRoot(n)).entries())
+    (log.entries() ++ branchEntries)
       .flatMap(e => e.dataFiles ++ e.deleteFiles)
       .map(Paths.get(_)).toSet
+  }
+
+  def removeOrphanFiles(olderThanMs: Long = 3L * 3600 * 1000): Int = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val referenced = referencedByAnyRef
     val victims = Seq("data", "deletes").flatMap { kind =>
       val dir = root.resolve(kind)
       if (!Files.exists(dir)) Nil
@@ -1175,9 +1231,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     // keep every file any RETAINED entry references (head, tags, and the
     // time-travel points between them stay readable); only files of
     // dropped entries are orphans
-    val referenced = log.entries()
-      .flatMap(e => e.dataFiles ++ e.deleteFiles)
-      .map(Paths.get(_)).toSet
+    val referenced = referencedByAnyRef
     Seq("data", "deletes").foreach { kind =>
       val dir = root.resolve(kind)
       if (Files.exists(dir)) {

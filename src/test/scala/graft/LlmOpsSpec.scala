@@ -452,4 +452,25 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(gotAgg == expAgg, s"$lang occupancy mismatch")
     }
   }
+
+  test("n-gram queries survive documents shorter than the n-gram order") {
+    import spark.implicits._
+    // Spark's slice() throws on a negative length, so an unguarded
+    // slice(w, 1, size(w) - 2) crashes the whole query on any 1-token doc
+    // (the fixture corpus never has one; a real crawl does)
+    val dir = java.nio.file.Files.createTempDirectory("spec_shortdocs")
+    Seq(
+      (1L, "one", "en", "web", 3L),
+      (2L, "two words", "en", "web", 9L),
+      (3L, "three words here and more tokens for a real trigram row", "en", "web", 56L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    for (name <- Seq("q_ngram_lm", "q_lm_score", "q_cooccur")) {
+      val rows = SparkEntry.queries(name)(spark, dir.toString).collect()
+      assert(rows.length >= 0, name)
+    }
+    // the trigram scorer still scores the one doc long enough to have them
+    val scored = SparkEntry.queries("q_lm_score")(spark, dir.toString).collect()
+    assert(scored.map(_.getLong(0)).toSeq == Seq(3L))
+  }
 }

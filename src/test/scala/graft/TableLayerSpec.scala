@@ -936,4 +936,72 @@ class TableLayerSpec extends AnyFunSuite {
     t.compact()                                            // seq 3: replace
     intercept[IllegalArgumentException](t.readChangelog(fromSeq = 0))
   }
+
+  test("a commit completing after a checkpoint folded past it stays visible") {
+    val dir = Files.createTempDirectory("spec_straggler")
+    val log = CommitLog(dir.toString)
+    log.commit("add", dataFiles = Seq("base.parquet"))               // seq 0
+    // a committer claims seq 1 (empty O_EXCL file) and stalls mid-commit
+    val claim = dir.resolve("_log").resolve(f"${1L}%020d.json")
+    Files.createFile(claim)
+    assert(log.commit("add", dataFiles = Seq("later.parquet")) == 2) // claims past it
+    // maintenance folds the log while the claim is still in flight; the
+    // claim file must survive the fold's sweep
+    assert(log.checkpoint() == 2)
+    assert(log.entries().map(_.seq) == Seq(0L, 2L))
+    assert(Files.exists(claim))
+    // the stalled committer now completes its atomic content move
+    Files.write(claim,
+      """{"seq":1,"action":"add","dataFiles":["straggler.parquet"],"deleteFiles":[],"equalityCols":[],"tsMs":1}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the committed entry is visible, in seq order, and replay includes it
+    assert(log.entries().map(_.seq) == Seq(0L, 1L, 2L))
+    assert(log.state()._1.map(_._1) ==
+      Seq("base.parquet", "straggler.parquet", "later.parquet"))
+    // the next fold absorbs it (same top seq — the fold rewrites) instead
+    // of deleting it
+    assert(log.checkpoint() == 2)
+    assert(log.entries().map(_.seq) == Seq(0L, 1L, 2L))
+    assert(log.metaFileCount == 1)
+    // a still-unfinished claim above the fold keeps burning its seq
+    Files.createFile(dir.resolve("_log").resolve(f"${3L}%020d.json"))
+    assert(log.headSeq() == 3)
+    assert(log.commit("add", dataFiles = Seq("next.parquet")) == 4)
+  }
+
+  test("expireSnapshots keeps files an unpublished branch still references") {
+    val t = freshTable("brexpire")
+    t.append(items)                                                  // seq 0
+    val b = t.createBranch("audit")
+    b.append(Seq(("X", "stage", 1)).toDF("name", "size", "count"))
+    t.append(Seq(("F", "post", 1)).toDF("name", "size", "count"))    // main moves on
+    t.expireSnapshots()
+    // the branch shares seq-0's data files with main BY PATH; the sweep
+    // must not reclaim them while the branch still references them
+    assert(b.read().count() == 7)
+    assert(t.read().count() == 7)
+    // the standalone sweep is branch-aware the same way
+    assert(t.removeOrphanFiles(olderThanMs = 0) == 0)
+    assert(b.read().count() == 7)
+  }
+
+  test("a mistyped string probe on a numeric column never false-prunes") {
+    val t = freshTable("probekind")
+    t.append(Seq(("lo1", "x", 2), ("lo2", "x", 7)).toDF("name", "size", "count")
+      .repartition(1), statsCols = Seq("count"))
+    t.append(Seq(("hi1", "x", 150), ("hi2", "x", 200)).toDF("name", "size", "count")
+      .repartition(1), statsCols = Seq("count"))
+    // numeric stats render as decimals ("2.000000"/"150.000000"); comparing
+    // the probe "150" lexicographically against them would prune the very
+    // file that holds 150 — the probe must be parsed into a numeric prune
+    assert(t.prunedFileCountEq("count", "150") == 1)
+    assert(t.readEq("count", "150").count() == 1)
+    // an unparseable probe prunes nothing on the source column
+    assert(t.prunedFileCountEq("count", "nope") == 2)
+    // the string-range API over a numeric column opens everything rather
+    // than comparing renderings lexicographically
+    assert(t.prunedFileCountStr("count", "1", "2") == 2)
+    // typed probes still prune as before
+    assert(t.prunedFileCountEq("count", 150) == 1)
+  }
 }
