@@ -277,6 +277,46 @@ object TableQueries extends QueryPack {
         .orderBy("count")
     },
 
+    // Bloom-filter file skipping: two epochs whose COUNT RANGES fully
+    // overlap ([0,16] and [2,18]), so min/max stats cannot separate them —
+    // a point probe intersects both files' bounds and stats-only pruning
+    // opens 2. The per-file bloom filters recorded at append time answer
+    // "definitely absent" and prune to exactly the containing epoch (1
+    // file), for both an int and a string key. The 100 TB case: point
+    // lookups on a high-cardinality key over un-compacted ingest epochs,
+    // where every epoch spans most of the key domain (Iceberg's Parquet
+    // bloom filters close the same gap). One file per epoch via
+    // repartition(1) keeps the file counts parallelism-independent.
+    Q(
+      "t_bloom_skipping",
+      """SELECT * FROM (VALUES
+        |  ('count_eq_8', 1, 2, 1),
+        |  ('name_eq_k4', 1, 2, 1))
+        |  AS t(probe, n_rows, files_stats_only, files_bloom)
+        |ORDER BY probe""",
+    ) { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "bloomskip")
+      def batch(off: Int) = (off until off + 17 by 4)
+        .map(i => (s"k$i", "x", i)).toDF("name", "size", "count").repartition(1)
+      val cols = Seq("count", "name")
+      t.append(batch(0), statsCols = cols, bloomCols = cols) // counts 0,4,8,12,16
+      t.append(batch(2), statsCols = cols, bloomCols = cols) // counts 2,6,10,14,18
+      // the range path carries no bloom positions — it is the stats-only
+      // comparator for the same point probe
+      Seq(
+        ("count_eq_8", t.readEq("count", 8).count().toInt,
+          t.prunedFileCount("count", BigDecimal(8), BigDecimal(8)),
+          t.prunedFileCountEq("count", 8)),
+        // "k4" sits inside BOTH epochs' lexicographic name bounds
+        // ([k0,k8] and [k10,k6]) but exists only in the first
+        ("name_eq_k4", t.readEq("name", "k4").count().toInt,
+          t.prunedFileCountStr("name", "k4", "k4"),
+          t.prunedFileCountEq("name", "k4")))
+        .toDF("probe", "n_rows", "files_stats_only", "files_bloom")
+        .orderBy("probe")
+    },
+
     // per-snapshot schema recording + add-column evolution: rows written
     // before the column was added read as nulls; history is travelable.
     Q(

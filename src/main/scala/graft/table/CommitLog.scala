@@ -48,7 +48,11 @@ final case class LogEntry(
     // Iceberg's hidden partitioning: readers filter on the SOURCE column
     // and the table resolves the transform — they never see partition
     // values.
-    partSpec: String = "") {
+    partSpec: String = "",
+    // PER-FILE bloom filters, parallel to dataFiles: column name →
+    // base64 bitset (see [[Bloom]]). Consulted by point-read pruning
+    // when the probe carries positions; absent filters never prune.
+    fileBlooms: Seq[Map[String, String]] = Nil) {
 
   /** bounds-intersection under the PRUNE's ordering: string prunes
     * compare lexicographically (string columns record native min/max —
@@ -76,11 +80,17 @@ final case class LogEntry(
     * bounds win when recorded; otherwise falls back to the commit-level
     * answer (never prune blind).
     */
-  def fileMayContain(i: Int, p: Prune): Boolean =
-    fileStats.lift(i).flatMap(_.get(p.col)) match {
+  def fileMayContain(i: Int, p: Prune): Boolean = {
+    val statsOk = fileStats.lift(i).flatMap(_.get(p.col)) match {
       case Some((mn, mx)) => intersects(mn, mx, p)
       case None => mayContain(p)
     }
+    // bloom filters answer the point question stats cannot: a file whose
+    // bounds intersect may still definitely lack the probe value
+    statsOk && (p.bloom.isEmpty ||
+      fileBlooms.lift(i).flatMap(_.get(p.col))
+        .forall(Bloom.mightContain(_, p.bloom)))
+  }
 }
 
 /** One scan-pruning predicate: keep files whose recorded bounds for `col`
@@ -94,7 +104,10 @@ final case class LogEntry(
   */
 final case class Prune(
     col: String, lo: BigDecimal, hi: BigDecimal, requireSpec: String = "",
-    strBounds: Option[(String, String)] = None)
+    strBounds: Option[(String, String)] = None,
+    // bloom probe positions (see [[Bloom.positions]]); non-empty only for
+    // point probes whose rendering provably matches the write side's
+    bloom: Seq[Int] = Nil)
 
 object Prune {
   /** lexicographic range predicate for a STRING column. */
@@ -296,9 +309,12 @@ final class CommitLog(val root: Path) {
       schemaJson: String = "",
       fileStats: Seq[Map[String, (String, String)]] = Nil,
       partSpec: String = "",
+      fileBlooms: Seq[Map[String, String]] = Nil,
       maxAttempts: Int = 50): Long = {
     require(fileStats.isEmpty || fileStats.size == dataFiles.size,
       s"fileStats (${fileStats.size}) must parallel dataFiles (${dataFiles.size})")
+    require(fileBlooms.isEmpty || fileBlooms.size == dataFiles.size,
+      s"fileBlooms (${fileBlooms.size}) must parallel dataFiles (${dataFiles.size})")
     var attempt = 0
     while (attempt < maxAttempts) {
       val seq = headSeq() + 1
@@ -308,7 +324,7 @@ final class CommitLog(val root: Path) {
         val e = LogEntry(seq, action, dataFiles, deleteFiles, equalityCols,
           System.currentTimeMillis(),
           stats.map(_._1), stats.map(_._2), stats.map(_._3), schemaJson,
-          fileStats, partSpec)
+          fileStats, partSpec, fileBlooms)
         // content becomes visible atomically: write a temp file, then
         // rename over the claimed (empty) entry. Readers see either an
         // empty claim (skipped by entries()) or the full entry — never a
@@ -463,6 +479,13 @@ private[table] object Json {
       }
     }
     if (e.partSpec.nonEmpty) o.put("partSpec", e.partSpec)
+    if (e.fileBlooms.nonEmpty) {
+      val fb = o.putArray("fileBlooms")
+      e.fileBlooms.foreach { m =>
+        val fo = fb.addObject()
+        m.toSeq.sortBy(_._1).foreach { case (c, b64) => fo.put(c, b64) }
+      }
+    }
     mapper.writeValueAsString(o)
   }
 
@@ -498,11 +521,20 @@ private[table] object Json {
         }.toMap
       }
     }
+    val fileBlooms: Seq[Map[String, String]] = {
+      val a = n.get("fileBlooms")
+      if (a == null) Nil
+      else (0 until a.size).map { i =>
+        val fo = a.get(i)
+        fo.fieldNames().asScala.map(c => c -> fo.get(c).asText).toMap
+      }
+    }
     LogEntry(req("seq").asLong, req("action").asText, arr("dataFiles"),
       arr("deleteFiles"), arr("equalityCols"), req("tsMs").asLong,
       arr("statsCols"), arr("statsMin"), arr("statsMax"),
       if (n.has("schemaJson")) n.get("schemaJson").asText else "",
       fileStats,
-      if (n.has("partSpec")) n.get("partSpec").asText else "")
+      if (n.has("partSpec")) n.get("partSpec").asText else "",
+      fileBlooms)
   }
 }

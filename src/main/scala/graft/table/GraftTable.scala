@@ -104,19 +104,60 @@ final class GraftTable(spark: SparkSession, val root: Path) {
         bounds.maxBy(b => BigDecimal(b._2))._2))
     }
 
+  /** Per-file bloom filters for `bloomCols` over the files just written
+    * to `dir` — one aggregate scan per column: each value contributes its
+    * K md5-derived bit positions (the SQL twin of [[Bloom.positions]]),
+    * collect_set folds them per file (bounded by M = 8192 distinct ints,
+    * ~32 KiB worst case — NOT data-sized), and the driver packs the
+    * bitset. Nulls contribute no positions: a null never matches an
+    * equality probe, so pruning a null-only file is correct.
+    */
+  private def perFileBlooms(
+      dir: Path, files: Seq[String], bloomCols: Seq[String])
+      : Seq[Map[String, String]] =
+    if (bloomCols.isEmpty || files.isEmpty) Nil
+    else {
+      val df0 = spark.read.parquet(dir.toString)
+      val byCol = bloomCols.map { c =>
+        val pos = (0 until Bloom.K).map { i =>
+          (conv(substring(md5(concat_ws(":", lit(i.toString), col(c).cast("string"))),
+            1, 4), 16, 10).cast("int") % Bloom.M).cast("int")
+        }
+        val byFile = df0.filter(col(c).isNotNull)
+          .select(input_file_name().as("_f"), explode(array(pos: _*)).as("_p"))
+          .groupBy("_f").agg(collect_set(col("_p")).as("_ps"))
+          .collect()
+          .map { r =>
+            val path = Paths.get(new java.net.URI(r.getString(0)).getPath).toString
+            path -> r.getSeq[Int](1)
+          }.toMap
+        c -> byFile
+      }
+      files.map { f =>
+        byCol.flatMap { case (c, byFile) =>
+          byFile.get(f).map(ps => c -> Bloom.encode(ps))
+        }.toMap
+      }
+    }
+
   /** fast_append: write data files, commit one `add` entry. With
     * `statsCols`, the commit records min/max of those (numeric) columns at
     * BOTH commit and per-file granularity — the manifest statistics
-    * Iceberg uses for scan pruning — from a single aggregate scan.
+    * Iceberg uses for scan pruning — from a single aggregate scan. With
+    * `bloomCols`, each file additionally records a 1 KiB bloom filter per
+    * column so POINT reads skip files whose bounds intersect but which
+    * definitely lack the key (see [[Bloom]]).
     */
-  def append(df: DataFrame, statsCols: Seq[String] = Nil): Long = {
+  def append(df: DataFrame, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
     requireNoReserved(df)
     val dir = newShardDir("data")
     df.write.parquet(dir.toString)
     val files = parquetFilesIn(dir)
     val (fs, strCols) = perFileStats(dir, files, statsCols)
     log.commit("add", dataFiles = files, stats = foldStats(fs, statsCols, strCols),
-      schemaJson = idSchemaJson(df.schema), fileStats = fs)
+      schemaJson = idSchemaJson(df.schema), fileStats = fs,
+      fileBlooms = perFileBlooms(dir, files, bloomCols))
   }
 
   /** Partitioned fast_append (hidden partitioning): data is clustered and
@@ -590,7 +631,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     staged.map { e =>
       log.commit(e.action, e.dataFiles, e.deleteFiles, e.equalityCols,
         e.statsCols.lazyZip(e.statsMin).lazyZip(e.statsMax).toSeq,
-        e.schemaJson, e.fileStats, e.partSpec)
+        e.schemaJson, e.fileStats, e.partSpec, e.fileBlooms)
     }
   }
 
@@ -917,6 +958,16 @@ final class GraftTable(spark: SparkSession, val root: Path) {
           .map(pv => Prune(partColFor(i), pv, pv, requireSpec = render))
     }.flatten
     val isStrCol = colType.contains(org.apache.spark.sql.types.StringType)
+    // bloom positions attach only when the probe's rendering provably
+    // equals the write side's cast-to-string (exact-type matches; a
+    // DOUBLE renders "150.0" vs an INT's "150", so near-matches get
+    // stats-only pruning instead of a false-negative risk)
+    val bloomPos: Seq[Int] = (colType, value) match {
+      case (Some(org.apache.spark.sql.types.StringType), s: String) => Bloom.positions(s)
+      case (Some(IntegerType | LongType), v @ (_: Int | _: Long)) =>
+        Bloom.positions(v.toString)
+      case _ => Nil
+    }
     partPrunes ++ (value match {
       // the prune KIND must follow the column's recorded stats kind
       // (fixed by column type at write time): string columns record
@@ -928,12 +979,14 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       // never prunes the source column; partition prunes above (typed by
       // the partition VALUE) still apply, and the residual filter keeps
       // the read correct.
-      case s: String if isStrCol => Seq(Prune.str(colName, s, s))
+      case s: String if isStrCol =>
+        Seq(Prune.str(colName, s, s).copy(bloom = bloomPos))
       case s: String =>
         try Seq(Prune(colName, BigDecimal(s), BigDecimal(s)))
         catch { case _: NumberFormatException => Nil }
       case _ if isStrCol => Nil
-      case v => numericBound(v).map(n => Prune(colName, n, n)).toSeq
+      case v =>
+        numericBound(v).map(n => Prune(colName, n, n, bloom = bloomPos)).toSeq
     })
   }
 

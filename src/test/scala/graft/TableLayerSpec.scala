@@ -752,13 +752,22 @@ class TableLayerSpec extends AnyFunSuite {
 
   test("log entry JSON round-trips") {
     val log = CommitLog(Files.createTempDirectory("spec_json").toString)
+    val blooms = Seq(
+      Map("name" -> graft.table.Bloom.encode(graft.table.Bloom.positions("A"))),
+      Map.empty[String, String])
     val seq = log.commit("mixed", dataFiles = Seq("a.parquet", "b.parquet"),
-      deleteFiles = Seq("d.parquet"), equalityCols = Seq("name", "size"))
+      deleteFiles = Seq("d.parquet"), equalityCols = Seq("name", "size"),
+      fileBlooms = blooms)
     val e = log.entries().last
     assert(e.seq == seq && e.action == "mixed")
     assert(e.dataFiles == Seq("a.parquet", "b.parquet"))
     assert(e.deleteFiles == Seq("d.parquet"))
     assert(e.equalityCols == Seq("name", "size"))
+    assert(e.fileBlooms == blooms)
+    assert(graft.table.Bloom.mightContain(
+      e.fileBlooms.head("name"), graft.table.Bloom.positions("A")))
+    assert(!graft.table.Bloom.mightContain(
+      e.fileBlooms.head("name"), graft.table.Bloom.positions("definitely-absent")))
   }
 
   test("metadata checkpoint folds the log without changing history or the CAS") {
@@ -1003,5 +1012,39 @@ class TableLayerSpec extends AnyFunSuite {
     assert(t.prunedFileCountStr("count", "1", "2") == 2)
     // typed probes still prune as before
     assert(t.prunedFileCountEq("count", 150) == 1)
+  }
+
+  test("bloom filters prune overlapping epochs on point reads, never falsely") {
+    val t = freshTable("bloom")
+    def batch(off: Int) = (off until off + 17 by 4)
+      .map(i => (s"k$i", "x", i)).toDF("name", "size", "count").repartition(1)
+    val cols = Seq("count", "name")
+    t.append(batch(0), statsCols = cols, bloomCols = cols) // counts 0,4,8,12,16
+    t.append(batch(2), statsCols = cols, bloomCols = cols) // counts 2,6,10,14,18
+    // every present key opens exactly its one containing file and reads
+    // exactly its one row — a false negative would surface here
+    (0 until 19 by 2).foreach { i =>
+      assert(t.prunedFileCountEq("count", i) == 1, s"count=$i")
+      assert(t.readEq("count", i).count() == 1, s"count=$i")
+      assert(t.prunedFileCountEq("name", s"k$i") <= 1, s"name=k$i")
+      assert(t.readEq("name", s"k$i").count() == 1, s"name=k$i")
+    }
+    // a Long probe on the int column renders identically — still prunes
+    assert(t.prunedFileCountEq("count", 8L) == 1)
+    assert(t.readEq("count", 8L).count() == 1)
+    // absent keys INSIDE both ranges: stats keep both files, blooms
+    // reject both (deterministic for this fixed data)
+    assert(t.prunedFileCount("count", BigDecimal(9), BigDecimal(9)) == 2)
+    assert(t.prunedFileCountEq("count", 9) == 0)
+    assert(t.readEq("count", 9).count() == 0)
+    // an epoch appended WITHOUT blooms can never be bloom-pruned; its
+    // stats range [5, 11] covers the probe, so it must stay open
+    t.append(Seq(("x5", "x", 5), ("x11", "x", 11)).toDF("name", "size", "count")
+      .repartition(1), statsCols = cols)
+    assert(t.prunedFileCountEq("count", 9) == 1) // the bloom-less file stays
+    assert(t.readEq("count", 9).count() == 0)
+    // deletes still apply on top of bloom-pruned reads
+    t.delete(Seq("k8").toDF("name"), Seq("name"))
+    assert(t.readEq("count", 8).count() == 0)
   }
 }
