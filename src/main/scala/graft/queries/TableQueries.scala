@@ -277,6 +277,38 @@ object TableQueries extends QueryPack {
         .orderBy("count")
     },
 
+    // Bin-packing small-file compaction (rewrite_data_files binpack with
+    // a min-size filter): three 1-file tiny epochs consolidate into ONE
+    // packed file while the big epoch's file — already over target — is
+    // adopted BY PATH (pure metadata, zero bytes rewritten for it). The
+    // steady-ingest maintenance pattern at 100 TB: pay for the small-file
+    // tail, never rewrite the healthy bulk. File counts are
+    // parallelism-independent (every epoch pins repartition(1); the tiny
+    // total is far below target so the packed output is 1 file).
+    Q(
+      "t_compact_small",
+      """SELECT * FROM (VALUES
+        |  (8015, 4, 2, true))
+        |  AS t(n_rows, files_before, files_after, big_file_adopted)""",
+    ) { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "binpack")
+      def tiny(off: Int) = items(s).withColumn("count", col("count") + off)
+      t.append(tiny(0).repartition(1))
+      t.append(tiny(100).repartition(1))
+      t.append(tiny(200).repartition(1))
+      val big = (0 until 8000).map(i => (s"n$i", "x", i)).toDF("name", "size", "count")
+      t.append(big.repartition(1), statsCols = Seq("count"))
+      val filesBefore = t.commitLog.state()._1
+      val bigPath = filesBefore.map(_._1).find(f =>
+        java.nio.file.Files.size(java.nio.file.Paths.get(f)) >= 16384).get
+      t.compactSmall(targetBytes = 16384, statsCols = Seq("count"))
+      val filesAfter = t.commitLog.state()._1
+      Seq((t.read().count().toInt, filesBefore.size, filesAfter.size,
+        filesAfter.map(_._1).contains(bigPath)))
+        .toDF("n_rows", "files_before", "files_after", "big_file_adopted")
+    },
+
     // Bloom-filter file skipping: two epochs whose COUNT RANGES fully
     // overlap ([0,16] and [2,18]), so min/max stats cannot separate them —
     // a point probe intersects both files' bounds and stats-only pruning

@@ -86,10 +86,12 @@ final case class LogEntry(
       case None => mayContain(p)
     }
     // bloom filters answer the point question stats cannot: a file whose
-    // bounds intersect may still definitely lack the probe value
+    // bounds intersect may still definitely lack the probe value. The
+    // probe carries the RENDERED value, not positions — each file's
+    // filter is probed at its own recorded width.
     statsOk && (p.bloom.isEmpty ||
       fileBlooms.lift(i).flatMap(_.get(p.col))
-        .forall(Bloom.mightContain(_, p.bloom)))
+        .forall(Bloom.mightContain(_, p.bloom.get)))
   }
 }
 
@@ -105,9 +107,9 @@ final case class LogEntry(
 final case class Prune(
     col: String, lo: BigDecimal, hi: BigDecimal, requireSpec: String = "",
     strBounds: Option[(String, String)] = None,
-    // bloom probe positions (see [[Bloom.positions]]); non-empty only for
-    // point probes whose rendering provably matches the write side's
-    bloom: Seq[Int] = Nil)
+    // rendered bloom probe value (see [[Bloom]]); set only for point
+    // probes whose rendering provably matches the write side's
+    bloom: Option[String] = None)
 
 object Prune {
   /** lexicographic range predicate for a STRING column. */

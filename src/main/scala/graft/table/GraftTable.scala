@@ -107,35 +107,45 @@ final class GraftTable(spark: SparkSession, val root: Path) {
   /** Per-file bloom filters for `bloomCols` over the files just written
     * to `dir` — one aggregate scan per column: each value contributes its
     * K md5-derived bit positions (the SQL twin of [[Bloom.positions]]),
-    * collect_set folds them per file (bounded by M = 8192 distinct ints,
-    * ~32 KiB worst case — NOT data-sized), and the driver packs the
-    * bitset. Nulls contribute no positions: a null never matches an
-    * equality probe, so pruning a null-only file is correct.
+    * folded DISTRIBUTEDLY into 64-bit lanes with bit_or (m/64 rows per
+    * file — executor memory is O(lanes), never O(values)), and the driver
+    * packs the bitset. Nulls contribute no positions: a null never
+    * matches an equality probe, so pruning a null-only file is correct.
     */
   private def perFileBlooms(
-      dir: Path, files: Seq[String], bloomCols: Seq[String])
+      dir: Path, files: Seq[String], bloomCols: Seq[String],
+      bloomBits: Int = Bloom.DefaultM)
       : Seq[Map[String, String]] =
     if (bloomCols.isEmpty || files.isEmpty) Nil
     else {
+      require(bloomBits >= 64 && (bloomBits & (bloomBits - 1)) == 0,
+        s"bloomBits must be a power of two >= 64: $bloomBits")
       val df0 = spark.read.parquet(dir.toString)
       val byCol = bloomCols.map { c =>
         val pos = (0 until Bloom.K).map { i =>
-          (conv(substring(md5(concat_ws(":", lit(i.toString), col(c).cast("string"))),
-            1, 4), 16, 10).cast("int") % Bloom.M).cast("int")
+          // first 8 hex chars of md5("$i:" + value) = 32 bits; % m is
+          // uniform for power-of-two m — must mirror Bloom.positions
+          expr(s"CAST(conv(substring(md5(concat('$i:', CAST(`$c` AS STRING))), 1, 8)" +
+            s", 16, 10) AS BIGINT) % ${bloomBits}L")
         }
         val byFile = df0.filter(col(c).isNotNull)
           .select(input_file_name().as("_f"), explode(array(pos: _*)).as("_p"))
-          .groupBy("_f").agg(collect_set(col("_p")).as("_ps"))
+          .select(col("_f"), expr("CAST(_p DIV 64 AS INT)").as("_lane"),
+            expr("shiftleft(1L, CAST(_p % 64 AS INT))").as("_bit"))
+          .groupBy("_f", "_lane").agg(expr("bit_or(_bit)").as("_bits"))
           .collect()
-          .map { r =>
-            val path = Paths.get(new java.net.URI(r.getString(0)).getPath).toString
-            path -> r.getSeq[Int](1)
-          }.toMap
+          .groupBy(r => Paths.get(new java.net.URI(r.getString(0)).getPath).toString)
+          .map { case (path, rows) =>
+            path -> rows.flatMap { r =>
+              val lane = r.getInt(1); val bits = r.getLong(2)
+              (0 until 64).collect { case b if (bits & (1L << b)) != 0 => lane * 64 + b }
+            }.toSeq
+          }
         c -> byFile
       }
       files.map { f =>
         byCol.flatMap { case (c, byFile) =>
-          byFile.get(f).map(ps => c -> Bloom.encode(ps))
+          byFile.get(f).map(ps => c -> Bloom.encode(ps, bloomBits))
         }.toMap
       }
     }
@@ -149,7 +159,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * definitely lack the key (see [[Bloom]]).
     */
   def append(df: DataFrame, statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Long = {
+      bloomCols: Seq[String] = Nil, bloomBits: Int = Bloom.DefaultM): Long = {
     requireNoReserved(df)
     val dir = newShardDir("data")
     df.write.parquet(dir.toString)
@@ -157,7 +167,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     val (fs, strCols) = perFileStats(dir, files, statsCols)
     log.commit("add", dataFiles = files, stats = foldStats(fs, statsCols, strCols),
       schemaJson = idSchemaJson(df.schema), fileStats = fs,
-      fileBlooms = perFileBlooms(dir, files, bloomCols))
+      fileBlooms = perFileBlooms(dir, files, bloomCols, bloomBits))
   }
 
   /** Partitioned fast_append (hidden partitioning): data is clustered and
@@ -958,15 +968,15 @@ final class GraftTable(spark: SparkSession, val root: Path) {
           .map(pv => Prune(partColFor(i), pv, pv, requireSpec = render))
     }.flatten
     val isStrCol = colType.contains(org.apache.spark.sql.types.StringType)
-    // bloom positions attach only when the probe's rendering provably
-    // equals the write side's cast-to-string (exact-type matches; a
-    // DOUBLE renders "150.0" vs an INT's "150", so near-matches get
-    // stats-only pruning instead of a false-negative risk)
-    val bloomPos: Seq[Int] = (colType, value) match {
-      case (Some(org.apache.spark.sql.types.StringType), s: String) => Bloom.positions(s)
+    // the bloom probe attaches only when its rendering provably equals
+    // the write side's cast-to-string (exact-type matches; a DOUBLE
+    // renders "150.0" vs an INT's "150", so near-matches get stats-only
+    // pruning instead of a false-negative risk)
+    val bloomVal: Option[String] = (colType, value) match {
+      case (Some(org.apache.spark.sql.types.StringType), s: String) => Some(s)
       case (Some(IntegerType | LongType), v @ (_: Int | _: Long)) =>
-        Bloom.positions(v.toString)
-      case _ => Nil
+        Some(v.toString)
+      case _ => None
     }
     partPrunes ++ (value match {
       // the prune KIND must follow the column's recorded stats kind
@@ -980,13 +990,13 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       // the partition VALUE) still apply, and the residual filter keeps
       // the read correct.
       case s: String if isStrCol =>
-        Seq(Prune.str(colName, s, s).copy(bloom = bloomPos))
+        Seq(Prune.str(colName, s, s).copy(bloom = bloomVal))
       case s: String =>
         try Seq(Prune(colName, BigDecimal(s), BigDecimal(s)))
         catch { case _: NumberFormatException => Nil }
       case _ if isStrCol => Nil
       case v =>
-        numericBound(v).map(n => Prune(colName, n, n, bloom = bloomPos)).toSeq
+        numericBound(v).map(n => Prune(colName, n, n, bloom = bloomVal)).toSeq
     })
   }
 
@@ -1084,6 +1094,76 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     view.write.parquet(dir.toString)
     log.commit("replace", dataFiles = parquetFilesIn(dir),
       schemaJson = idSchemaJson(view.schema))
+  }
+
+  /** Bin-packing small-file compaction (Iceberg's rewrite_data_files
+    * binpack with its min-input-size filter): consolidate ONLY the live
+    * files smaller than `targetBytes` into ~targetBytes outputs; files
+    * already at size are ADOPTED BY PATH with their recorded per-file
+    * stats and blooms — pure metadata for them, no read, no write. This
+    * is the 100 TB difference from compact(): a steady-ingest table
+    * accumulates a small-file tail every epoch, and the maintenance job
+    * should pay for that tail, never for the healthy bulk a full rewrite
+    * would copy (at 100 TB a full compact IS a 100 TB write).
+    *
+    * Falls back to a full compact() when delete files are pending or the
+    * live files straddle a schema boundary — the same two conditions as
+    * rollbackTo's metadata-only path, for the same structural reasons (a
+    * replace entry carries one flat file list and one schema, so it can
+    * neither re-scope deletes nor align mixed physical schemas). With
+    * fewer than two small files there is nothing to pack: no commit, the
+    * current head seq is returned. The replace records no partition
+    * spec (like rollbackTo); adopted files keep pruning through their
+    * per-file stats, and the next partitioned rewrite re-establishes
+    * spec pruning. With `statsCols`/`bloomCols`, the NEW packed files
+    * get fresh stats/blooms, so consolidation never degrades skipping.
+    */
+  def compactSmall(targetBytes: Long, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
+    val entries = log.entries()
+    require(entries.nonEmpty, "compactSmall on an empty table")
+    val (dataFiles, deleteFiles) = CommitLog.stateFrom(entries)
+    val schemaJson =
+      entries.filter(_.schemaJson.nonEmpty).lastOption.map(_.schemaJson).getOrElse("")
+    val liveSeqs = dataFiles.map(_._2).toSet
+    val uniformSchema = (entries.filter(e => liveSeqs(e.seq) && e.dataFiles.nonEmpty)
+      .map(_.schemaJson) :+ schemaJson).distinct.size <= 1
+    if (deleteFiles.nonEmpty || !uniformSchema) return compact()
+    val sized = dataFiles.map { case (f, s) => (f, s, Files.size(Paths.get(f))) }
+    val small = sized.filter(_._3 < targetBytes)
+    if (small.size < 2) return entries.last.seq // nothing to pack
+    val smallPaths = small.map(_._1).toSet
+    val kept = sized.filterNot(x => smallPaths(x._1))
+    val dir = newShardDir("data")
+    val outFiles =
+      math.max(1, math.ceil(small.map(_._3).sum.toDouble / targetBytes).toInt)
+    spark.read.parquet(small.map(_._1): _*)
+      .repartition(outFiles).write.parquet(dir.toString)
+    val newFiles = parquetFilesIn(dir)
+    val (newStats, _) = perFileStats(dir, newFiles, statsCols)
+    val newBlooms = perFileBlooms(dir, newFiles, bloomCols)
+    val byEntry = entries.map(e => e.seq -> e).toMap
+    def metaOf(f: String, s: Long) = {
+      val e = byEntry(s)
+      val i = e.dataFiles.indexOf(f)
+      (e.fileStats.lift(i).getOrElse(Map.empty[String, (String, String)]),
+        e.fileBlooms.lift(i).getOrElse(Map.empty[String, String]))
+    }
+    val keptMeta = kept.map { case (f, s, _) => metaOf(f, s) }
+    val padStats =
+      if (newStats.isEmpty) newFiles.map(_ => Map.empty[String, (String, String)])
+      else newStats
+    val padBlooms =
+      if (newBlooms.isEmpty) newFiles.map(_ => Map.empty[String, String])
+      else newBlooms
+    // no commit-level stats fold: the adopted files' recorded columns may
+    // differ from statsCols, and absent commit stats just mean pruning
+    // consults the per-file bounds directly (never-prune-blind fallback)
+    log.commit("replace",
+      dataFiles = kept.map(_._1) ++ newFiles,
+      schemaJson = schemaJson,
+      fileStats = keptMeta.map(_._1) ++ padStats,
+      fileBlooms = keptMeta.map(_._2) ++ padBlooms)
   }
 
   /** Roll the table back to its committed state at `seq` (Iceberg

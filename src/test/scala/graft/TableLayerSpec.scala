@@ -753,7 +753,8 @@ class TableLayerSpec extends AnyFunSuite {
   test("log entry JSON round-trips") {
     val log = CommitLog(Files.createTempDirectory("spec_json").toString)
     val blooms = Seq(
-      Map("name" -> graft.table.Bloom.encode(graft.table.Bloom.positions("A"))),
+      Map("name" -> graft.table.Bloom.encode(
+        graft.table.Bloom.positions("A", 8192), 8192)),
       Map.empty[String, String])
     val seq = log.commit("mixed", dataFiles = Seq("a.parquet", "b.parquet"),
       deleteFiles = Seq("d.parquet"), equalityCols = Seq("name", "size"),
@@ -764,10 +765,9 @@ class TableLayerSpec extends AnyFunSuite {
     assert(e.deleteFiles == Seq("d.parquet"))
     assert(e.equalityCols == Seq("name", "size"))
     assert(e.fileBlooms == blooms)
-    assert(graft.table.Bloom.mightContain(
-      e.fileBlooms.head("name"), graft.table.Bloom.positions("A")))
+    assert(graft.table.Bloom.mightContain(e.fileBlooms.head("name"), "A"))
     assert(!graft.table.Bloom.mightContain(
-      e.fileBlooms.head("name"), graft.table.Bloom.positions("definitely-absent")))
+      e.fileBlooms.head("name"), "definitely-absent"))
   }
 
   test("metadata checkpoint folds the log without changing history or the CAS") {
@@ -1046,5 +1046,49 @@ class TableLayerSpec extends AnyFunSuite {
     // deletes still apply on top of bloom-pruned reads
     t.delete(Seq("k8").toDF("name"), Seq("name"))
     assert(t.readEq("count", 8).count() == 0)
+  }
+
+  test("compactSmall packs only undersized files and adopts the rest by path") {
+    val t = freshTable("binpack")
+    t.append(items.repartition(1))                                   // tiny
+    t.append(items.withColumn("count", col("count") + 100)
+      .repartition(1))                                               // tiny
+    // counts 10000, 10002, ... 25998: disjoint from the tiny epochs and
+    // sparse, so in-range absent values exercise the adopted bloom
+    val big = (0 until 8000).map(i => (s"n$i", "x", 10000 + 2 * i))
+      .toDF("name", "size", "count").repartition(1)
+    t.append(big, statsCols = Seq("count"), bloomCols = Seq("count"))
+    val before = t.commitLog.state()._1.map(_._1)
+    val bigPath = before.find(f =>
+      Files.size(java.nio.file.Paths.get(f)) >= 16384).get
+    val preRows = t.read().count()
+    t.compactSmall(targetBytes = 16384, statsCols = Seq("count"))
+    val after = t.commitLog.state()._1.map(_._1)
+    // the big file is the SAME path (adopted, not rewritten); the two
+    // tiny files are gone, replaced by one packed file
+    assert(after.contains(bigPath))
+    assert(after.size == 2)
+    assert(t.read().count() == preRows)
+    // adopted per-file stats AND blooms survive: a present key opens the
+    // big file alone, and an in-range ABSENT key (odd, never written) is
+    // rejected by the adopted bloom with no file opened at all
+    assert(t.prunedFileCountEq("count", 16000) == 1)
+    assert(t.readEq("count", 16000).count() == 1)
+    assert(t.prunedFileCountEq("count", 16001) == 0)
+    // the packed file got fresh stats: probing a tiny-range value opens
+    // only the packed file
+    assert(t.prunedFileCount("count", BigDecimal(102), BigDecimal(102)) == 1)
+    // history before the binpack stays travelable
+    assert(t.read(asOf = 2).count() == preRows)
+    // nothing to pack → no-op, no new commit
+    val head = t.headSeq
+    assert(t.compactSmall(targetBytes = 16384) == head)
+    assert(t.headSeq == head)
+    // pending deletes force the full-compact fallback and stay correct
+    t.delete(Seq("A").toDF("name"), Seq("name"))
+    t.compactSmall(targetBytes = 16384)
+    assert(t.commitLog.state()._2.isEmpty) // deletes folded in
+    // items carries two A rows per epoch → 4 rows deleted across epochs
+    assert(t.read().count() == preRows - 4)
   }
 }
