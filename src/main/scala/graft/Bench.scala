@@ -36,8 +36,14 @@ object Bench {
       SparkEntry.queries("q_stream_tumble")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     } catch { case e: Throwable => System.err.println(s"[bench] stream warmup failed: ${e.getMessage}") }
-    // deterministic name order so per-query timings compare across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // deterministic name order so per-query timings compare across rounds;
+    // SPARK_GRAFT_ONLY (comma-separated names) narrows the run for local
+    // iteration — the driver never sets it, so its runs stay full-surface
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -79,7 +85,10 @@ object Bench {
     // stdout for the driver (build.sbt outputStrategy keeps it unprefixed),
     // plus a file copy in case the launcher decorates the stream anyway.
     println(out)
-    Files.writeString(Paths.get("BENCH_LOCAL.json"), line(3, Int.MaxValue))
+    // a SPARK_GRAFT_ONLY-narrowed run must not overwrite the full-surface
+    // record the judge reads
+    if (only.isEmpty)
+      Files.writeString(Paths.get("BENCH_LOCAL.json"), line(3, Int.MaxValue))
     spark.stop()
   }
 }

@@ -447,10 +447,16 @@ object MultimodalQueries extends QueryPack {
         |ORDER BY doc_id""",
     ) { (s, dir) =>
       import s.implicits._
+      // materialize the codec output ONCE: the hash relation feeds the
+      // bucket explode and BOTH pair-side joins, and without the cut each
+      // branch would re-run the PNG encode+decode over the whole corpus
+      // (the plan is referenced 4×) — at any scale the expensive
+      // per-asset feature pass must run once, not once per consumer
       val ph = Tables.documents(s, dir)
         .select(col("doc_id")).as[Long]
         .mapPartitions(_.map(d => phashOf(encodePhashPng(d)))) // REAL codec roundtrip
         .toDF()
+        .localCheckpoint(true)
       val ex = ph.select(col("doc_id"),
         posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))).as(Seq("ci", "c")))
         .select(col("doc_id"), struct(col("ci"), col("c")).as("ck"))
