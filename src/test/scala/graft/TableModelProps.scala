@@ -40,6 +40,11 @@ object TableModelProps extends Properties("graft-table-model") {
   private case class Upsert(rows: List[Row]) extends Op
   private case object Compact extends Op
   private case object CompactSorted extends Op
+  // bin-packing rewrite: interpreted so it ALWAYS commits one replace
+  // (the <2-small-files no-op would desync op index from commit seq);
+  // its delete-pending / schema-straddle fallbacks run the full compact
+  // internally — same model either way
+  private case object CompactSmall extends Op
   // z-order rewrite: same replace semantics as Compact, different layout;
   // both dims point at the one numeric column (layout is irrelevant to
   // the model, only the replace semantics are)
@@ -96,7 +101,7 @@ object TableModelProps extends Properties("graft-table-model") {
           // touch loses its PRIOR rows; the incoming rows carry this seq
           pdels ++= rs.map(r => pval(r._2)).distinct.map(_ -> seq)
           rows ++= rs.map(_ -> seq)
-        case Compact | CompactSorted | CompactZOrder =>
+        case Compact | CompactSorted | CompactZOrder | CompactSmall =>
           rows = view.map(_ -> seq)
           dels = Vector.empty
           pdels = Vector.empty
@@ -132,6 +137,7 @@ object TableModelProps extends Properties("graft-table-model") {
     1 -> Gen.const(Compact),
     1 -> Gen.const(CompactSorted),
     1 -> Gen.const(CompactZOrder),
+    1 -> Gen.const(CompactSmall),
     1 -> Gen.const(RenameKey),
     1 -> Gen.const(WidenCount),
     1 -> Gen.choose(0, 5).map(Rollback))
@@ -171,7 +177,11 @@ object TableModelProps extends Properties("graft-table-model") {
       case Append(rows, partitioned) =>
         val df = rows.toDF(keyCol, "count")
         partitioned match {
-          case 0 => t.append(df, statsCols = Seq("count"))
+          // plain appends also record blooms (small width keeps fuzz log
+          // entries light): every later point probe then runs through the
+          // bloom path, where a false negative would lose rows
+          case 0 => t.append(df, statsCols = Seq("count"),
+            bloomCols = Seq("count"), bloomBits = 4096)
           case 1 => t.appendPartitioned(df, spec, statsCols = Seq("count"))
           case 3 => t.appendPartitioned(df,
             PartitionSpec(keyCol, Transform.TruncateStr(1)), statsCols = Seq("count"))
@@ -186,6 +196,11 @@ object TableModelProps extends Properties("graft-table-model") {
       case OverwritePart(rows) =>
         t.overwritePartitions(rows.toDF(keyCol, "count"), spec, statsCols = Seq("count"))
       case Compact => t.compact()
+      case CompactSmall =>
+        val nSmall = t.commitLog.state()._1.count(f =>
+          Files.size(java.nio.file.Paths.get(f._1)) < (1L << 20))
+        if (nSmall >= 2) t.compactSmall(1L << 20, statsCols = Seq("count"))
+        else t.compact()
       case CompactSorted => t.compactSorted("count", numFiles = 2)
       case CompactZOrder => t.compactZOrder(Seq("count", "count"), numFiles = 4)
       case RenameKey =>
@@ -317,6 +332,15 @@ object TableModelProps extends Properties("graft-table-model") {
           org.apache.spark.sql.functions.col("count").cast("int").as("count"))
         .as[Row].collect().toSeq)
       val want = sortedRows(model(ops, ops.size - 1).filter(r => r._2 >= lo && r._2 <= hi))
-      pruned == want
+      // the point probe additionally runs bloom pruning (plain appends
+      // record blooms on count): a false negative surfaces as a lost row
+      val eqGot = sortedRows(t.readEq("count", lo)
+        .select(org.apache.spark.sql.functions.col(keyColAt(ops, ops.size - 1)).as("name"),
+          org.apache.spark.sql.functions.col("count").cast("int").as("count"))
+        .as[Row].collect().toSeq)
+      val eqWant = sortedRows(model(ops, ops.size - 1).filter(_._2 == lo))
+      val ok = pruned == want && eqGot == eqWant
+      if (!ok) println(s"BOUNDED MISMATCH lo=$lo hi=$hi ops=$ops\n got=$pruned want=$want\n eqGot=$eqGot eqWant=$eqWant")
+      ok
     }
 }
