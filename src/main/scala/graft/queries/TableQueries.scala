@@ -201,6 +201,44 @@ object TableQueries extends QueryPack {
         .orderBy("name", "count")
     },
 
+    // Cherry-pick from a diverged branch (Iceberg cherrypick_snapshot):
+    // main advanced past the branch base, so the fast-forward publish
+    // refuses — but ONE staged append can still be replayed metadata-only
+    // (files adopted by path). The pick is restricted to pure appends:
+    // a staged delete scopes by sequence number and would change meaning
+    // out of its original position, so picking it refuses too (both
+    // refusals pinned in the golden).
+    Q(
+      "t_branch_cherrypick",
+      """SELECT * FROM (VALUES
+        |  ('A','small',2, true, true),('B','medium',15, true, true),
+        |  ('C','medium',10, true, true),('D','small',20, true, true),
+        |  ('E','large',20, true, true),('F','post',1, true, true),
+        |  ('H2','fix',42, true, true))
+        |  AS t(name, size, count, publish_refused, delete_pick_refused)
+        |ORDER BY name""",
+    ) { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "cherry")
+      t.append(items(s))                                            // main seq 0
+      val b = t.createBranch("fix")
+      b.append(Seq(("H1", "fix", 41)).toDF("name", "size", "count")) // staged 1
+      b.append(Seq(("H2", "fix", 42)).toDF("name", "size", "count")) // staged 2
+      b.delete(Seq("H1").toDF("name"), Seq("name"))                  // staged 3
+      t.append(Seq(("F", "post", 1)).toDF("name", "size", "count")) // main diverges
+      val refused =
+        try { t.publishBranch("fix"); false }
+        catch { case _: IllegalArgumentException => true }
+      val delRefused =
+        try { t.cherryPick("fix", 3); false }
+        catch { case _: IllegalArgumentException => true }
+      t.cherryPick("fix", 2)
+      t.read()
+        .withColumn("publish_refused", lit(refused))
+        .withColumn("delete_pick_refused", lit(delRefused))
+        .orderBy("name")
+    },
+
     // incremental append scan (CDC consumption): rows added AFTER seq 0,
     // with the in-range delete applied — the primitive a downstream
     // pipeline uses to process only what's new since its last checkpoint.
@@ -438,7 +476,7 @@ object TableQueries extends QueryPack {
         .toDF("name", "day", "val")
       t.appendPartitioned(rows,
         Seq(PartitionSpec("day", Transform.Identity),
-          PartitionSpec("val", Transform.Truncate(5))), Nil)
+          PartitionSpec("val", Transform.Truncate(5))), Nil, Nil)
       val eq = t.readEq("day", 1)
         .withColumn("probe", lit("eq_day1"))
         .withColumn("files_opened", lit(t.prunedFileCountEq("day", 1)))

@@ -184,8 +184,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * never leaks into queries.
     */
   def appendPartitioned(df: DataFrame, spec: PartitionSpec,
-      statsCols: Seq[String] = Nil): Long =
-    appendPartitioned(df, Seq(spec), statsCols)
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long =
+    appendPartitioned(df, Seq(spec), statsCols, bloomCols)
 
   /** Multi-dimensional hidden partitioning: Iceberg specs compose several
     * (column, transform) dimensions — e.g. day(ts) + bucket(id), exactly
@@ -198,7 +198,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * probe each open only their slice of the grid.
     */
   def appendPartitioned(df: DataFrame, specs: Seq[PartitionSpec],
-      statsCols: Seq[String]): Long = {
+      statsCols: Seq[String], bloomCols: Seq[String]): Long = {
     require(specs.nonEmpty, "at least one partition dimension")
     require(specs.map(_.col).distinct.size == specs.size,
       "one transform per source column")
@@ -222,7 +222,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       else partStat.zip(extra).map { case (a, b) => a ++ b }
     log.commit("add", dataFiles = files, stats = foldStats(extra, statsCols, strCols),
       schemaJson = idSchemaJson(df.schema), fileStats = merged,
-      partSpec = PartitionSpec.renderAll(specs))
+      partSpec = PartitionSpec.renderAll(specs),
+      fileBlooms = perFileBlooms(dir, files, bloomCols))
   }
 
   /** Atomic partition overwrite (Iceberg's dynamic overwrite / INSERT
@@ -238,7 +239,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * second evaluation of a possibly non-deterministic `df` lineage.
     */
   def overwritePartitions(df: DataFrame, spec: PartitionSpec,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     requireNoReserved(df)
     val dir = newShardDir("data")
     df.withColumn(PartCol, spec.transform.expr(col(spec.col)))
@@ -264,7 +265,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     log.commit("mixed", dataFiles = files, deleteFiles = parquetFilesIn(delDir),
       equalityCols = Seq(spec.col), stats = foldStats(extra, statsCols, strCols),
       schemaJson = idSchemaJson(df.schema), fileStats = merged,
-      partSpec = spec.render)
+      partSpec = spec.render,
+      fileBlooms = perFileBlooms(dir, files, bloomCols))
   }
 
   private val PartCol = "_p"
@@ -529,12 +531,17 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * write the key set as a delete file and commit both file sets atomically.
     */
   private def mixedCommit(dDir: Path, keys: DataFrame, equalityCols: Seq[String],
-      schemaJson: String): Long = {
+      schemaJson: String, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
     val delDir = newShardDir("deletes")
     keys.select(equalityCols.map(col): _*).distinct().write.parquet(delDir.toString)
-    log.commit("mixed", dataFiles = parquetFilesIn(dDir),
+    val files = parquetFilesIn(dDir)
+    val (fs, strCols) = perFileStats(dDir, files, statsCols)
+    log.commit("mixed", dataFiles = files,
       deleteFiles = parquetFilesIn(delDir), equalityCols = equalityCols,
-      schemaJson = schemaJson)
+      stats = foldStats(fs, statsCols, strCols),
+      schemaJson = schemaJson, fileStats = fs,
+      fileBlooms = perFileBlooms(dDir, files, bloomCols))
   }
 
   /** atomic mixed commit: new data files AND a delete in ONE log entry
@@ -643,6 +650,49 @@ final class GraftTable(spark: SparkSession, val root: Path) {
         e.statsCols.lazyZip(e.statsMin).lazyZip(e.statsMax).toSeq,
         e.schemaJson, e.fileStats, e.partSpec, e.fileBlooms)
     }
+  }
+
+  /** Cherry-pick (Iceberg's cherrypick_snapshot, applied to a branch):
+    * replay ONE staged branch commit onto main — metadata-only, files
+    * adopted by path with stats and blooms — without publishing the rest
+    * of the branch and WITHOUT publishBranch's fast-forward precondition
+    * (main may have advanced). The relaxation is safe only because the
+    * pick is restricted to PURE APPENDS: an equality delete or replace
+    * scopes by sequence number, so replaying one out of its original
+    * position would change which rows it affects — the same reason
+    * Iceberg cherry-picks only appends and dynamic overwrites. A staged
+    * append whose schema assigned field ids main's history does not know
+    * is refused too: main may have assigned the same fresh id to a
+    * different column while the branch diverged, and adopting the entry
+    * would collide them (publish-after-re-branch handles that case).
+    */
+  def cherryPick(name: String, seq: Long): Long = {
+    val bRoot = branchRoot(name)
+    require(Files.exists(bRoot), s"no such branch: $name")
+    val base = Files.readString(bRoot.resolve("_base")).trim.toLong
+    val e = new CommitLog(bRoot).entries().filter(_.seq > base)
+      .find(_.seq == seq)
+      .getOrElse(throw new IllegalArgumentException(
+        s"branch $name has no staged commit $seq"))
+    require(e.action == "add" && e.deleteFiles.isEmpty,
+      s"cherry-pick supports pure appends only (staged $seq is '${e.action}'): " +
+        "deletes and replaces scope by sequence number and would change " +
+        "meaning replayed out of context")
+    val mainIdNames: Set[(Long, String)] = log.entries()
+      .filter(_.schemaJson.nonEmpty)
+      .map(x => DataType.fromJson(x.schemaJson).asInstanceOf[StructType])
+      .flatMap(_.fields.flatMap(f => fieldId(f).map(_ -> f.name))).toSet
+    val pickedIdNames: Set[(Long, String)] =
+      if (e.schemaJson.isEmpty) Set.empty
+      else DataType.fromJson(e.schemaJson).asInstanceOf[StructType]
+        .fields.flatMap(f => fieldId(f).map(_ -> f.name)).toSet
+    require(pickedIdNames.subsetOf(mainIdNames),
+      s"staged $seq carries field ids unknown to main " +
+        s"(${(pickedIdNames -- mainIdNames).mkString(", ")}); " +
+        "re-branch and publish instead")
+    log.commit(e.action, e.dataFiles, Nil, Nil,
+      e.statsCols.lazyZip(e.statsMin).lazyZip(e.statsMax).toSeq,
+      e.schemaJson, e.fileStats, e.partSpec, e.fileBlooms)
   }
 
   /** Incremental (CDC-style) read — Iceberg's incremental append scan:
@@ -768,7 +818,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * append+delete-in-one-transaction shape (deletes.rs:94-110)
     * generalized to "latest row wins".
     */
-  def upsert(df: DataFrame, keyCols: Seq[String]): Long = {
+  def upsert(df: DataFrame, keyCols: Seq[String],
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     requireNoReserved(df)
     val dDir = newShardDir("data")
     df.write.parquet(dDir.toString)
@@ -777,7 +828,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     // (sample(), mid-ingest re-read) would otherwise delete keys it never
     // appended, or append rows whose old versions survive
     val written = spark.read.schema(df.schema).parquet(dDir.toString)
-    mixedCommit(dDir, written, keyCols, idSchemaJson(df.schema))
+    mixedCommit(dDir, written, keyCols, idSchemaJson(df.schema),
+      statsCols, bloomCols)
   }
 
   /** immutable named snapshot (Iceberg tag): the handle a training run

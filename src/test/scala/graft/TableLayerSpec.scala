@@ -453,7 +453,7 @@ class TableLayerSpec extends AnyFunSuite {
       PartitionSpec("val", Transform.Truncate(5)))
     val rows = Seq(("a", 0, 1), ("b", 0, 7), ("c", 1, 2), ("d", 1, 8), ("e", 2, 3))
       .toDF("name", "day", "val")
-    t.appendPartitioned(rows, specs, Nil)
+    t.appendPartitioned(rows, specs, Nil, Nil)
     assert(t.partitionSpecs == specs)
     assert(t.partitionSpec.contains(specs.head)) // single-dim view intact
     // 5 distinct (day, val-bucket) tuples → 5 files, one per tuple
@@ -1090,5 +1090,30 @@ class TableLayerSpec extends AnyFunSuite {
     assert(t.commitLog.state()._2.isEmpty) // deletes folded in
     // items carries two A rows per epoch → 4 rows deleted across epochs
     assert(t.read().count() == preRows - 4)
+  }
+
+  test("cherryPick replays one staged append; refuses deletes and unknown ids") {
+    val t = freshTable("cherry")
+    t.append(items)                                                   // seq 0
+    val b = t.createBranch("fix")
+    b.append(Seq(("X", "s", 1)).toDF("name", "size", "count"))        // staged 1
+    b.append(Seq(("Y", "s", 2, "n")).toDF("name", "size", "count", "note")) // staged 2
+    b.delete(Seq("X").toDF("name"), Seq("name"))                      // staged 3
+    t.append(Seq(("F", "p", 3)).toDF("name", "size", "count"))        // diverge
+    intercept[IllegalArgumentException](t.publishBranch("fix"))
+    t.cherryPick("fix", 1)
+    // main gains exactly the picked rows; history stays travelable
+    assert(t.read().filter(col("name") === "X").count() == 1)
+    assert(t.read().count() == 8) // 6 items + F + X
+    assert(t.read(asOf = 1).count() == 7)
+    // the branch's own lineage is untouched (its delete still applies)
+    assert(b.read().count() == 7) // 6 + X + Y - deleted X
+    // a staged delete cannot be picked (seq-scoped semantics)
+    intercept[IllegalArgumentException](t.cherryPick("fix", 3))
+    // a staged append whose schema carries a field id main never assigned
+    // is refused (main may have given that id to a different column)
+    intercept[IllegalArgumentException](t.cherryPick("fix", 2))
+    // picking a seq the branch never staged is an error, not a no-op
+    intercept[IllegalArgumentException](t.cherryPick("fix", 99))
   }
 }

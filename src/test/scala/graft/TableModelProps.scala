@@ -186,7 +186,7 @@ object TableModelProps extends Properties("graft-table-model") {
           case 3 => t.appendPartitioned(df,
             PartitionSpec(keyCol, Transform.TruncateStr(1)), statsCols = Seq("count"))
           case _ => t.appendPartitioned(df,
-            Seq(spec, PartitionSpec(keyCol, Transform.Bucket(4))), Seq("count"))
+            Seq(spec, PartitionSpec(keyCol, Transform.Bucket(4))), Seq("count"), Nil)
         }
       case Delete(keys) => t.delete(keys.toDF(keyCol), Seq(keyCol))
       case Mixed(rows, keys) =>
