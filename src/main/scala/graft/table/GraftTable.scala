@@ -121,31 +121,36 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       require(bloomBits >= 64 && (bloomBits & (bloomBits - 1)) == 0,
         s"bloomBits must be a power of two >= 64: $bloomBits")
       val df0 = spark.read.parquet(dir.toString)
-      val byCol = bloomCols.map { c =>
-        val pos = (0 until Bloom.K).map { i =>
-          // first 8 hex chars of md5("$i:" + value) = 32 bits; % m is
-          // uniform for power-of-two m — must mirror Bloom.positions
-          expr(s"CAST(conv(substring(md5(concat('$i:', CAST(`$c` AS STRING))), 1, 8)" +
-            s", 16, 10) AS BIGINT) % ${bloomBits}L")
+      // ONE scan covers every bloom column: each row contributes K tagged
+      // (column index, position) structs per column (nulls contribute
+      // none). First 8 hex chars of md5("$i:" + value) = 32 bits; % m is
+      // uniform for power-of-two m — must mirror Bloom.positions.
+      val tagged = bloomCols.zipWithIndex.flatMap { case (c, ci) =>
+        (0 until Bloom.K).map { i =>
+          expr(s"IF(`$c` IS NULL, NULL, named_struct('ci', $ci, " +
+            s"'p', CAST(conv(substring(md5(concat('$i:', CAST(`$c` AS STRING))), 1, 8)" +
+            s", 16, 10) AS BIGINT) % ${bloomBits}L))")
         }
-        val byFile = df0.filter(col(c).isNotNull)
-          .select(input_file_name().as("_f"), explode(array(pos: _*)).as("_p"))
-          .select(col("_f"), expr("CAST(_p DIV 64 AS INT)").as("_lane"),
-            expr("shiftleft(1L, CAST(_p % 64 AS INT))").as("_bit"))
-          .groupBy("_f", "_lane").agg(expr("bit_or(_bit)").as("_bits"))
-          .collect()
-          .groupBy(r => Paths.get(new java.net.URI(r.getString(0)).getPath).toString)
-          .map { case (path, rows) =>
-            path -> rows.flatMap { r =>
-              val lane = r.getInt(1); val bits = r.getLong(2)
-              (0 until 64).collect { case b if (bits & (1L << b)) != 0 => lane * 64 + b }
-            }.toSeq
-          }
-        c -> byFile
       }
+      val byFileCol = df0
+        .select(input_file_name().as("_f"), explode(array(tagged: _*)).as("_s"))
+        .filter(col("_s").isNotNull)
+        .select(col("_f"), col("_s.ci").as("_ci"),
+          expr("CAST(_s.p DIV 64 AS INT)").as("_lane"),
+          expr("shiftleft(1L, CAST(_s.p % 64 AS INT))").as("_bit"))
+        .groupBy("_f", "_ci", "_lane").agg(expr("bit_or(_bit)").as("_bits"))
+        .collect()
+        .groupBy(r => (Paths.get(new java.net.URI(r.getString(0)).getPath).toString,
+          r.getInt(1)))
+        .map { case (key, rows) =>
+          key -> rows.flatMap { r =>
+            val lane = r.getInt(2); val bits = r.getLong(3)
+            (0 until 64).collect { case b if (bits & (1L << b)) != 0 => lane * 64 + b }
+          }.toSeq
+        }
       files.map { f =>
-        byCol.flatMap { case (c, byFile) =>
-          byFile.get(f).map(ps => c -> Bloom.encode(ps, bloomBits))
+        bloomCols.zipWithIndex.flatMap { case (c, ci) =>
+          byFileCol.get((f, ci)).map(ps => c -> Bloom.encode(ps, bloomBits))
         }.toMap
       }
     }
@@ -154,7 +159,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * `statsCols`, the commit records min/max of those (numeric) columns at
     * BOTH commit and per-file granularity — the manifest statistics
     * Iceberg uses for scan pruning — from a single aggregate scan. With
-    * `bloomCols`, each file additionally records a 1 KiB bloom filter per
+    * `bloomCols`, each file additionally records a bloom filter (default
+    * 16 KiB, see [[Bloom.DefaultM]]) per
     * column so POINT reads skip files whose bounds intersect but which
     * definitely lack the key (see [[Bloom]]).
     */
@@ -656,15 +662,28 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * replay ONE staged branch commit onto main — metadata-only, files
     * adopted by path with stats and blooms — without publishing the rest
     * of the branch and WITHOUT publishBranch's fast-forward precondition
-    * (main may have advanced). The relaxation is safe only because the
-    * pick is restricted to PURE APPENDS: an equality delete or replace
-    * scopes by sequence number, so replaying one out of its original
-    * position would change which rows it affects — the same reason
-    * Iceberg cherry-picks only appends and dynamic overwrites. A staged
-    * append whose schema assigned field ids main's history does not know
-    * is refused too: main may have assigned the same fresh id to a
-    * different column while the branch diverged, and adopting the entry
-    * would collide them (publish-after-re-branch handles that case).
+    * (main may have advanced). Three guards make the relaxation safe:
+    *
+    *  - PURE APPENDS only: an equality delete or replace scopes by
+    *    sequence number, so replaying one out of its original position
+    *    would change which rows it affects — the same reason Iceberg
+    *    cherry-picks only appends and dynamic overwrites.
+    *  - Applied-pick refusal: the adopted file paths are unique (UUID
+    *    shard dirs), so a main entry already carrying them means this
+    *    staged commit was picked before — a second apply would silently
+    *    double every row (Iceberg tracks published snapshot ids the
+    *    same way).
+    *  - Schema compatibility with main's CURRENT schema: the pick is
+    *    committed under MAIN's current schemaJson (a commit's schema is
+    *    also the head schema in this model, so adopting the staged
+    *    entry's own schema would roll back any rename/widen main did
+    *    after the branch base — and a later append would then re-assign
+    *    fresh ids, orphaning historical columns). That is only sound
+    *    when every staged (id, name, type) exists in main's current
+    *    schema — the staged files then read under main's schema
+    *    unchanged, missing columns filling as nulls. Anything else
+    *    (branch-side new columns, main-side renames/widens of a staged
+    *    column) is refused: re-branch and publish.
     */
   def cherryPick(name: String, seq: Long): Long = {
     val bRoot = branchRoot(name)
@@ -678,21 +697,26 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       s"cherry-pick supports pure appends only (staged $seq is '${e.action}'): " +
         "deletes and replaces scope by sequence number and would change " +
         "meaning replayed out of context")
-    val mainIdNames: Set[(Long, String)] = log.entries()
-      .filter(_.schemaJson.nonEmpty)
-      .map(x => DataType.fromJson(x.schemaJson).asInstanceOf[StructType])
-      .flatMap(_.fields.flatMap(f => fieldId(f).map(_ -> f.name))).toSet
-    val pickedIdNames: Set[(Long, String)] =
-      if (e.schemaJson.isEmpty) Set.empty
-      else DataType.fromJson(e.schemaJson).asInstanceOf[StructType]
-        .fields.flatMap(f => fieldId(f).map(_ -> f.name)).toSet
-    require(pickedIdNames.subsetOf(mainIdNames),
-      s"staged $seq carries field ids unknown to main " +
-        s"(${(pickedIdNames -- mainIdNames).mkString(", ")}); " +
-        "re-branch and publish instead")
+    val mainEntries = log.entries()
+    require(e.dataFiles.nonEmpty &&
+        !mainEntries.exists(_.dataFiles.toSet.intersect(e.dataFiles.toSet).nonEmpty),
+      s"staged $seq was already picked (its files are referenced by main)")
+    def idNameTypes(json: String): Set[(Long, String, DataType)] =
+      DataType.fromJson(json).asInstanceOf[StructType]
+        .fields.flatMap(f => fieldId(f).map((_, f.name, f.dataType))).toSet
+    val currentJson =
+      mainEntries.filter(_.schemaJson.nonEmpty).lastOption.map(_.schemaJson).getOrElse("")
+    if (e.schemaJson.nonEmpty) {
+      require(currentJson.nonEmpty &&
+          idNameTypes(e.schemaJson).subsetOf(idNameTypes(currentJson)),
+        s"staged $seq's schema is not contained in main's current schema " +
+          "(renamed/widened/new columns since the branch base); " +
+          "re-branch and publish instead")
+    }
     log.commit(e.action, e.dataFiles, Nil, Nil,
       e.statsCols.lazyZip(e.statsMin).lazyZip(e.statsMax).toSeq,
-      e.schemaJson, e.fileStats, e.partSpec, e.fileBlooms)
+      if (e.schemaJson.nonEmpty) currentJson else "",
+      e.fileStats, e.partSpec, e.fileBlooms)
   }
 
   /** Incremental (CDC-style) read — Iceberg's incremental append scan:
@@ -1136,16 +1160,38 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     if (keepLineage) cleaned else cleaned.drop(FileCol, PosCol)
   }
 
+  /** per-file stats and blooms of already-committed files, for adoption
+    * by path (rollbackTo's metadata-only branch, compactSmall's kept
+    * files): the recorded metadata travels with the file so a replace
+    * that never reads it also never degrades its pruning.
+    */
+  private def adoptedMeta(entries: Seq[LogEntry], files: Seq[(String, Long)])
+      : (Seq[Map[String, (String, String)]], Seq[Map[String, String]]) = {
+    val byEntry = entries.map(e => e.seq -> e).toMap
+    val metas = files.map { case (f, s) =>
+      val e = byEntry(s)
+      val i = e.dataFiles.indexOf(f)
+      (e.fileStats.lift(i).getOrElse(Map.empty[String, (String, String)]),
+        e.fileBlooms.lift(i).getOrElse(Map.empty[String, String]))
+    }
+    (metas.map(_._1), metas.map(_._2))
+  }
+
   /** compaction: materialize the MoR view into fresh files and commit a
     * `replace` — deletes are folded in, history before the replace is
-    * superseded (but still time-travelable).
+    * superseded (but still time-travelable). With `statsCols`/`bloomCols`
+    * the fresh files record skipping metadata like an append's would.
     */
-  def compact(): Long = {
+  def compact(statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     val dir = newShardDir("data")
     val view = read()
     view.write.parquet(dir.toString)
-    log.commit("replace", dataFiles = parquetFilesIn(dir),
-      schemaJson = idSchemaJson(view.schema))
+    val files = parquetFilesIn(dir)
+    val (fs, strCols) = perFileStats(dir, files, statsCols)
+    log.commit("replace", dataFiles = files,
+      stats = foldStats(fs, statsCols, strCols),
+      schemaJson = idSchemaJson(view.schema), fileStats = fs,
+      fileBlooms = perFileBlooms(dir, files, bloomCols))
   }
 
   /** Bin-packing small-file compaction (Iceberg's rewrite_data_files
@@ -1180,7 +1226,9 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     val liveSeqs = dataFiles.map(_._2).toSet
     val uniformSchema = (entries.filter(e => liveSeqs(e.seq) && e.dataFiles.nonEmpty)
       .map(_.schemaJson) :+ schemaJson).distinct.size <= 1
-    if (deleteFiles.nonEmpty || !uniformSchema) return compact()
+    // the full-rewrite fallback records the SAME skipping metadata the
+    // caller asked for — a maintenance op must never erase pruning
+    if (deleteFiles.nonEmpty || !uniformSchema) return compact(statsCols, bloomCols)
     val sized = dataFiles.map { case (f, s) => (f, s, Files.size(Paths.get(f))) }
     val small = sized.filter(_._3 < targetBytes)
     if (small.size < 2) return entries.last.seq // nothing to pack
@@ -1194,14 +1242,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     val newFiles = parquetFilesIn(dir)
     val (newStats, _) = perFileStats(dir, newFiles, statsCols)
     val newBlooms = perFileBlooms(dir, newFiles, bloomCols)
-    val byEntry = entries.map(e => e.seq -> e).toMap
-    def metaOf(f: String, s: Long) = {
-      val e = byEntry(s)
-      val i = e.dataFiles.indexOf(f)
-      (e.fileStats.lift(i).getOrElse(Map.empty[String, (String, String)]),
-        e.fileBlooms.lift(i).getOrElse(Map.empty[String, String]))
-    }
-    val keptMeta = kept.map { case (f, s, _) => metaOf(f, s) }
+    val (keptStats, keptBlooms) = adoptedMeta(entries, kept.map(x => (x._1, x._2)))
     val padStats =
       if (newStats.isEmpty) newFiles.map(_ => Map.empty[String, (String, String)])
       else newStats
@@ -1214,8 +1255,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     log.commit("replace",
       dataFiles = kept.map(_._1) ++ newFiles,
       schemaJson = schemaJson,
-      fileStats = keptMeta.map(_._1) ++ padStats,
-      fileBlooms = keptMeta.map(_._2) ++ padBlooms)
+      fileStats = keptStats ++ padStats,
+      fileBlooms = keptBlooms ++ padBlooms)
   }
 
   /** Roll the table back to its committed state at `seq` (Iceberg
@@ -1254,13 +1295,11 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       .map(_.schemaJson) :+ schemaJson).distinct.size <= 1
     if (deleteFiles.isEmpty && uniformSchema) {
       // metadata-only: adopt the live files by path, keep their stats
-      val byEntry = entries.map(e => e.seq -> e).toMap
-      val fs = dataFiles.map { case (f, s) =>
-        val e = byEntry(s)
-        e.fileStats.lift(e.dataFiles.indexOf(f)).getOrElse(Map.empty[String, (String, String)])
-      }
+      // AND blooms (a rollback must not reopen the point-read pruning
+      // gap the filters were recorded to close)
+      val (fs, fb) = adoptedMeta(entries, dataFiles)
       log.commit("replace", dataFiles = dataFiles.map(_._1),
-        schemaJson = schemaJson, fileStats = fs)
+        schemaJson = schemaJson, fileStats = fs, fileBlooms = fb)
     } else {
       val dir = newShardDir("data")
       val view = read(asOf = seq)

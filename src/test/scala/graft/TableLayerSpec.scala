@@ -1115,5 +1115,37 @@ class TableLayerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.cherryPick("fix", 2))
     // picking a seq the branch never staged is an error, not a no-op
     intercept[IllegalArgumentException](t.cherryPick("fix", 99))
+    // a second apply of the same staged commit is refused, not doubled
+    intercept[IllegalArgumentException](t.cherryPick("fix", 1))
+    assert(t.read().filter(col("name") === "X").count() == 1)
+  }
+
+  test("cherryPick never regresses main-side schema evolution") {
+    // main RENAMED a staged column after the base → pick refused, the
+    // rename survives (committing the staged schema would make it the
+    // head schema and silently undo the rename)
+    val t = freshTable("cherrysch")
+    t.append(items)
+    val b = t.createBranch("fix")
+    b.append(Seq(("X", "s", 1)).toDF("name", "size", "count"))
+    t.renameColumn("name", "label")
+    intercept[IllegalArgumentException](t.cherryPick("fix", 1))
+    assert(t.read().columns.contains("label"))
+    // main that only ADDED a column accepts the pick: the staged files
+    // read under main's CURRENT schema, the new column filling as null —
+    // and the head schema keeps the added column
+    val t2 = freshTable("cherryadd")
+    t2.append(items)
+    val b2 = t2.createBranch("fix")
+    b2.append(Seq(("X", "s", 1)).toDF("name", "size", "count"))
+    t2.append(Seq(("G", "p", 3, "eu")).toDF("name", "size", "count", "region"))
+    t2.cherryPick("fix", 1)
+    assert(t2.schemaAt().get.fieldNames.contains("region"))
+    val x = t2.read().filter(col("name") === "X").select("region").collect()
+    assert(x.length == 1 && x.head.isNullAt(0))
+    // a later append under the evolved schema keeps historical ids intact
+    t2.append(Seq(("H", "q", 4, "us")).toDF("name", "size", "count", "region"))
+    assert(t2.read().filter(col("region") === "us").count() == 1)
+    assert(t2.read().count() == 9) // 6 items + G + X + H
   }
 }
