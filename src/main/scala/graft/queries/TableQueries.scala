@@ -994,5 +994,44 @@ object TableQueries extends QueryPack {
         .select("name", "size", "count", "change_type", "change_seq")
         .orderBy("change_seq", "change_type", "name", "count")
     },
+
+    // Deletion vectors (Iceberg v3 DVs) + rewrite_position_delete_files:
+    // two positional-delete commits accumulate, then fold into ONE
+    // deletion-vector generation — a per-data-file bitmap the read path
+    // applies as a broadcast probe + row-local bit test instead of one
+    // anti-join per delete commit. The update-heavy-table maintenance
+    // loop: K delete commits cost K joins until the rewrite makes them
+    // one. dv_generations pins that exactly one positional generation is
+    // live after the fold; dv_only pins that every live delete file IS a
+    // vector; the row set pins that folding changed nothing.
+    Q(
+      "t_deletion_vector",
+      """SELECT * FROM (VALUES
+        |  ('A','large',7),('B','medium',15),('C','medium',10),
+        |  ('D','small',20),('E','large',20),('G','post',2)) AS t(name, size, count)
+        |CROSS JOIN (VALUES (4, 1, true, CAST(8 AS BIGINT)))
+        |  AS m(commits_before, dv_generations, dv_only, travel_rows)
+        |ORDER BY name, count""",
+    ) { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "dv")
+      t.append(itemsWithDup(s))                                   // seq 0: two A's
+      t.append(Seq(("F", "post", 1), ("G", "post", 2))
+        .toDF("name", "size", "count"))                           // seq 1
+      def addr(pred: org.apache.spark.sql.Column) =
+        t.readWithPos().filter(pred).select("_file", "_pos")
+      t.deleteAt(addr(col("name") === "A" && col("count") === 2)) // seq 2
+      t.deleteAt(addr(col("name") === "F"))                       // seq 3
+      val commitsBefore = t.headSeq + 1
+      val rw = t.rewritePositionDeletes()                         // seq 4: one DV
+      val live = t.commitLog.state()._2
+      t.read()
+        .withColumn("commits_before", lit(commitsBefore.toInt))
+        .withColumn("dv_generations", lit(live.map(_._2).distinct.size))
+        .withColumn("dv_only",
+          lit(live.nonEmpty && live.forall(_._3 == _root_.graft.table.CommitLog.DvCols)))
+        .withColumn("travel_rows", lit(t.read(asOf = rw - 3).count())) // pre-delete epoch
+        .orderBy("name", "count")
+    },
   )
 }

@@ -417,6 +417,21 @@ final class CommitLog(val root: Path) {
 object CommitLog {
   def apply(dir: String): CommitLog = new CommitLog(Paths.get(dir))
 
+  /** equality-cols sentinel marking a DELETION-VECTOR delete file
+    * (Iceberg v3 DVs): the file holds one row per data file — a bitmap of
+    * deleted row ordinals — not key tuples. Reserved: user equality
+    * deletes must never use this column list (GraftTable.delete guards).
+    */
+  val DvCols: Seq[String] = Seq("_dv")
+
+  /** positional FLAVOR (physical row addresses, not key predicates):
+    * plain positional delete files (empty equality cols) and deletion
+    * vectors. These are what rewritePositionDeletes folds, and what a
+    * `dvrewrite` commit supersedes.
+    */
+  def isPositionalFlavor(eqCols: Seq[String]): Boolean =
+    eqCols.isEmpty || eqCols == DvCols
+
   /** state() over ALREADY-PARSED entries — read paths parse the log once
     * and derive spec + state from the same snapshot of it.
     */
@@ -428,6 +443,13 @@ object CommitLog {
     var dels = Vector.empty[(String, Long, Seq[String])]
     entries.foreach { e =>
       if (e.action == "replace") { data = Vector.empty; dels = Vector.empty }
+      // a dvrewrite supersedes every prior positional-flavor delete (its
+      // vectors re-encode exactly their addressed rows); equality deletes
+      // keep their seq scoping and are untouched. Safe because positions
+      // address immutable files — re-encoding cannot change which rows
+      // they name, unlike replaying an equality delete out of seq order.
+      if (e.action == "dvrewrite")
+        dels = dels.filterNot(d => isPositionalFlavor(d._3))
       data = data ++ e.dataFiles.zipWithIndex.collect {
         case (f, i) if prune.forall(p =>
           (p.requireSpec.nonEmpty && e.partSpec != p.requireSpec) ||

@@ -501,6 +501,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * (deletes.rs:65-92).
     */
   def delete(keys: DataFrame, equalityCols: Seq[String]): Long = {
+    require(equalityCols != CommitLog.DvCols,
+      s"equality columns ${CommitLog.DvCols.mkString(",")} are reserved for deletion vectors")
     val dir = newShardDir("deletes")
     keys.select(equalityCols.map(col): _*).distinct().write.parquet(dir.toString)
     log.commit("delete", deleteFiles = parquetFilesIn(dir), equalityCols = equalityCols)
@@ -531,6 +533,94 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     positions.select(col(FileCol), col(PosCol)).distinct().write.parquet(dir.toString)
     // empty equalityCols marks the positional flavor in the log entry
     log.commit("posdelete", deleteFiles = parquetFilesIn(dir))
+  }
+
+  // ---- deletion vectors (Iceberg v3 DVs): the third delete flavor.
+  // A DV file holds ONE ROW PER DATA FILE — (_file, _card, _words) where
+  // _words is a dense little-endian bitmap of deleted row ordinals in
+  // 64-bit lanes. The read path applies it as a broadcast join keyed on
+  // file path plus a ROW-LOCAL O(1) bit test — no per-delete-commit
+  // anti-join shuffle, which is what makes update-heavy tables readable:
+  // K accumulated positional-delete commits cost K anti-joins, one DV
+  // commit costs a single broadcast probe per row. The bitmap is
+  // O(file rows / 64) bits dense; Iceberg v3 uses roaring bitmaps for
+  // adaptivity — the seam to swap is Dv.encode/apply below, nothing in
+  // the log format. ----
+
+  private val DvCardCol = "_card"
+  private val DvWordsCol = "_words"
+
+  /** build DV rows — one per addressed data file — from (_file, _pos)
+    * addresses, fully distributed: positions fold into 64-bit lanes via
+    * bit_or (map-side partial agg), lanes gather into the dense word
+    * array per file. Executor memory is O(one file's bitmap), never
+    * O(all deleted positions).
+    */
+  private def dvRowsOf(addr: DataFrame): DataFrame =
+    addr.select(col(FileCol), col(PosCol)).distinct()
+      .select(col(FileCol), expr(s"int($PosCol div 64)").as("_wi"),
+        expr(s"shiftleft(1L, int($PosCol % 64))").as("_bit"))
+      .groupBy(col(FileCol), col("_wi")).agg(expr("bit_or(_bit)").as("_w"))
+      .groupBy(col(FileCol))
+      .agg(map_from_entries(collect_list(struct(col("_wi"), col("_w")))).as("_m"),
+        max(col("_wi")).as("_mw"),
+        sum(expr("bit_count(_w)")).cast("long").as(DvCardCol))
+      .select(col(FileCol), col(DvCardCol),
+        expr(s"transform(sequence(0, _mw), wi -> coalesce(try_element_at(_m, wi), 0L))")
+          .as(DvWordsCol))
+
+  /** inverse of [[dvRowsOf]] — decode a DV relation back to (_file, _pos)
+    * addresses (used when folding existing vectors with new deletes).
+    */
+  private def dvPositionsOf(dv: DataFrame): DataFrame =
+    dv.select(col(FileCol), posexplode(col(DvWordsCol)).as(Seq("_wi", "_w")))
+      .select(col(FileCol), explode(expr(
+        "filter(transform(sequence(0, 63), " +
+          "b -> if(((_w >> b) & 1) = 1, cast(_wi as bigint) * 64 + b, " +
+          "cast(null as bigint))), x -> x is not null)")).as(PosCol))
+
+  private def writeDvFiles(addr: DataFrame): Seq[String] = {
+    val dir = newShardDir("deletes")
+    dvRowsOf(addr).write.parquet(dir.toString)
+    parquetFilesIn(dir)
+  }
+
+  /** POSITIONAL delete committed directly as a deletion vector:
+    * semantically identical to [[deleteAt]] (drop exactly the addressed
+    * rows), physically the bitmap encoding the read path applies without
+    * an anti-join.
+    */
+  def deleteVectors(positions: DataFrame): Long =
+    log.commit("dv", deleteFiles = writeDvFiles(positions),
+      equalityCols = CommitLog.DvCols)
+
+  /** Fold ALL live positional-flavor deletes — plain positional delete
+    * files and existing vectors — into ONE deletion-vector commit
+    * (Iceberg's rewrite_position_delete_files): after it, the read path
+    * applies a single broadcast bitmap probe instead of one anti-join per
+    * accumulated delete commit. Metadata-only with respect to data: no
+    * data file is read or moved, equality deletes keep their seq scoping,
+    * and all history stays travelable (the superseded delete files remain
+    * referenced by their original entries until snapshot expiration).
+    * Returns the current head if there is nothing to fold.
+    */
+  def rewritePositionDeletes(): Long = {
+    val entries = log.entries()
+    val (_, dels) = CommitLog.stateFrom(entries)
+    val posFiles = dels.filter(_._3.isEmpty).map(_._1)
+    val dvFiles = dels.filter(_._3 == CommitLog.DvCols)
+    // nothing to fold: no positional files and at most one DV generation
+    if (posFiles.isEmpty && dvFiles.map(_._2).distinct.size <= 1)
+      return entries.lastOption.map(_.seq).getOrElse(-1L)
+    val fromPos =
+      if (posFiles.isEmpty) None
+      else Some(spark.read.parquet(posFiles: _*).select(col(FileCol), col(PosCol)))
+    val fromDv =
+      if (dvFiles.isEmpty) None
+      else Some(dvPositionsOf(spark.read.parquet(dvFiles.map(_._1): _*)))
+    val addr = (fromPos.toSeq ++ fromDv.toSeq).reduce(_.unionByName(_))
+    log.commit("dvrewrite", deleteFiles = writeDvFiles(addr),
+      equalityCols = CommitLog.DvCols)
   }
 
   /** shared tail of the mixed (append+delete-in-one-transaction) commits:
@@ -794,16 +884,34 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     // log per commit in range, making metadata I/O O(range × history)
     // instead of the documented O(range)
     def entriesAt(atSeq: Long) = all.filter(_.seq <= atSeq)
-    val frames = all.filter(_.seq > fromSeq).flatMap { e =>
+    // a dvrewrite re-encodes existing positional deletes without changing
+    // any row — it has no row-level delta, like a checkpoint; emitting its
+    // delete files as a term would replay every already-deleted row
+    val frames = all.filter(e => e.seq > fromSeq && e.action != "dvrewrite").flatMap { e =>
       val dels =
         if (e.deleteFiles.isEmpty) None
         else {
-          val keys = spark.read.parquet(e.deleteFiles: _*)
           val pre = entriesAt(e.seq - 1)
-          Some(alignToHead(
-            readPrunedState(CommitLog.stateFrom(pre), pre)
-              .join(keys, e.equalityCols, "left_semi"),
-            e.seq - 1)
+          // positional flavors (posdelete/dv) match rows by PHYSICAL
+          // address, so the pre-state read must carry lineage and the
+          // semi-join keys on (_file, _pos) — an equality-style join on
+          // their (empty/sentinel) column list would be a cross join
+          // marking every pre-state row deleted
+          val matched =
+            if (CommitLog.isPositionalFlavor(e.equalityCols)) {
+              val addrs =
+                if (e.equalityCols == CommitLog.DvCols)
+                  dvPositionsOf(spark.read.parquet(e.deleteFiles: _*))
+                else spark.read.parquet(e.deleteFiles: _*)
+              readPrunedState(CommitLog.stateFrom(pre), pre, keepLineage = true)
+                .join(addrs, Seq(FileCol, PosCol), "left_semi")
+                .drop(FileCol, PosCol)
+            } else {
+              val keys = spark.read.parquet(e.deleteFiles: _*)
+              readPrunedState(CommitLog.stateFrom(pre), pre)
+                .join(keys, e.equalityCols, "left_semi")
+            }
+          Some(alignToHead(matched, e.seq - 1)
             .withColumn("change_type", lit("delete"))
             .withColumn("change_seq", lit(e.seq)))
         }
@@ -1103,10 +1211,11 @@ final class GraftTable(spark: SparkSession, val root: Path) {
         case None => spark.emptyDataFrame
       }
     }
-    // positional deletes (empty equalityCols) address rows physically, so
-    // the scan must carry each row's (file, ordinal) — also kept when the
-    // caller asked for lineage (readWithPos)
-    val needsPos = keepLineage || deleteFiles.exists(_._3.isEmpty)
+    // positional-flavor deletes (positional files and deletion vectors)
+    // address rows physically, so the scan must carry each row's (file,
+    // ordinal) — also kept when the caller asked for lineage (readWithPos)
+    val needsPos = keepLineage ||
+      deleteFiles.exists(d => CommitLog.isPositionalFlavor(d._3))
     // allowMissingColumns = add-column evolution on read: snapshots written
     // before a column was added contribute nulls for it; alignByFieldId
     // first maps each epoch's names/types onto the current schema by id.
@@ -1124,7 +1233,23 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       .reduce(_.unionByName(_, allowMissingColumns = true))
     val result = deleteFiles.groupBy(x => (x._2, x._3)).toSeq.sortBy(_._1._1)
       .foldLeft(data) { case (acc, ((dseq, eqCols), files)) =>
-        if (eqCols.isEmpty) {
+        if (eqCols == CommitLog.DvCols) {
+          // deletion vectors: broadcast the (one row per data file) DV
+          // relation and drop rows whose ordinal's bit is set — a row-
+          // local O(1) probe, no anti-join. No seq guard: positions name
+          // immutable rows, and files appended after the DV are simply
+          // absent from its map (left join keeps them). try_element_at:
+          // an ordinal past the bitmap's tail means "not deleted".
+          val dv = spark.read.parquet(files.map(_._1): _*)
+            .select(col(FileCol).as("_dvf"), col(DvWordsCol).as("_dvw"))
+          acc.join(broadcast(dv), col(FileCol) === col("_dvf"), "left")
+            .filter(col("_dvw").isNull ||
+              coalesce(
+                expr(s"shiftright(try_element_at(_dvw, int($PosCol div 64) + 1), " +
+                  s"int($PosCol % 64)) & 1"),
+                lit(0L)) === 0L)
+            .drop("_dvf", "_dvw")
+        } else if (eqCols.isEmpty) {
           // positional flavor: drop exactly the addressed rows. The seq
           // guard is redundant (files are immutable, an address can only
           // name a row that predates the delete) but kept for symmetry.

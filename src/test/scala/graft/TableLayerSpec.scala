@@ -1148,4 +1148,77 @@ class TableLayerSpec extends AnyFunSuite {
     assert(t2.read().filter(col("region") === "us").count() == 1)
     assert(t2.read().count() == 9) // 6 items + G + X + H
   }
+
+  test("deletion vectors drop exactly the addressed rows, later appends untouched") {
+    val t = freshTable("dv")
+    // two byte-identical rows — only a physical address separates them
+    t.append(Seq(("A", "small", 2), ("A", "small", 2), ("B", "big", 9))
+      .toDF("name", "size", "count"))
+    val victim = t.readWithPos().filter($"name" === "A")
+      .orderBy("_pos").limit(1).select("_file", "_pos")
+    t.deleteVectors(victim)
+    assert(t.read().count() == 2)
+    assert(t.read().filter($"name" === "A").count() == 1)
+    // time travel: pre-DV snapshot intact
+    assert(t.read(asOf = 0).count() == 3)
+    // a file appended AFTER the DV is absent from its map — untouched,
+    // even where its ordinals collide with deleted ones
+    t.append(Seq(("A", "small", 2)).toDF("name", "size", "count"))
+    assert(t.read().count() == 3)
+    // compaction folds the DV in like any delete
+    t.compact()
+    assert(t.read().count() == 3)
+    assert(t.commitLog.state()._2.isEmpty)
+    assert(!t.read().columns.exists(c => c == "_file" || c == "_pos"))
+  }
+
+  test("rewritePositionDeletes folds positional deletes into one DV generation") {
+    val t = freshTable("dvrewrite")
+    t.append((1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "payload")
+      .repartition(2))
+    // three separate positional-delete commits + one direct DV commit
+    def addr(ids: Seq[Long]) = t.readWithPos()
+      .filter(col("id").isin(ids: _*)).select("_file", "_pos")
+    t.deleteAt(addr(Seq(1L, 2L)))
+    t.deleteAt(addr(Seq(3L)))
+    t.deleteAt(addr(Seq(64L, 65L))) // word-boundary ordinals
+    t.deleteVectors(addr(Seq(99L)))
+    val beforeRows = t.read().orderBy("id").collect()
+    assert(beforeRows.length == 94)
+    val delGroupsBefore = t.commitLog.state()._2.map(_._2).distinct.size
+    assert(delGroupsBefore == 4)
+    val seq = t.rewritePositionDeletes()
+    // one live DV generation now; the MoR view is byte-identical
+    val liveDels = t.commitLog.state()._2
+    assert(liveDels.nonEmpty && liveDels.map(_._2).distinct == Seq(seq))
+    assert(liveDels.forall(_._3 == CommitLog.DvCols))
+    assert(t.read().orderBy("id").collect().toSeq == beforeRows.toSeq)
+    // idempotent: a second rewrite with one DV generation is a no-op
+    assert(t.rewritePositionDeletes() == seq)
+    assert(t.headSeq == seq)
+    // pre-rewrite history still travels
+    assert(t.read(asOf = 0).count() == 100)
+    // equality deletes keep their own scoping across a rewrite
+    t.delete(Seq(50L).toDF("id"), Seq("id"))
+    assert(t.read().count() == 93)
+    t.rewritePositionDeletes() // DV single generation + eq delete: no-op
+    assert(t.read().count() == 93)
+  }
+
+  test("changelog emits positional-flavor deletes by address, skips dvrewrite") {
+    val t = freshTable("dvchange")
+    t.append(Seq(("A", 1), ("A", 2), ("B", 3)).toDF("name", "v")) // seq 0
+    // positional delete of ONE of the two A rows — an equality-style term
+    // would either cross-join (old bug) or delete both
+    val victim = t.readWithPos().filter($"name" === "A")
+      .orderBy("_pos").limit(1).select("_file", "_pos")
+    t.deleteAt(victim)                                            // seq 1
+    val v2 = t.readWithPos().filter($"v" === 3).select("_file", "_pos")
+    t.deleteVectors(v2)                                           // seq 2
+    t.rewritePositionDeletes()                                    // seq 3
+    val ch = t.readChangelog(fromSeq = 0)
+      .select("name", "v", "change_type", "change_seq")
+      .as[(String, Int, String, Long)].collect().sortBy(r => (r._4, r._1))
+    assert(ch.toSeq == Seq(("A", 1, "delete", 1L), ("B", 3, "delete", 2L)))
+  }
 }
