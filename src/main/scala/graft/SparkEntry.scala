@@ -17,6 +17,7 @@ object SparkEntry {
     _root_.graft.queries.TextQueries,
     _root_.graft.queries.DedupQueries,
     _root_.graft.queries.VectorQueries,
+    _root_.graft.queries.RetrievalQueries,
     _root_.graft.queries.MultimodalQueries,
     _root_.graft.queries.TableQueries,
     _root_.graft.queries.StreamQueries,

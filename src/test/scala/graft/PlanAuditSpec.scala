@@ -107,6 +107,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"$exchanges exchanges; hash-split should add none beyond agg+sort")
   }
 
+  test("q_bm25 is broadcast-stats + keyed agg with a top-k operator, no global sort") {
+    val p = plan("q_bm25")
+    // corpus stats (one row) must broadcast into the scoring scan, and
+    // the final top-10 must be TakeOrderedAndProject — a global Sort of
+    // the scored corpus would serialize it through one task at scale
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "corpus stats should broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 should be take-ordered")
+  }
+
+  test("q_hybrid_rrf broadcasts probes into both rankers; rank join stays keyed") {
+    val p = plan("q_hybrid_rrf")
+    // two probe fan-outs (lexical + vector), each a broadcast against a
+    // linear scan; the rank-list join is an equi-join on (probe, cand)
+    assert("Broadcast(NestedLoop|Hash)Join".r.findAllIn(p).size >= 2,
+      "both rankers should broadcast the probes")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no q_* plan funnels data through Exchange SinglePartition except documented sinks") {
     // Two legitimate SinglePartition shapes exist:
     //  (a) a global aggregate — the exchange carries one partial-agg row per
