@@ -1033,5 +1033,81 @@ object TableQueries extends QueryPack {
         .withColumn("travel_rows", lit(t.read(asOf = rw - 3).count())) // pre-delete epoch
         .orderBy("name", "count")
     },
+
+    // Row lineage (Iceberg v3): every appended row gets a stable _row_id
+    // assigned from the table's next-row-id counter as MANIFEST metadata
+    // (no bytes written into data files on the append path), plus a
+    // _last_seq version stamp. Deletes around a row never move its id; an
+    // upsert produces a NEW row version with a fresh id (MoR equality
+    // semantics); a full compaction MATERIALIZES ids into the rewritten
+    // files so they survive; the counter continues above burned ids
+    // afterwards. stable_after_compact pins byte-identical lineage across
+    // the rewrite; ids_unique pins no id was ever double-assigned.
+    Q(
+      "t_row_lineage",
+      """SELECT * FROM (VALUES
+        |  ('A', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('D', CAST(3 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('E', CAST(4 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('C', CAST(5 AS BIGINT), CAST(3 AS BIGINT)),
+        |  ('F', CAST(6 AS BIGINT), CAST(5 AS BIGINT))) AS t(name, row_id, last_seq)
+        |CROSS JOIN (VALUES (true, true)) AS m(stable_after_compact, ids_unique)
+        |ORDER BY row_id""",
+    ) { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "rowlin")
+      t.append(Seq(("A", 1), ("B", 2), ("C", 3)).toDF("name", "v")) // seq 0: ids 0-2
+      t.append(Seq(("D", 4), ("E", 5)).toDF("name", "v"))           // seq 1: ids 3,4
+      t.delete(Seq("B").toDF("name"), Seq("name"))                  // seq 2
+      t.upsert(Seq(("C", 30)).toDF("name", "v"), Seq("name"))       // seq 3: id 5
+      def snap() = t.readWithLineage()
+        .select(col("name"), col("_row_id"), col("_last_seq"))
+        .as[(String, Long, Long)].collect().sortBy(_._2).toSeq
+      val before = snap()                                           // MV-sized collect
+      t.compact()                                                   // seq 4
+      val stable = snap() == before
+      t.append(Seq(("F", 6)).toDF("name", "v"))                     // seq 5: id 6
+      val ids = snap().map(_._2)
+      t.readWithLineage()
+        .select(col("name"), col("_row_id").as("row_id"),
+          col("_last_seq").as("last_seq"))
+        .withColumn("stable_after_compact", lit(stable))
+        .withColumn("ids_unique", lit(ids.distinct.size == ids.size))
+        .orderBy("row_id")
+    },
+
+    // Default column values (Iceberg v3 initial-defaults): addColumn with
+    // a default is METADATA-ONLY — rows in files that predate the column
+    // read the default; rows written after it read exactly what their
+    // writer stored, INCLUDING explicit nulls (the default is not a
+    // null-coalescing view). The default survives later appends' schema
+    // stamps and a rename (field-id metadata), and pre-add snapshots
+    // travel without the column (pre_add_cols pins it).
+    Q(
+      "t_default_values",
+      """SELECT * FROM (VALUES
+        |  ('A', 1, 'unrated'), ('B', 2, 'unrated'),
+        |  ('C', 3, 'good'), ('D', 4, NULL), ('E', 5, 'ok'))
+        |  AS t(name, v, rating)
+        |CROSS JOIN (VALUES (CAST(2 AS BIGINT), true)) AS m(pre_add_cols, metadata_only)
+        |ORDER BY v""",
+    ) { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "defaults")
+      t.append(Seq(("A", 1), ("B", 2)).toDF("name", "v"))   // seq 0
+      val dataFilesBefore = t.commitLog.state()._1.map(_._1).toSet
+      t.addColumn("grade", org.apache.spark.sql.types.StringType,
+        defaultSql = Some("'unrated'"))                     // seq 1: metadata-only
+      val metadataOnly = t.commitLog.state()._1.map(_._1).toSet == dataFilesBefore
+      t.append(Seq(("C", 3, "good"), ("D", 4, null))
+        .toDF("name", "v", "grade"))                        // seq 2: explicit null kept
+      t.append(Seq(("E", 5, "ok")).toDF("name", "v", "grade")) // seq 3
+      t.renameColumn("grade", "rating")                     // seq 4: default follows
+      t.read()
+        .withColumn("pre_add_cols", lit(t.read(asOf = 0).columns.length.toLong))
+        .withColumn("metadata_only", lit(metadataOnly))
+        .select("name", "v", "rating", "pre_add_cols", "metadata_only")
+        .orderBy("v")
+    },
   )
 }

@@ -52,7 +52,23 @@ final case class LogEntry(
     // PER-FILE bloom filters, parallel to dataFiles: column name →
     // base64 bitset (see [[Bloom]]). Consulted by point-read pruning
     // when the probe carries positions; absent filters never prune.
-    fileBlooms: Seq[Map[String, String]] = Nil) {
+    fileBlooms: Seq[Map[String, String]] = Nil,
+    // ---- row lineage (Iceberg v3): ----
+    // per-file row counts, parallel to dataFiles (Iceberg manifests'
+    // record_count). Nil on entries that predate lineage.
+    fileRows: Seq[Long] = Nil,
+    // per-file FIRST ROW ID, parallel to dataFiles: row ordinal i of file
+    // j carries stable id fileRowIds(j) + i. Assigned from the table's
+    // next-row-id counter inside the commit CAS (so two racing appends
+    // can never claim overlapping ranges), or copied verbatim when a
+    // replace adopts files by path. Nil = no lineage for these files
+    // (readers surface null row ids, never invented ones).
+    fileRowIds: Seq[Long] = Nil,
+    // the next-row-id watermark AFTER this entry (Iceberg's
+    // next-row-id table field, carried per snapshot): max over entries
+    // is the counter, so it survives snapshot expiration dropping the
+    // entries that originally advanced it. -1 = entry never touched it.
+    rowIdHigh: Long = -1L) {
 
   /** bounds-intersection under the PRUNE's ordering: string prunes
     * compare lexicographically (string columns record native min/max —
@@ -312,21 +328,41 @@ final class CommitLog(val root: Path) {
       fileStats: Seq[Map[String, (String, String)]] = Nil,
       partSpec: String = "",
       fileBlooms: Seq[Map[String, String]] = Nil,
+      fileRows: Seq[Long] = Nil,
+      fileRowIds: Seq[Long] = Nil,
+      rowIdHigh: Long = -1L,
+      assignRowIds: Boolean = false,
       maxAttempts: Int = 50): Long = {
     require(fileStats.isEmpty || fileStats.size == dataFiles.size,
       s"fileStats (${fileStats.size}) must parallel dataFiles (${dataFiles.size})")
     require(fileBlooms.isEmpty || fileBlooms.size == dataFiles.size,
       s"fileBlooms (${fileBlooms.size}) must parallel dataFiles (${dataFiles.size})")
+    require(fileRows.isEmpty || fileRows.size == dataFiles.size,
+      s"fileRows (${fileRows.size}) must parallel dataFiles (${dataFiles.size})")
+    require(fileRowIds.isEmpty || fileRowIds.size == dataFiles.size,
+      s"fileRowIds (${fileRowIds.size}) must parallel dataFiles (${dataFiles.size})")
+    require(!assignRowIds || (fileRows.size == dataFiles.size && fileRowIds.isEmpty),
+      "assignRowIds derives fileRowIds from fileRows; pass counts, not bases")
     var attempt = 0
     while (attempt < maxAttempts) {
       val seq = headSeq() + 1
       val p = entryPath(seq)
+      // row-id assignment happens INSIDE the CAS loop: the base is
+      // re-derived from the just-read head on every attempt, so the
+      // committer that wins the seq also owns [base, base + rows) — two
+      // racing appends can never interleave id ranges.
+      val (ids, high) =
+        if (!assignRowIds) (fileRowIds, rowIdHigh)
+        else {
+          val base = CommitLog.nextRowId(entriesOnce(Long.MaxValue))
+          (fileRows.scanLeft(base)(_ + _).init, base + fileRows.sum)
+        }
       try {
         Files.createFile(p) // atomic O_EXCL claim — the CAS
         val e = LogEntry(seq, action, dataFiles, deleteFiles, equalityCols,
           System.currentTimeMillis(),
           stats.map(_._1), stats.map(_._2), stats.map(_._3), schemaJson,
-          fileStats, partSpec, fileBlooms)
+          fileStats, partSpec, fileBlooms, fileRows, ids, high)
         // content becomes visible atomically: write a temp file, then
         // rename over the claimed (empty) entry. Readers see either an
         // empty claim (skipped by entries()) or the full entry — never a
@@ -432,6 +468,13 @@ object CommitLog {
   def isPositionalFlavor(eqCols: Seq[String]): Boolean =
     eqCols.isEmpty || eqCols == DvCols
 
+  /** the table's next-row-id counter (Iceberg v3): the max watermark any
+    * entry recorded. Monotone under expiration because replaces carry the
+    * counter forward in their own rowIdHigh.
+    */
+  def nextRowId(entries: Seq[LogEntry]): Long =
+    entries.map(_.rowIdHigh).foldLeft(0L)(math.max)
+
   /** state() over ALREADY-PARSED entries — read paths parse the log once
     * and derive spec + state from the same snapshot of it.
     */
@@ -510,6 +553,11 @@ private[table] object Json {
         m.toSeq.sortBy(_._1).foreach { case (c, b64) => fo.put(c, b64) }
       }
     }
+    def larr(k: String, xs: Seq[Long]): Unit =
+      if (xs.nonEmpty) { val a = o.putArray(k); xs.foreach(a.add) }
+    larr("fileRows", e.fileRows)
+    larr("fileRowIds", e.fileRowIds)
+    if (e.rowIdHigh >= 0) o.put("rowIdHigh", e.rowIdHigh)
     mapper.writeValueAsString(o)
   }
 
@@ -553,12 +601,17 @@ private[table] object Json {
         fo.fieldNames().asScala.map(c => c -> fo.get(c).asText).toMap
       }
     }
+    def larr(key: String): Seq[Long] = {
+      val a = n.get(key)
+      if (a == null) Nil else (0 until a.size).map(a.get(_).asLong())
+    }
     LogEntry(req("seq").asLong, req("action").asText, arr("dataFiles"),
       arr("deleteFiles"), arr("equalityCols"), req("tsMs").asLong,
       arr("statsCols"), arr("statsMin"), arr("statsMax"),
       if (n.has("schemaJson")) n.get("schemaJson").asText else "",
       fileStats,
       if (n.has("partSpec")) n.get("partSpec").asText else "",
-      fileBlooms)
+      fileBlooms, larr("fileRows"), larr("fileRowIds"),
+      if (n.has("rowIdHigh")) n.get("rowIdHigh").asLong else -1L)
   }
 }

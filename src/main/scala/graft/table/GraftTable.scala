@@ -173,7 +173,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     val (fs, strCols) = perFileStats(dir, files, statsCols)
     log.commit("add", dataFiles = files, stats = foldStats(fs, statsCols, strCols),
       schemaJson = idSchemaJson(df.schema), fileStats = fs,
-      fileBlooms = perFileBlooms(dir, files, bloomCols, bloomBits))
+      fileBlooms = perFileBlooms(dir, files, bloomCols, bloomBits),
+      fileRows = fileRowCounts(files), assignRowIds = true)
   }
 
   /** Partitioned fast_append (hidden partitioning): data is clustered and
@@ -229,7 +230,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     log.commit("add", dataFiles = files, stats = foldStats(extra, statsCols, strCols),
       schemaJson = idSchemaJson(df.schema), fileStats = merged,
       partSpec = PartitionSpec.renderAll(specs),
-      fileBlooms = perFileBlooms(dir, files, bloomCols))
+      fileBlooms = perFileBlooms(dir, files, bloomCols),
+      fileRows = fileRowCounts(files), assignRowIds = true)
   }
 
   /** Atomic partition overwrite (Iceberg's dynamic overwrite / INSERT
@@ -272,7 +274,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       equalityCols = Seq(spec.col), stats = foldStats(extra, statsCols, strCols),
       schemaJson = idSchemaJson(df.schema), fileStats = merged,
       partSpec = spec.render,
-      fileBlooms = perFileBlooms(dir, files, bloomCols))
+      fileBlooms = perFileBlooms(dir, files, bloomCols),
+      fileRows = fileRowCounts(files), assignRowIds = true)
   }
 
   private val PartCol = "_p"
@@ -292,11 +295,43 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * write.
     */
   private def requireNoReserved(df: DataFrame): Unit = {
-    val named = Set(PartCol, SeqCol, FileCol, PosCol, "_zval", "_zq")
+    val named = Set(PartCol, SeqCol, FileCol, PosCol, "_zval", "_zq",
+      RowIdCol, LastSeqCol, RowIdPhys, LastSeqPhys)
     val clash = df.columns.filter(c => named(c) || c.matches("_p\\d+"))
     require(clash.isEmpty,
       s"reserved column name(s) ${clash.mkString(", ")}: " +
-        s"$PartCol[n]/$SeqCol/$FileCol/$PosCol are synthesized by the table layer")
+        s"$PartCol[n]/$SeqCol/$FileCol/$PosCol/$RowIdCol/$LastSeqCol " +
+        "are synthesized by the table layer")
+  }
+
+  // ---- row lineage (Iceberg v3): every appended row gets a STABLE id,
+  // assigned as metadata — file j of an append carries fileRowIds(j), and
+  // row ordinal i of that file IS id fileRowIds(j) + i. Nothing is written
+  // into data files on the append path (the ids derive from the manifest,
+  // exactly Iceberg v3's inherited row ids); a full compact() materializes
+  // the ids physically (Iceberg rewrites do the same) so lineage survives
+  // the rewrite, under reserved physical names the logical schema never
+  // sees. _last_seq is the snapshot that produced the row's current
+  // version (last_updated_sequence_number): the adding commit's seq for
+  // manifest-derived rows, the materialized value after rewrites. ----
+
+  private val RowIdCol = "_row_id"
+  private val LastSeqCol = "_last_seq"
+  private val RowIdPhys = "_g_rowid"
+  private val LastSeqPhys = "_g_lastseq"
+
+  /** per-file row counts from the parquet FOOTERS — O(files) driver-side
+    * metadata reads (the same scale as the stats fold), no data scan.
+    * These are Iceberg's manifest record_count fields.
+    */
+  private def fileRowCounts(files: Seq[String]): Seq[Long] = {
+    val conf = spark.sessionState.newHadoopConf()
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }
   }
 
   private def partValueFromPath(f: String, dim: Int): Option[String] = {
@@ -334,8 +369,18 @@ final class GraftTable(spark: SparkSession, val root: Path) {
 
   private val FidKey = "graft_fid"
 
+  /** field-metadata key holding a column's INITIAL DEFAULT (Iceberg v3
+    * default values): a SQL literal, read in place of null for rows whose
+    * files predate the column. Stored in the per-snapshot schema JSON —
+    * adding a defaulted column is metadata-only, no file is touched.
+    */
+  private val DefaultKey = "graft_default"
+
   private def fieldId(f: StructField): Option[Long] =
     if (f.metadata.contains(FidKey)) Some(f.metadata.getLong(FidKey)) else None
+
+  private def fieldDefault(f: StructField): Option[String] =
+    if (f.metadata.contains(DefaultKey)) Some(f.metadata.getString(DefaultKey)) else None
 
   /** Stamp stable field ids onto `schema`: a name present in the previous
     * recorded schema keeps its id (renames preserve ids only through
@@ -351,9 +396,16 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       prev.map(_.fields.map(f => f.name -> f).toMap).getOrElse(Map.empty[String, StructField])
     var next = floor
     StructType(schema.fields.map { f =>
-      val id = prevByName.get(f.name).flatMap(fieldId).getOrElse { next += 1; next }
-      f.copy(metadata =
-        new MetadataBuilder().withMetadata(f.metadata).putLong(FidKey, id).build())
+      val prevF = prevByName.get(f.name)
+      val id = prevF.flatMap(fieldId).getOrElse { next += 1; next }
+      val mb = new MetadataBuilder().withMetadata(f.metadata)
+      // an incoming writer schema carries no metadata: a default recorded
+      // by addColumn must survive subsequent appends' schema stamps, or
+      // the next commit's schema would silently erase it
+      prevF.flatMap(fieldDefault).foreach { d =>
+        if (!f.metadata.contains(DefaultKey)) mb.putString(DefaultKey, d)
+      }
+      f.copy(metadata = mb.putLong(FidKey, id).build())
     })
   }
 
@@ -374,6 +426,39 @@ final class GraftTable(spark: SparkSession, val root: Path) {
           b: org.apache.spark.sql.types.DecimalType) =>
       b.scale == a.scale && b.precision >= a.precision
     case (a, b) => a == b
+  }
+
+  /** Add a column as a METADATA-ONLY commit, optionally with an initial
+    * default (Iceberg v3 default values): rows in files written before
+    * this commit read `defaultSql` (a SQL literal, e.g. "'unrated'" or
+    * "7") instead of null — no file is rewritten. Rows written AFTER the
+    * column exists read exactly what their writer stored, including
+    * explicit nulls (initial-default semantics: the default belongs to
+    * the pre-add epochs, it is not a null-coalescing view). Without a
+    * default this is plain add-column evolution (old rows read null), as
+    * appends with a widened schema already provide — registered here so
+    * the evolution is explicit and default-capable.
+    */
+  def addColumn(name: String, dataType: DataType,
+      defaultSql: Option[String] = None): Long = {
+    val cur = schemaAt().getOrElse(
+      throw new IllegalStateException("cannot evolve an empty table"))
+    require(!cur.fieldNames.contains(name), s"column already exists: $name")
+    defaultSql.foreach { d =>
+      // the literal must evaluate and cast NOW — a typo'd default that
+      // only explodes on some later read would poison every old epoch.
+      // Non-null required in BOTH ANSI modes: non-ANSI nulls a bad cast
+      // instead of throwing, and a null default is a contradiction anyway
+      val v = scala.util.Try(
+        spark.range(1).select(expr(d).cast(dataType)).head()).toOption
+        .filter(!_.isNullAt(0))
+      require(v.isDefined, s"default $d is not a literal castable to ${dataType.simpleString}")
+    }
+    val mb = new MetadataBuilder()
+    defaultSql.foreach(mb.putString(DefaultKey, _))
+    val next = StructType(cur.fields :+
+      StructField(name, dataType, nullable = true, mb.build()))
+    log.commit("schema", schemaJson = idSchemaJson(next))
   }
 
   /** Rename a column, preserving its stable field id (Iceberg rename): a
@@ -520,6 +605,18 @@ final class GraftTable(spark: SparkSession, val root: Path) {
   def readWithPos(asOf: Long = Long.MaxValue): DataFrame =
     readPruned(asOf, Nil, keepLineage = true)
 
+  /** snapshot read carrying row lineage (Iceberg v3): `_row_id` — the
+    * stable identity assigned when the row was first committed, surviving
+    * deletes around it and full compaction — and `_last_seq`, the snapshot
+    * that produced the row's current version. Rows from history that
+    * predates lineage metadata read a null `_row_id` (Iceberg's inherited
+    * ids behave the same for pre-v3 files), never an invented one.
+    */
+  def readWithLineage(asOf: Long = Long.MaxValue): DataFrame = {
+    val entries = log.entries(asOf)
+    readPrunedState(CommitLog.stateFrom(entries), entries, rowLineage = true)
+  }
+
   /** POSITIONAL delete (the second Iceberg v2 delete flavor next to
     * equality deletes): `positions` addresses rows as (_file, _pos) from
     * readWithPos. Unlike an equality delete it can remove ONE of several
@@ -637,7 +734,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       deleteFiles = parquetFilesIn(delDir), equalityCols = equalityCols,
       stats = foldStats(fs, statsCols, strCols),
       schemaJson = schemaJson, fileStats = fs,
-      fileBlooms = perFileBlooms(dDir, files, bloomCols))
+      fileBlooms = perFileBlooms(dDir, files, bloomCols),
+      fileRows = fileRowCounts(files), assignRowIds = true)
   }
 
   /** atomic mixed commit: new data files AND a delete in ONE log entry
@@ -742,9 +840,14 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       s"main advanced past branch base ($base -> $head); re-branch and re-audit")
     val staged = new CommitLog(bRoot).entries().filter(_.seq > base)
     staged.map { e =>
+      // lineage carries verbatim: the branch log was seeded with main's
+      // entries, so its row-id counter CONTINUED main's — and the
+      // fast-forward precondition (main unmoved since the base) means no
+      // main commit could have claimed an overlapping range meanwhile
       log.commit(e.action, e.dataFiles, e.deleteFiles, e.equalityCols,
         e.statsCols.lazyZip(e.statsMin).lazyZip(e.statsMax).toSeq,
-        e.schemaJson, e.fileStats, e.partSpec, e.fileBlooms)
+        e.schemaJson, e.fileStats, e.partSpec, e.fileBlooms,
+        fileRows = e.fileRows, fileRowIds = e.fileRowIds, rowIdHigh = e.rowIdHigh)
     }
   }
 
@@ -803,10 +906,15 @@ final class GraftTable(spark: SparkSession, val root: Path) {
           "(renamed/widened/new columns since the branch base); " +
           "re-branch and publish instead")
     }
+    // row ids are RE-ASSIGNED from main's counter (unlike publishBranch):
+    // main may have advanced past the branch base and claimed the very
+    // range the branch assigned — ids are manifest metadata here, so a
+    // fresh assignment is free and collision-proof
     log.commit(e.action, e.dataFiles, Nil, Nil,
       e.statsCols.lazyZip(e.statsMin).lazyZip(e.statsMax).toSeq,
       if (e.schemaJson.nonEmpty) currentJson else "",
-      e.fileStats, e.partSpec, e.fileBlooms)
+      e.fileStats, e.partSpec, e.fileBlooms,
+      fileRows = e.fileRows, assignRowIds = e.fileRows.nonEmpty)
   }
 
   /** Incremental (CDC-style) read — Iceberg's incremental append scan:
@@ -1196,7 +1304,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
   private def readPrunedState(
       state: (Seq[(String, Long)], Seq[(String, Long, Seq[String])]),
       entries: Seq[LogEntry],
-      keepLineage: Boolean = false): DataFrame = {
+      keepLineage: Boolean = false,
+      rowLineage: Boolean = false): DataFrame = {
     val (dataFiles, deleteFiles) = state
     // schema as of any point of this read's history — drives field-id
     // alignment of old epochs onto the CURRENT schema (renames/widenings)
@@ -1214,21 +1323,74 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     // positional-flavor deletes (positional files and deletion vectors)
     // address rows physically, so the scan must carry each row's (file,
     // ordinal) — also kept when the caller asked for lineage (readWithPos)
-    val needsPos = keepLineage ||
+    // and while DERIVING row ids (base + ordinal) for rowLineage reads
+    val needsPos = keepLineage || rowLineage ||
       deleteFiles.exists(d => CommitLog.isPositionalFlavor(d._3))
+    val byEntrySeq = entries.map(e => e.seq -> e).toMap
     // allowMissingColumns = add-column evolution on read: snapshots written
     // before a column was added contribute nulls for it; alignByFieldId
     // first maps each epoch's names/types onto the current schema by id.
+    def readEpoch(seq: Long, files: Seq[String], bases: Map[String, Long]): DataFrame = {
+      val raw0 = spark.read.parquet(files: _*)
+      val hasPhys = raw0.columns.contains(RowIdPhys)
+      // physically materialized lineage (rewrites carry it) is internal:
+      // it never reaches a plain read's output
+      val raw = if (hasPhys && !rowLineage) raw0.drop(RowIdPhys, LastSeqPhys) else raw0
+      val aligned = alignByFieldId(raw, schemaAtSeq(seq), current)
+      // initial defaults (Iceberg v3): a current-schema field ABSENT from
+      // this epoch's files reads its recorded default, not null — applied
+      // per epoch BEFORE the union, so an explicit null written after the
+      // column existed is never conflated with a pre-add row
+      val df0 = current.map(_.fields.toSeq).getOrElse(Nil)
+        .foldLeft(aligned) { (d, f) =>
+          fieldDefault(f) match {
+            case Some(dflt) if !d.columns.contains(f.name) =>
+              d.withColumn(f.name, expr(dflt).cast(f.dataType))
+            case _ => d
+          }
+        }
+        .withColumn("_seq", lit(seq))
+      val df1 =
+        if (needsPos)
+          df0.withColumn(FileCol, col("_metadata.file_path"))
+            .withColumn(PosCol, col("_metadata.row_index"))
+        else df0
+      if (!rowLineage) df1
+      else if (hasPhys)
+        // rewritten files carry their rows' ORIGINAL ids physically
+        df1.withColumn(RowIdCol, col(RowIdPhys))
+          .withColumn(LastSeqCol, col(LastSeqPhys))
+          .drop(RowIdPhys, LastSeqPhys)
+      else {
+        // manifest-derived (Iceberg v3 inherited) ids: file base + row
+        // ordinal. The base map is O(files of this entry) metadata; the
+        // _metadata path carries a scheme, the log stores plain paths —
+        // normalize the scheme off. Entries without recorded bases
+        // (pre-lineage history) surface null ids, never invented ones.
+        val idCol =
+          if (bases.isEmpty) lit(null).cast("long")
+          else try_element_at(typedLit(bases),
+            regexp_replace(col(FileCol), "^[a-z]+:/+", "/")) + col(PosCol)
+        df1.withColumn(RowIdCol, idCol)
+          .withColumn(LastSeqCol, lit(seq))
+      }
+    }
     val data = dataFiles
       .groupBy(_._2).toSeq.sortBy(_._1)
-      .map { case (seq, files) =>
-        val raw = spark.read.parquet(files.map(_._1): _*)
-        val df = alignByFieldId(raw, schemaAtSeq(seq), current)
-          .withColumn("_seq", lit(seq))
-        if (needsPos)
-          df.withColumn(FileCol, col("_metadata.file_path"))
-            .withColumn(PosCol, col("_metadata.row_index"))
-        else df
+      .flatMap { case (seq, files) =>
+        val marked: Map[String, Long] = byEntrySeq.get(seq)
+          .filter(_.fileRowIds.nonEmpty)
+          .map(e => e.dataFiles.zip(e.fileRowIds).toMap).getOrElse(Map.empty)
+        // files that materialize lineage PHYSICALLY (marker -2, e.g.
+        // compactSmall's packed output) read separately from manifest-
+        // derived siblings adopted into the same entry: their parquet
+        // schemas differ by the lineage columns, and one mixed scan would
+        // resolve against whichever file the reader sampled first
+        val (physF, plainF) = files.partition(f => marked.get(f._1).contains(-2L))
+        // -1 = adopted file with no recorded lineage: skip, not base -1
+        val bases = marked.filter(_._2 >= 0)
+        Seq(physF, plainF).filter(_.nonEmpty)
+          .map(fs => readEpoch(seq, fs.map(_._1), bases))
       }
       .reduce(_.unionByName(_, allowMissingColumns = true))
     val result = deleteFiles.groupBy(x => (x._2, x._3)).toSeq.sortBy(_._1._1)
@@ -1302,21 +1464,81 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     (metas.map(_._1), metas.map(_._2))
   }
 
+  /** row-lineage metadata of already-committed files, for adoption by
+    * path: each file keeps its recorded (row count, first-row-id base).
+    * Files without recorded lineage adopt the -1 sentinel (the read path
+    * skips it — their rows read null ids, exactly as before adoption).
+    * Adoption re-groups files under the adopting entry's seq, so derived
+    * `_last_seq` re-stamps to the adopting replace for these rows — a
+    * documented divergence from a full compact, which materializes the
+    * original last-update seq physically.
+    */
+  private def adoptedLineage(entries: Seq[LogEntry], files: Seq[(String, Long)])
+      : (Seq[Long], Seq[Long]) = {
+    val byEntry = entries.map(e => e.seq -> e).toMap
+    val rr = files.map { case (f, s) =>
+      val e = byEntry(s)
+      val i = e.dataFiles.indexOf(f)
+      (e.fileRows.lift(i).getOrElse(0L), e.fileRowIds.lift(i).getOrElse(-1L))
+    }
+    (rr.map(_._1), rr.map(_._2))
+  }
+
+  /** The MoR view prepared for a REWRITE: when the table carries row
+    * lineage, the view includes each row's id and last-update seq under
+    * the reserved PHYSICAL column names, so writing it materializes
+    * lineage into the new files and the ids survive the rewrite (Iceberg
+    * v3 rewrites carry row ids into rewritten files the same way).
+    * Callers record `logicalSchemaOf(view)` in the replace entry — the
+    * physical lineage columns never enter the logical schema — and pass
+    * the current nextRowId as the entry's rowIdHigh so the id counter
+    * survives even after expiration drops the entries that advanced it.
+    */
+  private def rewriteSource(entries: Seq[LogEntry],
+      state: (Seq[(String, Long)], Seq[(String, Long, Seq[String])]))
+      : (DataFrame, Boolean) = {
+    val hasLineage = entries.exists(_.rowIdHigh >= 0)
+    if (!hasLineage) (readPrunedState(state, entries), false)
+    else (readPrunedState(state, entries, rowLineage = true)
+      .withColumnRenamed(RowIdCol, RowIdPhys)
+      .withColumnRenamed(LastSeqCol, LastSeqPhys), true)
+  }
+
+  /** PhysLineage marker for every file of a fresh lineage-materializing
+    * rewrite: fileRowIds = -2 tells the read path these files carry their
+    * ids physically (see readPrunedState's split). No marker when the
+    * table has no lineage.
+    */
+  private def physMarkers(files: Seq[String], materialized: Boolean)
+      : (Seq[Long], Seq[Long]) =
+    if (!materialized) (Nil, Nil)
+    else (files.map(_ => 0L), files.map(_ => -2L))
+
+  private def logicalSchemaOf(view: DataFrame): StructType =
+    view.drop(RowIdPhys, LastSeqPhys).schema
+
   /** compaction: materialize the MoR view into fresh files and commit a
     * `replace` — deletes are folded in, history before the replace is
     * superseded (but still time-travelable). With `statsCols`/`bloomCols`
     * the fresh files record skipping metadata like an append's would.
+    * Row lineage is materialized into the rewritten files (see
+    * [[rewriteSource]]), so readWithLineage returns identical ids across
+    * the rewrite.
     */
   def compact(statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     val dir = newShardDir("data")
-    val view = read()
+    val entries = log.entries()
+    val (view, mat) = rewriteSource(entries, CommitLog.stateFrom(entries))
     view.write.parquet(dir.toString)
     val files = parquetFilesIn(dir)
     val (fs, strCols) = perFileStats(dir, files, statsCols)
+    val (mrows, mids) = physMarkers(files, mat)
     log.commit("replace", dataFiles = files,
       stats = foldStats(fs, statsCols, strCols),
-      schemaJson = idSchemaJson(view.schema), fileStats = fs,
-      fileBlooms = perFileBlooms(dir, files, bloomCols))
+      schemaJson = idSchemaJson(logicalSchemaOf(view)), fileStats = fs,
+      fileBlooms = perFileBlooms(dir, files, bloomCols),
+      fileRows = mrows, fileRowIds = mids,
+      rowIdHigh = CommitLog.nextRowId(entries))
   }
 
   /** Bin-packing small-file compaction (Iceberg's rewrite_data_files
@@ -1362,12 +1584,16 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     val dir = newShardDir("data")
     val outFiles =
       math.max(1, math.ceil(small.map(_._3).sum.toDouble / targetBytes).toInt)
-    spark.read.parquet(small.map(_._1): _*)
-      .repartition(outFiles).write.parquet(dir.toString)
+    // pack through the lineage-aware source (per-epoch read, no deletes by
+    // precondition): the packed files materialize their rows' original ids
+    // physically, exactly like a full compact's output
+    val (packSrc, packMat) = rewriteSource(entries, (small.map(x => (x._1, x._2)), Nil))
+    packSrc.repartition(outFiles).write.parquet(dir.toString)
     val newFiles = parquetFilesIn(dir)
     val (newStats, _) = perFileStats(dir, newFiles, statsCols)
     val newBlooms = perFileBlooms(dir, newFiles, bloomCols)
     val (keptStats, keptBlooms) = adoptedMeta(entries, kept.map(x => (x._1, x._2)))
+    val (keptRows, keptIds) = adoptedLineage(entries, kept.map(x => (x._1, x._2)))
     val padStats =
       if (newStats.isEmpty) newFiles.map(_ => Map.empty[String, (String, String)])
       else newStats
@@ -1381,7 +1607,12 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       dataFiles = kept.map(_._1) ++ newFiles,
       schemaJson = schemaJson,
       fileStats = keptStats ++ padStats,
-      fileBlooms = keptBlooms ++ padBlooms)
+      fileBlooms = keptBlooms ++ padBlooms,
+      // kept files adopt their lineage; packed files carry it physically
+      // (marker -2 — the read path uses their materialized column)
+      fileRows = keptRows ++ newFiles.map(_ => 0L),
+      fileRowIds = keptIds ++ newFiles.map(_ => if (packMat) -2L else -1L),
+      rowIdHigh = CommitLog.nextRowId(entries))
   }
 
   /** Roll the table back to its committed state at `seq` (Iceberg
@@ -1418,18 +1649,26 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     // data commit changes the latter without touching any file
     val uniformSchema = (entries.filter(e => liveSeqs(e.seq) && e.dataFiles.nonEmpty)
       .map(_.schemaJson) :+ schemaJson).distinct.size <= 1
+    // the id counter must NEVER regress — derive it from the FULL log,
+    // not the rollback target: ids assigned after `seq` stay burned
+    val high = CommitLog.nextRowId(log.entries())
     if (deleteFiles.isEmpty && uniformSchema) {
       // metadata-only: adopt the live files by path, keep their stats
       // AND blooms (a rollback must not reopen the point-read pruning
-      // gap the filters were recorded to close)
+      // gap the filters were recorded to close) and their row lineage
       val (fs, fb) = adoptedMeta(entries, dataFiles)
+      val (rows, ids) = adoptedLineage(entries, dataFiles)
       log.commit("replace", dataFiles = dataFiles.map(_._1),
-        schemaJson = schemaJson, fileStats = fs, fileBlooms = fb)
+        schemaJson = schemaJson, fileStats = fs, fileBlooms = fb,
+        fileRows = rows, fileRowIds = ids, rowIdHigh = high)
     } else {
       val dir = newShardDir("data")
-      val view = read(asOf = seq)
+      val (view, mat) = rewriteSource(entries, (dataFiles, deleteFiles))
       view.write.parquet(dir.toString)
-      log.commit("replace", dataFiles = parquetFilesIn(dir), schemaJson = schemaJson)
+      val files = parquetFilesIn(dir)
+      val (mrows, mids) = physMarkers(files, mat)
+      log.commit("replace", dataFiles = files, schemaJson = schemaJson,
+        fileRows = mrows, fileRowIds = mids, rowIdHigh = high)
     }
   }
 
@@ -1444,16 +1683,20 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     */
   def compactSorted(sortCol: String, numFiles: Int): Long = {
     val dir = newShardDir("data")
-    val view = read()
+    val entries = log.entries()
+    val (view, mat) = rewriteSource(entries, CommitLog.stateFrom(entries))
     view.repartitionByRange(numFiles, col(sortCol))
       .sortWithinPartitions(sortCol)
       .write.parquet(dir.toString)
     val files = parquetFilesIn(dir)
     val (fs, strCols) = perFileStats(dir, files, Seq(sortCol))
+    val (mrows, mids) = physMarkers(files, mat)
     log.commit("replace", dataFiles = files,
       stats = foldStats(fs, Seq(sortCol), strCols),
-      schemaJson = idSchemaJson(view.schema),
-      fileStats = fs)
+      schemaJson = idSchemaJson(logicalSchemaOf(view)),
+      fileStats = fs,
+      fileRows = mrows, fileRowIds = mids,
+      rowIdHigh = CommitLog.nextRowId(entries))
   }
 
   /** Z-order compaction (Iceberg's rewrite_data_files with zorder(a, b)):
@@ -1475,7 +1718,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     require(cols.size == 2, "z-order is implemented for two dimensions")
     require(Set(4, 16, 64, 256)(numFiles), s"numFiles must be a power of 4, got $numFiles")
     val dir = newShardDir("data")
-    val view = read()
+    val entries = log.entries()
+    val (view, mat) = rewriteSource(entries, CommitLog.stateFrom(entries))
     val Seq(a, b) = cols
     val bounds = view.agg(
       min(col(a)).cast("double"), max(col(a)).cast("double"),
@@ -1509,10 +1753,13 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       .write.parquet(dir.toString)
     val files = parquetFilesIn(dir)
     val (fs, strCols) = perFileStats(dir, files, cols)
+    val (mrows, mids) = physMarkers(files, mat)
     log.commit("replace", dataFiles = files,
       stats = foldStats(fs, cols, strCols),
-      schemaJson = idSchemaJson(view.schema),
-      fileStats = fs)
+      schemaJson = idSchemaJson(logicalSchemaOf(view)),
+      fileStats = fs,
+      fileRows = mrows, fileRowIds = mids,
+      rowIdHigh = CommitLog.nextRowId(entries))
   }
 
   /** Orphan-file removal WITHOUT expiration (Iceberg's standalone

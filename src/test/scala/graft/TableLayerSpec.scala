@@ -1221,4 +1221,125 @@ class TableLayerSpec extends AnyFunSuite {
       .as[(String, Int, String, Long)].collect().sortBy(r => (r._4, r._1))
     assert(ch.toSeq == Seq(("A", 1, "delete", 1L), ("B", 3, "delete", 2L)))
   }
+
+  private def lineageOf(t: GraftTable): Seq[(String, Long, Long)] =
+    t.readWithLineage().select("name", "_row_id", "_last_seq")
+      .as[(String, Long, Long)].collect().sortBy(_._2).toSeq
+
+  test("row lineage: stable ids across appends, deletes, and full compaction") {
+    val t = freshTable("lineage")
+    t.append(Seq(("A", 1), ("B", 2), ("C", 3)).toDF("name", "v")) // ids 0,1,2
+    t.append(Seq(("D", 4), ("E", 5)).toDF("name", "v"))           // ids 3,4
+    assert(lineageOf(t) == Seq(("A", 0L, 0L), ("B", 1L, 0L), ("C", 2L, 0L),
+      ("D", 3L, 1L), ("E", 4L, 1L)))
+    // an equality delete removes B; survivors keep their ids
+    t.delete(Seq("B").toDF("name"), Seq("name"))                  // seq 2
+    assert(lineageOf(t) == Seq(("A", 0L, 0L), ("C", 2L, 0L),
+      ("D", 3L, 1L), ("E", 4L, 1L)))
+    // upsert rewrites C as a NEW row version: fresh id (Iceberg MoR
+    // equality-delete upserts produce a new row the same way)
+    t.upsert(Seq(("C", 30)).toDF("name", "v"), Seq("name"))       // seq 3, id 5
+    assert(lineageOf(t) == Seq(("A", 0L, 0L), ("D", 3L, 1L), ("E", 4L, 1L),
+      ("C", 5L, 3L)))
+    // full compaction MATERIALIZES lineage: ids and last-update seqs are
+    // byte-identical across the rewrite
+    val before = lineageOf(t)
+    t.compact()
+    assert(lineageOf(t) == before)
+    // plain reads never leak lineage columns (logical or physical)
+    assert(!t.read().columns.exists(c =>
+      c.contains("row_id") || c.contains("rowid") || c.contains("lastseq")))
+    // the id counter continues above all assigned ids after the rewrite
+    t.append(Seq(("F", 6)).toDF("name", "v"))
+    assert(lineageOf(t).map(_._2).max == 6L)
+    // time travel replays lineage as of the old snapshot
+    assert(t.readWithLineage(asOf = 0).select("_row_id")
+      .as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("row lineage survives sorted/small-file rewrites and rollback adoption") {
+    val t = freshTable("lineage2")
+    t.append((0 until 40).map(i => (i.toLong, s"p$i")).toDF("id", "payload"))
+    t.append((40 until 50).map(i => (i.toLong, s"p$i")).toDF("id", "payload"))
+    val orig = t.readWithLineage().select("id", "_row_id")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(orig.map(_._2) == (0L until 50L))
+    // sorted rewrite materializes lineage
+    t.compactSorted("id", 2)
+    assert(t.readWithLineage().select("id", "_row_id")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq == orig)
+    // small-file pack: later small appends pack physically, the rewrite's
+    // big files are adopted with lineage intact
+    t.append(Seq((50L, "p50")).toDF("id", "payload"))
+    t.append(Seq((51L, "p51")).toDF("id", "payload"))
+    t.compactSmall(targetBytes = 2000)
+    val afterPack = t.readWithLineage().select("id", "_row_id")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(afterPack.take(50) == orig)
+    assert(afterPack.map(_._1).drop(50) == Seq(50L, 51L))
+    assert(afterPack.map(_._2).drop(50).toSet == Set(50L, 51L))
+    // metadata-only rollback adopts files WITH their lineage
+    val target = t.headSeq
+    t.append(Seq((99L, "oops")).toDF("id", "payload"))
+    t.rollbackTo(target)
+    assert(t.readWithLineage().select("id", "_row_id")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq == afterPack)
+    // the burned id (99's) is never reused after the rollback
+    t.append(Seq((52L, "p52")).toDF("id", "payload"))
+    val ids = t.readWithLineage().select("_row_id").as[Long].collect()
+    assert(ids.distinct.length == ids.length)
+    assert(ids.max == 53L) // 52 ids + burned 52 for "oops" -> next is 53
+  }
+
+  test("default values: pre-add rows read the default, post-add nulls stay null") {
+    val t = freshTable("defaults")
+    t.append(Seq(("A", 1), ("B", 2)).toDF("name", "v"))            // seq 0
+    t.addColumn("grade", org.apache.spark.sql.types.StringType,
+      defaultSql = Some("'unrated'"))                              // seq 1
+    t.append(Seq(("C", 3, "good"), ("D", 4, null))
+      .toDF("name", "v", "grade"))                                 // seq 2
+    val got = t.read().select("name", "grade")
+      .as[(String, String)].collect().toMap
+    assert(got == Map("A" -> "unrated", "B" -> "unrated", "C" -> "good", "D" -> null))
+    // time travel to the pre-add snapshot: no grade column at all
+    assert(!t.read(asOf = 0).columns.contains("grade"))
+    // the default survives later appends' schema stamps and a rename
+    t.append(Seq(("E", 5, "ok")).toDF("name", "v", "grade"))
+    t.renameColumn("grade", "rating")
+    val got2 = t.read().select("name", "rating")
+      .as[(String, String)].collect().toMap
+    assert(got2("A") == "unrated" && got2("D") == null && got2("E") == "ok")
+    // compaction materializes defaults; reads stay identical
+    t.compact()
+    assert(t.read().select("name", "rating").as[(String, String)]
+      .collect().toMap == got2)
+    // an int default widens with its column
+    t.addColumn("score", IntegerType, defaultSql = Some("7"))
+    t.widenColumn("score", LongType)
+    assert(t.read().filter($"name" === "A").select("score")
+      .as[Long].head() == 7L)
+    // a non-castable default is rejected at declaration time
+    intercept[IllegalArgumentException] {
+      t.addColumn("bad", IntegerType, defaultSql = Some("'not-a-number'"))
+    }
+  }
+
+  test("row lineage: branch publish keeps branch-assigned ids, cherry-pick reassigns") {
+    val t = freshTable("lineagebr")
+    t.append(Seq(("A", 1), ("B", 2)).toDF("name", "v")) // ids 0,1
+    val br = t.createBranch("wap")
+    br.append(Seq(("C", 3)).toDF("name", "v"))          // branch id 2
+    t.publishBranch("wap")
+    assert(lineageOf(t) == Seq(("A", 0L, 0L), ("B", 1L, 0L), ("C", 2L, 1L)))
+    // cherry-pick after main advanced: the staged ids would collide with
+    // main's, so the pick re-assigns from main's counter
+    val br2 = t.createBranch("pick")
+    br2.append(Seq(("D", 4)).toDF("name", "v"))         // branch id 3
+    t.append(Seq(("E", 5)).toDF("name", "v"))           // main claims id 3
+    t.cherryPick("pick", br2.headSeq)
+    val ids = t.readWithLineage().select("name", "_row_id")
+      .as[(String, Long)].collect().toMap
+    assert(ids("E") == 3L && ids("D") == 4L)
+    assert(ids.values.toSeq.distinct.size == ids.size)
+  }
 }
