@@ -383,5 +383,79 @@ object VectorQueries extends QueryPack {
           expr("aggregate(transform(qv, v -> v + 128L), 0L, (h, c) -> (h * 31 + c) % 1000000007)").as("qhash"))
         .orderBy("vec_id")
     },
+
+    // Product-quantization ANN (IVF-PQ's compression half): dim-64
+    // vectors quantized to exact x1e6 integers, split into m=8 subspaces
+    // of 8 dims, each encoded as the id of its nearest of 16 sub-centroids
+    // (seed codebook = first-16 vectors' sub-slices) under EXACT integer
+    // squared-L2 — so codes, the ADC distance table, and every ranking
+    // are bit-reproducible in DuckDB, no rounding anywhere. Search is
+    // asymmetric distance computation: probes build an 8×16 distance
+    // table; a candidate's distance is the sum of 8 table lookups over
+    // its codes — the scan touches 8 SMALL code columns per row, never
+    // the vectors (the 100 TB story: 256 B of floats → 8 codes per row,
+    // 32× less I/O; encode is one broadcast join + map-side min_by
+    // partial agg, search is one broadcast of 640 table rows).
+    Q(
+      "q_sim_ann_pq",
+      """WITH q AS (SELECT vec_id,
+        |        list_transform(CAST(embedding AS DOUBLE[]),
+        |                       x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS q
+        |      FROM embeddings),
+        |sub AS (SELECT vec_id, j, q[j*8+1 : j*8+8] AS sub
+        |        FROM q, (SELECT unnest(range(8)) AS j)),
+        |cb AS (SELECT vec_id AS cid, j, sub AS c FROM sub WHERE vec_id < 16),
+        |dc AS (SELECT s.vec_id, s.j, c.cid,
+        |         CAST(list_sum(list_transform(range(1, 9),
+        |           i -> (s.sub[i] - c.c[i]) * (s.sub[i] - c.c[i]))) AS BIGINT) AS d
+        |       FROM sub s JOIN cb c USING (j)),
+        |codes AS (SELECT vec_id, j, cid AS code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+        |    FROM dc) WHERE rn = 1),
+        |dtab AS (SELECT vec_id AS probe_id, j, cid, d FROM dc WHERE vec_id < 5),
+        |adc AS (SELECT t.probe_id, k.vec_id AS neighbor_id,
+        |          CAST(SUM(t.d) AS BIGINT) AS adc_dist
+        |        FROM codes k JOIN dtab t ON k.j = t.j AND k.code = t.cid
+        |          AND k.vec_id <> t.probe_id
+        |        GROUP BY t.probe_id, k.vec_id),
+        |r AS (SELECT probe_id, neighbor_id, adc_dist,
+        |        row_number() OVER (PARTITION BY probe_id
+        |          ORDER BY adc_dist, neighbor_id) AS rn FROM adc)
+        |SELECT probe_id, CAST(rn AS BIGINT) AS rn, neighbor_id, adc_dist
+        |FROM r WHERE rn <= 5 ORDER BY probe_id, rn""",
+    ) { (s, dir) =>
+      // exact integer squared-L2 of two BIGINT sub-vectors (row-local HOF)
+      val l2 = "aggregate(zip_with(sub, c, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)"
+      val subs = emb(s, dir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+            .as("q"))
+        .select(col("vec_id"), posexplode(
+          expr("transform(sequence(0, 7), j -> slice(q, CAST(j*8+1 AS INT), 8))"))
+          .as(Seq("j", "sub")))
+      val cb = subs.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("j").as("cj"), col("sub").as("c"))
+      // encode: nearest sub-centroid per (vector, subspace) — broadcast
+      // the 128-row codebook, min_by partial agg (ties to lowest cid)
+      val dAll = subs.join(broadcast(cb), col("j") === col("cj"))
+        .withColumn("d", expr(l2))
+      val codes = dAll
+        .groupBy("vec_id", "j")
+        .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("code"))
+      // ADC table: probe × (subspace, centroid) distances — 5×8×16 rows
+      val dtab = dAll.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("j").as("tj"),
+          col("cid").as("tcid"), col("d"))
+      val w = Window.partitionBy("probe_id").orderBy(col("adc_dist"), col("neighbor_id"))
+      codes.join(broadcast(dtab),
+          col("j") === col("tj") && col("code") === col("tcid") &&
+            col("vec_id") =!= col("probe_id"))
+        .groupBy(col("probe_id"), col("vec_id").as("neighbor_id"))
+        .agg(sum(col("d")).cast("long").as("adc_dist"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select("probe_id", "rn", "neighbor_id", "adc_dist")
+        .orderBy("probe_id", "rn")
+    },
   )
 }
