@@ -273,6 +273,88 @@ object JoinQueries extends QueryPack {
         LIMIT 10""")
     },
 
+    // TPC-H Q5 (local-supplier volume): the canonical 6-table star join —
+    // region/nation filter the supplier and customer dims, the
+    // colocation predicate c_nationkey = s_nationkey rides on the
+    // lineitem⋈supplier join, and one partial agg collapses revenue per
+    // nation. The plan Catalyst should (and does) pick at 100 TB: the
+    // three tiny dims BROADCAST (region/nation/supplier), so the only
+    // shuffles are the orders⋈customer and lineitem⋈orders fact joins,
+    // join-reordered so each filter lands before its join.
+    Q(
+      "q_sql_q5",
+      """SELECT n_name,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS revenue_x1e6
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1994-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue_x1e6 DESC, n_name""",
+    ) { (s, dir) =>
+      Tables.region(s, dir).createOrReplaceTempView("v_q5_region")
+      Tables.nation(s, dir).createOrReplaceTempView("v_q5_nation")
+      Tables.customer(s, dir).createOrReplaceTempView("v_q5_customer")
+      Tables.supplier(s, dir).createOrReplaceTempView("v_q5_supplier")
+      Tables.orders(s, dir).createOrReplaceTempView("v_q5_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_q5_lineitem")
+      s.sql("""
+        SELECT n_name,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS revenue_x1e6
+        FROM v_q5_customer JOIN v_q5_orders ON c_custkey = o_custkey
+        JOIN v_q5_lineitem ON l_orderkey = o_orderkey
+        JOIN v_q5_supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN v_q5_nation ON s_nationkey = n_nationkey
+        JOIN v_q5_region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1994-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY n_name
+        ORDER BY revenue_x1e6 DESC, n_name""")
+    },
+
+    // TPC-H Q18 (large-volume customers): the IN-on-an-aggregate shape —
+    // the subquery re-aggregates lineitem per order and keeps heavy
+    // orders; Catalyst rewrites the IN as a LEFT SEMI join fed by a
+    // two-phase partial agg, so lineitem is scanned twice but shuffled
+    // only on l_orderkey, and the outer 3-way join reuses the same key.
+    // Threshold 250 ≈ this corpus's p99 of per-order quantity (TPC-H's
+    // 300 is off the synthetic distribution's scale).
+    Q(
+      "q_sql_q18",
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS totalprice_x1e2,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) * 100 AS BIGINT) AS sum_qty_x1e2
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY totalprice_x1e2 DESC, o_orderkey
+        |LIMIT 100""",
+    ) { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("v_q18_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("v_q18_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_q18_lineitem")
+      s.sql("""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS totalprice_x1e2,
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) * 100 AS BIGINT) AS sum_qty_x1e2
+        FROM v_q18_customer JOIN v_q18_orders ON c_custkey = o_custkey
+        JOIN v_q18_lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM v_q18_lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY totalprice_x1e2 DESC, o_orderkey
+        LIMIT 100""")
+    },
+
     // Dynamic partition pruning: the fact table is laid out partitioned by
     // the join key; joining it to a FILTERED dim makes Catalyst inject the
     // dim's key set into the fact scan's PartitionFilters at runtime

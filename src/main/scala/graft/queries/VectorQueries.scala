@@ -342,6 +342,76 @@ object VectorQueries extends QueryPack {
         .orderBy("vec_id")
     },
 
+    // SemDeDup-style semantic dedup (cluster-then-prune, the published
+    // two-stage doctrine): vectors are k-means-assigned to K coarse
+    // clusters (seed codebook = first 16 vectors, same assignment kernel
+    // as IVF), then near-duplicate pruning runs ONLY within a cluster —
+    // each pair above cosine 0.95 drops the higher vec_id. The output is
+    // the per-cluster audit a curation run reports: member count, pairs
+    // scored, drops at the threshold, and the top pair (the synthetic
+    // corpus has no semantic dups — max cosine ≈ 0.51 — so n_dropped
+    // pins 0 and top_score pins the real pairwise computation). The
+    // 100 TB shape: assignment is a broadcast codebook + map-side
+    // max_by partial agg; the quadratic term is confined to one
+    // self-join KEYED on the cluster id (never all-pairs), cost
+    // Σ cluster² — K scales with N to bound cluster size, exactly the
+    // published SemDeDup recipe.
+    Q(
+      "q_dedup_semantic",
+      s"""WITH av AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM av WHERE vec_id < 16),
+         |la AS (SELECT a.vec_id, a.v, c.cid, ${cosSql("a.v", "c.cv")} AS csim FROM av a, c0 c),
+         |asg AS (SELECT vec_id, v, cid AS list_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn FROM la)
+         |  WHERE crn = 1),
+         |mem AS (SELECT list_id, COUNT(*) AS n_members FROM asg GROUP BY list_id),
+         |p AS (SELECT a.list_id, a.vec_id AS ia, b.vec_id AS ib, ${cosSql("a.v", "b.v")} AS s
+         |      FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id < b.vec_id),
+         |st AS (SELECT list_id, COUNT(*) AS n_pairs,
+         |        COUNT(DISTINCT CASE WHEN s >= 0.95 THEN ib END) AS n_dropped,
+         |        MAX(s) AS ms FROM p GROUP BY list_id),
+         |tp AS (SELECT list_id, ia AS top_a, ib AS top_b FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY list_id ORDER BY s DESC, ia, ib) AS rn FROM p)
+         |  WHERE rn = 1)
+         |SELECT m.list_id, m.n_members,
+         |  COALESCE(st.n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+         |  COALESCE(st.n_dropped, CAST(0 AS BIGINT)) AS n_dropped,
+         |  tp.top_a, tp.top_b, CAST(ROUND(st.ms * 1e6) AS BIGINT) AS top_score_x1e6
+         |FROM mem m LEFT JOIN st ON m.list_id = st.list_id
+         |LEFT JOIN tp ON m.list_id = tp.list_id
+         |ORDER BY m.list_id""",
+    ) { (s, dir) =>
+      val all = emb(s, dir).select(col("vec_id"), col("embedding"))
+        .withColumn("vn", dot(col("embedding"), col("embedding")))
+      val c0 = all.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("vn").as("cn"))
+      val assigned = all.crossJoin(broadcast(c0))
+        .withColumn("csim", cosine(dot(col("embedding"), col("cv")), col("vn"), col("cn")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("csim"), (-col("cid")).as("nc"))).as("list_id"),
+          first(col("embedding")).as("embedding"), first(col("vn")).as("vn"))
+      val mem = assigned.groupBy("list_id").agg(count(lit(1)).as("n_members"))
+      val a = assigned.select(col("list_id"), col("vec_id").as("ia"),
+        col("embedding").as("va"), col("vn").as("na"))
+      val b = assigned.select(col("list_id").as("lb"), col("vec_id").as("ib"),
+        col("embedding").as("vb"), col("vn").as("nb"))
+      val pairs = a.join(b, col("list_id") === col("lb") && col("ia") < col("ib"))
+        .withColumn("s", cosine(dot(col("va"), col("vb")), col("na"), col("nb")))
+      val stats = pairs.groupBy("list_id").agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(when(col("s") >= 0.95, col("ib"))).as("n_dropped"),
+        max_by(struct(col("ia").as("ta"), col("ib").as("tb")),
+          struct(col("s"), (-col("ia")).as("x"), (-col("ib")).as("y"))).as("top"),
+        max(col("s")).as("ms"))
+      mem.join(stats, Seq("list_id"), "left")
+        .select(col("list_id"), col("n_members"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          col("top.ta").as("top_a"), col("top.tb").as("top_b"),
+          round(col("ms") * 1e6).cast("long").as("top_score_x1e6"))
+        .orderBy("list_id")
+    },
+
     // int8 embedding quantization — the storage-compression pass a 100 TB
     // embedding store runs (4× smaller than float32, 8× than float64):
     // per-vector symmetric scale 127/max|e|, q_i = round(e_i · scale).
