@@ -995,6 +995,98 @@ object TableQueries extends QueryPack {
         .orderBy("change_seq", "change_type", "name", "count")
     },
 
+    // SCD2 (type-2 dimension history) derived from the changelog: the
+    // classic CDC-consumption shape. Each insert opens a version
+    // (valid_from = its commit); the key's NEXT changelog event — the
+    // equality delete an upsert or delete emits — closes it (valid_to).
+    // Join-free: one changelog read + ONE window keyed on the business
+    // key, so the shuffle is on `name` and cost ∝ changed rows in the
+    // range, never ∝ table history or a self-join of versions. The
+    // upsert discipline (delete-old + insert-new in one mixed commit)
+    // makes events per key strictly alternate, which the lead() pairing
+    // relies on; 'delete' < 'insert' orders a same-seq pair correctly.
+    Q(
+      "t_scd2",
+      """SELECT * FROM (VALUES
+        |  ('A','small',2,  CAST(0 AS BIGINT), CAST(2 AS BIGINT),    false),
+        |  ('A','small',3,  CAST(2 AS BIGINT), CAST(NULL AS BIGINT), true),
+        |  ('B','medium',15, CAST(0 AS BIGINT), CAST(1 AS BIGINT),   false),
+        |  ('B','medium',150,CAST(1 AS BIGINT), CAST(NULL AS BIGINT),true),
+        |  ('C','medium',10, CAST(0 AS BIGINT), CAST(3 AS BIGINT),   false),
+        |  ('D','small',20, CAST(0 AS BIGINT), CAST(NULL AS BIGINT), true),
+        |  ('E','large',20, CAST(0 AS BIGINT), CAST(NULL AS BIGINT), true),
+        |  ('F','new',1,    CAST(2 AS BIGINT), CAST(NULL AS BIGINT), true))
+        |  AS t(name, size, count, valid_from, valid_to, is_current)
+        |ORDER BY name, valid_from""",
+    ) { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "scd2")
+      t.append(items(s))                                            // seq 0
+      t.upsert(Seq(("B", "medium", 150)).toDF("name", "size", "count"),
+        keyCols = Seq("name"))                                      // seq 1
+      t.upsert(Seq(("A", "small", 3), ("F", "new", 1))
+        .toDF("name", "size", "count"), keyCols = Seq("name"))      // seq 2
+      t.delete(Seq("C").toDF("name"), Seq("name"))                  // seq 3
+      val byKey = org.apache.spark.sql.expressions.Window
+        .partitionBy("name").orderBy("change_seq", "change_type")
+      // fromSeq is exclusive; -1 includes the initial seq-0 load so the
+      // first version of every key opens at valid_from = 0
+      t.readChangelog(fromSeq = -1)
+        .withColumn("nxt_type", lead("change_type", 1).over(byKey))
+        .withColumn("nxt_seq", lead("change_seq", 1).over(byKey))
+        .filter($"change_type" === "insert")
+        .select($"name", $"size", $"count",
+          $"change_seq".as("valid_from"),
+          when($"nxt_type" === "delete", $"nxt_seq").as("valid_to"),
+          $"nxt_type".isNull.as("is_current"))
+        .orderBy("name", "valid_from")
+    },
+
+    // Copy-on-write UPDATE WHERE key = value: stats+bloom pruning picks
+    // the ONE file that may hold the key; only it is rewritten (with the
+    // assignment applied), the other files are adopted by path into the
+    // replace entry — never read, never moved. files_rewritten/files_kept
+    // pin the pruning actually worked; row_id_kept pins that the update
+    // kept the row's identity (a new version of the SAME row — upsert
+    // would mint a new id); travel_rows pins pre-update history intact.
+    Q(
+      "t_cow_update",
+      """SELECT * FROM (VALUES
+        |  ('A','small',2),('B','medium',15),('C','medium',10),
+        |  ('D','small',1020),('E','large',20),('G','post',7)) AS t(name, size, count)
+        |CROSS JOIN (VALUES (CAST(1 AS BIGINT), CAST(2 AS BIGINT), true, CAST(6 AS BIGINT)))
+        |  AS m(files_rewritten, files_kept, row_id_kept, travel_rows)
+        |ORDER BY name, count""",
+    ) { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "cow")
+      t.append(Seq(("A", "small", 2), ("B", "medium", 15))
+        .toDF("name", "size", "count").repartition(1),
+        statsCols = Seq("name"), bloomCols = Seq("name"))            // seq 0
+      t.append(Seq(("C", "medium", 10), ("D", "small", 20))
+        .toDF("name", "size", "count").repartition(1),
+        statsCols = Seq("name"), bloomCols = Seq("name"))            // seq 1
+      t.append(Seq(("E", "large", 20), ("G", "post", 7))
+        .toDF("name", "size", "count").repartition(1),
+        statsCols = Seq("name"), bloomCols = Seq("name"))            // seq 2
+      val idBefore = t.readWithLineage().filter(col("name") === "D")
+        .select("_row_id").head.getLong(0)
+      val before = t.commitLog.state()._1.map(_._1).toSet
+      val preSeq = t.headSeq
+      t.updateWhereEq("name", "D",
+        Map("count" -> (col("count") + 1000)),
+        statsCols = Seq("name"), bloomCols = Seq("name"))            // seq 3
+      val after = t.commitLog.state()._1.map(_._1)
+      val idAfter = t.readWithLineage().filter(col("name") === "D")
+        .select("_row_id").head.getLong(0)
+      t.read()
+        .withColumn("files_rewritten", lit(after.count(f => !before(f)).toLong))
+        .withColumn("files_kept", lit(after.count(before).toLong))
+        .withColumn("row_id_kept", lit(idAfter == idBefore))
+        .withColumn("travel_rows", lit(t.read(asOf = preSeq).count()))
+        .orderBy("name", "count")
+    },
+
     // Deletion vectors (Iceberg v3 DVs) + rewrite_position_delete_files:
     // two positional-delete commits accumulate, then fold into ONE
     // deletion-vector generation — a per-data-file bitmap the read path

@@ -1072,6 +1072,89 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       statsCols, bloomCols)
   }
 
+  /** Copy-on-write UPDATE ... WHERE key = value (Iceberg's
+    * write.update.mode = copy-on-write, the read-optimized complement of
+    * the MoR upsert): only the files that MAY contain the key — pruned
+    * by the same per-file stats + bloom probes as readEq — are
+    * rewritten with the assignments applied; every other live file is
+    * ADOPTED BY PATH into the replace entry with its recorded
+    * stats/blooms/lineage, never read, never moved. The classic
+    * fix-one-record op on an append-mostly table: write cost ∝ files
+    * holding the key, read cost afterwards is ZERO extra (no delete
+    * files to merge — the COW/MoR trade). Rewrites materialize row
+    * lineage, so an updated row KEEPS its _row_id: an update is a new
+    * version of the SAME row, where upsert mints a new one.
+    *
+    * Falls back to a full materializing rewrite (compact()'s shape,
+    * update applied) when a flat replace entry cannot adopt: pending
+    * delete files, live files straddling a schema boundary (same two
+    * conditions as compactSmall/rollbackTo), or assignments that change
+    * the logical schema (adopted and rewritten physical schemas would
+    * diverge). Like any replace, CDC/incremental ranges must not cross
+    * it, and adopted files re-stamp _last_seq (adoptedLineage note).
+    */
+  def updateWhereEq(keyCol: String, value: Any, set: Map[String, Column],
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
+    require(set.nonEmpty, "update with no assignments")
+    val entries = log.entries()
+    require(entries.nonEmpty, "update on an empty table")
+    val state @ (dataFiles, deleteFiles) = CommitLog.stateFrom(entries)
+    val schemaJson =
+      entries.filter(_.schemaJson.nonEmpty).lastOption.map(_.schemaJson).getOrElse("")
+    val liveSeqs = dataFiles.map(_._2).toSet
+    val uniformSchema = (entries.filter(e => liveSeqs(e.seq) && e.dataFiles.nonEmpty)
+      .map(_.schemaJson) :+ schemaJson).distinct.size <= 1
+    def applySet(df: DataFrame): DataFrame =
+      set.foldLeft(df) { case (d, (c, e)) =>
+        d.withColumn(c, when(col(keyCol) === lit(value), e).otherwise(col(c)))
+      }
+    // schema preservation is judged on the PLAN only (no data read)
+    val (fullView, fullMat) = rewriteSource(entries, state)
+    val schemaChanged =
+      logicalSchemaOf(applySet(fullView)).json != logicalSchemaOf(fullView).json
+    val dir = newShardDir("data")
+    if (deleteFiles.nonEmpty || !uniformSchema || schemaChanged) {
+      applySet(fullView).write.parquet(dir.toString)
+      val files = parquetFilesIn(dir)
+      val (fs, strCols) = perFileStats(dir, files, statsCols)
+      val (mrows, mids) = physMarkers(files, fullMat)
+      return log.commit("replace", dataFiles = files,
+        stats = foldStats(fs, statsCols, strCols),
+        schemaJson = idSchemaJson(logicalSchemaOf(applySet(fullView))),
+        fileStats = fs,
+        fileBlooms = perFileBlooms(dir, files, bloomCols),
+        fileRows = mrows, fileRowIds = mids,
+        rowIdHigh = CommitLog.nextRowId(entries))
+    }
+    val affected = CommitLog.stateFrom(entries, eqPrunes(entries, keyCol, value))._1
+    if (affected.isEmpty) return entries.last.seq // key provably absent: no-op
+    val affectedPaths = affected.map(_._1).toSet
+    val kept = dataFiles.filterNot(f => affectedPaths(f._1))
+    val (src, mat) = rewriteSource(entries, (affected, Nil))
+    applySet(src).write.parquet(dir.toString)
+    val newFiles = parquetFilesIn(dir)
+    val (newStats, _) = perFileStats(dir, newFiles, statsCols)
+    val newBlooms = perFileBlooms(dir, newFiles, bloomCols)
+    val (keptStats, keptBlooms) = adoptedMeta(entries, kept)
+    val (keptRows, keptIds) = adoptedLineage(entries, kept)
+    val padStats =
+      if (newStats.isEmpty) newFiles.map(_ => Map.empty[String, (String, String)])
+      else newStats
+    val padBlooms =
+      if (newBlooms.isEmpty) newFiles.map(_ => Map.empty[String, String])
+      else newBlooms
+    // no commit-level stats fold, same rationale as compactSmall: the
+    // adopted files' recorded columns may differ from statsCols
+    log.commit("replace",
+      dataFiles = kept.map(_._1) ++ newFiles,
+      schemaJson = schemaJson,
+      fileStats = keptStats ++ padStats,
+      fileBlooms = keptBlooms ++ padBlooms,
+      fileRows = keptRows ++ newFiles.map(_ => 0L),
+      fileRowIds = keptIds ++ newFiles.map(_ => if (mat) -2L else -1L),
+      rowIdHigh = CommitLog.nextRowId(entries))
+  }
+
   /** immutable named snapshot (Iceberg tag): the handle a training run
     * records so its exact input stays reproducible. Tagged history
     * survives expireSnapshots. The default pins the last COMMITTED

@@ -1342,4 +1342,44 @@ class TableLayerSpec extends AnyFunSuite {
     assert(ids("E") == 3L && ids("D") == 4L)
     assert(ids.values.toSeq.distinct.size == ids.size)
   }
+
+  test("updateWhereEq rewrites only pruned files; no-ops on an absent key") {
+    val t = freshTable("cow")
+    t.append(Seq(("A", 1), ("B", 2)).toDF("name", "v").repartition(1),
+      statsCols = Seq("name"), bloomCols = Seq("name"))
+    t.append(Seq(("C", 3), ("D", 4)).toDF("name", "v").repartition(1),
+      statsCols = Seq("name"), bloomCols = Seq("name"))
+    val before = t.commitLog.state()._1.map(_._1).toSet
+    // absent key: stats prove no file can match — no commit at all
+    val head = t.headSeq
+    assert(t.updateWhereEq("name", "Z", Map("v" -> lit(99))) == head)
+    assert(t.commitLog.state()._1.map(_._1).toSet == before)
+    // present key: one file rewritten, one adopted by path
+    t.updateWhereEq("name", "D", Map("v" -> (col("v") * 10)),
+      statsCols = Seq("name"), bloomCols = Seq("name"))
+    val after = t.commitLog.state()._1.map(_._1)
+    assert(after.count(before) == 1 && after.count(f => !before(f)) == 1)
+    assert(t.read().as[(String, Int)].collect().toMap ==
+      Map("A" -> 1, "B" -> 2, "C" -> 3, "D" -> 40))
+    // ids preserved across the rewrite (same row, new version)
+    val ids = t.readWithLineage().select("name", "_row_id")
+      .as[(String, Long)].collect().toMap
+    assert(ids.values.toSeq.sorted == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("updateWhereEq falls back to a full rewrite over pending deletes and schema changes") {
+    val t = freshTable("cowfall")
+    t.append(Seq(("A", 1), ("B", 2)).toDF("name", "v").repartition(1))
+    t.append(Seq(("C", 3)).toDF("name", "v").repartition(1))
+    t.delete(Seq("A").toDF("name"), Seq("name"))
+    // pending equality delete: flat adoption impossible — full rewrite,
+    // deletes folded in, update applied
+    t.updateWhereEq("name", "C", Map("v" -> (col("v") + 100)))
+    assert(t.commitLog.state()._2.isEmpty)
+    assert(t.read().as[(String, Int)].collect().toMap == Map("B" -> 2, "C" -> 103))
+    // schema-changing assignment (int -> long) also falls back; the new
+    // schema is recorded and every file carries it
+    t.updateWhereEq("name", "B", Map("v" -> (col("v").cast(LongType) + 1L)))
+    assert(t.read().as[(String, Long)].collect().toMap == Map("B" -> 3L, "C" -> 103L))
+  }
 }
