@@ -599,6 +599,29 @@ object TableQueries extends QueryPack {
         .orderBy("seq")
     },
 
+    // Iceberg `partitions` metadata table: per-partition file/row counts
+    // straight from the commit log's per-file partition-value stats — the
+    // table-health dashboard (skew, small-partition tails) with ZERO data
+    // files opened. Two partitioned appends: `small` accumulates a second
+    // file (2 files / 3 rows), the others keep one.
+    Q(
+      "t_partition_stats",
+      """SELECT * FROM (VALUES
+        |  ('_p=large', CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('_p=medium', CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+        |  ('_p=post', CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('_p=small', CAST(2 AS BIGINT), CAST(3 AS BIGINT)))
+        |  AS t("partition", n_files, n_rows)
+        |ORDER BY "partition"""",
+    ) { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "partstats")
+      t.appendPartitioned(items(s), PartitionSpec("size", Transform.TruncateStr(16)))
+      t.appendPartitioned(Seq(("F", "small", 1), ("G", "post", 2))
+        .toDF("name", "size", "count"), PartitionSpec("size", Transform.TruncateStr(16)))
+      t.partitionsMeta.orderBy("partition")
+    },
+
     // The table layer serving the LLM pipeline: a PERSISTENT incremental
     // dedup index. Epoch 1 commits the first half of the corpus's content
     // hashes into a bucket-partitioned table; the second half (the "new

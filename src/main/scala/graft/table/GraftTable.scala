@@ -1190,6 +1190,50 @@ final class GraftTable(spark: SparkSession, val root: Path) {
         "equality_cols", "part_spec", "ts_ms")
   }
 
+  /** Iceberg `partitions` metadata table: per live partition tuple, the
+    * file and row counts — the table-health dashboard query (skew,
+    * small-partition tails, row distribution) answered WITHOUT opening a
+    * single data file. Partition values come from the exact [v,v]
+    * per-file stats the partitioned writers record (multi-dim specs
+    * contribute one `col=value` term per dimension); files committed
+    * without a spec report the null tuple, like Iceberg's unpartitioned
+    * row. Metadata-only: O(live files) log work on the driver — the same
+    * scale class as reading a manifest list.
+    */
+  def partitionsMeta: DataFrame = {
+    import spark.implicits._
+    val entries = log.entries()
+    val live = CommitLog.stateFrom(entries)._1
+    val bySeq = entries.map(e => e.seq -> e).toMap
+    val idxBySeq = bySeq.map { case (s, e) => s -> e.dataFiles.zipWithIndex.toMap }
+    val isPartKey = (k: String) => k == PartCol || k.matches("_p\\d+")
+    live.map { case (f, seq) =>
+      val e = bySeq(seq)
+      val i = idxBySeq(seq)(f)
+      val stats = e.fileStats.lift(i).getOrElse(Map.empty[String, (String, String)])
+      val tuple = stats.toSeq.filter(x => isPartKey(x._1)).sortBy(_._1)
+        .map { case (c, (mn, _)) => s"$c=$mn" }.mkString(",")
+      (if (e.partSpec.isEmpty || tuple.isEmpty) null else tuple,
+        e.fileRows.lift(i).getOrElse(0L))
+    }.toDF("partition", "rows")
+      .groupBy("partition")
+      .agg(count(lit(1)).as("n_files"), sum("rows").as("n_rows"))
+  }
+
+  /** Iceberg `refs` metadata table: every named ref — main, tags,
+    * branches — with the kind and the seq it points at. Metadata-only.
+    */
+  def refsMeta: DataFrame = {
+    import spark.implicits._
+    val head = log.entries().lastOption.map(_.seq).getOrElse(-1L)
+    val tagRows = tags.toSeq.map { case (n, s) => (n, "tag", s) }
+    val brRows = branches.map { n =>
+      (n, "branch", branch(n).snapshots.lastOption.map(_.seq).getOrElse(-1L))
+    }
+    (Seq(("main", "branch", head)) ++ tagRows ++ brRows)
+      .toDF("name", "kind", "seq")
+  }
+
   def filesMeta: DataFrame = {
     import spark.implicits._
     val live = log.state()

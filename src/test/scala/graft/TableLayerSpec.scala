@@ -1367,6 +1367,22 @@ class TableLayerSpec extends AnyFunSuite {
     assert(ids.values.toSeq.sorted == Seq(0L, 1L, 2L, 3L))
   }
 
+  test("partitions and refs metadata tables report live state without data reads") {
+    val t = freshTable("metaparts")
+    t.appendPartitioned(items, PartitionSpec("size", Transform.TruncateStr(16)))
+    t.append(Seq(("X", "none", 1)).toDF("name", "size", "count")) // unpartitioned
+    val parts = t.partitionsMeta.as[(String, Long, Long)].collect()
+      .map { case (p, f, r) => Option(p).getOrElse("<null>") -> ((f, r)) }.toMap
+    assert(parts("_p=small") == ((1L, 2L)) && parts("_p=large") == ((1L, 2L)))
+    assert(parts.contains("<null>")) // the unpartitioned tuple
+    t.tag("v1")
+    t.createBranch("audit")
+    val refs = t.refsMeta.as[(String, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(refs("main") == (("branch", t.snapshots.last.seq)))
+    assert(refs("v1")._1 == "tag" && refs("audit")._1 == "branch")
+  }
+
   test("updateWhereEq falls back to a full rewrite over pending deletes and schema changes") {
     val t = freshTable("cowfall")
     t.append(Seq(("A", 1), ("B", 2)).toDF("name", "v").repartition(1))
