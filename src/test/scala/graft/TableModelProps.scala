@@ -63,6 +63,13 @@ object TableModelProps extends Properties("graft-table-model") {
   // renames/widenings and pending deletes below the target (materialize)
   // as well as plain append runs (metadata-only file adoption).
   private case class Rollback(rawTarget: Int) extends Op
+  // copy-on-write UPDATE WHERE key: semantically a replace whose content
+  // is the view with the assignment applied to matching rows. When the
+  // key is PROVABLY absent (stats/bloom pruning) updateWhereEq commits
+  // nothing — the interpreter then compacts instead, which has the same
+  // model semantics as an absent-key update (content unchanged, one
+  // replace seq), keeping op index == commit seq.
+  private case class UpdateEq(key: String, delta: Int) extends Op
   // atomic partition overwrite under the shared truncate(25) spec: every
   // partition value the incoming rows touch loses its PRIOR rows (a
   // partition-predicate delete, not a key delete) and gains the incoming
@@ -105,6 +112,10 @@ object TableModelProps extends Properties("graft-table-model") {
           rows = view.map(_ -> seq)
           dels = Vector.empty
           pdels = Vector.empty
+        case UpdateEq(k, d) =>
+          rows = view.map(r => (if (r._1 == k) (r._1, r._2 + d) else r) -> seq)
+          dels = Vector.empty
+          pdels = Vector.empty
         case Rollback(raw) =>
           // the view at the clamped target becomes this seq's content
           rows = model(ops, math.min(raw, seq - 1)).map(_ -> seq).toVector
@@ -140,7 +151,11 @@ object TableModelProps extends Properties("graft-table-model") {
     1 -> Gen.const(CompactSmall),
     1 -> Gen.const(RenameKey),
     1 -> Gen.const(WidenCount),
-    1 -> Gen.choose(0, 5).map(Rollback))
+    1 -> Gen.choose(0, 5).map(Rollback),
+    2 -> (for {
+      k <- Gen.oneOf("A", "B", "C", "D", "E", "F")
+      d <- Gen.choose(1, 50)
+    } yield UpdateEq(k, d)))
 
   /** key-column name in effect after the op prefix (renames toggle it;
     * a rollback reinstates the name current at its target snapshot).
@@ -213,6 +228,12 @@ object TableModelProps extends Properties("graft-table-model") {
         val target = math.min(raw, idx - 1)
         t.rollbackTo(target.toLong)
         keyCol = keyColAt(ops, target)
+      case UpdateEq(key, delta) =>
+        val before = t.headSeq
+        t.updateWhereEq(keyCol, key,
+          Map("count" -> (org.apache.spark.sql.functions.col("count") + delta)),
+          statsCols = Seq("count"))
+        if (t.headSeq == before) t.compact() // provably-absent no-op (see Op doc)
     }}
     t
   }
