@@ -398,6 +398,55 @@ object JoinQueries extends QueryPack {
       agg.withColumn("dpp_active", lit(dpp)).orderBy("event_type")
     },
 
+    // Runtime bloom-filter join (Spark's row-level runtime filter, the
+    // shuffle-join complement of DPP): the selective dim side builds a
+    // bloom filter over its join keys at runtime and Catalyst injects a
+    // might_contain probe into the FACT scan, so non-matching fact rows
+    // die at the scan instead of riding the shuffle — at 100 TB this is
+    // the difference between shuffling the whole fact table and
+    // shuffling the ~20% that can match. Thresholds are scaled down to
+    // exhibit size (the app-side default is 10 GB) and broadcast is
+    // disabled while PLANNING this one query — runtime filters target
+    // exactly the too-big-to-broadcast case; the plan is forced inside
+    // the conf scope and rf_active pinned from the injected filter.
+    Q(
+      "q_join_runtime_filter",
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) * 100 AS BIGINT) AS sum_qty_x1e2,
+        |  true AS rf_active
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    ) { (s, dir) =>
+      val confs = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val dim = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val agg = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_quantity"))
+          .join(dim, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            Dec.asLong(sum(Dec.money(col("l_quantity"))), 2).as("sum_qty_x1e2"))
+        val rf = agg.queryExecution
+          .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          .contains("might_contain")
+        val out = agg.withColumn("rf_active", lit(rf)).orderBy("o_orderpriority")
+        out.queryExecution.executedPlan // freeze the plan under these confs
+        out
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    },
+
     // banded theta self-join: pairs of events by the same user within 5
     // minutes. Scale pattern (banded range join): the equi key is
     // (user_id, 5-minute time bucket) — the left side is exploded into its
