@@ -599,6 +599,60 @@ object TableQueries extends QueryPack {
         .orderBy("seq")
     },
 
+    // GDPR / right-to-be-forgotten erasure: a logical equality delete
+    // hides user B instantly, but the bytes LIVE ON — in the original
+    // data file (time travel still reads them) and, subtly, in the
+    // delete KEY file itself (the key is PII too). The erasure sweep =
+    // expireSnapshots: compact (head files no longer contain B), expire
+    // history, physically remove every unreferenced data AND delete
+    // file. residual_before/after scan the actual parquet bytes on disk
+    // for B (2 = data row + delete key row → 0); history_erased pins
+    // that the pre-erasure snapshot is gone. At 100 TB the cost is one
+    // compaction of live data — the unavoidable price of physical
+    // erasure on immutable files (Iceberg does exactly this).
+    Q(
+      "t_gdpr_erasure",
+      """SELECT * FROM (VALUES
+        |  ('A','small',2),('C','medium',10),('D','small',20),
+        |  ('E','large',20),('F','post',1)) AS t(name, size, count)
+        |CROSS JOIN (VALUES (CAST(2 AS BIGINT), CAST(0 AS BIGINT), true))
+        |  AS m(residual_before, residual_after, history_erased)
+        |ORDER BY name""",
+    ) { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "gdpr")
+      val root = t.commitLog.root
+      t.append(items(s).repartition(1))                              // seq 0: has B
+      t.append(Seq(("F", "post", 1))
+        .toDF("name", "size", "count").repartition(1))               // seq 1
+      t.delete(Seq("B").toDF("name"), Seq("name"))                   // seq 2: logical
+      def residualB: Long = {
+        def ls(kind: String): Seq[String] = {
+          val d = root.resolve(kind)
+          if (!Files.exists(d)) Nil
+          else {
+            val st = Files.walk(d)
+            try st.iterator().asScala.map(_.toString)
+              .filter(_.endsWith(".parquet")).toSeq
+            finally st.close()
+          }
+        }
+        def hits(paths: Seq[String]): Long =
+          if (paths.isEmpty) 0L
+          else s.read.parquet(paths: _*).filter(col("name") === "B").count()
+        hits(ls("data")) + hits(ls("deletes"))
+      }
+      val before = residualB
+      t.expireSnapshots()                                            // erase
+      val after = residualB
+      val erased = scala.util.Try(t.read(asOf = 0).count()).getOrElse(0L) == 0L
+      t.read()
+        .withColumn("residual_before", lit(before))
+        .withColumn("residual_after", lit(after))
+        .withColumn("history_erased", lit(erased))
+        .orderBy("name")
+    },
+
     // Iceberg `partitions` metadata table: per-partition file/row counts
     // straight from the commit log's per-file partition-value stats — the
     // table-health dashboard (skew, small-partition tails) with ZERO data
