@@ -223,6 +223,64 @@ object AggQueries extends QueryPack {
         .orderBy("l_returnflag")
     },
 
+    // Count-Min sketch heavy-hitters (the frequency complement of HLL's
+    // cardinality): a d=4 × w=64 counter grid over the corpus word
+    // stream — cell(j, (h1 + j·h2) mod w) += 1, Kirsch-Mitzenmacher
+    // double hashing from ONE md5 per word — then each probe's estimate
+    // is the MIN over its 4 cells, which can only over-count (pinned per
+    // row as no_underestimate). Why it matters at 100 TB: the sketch is
+    // mergeable by ADDITION, so Spark's partial aggregation IS the merge
+    // — every executor folds its partition into 256 cells map-side, one
+    // 256-row shuffle total, and daily sketches sum into monthly ones
+    // without re-reading a row. Integer-only end to end (md5 → BIGINT
+    // arithmetic), so the DuckDB oracle replays it bit-for-bit.
+    Q(
+      "q_sketch_cms",
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |h AS (SELECT word,
+        |        CAST('0x' || substring(md5(word), 1, 15) AS BIGINT) AS h1,
+        |        CAST('0x' || substring(md5(word), 16, 15) AS BIGINT) AS h2 FROM w),
+        |cells AS (SELECT j, (h1 + j * h2) % 64 AS b, CAST(COUNT(*) AS BIGINT) AS c
+        |          FROM h, (SELECT unnest(range(4)) AS j) GROUP BY j, b),
+        |exact AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS exact_n FROM w GROUP BY word),
+        |probes AS (SELECT word, exact_n FROM exact ORDER BY exact_n DESC, word LIMIT 10),
+        |ph AS (SELECT p.word, p.exact_n, j,
+        |        (CAST('0x' || substring(md5(p.word), 1, 15) AS BIGINT)
+        |         + j * CAST('0x' || substring(md5(p.word), 16, 15) AS BIGINT)) % 64 AS b
+        |       FROM probes p, (SELECT unnest(range(4)) AS j)),
+        |e AS (SELECT ph.word, ph.exact_n, MIN(c.c) AS est_n
+        |      FROM ph JOIN cells c ON ph.j = c.j AND ph.b = c.b
+        |      GROUP BY ph.word, ph.exact_n)
+        |SELECT word, exact_n, est_n, est_n >= exact_n AS no_underestimate
+        |FROM e ORDER BY word""",
+    ) { (s, dir) =>
+      val h1 = "CAST(CONV(substring(md5(word), 1, 15), 16, 10) AS BIGINT)"
+      val h2 = "CAST(CONV(substring(md5(word), 16, 15), 16, 10) AS BIGINT)"
+      val words = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+      val cells = words
+        .select(explode(expr(
+          s"""transform(sequence(0, 3), j ->
+             |  named_struct('j', CAST(j AS BIGINT), 'b', pmod($h1 + j * $h2, 64L)))""".stripMargin))
+          .as("jb"))
+        .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val probes = words.groupBy("word").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("word")).limit(10)
+        .select(col("word"), col("exact_n"),
+          explode(expr(
+            s"""transform(sequence(0, 3), j ->
+               |  named_struct('j', CAST(j AS BIGINT), 'b', pmod($h1 + j * $h2, 64L)))""".stripMargin))
+            .as("jb"))
+        .select(col("word"), col("exact_n"), col("jb.j").as("j"), col("jb.b").as("b"))
+      probes.join(broadcast(cells), Seq("j", "b"))
+        .groupBy("word", "exact_n")
+        .agg(min(col("c")).as("est_n"))
+        .select(col("word"), col("exact_n"), col("est_n"),
+          (col("est_n") >= col("exact_n")).as("no_underestimate"))
+        .orderBy("word")
+    },
+
     // Mergeable-sketch rollup (the incremental-pipeline pattern at
     // 100 TB): one DataSketches HLL per (event_type, day) — what a daily
     // job would materialize — then the stored sketches MERGE to the
