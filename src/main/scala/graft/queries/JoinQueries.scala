@@ -398,6 +398,44 @@ object JoinQueries extends QueryPack {
       agg.withColumn("dpp_active", lit(dpp)).orderBy("event_type")
     },
 
+    // Fuzzy string join (entity resolution at edit distance ≤ 1) via the
+    // FastSS deletion-neighborhood trick: every string emits itself plus
+    // its length single-deletion variants as bucket keys — two strings
+    // within one edit ALWAYS share a key (substitution: both delete the
+    // differing position; indel: the shorter IS a variant of the longer;
+    // equality: the identity key) — so candidates come from one
+    // equi-join on the key, NEVER an all-pairs cross, and the exact
+    // levenshtein verify runs only inside buckets. Cost ∝ Σ bucket², with
+    // buckets = strings sharing a deletion variant (tiny for id-like
+    // names); (len+1)× key expansion is map-side. The published
+    // approximate-dictionary-search shape, as a distributed join.
+    Q(
+      "q_join_fuzzy",
+      """WITH n AS (SELECT c_name AS name FROM customer),
+        |k AS (SELECT name, unnest(list_prepend(name,
+        |        list_transform(range(1, length(name) + 1),
+        |          i -> substring(name, 1, i - 1) || substring(name, i + 1, length(name) - i)))) AS k
+        |      FROM n),
+        |p AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+        |      FROM k a JOIN k b ON a.k = b.k AND a.name < b.name)
+        |SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+        |FROM p WHERE levenshtein(name_a, name_b) <= 1
+        |ORDER BY name_a, name_b""",
+    ) { (s, dir) =>
+      val variants = "concat(array(name), transform(sequence(1, length(name)), " +
+        "i -> concat(substring(name, 1, i - 1), substring(name, i + 1, length(name) - i))))"
+      val keys = Tables.customer(s, dir).select(col("c_name").as("name"))
+        .select(col("name"), explode(expr(variants)).as("k"))
+      val pairs = keys.select(col("name").as("name_a"), col("k"))
+        .join(keys.select(col("name").as("name_b"), col("k")), Seq("k"))
+        .filter(col("name_a") < col("name_b"))
+        .select("name_a", "name_b").distinct()
+      pairs
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("dist") <= 1)
+        .orderBy("name_a", "name_b")
+    },
+
     // Runtime bloom-filter join (Spark's row-level runtime filter, the
     // shuffle-join complement of DPP): the selective dim side builds a
     // bloom filter over its join keys at runtime and Catalyst injects a
