@@ -10,14 +10,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming surface — SURVEY.md §2B "Streaming". q_stream_tumble,
-  * q_stream_slide and q_stream_dedup execute GENUINE incremental
-  * Structured Streaming in their registered form (AvailableNow file
-  * stream → streaming state → memory sink, via [[streamedEvents]]),
+  * q_stream_slide, q_stream_session and q_stream_dedup execute GENUINE
+  * incremental Structured Streaming in their registered form (AvailableNow
+  * file stream → streaming state → memory sink, via [[streamedEvents]]),
   * q_stream_join runs a real watermarked stream-stream interval join
   * (via [[streamedJoin]]), and
   * t_decoupled_ingest streams end-to-end into the commit-log table. The
-  * remaining q_stream_* ids are registered batch-equivalent, each for a
-  * hard engine reason — session_window does not support complete mode,
+  * two remaining q_stream_* ids are registered batch-equivalent, each for
+  * a hard engine reason —
   * streaming aggregation forbids exact countDistinct (q_stream_stateful),
   * and the watermark query SIMULATES lateness accounting the engine only
   * exposes as dropped rows; their incremental behavior (state updates
@@ -164,9 +164,17 @@ object StreamQueries extends QueryPack {
       }.orderBy("ws")
     },
 
-    // session windows (30-minute gap) via gaps-and-islands: a new session
-    // starts when the per-user gap exceeds 30 minutes. Batch-equivalent of
-    // session_window(ts, "30 minutes") — asserted equal in StreamingSpec.
+    // session windows (30-minute gap), executed INCREMENTALLY: the
+    // registered entry runs Spark's session_window operator through real
+    // Structured Streaming (AvailableNow file stream → merging session
+    // state → sink). The oracle stays the gaps-and-islands formulation —
+    // session_end = w.end − gap (a session window extends exactly gap
+    // past its last event) and sid re-derives as the per-user ordinal by
+    // start, so the streaming operator's output maps 1:1 onto the
+    // windowed batch definition (equality also asserted in
+    // StreamingSpec). Complete mode is the oracle's requirement;
+    // production runs watermark + append with sessions finalized and
+    // evicted — the path exercised in StreamingSpec's session test.
     Q(
       "q_stream_session",
       """WITH g AS (
@@ -183,20 +191,19 @@ object StreamQueries extends QueryPack {
         |SELECT user_id, sid, MIN(tus) AS session_start_us, MAX(tus) AS session_end_us, COUNT(*) AS n
         |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""",
     ) { (s, dir) =>
-      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      // event_id tiebreak: rows with equal (user_id, tus) must fold into
-      // the running sum in the same order on both engines (§7.5 rule 1)
-      val cum = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, dir)
-        .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("ts"), col("event_id"))
-        .withColumn("brk",
-          when(col("tus") - lag(col("tus"), 1).over(byUser) > 1800000000L, 1).otherwise(0))
-        .withColumn("sid", sum(col("brk")).over(cum).cast("long"))
-        .groupBy("user_id", "sid")
-        .agg(min(col("tus")).as("session_start_us"),
-          max(col("tus")).as("session_end_us"),
-          count(lit(1)).as("n"))
+      val sessions = streamedEvents(s, dir) { ev =>
+        ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n"))
+      }
+      sessions
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("session_start_us"),
+          (unix_micros(col("w.end")) - 1800000000L).as("session_end_us"),
+          col("n"))
+        .withColumn("sid",
+          (row_number().over(Window.partitionBy("user_id")
+            .orderBy("session_start_us")) - 1).cast("long"))
+        .select("user_id", "sid", "session_start_us", "session_end_us", "n")
         .orderBy("user_id", "sid")
     },
 

@@ -139,13 +139,16 @@ class PlanAuditSpec extends AnyFunSuite {
     // bug class. This sweep keeps it from coming back.
     val sinkQueries = Set("q_dedup_near", "q_dedup_containment", "q_dedup_minhash",
       "q_dedup_simhash", "q_dedup_embed")
-    // The three genuinely-streamed entries return a sink scan — their
-    // registered plan is the memory table, not the streaming aggregation,
-    // so this sweep cannot see inside them. That is safe by construction:
-    // each is a streaming groupBy with NON-EMPTY keys, which Structured
-    // Streaming always hash-partitions by group key across
+    // Three of the genuinely-streamed entries return a bare sink scan —
+    // their registered plan is the memory table, not the streaming
+    // aggregation, so this sweep cannot see inside them. That is safe by
+    // construction: each is a streaming groupBy with NON-EMPTY keys, which
+    // Structured Streaming always hash-partitions by group key across
     // numShufflePartitions state stores (a single-partition streaming agg
     // would require an empty grouping, which none of them has).
+    // q_stream_session is streamed too (same non-empty-key argument for
+    // its state) but stays AUDITED: its registered plan adds a per-user
+    // window over the sink scan, which this sweep can and should check.
     val streamed = Set("q_stream_tumble", "q_stream_slide", "q_stream_dedup")
     val audited = SparkEntry.all.map(_.name)
       .filterNot(_.startsWith("t_")) // table scenarios execute side effects on build
