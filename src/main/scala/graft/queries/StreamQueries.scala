@@ -10,19 +10,19 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming surface — SURVEY.md §2B "Streaming". q_stream_tumble,
-  * q_stream_slide, q_stream_session and q_stream_dedup execute GENUINE
-  * incremental Structured Streaming in their registered form (AvailableNow
-  * file stream → streaming state → memory sink, via [[streamedEvents]]),
-  * q_stream_join runs a real watermarked stream-stream interval join
-  * (via [[streamedJoin]]), and
+  * q_stream_slide, q_stream_session, q_stream_dedup and q_stream_stateful
+  * execute GENUINE incremental Structured Streaming in their registered
+  * form (AvailableNow file stream → streaming state → memory sink, via
+  * [[streamedEvents]]; the stateful entry runs flatMapGroupsWithState in
+  * update mode), q_stream_join runs a real watermarked stream-stream
+  * interval join (via [[streamedJoin]]), and
   * t_decoupled_ingest streams end-to-end into the commit-log table. The
-  * two remaining q_stream_* ids are registered batch-equivalent, each for
-  * a hard engine reason —
-  * streaming aggregation forbids exact countDistinct (q_stream_stateful),
-  * and the watermark query SIMULATES lateness accounting the engine only
-  * exposes as dropped rows; their incremental behavior (state updates
-  * across micro-batches, watermark eviction, session merging) is
-  * exercised with MemoryStream in StreamingSpec.
+  * one remaining id, q_stream_watermark, is registered batch-equivalent
+  * for a hard engine reason: it SIMULATES lateness accounting the engine
+  * only exposes as dropped rows. Incremental behavior beyond the
+  * registered paths (state updates across micro-batches, watermark
+  * eviction, session merging) is exercised with MemoryStream in
+  * StreamingSpec.
   *
   * Reference analogues: micro-batch chunking (kafka-bench.rs:191-194),
   * consume→convert→write→commit pipeline (bench-kafka.rs:66-173), the
@@ -80,12 +80,12 @@ object StreamQueries extends QueryPack {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  private def streamedEvents(s: SparkSession, dir: String)(
+  private def streamedEvents(s: SparkSession, dir: String, mode: String = "complete")(
       agg: DataFrame => DataFrame): DataFrame = withStreamParallelism(s, dir) {
     val sink = "graft_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val query = agg(Tables.eventsStream(s, dir)).writeStream
       .trigger(Trigger.AvailableNow())
-      .outputMode("complete")
+      .outputMode(mode)
       .format("memory")
       .queryName(sink)
       .start()
@@ -298,8 +298,23 @@ object StreamQueries extends QueryPack {
       }.orderBy("purchase_id", "click_id")
     },
 
-    // per-user accumulator state (the committer-accumulator shape A14):
-    // final state a flatMapGroupsWithState job would hold per user.
+    // per-user accumulator state (the committer-accumulator shape A14),
+    // executed as GENUINE arbitrary-state streaming: flatMapGroupsWithState
+    // holds one accumulator per user — count, distinct-type set, max ts,
+    // exact scaled value total. The engine forbids COUNT(DISTINCT) in
+    // streaming AGGREGATIONS, but explicit state implements it exactly:
+    // the distinct set is state the job owns, the precise capability
+    // arbitrary stateful processing exists for. Value totals accumulate as
+    // ×10⁴-scaled longs (each row's DECIMAL(18,4) cast is exact before
+    // scaling), so the running sum is integer-exact and equals the
+    // oracle's decimal-sum-then-scale. Update-mode emission: the staged
+    // file arrives as ONE micro-batch (file source, no maxFilesPerTrigger),
+    // so each user emits exactly one final accumulator row — the same
+    // single-batch staging contract streamedJoin documents. A continuous
+    // deployment keeps the identical code with a state TIMEOUT for
+    // eviction; cross-batch accumulation is exercised in StreamingSpec.
+    // State scale: one tuple per user, hash-partitioned by key across
+    // state stores — never a global structure.
     Q(
       "q_stream_stateful",
       """SELECT user_id,
@@ -309,13 +324,28 @@ object StreamQueries extends QueryPack {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS total_value_x1e4
         |FROM events GROUP BY user_id ORDER BY user_id""",
     ) { (s, dir) =>
-      Tables.events(s, dir)
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_events"),
-          countDistinct(col("event_type")).as("n_types"),
-          max(unix_micros(col("ts"))).as("last_ts_us"),
-          Dec.asLong(sum(Dec.d4(col("value"))), 4).as("total_value_x1e4"))
-        .orderBy("user_id")
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      streamedEvents(s, dir, "update") { ev =>
+        ev.select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"),
+            Dec.asLong(Dec.d4(col("value")), 4).as("v4"))
+          .as[(Long, String, Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Seq[String], Long, Long), (Long, Long, Long, Long, Long)](
+            OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+            (user: Long, rows: Iterator[(Long, String, Long, Long)],
+             state: GroupState[(Long, Seq[String], Long, Long)]) =>
+              val (n0, types0, last0, tot0) = state.getOption.getOrElse((0L, Seq.empty[String], Long.MinValue, 0L))
+              var n = n0; var last = last0; var tot = tot0
+              val types = scala.collection.mutable.Set[String](types0: _*)
+              rows.foreach { case (_, typ, tus, v4) =>
+                n += 1; types += typ; last = math.max(last, tus); tot += v4
+              }
+              state.update((n, types.toSeq, last, tot))
+              Iterator.single((user, n, types.size.toLong, last, tot))
+          }
+          .toDF("user_id", "n_events", "n_types", "last_ts_us", "total_value_x1e4")
+      }.orderBy("user_id")
     },
 
     // A8–A15 end-to-end: JSON-lines files (the offline Kafka stand-in,

@@ -42,16 +42,17 @@ class StreamingSpec extends AnyFunSuite {
     }
     spark.streams.addListener(listener)
     try {
-      Seq("q_stream_tumble", "q_stream_slide", "q_stream_dedup", "q_stream_join")
+      Seq("q_stream_tumble", "q_stream_slide", "q_stream_session",
+        "q_stream_dedup", "q_stream_stateful", "q_stream_join")
         .foreach { n =>
           assert(SparkEntry.queries(n)(spark, SparkSessionFixture.sf).count() > 0)
         }
       // listener events arrive via the async bus
       val deadline = System.nanoTime() + 10_000_000_000L
-      while (started.size < 4 && System.nanoTime() < deadline) Thread.sleep(100)
+      while (started.size < 6 && System.nanoTime() < deadline) Thread.sleep(100)
       val names = started.toArray(Array.empty[String]).filter(_ != null)
-      assert(names.count(_.startsWith("graft_sink_")) >= 4,
-        s"expected 4 streaming executions, saw: ${names.mkString(", ")}")
+      assert(names.count(_.startsWith("graft_sink_")) >= 6,
+        s"expected 6 streaming executions, saw: ${names.mkString(", ")}")
     } finally spark.streams.removeListener(listener)
   }
 
@@ -217,6 +218,56 @@ class StreamingSpec extends AnyFunSuite {
       assert(last(1L) == ((3L, 10.0))) // state carried across batches
       assert(last(2L) == ((1L, 10.0)))
     } finally q.stop()
+  }
+
+  test("transformWithState (v2 arbitrary-state API) accumulates ValueState across batches") {
+    // the successor API to flatMapGroupsWithState (Spark 4): explicit
+    // typed state handles (ValueState here) + time modes + TTL, backed by
+    // the RocksDB state store provider it requires. Same accumulator
+    // semantics as the registered q_stream_stateful — state carried
+    // across micro-batches, one update emitted per key per batch.
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+    class AccProcessor extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+      @transient private var acc: ValueState[(Long, Double)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        acc = getHandle.getValueState[(Long, Double)]("acc",
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+          timers: TimerValues): Iterator[(Long, Long, Double)] = {
+        val (n0, s0) = if (acc.exists()) acc.get() else (0L, 0.0)
+        var n = n0; var sm = s0
+        rows.foreach { r => n += 1; sm += r._2 }
+        acc.update((n, sm))
+        Iterator.single((key, n, sm))
+      }
+    }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[(Long, Double)]
+    val out = ms.toDS().groupByKey(_._1)
+      .transformWithState(new AccProcessor, TimeMode.None(), OutputMode.Update())
+      .toDF("user", "n", "total")
+    val q = out.writeStream.format("memory").queryName("tws")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      ms.addData((1L, 2.0), (1L, 3.0), (2L, 10.0))
+      q.processAllAvailable()
+      ms.addData((1L, 5.0))
+      q.processAllAvailable()
+      val last = spark.table("tws").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).maxBy(_._1)).toMap
+      assert(last(1L) == ((3L, 10.0))) // state carried across batches
+      assert(last(2L) == ((1L, 10.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
   }
 
   test("q_stream_session batch form equals session_window streaming on events slice") {
