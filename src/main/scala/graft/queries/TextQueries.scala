@@ -131,6 +131,38 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // deterministic corpus shuffle + shard — the training-data "global
+    // shuffle": every epoch reads documents in an order uncorrelated with
+    // ingest order, pre-materialized as N shard files. Shard AND
+    // within-shard order both derive from one seeded md5 of the stable
+    // doc key — reproducible across runs and engines, no rand(), and no
+    // global sort: the production write is repartition(shard) +
+    // sortWithinPartitions(k) (the exact anti-small-files shape the table
+    // layer uses), each shard sorting independently. Scale: one keyed
+    // shuffle on shard; shard count scales with corpus size (16 here).
+    // Registered observable: per-shard sizes plus the shuffle-order
+    // first/last docs (min_by/max_by partial aggs — order is pinned
+    // without sorting anything).
+    Q(
+      "q_shuffle_shard",
+      """SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  arg_min(doc_id, k) AS first_doc, arg_max(doc_id, k) AS last_doc
+        |FROM (SELECT doc_id, n_chars, md5('shuf1:' || CAST(doc_id AS VARCHAR)) AS k,
+        |        CAST('0x' || substring(md5('shuf1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 16 AS shard
+        |      FROM documents)
+        |GROUP BY shard ORDER BY shard""",
+    ) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          md5(concat(lit("shuf1:"), col("doc_id").cast("string"))).as("k"))
+        .withColumn("shard", expr("CAST(CONV(substring(k, 1, 15), 16, 10) AS BIGINT) % 16"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"),
+          min_by(col("doc_id"), col("k")).as("first_doc"),
+          max_by(col("doc_id"), col("k")).as("last_doc"))
+        .orderBy("shard")
+    },
+
     // deterministic stratified train/val split — the canonical sampling
     // pattern for a 100 TB corpus: assignment is a pure hash of the
     // stable key (no orderBy+rand, no global shuffle, reproducible across
