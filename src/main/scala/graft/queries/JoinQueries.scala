@@ -355,6 +355,45 @@ object JoinQueries extends QueryPack {
         LIMIT 100""")
     },
 
+    // Recursive CTE (WITH RECURSIVE, new SQL surface in Spark 4): walk a
+    // derived part hierarchy — parent(k) = k DIV 10, a 10-ary tree over
+    // p_partkey — from every node up to its single-digit root, then roll
+    // up subtree size / key checksum / max depth per root. The engine
+    // executes the anchor once and iterates ONLY the frontier (UnionLoop:
+    // each step joins nothing and scans just the previous step's output),
+    // so total work is ∝ Σ frontier sizes = N·log₁₀(N) rows and the
+    // iteration count is the tree DEPTH (log₁₀ of the key space), not N —
+    // the same frontier-iteration scaling as the label-propagation loop in
+    // q_dedup_cluster, here expressed declaratively in SQL text. Oracle:
+    // DuckDB's recursive CTE computes the identical closure (`//` is its
+    // integer-division spelling of DIV).
+    Q(
+      "q_sql_recursive",
+      """WITH RECURSIVE walk(node, anc, depth) AS (
+        |  SELECT p_partkey AS node, p_partkey AS anc, 0 AS depth FROM part
+        |  UNION ALL
+        |  SELECT node, anc // 10 AS anc, depth + 1 AS depth FROM walk WHERE anc > 9
+        |)
+        |SELECT anc AS root, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  CAST(SUM(node) AS BIGINT) AS sum_partkey,
+        |  CAST(MAX(depth) AS BIGINT) AS max_depth
+        |FROM walk WHERE anc <= 9
+        |GROUP BY anc ORDER BY root""",
+    ) { (s, dir) =>
+      Tables.part(s, dir).createOrReplaceTempView("v_rec_part")
+      s.sql("""
+        WITH RECURSIVE walk(node, anc, depth) AS (
+          SELECT p_partkey AS node, p_partkey AS anc, 0 AS depth FROM v_rec_part
+          UNION ALL
+          SELECT node, anc DIV 10 AS anc, depth + 1 AS depth FROM walk WHERE anc > 9
+        )
+        SELECT anc AS root, CAST(COUNT(*) AS BIGINT) AS n_parts,
+          CAST(SUM(node) AS BIGINT) AS sum_partkey,
+          CAST(MAX(depth) AS BIGINT) AS max_depth
+        FROM walk WHERE anc <= 9
+        GROUP BY anc ORDER BY root""")
+    },
+
     // Dynamic partition pruning: the fact table is laid out partitioned by
     // the join key; joining it to a FILTERED dim makes Catalyst inject the
     // dim's key set into the fact scan's PartitionFilters at runtime
