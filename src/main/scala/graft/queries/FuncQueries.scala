@@ -66,6 +66,37 @@ object FuncQueries extends QueryPack {
         .orderBy("event_type")
     },
 
+    // VARIANT semi-structured path (new type in Spark 4): props is parsed
+    // ONCE into the binary variant encoding, then every field access is a
+    // typed variant_get — a cheap binary traversal — instead of
+    // get_json_object re-parsing the JSON string per path. At 100 TB this
+    // is the difference between one parse per row and one per (row ×
+    // path); shredded variant columns also carry per-file statistics the
+    // string never could. try_variant_get models the schema-drift case
+    // (absent path → NULL, no exception). Oracle: DuckDB extracts the
+    // same typed values from the JSON text — the OUTPUT contract of
+    // variant is engine-portable even though the encoding is not.
+    Q(
+      "q_variant_json",
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        |  CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+        |FROM events GROUP BY event_type ORDER BY event_type""",
+    ) { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("v", parse_json(col("props")))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'long')").as("k"),
+          expr("try_variant_get(v, '$.missing', 'string')").as("miss"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("sum_k"),
+          max(col("k")).cast("long").as("max_k"),
+          sum(when(col("miss").isNull, 1).otherwise(0)).cast("long").as("n_missing"))
+        .orderBy("event_type")
+    },
+
     // string functions: substr/upper/concat/length/regexp over names.
     Q(
       "q_str_funcs",
