@@ -37,10 +37,12 @@ object SparkEntry {
   private def utcPinned(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {
       s.conf.set("spark.sql.session.timeZone", "UTC")
-      // events.parquet stores TIMESTAMP(NANOS) (verified: a session
-      // without this flag throws PARQUET_TYPE_ILLEGAL on the scan); the
-      // driver may hand us a session built without it, so pin it before
-      // the plan is built, exactly like the timezone.
+      // events.parquet has shipped as TIMESTAMP(NANOS) (reads as a raw ns
+      // LONG only under this flag — without it the scan throws
+      // PARQUET_TYPE_ILLEGAL) and as timestamp[us] NTZ in later testdata
+      // drops; Tables.events normalizes both to a UTC TimestampType. The
+      // driver may hand us a session built without the flag, so pin it
+      // before the plan is built, exactly like the timezone.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // native function registration is per-session and idempotent
       _root_.graft.functions.GraftFunctions.register(s)

@@ -55,7 +55,14 @@ object Tables {
         // Integer division: ns values (~1.7e18) exceed double's 2^53 exact
         // range, so a float `/` would corrupt the microsecond value.
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw // Spark read it as a timestamp natively
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // timestamp[us] with no zone: with the session timezone pinned
+        // UTC (SparkEntry wrapper + every session builder) this cast maps
+        // each wall-clock value to the same instant the ns-epoch encoding
+        // produced, and downstream unix_micros/window functions (which
+        // reject NTZ inputs) resolve again.
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw // Spark read it as a zoned timestamp natively
     }
 
   /** [[events]] as a Structured Streaming file source: same file, same ts
