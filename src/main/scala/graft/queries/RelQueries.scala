@@ -173,5 +173,58 @@ object RelQueries extends QueryPack {
         .select(col("o_custkey").as("k"))
       yr("1996-01-01", "1997-01-01").except(yr("1997-01-01", "1998-01-01")).orderBy("k")
     },
+
+    // Dataset profiling (the ANALYZE/SUMMARIZE pass a curation run opens
+    // with): per-column row/non-null/exact-distinct counts plus min/max
+    // renderings, computed in ONE scan — all 21 aggregates land in a
+    // single Aggregate node (the multi-distinct Expand plan: one
+    // duplicated row stream per distinct column, partial-agg'd map-side),
+    // then the single result row unpivots row-locally into the per-column
+    // report. At 100 TB the same single-pass shape holds; the exact
+    // count_distinct swaps for approx_count_distinct (no Expand) when
+    // ±2% suffices — that variant is q_agg_approx_distinct's kernel.
+    // min/max clip to 32 chars so profiling a corpus never ships
+    // document-sized cells to the report.
+    Q(
+      "q_profile_summary",
+      """WITH p AS (
+        |  SELECT 'doc_id' AS col_name, COUNT(doc_id) AS n_nonnull, COUNT(DISTINCT doc_id) AS n_distinct,
+        |         substr(CAST(MIN(doc_id) AS VARCHAR), 1, 32) AS min_repr,
+        |         substr(CAST(MAX(doc_id) AS VARCHAR), 1, 32) AS max_repr FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', COUNT(lang), COUNT(DISTINCT lang),
+        |         substr(MIN(lang), 1, 32), substr(MAX(lang), 1, 32) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', COUNT(n_chars), COUNT(DISTINCT n_chars),
+        |         substr(CAST(MIN(n_chars) AS VARCHAR), 1, 32),
+        |         substr(CAST(MAX(n_chars) AS VARCHAR), 1, 32) FROM documents
+        |  UNION ALL
+        |  SELECT 'source', COUNT(source), COUNT(DISTINCT source),
+        |         substr(MIN(source), 1, 32), substr(MAX(source), 1, 32) FROM documents
+        |  UNION ALL
+        |  SELECT 'text', COUNT(text), COUNT(DISTINCT text),
+        |         substr(MIN(text), 1, 32), substr(MAX(text), 1, 32) FROM documents)
+        |SELECT col_name, (SELECT COUNT(*) FROM documents) AS n_rows,
+        |       n_nonnull, n_distinct, min_repr, max_repr
+        |FROM p ORDER BY col_name""",
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"${c}__nonnull"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        substring(min(col(c)).cast("string"), 1, 32).as(s"${c}__min"),
+        substring(max(col(c)).cast("string"), 1, 32).as(s"${c}__max")))
+      docs.agg(count(lit(1)).as("n_rows"), aggs: _*)
+        .select(col("n_rows"), explode(array(cols.map(c => struct(
+          lit(c).as("col_name"),
+          col(s"${c}__nonnull").as("n_nonnull"),
+          col(s"${c}__distinct").as("n_distinct"),
+          col(s"${c}__min").as("min_repr"),
+          col(s"${c}__max").as("max_repr"))): _*)).as("p"))
+        .select(col("p.col_name"), col("n_rows"), col("p.n_nonnull"),
+          col("p.n_distinct"), col("p.min_repr"), col("p.max_repr"))
+        .orderBy("col_name")
+    },
   )
 }

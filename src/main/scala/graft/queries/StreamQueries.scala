@@ -298,6 +298,37 @@ object StreamQueries extends QueryPack {
       }.orderBy("purchase_id", "click_id")
     },
 
+    // stream-static dimension enrichment — the canonical continuous-ETL
+    // shape (the reference's Kafka asset events carry ids a serving layer
+    // resolves against catalog dims): each streaming micro-batch joins the
+    // STATIC customer dim with a broadcast hash join — stateless, no join
+    // state store, nothing watermarked on the dim side; only the windowed
+    // aggregation above it holds (bounded) streaming state. Executed
+    // INCREMENTALLY like tumble (AvailableNow file stream → broadcast
+    // enrich → windowed agg → sink). At 100 TB/day of events the dim
+    // broadcast is per-executor-constant and the agg state is
+    // O(segments × open windows); a dim too large to broadcast shifts to
+    // the keyed shuffle the optimizer picks unhinted.
+    Q(
+      "q_stream_enrich",
+      """SELECT c.c_mktsegment AS segment, date_trunc('hour', e.ts) AS ws,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS sum_value_x1e4
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY segment, ws""",
+    ) { (s, dir) =>
+      val dim = broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment")))
+      streamedEvents(s, dir) { ev =>
+        ev.join(dim, col("user_id") === col("c_custkey"))
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            Dec.asLong(sum(Dec.d4(col("value"))), 4).as("sum_value_x1e4"))
+          .select(col("c_mktsegment").as("segment"), col("w.start").as("ws"),
+            col("n"), col("sum_value_x1e4"))
+      }.orderBy("segment", "ws")
+    },
+
     // per-user accumulator state (the committer-accumulator shape A14),
     // executed as GENUINE arbitrary-state streaming: flatMapGroupsWithState
     // holds one accumulator per user — count, distinct-type set, max ts,

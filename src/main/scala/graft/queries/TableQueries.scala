@@ -1278,5 +1278,91 @@ object TableQueries extends QueryPack {
         .select("name", "v", "rating", "pre_add_cols", "metadata_only")
         .orderBy("v")
     },
+
+    // A PERSISTENT ANN index served from the table layer — the vector
+    // analogue of t_dedup_index. Build: every vector is k-means-assigned
+    // to its nearest of 16 coarse centroids (broadcast codebook + map-side
+    // max_by argmax, the q_sim_ann_ivf kernel) and committed
+    // identity-PARTITIONED by list id. Maintain: a later batch of new
+    // vectors is assigned and fast-appended — cost ∝ the delta, never a
+    // rebuild (the assignment of old vectors is immutable given the
+    // codebook). Serve: a probe ranks the 16 centroids (metadata-sized
+    // planning, like Iceberg manifest pruning — the only collect is the
+    // ≤ nprobe·probes list-id set), then reads ONLY its nprobe=4 nearest
+    // lists via partition-pruned readEq — opening nprobe/nlist of the
+    // index files — and re-scores those candidates exactly. At 100 TB:
+    // nlist scales with N to bound list size, probes batch into a
+    // broadcast join keyed on list_id, and index maintenance stays an
+    // append-only stream of assigned deltas. The oracle recomputes the
+    // same top-5 from the raw embeddings table — proving the two-commit
+    // (build + delta) index serves results identical to a fresh
+    // single-pass index.
+    Q(
+      "t_ann_index",
+      s"""WITH av AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM av WHERE vec_id < 16),
+         |la AS (SELECT a.vec_id, a.v, c.cid,
+         |         ${VectorQueries.cosSql("a.v", "c.cv")} AS csim FROM av a, c0 c),
+         |asg AS (SELECT vec_id, v, cid AS list_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn FROM la)
+         |  WHERE crn = 1),
+         |pr AS (SELECT vec_id AS probe_id, v AS pv FROM av WHERE vec_id IN (3, 47)),
+         |pl AS (SELECT probe_id, pv, cid AS list_id FROM (
+         |    SELECT p.probe_id, p.pv, c.cid,
+         |           row_number() OVER (PARTITION BY p.probe_id
+         |             ORDER BY ${VectorQueries.cosSql("p.pv", "c.cv")} DESC, c.cid) AS crn
+         |    FROM pr p, c0 c)
+         |  WHERE crn <= 4),
+         |cand AS (SELECT l.probe_id, a.vec_id, ${VectorQueries.cosSql("l.pv", "a.v")} AS score
+         |         FROM pl l JOIN asg a ON a.list_id = l.list_id AND a.vec_id <> l.probe_id)
+         |SELECT probe_id, rank, vec_id, CAST(ROUND(score * 1e6) AS BIGINT) AS score_x1e6
+         |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY score DESC, vec_id) AS rank FROM cand)
+         |WHERE rank <= 5 ORDER BY probe_id, rank""",
+    ) { (s, dir) =>
+      def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        call_function("graft_vecdot", x, y)
+      def cosine(ab: org.apache.spark.sql.Column, na: org.apache.spark.sql.Column,
+          nb: org.apache.spark.sql.Column) = ab / sqrt(na * nb)
+      val emb = _root_.graft.Tables.spread(_root_.graft.Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("vn", dot(col("embedding"), col("embedding")))
+      val c0 = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("vn").as("cn"))
+      def assign(df: DataFrame): DataFrame =
+        df.crossJoin(broadcast(c0))
+          .withColumn("csim", cosine(dot(col("embedding"), col("cv")), col("vn"), col("cn")))
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("cid"), struct(col("csim"), (-col("cid")).as("nc"))).as("list_id"),
+            first(col("embedding")).as("embedding"), first(col("vn")).as("vn"))
+          .select(col("list_id"), col("vec_id"), col("embedding"), col("vn"))
+      val t = tmpTable(s, "annidx")
+      val spec = PartitionSpec("list_id", Transform.Identity)
+      t.appendPartitioned(assign(emb.filter(col("vec_id") % 5 =!= 0)), spec) // build
+      t.appendPartitioned(assign(emb.filter(col("vec_id") % 5 === 0)), spec) // delta batch
+      val probes = emb.filter(col("vec_id").isin(3L, 47L))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"), col("vn").as("pn"))
+      val probeLists = probes.crossJoin(broadcast(c0))
+        .withColumn("csim", cosine(dot(col("pv"), col("cv")), col("pn"), col("cn")))
+        .withColumn("crn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+            .orderBy(col("csim").desc, col("cid"))))
+        .filter(col("crn") <= 4)
+        .select(col("probe_id"), col("pv"), col("pn"), col("cid").as("list_id"))
+      // index planning: the distinct list-id set (≤ nprobe·probes rows,
+      // metadata-sized) decides which partitions to open
+      val lists = probeLists.select("list_id").distinct().collect().map(_.getLong(0))
+      val cand = lists.map(v => t.readEq("list_id", v)).reduce(_ unionByName _)
+      cand.join(broadcast(probeLists), Seq("list_id"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("score", cosine(dot(col("pv"), col("embedding")), col("pn"), col("vn")))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+            .orderBy(col("score").desc, col("vec_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("probe_id"), col("rank").cast("long").as("rank"), col("vec_id"),
+          round(col("score") * 1e6).cast("long").as("score_x1e6"))
+        .orderBy("probe_id", "rank")
+    },
   )
 }

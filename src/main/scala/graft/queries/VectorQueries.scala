@@ -90,7 +90,7 @@ object VectorQueries extends QueryPack {
     * left-to-right in double, bit-identical to graft_vecdot's
     * float→double sequential loop, so ROUND(score*1e6) agrees exactly.
     */
-  private def cosSql(a: String, b: String): String =
+  private[queries] def cosSql(a: String, b: String): String =
     s"list_dot_product($a,$b) / sqrt(list_dot_product($a,$a) * list_dot_product($b,$b))"
 
   /** plane literals via Double.toString (shortest repr): DuckDB's
