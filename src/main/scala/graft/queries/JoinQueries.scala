@@ -394,6 +394,50 @@ object JoinQueries extends QueryPack {
         GROUP BY anc ORDER BY root""")
     },
 
+    // TPC-H Q10 (returned-item reporting): one-quarter window over
+    // orders, lineitem restricted to returns, revenue rolled up per
+    // customer, top-20 by revenue. The plan to want at 100 TB: both
+    // date and returnflag predicates PUSH into the fact scans, nation
+    // broadcasts, the two fact joins shuffle on their keys with partial
+    // aggs, and the LIMIT compiles to TakeOrderedAndProject (per-partition
+    // heap of 20, never a global sort). Adapted to this corpus's
+    // 1995–2001 date span and its customer columns.
+    Q(
+      "q_sql_q10",
+      """SELECT c_custkey, c_name,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS revenue_x1e6,
+        |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS acctbal_x1e2,
+        |  n_name
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue_x1e6 DESC, c_custkey
+        |LIMIT 20""",
+    ) { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("v_q10_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("v_q10_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_q10_lineitem")
+      Tables.nation(s, dir).createOrReplaceTempView("v_q10_nation")
+      s.sql("""
+        SELECT c_custkey, c_name,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS revenue_x1e6,
+          CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS acctbal_x1e2,
+          n_name
+        FROM v_q10_customer JOIN v_q10_orders ON c_custkey = o_custkey
+        JOIN v_q10_lineitem ON l_orderkey = o_orderkey
+        JOIN v_q10_nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue_x1e6 DESC, c_custkey
+        LIMIT 20""")
+    },
+
     // Dynamic partition pruning: the fact table is laid out partitioned by
     // the join key; joining it to a FILTERED dim makes Catalyst inject the
     // dim's key set into the fact scan's PartitionFilters at runtime

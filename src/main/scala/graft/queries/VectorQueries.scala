@@ -527,5 +527,127 @@ object VectorQueries extends QueryPack {
         .select("probe_id", "rn", "neighbor_id", "adc_dist")
         .orderBy("probe_id", "rn")
     },
+
+    // Matryoshka (MRL) truncation audit — the dimensionality-reduction
+    // pass an embedding store runs before serving: retrieval quality of
+    // the first-16-dims prefix is scored against the full-64-dim ranking.
+    // Both similarity sets come from ONE broadcast-probes × linear-scan
+    // pass (the q_sim_topk shape — never vectors²), with two per-probe
+    // rank windows over the scored rows; output is the truncated top-5
+    // per probe flagged with whether full-dim ranking agrees
+    // (in_full_top5 — the per-item recall@5 audit). At 100 TB the scan
+    // cost drops 4× with the prefix length while this audit stays a
+    // constant-probe-set sample.
+    Q(
+      "q_embed_matryoshka",
+      s"""WITH av AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |tv AS (SELECT vec_id, v, v[1:16] AS t FROM av),
+         |pr AS (SELECT vec_id AS probe_id, v AS pv, t AS pt FROM tv WHERE vec_id IN (3, 47)),
+         |sc AS (SELECT p.probe_id, a.vec_id,
+         |         ${cosSql("p.pv", "a.v")} AS sf,
+         |         ${cosSql("p.pt", "a.t")} AS st
+         |       FROM pr p JOIN tv a ON a.vec_id <> p.probe_id),
+         |rk AS (SELECT probe_id, vec_id, st,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY st DESC, vec_id) AS rank_t,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY sf DESC, vec_id) AS rank_f
+         |       FROM sc)
+         |SELECT probe_id, rank_t AS rank, vec_id,
+         |  CAST(ROUND(st * 1e6) AS BIGINT) AS score_t_x1e6,
+         |  (rank_f <= 5) AS in_full_top5
+         |FROM rk WHERE rank_t <= 5 ORDER BY probe_id, rank""",
+    ) { (s, dir) =>
+      val all = emb(s, dir).select(col("vec_id"), col("embedding"))
+        .withColumn("t", slice(col("embedding"), 1, 16))
+        .withColumn("vn", dot(col("embedding"), col("embedding")))
+        .withColumn("tn", dot(col("t"), col("t")))
+      val probes = all.filter(col("vec_id").isin(3L, 47L))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+          col("t").as("pt"), col("vn").as("pn"), col("tn").as("ptn"))
+      val scored = all.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("sf", cosine(dot(col("pv"), col("embedding")), col("pn"), col("vn")))
+        .withColumn("st", cosine(dot(col("pt"), col("t")), col("ptn"), col("tn")))
+      val byProbe = Window.partitionBy("probe_id")
+      scored
+        .withColumn("rank_t", row_number().over(byProbe.orderBy(col("st").desc, col("vec_id"))))
+        .withColumn("rank_f", row_number().over(byProbe.orderBy(col("sf").desc, col("vec_id"))))
+        .filter(col("rank_t") <= 5)
+        .select(col("probe_id"), col("rank_t").cast("long").as("rank"), col("vec_id"),
+          round(col("st") * 1e6).cast("long").as("score_t_x1e6"),
+          (col("rank_f") <= 5).as("in_full_top5"))
+        .orderBy("probe_id", "rank")
+    },
+
+    // Distributed k-means, one full Lloyd refinement made first-class
+    // (the IVF/SemDeDup assignment kernel plus the recompute-means step
+    // those queries elide): seed = first 16 vectors; assign (broadcast
+    // codebook, map-side max_by argmax); recompute each cluster's mean
+    // EXACTLY (components quantized to 1e-6 integers, so the sums are
+    // associative longs and the mean is one IEEE division of exact
+    // values — order-independent in both engines); reassign against the
+    // refined centroids. The recompute is the canonical distributed
+    // shape: posexplode to (cluster, dim) keys → one partial-agg'd
+    // shuffle ∝ N·d → 16·64 sums re-packed into centroid arrays. Output
+    // audits the iteration per final cluster: size, how many vectors
+    // CHANGED cluster (the convergence signal a k-means driver loops
+    // on), and summed member cosine to the refined centroid (cohesion,
+    // per-row-rounded so the sum is exact).
+    Q(
+      "q_cluster_kmeans",
+      s"""WITH av AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM av WHERE vec_id < 16),
+         |la0 AS (SELECT a.vec_id, a.v, c.cid, ${cosSql("a.v", "c.cv")} AS csim FROM av a, c0 c),
+         |a0 AS (SELECT vec_id, v, cid AS l0 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn FROM la0)
+         |  WHERE crn = 1),
+         |comp AS (SELECT l0, pos, SUM(q) AS sq, COUNT(*) AS n FROM (
+         |    SELECT l0, generate_subscripts(v, 1) AS pos,
+         |           CAST(ROUND(unnest(v) * 1000000) AS BIGINT) AS q
+         |    FROM a0) GROUP BY l0, pos),
+         |cents AS (SELECT l0 AS cid1,
+         |    list(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY pos) AS cv1
+         |  FROM comp GROUP BY l0),
+         |la1 AS (SELECT a.vec_id, a.l0, c.cid1, ${cosSql("a.v", "c.cv1")} AS csim
+         |        FROM a0 a, cents c),
+         |a1 AS (SELECT vec_id, l0, cid1 AS l1, csim FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid1) AS crn FROM la1)
+         |  WHERE crn = 1)
+         |SELECT l1 AS list_id, COUNT(*) AS n_members,
+         |  CAST(SUM(CASE WHEN l0 <> l1 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+         |  CAST(SUM(CAST(ROUND(csim * 1e6) AS BIGINT)) AS BIGINT) AS cohesion_x1e6
+         |FROM a1 GROUP BY l1 ORDER BY list_id""",
+    ) { (s, dir) =>
+      val all = emb(s, dir).select(col("vec_id"), col("embedding"))
+        .withColumn("vn", dot(col("embedding"), col("embedding")))
+      val c0 = all.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("vn").as("cn"))
+      val a0 = all.crossJoin(broadcast(c0))
+        .withColumn("csim", cosine(dot(col("embedding"), col("cv")), col("vn"), col("cn")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("csim"), (-col("cid")).as("nc"))).as("l0"),
+          first(col("embedding")).as("embedding"), first(col("vn")).as("vn"))
+      val comp = a0
+        .select(col("l0"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("q", round(col("x").cast("double") * 1e6).cast("long"))
+        .groupBy(col("l0"), col("pos"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      val cents = comp
+        .groupBy(col("l0"))
+        .agg(sort_array(collect_list(struct(col("pos"),
+          (col("sq").cast("double") / (col("n").cast("double") * 1e6)).as("c")))).as("ps"))
+        .select(col("l0").as("cid1"), expr("transform(ps, p -> p.c)").as("cv1"))
+        .withColumn("cn1", dot(col("cv1"), col("cv1")))
+      val a1 = a0.crossJoin(broadcast(cents))
+        .withColumn("csim", cosine(dot(col("embedding"), col("cv1")), col("vn"), col("cn1")))
+        .groupBy(col("vec_id"))
+        .agg(first(col("l0")).as("l0"),
+          max_by(col("cid1"), struct(col("csim"), (-col("cid1")).as("nc"))).as("l1"),
+          max(col("csim")).as("s1"))
+      a1.groupBy(col("l1").as("list_id"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("l0") =!= col("l1"), 1L).otherwise(0L)).as("n_moved"),
+          sum(round(col("s1") * 1e6).cast("long")).as("cohesion_x1e6"))
+        .orderBy("list_id")
+    },
   )
 }

@@ -1398,4 +1398,24 @@ class TableLayerSpec extends AnyFunSuite {
     t.updateWhereEq("name", "B", Map("v" -> (col("v").cast(LongType) + 1L)))
     assert(t.read().as[(String, Long)].collect().toMap == Map("B" -> 3L, "C" -> 103L))
   }
+
+  test("ANN-index shape: identity partitioning on list id prunes probe reads across build+delta commits") {
+    // the t_ann_index physical claim: a probe of one posting list opens
+    // only that list's files — per maintenance epoch, not per table size
+    val t = freshTable("annprune")
+    val spec = PartitionSpec("list_id", Transform.Identity)
+    def batch(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong % 4, i.toLong)).toDF("list_id", "vec_id")
+    t.appendPartitioned(batch(0, 40), spec)  // index build
+    t.appendPartitioned(batch(40, 60), spec) // delta maintenance epoch
+    val totalFiles = t.commitLog.state()._1.size
+    val opened = t.prunedFileCountEq("list_id", 2L)
+    assert(totalFiles >= 8, s"expected >=8 partition files, saw $totalFiles")
+    assert(opened < totalFiles, s"probe opened $opened of $totalFiles — no pruning")
+    val perEpoch = t.prunedFileCountEq("list_id", 2L)
+    assert(perEpoch <= 2 * (totalFiles / 8 max 1),
+      s"one list's files should scale with epochs, saw $perEpoch of $totalFiles")
+    val rows = t.readEq("list_id", 2L).select("vec_id").as[Long].collect().sorted.toSeq
+    assert(rows == (0L until 60L).filter(_ % 4 == 2))
+  }
 }
