@@ -1327,8 +1327,12 @@ object TableQueries extends QueryPack {
       val emb = _root_.graft.Tables.spread(_root_.graft.Tables.embeddings(s, dir))
         .select(col("vec_id"), col("embedding"))
         .withColumn("vn", dot(col("embedding"), col("embedding")))
+      // the 16-row codebook is the broadcast side of THREE plans (two
+      // assignment epochs + probe planning): pin it once instead of
+      // re-running scan+spread per use
       val c0 = emb.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("vn").as("cn"))
+        .localCheckpoint(true)
       def assign(df: DataFrame): DataFrame =
         df.crossJoin(broadcast(c0))
           .withColumn("csim", cosine(dot(col("embedding"), col("cv")), col("vn"), col("cn")))
