@@ -438,6 +438,82 @@ object JoinQueries extends QueryPack {
         LIMIT 20""")
     },
 
+    // Weighted PageRank over the nation trade graph — the iterative
+    // graph-analytics shape (label propagation's weighted cousin; the
+    // frontier-walk q_sql_recursive covers the traversal family, this
+    // covers fixed-point score iteration). Edges = customer-nation →
+    // supplier-nation purchase counts from the 4-table fact join; two
+    // Jacobi iterations unrolled into one static plan. EXACT arithmetic
+    // throughout: damping 0.85 = 17/20 as integer rational, per-edge
+    // contribution round(n/d) computed as (2n+d) DIV (2d) on BIGINTs —
+    // no float ever, so sums are associative and order-independent in
+    // both engines. At scale each iteration is ONE keyed shuffle ∝ E
+    // with partial aggs; rank state (∝ nodes) broadcasts back onto the
+    // edge list — nodes ≪ edges is exactly the web/citation regime.
+    Q(
+      "q_graph_pagerank",
+      """WITH e AS (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+        |  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |wsum AS (SELECT src, SUM(w) AS tw FROM e GROUP BY src),
+        |p0 AS (SELECT n_nationkey AS node, CAST(1000000 AS BIGINT) AS pr FROM nation),
+        |i1 AS (SELECT e.dst AS node,
+        |         SUM((2 * 17 * p.pr * e.w + 20 * ws.tw) // (2 * 20 * ws.tw)) AS c
+        |       FROM e JOIN wsum ws ON e.src = ws.src JOIN p0 p ON e.src = p.node
+        |       GROUP BY e.dst),
+        |p1 AS (SELECT p0.node, 150000 + COALESCE(i1.c, 0) AS pr
+        |       FROM p0 LEFT JOIN i1 ON p0.node = i1.node),
+        |i2 AS (SELECT e.dst AS node,
+        |         SUM((2 * 17 * p.pr * e.w + 20 * ws.tw) // (2 * 20 * ws.tw)) AS c
+        |       FROM e JOIN wsum ws ON e.src = ws.src JOIN p1 p ON e.src = p.node
+        |       GROUP BY e.dst),
+        |p2 AS (SELECT p1.node, 150000 + COALESCE(i2.c, 0) AS pr2, p1.pr AS pr1
+        |       FROM p1 LEFT JOIN i2 ON p1.node = i2.node)
+        |SELECT n.n_name, CAST(p2.pr1 AS BIGINT) AS pr1_x1e6, CAST(p2.pr2 AS BIGINT) AS pr2_x1e6
+        |FROM p2 JOIN nation n ON p2.node = n.n_nationkey
+        |ORDER BY n.n_name""",
+    ) { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val su = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val edges = c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
+        .groupBy(c("c_nationkey").as("src"), su("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .localCheckpoint(true) // node-scale edge list, reused by both iterations
+      val wsum = edges.groupBy("src").agg(sum(col("w")).as("tw"))
+      val ew = edges.join(wsum, "src")
+      val p0 = n.select(col("n_nationkey").as("node"), lit(1000000L).as("pr"))
+      def step(p: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val contrib = ew.join(broadcast(p), col("src") === col("node"))
+          // round(n/d) on positive BIGINTs as (2n + d) div (2d) — `div`
+          // truncates and `//` floors, identical for positive operands
+          .select(col("dst"),
+            expr("(2L * 17L * pr * w + 20L * tw) div (2L * 20L * tw)").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("c"))
+        p0.select(col("node")).join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"), (lit(150000L) + coalesce(col("c"), lit(0L))).as("pr"))
+      }
+      val p1 = step(p0)
+      val p2 = step(p1)
+      // fresh scan for the name join: `n` already seeds p0, and reusing
+      // the same Dataset would trip the ambiguous-self-join analyzer
+      val names = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("name_key"), col("n_name"))
+      p1.select(col("node"), col("pr").as("pr1_x1e6"))
+        .join(p2.select(col("node").as("node2"), col("pr").as("pr2_x1e6")),
+          col("node") === col("node2"))
+        .join(names, col("node") === col("name_key"))
+        .select(col("n_name"), col("pr1_x1e6"), col("pr2_x1e6"))
+        .orderBy("n_name")
+    },
+
     // Dynamic partition pruning: the fact table is laid out partitioned by
     // the join key; joining it to a FILTERED dim makes Catalyst inject the
     // dim's key set into the fact scan's PartitionFilters at runtime

@@ -23,7 +23,7 @@ class StreamingSpec extends AnyFunSuite {
   private def ts(min: Int, sec: Int = 0): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
 
-  test("registered q_stream_tumble/slide/dedup/join execute GENUINE streaming queries") {
+  test("registered q_stream_tumble/slide/dedup/join/enrich execute GENUINE streaming queries") {
     // guard against a refactor silently reverting the registered entries
     // to batch: a StreamingQueryListener must observe one started
     // graft_sink_* streaming query per invocation.
@@ -43,16 +43,17 @@ class StreamingSpec extends AnyFunSuite {
     spark.streams.addListener(listener)
     try {
       Seq("q_stream_tumble", "q_stream_slide", "q_stream_session",
-        "q_stream_dedup", "q_stream_stateful", "q_stream_join")
+        "q_stream_dedup", "q_stream_stateful", "q_stream_join",
+        "q_stream_enrich")
         .foreach { n =>
           assert(SparkEntry.queries(n)(spark, SparkSessionFixture.sf).count() > 0)
         }
       // listener events arrive via the async bus
       val deadline = System.nanoTime() + 10_000_000_000L
-      while (started.size < 6 && System.nanoTime() < deadline) Thread.sleep(100)
+      while (started.size < 7 && System.nanoTime() < deadline) Thread.sleep(100)
       val names = started.toArray(Array.empty[String]).filter(_ != null)
-      assert(names.count(_.startsWith("graft_sink_")) >= 6,
-        s"expected 6 streaming executions, saw: ${names.mkString(", ")}")
+      assert(names.count(_.startsWith("graft_sink_")) >= 7,
+        s"expected 7 streaming executions, saw: ${names.mkString(", ")}")
     } finally spark.streams.removeListener(listener)
   }
 
