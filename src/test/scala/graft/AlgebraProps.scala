@@ -87,4 +87,13 @@ object AlgebraProps extends Properties("graft-algebra") {
       val twice = once.dropDuplicates("text")
       once.count() == twice.count()
     }
+
+  property("PageRank integer rounding identity: (2n+d) div (2d) = round(n/d) for positive longs") =
+    // pure arithmetic (no Spark job): the identity q_graph_pagerank leans
+    // on for float-free, order-independent contribution sums
+    forAll(Gen.choose(1L, 1L << 40), Gen.choose(1L, 1L << 20)) { (n, d) =>
+      val viaInt = (2 * n + d) / (2 * d)
+      val viaRational = BigDecimal(n) / BigDecimal(d)
+      viaInt == viaRational.setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
 }
