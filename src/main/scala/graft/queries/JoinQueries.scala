@@ -583,8 +583,19 @@ object JoinQueries extends QueryPack {
     ) { (s, dir) =>
       val variants = "concat(array(name), transform(sequence(1, length(name)), " +
         "i -> concat(substring(name, 1, i - 1), substring(name, i + 1, length(name) - i))))"
-      val keys = Tables.customer(s, dir).select(col("c_name").as("name"))
-        .select(col("name"), explode(expr(variants)).as("k"))
+      // bucket key = xxhash64 of the deletion variant, not the string:
+      // the shuffle moves 8-byte longs instead of ~len-char strings, and
+      // a hash collision can only ADD a candidate pair the exact
+      // levenshtein verify then rejects — recall is structural (equal
+      // variants always hash equal), precision is re-checked, so the
+      // compression is free. The oracle joins the raw strings; results
+      // agree because verification is exact on both sides.
+      // spread before the (len+1)× explode: the testdata dim is a
+      // single-file scan (one task) and the variant expansion + hashing
+      // would otherwise run serially
+      val keys = Tables.spread(Tables.customer(s, dir).select(col("c_name").as("name")))
+        .select(col("name"), explode(expr(variants)).as("kv"))
+        .select(col("name"), xxhash64(col("kv")).as("k"))
       val pairs = keys.select(col("name").as("name_a"), col("k"))
         .join(keys.select(col("name").as("name_b"), col("k")), Seq("k"))
         .filter(col("name_a") < col("name_b"))
