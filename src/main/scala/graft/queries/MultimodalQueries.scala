@@ -368,8 +368,10 @@ object MultimodalQueries extends QueryPack {
         |FROM s ORDER BY doc_id""",
     ) { (s, dir) =>
       import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id")).as[Long]
+      // spread first: the single-file testdata scan is ONE task, and the
+      // codec roundtrip below would run serially without it
+      Tables.spread(Tables.documents(s, dir).select(col("doc_id")))
+        .as[Long]
         .mapPartitions(_.map(encodePng)) // REAL PNG encoder, executor-side
         .mapPartitions(_.map(decodePng)) // REAL PNG decoder, batch-amortized
         .toDF()
@@ -397,8 +399,8 @@ object MultimodalQueries extends QueryPack {
         |FROM z GROUP BY doc_id ORDER BY doc_id""",
     ) { (s, dir) =>
       import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id")).as[Long]
+      Tables.spread(Tables.documents(s, dir).select(col("doc_id"))) // parallelize the codec pass
+        .as[Long]
         .mapPartitions(_.map(encodeWav)) // REAL WAV encoder, executor-side
         .mapPartitions(_.map(decodeWav)) // REAL WAV decoder, batch-amortized
         .toDF()
@@ -452,8 +454,8 @@ object MultimodalQueries extends QueryPack {
       // branch would re-run the PNG encode+decode over the whole corpus
       // (the plan is referenced 4×) — at any scale the expensive
       // per-asset feature pass must run once, not once per consumer
-      val ph = Tables.documents(s, dir)
-        .select(col("doc_id")).as[Long]
+      val ph = Tables.spread(Tables.documents(s, dir).select(col("doc_id"))) // parallel codec pass
+        .as[Long]
         .mapPartitions(_.map(d => phashOf(encodePhashPng(d)))) // REAL codec roundtrip
         .toDF()
         .localCheckpoint(true)
