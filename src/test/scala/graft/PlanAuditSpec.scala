@@ -265,4 +265,24 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q_join_inner")
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
   }
+
+  test("q_graph_pagerank broadcasts the node-scale rank state onto the edge list") {
+    // each Jacobi iteration must be edges ⋈ broadcast(rank), one keyed
+    // agg per iteration — never a shuffle of the edge list per rank join
+    val p = plan("q_graph_pagerank")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "rank-state joins should broadcast in both iterations")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_profile_summary profiles every column in one multi-distinct pass") {
+    // the single Aggregate (Expand plan) over ONE scan of documents —
+    // a per-column scan loop would show up as multiple file sources
+    val p = plan("q_profile_summary")
+    assert(p.contains("Expand"), "multi-distinct should compile to the Expand plan")
+    // count the detail-section headers: formatted explain prints each
+    // operator once in the tree and once in the details
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1,
+      "profiling must read the table once, not once per column")
+  }
 }
