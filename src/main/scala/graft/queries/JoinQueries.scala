@@ -447,7 +447,11 @@ object JoinQueries extends QueryPack {
     // throughout: damping 0.85 = 17/20 as integer rational, per-edge
     // contribution round(n/d) computed as (2n+d) DIV (2d) on BIGINTs —
     // no float ever, so sums are associative and order-independent in
-    // both engines. At scale each iteration is ONE keyed shuffle ∝ E
+    // both engines. Rank base 1e4 (not 1e6): the contribution product
+    // 34·pr·w must clear int64 at 100 TB edge weights (w ~ 1e10 for a
+    // 6e11-row fact over 625 node pairs) — 34·2.1e5·1e10 ≈ 7e16 keeps
+    // ~100× headroom where a 1e6 base would sit within 10× of wrap.
+    // At scale each iteration is ONE keyed shuffle ∝ E
     // with partial aggs; rank state (∝ nodes) broadcasts back onto the
     // edge list — nodes ≪ edges is exactly the web/citation regime.
     Q(
@@ -459,20 +463,20 @@ object JoinQueries extends QueryPack {
         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |  GROUP BY 1, 2),
         |wsum AS (SELECT src, SUM(w) AS tw FROM e GROUP BY src),
-        |p0 AS (SELECT n_nationkey AS node, CAST(1000000 AS BIGINT) AS pr FROM nation),
+        |p0 AS (SELECT n_nationkey AS node, CAST(10000 AS BIGINT) AS pr FROM nation),
         |i1 AS (SELECT e.dst AS node,
         |         SUM((2 * 17 * p.pr * e.w + 20 * ws.tw) // (2 * 20 * ws.tw)) AS c
         |       FROM e JOIN wsum ws ON e.src = ws.src JOIN p0 p ON e.src = p.node
         |       GROUP BY e.dst),
-        |p1 AS (SELECT p0.node, 150000 + COALESCE(i1.c, 0) AS pr
+        |p1 AS (SELECT p0.node, 1500 + COALESCE(i1.c, 0) AS pr
         |       FROM p0 LEFT JOIN i1 ON p0.node = i1.node),
         |i2 AS (SELECT e.dst AS node,
         |         SUM((2 * 17 * p.pr * e.w + 20 * ws.tw) // (2 * 20 * ws.tw)) AS c
         |       FROM e JOIN wsum ws ON e.src = ws.src JOIN p1 p ON e.src = p.node
         |       GROUP BY e.dst),
-        |p2 AS (SELECT p1.node, 150000 + COALESCE(i2.c, 0) AS pr2, p1.pr AS pr1
+        |p2 AS (SELECT p1.node, 1500 + COALESCE(i2.c, 0) AS pr2, p1.pr AS pr1
         |       FROM p1 LEFT JOIN i2 ON p1.node = i2.node)
-        |SELECT n.n_name, CAST(p2.pr1 AS BIGINT) AS pr1_x1e6, CAST(p2.pr2 AS BIGINT) AS pr2_x1e6
+        |SELECT n.n_name, CAST(p2.pr1 AS BIGINT) AS pr1_x1e4, CAST(p2.pr2 AS BIGINT) AS pr2_x1e4
         |FROM p2 JOIN nation n ON p2.node = n.n_nationkey
         |ORDER BY n.n_name""",
     ) { (s, dir) =>
@@ -489,7 +493,7 @@ object JoinQueries extends QueryPack {
         .localCheckpoint(true) // node-scale edge list, reused by both iterations
       val wsum = edges.groupBy("src").agg(sum(col("w")).as("tw"))
       val ew = edges.join(wsum, "src")
-      val p0 = n.select(col("n_nationkey").as("node"), lit(1000000L).as("pr"))
+      val p0 = n.select(col("n_nationkey").as("node"), lit(10000L).as("pr"))
       def step(p: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
         val contrib = ew.join(broadcast(p), col("src") === col("node"))
           // round(n/d) on positive BIGINTs as (2n + d) div (2d) — `div`
@@ -498,7 +502,7 @@ object JoinQueries extends QueryPack {
             expr("(2L * 17L * pr * w + 20L * tw) div (2L * 20L * tw)").as("c"))
           .groupBy("dst").agg(sum(col("c")).as("c"))
         p0.select(col("node")).join(contrib, col("node") === col("dst"), "left")
-          .select(col("node"), (lit(150000L) + coalesce(col("c"), lit(0L))).as("pr"))
+          .select(col("node"), (lit(1500L) + coalesce(col("c"), lit(0L))).as("pr"))
       }
       val p1 = step(p0)
       val p2 = step(p1)
@@ -506,11 +510,11 @@ object JoinQueries extends QueryPack {
       // the same Dataset would trip the ambiguous-self-join analyzer
       val names = Tables.nation(s, dir)
         .select(col("n_nationkey").as("name_key"), col("n_name"))
-      p1.select(col("node"), col("pr").as("pr1_x1e6"))
-        .join(p2.select(col("node").as("node2"), col("pr").as("pr2_x1e6")),
+      p1.select(col("node"), col("pr").as("pr1_x1e4"))
+        .join(p2.select(col("node").as("node2"), col("pr").as("pr2_x1e4")),
           col("node") === col("node2"))
         .join(names, col("node") === col("name_key"))
-        .select(col("n_name"), col("pr1_x1e6"), col("pr2_x1e6"))
+        .select(col("n_name"), col("pr1_x1e4"), col("pr2_x1e4"))
         .orderBy("n_name")
     },
 

@@ -15,8 +15,10 @@ import org.apache.spark.sql.streaming.Trigger
   * form (AvailableNow file stream → streaming state → memory sink, via
   * [[streamedEvents]]; the stateful entry runs flatMapGroupsWithState in
   * update mode), q_stream_join runs a real watermarked stream-stream
-  * interval join (via [[streamedJoin]]), and
-  * t_decoupled_ingest streams end-to-end into the commit-log table. The
+  * interval join (via [[streamedJoin]]), q_stream_enrich joins each
+  * micro-batch against a static broadcast dim under a windowed streaming
+  * agg, and t_decoupled_ingest streams end-to-end into the commit-log
+  * table. The
   * one remaining id, q_stream_watermark, is registered batch-equivalent
   * for a hard engine reason: it SIMULATES lateness accounting the engine
   * only exposes as dropped rows. Incremental behavior beyond the

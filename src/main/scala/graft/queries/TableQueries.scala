@@ -1320,10 +1320,9 @@ object TableQueries extends QueryPack {
          |        ORDER BY score DESC, vec_id) AS rank FROM cand)
          |WHERE rank <= 5 ORDER BY probe_id, rank""",
     ) { (s, dir) =>
-      def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-        call_function("graft_vecdot", x, y)
-      def cosine(ab: org.apache.spark.sql.Column, na: org.apache.spark.sql.Column,
-          nb: org.apache.spark.sql.Column) = ab / sqrt(na * nb)
+      // share VectorQueries' scoring kernel — these helpers carry the
+      // bit-exactness contract the oracles depend on; one definition
+      import VectorQueries.{cosine, dot}
       val emb = _root_.graft.Tables.spread(_root_.graft.Tables.embeddings(s, dir))
         .select(col("vec_id"), col("embedding"))
         .withColumn("vn", dot(col("embedding"), col("embedding")))

@@ -59,7 +59,7 @@ object VectorQueries extends QueryPack {
     * whole-stage-codegen span instead of interpreted zip_with/aggregate
     * lambdas.
     */
-  private def dot(x: Column, y: Column): Column = call_function("graft_vecdot", x, y)
+  private[queries] def dot(x: Column, y: Column): Column = call_function("graft_vecdot", x, y)
 
   /** cosine(a, b) with PRECOMPUTED self-dots: dot(v,v) is a function of
     * the vector alone, so it is evaluated once per vector (a projection
@@ -70,7 +70,7 @@ object VectorQueries extends QueryPack {
     * same sequential accumulation of the same array, so the DuckDB
     * oracles (which inline the norms) still agree exactly.
     */
-  private def cosine(ab: Column, na: Column, nb: Column): Column =
+  private[queries] def cosine(ab: Column, na: Column, nb: Column): Column =
     ab / sqrt(na * nb)
 
   /** LSH bucket id: sign bit of the native dot product against each plane. */

@@ -268,11 +268,20 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("q_graph_pagerank broadcasts the node-scale rank state onto the edge list") {
     // each Jacobi iteration must be edges ⋈ broadcast(rank), one keyed
-    // agg per iteration — never a shuffle of the edge list per rank join
-    val p = plan("q_graph_pagerank")
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
-      "rank-state joins should broadcast in both iterations")
-    assert(!p.contains("CartesianProduct"))
+    // agg per iteration — never a shuffle of the edge list per rank
+    // join. Auto-broadcast is disabled while PLANNING so the only
+    // BroadcastHashJoins left are the explicit broadcast(p) hints —
+    // without this, the tiny name/p1⋈p2 joins would auto-broadcast and
+    // mask a dropped hint.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val p = plan("q_graph_pagerank")
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+        "rank-state joins should broadcast in both iterations")
+      assert(!p.contains("CartesianProduct"))
+    } finally spark.conf.set(key, prev)
   }
 
   test("q_profile_summary profiles every column in one multi-distinct pass") {

@@ -1412,9 +1412,8 @@ class TableLayerSpec extends AnyFunSuite {
     val opened = t.prunedFileCountEq("list_id", 2L)
     assert(totalFiles >= 8, s"expected >=8 partition files, saw $totalFiles")
     assert(opened < totalFiles, s"probe opened $opened of $totalFiles — no pruning")
-    val perEpoch = t.prunedFileCountEq("list_id", 2L)
-    assert(perEpoch <= 2 * (totalFiles / 8 max 1),
-      s"one list's files should scale with epochs, saw $perEpoch of $totalFiles")
+    assert(opened <= 2 * (totalFiles / 8 max 1),
+      s"one list's files should scale with epochs, saw $opened of $totalFiles")
     val rows = t.readEq("list_id", 2L).select("vec_id").as[Long].collect().sorted.toSeq
     assert(rows == (0L until 60L).filter(_ % 4 == 2))
   }
