@@ -473,4 +473,30 @@ class LlmOpsSpec extends AnyFunSuite {
     val scored = SparkEntry.queries("q_lm_score")(spark, dir.toString).collect()
     assert(scored.map(_.getLong(0)).toSeq == Seq(3L))
   }
+
+  test("q_cluster_kmeans equals a driver-side Lloyd iteration replay") {
+    // independent of the DuckDB oracle: re-run seed-assign → exact
+    // quantized mean → reassign in plain Scala and compare the audit
+    val c0 = (0L until 16L).map(c => c -> vecs(c)).toMap
+    def argmax(v: Array[Double], cents: Map[Long, Array[Double]]): (Long, Double) =
+      cents.toSeq.map { case (c, cv) => (c, cos(v, cv)) }
+        .maxBy { case (c, s) => (s, -c) }
+    val a0 = vecs.map { case (id, v) => id -> argmax(v, c0)._1 }
+    val cents1: Map[Long, Array[Double]] = a0.groupBy(_._2).map { case (c, m) =>
+      val members = m.keys.toSeq.map(vecs)
+      val dim = members.head.length
+      val sums = Array.tabulate(dim)(i => members.map(v => math.round(v(i) * 1e6)).sum)
+      c -> sums.map(s => s.toDouble / (members.size.toDouble * 1e6))
+    }
+    val a1 = vecs.map { case (id, v) =>
+      val (c, s) = argmax(v, cents1); id -> (a0(id), c, math.round(s * 1e6))
+    }
+    val expected = a1.values.groupBy(_._2).map { case (c, ms) =>
+      (c, ms.size.toLong, ms.count { case (l0, l1, _) => l0 != l1 }.toLong,
+        ms.map(_._3).sum)
+    }.toSeq.sortBy(_._1)
+    val got = q("q_cluster_kmeans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
 }
