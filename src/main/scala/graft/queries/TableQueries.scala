@@ -5,7 +5,7 @@ import java.nio.file.Files
 import scala.jdk.CollectionConverters._
 
 import graft.{Q, QueryPack}
-import graft.table.{GraftTable, PartitionSpec, Transform}
+import graft.table.{GraftCatalog, GraftTable, PartitionSpec, Transform}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1277,6 +1277,47 @@ object TableQueries extends QueryPack {
         .withColumn("metadata_only", lit(metadataOnly))
         .select("name", "v", "rating", "pre_add_cols", "metadata_only")
         .orderBy("v")
+    },
+
+    // The CATALOG surface (lib.rs:21-78): namespace + table resolution
+    // over a warehouse root, exercised end-to-end — idempotent namespace
+    // create, the reference's exists→drop→create table init (a re-create
+    // RESETS history: head_after_recreate pins that the old snapshots are
+    // gone, exactly lib.rs's drop-then-create), 404-tolerant drop, and
+    // listings that only surface directories with a commit log. Golden
+    // pins the surviving table's content plus every catalog answer.
+    Q(
+      "t_catalog",
+      """SELECT * FROM (VALUES
+        |  ('A','small',2),('B','medium',15),('C','medium',10),
+        |  ('D','small',20),('E','large',20)) AS t(name, size, count)
+        |CROSS JOIN (VALUES (1, 2, 1, true, true, CAST(0 AS BIGINT)))
+        |  AS m(n_ns, tables_before, tables_after, drop_hit, drop_miss_false, head_after_recreate)
+        |ORDER BY name""",
+    ) { (s, _) =>
+      val cat = GraftCatalog(s,
+        Files.createTempDirectory("graft_cat").toString)
+      cat.createNamespace("test-ns")
+      cat.createNamespace("test-ns") // idempotent (REST 409-tolerance)
+      val t1 = cat.createTable("test-ns", "test-table-1")
+      t1.append(items(s)) // seq 0
+      t1.append(items(s)) // seq 1 — history the re-create below must drop
+      val t2 = cat.createTable("test-ns", "test-table-2")
+      t2.append(items(s))
+      val before = cat.listTables("test-ns").size
+      val dropHit = cat.dropTable("test-ns", "test-table-2")
+      val dropMiss = cat.dropTable("test-ns", "test-table-2") // 404-tolerant
+      val after = cat.listTables("test-ns").size
+      val t1b = cat.createTable("test-ns", "test-table-1") // exists→drop→create
+      t1b.append(items(s)) // fresh seq 0: history reset by the re-create
+      t1b.read()
+        .withColumn("n_ns", lit(cat.namespaces.size))
+        .withColumn("tables_before", lit(before))
+        .withColumn("tables_after", lit(after))
+        .withColumn("drop_hit", lit(dropHit))
+        .withColumn("drop_miss_false", lit(!dropMiss))
+        .withColumn("head_after_recreate", lit(t1b.headSeq))
+        .orderBy("name")
     },
 
     // A PERSISTENT ANN index served from the table layer — the vector

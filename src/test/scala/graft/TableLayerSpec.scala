@@ -1417,4 +1417,20 @@ class TableLayerSpec extends AnyFunSuite {
     val rows = t.readEq("list_id", 2L).select("vec_id").as[Long].collect().sorted.toSeq
     assert(rows == (0L until 60L).filter(_ % 4 == 2))
   }
+
+  test("catalog listings surface only real tables; open refuses what drop removed") {
+    val wh = Files.createTempDirectory("spec_cat")
+    val cat = graft.table.GraftCatalog(spark, wh.toString)
+    cat.createTable("ns", "real").append(items)
+    // debris: a bare directory without a commit log must never list
+    Files.createDirectories(wh.resolve("ns").resolve("debris"))
+    assert(cat.listTables("ns") == Seq("real"))
+    assert(!cat.tableExists("ns", "debris"))
+    assert(cat.openTable("ns", "real").read().count() == 6)
+    assert(cat.dropTable("ns", "real"))
+    assert(cat.listTables("ns").isEmpty)
+    intercept[IllegalArgumentException](cat.openTable("ns", "real"))
+    assert(cat.namespaces == Seq("ns"))
+    assert(cat.listTables("missing-ns").isEmpty)
+  }
 }
