@@ -84,7 +84,10 @@ object FuncQueries extends QueryPack {
         |  CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
         |FROM events GROUP BY event_type ORDER BY event_type""",
     ) { (s, dir) =>
-      Tables.events(s, dir)
+      // spread before the parse: the single-file events scan is one task,
+      // and the VARIANT binary encode is the most CPU-heavy per-row stage
+      // in this pack — same doctrine as the shingling/codec passes
+      Tables.spread(Tables.events(s, dir).select(col("event_type"), col("props")))
         .withColumn("v", parse_json(col("props")))
         .select(col("event_type"),
           expr("variant_get(v, '$.k', 'long')").as("k"),
