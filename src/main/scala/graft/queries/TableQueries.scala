@@ -1279,6 +1279,40 @@ object TableQueries extends QueryPack {
         .orderBy("v")
     },
 
+    // Stats backfill (compute-stats maintenance): two stat-less ingest
+    // epochs leave files a bounded probe must open blind (never-prune
+    // without bounds); recomputeStats scans ONLY the named column once
+    // and re-commits the same files metadata-only with per-file bounds —
+    // after which the probe opens just the intersecting file. Golden
+    // pins data unchanged, the before/after open counts, and that the
+    // backfill added exactly one (replace) snapshot.
+    Q(
+      "t_stats_backfill",
+      """SELECT * FROM (VALUES
+        |  ('A','small',2),('B','medium',15),('C','medium',10),
+        |  ('D','small',20),('E','large',20),
+        |  ('A','small',102),('B','medium',115),('C','medium',110),
+        |  ('D','small',120),('E','large',120)) AS t(name, size, count)
+        |CROSS JOIN (VALUES (2, 1, CAST(3 AS BIGINT)))
+        |  AS m(files_blind, files_after, snaps)
+        |ORDER BY count, name""",
+    ) { (s, _) =>
+      val t = tmpTable(s, "statsbf")
+      // stat-less ingest: no statsCols at append time (repartition(1)
+      // pins one file per epoch so the open counts are deterministic)
+      t.append(items(s).repartition(1))                                   // counts 2..20
+      t.append(items(s).withColumn("count", col("count") + 100)
+        .repartition(1))                                                  // counts 102..120
+      val blind = t.prunedFileCount("count", BigDecimal(100), BigDecimal(130))
+      t.recomputeStats(Seq("count"))
+      val after = t.prunedFileCount("count", BigDecimal(100), BigDecimal(130))
+      t.read()
+        .withColumn("files_blind", lit(blind))
+        .withColumn("files_after", lit(after))
+        .withColumn("snaps", lit(t.snapshots.size.toLong))
+        .orderBy("count", "name")
+    },
+
     // The CATALOG surface (lib.rs:21-78): namespace + table resolution
     // over a warehouse root, exercised end-to-end — idempotent namespace
     // create, the reference's exists→drop→create table init (a re-create

@@ -52,8 +52,20 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       dir: Path, files: Seq[String], statsCols: Seq[String])
       : (Seq[Map[String, (String, String)]], Set[String]) =
     if (statsCols.isEmpty || files.isEmpty) (Nil, Set.empty)
-    else {
-      val df0 = spark.read.parquet(dir.toString)
+    else perFileStatsIn(spark.read.parquet(dir.toString), files, statsCols)
+
+  /** same bounded scan over an EXPLICIT live-file list (they span shard
+    * dirs, unlike a fresh write) — the backfill path of recomputeStats.
+    */
+  private def perFileStatsOf(files: Seq[String], statsCols: Seq[String])
+      : (Seq[Map[String, (String, String)]], Set[String]) =
+    if (statsCols.isEmpty || files.isEmpty) (Nil, Set.empty)
+    else perFileStatsIn(spark.read.parquet(files: _*), files, statsCols)
+
+  private def perFileStatsIn(
+      df0: org.apache.spark.sql.DataFrame, files: Seq[String], statsCols: Seq[String])
+      : (Seq[Map[String, (String, String)]], Set[String]) =
+    {
       // STRING columns keep their native lexicographic min/max — the
       // ordering string prunes compare with at read time; everything
       // else normalizes through decimal so renderings parse numerically.
@@ -1739,6 +1751,44 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       // (marker -2 — the read path uses their materialized column)
       fileRows = keptRows ++ newFiles.map(_ => 0L),
       fileRowIds = keptIds ++ newFiles.map(_ => if (packMat) -2L else -1L),
+      rowIdHigh = CommitLog.nextRowId(entries))
+  }
+
+  /** Backfill per-file column stats (Iceberg's compute-stats
+    * maintenance): a METADATA-ONLY replace adopting every live file by
+    * path, attaching min/max bounds for `statsCols` computed from one
+    * bounded scan of ONLY those columns — no data rewritten, blooms and
+    * row lineage carried over, existing bounds merged under the fresh
+    * ones. The op that turns a table ingested WITHOUT stats into a
+    * skipping-capable one, paying one column-pruned scan instead of a
+    * full rewrite (at 100 TB the scan reads just the named columns'
+    * pages; a rewrite copies the table). Preconditions mirror the other
+    * metadata-only replaces — pending deletes or a schema straddle fall
+    * back to compact(statsCols), which records the same bounds on its
+    * rewritten output. Like rollbackTo's adoption, the replace records
+    * no partition spec; per-file partition-value stats keep pruning
+    * source-column bounds.
+    */
+  def recomputeStats(statsCols: Seq[String]): Long = {
+    require(statsCols.nonEmpty, "recomputeStats: name at least one column")
+    val entries = log.entries()
+    require(entries.nonEmpty, "recomputeStats on an empty table")
+    val (dataFiles, deleteFiles) = CommitLog.stateFrom(entries)
+    val schemaJson =
+      entries.filter(_.schemaJson.nonEmpty).lastOption.map(_.schemaJson).getOrElse("")
+    val liveSeqs = dataFiles.map(_._2).toSet
+    val uniformSchema = (entries.filter(e => liveSeqs(e.seq) && e.dataFiles.nonEmpty)
+      .map(_.schemaJson) :+ schemaJson).distinct.size <= 1
+    if (deleteFiles.nonEmpty || !uniformSchema) return compact(statsCols)
+    val files = dataFiles.map(_._1)
+    val (fresh, strCols) = perFileStatsOf(files, statsCols)
+    val (oldStats, oldBlooms) = adoptedMeta(entries, dataFiles)
+    val (rows, ids) = adoptedLineage(entries, dataFiles)
+    val merged = oldStats.zip(fresh).map { case (o, f) => o ++ f }
+    log.commit("replace", dataFiles = files,
+      stats = foldStats(merged, statsCols, strCols),
+      schemaJson = schemaJson, fileStats = merged, fileBlooms = oldBlooms,
+      fileRows = rows, fileRowIds = ids,
       rowIdHigh = CommitLog.nextRowId(entries))
   }
 

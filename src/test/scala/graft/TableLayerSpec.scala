@@ -1418,6 +1418,38 @@ class TableLayerSpec extends AnyFunSuite {
     assert(rows == (0L until 60L).filter(_ % 4 == 2))
   }
 
+  test("stats backfill prunes blind files metadata-only, keeps blooms/lineage, falls back over deletes") {
+    val t = freshTable("statsbf")
+    t.append(items.repartition(1), bloomCols = Seq("name")) // stats-less, bloom'd
+    t.append(items.toDF("name", "size", "count")
+      .withColumn("count", col("count") + 100).repartition(1)) // stats-less, bare
+    assert(t.prunedFileCountEq("count", 115) == 2, "no bounds yet: blind opens both")
+    val filesBefore = t.commitLog.state()._1.map(_._1).toSet
+    // stable ids compare; _last_seq tracks the adopting commit by design
+    // (same as compaction), so it stays out of the comparison
+    val rowsBefore = t.readWithLineage().drop("_last_seq")
+      .collect().map(_.toString).sorted.toSeq
+    t.recomputeStats(Seq("count"))
+    // metadata-only: same physical files adopted, one more snapshot
+    assert(t.commitLog.state()._1.map(_._1).toSet == filesBefore)
+    assert(t.snapshots.map(_.action) == Seq("add", "add", "replace"))
+    // fresh bounds prune; the epoch-1 bloom survived the adoption (a
+    // missing name prunes the bloom'd file, leaving only the bare one)
+    assert(t.prunedFileCountEq("count", 115) == 1)
+    assert(t.prunedFileCountEq("name", "zz") == 1)
+    // rows and row ids byte-identical; history still travels
+    assert(t.readWithLineage().drop("_last_seq")
+      .collect().map(_.toString).sorted.toSeq == rowsBefore)
+    assert(t.read(asOf = 0).count() == 6)
+    // pending deletes: the backfill must fall back to a full compact
+    // rather than adopt files it cannot re-scope deletes against
+    t.delete(Seq("A").toDF("name"), Seq("name"))
+    t.recomputeStats(Seq("count"))
+    assert(t.commitLog.state()._2.isEmpty, "fallback folded the deletes")
+    assert(t.read().count() == 8) // both epochs' two A-rows deleted from 12
+    assert(t.prunedFileCountEq("count", 115) >= 1)
+  }
+
   test("catalog listings surface only real tables; open refuses what drop removed") {
     val wh = Files.createTempDirectory("spec_cat")
     val cat = graft.table.GraftCatalog(spark, wh.toString)
