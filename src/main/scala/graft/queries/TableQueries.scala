@@ -1325,8 +1325,10 @@ object TableQueries extends QueryPack {
       """SELECT * FROM (VALUES
         |  ('A','small',2),('B','medium',15),('C','medium',10),
         |  ('D','small',20),('E','large',20)) AS t(name, size, count)
-        |CROSS JOIN (VALUES (1, 2, 1, true, true, CAST(0 AS BIGINT)))
-        |  AS m(n_ns, tables_before, tables_after, drop_hit, drop_miss_false, head_after_recreate)
+        |CROSS JOIN (VALUES (1, 2, 1, true, true, CAST(1 AS BIGINT),
+        |                    true, CAST(10 AS BIGINT)))
+        |  AS m(n_ns, tables_before, tables_after, drop_hit, drop_miss_false,
+        |       head_after_recreate, renamed_only, renamed_head_rows)
         |ORDER BY name""",
     ) { (s, _) =>
       val cat = GraftCatalog(s,
@@ -1344,13 +1346,23 @@ object TableQueries extends QueryPack {
       val after = cat.listTables("test-ns").size
       val t1b = cat.createTable("test-ns", "test-table-1") // exists→drop→create
       t1b.append(items(s)) // fresh seq 0: history reset by the re-create
-      t1b.read()
+      t1b.append(items(s)) // seq 1 — history the rename must carry over
+      // catalog rename: a metadata-only directory move; the renamed
+      // table serves its FULL history (relative log paths), proven by
+      // reading head (10 rows) and time-travelling to seq 0 (5 rows —
+      // the golden's base relation)
+      cat.renameTable("test-ns", "test-table-1", "test-table-renamed")
+      val tr = cat.openTable("test-ns", "test-table-renamed")
+      val renamedOnly = cat.listTables("test-ns") == Seq("test-table-renamed")
+      tr.read(asOf = 0)
         .withColumn("n_ns", lit(cat.namespaces.size))
         .withColumn("tables_before", lit(before))
         .withColumn("tables_after", lit(after))
         .withColumn("drop_hit", lit(dropHit))
         .withColumn("drop_miss_false", lit(!dropMiss))
-        .withColumn("head_after_recreate", lit(t1b.headSeq))
+        .withColumn("head_after_recreate", lit(tr.headSeq))
+        .withColumn("renamed_only", lit(renamedOnly))
+        .withColumn("renamed_head_rows", lit(tr.read().count()))
         .orderBy("name")
     },
 

@@ -171,6 +171,51 @@ final class CommitLog(val root: Path) {
   Files.createDirectories(root.resolve("data"))
   Files.createDirectories(root.resolve("deletes"))
 
+  private val rootAbs = root.toAbsolutePath.normalize
+
+  // ---- relocatable metadata: entries store table-root-RELATIVE file
+  // paths ("data/<shard>/part-….parquet"), the reason Iceberg metadata is
+  // location-relative — a table directory that moves (catalog rename,
+  // warehouse relocation) must not invalidate its own history. In memory
+  // every consumer still sees absolute paths: relativize on write,
+  // resolve on read. ----
+
+  /** canonical ON-DISK form: root-relative for anything under the root,
+    * untouched otherwise (a path outside the root is not ours to rebase).
+    */
+  private def relPath(p: String): String = {
+    val q = Paths.get(p)
+    if (!q.isAbsolute) p
+    else {
+      val n = q.normalize
+      if (n.startsWith(rootAbs)) rootAbs.relativize(n).toString else p
+    }
+  }
+
+  /** IN-MEMORY form: absolute. Relative entries resolve against the
+    * CURRENT root; a legacy absolute entry (logs written before paths
+    * went relative) whose file vanished because the table moved is
+    * rebased at its table-structure segment (data/ or deletes/) — the
+    * read-time migration that keeps old logs working after a rename.
+    */
+  private def resolvePath(p: String): String = {
+    val q = Paths.get(p)
+    if (!q.isAbsolute) rootAbs.resolve(p).toString
+    else if (q.normalize.startsWith(rootAbs) || Files.exists(q)) p
+    else {
+      val i = math.max(p.lastIndexOf("/data/"), p.lastIndexOf("/deletes/"))
+      if (i < 0) p else rootAbs.resolve(p.substring(i + 1)).toString
+    }
+  }
+
+  private def resolved(e: LogEntry): LogEntry =
+    e.copy(dataFiles = e.dataFiles.map(resolvePath),
+      deleteFiles = e.deleteFiles.map(resolvePath))
+
+  private def relativized(e: LogEntry): LogEntry =
+    e.copy(dataFiles = e.dataFiles.map(relPath),
+      deleteFiles = e.deleteFiles.map(relPath))
+
   private def entryPath(seq: Long): Path = logDir.resolve(f"$seq%020d.json")
 
   // metadata checkpoints: _log/_ckpt/<top seq>.json holds EVERY committed
@@ -223,7 +268,8 @@ final class CommitLog(val root: Path) {
 
   private def entriesOnce(asOf: Long): Seq[LogEntry] = {
     val ck = latestCkpt
-    val base = ck.map(p => Json.parseEntries(Files.readString(p))).getOrElse(Nil)
+    val base = ck.map(p => Json.parseEntries(Files.readString(p)))
+      .getOrElse(Nil).map(resolved)
     // An entry file is part of the log unless the checkpoint already
     // contains its seq. Filtering by CONTAINMENT rather than `seq > ckSeq`
     // keeps a straggler commit visible: a committer that claimed its seq
@@ -238,7 +284,7 @@ final class CommitLog(val root: Path) {
         n.endsWith(".json") && !baseSeqs.contains(n.stripSuffix(".json").toLong)
       }
       .filter(Files.size(_) > 0)
-      .map(p => Json.parseEntry(Files.readString(p)))
+      .map(p => resolved(Json.parseEntry(Files.readString(p))))
     // state replay (replace resets, delete scoping) depends on seq order,
     // and a straggler may sort below checkpointed entries
     (base ++ tail).sortBy(_.seq).filter(_.seq <= asOf)
@@ -266,7 +312,10 @@ final class CommitLog(val root: Path) {
     Files.createDirectories(ckptDir)
     val p = ckptDir.resolve(f"$top%020d.json")
     val tmp = Files.createTempFile(ckptDir, s".$top-", ".tmp")
-    Files.write(tmp, Json.renderEntries(es).getBytes(StandardCharsets.UTF_8))
+    // the fold re-renders resolved (absolute) entries: re-relativize so a
+    // checkpoint never re-pins the table to its current location
+    Files.write(tmp, Json.renderEntries(es.map(relativized))
+      .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     // Delete exactly the entry files this fold contains. An in-flight or
@@ -359,10 +408,10 @@ final class CommitLog(val root: Path) {
         }
       try {
         Files.createFile(p) // atomic O_EXCL claim — the CAS
-        val e = LogEntry(seq, action, dataFiles, deleteFiles, equalityCols,
-          System.currentTimeMillis(),
+        val e = relativized(LogEntry(seq, action, dataFiles, deleteFiles,
+          equalityCols, System.currentTimeMillis(),
           stats.map(_._1), stats.map(_._2), stats.map(_._3), schemaJson,
-          fileStats, partSpec, fileBlooms, fileRows, ids, high)
+          fileStats, partSpec, fileBlooms, fileRows, ids, high))
         // content becomes visible atomically: write a temp file, then
         // rename over the claimed (empty) entry. Readers see either an
         // empty claim (skipped by entries()) or the full entry — never a

@@ -611,6 +611,23 @@ final class GraftTable(spark: SparkSession, val root: Path) {
   private val FileCol = "_file"
   private val PosCol = "_pos"
 
+  /** rename-STABLE file key: the path suffix from the table-structure
+    * segment (data/ or deletes/) — identical for the same file whether
+    * rendered as a write-time `file:` URI, an absolute path, or a
+    * root-relative log path. Positional deletes, deletion vectors and
+    * row-lineage bases address files by THIS key (and every match
+    * normalizes both sides through it), so a moved/renamed table keeps
+    * its deletes and row ids — the physical-address counterpart of the
+    * commit log's relative paths. Greedy `.*` pins the LAST structure
+    * segment, so a warehouse path containing `/data/` cannot confuse it;
+    * shard dirs are UUIDs and can never introduce another.
+    */
+  private def fileKey(c: Column): Column =
+    regexp_replace(c, "^.*/(data|deletes)/", "$1/")
+
+  private def fileKeyOf(p: String): String =
+    p.replaceFirst("^.*/(data|deletes)/", "$1/")
+
   /** snapshot read carrying each row's physical address (file path + row
     * ordinal) — the handle a positional delete targets.
     */
@@ -639,7 +656,10 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     */
   def deleteAt(positions: DataFrame): Long = {
     val dir = newShardDir("deletes")
-    positions.select(col(FileCol), col(PosCol)).distinct().write.parquet(dir.toString)
+    // store the CANONICAL key, not the write-time URI: the address must
+    // keep naming its row after the table directory moves
+    positions.select(fileKey(col(FileCol)).as(FileCol), col(PosCol))
+      .distinct().write.parquet(dir.toString)
     // empty equalityCols marks the positional flavor in the log entry
     log.commit("posdelete", deleteFiles = parquetFilesIn(dir))
   }
@@ -666,7 +686,10 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * O(all deleted positions).
     */
   private def dvRowsOf(addr: DataFrame): DataFrame =
-    addr.select(col(FileCol), col(PosCol)).distinct()
+    // canonical keys (see fileKey): also merges mixed-vintage renderings
+    // of the SAME file into one DV row when a rewrite folds legacy
+    // URI-keyed positional files with fresh addresses
+    addr.select(fileKey(col(FileCol)).as(FileCol), col(PosCol)).distinct()
       .select(col(FileCol), expr(s"int($PosCol div 64)").as("_wi"),
         expr(s"shiftleft(1L, int($PosCol % 64))").as("_bit"))
       .groupBy(col(FileCol), col("_wi")).agg(expr("bit_or(_bit)").as("_w"))
@@ -1024,7 +1047,9 @@ final class GraftTable(spark: SparkSession, val root: Path) {
                   dvPositionsOf(spark.read.parquet(e.deleteFiles: _*))
                 else spark.read.parquet(e.deleteFiles: _*)
               readPrunedState(CommitLog.stateFrom(pre), pre, keepLineage = true)
-                .join(addrs, Seq(FileCol, PosCol), "left_semi")
+                .withColumn(FileCol, fileKey(col(FileCol)))
+                .join(addrs.withColumn(FileCol, fileKey(col(FileCol))),
+                  Seq(FileCol, PosCol), "left_semi")
                 .drop(FileCol, PosCol)
             } else {
               val keys = spark.read.parquet(e.deleteFiles: _*)
@@ -1502,14 +1527,13 @@ final class GraftTable(spark: SparkSession, val root: Path) {
           .drop(RowIdPhys, LastSeqPhys)
       else {
         // manifest-derived (Iceberg v3 inherited) ids: file base + row
-        // ordinal. The base map is O(files of this entry) metadata; the
-        // _metadata path carries a scheme, the log stores plain paths —
-        // normalize the scheme off. Entries without recorded bases
+        // ordinal. The base map is O(files of this entry) metadata; both
+        // the _metadata URI and the log path normalize through fileKey,
+        // so bases survive a table move. Entries without recorded bases
         // (pre-lineage history) surface null ids, never invented ones.
         val idCol =
           if (bases.isEmpty) lit(null).cast("long")
-          else try_element_at(typedLit(bases),
-            regexp_replace(col(FileCol), "^[a-z]+:/+", "/")) + col(PosCol)
+          else try_element_at(typedLit(bases), fileKey(col(FileCol))) + col(PosCol)
         df1.withColumn(RowIdCol, idCol)
           .withColumn(LastSeqCol, lit(seq))
       }
@@ -1528,6 +1552,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
         val (physF, plainF) = files.partition(f => marked.get(f._1).contains(-2L))
         // -1 = adopted file with no recorded lineage: skip, not base -1
         val bases = marked.filter(_._2 >= 0)
+          .map { case (f, b) => fileKeyOf(f) -> b }
         Seq(physF, plainF).filter(_.nonEmpty)
           .map(fs => readEpoch(seq, fs.map(_._1), bases))
       }
@@ -1542,8 +1567,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
           // absent from its map (left join keeps them). try_element_at:
           // an ordinal past the bitmap's tail means "not deleted".
           val dv = spark.read.parquet(files.map(_._1): _*)
-            .select(col(FileCol).as("_dvf"), col(DvWordsCol).as("_dvw"))
-          acc.join(broadcast(dv), col(FileCol) === col("_dvf"), "left")
+            .select(fileKey(col(FileCol)).as("_dvf"), col(DvWordsCol).as("_dvw"))
+          acc.join(broadcast(dv), fileKey(col(FileCol)) === col("_dvf"), "left")
             .filter(col("_dvw").isNull ||
               coalesce(
                 expr(s"shiftright(try_element_at(_dvw, int($PosCol div 64) + 1), " +
@@ -1555,9 +1580,9 @@ final class GraftTable(spark: SparkSession, val root: Path) {
           // guard is redundant (files are immutable, an address can only
           // name a row that predates the delete) but kept for symmetry.
           val dels = spark.read.parquet(files.map(_._1): _*)
-            .select(col(FileCol).as(s"_d$FileCol"), col(PosCol).as(s"_d$PosCol"))
+            .select(fileKey(col(FileCol)).as(s"_d$FileCol"), col(PosCol).as(s"_d$PosCol"))
           acc.join(dels,
-            col(FileCol) === col(s"_d$FileCol") && col(PosCol) === col(s"_d$PosCol") &&
+            fileKey(col(FileCol)) === col(s"_d$FileCol") && col(PosCol) === col(s"_d$PosCol") &&
               (col("_seq") < lit(dseq)), "left_anti")
         } else {
           // equality keys were recorded under the names current AT DELETE

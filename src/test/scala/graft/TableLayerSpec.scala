@@ -97,8 +97,10 @@ class TableLayerSpec extends AnyFunSuite {
     val entries = log.entries()
     assert(entries.length == n)
     assert(entries.map(_.seq) == (0L until n.toLong))
-    // every racer's file landed exactly once
-    assert(entries.flatMap(_.dataFiles).sorted == (1 to n).map(i => s"f$i").sorted)
+    // every racer's file landed exactly once (entries surface paths
+    // resolved against the table root)
+    assert(entries.flatMap(_.dataFiles).map(_.split('/').last).sorted ==
+      (1 to n).map(i => s"f$i").sorted)
   }
 
   test("range reads skip commits via recorded min/max stats") {
@@ -200,8 +202,12 @@ class TableLayerSpec extends AnyFunSuite {
   }
 
   test("file paths containing commas survive the log round-trip") {
-    val log = CommitLog(java.nio.file.Files.createTempDirectory("spec_comma").toString)
-    val weird = Seq("/data/run,v2/part-0.parquet", "/plain/part-1.parquet")
+    val root = java.nio.file.Files.createTempDirectory("spec_comma")
+    val log = CommitLog(root.toString)
+    // one real table path (with a comma in the shard dir) and one foreign
+    // absolute path outside any table structure: the first relativizes on
+    // disk and resolves back, the second must pass through untouched
+    val weird = Seq(s"$root/data/run,v2/part-0.parquet", "/plain/part-1.parquet")
     log.commit("add", dataFiles = weird)
     assert(log.entries().last.dataFiles == weird)
   }
@@ -761,8 +767,9 @@ class TableLayerSpec extends AnyFunSuite {
       fileBlooms = blooms)
     val e = log.entries().last
     assert(e.seq == seq && e.action == "mixed")
-    assert(e.dataFiles == Seq("a.parquet", "b.parquet"))
-    assert(e.deleteFiles == Seq("d.parquet"))
+    // relative inputs resolve against the log root on read
+    assert(e.dataFiles.map(_.split('/').last) == Seq("a.parquet", "b.parquet"))
+    assert(e.deleteFiles.map(_.split('/').last) == Seq("d.parquet"))
     assert(e.equalityCols == Seq("name", "size"))
     assert(e.fileBlooms == blooms)
     assert(graft.table.Bloom.mightContain(e.fileBlooms.head("name"), "A"))
@@ -965,7 +972,7 @@ class TableLayerSpec extends AnyFunSuite {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // the committed entry is visible, in seq order, and replay includes it
     assert(log.entries().map(_.seq) == Seq(0L, 1L, 2L))
-    assert(log.state()._1.map(_._1) ==
+    assert(log.state()._1.map(_._1).map(_.split('/').last) ==
       Seq("base.parquet", "straggler.parquet", "later.parquet"))
     // the next fold absorbs it (same top seq — the fold rewrites) instead
     // of deleting it
@@ -1464,5 +1471,83 @@ class TableLayerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](cat.openTable("ns", "real"))
     assert(cat.namespaces == Seq("ns"))
     assert(cat.listTables("missing-ns").isEmpty)
+  }
+
+  test("log entries are root-relative; a moved table serves full history") {
+    val src = Files.createTempDirectory("spec_move_src")
+    val t0 = GraftTable.createOrReplace(spark, src.toString)
+    t0.append(items)                                          // seq 0
+    t0.append(Seq(("F", "tiny", 1)).toDF("name", "size", "count")) // seq 1
+    t0.delete(Seq("A").toDF("name"), Seq("name"))             // seq 2: -2 rows
+    // positional flavor too: addresses must survive the move
+    t0.deleteVectors(t0.readWithPos().filter(col("name") === "B")
+      .select("_file", "_pos"))                               // seq 3: -1 row
+    t0.tag("premove", 1)
+    // no entry may pin the table to its birthplace
+    val logTexts = Files.list(src.resolve("_log"))
+    try logTexts.forEach { p =>
+      if (p.getFileName.toString.endsWith(".json") && Files.size(p) > 0)
+        assert(!Files.readString(p).contains(src.toString),
+          s"absolute path leaked into ${p.getFileName}")
+    } finally logTexts.close()
+    // relocate the WHOLE table directory — catalog rename / warehouse move
+    val dst = Files.createTempDirectory("spec_move_dst").resolve("moved")
+    Files.move(src, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val t = GraftTable.open(spark, dst.toString)
+    val names = t.read().select("name").as[String].collect().sorted.toSeq
+    assert(names == Seq("C", "D", "E", "F"), s"post-move read: $names")
+    assert(t.read(asOf = 0).count() == 6)      // time travel across the move
+    assert(t.readTag("premove").count() == 7)  // tags too
+    assert(t.readIncremental(0).select("name").as[String].collect().toSeq == Seq("F"))
+  }
+
+  test("legacy absolute log entries rebase on read after a move") {
+    val src = Files.createTempDirectory("spec_legacy_src")
+    val t0 = GraftTable.createOrReplace(spark, src.toString)
+    t0.append(items)                                          // seq 0
+    t0.append(Seq(("F", "tiny", 1)).toDF("name", "size", "count")) // seq 1
+    // rewrite the log the way pre-r6 builds wrote it: absolute paths
+    val logDir = src.resolve("_log")
+    val entries = Files.list(logDir)
+    try entries.forEach { p =>
+      if (p.getFileName.toString.endsWith(".json") && Files.size(p) > 0) {
+        val legacy = Files.readString(p)
+          .replace("\"data/", s"\"$src/data/")
+          .replace("\"deletes/", s"\"$src/deletes/")
+        Files.writeString(p, legacy)
+      }
+    } finally entries.close()
+    val dst = Files.createTempDirectory("spec_legacy_dst").resolve("moved")
+    Files.move(src, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val t = GraftTable.open(spark, dst.toString)
+    assert(t.read().count() == 7, "legacy absolute entries must rebase")
+    assert(t.read(asOf = 0).count() == 6)
+  }
+
+  test("catalog rename keeps history; validation stops traversal names") {
+    val wh = Files.createTempDirectory("spec_ren")
+    val cat = graft.table.GraftCatalog(spark, wh.toString)
+    val t = cat.createTable("ns", "orig")
+    t.append(items)  // seq 0
+    t.append(items)  // seq 1
+    cat.renameTable("ns", "orig", "ns2", "renamed")
+    assert(cat.listTables("ns").isEmpty && cat.listTables("ns2") == Seq("renamed"))
+    val r = cat.openTable("ns2", "renamed")
+    assert(r.read().count() == 12 && r.read(asOf = 0).count() == 6)
+    // rename onto an existing table must refuse
+    cat.createTable("ns2", "occupied").append(items)
+    intercept[IllegalArgumentException](
+      cat.renameTable("ns2", "renamed", "occupied"))
+    // traversal names can never resolve outside the warehouse
+    intercept[IllegalArgumentException](cat.dropTable("..", "x"))
+    intercept[IllegalArgumentException](cat.createTable("ns", ".."))
+    intercept[IllegalArgumentException](cat.dropTable("ns", "a/b"))
+    intercept[IllegalArgumentException](cat.createNamespace("a\\b"))
+    // dropping non-table debris reports false and leaves the files alone
+    val debris = wh.resolve("ns2").resolve("junk")
+    Files.createDirectories(debris)
+    Files.writeString(debris.resolve("keep.txt"), "not a table")
+    assert(!cat.dropTable("ns2", "junk"))
+    assert(Files.exists(debris.resolve("keep.txt")))
   }
 }
