@@ -17,11 +17,10 @@ import org.apache.spark.sql.streaming.Trigger
   * update mode), q_stream_join runs a real watermarked stream-stream
   * interval join (via [[streamedJoin]]), q_stream_enrich joins each
   * micro-batch against a static broadcast dim under a windowed streaming
-  * agg, and t_decoupled_ingest streams end-to-end into the commit-log
-  * table. The
-  * one remaining id, q_stream_watermark, is registered batch-equivalent
-  * for a hard engine reason: it SIMULATES lateness accounting the engine
-  * only exposes as dropped rows. Incremental behavior beyond the
+  * agg, t_decoupled_ingest streams end-to-end into the commit-log
+  * table, and q_stream_watermark runs a real two-micro-batch watermarked
+  * aggregation whose late-row drops the oracle reproduces exactly (the
+  * staged-arrival recipe below). Incremental behavior beyond the
   * registered paths (state updates across micro-batches, watermark
   * eviction, session merging) is exercised with MemoryStream in
   * StreamingSpec.
@@ -33,10 +32,9 @@ import org.apache.spark.sql.streaming.Trigger
   * Scale notes: tumble/slide/dedup/stateful all shuffle once on their
   * group key with partial aggregation; the slide variant expands each row
   * into window_size/slide (=4) rows before aggregating — the same expand
-  * Structured Streaming performs. q_stream_watermark models the
-  * per-partition watermark (running max per user key, one keyed shuffle)
-  * — the same state shape the real engine keeps per source partition; no
-  * query in this pack sorts or windows the world through one task.
+  * Structured Streaming performs. q_stream_watermark holds windowed-agg
+  * state like tumble plus the engine's watermark bookkeeping; no query
+  * in this pack sorts or windows the world through one task.
   */
 object StreamQueries extends QueryPack {
 
@@ -209,40 +207,95 @@ object StreamQueries extends QueryPack {
         .orderBy("user_id", "sid")
     },
 
-    // watermark semantics simulated deterministically: replay each user's
-    // events in arrival order (= event_id), drop any event older than that
-    // user's running max event-time minus a 10-minute watermark — the rows
-    // a streaming job with withWatermark("ts", "10 minutes") would discard,
-    // under the per-partition watermark model (each source partition —
-    // here keyed by user — advances its own watermark; the engine's global
-    // watermark is the min over partitions, but lateness is detected
-    // against per-partition progress). Partitioned window: scales as one
-    // keyed shuffle, never sorts the world.
+    // REAL watermarked streaming aggregation with DETERMINISTIC late-row
+    // dropping: the events table arrives as TWO source files — first half
+    // (even event_id), then second half — each consumed by its own
+    // AvailableNow run over ONE shared checkpoint, the restart shape of a
+    // production ingest (state and watermark recovered from the
+    // checkpoint between arrivals, so batch order is deterministic by
+    // construction — no reliance on source rate limits). After run 0
+    // commits, the engine's watermark is max(batch-0 event time) −
+    // 10 min, so run 1's rows whose 1-hour window closed at-or-before
+    // that watermark are dropped by the streaming aggregation itself
+    // (Spark's late-filter/eviction predicate `window.end <= watermark`
+    // — the genuine state-eviction path, not a simulation). Update-mode
+    // emissions fold to each group's LAST value, which the batch oracle
+    // reproduces exactly: keep batch-0 rows plus batch-1 rows with
+    // window end > watermark. The fold is driver-side but
+    // AGGREGATE-sized (windows × types), like every streaming sink here.
+    // Watermark arithmetic matches the engine's millisecond granularity:
+    // window ends are ms-aligned, so flooring max event time to ms can
+    // never flip the comparison.
     Q(
       "q_stream_watermark",
-      """WITH a AS (
-        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
-        |         MAX(epoch_us(CAST(ts AS TIMESTAMP)))
-        |           OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm
-        |  FROM events)
-        |SELECT event_type,
-        |  COUNT(*) AS n,
-        |  CAST(SUM(CASE WHEN tus < wm - 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
-        |  CAST(MAX(CASE WHEN tus < wm - 600000000 THEN wm - 600000000 - tus ELSE 0 END) AS BIGINT) AS max_lateness_us
-        |FROM a GROUP BY event_type ORDER BY event_type""",
-    ) { (s, dir) =>
-      val arrival = Window.partitionBy("user_id").orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, dir)
-        .select(col("event_type"), col("user_id"), unix_micros(col("ts")).as("tus"), col("event_id"))
-        .withColumn("wm", max(col("tus")).over(arrival))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("tus") < col("wm") - 600000000L, 1).otherwise(0)).cast("long").as("n_late"),
-          max(when(col("tus") < col("wm") - 600000000L, col("wm") - 600000000L - col("tus"))
-            .otherwise(0L)).cast("long").as("max_lateness_us"))
-        .orderBy("event_type")
-    },
+      """WITH e AS (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+        |wm AS (SELECT MAX(t) - INTERVAL 10 MINUTE AS w FROM e WHERE event_id % 2 = 0),
+        |kept AS (
+        |  SELECT * FROM e WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT * FROM e WHERE event_id % 2 = 1
+        |    AND date_trunc('hour', t) + INTERVAL 1 HOUR > (SELECT w FROM wm))
+        |SELECT date_trunc('hour', t) AS ws, event_type, COUNT(*) AS n
+        |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""",
+    ) { (s, dir) => withStreamParallelism(s, dir) {
+      import s.implicits._
+      val land = Files.createTempDirectory("graft_wm_land")
+      val ckpt = Files.createTempDirectory("graft_wm_ckpt")
+      def rmTree(p: java.nio.file.Path): Unit = {
+        val w = Files.walk(p)
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(Files.deleteIfExists(_))
+        finally w.close()
+      }
+      try {
+        val ev = Tables.events(s, dir).select("event_id", "event_type", "ts")
+        // stage one arrival file per half into the landing dir
+        def stage(name: String, even: Boolean): Unit = {
+          val tmp = land.resolve(s"_stage_$name")
+          ev.filter(col("event_id") % 2 === (if (even) 0 else 1))
+            .coalesce(1).write.parquet(tmp.toString)
+          val lst = Files.list(tmp)
+          val part =
+            try lst.filter(p => p.getFileName.toString.endsWith(".parquet"))
+              .findFirst().get()
+            finally lst.close()
+          Files.move(part, land.resolve(s"$name.parquet"))
+          rmTree(tmp)
+        }
+        val updates =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, java.sql.Timestamp, String, Long)]
+        // one AvailableNow run per arrival; the SHARED checkpoint carries
+        // state + watermark from run to run (restart recovery)
+        def runOnce(): Unit = {
+          val q = s.readStream.schema(ev.schema)
+            .parquet(land.toString)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+            .agg(count(lit(1)).as("n"))
+            .select(col("w.start").as("ws"), col("event_type"), col("n"))
+            .writeStream
+            .outputMode("update")
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (df: DataFrame, id: Long) =>
+              val rows = df.collect().map(r =>
+                (id, r.getTimestamp(0), r.getString(1), r.getLong(2)))
+              updates.synchronized { updates ++= rows }
+              ()
+            }
+            .start()
+          q.awaitTermination()
+        }
+        stage("batch0", even = true)
+        runOnce()
+        stage("batch1", even = false)
+        runOnce()
+        updates.groupBy(u => (u._2, u._3)).toSeq
+          .map { case ((ws, et), us) => (ws, et, us.maxBy(_._1)._4) }
+          .toDF("ws", "event_type", "n")
+          .orderBy("ws", "event_type")
+      } finally { rmTree(land); rmTree(ckpt) }
+    }},
 
     // streaming dedup shape: first arrival wins per (user_id, event_type),
     // executed INCREMENTALLY as a streaming keyed aggregation — the same
