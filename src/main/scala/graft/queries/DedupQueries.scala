@@ -108,14 +108,19 @@ object DedupQueries extends QueryPack {
     *
     * RECALL LOSS (explicit, ADVICE r4): a document whose ENTIRE key set is
     * hot — a pure-boilerplate page whose every shingle/band/chunk exceeds
-    * the cap — cannot pair with anything after the guard; such docs are
-    * invisible to the near-dup pass by construction. The mitigation chain:
-    * byte-identical boilerplate is caught upstream by q_dedup_exact (hash
-    * dedup has no cap), and q_dedup_near scores the survivors over the
-    * RETAINED key universe (ns counts post-cap shingles — see
-    * [[jaccardPairs]]), so docs that mix boilerplate with real content
-    * keep full recall on their non-hot keys instead of having the dead
-    * hot keys dilute their union term.
+    * the cap — cannot pair with anything after the guard. The mitigation
+    * chain: byte-identical boilerplate is caught upstream by q_dedup_exact
+    * (hash dedup has no cap); the shingle-jaccard path additionally routes
+    * fully-hot docs through an exact SET-identity keeper pass
+    * ([[fullyHotKeeperPairs]] — set-identical boilerplate groups surface
+    * as jaccard-1.0 keeper pairs instead of vanishing); and q_dedup_near
+    * scores the survivors over the RETAINED key universe (ns counts
+    * post-cap shingles — see [[jaccardPairs]]), so docs that mix
+    * boilerplate with real content keep full recall on their non-hot keys
+    * instead of having the dead hot keys dilute their union term. What
+    * remains invisible: fully-hot docs whose sets DIFFER (no retained
+    * signal to score them by) — in the minhash/simhash band paths those
+    * docs stay dropped entirely.
     */
   private[graft] val MaxBucketDf = 1000
 
@@ -200,12 +205,48 @@ object DedupQueries extends QueryPack {
       .join(ns.select(col("doc_id").as("db"), col("ns").as("nb")), "db")
   }
 
+  /** FULLY-HOT doc rescue (VERDICT r5 #6 — the explicit routing of the
+    * documented recall loss): a doc whose EVERY shingle exceeds the
+    * hot-bucket cap has zero retained keys and is invisible to the
+    * bucketed pair pass. Such docs are pure boilerplate; instead of
+    * dropping them silently, route them through an EXACT set-identity
+    * dedup — group by the full sorted distinct shingle set and emit
+    * keeper pairs (min doc_id ↔ each other member) at jaccard 1.0 (the
+    * sets are identical by construction, so the score is exact, not
+    * estimated). KEEPER pairs, not all-pairs: a 10⁷-doc boilerplate
+    * group emits O(group), never O(group²). Docs that are fully hot but
+    * set-DISTINCT stay dropped — with every informative key capped there
+    * is no signal left to score them, and that residual loss remains
+    * documented at [[MaxBucketDf]]. Cost: the hot-key count reuses the
+    * same sg-keyed exchange shape as the main pass (ReuseExchange-
+    * eligible: identical subtree), then an output-sized group-min
+    * self-join — O(docs), dwarfed by the shingle explosion upstream.
+    */
+  private[graft] def fullyHotKeeperPairs(sh: DataFrame, cap: Long): DataFrame = {
+    val parted = sh
+      .select(col("doc_id"), explode_outer(col("shingles")).as("sg"))
+      .filter(col("sg").isNotNull)
+      .repartition(col("sg"))
+    val hot = parted.groupBy(col("sg")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > cap).select(col("sg"))
+    val retained = parted.join(broadcast(hot), Seq("sg"), "left_anti")
+      .select("doc_id").distinct()
+    val keyed = sh.filter(size(col("shingles")) > 0)
+      .join(retained, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), array_sort(array_distinct(col("shingles"))).as("sk"))
+    val keepers = keyed.groupBy(col("sk")).agg(min(col("doc_id")).as("da"))
+    keyed.join(keepers, "sk")
+      .filter(col("doc_id") > col("da"))
+      .select(col("da"), col("doc_id").as("db"), lit(10000L).as("jacc_x1e4"))
+  }
+
   private[graft] def jaccardPairs(sh: DataFrame, cap: Long = MaxBucketDf): DataFrame =
     pairCounts(sh, cap)
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * 2 >= col("uni"))
       .select(col("da"), col("db"),
         expr("CAST((inter * 10000L) div uni AS BIGINT)").as("jacc_x1e4"))
+      .unionByName(fullyHotKeeperPairs(sh, cap))
 
   /** Containment-scored pairs from the same shingle-bucket counts:
     * inter / min(na, nb) ≥ 0.8. The inclusion-detection class Jaccard
@@ -257,10 +298,17 @@ object DedupQueries extends QueryPack {
         |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ns FROM ex GROUP BY doc_id),
         |p AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
         |      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2)
-        |SELECT da, db, CAST((inter * 10000) // (na.ns + nb.ns - inter) AS BIGINT) AS jacc_x1e4
-        |FROM p JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
-        |WHERE inter * 2 >= na.ns + nb.ns - inter
+        |      GROUP BY 1, 2),
+        |fh AS (SELECT doc_id, list_sort(shs) AS sk FROM s WHERE len(shs) > 0
+        |       AND NOT EXISTS (SELECT 1 FROM ex WHERE ex.doc_id = s.doc_id)),
+        |fm AS (SELECT sk, MIN(doc_id) AS da FROM fh GROUP BY sk),
+        |resc AS (SELECT fm.da, fh.doc_id AS db, CAST(10000 AS BIGINT) AS jacc_x1e4
+        |         FROM fh JOIN fm ON fh.sk = fm.sk AND fh.doc_id > fm.da)
+        |SELECT * FROM (
+        |  SELECT da, db, CAST((inter * 10000) // (na.ns + nb.ns - inter) AS BIGINT) AS jacc_x1e4
+        |  FROM p JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
+        |  WHERE inter * 2 >= na.ns + nb.ns - inter
+        |  UNION ALL SELECT da, db, jacc_x1e4 FROM resc)
         |ORDER BY da, db""",
     ) { (s, dir) =>
       orderedOutput(jaccardPairs(shingled(s, dir)), "da", "db")
@@ -411,9 +459,15 @@ object DedupQueries extends QueryPack {
         |p AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
         |      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
         |      GROUP BY 1, 2),
+        |fh AS (SELECT doc_id, list_sort(shs) AS sk FROM s WHERE len(shs) > 0
+        |       AND NOT EXISTS (SELECT 1 FROM ex WHERE ex.doc_id = s.doc_id)),
+        |fm AS (SELECT sk, MIN(doc_id) AS da FROM fh GROUP BY sk),
         |pr AS (SELECT da, db
         |       FROM p JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
-        |       WHERE inter * 2 >= na.ns + nb.ns - inter),
+        |       WHERE inter * 2 >= na.ns + nb.ns - inter
+        |       UNION ALL
+        |       SELECT fm.da, fh.doc_id AS db
+        |       FROM fh JOIN fm ON fh.sk = fm.sk AND fh.doc_id > fm.da),
         |e AS (SELECT da AS src, db AS dst FROM pr UNION ALL SELECT db, da FROM pr),
         |nd AS (SELECT DISTINCT src AS id FROM e),
         |r AS (SELECT id, id AS lbl FROM nd

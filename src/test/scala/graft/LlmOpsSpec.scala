@@ -138,17 +138,23 @@ class LlmOpsSpec extends AnyFunSuite {
       .toDF("doc_id", "shingles")
     val uncapped = graft.queries.DedupQueries.jaccardPairs(sh, cap = 1000L).collect()
     assert(uncapped.length == 66 + 1, "uncapped: hot bucket explodes to all pairs")
-    // cap=8 < 12: the stop-shingle bucket is dropped entirely; the twelve
-    // boilerplate-only docs lose all keys (documented recall loss — exact
-    // dedup is the net for those); the mixed docs keep their cold keys.
-    // Candidate work is bounded by cap².
+    // cap=8 < 12: the stop-shingle bucket is dropped from the bucketed
+    // pass; the twelve boilerplate-only docs lose all keys, and the
+    // fully-hot rescue surfaces them as SET-IDENTITY keeper pairs
+    // (1↔2..12 at jaccard 1.0 — O(group) output, never the 66 all-pairs);
+    // the mixed docs keep their cold keys. Candidate work stays bounded
+    // by cap².
     val capped = graft.queries.DedupQueries.jaccardPairs(sh, cap = 8L).collect()
-    assert(capped.length == 1)
+    assert(capped.length == 1 + 11)
+    val rescued = capped.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._1 == 1L).sortBy(_._2)
+    assert(rescued.toSeq == (2L to 12L).map(i => (1L, i, 10000L)),
+      s"fully-hot keeper pairs wrong: ${rescued.toSeq}")
     // ns is scored over the RETAINED universe: {5,6,7} vs {5,6,8} →
     // inter 2, union 4, jaccard 0.5 — the pair SURVIVES. With the full
     // pre-cap sets ({5,6,7,100} vs {5,6,8,100}) the dead hot key would
     // inflate the union to 6 and wrongly drop it below threshold.
-    val r = capped.head
+    val r = capped.filter(_.getLong(0) == 20L).head
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (20L, 21L, 5000L))
   }
 
