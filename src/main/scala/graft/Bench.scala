@@ -47,9 +47,16 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.mkString(", ")}")
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    // BEST-OF-N per query (default 2, VERDICT r5 #10): three rounds of
+    // driver benches have reported 4× per-query spikes that were machine
+    // contention, not regressions — a second pass on warm caches costs a
+    // fraction of the first and lets the minimum shed transient CPU
+    // pressure. The min is the right statistic here: the quantity under
+    // test is the PLAN's cost, and contention only ever adds time.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
+    def runPass(pass: Int): Seq[(String, Double)] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -63,8 +70,16 @@ object Bench {
       // per-query progress to stderr AS IT COMPLETES: if the run is killed
       // or the stdout line is lost, the partial timings still diagnose
       // which query was slow (VERDICT r3: two driver rounds lost detail)
-      System.err.println(f"[bench] $name%-28s ${sec}%8.3f s")
+      System.err.println(f"[bench] p$pass $name%-28s ${sec}%8.3f s")
       name -> sec
+    }
+    val allPasses = (1 to passes).map(runPass)
+    // best over passes; a query that failed in one pass but ran in
+    // another keeps its successful timing (failure stays -1 only when
+    // EVERY pass failed)
+    val results = selected.map(_._1).zipWithIndex.map { case (name, i) =>
+      val ts = allPasses.map(_(i)._2).filter(_ >= 0)
+      name -> (if (ts.isEmpty) -1.0 else ts.min)
     }
     def fmt(v: Double, scale: Int): String =
       BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString

@@ -442,10 +442,18 @@ object DedupQueries extends QueryPack {
     // Iterations ∝ component diameter: near-dup components are
     // quasi-cliques (diameter 2-3) because their members share most
     // shingles, so convergence is a handful of rounds even at corpus
-    // scale; the loop fails loudly if a pathological graph exceeds the
-    // cap rather than returning a half-propagated labeling. The
-    // convergence check collects ONE scalar per round. Oracle: DuckDB
-    // computes the identical closure with a recursive CTE.
+    // scale (rounds are bounded by the largest component's diameter; the
+    // 20-round cap is ~7 doublings above the expected 2-3); the loop
+    // fails loudly if a pathological graph exceeds the cap rather than
+    // returning a half-propagated labeling. The convergence check
+    // collects ONE scalar per round. DEPLOYMENT CAVEAT: localCheckpoint
+    // is lineage-DESTROYING and executor-loss-unsafe — losing a cached
+    // block mid-iteration fails the job instead of recomputing. A
+    // cluster deployment should swap it for reliable checkpoint() (HDFS/
+    // object store) — same plan, recoverable blocks — or cut rounds
+    // structurally with large-star/small-star contraction
+    // (Kiveris et al., "Connected Components in MapReduce"). Oracle:
+    // DuckDB computes the identical closure with a recursive CTE.
     Q(
       "q_dedup_cluster",
       s"""WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

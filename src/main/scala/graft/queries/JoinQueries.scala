@@ -418,24 +418,33 @@ object JoinQueries extends QueryPack {
         |ORDER BY revenue_x1e6 DESC, c_custkey
         |LIMIT 20""",
     ) { (s, dir) =>
-      Tables.customer(s, dir).createOrReplaceTempView("v_q10_customer")
-      Tables.orders(s, dir).createOrReplaceTempView("v_q10_orders")
-      Tables.lineitem(s, dir).createOrReplaceTempView("v_q10_lineitem")
-      Tables.nation(s, dir).createOrReplaceTempView("v_q10_nation")
-      s.sql("""
+      // UUID-suffixed view names, dropped right after spark.sql resolves
+      // the plan (analysis is eager): concurrent invocations on one
+      // session never race on shared session state, and the entry still
+      // exercises the SQL-text surface (ADVICE r5). Every other query
+      // builds a pure DataFrame plan; this one is the spark.sql(...) rep.
+      val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+      Tables.customer(s, dir).createOrReplaceTempView(s"v_q10_customer_$sfx")
+      Tables.orders(s, dir).createOrReplaceTempView(s"v_q10_orders_$sfx")
+      Tables.lineitem(s, dir).createOrReplaceTempView(s"v_q10_lineitem_$sfx")
+      Tables.nation(s, dir).createOrReplaceTempView(s"v_q10_nation_$sfx")
+      val df = s.sql(s"""
         SELECT c_custkey, c_name,
           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS revenue_x1e6,
           CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS acctbal_x1e2,
           n_name
-        FROM v_q10_customer JOIN v_q10_orders ON c_custkey = o_custkey
-        JOIN v_q10_lineitem ON l_orderkey = o_orderkey
-        JOIN v_q10_nation ON c_nationkey = n_nationkey
+        FROM v_q10_customer_$sfx JOIN v_q10_orders_$sfx ON c_custkey = o_custkey
+        JOIN v_q10_lineitem_$sfx ON l_orderkey = o_orderkey
+        JOIN v_q10_nation_$sfx ON c_nationkey = n_nationkey
         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1996-04-01'
           AND l_returnflag = 'R'
         GROUP BY c_custkey, c_name, c_acctbal, n_name
         ORDER BY revenue_x1e6 DESC, c_custkey
         LIMIT 20""")
+      Seq("customer", "orders", "lineitem", "nation")
+        .foreach(t => s.catalog.dropTempView(s"v_q10_${t}_$sfx"))
+      df
     },
 
     // Weighted PageRank over the nation trade graph — the iterative

@@ -238,6 +238,14 @@ class LlmOpsSpec extends AnyFunSuite {
     dot / math.sqrt(na * nb)
   }
 
+  /** ×1e6 fixed-point rounding matching Spark round()/DuckDB ROUND —
+    * half AWAY FROM ZERO. Scala's math.round is half-toward-+∞, which
+    * disagrees on negative values landing exactly on .5 (ADVICE r5):
+    * replays must round like the engines they replay.
+    */
+  private def rnd6(x: Double): Long =
+    BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
   test("q_sim_topk matches driver-side brute force exactly") {
     val got = q("q_sim_topk").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -246,7 +254,7 @@ class LlmOpsSpec extends AnyFunSuite {
         .map { case (id, v) => (id, cos(vecs(p), v)) }
         .sortBy { case (id, s) => (-s, id) }
         .take(10).zipWithIndex
-        .map { case ((id, s), i) => (p, (i + 1).toLong, id, math.round(s * 1e6)) }
+        .map { case ((id, s), i) => (p, (i + 1).toLong, id, rnd6(s)) }
     }
     assert(got.sorted.sameElements(expected.sorted))
   }
@@ -256,7 +264,7 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (p, id, score) = (r.getLong(0), r.getLong(2), r.getLong(4))
-      assert(math.round(cos(vecs(p), vecs(id)) * 1e6) == score)
+      assert(rnd6(cos(vecs(p), vecs(id))) == score)
     }
     // per-probe ranks are 1..k without gaps
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
@@ -269,7 +277,7 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (p, id, score) = (r.getLong(0), r.getLong(2), r.getLong(4))
-      assert(math.round(cos(vecs(p), vecs(id)) * 1e6) == score)
+      assert(rnd6(cos(vecs(p), vecs(id))) == score)
     }
     // replay the one k-means refinement pass on the driver: assign to the
     // seed codebook (first 16 vectors), recompute centroids as quantized
@@ -303,7 +311,7 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (v, nn, score, flag) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))
-      assert(math.round(cos(vecs(v), vecs(nn)) * 1e6) == score)
+      assert(rnd6(cos(vecs(v), vecs(nn))) == score)
       assert(flag == (cos(vecs(v), vecs(nn)) >= 0.95))
     }
   }
@@ -491,11 +499,11 @@ class LlmOpsSpec extends AnyFunSuite {
     val cents1: Map[Long, Array[Double]] = a0.groupBy(_._2).map { case (c, m) =>
       val members = m.keys.toSeq.map(vecs)
       val dim = members.head.length
-      val sums = Array.tabulate(dim)(i => members.map(v => math.round(v(i) * 1e6)).sum)
+      val sums = Array.tabulate(dim)(i => members.map(v => rnd6(v(i))).sum)
       c -> sums.map(s => s.toDouble / (members.size.toDouble * 1e6))
     }
     val a1 = vecs.map { case (id, v) =>
-      val (c, s) = argmax(v, cents1); id -> (a0(id), c, math.round(s * 1e6))
+      val (c, s) = argmax(v, cents1); id -> (a0(id), c, rnd6(s))
     }
     val expected = a1.values.groupBy(_._2).map { case (c, ms) =>
       (c, ms.size.toLong, ms.count { case (l0, l1, _) => l0 != l1 }.toLong,
