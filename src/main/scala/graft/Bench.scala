@@ -2,6 +2,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
+import graft.table.GraftTable
+
 /** Benchmark harness: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line for the driver. Materialization is a noop-format
   * write — unlike count(), it executes the full plan (projections, window
@@ -43,7 +45,7 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty) // empty/whitespace value = unset, not "run nothing"
     only.foreach { names =>
-      val unknown = names -- SparkEntry.queries.keySet
+      val unknown = names -- SparkEntry.queries.keySet - "x_ingest_stress"
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.mkString(", ")}")
     }
@@ -77,10 +79,65 @@ object Bench {
     // best over passes; a query that failed in one pass but ran in
     // another keeps its successful timing (failure stays -1 only when
     // EVERY pass failed)
-    val results = selected.map(_._1).zipWithIndex.map { case (name, i) =>
+    val perQuery = selected.map(_._1).zipWithIndex.map { case (name, i) =>
       val ts = allPasses.map(_(i)._2).filter(_ >= 0)
       name -> (if (ts.isEmpty) -1.0 else ts.min)
     }
+    // decoupled-ingest CONCURRENCY stress (VERDICT r5 #5, scaling toward
+    // decouple.rs:25-28's 200 writers × 100 files): 32 concurrent writer
+    // threads produce 20 JSON files each; one streaming committer drains
+    // them 64 files per micro-batch through foreachBatch, ONE table
+    // commit per epoch. Timed once (the scenario builds fresh state each
+    // run — there is no warm-cache second pass to take a min over) and
+    // reported like a query, so the round record carries an ingest-
+    // concurrency number. Hard-asserted: commit count stays the batched
+    // epoch count (not one per file) and no row is lost.
+    val stressSec =
+      // full runs always include it; narrowed runs only when named
+      if (only.exists(!_.contains("x_ingest_stress"))) None
+      else try {
+        val writers = 32; val filesPer = 20; val rowsPer = 50
+        val src = Files.createTempDirectory("graft_stress_src")
+        val t0 = System.nanoTime()
+        val threads = (0 until writers).map { w =>
+          new Thread {
+            override def run(): Unit =
+              (0 until filesPer).foreach { f =>
+                val lines = (0 until rowsPer).map(i =>
+                  s"""{"name":"w$w-f$f-r$i","size":"${Seq("small", "medium", "large")(i % 3)}","count":${w * 1000 + f * 50 + i}}""")
+                Files.write(src.resolve(f"part-$w%02d-$f%02d.json"),
+                  lines.mkString("\n").getBytes)
+              }
+          }
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+        val table = GraftTable.createOrReplace(spark,
+          Files.createTempDirectory("graft_stress_tbl").toString)
+        val stream = graft.sources.JsonFileSource(
+          src.toString, "name STRING, size STRING, count INT",
+          maxFilesPerTrigger = 64).load(spark)
+        val q = stream.writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            table.append(b); ()
+          }
+          .start()
+        q.awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val commits = table.snapshots.size
+        val rows = table.read().count()
+        val want = writers.toLong * filesPer * rowsPer
+        require(rows == want, s"ingest stress lost rows: $rows != $want")
+        require(commits <= writers * filesPer / 64 + 1,
+          s"ingest stress over-committed: $commits commits")
+        System.err.println(
+          f"[bench] x_ingest_stress: $rows rows, $commits commits, ${sec}%.3f s (${rows / sec}%.0f rows/s)")
+        Some(sec)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] x_ingest_stress failed: ${e.getMessage}")
+        Some(-1.0)
+      }
+    val results = perQuery ++ stressSec.map("x_ingest_stress" -> _)
     def fmt(v: Double, scale: Int): String =
       BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

@@ -1550,4 +1550,43 @@ class TableLayerSpec extends AnyFunSuite {
     assert(!cat.dropTable("ns2", "junk"))
     assert(Files.exists(debris.resolve("keep.txt")))
   }
+
+  test("commit CAS holds across PROCESSES: a second JVM racing commits never loses one") {
+    // the reference declares an independent-process conflict bin
+    // (Cargo.toml:53-55); this is that workload. In-JVM threads already
+    // race in the CAS test above — here the other side is a separate JVM
+    // (ConflictRacer) on the same table directory, so the only mediator
+    // is the kernel's O_EXCL create, exactly the cross-process guarantee
+    // a multi-writer deployment leans on.
+    val dir = Files.createTempDirectory("spec_xproc")
+    val log = CommitLog(dir.toString)
+    val n = 40
+    // classpath of the compiled classes + scala-library (from the spark
+    // jars dir) — resolved from THIS class's code source, so the test
+    // never hardcodes a build layout
+    val classesDir = classOf[graft.table.CommitLog]
+      .getProtectionDomain.getCodeSource.getLocation.toURI
+    val sparkJars = java.nio.file.Paths.get(
+      classOf[org.apache.spark.sql.SparkSession]
+        .getProtectionDomain.getCodeSource.getLocation.toURI).getParent
+    val cp = s"${java.nio.file.Paths.get(classesDir)}:$sparkJars/*"
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val proc = new ProcessBuilder(
+      javaBin, "-cp", cp, "graft.table.ConflictRacer",
+      dir.toString, n.toString, "ext")
+      .redirectErrorStream(true).start()
+    // race from THIS process concurrently
+    (0 until n).foreach(i => log.commit("add", dataFiles = Seq(s"loc-$i")))
+    val out = new String(proc.getInputStream.readAllBytes())
+    assert(proc.waitFor() == 0, s"racer JVM failed:\n$out")
+    val entries = log.entries()
+    // every commit from both processes landed exactly once, seqs dense
+    assert(entries.length == 2 * n, s"lost commits: ${entries.length}")
+    assert(entries.map(_.seq) == (0L until 2L * n), "seqs must be dense and unique")
+    val files = entries.flatMap(_.dataFiles).map(_.split('/').last)
+    assert(files.toSet.size == 2 * n, "duplicate or lost data files")
+    assert(files.count(_.startsWith("ext-")) == n)
+    assert(files.count(_.startsWith("loc-")) == n)
+  }
 }
