@@ -178,31 +178,56 @@ object DedupQueries extends QueryPack {
     * OUTPUT-sized pair set — both O(docs), dwarfed by the shingle
     * explosion upstream at any scale.
     */
-  private[graft] def pairCounts(sh: DataFrame, cap: Long = MaxBucketDf): DataFrame = {
+  private[graft] def pairCounts(sh: DataFrame, cap: Long = MaxBucketDf): DataFrame =
+    pairCountsWithRescue(sh, cap)._1
+
+  /** The shingle-bucket pair plan PLUS the fully-hot rescue, both carved
+    * from ONE exploded relation so the expensive scan→shingle subtree is
+    * never duplicated (see [[fullyHotKeeperPairs]]'s cost note).
+    */
+  private def pairCountsWithRescue(sh: DataFrame, cap: Long): (DataFrame, DataFrame) = {
     // explode_outer, not explode: plain explode makes the optimizer push a
     // `size(arr)>0 AND isnotnull(arr)` guard all the way down to the scan,
     // where it re-evaluates the whole shingle construction per row in the
     // single scan task (seen in the physical plan as a Filter under the
     // spread Exchange). Shingle arrays are never empty (≥10 words/doc), so
     // the outer variant is semantically identical and skips the guard.
-    val ex = dropHotBuckets(
-      sh.select(col("doc_id"),
+    //
+    // dropHotBuckets is inlined here because the rescue needs the SAME
+    // ex0/hot relations: every term below rides ex0's one sg-keyed
+    // exchange and the one broadcast of the (tiny) hot key set.
+    val ex0 = sh.select(col("doc_id"),
         explode_outer(col("shingles")).as("sg"))
-        // explode_outer emits one NULL row for an empty shingle set (a <3-token
-        // doc); SQL's equi-join never matches NULL, so drop it to stay aligned
-        // with the oracle. Sits above the Generate — no pushdown re-evaluation.
-        .filter(col("sg").isNotNull),
-      "sg", cap)
+      // explode_outer emits one NULL row for an empty shingle set (a <3-token
+      // doc); SQL's equi-join never matches NULL, so drop it to stay aligned
+      // with the oracle. Sits above the Generate — no pushdown re-evaluation.
+      .filter(col("sg").isNotNull)
+      .repartition(col("sg"))
+    val hot = ex0.groupBy(col("sg")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > cap).select(col("sg"))
+    val ex = ex0.join(broadcast(hot), Seq("sg"), "left_anti")
     // retained-universe set size; shares ex's sg-partitioned exchange with
     // the bucket collect (ReuseExchange), then collapses map-side.
     val ns = ex.groupBy("doc_id").agg(count(lit(1)).as("ns"))
     val buckets = ex.groupBy("sg")
       .agg(collect_list(struct(col("doc_id"))).as("members"))
-    expandPairs(buckets)
+    val counts = expandPairs(buckets)
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("inter"))
       .join(ns.select(col("doc_id").as("da"), col("ns").as("na")), "da")
       .join(ns.select(col("doc_id").as("db"), col("ns").as("nb")), "db")
+    // fully-hot rescue: a doc with zero retained keys (absent from ns)
+    // is fully hot, and its HOT rows in ex0 are exactly its whole
+    // shingle set — so the set-identity key comes from the semi-join,
+    // with no second pass over the corpus. Normally zero rows move.
+    val keyed = ex0.join(broadcast(hot), Seq("sg"), "left_semi")
+      .groupBy(col("doc_id")).agg(sort_array(collect_set(col("sg"))).as("sk"))
+      .join(ns, Seq("doc_id"), "left_anti")
+    val keepers = keyed.groupBy(col("sk")).agg(min(col("doc_id")).as("da"))
+    val rescue = keyed.join(keepers, "sk")
+      .filter(col("doc_id") > col("da"))
+      .select(col("da"), col("doc_id").as("db"), lit(10000L).as("jacc_x1e4"))
+    (counts, rescue)
   }
 
   /** FULLY-HOT doc rescue (VERDICT r5 #6 — the explicit routing of the
@@ -217,36 +242,27 @@ object DedupQueries extends QueryPack {
     * group emits O(group), never O(group²). Docs that are fully hot but
     * set-DISTINCT stay dropped — with every informative key capped there
     * is no signal left to score them, and that residual loss remains
-    * documented at [[MaxBucketDf]]. Cost: the hot-key count reuses the
-    * same sg-keyed exchange shape as the main pass (ReuseExchange-
-    * eligible: identical subtree), then an output-sized group-min
-    * self-join — O(docs), dwarfed by the shingle explosion upstream.
+    * documented at [[MaxBucketDf]]. Cost: ZERO extra passes over the
+    * corpus — the rescue is carved from the main pass's own relations in
+    * [[pairCountsWithRescue]] (its hot rows semi-joined from the one
+    * exploded relation, fully-hot membership by anti-join against ns).
+    * Two earlier formulations re-ran the scan→shingle subtree per union
+    * branch because pushed-down projections made the copies canonically
+    * distinct and killed exchange reuse (measured 2.3 s → 8+ s at
+    * sf0.1); deriving from the shared exchange is the fix.
     */
-  private[graft] def fullyHotKeeperPairs(sh: DataFrame, cap: Long): DataFrame = {
-    val parted = sh
-      .select(col("doc_id"), explode_outer(col("shingles")).as("sg"))
-      .filter(col("sg").isNotNull)
-      .repartition(col("sg"))
-    val hot = parted.groupBy(col("sg")).agg(count(lit(1)).as("_df"))
-      .filter(col("_df") > cap).select(col("sg"))
-    val retained = parted.join(broadcast(hot), Seq("sg"), "left_anti")
-      .select("doc_id").distinct()
-    val keyed = sh.filter(size(col("shingles")) > 0)
-      .join(retained, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), array_sort(array_distinct(col("shingles"))).as("sk"))
-    val keepers = keyed.groupBy(col("sk")).agg(min(col("doc_id")).as("da"))
-    keyed.join(keepers, "sk")
-      .filter(col("doc_id") > col("da"))
-      .select(col("da"), col("doc_id").as("db"), lit(10000L).as("jacc_x1e4"))
-  }
+  private[graft] def fullyHotKeeperPairs(sh: DataFrame, cap: Long): DataFrame =
+    pairCountsWithRescue(sh, cap)._2
 
-  private[graft] def jaccardPairs(sh: DataFrame, cap: Long = MaxBucketDf): DataFrame =
-    pairCounts(sh, cap)
+  private[graft] def jaccardPairs(sh: DataFrame, cap: Long = MaxBucketDf): DataFrame = {
+    val (counts, rescue) = pairCountsWithRescue(sh, cap)
+    counts
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * 2 >= col("uni"))
       .select(col("da"), col("db"),
         expr("CAST((inter * 10000L) div uni AS BIGINT)").as("jacc_x1e4"))
-      .unionByName(fullyHotKeeperPairs(sh, cap))
+      .unionByName(rescue)
+  }
 
   /** Containment-scored pairs from the same shingle-bucket counts:
     * inter / min(na, nb) ≥ 0.8. The inclusion-detection class Jaccard
