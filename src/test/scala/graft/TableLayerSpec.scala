@@ -1522,6 +1522,18 @@ class TableLayerSpec extends AnyFunSuite {
     val t = GraftTable.open(spark, dst.toString)
     assert(t.read().count() == 7, "legacy absolute entries must rebase")
     assert(t.read(asOf = 0).count() == 6)
+    // checkpoint() is the PERMANENT migration: it re-renders the rebased
+    // entries relative, so the folded log carries no stale absolute path
+    t.commitLog.checkpoint()
+    val ck = Files.list(dst.resolve("_log").resolve("_ckpt"))
+    try ck.forEach { p =>
+      if (p.getFileName.toString.endsWith(".json"))
+        assert(!Files.readString(p).contains(src.toString) &&
+               !Files.readString(p).contains(dst.toString),
+          "checkpoint must re-relativize migrated entries")
+    } finally ck.close()
+    assert(t.read().count() == 7)
+    assert(t.read(asOf = 0).count() == 6)
   }
 
   test("catalog rename keeps history; validation stops traversal names") {
