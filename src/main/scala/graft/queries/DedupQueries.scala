@@ -596,5 +596,81 @@ object DedupQueries extends QueryPack {
           .select(col("da"), col("db"), col("hamming")),
         "da", "db")
     },
+
+    // repeated-SUBSTRING marking (the ExactSubstr pass of "Deduplicating
+    // Training Data Makes Language Models Better", Lee et al. 2022): any
+    // 8-token window that occurs more than once ANYWHERE in the corpus
+    // marks its span, and a document whose marked spans cover at least
+    // half its tokens is flagged for dropping. This is a different axis
+    // from the pair-based near-dups above — no candidate pairs exist at
+    // all; duplication is detected per WINDOW, so boilerplate shared
+    // across thousands of otherwise-distinct documents (license headers,
+    // navigation chrome) is caught even though no document PAIR clears a
+    // Jaccard threshold. Plan: one exchange on the 60-bit window hash
+    // (explicit repartition reused by the count window — occurrences stay
+    // ROWS, so a corpus-wide boilerplate gram sorts/spills inside its
+    // partition instead of materializing one giant collect_list array),
+    // then a doc-keyed rollup and one doc-level join. At 100 TB every
+    // stage is a keyed shuffle; the only skew risk is a pathological
+    // ultra-hot gram, which the sort-based window absorbs by spilling
+    // (and AQE splits on the doc-side join). Window-hash collisions are
+    // harmless for correctness here because the oracle replays the
+    // identical md5-derived hash — both engines see the same buckets.
+    Q(
+      "q_dedup_substring",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g0 AS (SELECT doc_id, w, unnest(range(0, len(w) - 7)) AS i FROM t),
+         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |        ${h60Sql("array_to_string(list_slice(w, i + 1, i + 8), ' ')")} AS gh
+         |      FROM g0),
+         |rep AS (SELECT doc_id, pos
+         |        FROM (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gh) AS df FROM g)
+         |        WHERE df >= 2),
+         |per AS (SELECT doc_id AS pdoc, COUNT(DISTINCT pos) AS dup_windows,
+         |          COUNT(DISTINCT pos + off) AS covered_tokens
+         |        FROM rep, range(0, 8) o(off) GROUP BY doc_id)
+         |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(greatest(len(w) - 7, 0) AS BIGINT) AS n_windows,
+         |  CAST(COALESCE(dup_windows, 0) AS BIGINT) AS dup_windows,
+         |  CAST(COALESCE(covered_tokens, 0) AS BIGINT) AS covered_tokens,
+         |  CAST(COALESCE(covered_tokens, 0) * 2 >= len(w) AS BIGINT) AS drop_doc
+         |FROM t LEFT JOIN per ON t.doc_id = per.pdoc
+         |ORDER BY doc_id""",
+    ) { (s, dir) =>
+      val k = 8
+      val docs = Tables.spread(Tables.documents(s, dir))
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      // guard BEFORE sequence(): Spark's sequence(0, n) with n < 0 counts
+      // DOWN (DuckDB's range() is empty there), so short docs must never
+      // reach the window generator
+      val grams = docs.filter(size(col("w")) >= k)
+        .select(col("doc_id"),
+          posexplode(expr(
+            s"""transform(sequence(0, size(w) - $k),
+               |  i -> ${h60(s"concat_ws(' ', slice(w, i + 1, $k))")})""".stripMargin))
+            .as(Seq("pos", "gh")))
+      // shared exchange: the explicit gh repartition is exactly the
+      // distribution the count window needs, so Spark adds only a local
+      // sort — one shuffle total for corpus-wide window frequencies
+      val marked = grams
+        .repartition(col("gh"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("gh")))
+        .filter(col("df") >= 2)
+      val per = marked
+        .select(col("doc_id"), col("pos"),
+          explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("tok"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("pos")).as("dw"),
+          countDistinct(col("tok")).as("ct"))
+      docs
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+          greatest(size(col("w")) - lit(k - 1), lit(0)).cast("long").as("n_windows"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+          coalesce(col("dw"), lit(0L)).cast("long").as("dup_windows"),
+          coalesce(col("ct"), lit(0L)).cast("long").as("covered_tokens"),
+          (coalesce(col("ct"), lit(0L)) * 2 >= col("n_tokens")).cast("long").as("drop_doc"))
+        .orderBy("doc_id")
+    },
   )
 }

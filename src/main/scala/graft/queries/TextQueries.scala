@@ -639,5 +639,94 @@ object TextQueries extends QueryPack {
           max(col("doc_id")).as("last_doc"))
         .orderBy("word")
     },
+
+    // multilingual TEMPERATURE RE-BALANCING (the standard pretraining
+    // language-mixing step, α = 0.5 a.k.a. T = 2: sample quota ∝ √count,
+    // so head languages are down-weighted and tail languages kept whole-
+    // ish). Quotas use exact integer math — isqrt is floor(sqrt(double))
+    // plus a one-step integer correction, so both engines agree even if
+    // their libm rounding differs — and the per-language sample is the
+    // quota-many docs with the smallest md5(doc_id) rank: a deterministic
+    // pseudo-random draw both engines replay bit-identically. Scale: the
+    // language histogram is a tiny two-phase aggregate, quotas broadcast;
+    // the rank is a per-language window — at 100 TB a head language is a
+    // skewed sort partition, where the production form replaces exact
+    // rank with a two-pass hash-threshold refinement (sample the hash
+    // quantile, filter, correct the boundary); the registered form keeps
+    // exact rank for oracle determinism.
+    Q(
+      "q_mix_temperature",
+      """WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+        |sq AS (SELECT lang, cnt, CAST(floor(sqrt(CAST(cnt AS DOUBLE))) AS BIGINT) AS s0 FROM c),
+        |w AS (SELECT lang, cnt,
+        |        CASE WHEN (s0 + 1) * (s0 + 1) <= cnt THEN s0 + 1
+        |             WHEN s0 * s0 > cnt THEN s0 - 1 ELSE s0 END AS wt FROM sq),
+        |t AS (SELECT SUM(wt) AS wsum, SUM(cnt) AS n FROM w),
+        |q AS (SELECT lang, ((n // 2) * wt) // wsum AS quota FROM w, t),
+        |r AS (SELECT d.lang, d.doc_id, quota,
+        |        ROW_NUMBER() OVER (PARTITION BY d.lang
+        |          ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+        |      FROM documents d JOIN q ON d.lang = q.lang)
+        |SELECT lang, doc_id FROM r WHERE rn <= quota ORDER BY lang, doc_id""",
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      val wts = counts
+        .withColumn("s0", floor(sqrt(col("cnt").cast("double"))).cast("long"))
+        .withColumn("wt",
+          when((col("s0") + 1) * (col("s0") + 1) <= col("cnt"), col("s0") + 1)
+            .when(col("s0") * col("s0") > col("cnt"), col("s0") - 1)
+            .otherwise(col("s0")))
+      // one-row global totals: legitimate keyless aggregate, broadcast
+      val tot = wts.agg(sum("wt").as("wsum"), sum("cnt").as("n"))
+      val quotas = wts.crossJoin(broadcast(tot))
+        .select(col("lang"), expr("((n div 2) * wt) div wsum").as("quota"))
+      docs.join(broadcast(quotas), Seq("lang"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang")
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .filter(col("rn") <= col("quota"))
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")
+    },
+
+    // linear QUALITY CLASSIFIER (fasttext-style scoring distilled to
+    // fixed integer weights over the q_text_quality features): score =
+    // 3·uniq_ratio + 2·stop_ratio − |avg_wlen − 4.5| (all x1e4), keep at
+    // score ≥ 1.5 — reported as per-source keep-rate telemetry, the
+    // decision record a curation pipeline ships alongside the filtered
+    // corpus. All-integer arithmetic (floor div), so the classifier and
+    // its oracle agree exactly. Scale: row-local feature extraction in
+    // one codegen'd projection, then a two-phase aggregate keyed by
+    // source — one shuffle of pre-combined per-source rows.
+    Q(
+      "q_quality_linear",
+      s"""WITH f AS (SELECT doc_id, source,
+         |  CAST(3 * ((len(list_distinct($W)) * 10000) // len($W))
+         |     + 2 * ((len(list_filter($W, x -> x IN ('the','a','row','data','value'))) * 10000) // len($W))
+         |     - abs((CAST(list_sum(list_transform($W, x -> length(x))) AS BIGINT) * 10000) // len($W) - 45000) AS BIGINT) AS score_x1e4
+         | FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN score_x1e4 >= 15000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST((SUM(CASE WHEN score_x1e4 >= 15000 THEN 1 ELSE 0 END) * 10000) // COUNT(*) AS BIGINT) AS keep_rate_x1e4,
+         |  CAST(SUM(score_x1e4) AS BIGINT) AS sum_score_x1e4
+         |FROM f GROUP BY source ORDER BY source""",
+    ) { (s, dir) =>
+      Tables.spread(Tables.documents(s, dir))
+        .withColumn("w", split(col("text"), " "))
+        .select(col("source"),
+          expr("""CAST(3 * ((size(array_distinct(w)) * 10000L) div size(w))
+                 |   + 2 * ((size(filter(w, x -> x IN ('the','a','row','data','value'))) * 10000L) div size(w))
+                 |   - abs((aggregate(transform(w, x -> length(x)), 0L, (a, b) -> a + b) * 10000L) div size(w) - 45000L) AS BIGINT)""".stripMargin)
+            .as("score_x1e4"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score_x1e4") >= 15000L, 1L).otherwise(0L)).as("n_kept"),
+          sum("score_x1e4").cast("long").as("sum_score_x1e4"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          expr("CAST((n_kept * 10000L) div n_docs AS BIGINT)").as("keep_rate_x1e4"),
+          col("sum_score_x1e4"))
+        .orderBy("source")
+    },
   )
 }

@@ -811,7 +811,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
   // training-data pipeline has. ----
 
   private def branchRoot(name: String): Path = {
-    require(name.nonEmpty && !name.contains('/') && !name.contains(' '),
+    require(name.nonEmpty && !name.contains('/') && !name.contains('\u0000'),
       s"invalid branch name: $name")
     root.resolve("_branches").resolve(name)
   }

@@ -513,4 +513,83 @@ class LlmOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == expected)
   }
+
+  // --- r6: substring marking, temperature mixing, linear classifier ---
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q_dedup_substring equals a driver replay of 8-token window marking") {
+    val words = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    val wins = words.toSeq.flatMap { case (id, w) =>
+      (0 to w.length - 8).map(i => (id, i, w.slice(i, i + 8).mkString(" ")))
+    }
+    val dfc = wins.groupBy(_._3).view.mapValues(_.size).toMap
+    val rep = wins.filter(t => dfc(t._3) >= 2)
+    val perDoc = rep.groupBy(_._1).map { case (id, rs) =>
+      id -> ((rs.map(_._2).distinct.size.toLong,
+        rs.flatMap(t => t._2 until t._2 + 8).distinct.size.toLong))
+    }
+    val expected = words.map { case (id, w) =>
+      val (dw, ct) = perDoc.getOrElse(id, (0L, 0L))
+      (id, w.length.toLong, math.max(w.length - 7, 0).toLong, dw, ct,
+        if (ct * 2 >= w.length) 1L else 0L)
+    }.toSeq.sortBy(_._1)
+    val got = q("q_dedup_substring").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSeq
+    assert(got == expected)
+    // the corpus's identical-twin docs must be fully covered and dropped
+    assert(got.exists(_._6 == 1L), "expected at least one dropped doc")
+  }
+
+  test("q_mix_temperature equals a driver replay of isqrt quotas + md5 draw") {
+    val docs = Tables.documents(spark, sf).select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val counts = docs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def isqrt(n: Long): Long = {
+      val s0 = math.floor(math.sqrt(n.toDouble)).toLong
+      if ((s0 + 1) * (s0 + 1) <= n) s0 + 1 else if (s0 * s0 > n) s0 - 1 else s0
+    }
+    val wt = counts.view.mapValues(isqrt).toMap
+    val (wsum, n) = (wt.values.sum, counts.values.sum)
+    val quota = wt.view.mapValues(w => ((n / 2) * w) / wsum).toMap
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (lang, ds) =>
+      ds.map(_._2).sortBy(id => (md5hex(id.toString), id))
+        .take(quota(lang).toInt).map(lang -> _)
+    }.sorted
+    val got = q("q_mix_temperature").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    // temperature must shrink the head language's share vs raw proportion
+    val head = counts.maxBy(_._2)._1
+    val gotShare = got.count(_._1 == head).toDouble / got.size
+    val rawShare = counts(head).toDouble / n
+    assert(gotShare < rawShare,
+      s"head lang $head share $gotShare not tempered below raw $rawShare")
+  }
+
+  test("q_quality_linear equals a driver replay of the integer scorer") {
+    val stop = Set("the", "a", "row", "data", "value")
+    val rows = Tables.documents(spark, sf).select("source", "text").collect()
+      .map { r =>
+        val w = r.getString(1).split(" ")
+        val uniq = w.distinct.length.toLong * 10000 / w.length
+        val sr = w.count(stop).toLong * 10000 / w.length
+        val wl = w.map(_.length.toLong).sum * 10000 / w.length
+        r.getString(0) -> (3 * uniq + 2 * sr - math.abs(wl - 45000))
+      }
+    val expected = rows.groupBy(_._1).map { case (src, ss) =>
+      val scores = ss.map(_._2)
+      val kept = scores.count(_ >= 15000).toLong
+      (src, scores.size.toLong, kept, kept * 10000 / scores.size,
+        scores.sum)
+    }.toSeq.sortBy(_._1)
+    val got = q("q_quality_linear").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+  }
 }
