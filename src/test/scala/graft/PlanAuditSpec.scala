@@ -294,4 +294,51 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1,
       "profiling must read the table once, not once per column")
   }
+
+  private def physicalRoot(name: String): org.apache.spark.sql.execution.SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+
+  test("q_dedup_substring counts window frequencies on ONE gh exchange") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val root = physicalRoot("q_dedup_substring")
+    // the explicit repartition(gh) must be the ONLY gh-keyed exchange:
+    // the df count window reuses it (a second one would double the cost
+    // of the corpus-wide frequency pass — the plan's dominant shuffle)
+    val ghExchanges = root.collect {
+      case e: ShuffleExchangeExec => e.outputPartitioning match {
+        case h: HashPartitioning
+          if h.expressions.exists(_.references.exists(_.name == "gh")) => Some(e)
+        case _ => None
+      }
+    }.flatten
+    assert(ghExchanges.size == 1,
+      s"expected exactly the explicit gh repartition, found ${ghExchanges.size}")
+    val windows = root.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "df window must partition by gh, never globally")
+  }
+
+  test("q_mix_temperature broadcasts quotas and ranks inside language partitions") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val root = physicalRoot("q_mix_temperature")
+    // the doc scan must never shuffle for the quota join — quotas are
+    // language-cardinality and ride in as a broadcast
+    val shuffled = root.collect {
+      case j: SortMergeJoinExec => j: Any
+      case j: ShuffledHashJoinExec => j: Any
+    }
+    assert(shuffled.isEmpty, "quota join must broadcast, not shuffle the corpus")
+    assert(root.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "expected the broadcast quota join")
+    val windows = root.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "rank window must partition by lang, never globally")
+  }
 }
