@@ -237,17 +237,15 @@ object AggQueries extends QueryPack {
     Q(
       "q_sketch_cms",
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-        |h AS (SELECT word,
-        |        CAST('0x' || substring(md5(word), 1, 15) AS BIGINT) AS h1,
-        |        CAST('0x' || substring(md5(word), 16, 15) AS BIGINT) AS h2 FROM w),
-        |cells AS (SELECT j, (h1 + j * h2) % 64 AS b, CAST(COUNT(*) AS BIGINT) AS c
-        |          FROM h, (SELECT unnest(range(4)) AS j) GROUP BY j, b),
         |exact AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS exact_n FROM w GROUP BY word),
-        |probes AS (SELECT word, exact_n FROM exact ORDER BY exact_n DESC, word LIMIT 10),
-        |ph AS (SELECT p.word, p.exact_n, j,
-        |        (CAST('0x' || substring(md5(p.word), 1, 15) AS BIGINT)
-        |         + j * CAST('0x' || substring(md5(p.word), 16, 15) AS BIGINT)) % 64 AS b
-        |       FROM probes p, (SELECT unnest(range(4)) AS j)),
+        |h AS (SELECT word, exact_n,
+        |        CAST('0x' || substring(md5(word), 1, 15) AS BIGINT) AS h1,
+        |        CAST('0x' || substring(md5(word), 16, 15) AS BIGINT) AS h2 FROM exact),
+        |cells AS (SELECT j, (h1 + j * h2) % 64 AS b, CAST(SUM(exact_n) AS BIGINT) AS c
+        |          FROM h, (SELECT unnest(range(4)) AS j) GROUP BY j, b),
+        |ph AS (SELECT word, exact_n, j, (h1 + j * h2) % 64 AS b
+        |       FROM (SELECT * FROM h ORDER BY exact_n DESC, word LIMIT 10) p,
+        |            (SELECT unnest(range(4)) AS j)),
         |e AS (SELECT ph.word, ph.exact_n, MIN(c.c) AS est_n
         |      FROM ph JOIN cells c ON ph.j = c.j AND ph.b = c.b
         |      GROUP BY ph.word, ph.exact_n)
@@ -256,22 +254,25 @@ object AggQueries extends QueryPack {
     ) { (s, dir) =>
       val h1 = "CAST(CONV(substring(md5(word), 1, 15), 16, 10) AS BIGINT)"
       val h2 = "CAST(CONV(substring(md5(word), 16, 15), 16, 10) AS BIGINT)"
+      // CMS cells are additive in per-word counts, so hash DISTINCT words
+      // (one corpus shuffle, md5 once per word not per occurrence) and
+      // weight each cell by exact_n; the probe and cell branches consume
+      // the SAME word-keyed aggregate, so the exchange is built once and
+      // reused (pinned in PlanAuditSpec).
       val words = Tables.documents(s, dir)
         .select(explode(split(col("text"), " ")).as("word"))
-      val cells = words
-        .select(explode(expr(
-          s"""transform(sequence(0, 3), j ->
-             |  named_struct('j', CAST(j AS BIGINT), 'b', pmod($h1 + j * $h2, 64L)))""".stripMargin))
-          .as("jb"))
+      val withHash = words.groupBy("word").agg(count(lit(1)).as("exact_n"))
+        .withColumn("h1", expr(h1)).withColumn("h2", expr(h2))
+      val jb = expr(
+        """transform(sequence(0, 3), j ->
+          |  named_struct('j', CAST(j AS BIGINT), 'b', pmod(h1 + j * h2, 64L)))""".stripMargin)
+      val cells = withHash
+        .select(col("exact_n"), explode(jb).as("jb"))
         .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
-        .agg(count(lit(1)).as("c"))
-      val probes = words.groupBy("word").agg(count(lit(1)).as("exact_n"))
+        .agg(sum(col("exact_n")).as("c"))
+      val probes = withHash
         .orderBy(col("exact_n").desc, col("word")).limit(10)
-        .select(col("word"), col("exact_n"),
-          explode(expr(
-            s"""transform(sequence(0, 3), j ->
-               |  named_struct('j', CAST(j AS BIGINT), 'b', pmod($h1 + j * $h2, 64L)))""".stripMargin))
-            .as("jb"))
+        .select(col("word"), col("exact_n"), explode(jb).as("jb"))
         .select(col("word"), col("exact_n"), col("jb.j").as("j"), col("jb.b").as("b"))
       probes.join(broadcast(cells), Seq("j", "b"))
         .groupBy("word", "exact_n")

@@ -527,6 +527,86 @@ object JoinQueries extends QueryPack {
         .orderBy("n_name")
     },
 
+    // Triangle counting over the part co-purchase graph — the third
+    // graph-analytics shape next to fixed-point iteration (pagerank) and
+    // connected components (q_dedup_cluster): a LOCAL-structure motif
+    // count. Nodes = parts, edges = distinct part pairs sharing an order
+    // (a quarter of orders, keyed by l_orderkey % 4, keeps the bench
+    // graph modest without changing the plan shape). The algorithm is
+    // the degree-oriented node-iterator (MapReduce triangle counting,
+    // Suri & Vassilvitskii 2011): each undirected edge is directed from
+    // its (degree, id)-smaller endpoint, so every triangle materializes
+    // as exactly ONE wedge at its smallest vertex and wedge fan-out is
+    // bounded by out-degree ≤ O(sqrt(m)) — the hub that would explode a
+    // naive wedge join only ever RECEIVES edges. Cost: wedge join +
+    // closing join, both keyed shuffles with partial aggs; degrees are
+    // node-scale and broadcast. Per-node output = triangle membership
+    // count + degree (local clustering numerator/denominator), top 15.
+    Q(
+      "q_graph_triangles",
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem WHERE l_orderkey % 4 = 0),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |          SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY node),
+        |ed AS (SELECT e.u, e.v, du.deg AS du, dv.deg AS dv
+        |       FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+        |o AS (SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
+        |             CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst,
+        |             CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS dd
+        |      FROM ed),
+        |w AS (SELECT x.dst AS b, y.dst AS c, x.src AS a FROM o x JOIN o y
+        |        ON x.src = y.src AND (x.dd < y.dd OR (x.dd = y.dd AND x.dst < y.dst))),
+        |t AS (SELECT a, b, c FROM w JOIN o ON w.b = o.src AND w.c = o.dst),
+        |n AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+        |        SELECT a AS node FROM t UNION ALL SELECT b FROM t
+        |        UNION ALL SELECT c FROM t)
+        |      GROUP BY node)
+        |SELECT n.node, n.tri, deg.deg
+        |FROM n JOIN deg ON n.node = deg.node
+        |ORDER BY n.tri DESC, n.node LIMIT 15""",
+    ) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 4 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .distinct()
+        .localCheckpoint(true) // edge list feeds degrees, orientation, AND closure
+      val deg = e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true) // node-scale (≪ edges): broadcast twice below
+      val ed = e
+        .join(broadcast(deg.select(col("node").as("u"), col("deg").as("du"))), "u")
+        .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dv"))), "v")
+      val uFirst = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val o = ed.select(
+        when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+        when(uFirst, col("dv")).otherwise(col("du")).as("dd"))
+        .localCheckpoint(true) // reused by the wedge self-join and the closure probe
+      val wedges = o.as("x").join(o.as("y"),
+          col("x.src") === col("y.src") &&
+            (col("x.dd") < col("y.dd") ||
+              (col("x.dd") === col("y.dd") && col("x.dst") < col("y.dst"))))
+        .select(col("x.src").as("a"), col("x.dst").as("b"), col("y.dst").as("c"))
+      val tris = wedges.join(
+        o.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+      val n = tris.select(col("a").as("node"))
+        .union(tris.select(col("b").as("node")))
+        .union(tris.select(col("c").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("tri"))
+      n.join(broadcast(deg), "node")
+        .select(col("node"), col("tri"), col("deg"))
+        .orderBy(col("tri").desc, col("node")).limit(15)
+    },
+
     // Dynamic partition pruning: the fact table is laid out partitioned by
     // the join key; joining it to a FILTERED dim makes Catalyst inject the
     // dim's key set into the fact scan's PartitionFilters at runtime

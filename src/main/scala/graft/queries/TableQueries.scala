@@ -239,6 +239,42 @@ object TableQueries extends QueryPack {
         .orderBy("name")
     },
 
+    // zero-copy shallow clone (Delta CLONE): the clone replays the
+    // source's commit-log metadata into a fresh root, adopting every
+    // source data file by absolute path — zero_copy pins that NO parquet
+    // file existed under the clone root before the clone's own append.
+    // The clone then diverges independently (its +200 epoch) while the
+    // source stays at 10 rows; time travel on the clone still reaches
+    // the pre-clone snapshot. O(metadata) regardless of table size.
+    Q(
+      "t_shallow_clone",
+      """SELECT name, CAST(n AS BIGINT) AS n, CAST(sum_count AS BIGINT) AS sum_count,
+        |  CAST(10 AS BIGINT) AS src_rows, CAST(10 AS BIGINT) AS clone_base_rows,
+        |  true AS zero_copy
+        |FROM (VALUES ('A',3,306),('B',3,345),('C',3,330),('D',3,360),('E',3,360))
+        |  AS t(name, n, sum_count)
+        |ORDER BY name""",
+    ) { (s, _) =>
+      val t = tmpTable(s, "clone_src")
+      t.append(items(s))                                          // seq 0
+      t.append(items(s).withColumn("count", col("count") + 100))  // seq 1
+      val cDir = Files.createTempDirectory("graft_clone_dst")
+      val c = t.cloneTo(cDir.toString)
+      // metadata-sized walk of the EMPTY clone root — pins zero-copy
+      val localBefore = {
+        val w = Files.walk(cDir)
+        try w.iterator().asScala.count(_.toString.endsWith(".parquet"))
+        finally w.close()
+      }
+      c.append(items(s).withColumn("count", col("count") + 200))  // clone seq 2
+      c.read().groupBy("name")
+        .agg(count(lit(1)).as("n"), sum("count").as("sum_count"))
+        .withColumn("src_rows", lit(t.read().count()))
+        .withColumn("clone_base_rows", lit(c.read(asOf = 1).count()))
+        .withColumn("zero_copy", lit(localBefore == 0))
+        .orderBy("name")
+    },
+
     // incremental append scan (CDC consumption): rows added AFTER seq 0,
     // with the in-range delete applied — the primitive a downstream
     // pipeline uses to process only what's new since its last checkpoint.

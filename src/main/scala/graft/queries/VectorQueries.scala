@@ -578,6 +578,63 @@ object VectorQueries extends QueryPack {
         .orderBy("probe_id", "rank")
     },
 
+    // Top principal component by ONE distributed power-iteration step —
+    // the dimensionality-reduction primitive (PCA whitening, embedding
+    // drift monitoring) done in EXACT integer arithmetic so both engines
+    // agree bit-for-bit: components quantize to 1e-3 integers, per-pos
+    // means are one rounded division of exact sums, and w = Xᶜᵀ(Xᶜ·1)
+    // (centered X, all-ones start vector) is integer sums of integer
+    // products throughout. Loadings are reported normalized to the
+    // largest |w| via truncating integer division (sign split keeps
+    // Spark's `div` and DuckDB's `//` identical on the negatives).
+    // Scale shape: quantize+center is row-local after a 64-row mean
+    // broadcast, the projection Xᶜ·1 is one keyed window (vec_id), and
+    // the output agg is a 64-key partial-agg shuffle — two passes over
+    // the data, the classic price of exact centering. Overflow headroom:
+    // |xc| ≤ 2e3 · |dot| ≤ 1.3e5 → per-row product ≤ 2.6e8, int64 safe
+    // to ~3e10 rows; past that the accumulators become DECIMAL(38,0).
+    Q(
+      "q_embed_pca_power",
+      """WITH q AS (SELECT vec_id, CAST(generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS BIGINT) AS pos,
+        |        CAST(ROUND(unnest(CAST(embedding AS DOUBLE[])) * 1000) AS BIGINT) AS qc
+        |      FROM embeddings),
+        |m AS (SELECT pos, CAST(ROUND(CAST(SUM(qc) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_q
+        |      FROM q GROUP BY pos),
+        |x AS (SELECT q.vec_id, q.pos, q.qc - m.mean_q AS xc
+        |      FROM q JOIN m ON q.pos = m.pos),
+        |d AS (SELECT vec_id, CAST(SUM(xc) AS BIGINT) AS dot FROM x GROUP BY vec_id),
+        |w AS (SELECT x.pos, CAST(SUM(d.dot * x.xc) AS BIGINT) AS proj
+        |      FROM x JOIN d ON x.vec_id = d.vec_id GROUP BY x.pos),
+        |mx AS (SELECT GREATEST(MAX(ABS(proj)), 1) AS mx FROM w)
+        |SELECT pos, proj,
+        |  CAST(CASE WHEN proj < 0 THEN -((-proj * 1000000) // mx)
+        |            ELSE (proj * 1000000) // mx END AS BIGINT) AS loading_x1e6
+        |FROM w, mx ORDER BY pos""",
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val q = emb(s, dir).select(col("vec_id"),
+          posexplode(expr(
+            "transform(embedding, e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000) AS BIGINT))"))
+            .as(Seq("p0", "qc")))
+        // DuckDB's generate_subscripts is 1-based; align the output key
+        .withColumn("pos", (col("p0") + 1).cast("long")).drop("p0")
+      val m = q.groupBy("pos")
+        .agg(expr("CAST(ROUND(CAST(SUM(qc) AS DOUBLE) / COUNT(*)) AS BIGINT)").as("mean_q"))
+      val x = q.join(broadcast(m), "pos").withColumn("xc", col("qc") - col("mean_q"))
+      // Xᶜ·1 rides the same vec_id-keyed exchange as the rows it scales —
+      // a window, not a join, so the corpus shuffles ONCE for this pass
+      val d = x.withColumn("dot", sum(col("xc")).over(Window.partitionBy("vec_id")))
+      val w = d.select(col("pos"), (col("dot") * col("xc")).as("pr"))
+        .groupBy("pos").agg(sum(col("pr")).as("proj"))
+      // 64-row reduction: the normalizer is output-scale metadata
+      val mx = w.agg(greatest(max(abs(col("proj"))), lit(1L)).as("mx"))
+      w.crossJoin(broadcast(mx))
+        .select(col("pos"), col("proj"),
+          when(col("proj") < 0, -expr("(-proj * 1000000L) div mx"))
+            .otherwise(expr("(proj * 1000000L) div mx")).as("loading_x1e6"))
+        .orderBy("pos")
+    },
+
     // Distributed k-means, one full Lloyd refinement made first-class
     // (the IVF/SemDeDup assignment kernel plus the recompute-means step
     // those queries elide): seed = first 16 vectors; assign (broadcast

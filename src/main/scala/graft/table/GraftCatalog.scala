@@ -134,6 +134,18 @@ final class GraftCatalog(spark: SparkSession, warehouse: Path) {
 
   def renameTable(ns: String, name: String, toName: String): Unit =
     renameTable(ns, name, ns, toName)
+
+  /** Zero-copy shallow clone into another catalog slot (Delta's CLONE):
+    * metadata-only — see GraftTable.cloneTo for the adoption semantics
+    * and the source-GC caveat.
+    */
+  def cloneTable(ns: String, name: String, toNs: String, toName: String): GraftTable = {
+    val src = openTable(ns, name)
+    createNamespace(toNs)
+    val dst = tableDir(toNs, toName)
+    require(!Files.exists(dst), s"clone target exists: $toNs.$toName")
+    src.cloneTo(dst.toString)
+  }
 }
 
 object GraftCatalog {

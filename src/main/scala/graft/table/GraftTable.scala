@@ -952,6 +952,42 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       fileRows = e.fileRows, assignRowIds = e.fileRows.nonEmpty)
   }
 
+  /** Zero-copy SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE`,
+    * Iceberg's snapshot-ref export): replay the source's commit-log
+    * METADATA into a fresh table root. Every source data/delete file is
+    * adopted by ABSOLUTE path — the entries are written resolved, and
+    * paths outside the clone root are never rebased (CommitLog keeps
+    * them verbatim), so nothing is copied and the clone is O(metadata)
+    * regardless of table size. The clone then evolves independently:
+    * its own appends land under its own root (root-relative paths), its
+    * deletes scope its own log, and time travel over the clone sees the
+    * source's full pre-clone history. Positional deletes and deletion
+    * vectors keep working because they address files by rename-stable
+    * structure keys, which are identical through the clone.
+    *
+    * CAVEAT (exactly Delta's): the clone pins no lock on the source —
+    * expiring snapshots or vacuuming the SOURCE can physically delete
+    * files the clone still references. A production deployment gates
+    * source GC on registered clones or deep-copies on expiry.
+    * Reference: catalog-level table management, lib.rs:34-78.
+    */
+  def cloneTo(dir: String): GraftTable = {
+    val dst = Paths.get(dir)
+    require(!Files.exists(dst) || !Files.list(dst).iterator().hasNext,
+      s"clone target exists and is non-empty: $dir")
+    val dstLog = dst.resolve("_log")
+    Files.createDirectories(dstLog)
+    val es = log.entries() // resolved: data-file paths come out absolute
+    es.foreach { e =>
+      Files.write(dstLog.resolve(f"${e.seq}%020d.json"),
+        Json.renderEntry(e).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    // provenance marker only — never read on the hot path
+    Files.writeString(dst.resolve("_cloned_from"),
+      s"${root.toAbsolutePath.normalize} @ ${es.lastOption.map(_.seq).getOrElse(-1L)}")
+    new GraftTable(spark, dst)
+  }
+
   /** Incremental (CDC-style) read — Iceberg's incremental append scan:
     * the rows ADDED by commits in (fromSeq, toSeq] that are still live at
     * toSeq. The downstream-consumer primitive: a pipeline that processed

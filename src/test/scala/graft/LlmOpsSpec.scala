@@ -571,6 +571,28 @@ class LlmOpsSpec extends AnyFunSuite {
       s"head lang $head share $gotShare not tempered below raw $rawShare")
   }
 
+  test("q_embed_pca_power equals an exact integer replay of Xᶜᵀ(Xᶜ·1)") {
+    def rnd(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val vs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(e => rnd(e.toDouble * 1000)).toArray)
+      .sortBy(_._1)
+    val dims = vs.head._2.length
+    val mean = Array.tabulate(dims)(p => rnd(vs.map(_._2(p)).sum.toDouble / vs.length))
+    val xc = vs.map { case (_, v) => Array.tabulate(dims)(p => v(p) - mean(p)) }
+    val dots = xc.map(_.sum)
+    val proj = Array.tabulate(dims)(p => xc.zip(dots).map { case (x, d) => d * x(p) }.sum)
+    val mx = math.max(proj.map(math.abs).max, 1L)
+    val expected = proj.zipWithIndex.map { case (w, i) =>
+      (i + 1L, w, if (w < 0) -((-w * 1000000L) / mx) else (w * 1000000L) / mx)
+    }.toSeq
+    val got = q("q_embed_pca_power").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // the normalizer's pivot loads exactly ±1e6
+    assert(got.exists(t => math.abs(t._3) == 1000000L))
+  }
+
   test("q_quality_linear equals a driver replay of the integer scorer") {
     val stop = Set("the", "a", "row", "data", "value")
     val rows = Tables.documents(spark, sf).select("source", "text").collect()

@@ -341,4 +341,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
       "rank window must partition by lang, never globally")
   }
+
+  test("q_graph_triangles broadcasts node-scale degrees; wedge joins stay keyed") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val root = physicalRoot("q_graph_triangles")
+    // the oriented edge list is localCheckpoint'd (built once for its
+    // three consumers), so the degree-attachment broadcasts live inside
+    // that materialization; the FINAL plan must still broadcast the
+    // node-scale degree relation onto the per-node counts and close
+    // triangles with keyed joins only
+    assert(root.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "the node-scale degree join must broadcast")
+    assert(!root.toString.contains("CartesianProduct"),
+      "triangle closure must be a keyed join, never a cross product")
+  }
+
+  test("q_embed_pca_power: mean broadcasts, projection rides one vec_id window") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val root = physicalRoot("q_embed_pca_power")
+    // the 64-row per-pos mean joins back as a broadcast — the corpus
+    // must not shuffle to learn its centering constants
+    val shuffledJoins = root.collect {
+      case j: SortMergeJoinExec => j: Any
+      case j: ShuffledHashJoinExec => j: Any
+    }
+    assert(shuffledJoins.isEmpty, "mean join must broadcast, not shuffle the corpus")
+    assert(root.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+    // Xᶜ·1 is a keyed window (vec_id), not a join and not global
+    val windows = root.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "projection window must partition by vec_id, never globally")
+  }
 }

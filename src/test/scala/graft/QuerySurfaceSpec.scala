@@ -47,6 +47,29 @@ class QuerySurfaceSpec extends AnyFunSuite {
     assert(n == Tables.customer(spark, sf).count())
   }
 
+  test("q_graph_triangles equals a brute-force per-node motif count") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, sf).filter(col("l_orderkey") % 4 === 0)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val edges = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // triangles containing n = half the common-neighbor count over N(n)
+    val expected = adj.toSeq.map { case (n, nb) =>
+      (n, nb.toSeq.map(v => (nb & adj(v)).size).sum / 2, nb.size)
+    }.filter(_._2 > 0)
+      .sortBy { case (n, t, _) => (-t, n) }.take(15)
+      .map { case (n, t, d) => (n, t.toLong, d.toLong) }
+    val got = SparkEntry.queries("q_graph_triangles")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("q_agg_approx_distinct is within 15% of exact") {
     import org.apache.spark.sql.functions._
     val approx = SparkEntry.queries("q_agg_approx_distinct")(spark, sf)

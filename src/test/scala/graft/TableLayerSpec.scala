@@ -418,6 +418,35 @@ class TableLayerSpec extends AnyFunSuite {
     assert(byName("D").getInt(byName("D").fieldIndex("count")) == 9)
   }
 
+  test("shallow clone: zero-copy adoption, independent divergence, MoR state carried") {
+    import scala.jdk.CollectionConverters._
+    val t = freshTable("clonesrc")
+    t.append(items)                                          // seq 0
+    t.delete(Seq("A").toDF("name"), Seq("name"))             // seq 1: MoR delete
+    val dst = Files.createTempDirectory("spec_clonedst")
+    val c = t.cloneTo(dst.toString)
+    // the delete state travels with the metadata: clone sees the MoR view
+    assert(c.read().count() == 4 && t.read().count() == 4)
+    // zero-copy: nothing under the clone root but metadata
+    def localParquet(): Long = {
+      val w = Files.walk(dst)
+      try w.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally w.close()
+    }
+    assert(localParquet() == 0)
+    // divergence is one-way: clone writes stay local, source never moves
+    c.append(Seq(("Z", "clone", 1)).toDF("name", "size", "count")) // clone seq 2
+    t.append(Seq(("Y", "src", 1)).toDF("name", "size", "count"))   // src seq 2
+    assert(c.read().count() == 5 && t.read().count() == 5)
+    assert(c.read().collect().map(_.getString(0)).contains("Z"))
+    assert(!c.read().collect().map(_.getString(0)).contains("Y"))
+    assert(localParquet() > 0) // the clone's own append is the first local file
+    // pre-clone history stays time-travelable through the clone
+    assert(c.read(asOf = 0).count() == 6)
+    // a second clone into a non-empty directory is refused
+    intercept[IllegalArgumentException](t.cloneTo(dst.toString))
+  }
+
   test("swap-shaped rename chains read without column collisions") {
     val t = freshTable("renswap")
     t.append(Seq(("A", 1, 10)).toDF("k", "x", "y"))
