@@ -514,6 +514,11 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * name, and by-id resolution must read NULL for it (Iceberg
     * semantics). Passing it through would let unionByName rebind the
     * historical values into the new column by name, so it is dropped.
+    * The same shadowing applies to columns a file carries BEYOND its
+    * entry's recorded schema (materializing rewrites preserve dropped
+    * columns physically without re-declaring them — see
+    * materializedSchemaJson): no id means no resolution, so a live
+    * same-name field always wins.
     *
     * All renames happen in ONE simultaneous select: sequential
     * withColumnRenamed would collide on swap-shaped rename histories
@@ -545,6 +550,16 @@ final class GraftTable(spark: SparkSession, val root: Path) {
                   None // orphaned id shadowed by a re-added same-name field
                 case None => Some(col(name))
               }
+            // a column the file carries BEYOND its entry's recorded
+            // schema (a materializing rewrite preserving a dropped
+            // column's history) has no id to resolve by: it passes
+            // through by name like any orphan, but a live same-name
+            // field must shadow it — otherwise compaction would launder
+            // dropped-column values into a later re-added column that
+            // by-id resolution reads as NULL everywhere else. Legacy
+            // id-less schemas (no ids anywhere) keep plain name passing.
+            case None if a.fields.exists(f => fieldId(f).isDefined) &&
+              curIdByName.contains(name) => None
             case None => Some(col(name))
           }
         }
@@ -965,6 +980,10 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * vectors keep working because they address files by rename-stable
     * structure keys, which are identical through the clone.
     *
+    * Scope: the COMMIT LOG is cloned — tags and branches are refs into
+    * the source's lineage and stay with the source (Delta clones behave
+    * the same way); re-tag on the clone if a pin is needed there.
+    *
     * CAVEAT (exactly Delta's): the clone pins no lock on the source —
     * expiring snapshots or vacuuming the SOURCE can physically delete
     * files the clone still references. A production deployment gates
@@ -1193,7 +1212,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       val (mrows, mids) = physMarkers(files, fullMat)
       return log.commit("replace", dataFiles = files,
         stats = foldStats(fs, statsCols, strCols),
-        schemaJson = idSchemaJson(logicalSchemaOf(applySet(fullView))),
+        schemaJson = materializedSchemaJson(applySet(fullView)),
         fileStats = fs,
         fileBlooms = perFileBlooms(dir, files, bloomCols),
         fileRows = mrows, fileRowIds = mids,
@@ -1717,6 +1736,29 @@ final class GraftTable(spark: SparkSession, val root: Path) {
   private def logicalSchemaOf(view: DataFrame): StructType =
     view.drop(RowIdPhys, LastSeqPhys).schema
 
+  /** Schema stamp for a MATERIALIZING rewrite (compact / sorted / z-order
+    * / copy-on-write): the CURRENT schema's fields with their existing
+    * ids (types taken from the view, so a type-changing update keeps its
+    * id through the promotion) — never re-derived from the view's full
+    * column list. The view also carries pass-through columns of DROPPED
+    * fields (history stays readable through the rewrite); stamping those
+    * would RESURRECT them into the head schema with fresh ids, making
+    * compaction visible to reads and laundering orphaned values into a
+    * later re-added same-name column. They are written physically but
+    * stay OUT of the recorded schema; alignByFieldId passes them through
+    * by name exactly like the un-rewritten originals.
+    */
+  private def materializedSchemaJson(view: DataFrame): String = {
+    val v = logicalSchemaOf(view)
+    schemaAt() match {
+      case Some(c) =>
+        val vByName = v.fields.map(f => f.name -> f).toMap
+        StructType(c.fields.flatMap(cf =>
+          vByName.get(cf.name).map(vf => cf.copy(dataType = vf.dataType)))).json
+      case None => idSchemaJson(v)
+    }
+  }
+
   /** compaction: materialize the MoR view into fresh files and commit a
     * `replace` — deletes are folded in, history before the replace is
     * superseded (but still time-travelable). With `statsCols`/`bloomCols`
@@ -1735,7 +1777,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     val (mrows, mids) = physMarkers(files, mat)
     log.commit("replace", dataFiles = files,
       stats = foldStats(fs, statsCols, strCols),
-      schemaJson = idSchemaJson(logicalSchemaOf(view)), fileStats = fs,
+      schemaJson = materializedSchemaJson(view), fileStats = fs,
       fileBlooms = perFileBlooms(dir, files, bloomCols),
       fileRows = mrows, fileRowIds = mids,
       rowIdHigh = CommitLog.nextRowId(entries))
@@ -1931,7 +1973,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     val (mrows, mids) = physMarkers(files, mat)
     log.commit("replace", dataFiles = files,
       stats = foldStats(fs, Seq(sortCol), strCols),
-      schemaJson = idSchemaJson(logicalSchemaOf(view)),
+      schemaJson = materializedSchemaJson(view),
       fileStats = fs,
       fileRows = mrows, fileRowIds = mids,
       rowIdHigh = CommitLog.nextRowId(entries))
@@ -1994,7 +2036,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     val (mrows, mids) = physMarkers(files, mat)
     log.commit("replace", dataFiles = files,
       stats = foldStats(fs, cols, strCols),
-      schemaJson = idSchemaJson(logicalSchemaOf(view)),
+      schemaJson = materializedSchemaJson(view),
       fileStats = fs,
       fileRows = mrows, fileRowIds = mids,
       rowIdHigh = CommitLog.nextRowId(entries))

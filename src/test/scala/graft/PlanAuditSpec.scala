@@ -342,6 +342,29 @@ class PlanAuditSpec extends AnyFunSuite {
       "rank window must partition by lang, never globally")
   }
 
+  test("q_sketch_cms hashes distinct words once: cells and probes share the word exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val df = SparkEntry.queries("q_sketch_cms")(spark, sf)
+    df.collect() // AQE materializes exchange reuse at runtime, not at plan time
+    // walk INTO query stages: after execution the adaptive plan nests each
+    // exchange subtree inside a QueryStageExec whose plan is not a child
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => Nil
+      }
+      p +: (p.children ++ nested).flatMap(walk)
+    }
+    val reused = walk(df.queryExecution.executedPlan)
+      .collect { case r: ReusedExchangeExec => r }
+    assert(reused.nonEmpty,
+      "the cells and probes branches must consume ONE word-keyed shuffle " +
+        "(md5 per distinct word, not per occurrence)")
+  }
+
   test("q_graph_triangles broadcasts node-scale degrees; wedge joins stay keyed") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val root = physicalRoot("q_graph_triangles")

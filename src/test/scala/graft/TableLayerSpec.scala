@@ -447,6 +447,27 @@ class TableLayerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.cloneTo(dst.toString))
   }
 
+  test("compaction neither resurrects a dropped column nor launders it past a re-add") {
+    // the r6 fuzz-found hole: compact() used to stamp the pass-through
+    // view's schema, minting a FRESH id for the dropped column — head
+    // schema changed by a rewrite, and the later re-add then KEPT that
+    // id, so orphaned history read as live values (where the
+    // uncompacted timeline reads NULL)
+    val t = freshTable("laundern")
+    t.append(Seq(("A", 1)).toDF("name", "count"))
+    t.append(Seq("B").toDF("name"))       // narrowing: count dropped
+    t.compact()                           // must NOT re-declare count
+    // pass-through survives the rewrite: history stays readable by name
+    val mid = t.read().collect().map(r => r.getString(0) -> r).toMap
+    assert(mid("A").getInt(mid("A").fieldIndex("count")) == 1)
+    t.append(Seq(("C", 2)).toDF("name", "count")) // re-add: FRESH id
+    val got = t.read().collect().map(r => r.getString(0) -> r).toMap
+    // identical to the uncompacted timeline: old generations read NULL
+    assert(got("A").isNullAt(got("A").fieldIndex("count")))
+    assert(got("B").isNullAt(got("B").fieldIndex("count")))
+    assert(got("C").getInt(got("C").fieldIndex("count")) == 2)
+  }
+
   test("swap-shaped rename chains read without column collisions") {
     val t = freshTable("renswap")
     t.append(Seq(("A", 1, 10)).toDF("k", "x", "y"))

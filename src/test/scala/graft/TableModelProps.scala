@@ -343,6 +343,159 @@ object TableModelProps extends Properties("graft-table-model") {
       folded && same
     }
 
+  // ---- schema-narrowing fuzz: the field-id GENERATION model ----
+  // The narrowing contract under fuzz: a narrowing append DROPS the
+  // column from the head schema; its historical values keep passing
+  // through reads BY NAME (history stays queryable) until the name is
+  // re-added — the re-add mints a fresh field id, so by-id resolution
+  // reads NULL for every older generation (the r5 alignByFieldId
+  // name-rebind rule), and a MATERIALIZING rewrite must neither
+  // resurrect the dropped column into the head schema nor launder its
+  // values past a later re-add (the r6 materializedSchemaJson +
+  // id-less-shadowing fix — this property found that hole). The model:
+  // count values carry a generation; visible iff the column is live at
+  // that generation, or the column is currently dropped (pass-through).
+  // Rewrites re-stamp surviving values at the current generation (or
+  // permanently-stale when written while dropped); rollback reinstates
+  // the TARGET's generation and physical-column state.
+
+  sealed private trait NOp
+  private case class NAppendFull(rows: List[Row]) extends NOp
+  private case class NAppendNarrow(names: List[String]) extends NOp
+  private case class NDelete(keys: List[String]) extends NOp
+  private case object NCompact extends NOp
+  private case class NRollback(rawTarget: Int) extends NOp
+
+  private case class NState(
+      rows: Vector[(String, Option[Int], Int, Int)], // name, value, gen, seq
+      dels: Vector[(String, Int)],
+      hasCount: Boolean, gen: Int, nextGen: Int,
+      phys: Boolean) // some live file physically carries the column
+
+  private object NState {
+    val empty: NState = NState(Vector.empty, Vector.empty, false, 0, 1, false)
+  }
+
+  // value visible at `st`: pass-through while dropped, by-gen otherwise
+  private def nVis(st: NState)(r: (String, Option[Int], Int, Int)): Option[Int] =
+    if (st.hasCount) (if (r._3 == st.gen) r._2 else None) else r._2
+
+  private def nLive(st: NState): Vector[(String, Option[Int], Int, Int)] =
+    st.rows.filter { case (n, _, _, s) =>
+      !st.dels.exists { case (k, ds) => k == n && s < ds } }
+
+  private def nReplay(ops: List[NOp], upTo: Int): NState = {
+    var st = NState.empty
+    ops.take(upTo + 1).zipWithIndex.foreach { case (op, seq) => op match {
+      case NAppendFull(rs) =>
+        val (g, ng) = if (st.hasCount) (st.gen, st.nextGen) else (st.nextGen, st.nextGen + 1)
+        st = st.copy(rows = st.rows ++ rs.map { case (n, c) => (n, Some(c): Option[Int], g, seq) },
+          hasCount = true, gen = g, nextGen = ng, phys = true)
+      case NAppendNarrow(ns) =>
+        st = st.copy(rows = st.rows ++ ns.map(n => (n, None: Option[Int], -1, seq)),
+          hasCount = false)
+      case NDelete(ks) => st = st.copy(dels = st.dels ++ ks.map(_ -> seq))
+      case NCompact =>
+        // materialize visible values; values written while the column is
+        // dropped are PERMANENTLY stale (id-less in the file — shadowed
+        // the moment the name comes back)
+        val g = if (st.hasCount) st.gen else -1
+        val view = nLive(st).map { case r @ (n, _, _, _) => (n, nVis(st)(r), g, seq) }
+        st = st.copy(rows = view, dels = Vector.empty,
+          phys = st.phys || st.hasCount)
+      case NRollback(raw) =>
+        val at = nReplay(ops, math.min(raw, seq - 1))
+        val g = if (at.hasCount) at.gen else -1
+        val view = nLive(at).map { case r @ (n, _, _, _) => (n, nVis(at)(r), g, seq) }
+        // nextGen stays OURS: ids minted on the abandoned timeline are
+        // burned forever (the floor is the max id ever assigned)
+        st = st.copy(rows = view, dels = Vector.empty,
+          hasCount = at.hasCount, gen = at.gen,
+          phys = at.phys || at.hasCount)
+    }}
+    st
+  }
+
+  private def nView(ops: List[NOp], asOf: Int): (Boolean, List[(String, Option[Int])]) = {
+    val st = nReplay(ops, asOf)
+    (st.phys || st.hasCount,
+      nLive(st).map(r => (r._1, nVis(st)(r))).toList.sorted)
+  }
+
+  private val genNOp: Gen[NOp] = Gen.frequency(
+    4 -> Gen.nonEmptyListOf(genRow).map(rs => NAppendFull(rs.take(4))),
+    3 -> Gen.nonEmptyListOf(Gen.oneOf("A", "B", "C", "D", "E", "F"))
+      .map(ns => NAppendNarrow(ns.distinct.take(3))),
+    2 -> Gen.nonEmptyListOf(Gen.oneOf("A", "B", "C", "D", "E", "F"))
+      .map(ks => NDelete(ks.distinct.take(2))),
+    1 -> Gen.const(NCompact),
+    1 -> Gen.choose(0, 5).map(NRollback))
+
+  private val genNOps: Gen[List[NOp]] = for {
+    first <- Gen.nonEmptyListOf(genRow).map(rs => NAppendFull(rs.take(4)))
+    rest <- Gen.listOfN(5, genNOp)
+  } yield first :: rest
+
+  property("narrowed/re-added columns resolve by field-id generation at every snapshot") =
+    forAll(genNOps) { ops =>
+      import spark.implicits._
+      val t = GraftTable.createOrReplace(spark,
+        Files.createTempDirectory("prop_narrow").toString)
+      ops.zipWithIndex.foreach { case (op, idx) => op match {
+        case NAppendFull(rs) => t.append(rs.toDF("name", "count"))
+        case NAppendNarrow(ns) => t.append(ns.toDF("name"))
+        case NDelete(ks) => t.delete(ks.toDF("name"), Seq("name"))
+        case NCompact => t.compact()
+        case NRollback(raw) => t.rollbackTo(math.min(raw, idx - 1).toLong)
+      }}
+      (0 until ops.size).forall { asOf =>
+        val df = t.read(if (asOf == ops.size - 1) Long.MaxValue else asOf.toLong)
+        val has = df.columns.contains("count")
+        val got = (if (has)
+          df.select(org.apache.spark.sql.functions.col("name"),
+            org.apache.spark.sql.functions.col("count").cast("int"))
+            .as[(String, Option[Int])].collect().toList
+        else df.select("name").as[String].collect().toList.map(_ -> (None: Option[Int])))
+          .sorted
+        val (wantHas, want) = nView(ops, asOf)
+        val ok = has == wantHas && got == want
+        if (!ok) println(s"NARROW MISMATCH asOf=$asOf ops=$ops\n has=$has/$wantHas\n got=$got\n want=$want")
+        ok
+      }
+    }
+
+  property("a shallow clone replays any random history faithfully and diverges one-way") =
+    forAll(genOps) { ops =>
+      import spark.implicits._
+      val t = run("prop_clone", ops)
+      val c = t.cloneTo(Files.createTempDirectory("prop_clone_dst").toString)
+      def readAt(tab: GraftTable, asOf: Int): List[Row] = sortedRows(
+        tab.read(if (asOf == ops.size - 1) Long.MaxValue else asOf.toLong)
+          .select(org.apache.spark.sql.functions.col(keyColAt(ops, asOf)).as("name"),
+            org.apache.spark.sql.functions.col("count").cast("int").as("count"))
+          .as[Row].collect().toSeq)
+      // the clone is a perfect metadata replica: EVERY historical snapshot
+      // of the random lineage (renames, widens, rollbacks, compactions,
+      // partition overwrites included) reads identically through it
+      val historyOk = (0 until ops.size).forall { asOf =>
+        val got = readAt(c, asOf)
+        val want = sortedRows(model(ops, asOf))
+        if (got != want) println(s"CLONE MISMATCH asOf=$asOf ops=$ops\n got=$got\n want=$want")
+        got == want
+      }
+      // divergence is one-way: a clone append never leaks into the source
+      val headKey = keyColAt(ops, ops.size - 1)
+      c.append(List(("Z", 1)).toDF(headKey, "count"))
+      val srcOk = readAt(t, ops.size - 1) == sortedRows(model(ops, ops.size - 1))
+      val cloneHead = sortedRows(
+        c.read().select(org.apache.spark.sql.functions.col(headKey).as("name"),
+          org.apache.spark.sql.functions.col("count").cast("int").as("count"))
+          .as[Row].collect().toSeq)
+      val cloneOk = cloneHead == sortedRows(("Z", 1) :: model(ops, ops.size - 1))
+      if (!srcOk || !cloneOk) println(s"CLONE DIVERGE MISMATCH ops=$ops")
+      historyOk && srcOk && cloneOk
+    }
+
   property("bounded reads equal filtered full reads on random lineages") =
     forAll(genOps, Gen.choose(0, 99), Gen.choose(0, 99)) { (ops, a, b) =>
       import spark.implicits._
