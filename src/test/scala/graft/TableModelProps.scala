@@ -496,6 +496,36 @@ object TableModelProps extends Properties("graft-table-model") {
       historyOk && srcOk && cloneOk
     }
 
+  property("expiration + aggressive vacuum preserve head and every tagged read") =
+    forAll(genOps, Gen.listOf(Gen.choose(0, 5))) { (ops, tagSeqsRaw) =>
+      import spark.implicits._
+      val t = run("prop_gc", ops)
+      val tagSeqs = tagSeqsRaw.map(s => math.min(s, ops.size - 1)).distinct.sorted
+      tagSeqs.foreach(s => t.tag(s"keep$s", s.toLong))
+      def readAt(asOf: Int, head: Boolean): List[Row] = sortedRows(
+        t.read(if (head) Long.MaxValue else asOf.toLong)
+          .select(org.apache.spark.sql.functions.col(keyColAt(ops, asOf)).as("name"),
+            org.apache.spark.sql.functions.col("count").cast("int").as("count"))
+          .as[Row].collect().toSeq)
+      val wantHead = sortedRows(model(ops, ops.size - 1))
+      val wantTags = tagSeqs.map(s => s -> sortedRows(model(ops, s)))
+      def intact(label: String): Boolean = {
+        val okH = readAt(ops.size - 1, head = true) == wantHead
+        val okT = wantTags.forall { case (s, w) => readAt(s, head = false) == w }
+        if (!okH || !okT) println(s"GC MISMATCH after $label ops=$ops tags=$tagSeqs")
+        okH && okT
+      }
+      // expiration drops untagged history; head and every tag must
+      // survive with identical content
+      t.expireSnapshots()
+      val okExpire = intact("expire")
+      // zero-horizon vacuum: every file not referenced by head or a tag
+      // is deleted NOW — a single over-deletion surfaces as a lost row
+      t.removeOrphanFiles(olderThanMs = 0)
+      val okVacuum = intact("vacuum")
+      okExpire && okVacuum
+    }
+
   property("bounded reads equal filtered full reads on random lineages") =
     forAll(genOps, Gen.choose(0, 99), Gen.choose(0, 99)) { (ops, a, b) =>
       import spark.implicits._
