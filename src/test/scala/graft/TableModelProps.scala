@@ -183,12 +183,20 @@ object TableModelProps extends Properties("graft-table-model") {
     * always addressing columns by their name CURRENT at that op.
     */
   private def run(tag: String, ops: List[Op]): GraftTable = {
-    import spark.implicits._
     val t = GraftTable.createOrReplace(spark,
       Files.createTempDirectory(tag).toString)
+    runOn(t, ops, from = 0)
+    t
+  }
+
+  /** interpret ops[from..) of the FULL sequence `all` against `t` (which
+    * already holds ops[0, from) — e.g. a branch seeded at that point).
+    */
+  private def runOn(t: GraftTable, all: List[Op], from: Int): Unit = {
+    import spark.implicits._
     val spec = PartitionSpec("count", Transform.Truncate(25))
-    var keyCol = "name"
-    ops.zipWithIndex.foreach { case (op, idx) => op match {
+    var keyCol = keyColAt(all, from - 1)
+    all.zipWithIndex.drop(from).foreach { case (op, idx) => op match {
       case Append(rows, partitioned) =>
         val df = rows.toDF(keyCol, "count")
         partitioned match {
@@ -227,7 +235,7 @@ object TableModelProps extends Properties("graft-table-model") {
       case Rollback(raw) =>
         val target = math.min(raw, idx - 1)
         t.rollbackTo(target.toLong)
-        keyCol = keyColAt(ops, target)
+        keyCol = keyColAt(all, target)
       case UpdateEq(key, delta) =>
         val before = t.headSeq
         t.updateWhereEq(keyCol, key,
@@ -235,7 +243,6 @@ object TableModelProps extends Properties("graft-table-model") {
           statsCols = Seq("count"))
         if (t.headSeq == before) t.compact() // provably-absent no-op (see Op doc)
     }}
-    t
   }
 
   property("read() and every read(asOf) match the sequence-number model") =
@@ -494,6 +501,32 @@ object TableModelProps extends Properties("graft-table-model") {
       val cloneOk = cloneHead == sortedRows(("Z", 1) :: model(ops, ops.size - 1))
       if (!srcOk || !cloneOk) println(s"CLONE DIVERGE MISMATCH ops=$ops")
       historyOk && srcOk && cloneOk
+    }
+
+  property("branch ops published onto an unmoved main equal the straight-line table") =
+    forAll(genOps, Gen.listOfN(3, genOp)) { (pre, post) =>
+      import spark.implicits._
+      val all = pre ++ post
+      val t = run("prop_branch", pre)
+      // stage the suffix on a branch (a branch IS a table: compactions,
+      // rollbacks, partitioned appends, updates all run on it), then
+      // fast-forward main — metadata-only entry replay
+      val b = t.createBranch("wap")
+      runOn(b, all, from = pre.size)
+      t.publishBranch("wap")
+      // main must now be indistinguishable from having run the whole
+      // sequence directly — at HEAD and at every historical snapshot
+      (0 until all.size).forall { asOf =>
+        val got = sortedRows(
+          t.read(if (asOf == all.size - 1) Long.MaxValue else asOf.toLong)
+            .select(org.apache.spark.sql.functions.col(keyColAt(all, asOf)).as("name"),
+              org.apache.spark.sql.functions.col("count").cast("int").as("count"))
+            .as[Row].collect().toSeq)
+        val want = sortedRows(model(all, asOf))
+        val ok = got == want
+        if (!ok) println(s"BRANCH MISMATCH asOf=$asOf pre=$pre post=$post\n got=$got\n want=$want")
+        ok
+      }
     }
 
   property("expiration + aggressive vacuum preserve head and every tagged read") =
