@@ -571,6 +571,31 @@ object TableQueries extends QueryPack {
       t.read().orderBy("name")
     },
 
+    // full three-clause MERGE INTO (the CDC apply statement): a feed with
+    // an op column updates A (matched → source row wins), deletes B
+    // (matched + deleteWhen), inserts F (not matched + insertWhen), and
+    // FILTERS OUT G (not matched, insertWhen false); the op column never
+    // reaches the table (append projects to the target schema). One
+    // atomic mixed commit, merge-on-read — no target file rewritten.
+    Q(
+      "t_merge_into",
+      """SELECT * FROM (VALUES
+        |  ('A','small',200),('C','medium',10),('D','small',20),
+        |  ('E','large',20),('F','fresh',1)) AS t(name, size, count)
+        |ORDER BY name""",
+    ) { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "merge")
+      t.append(items(s))
+      val feed = Seq(
+        ("A", "small", 200, "U"), ("B", "medium", 0, "D"),
+        ("F", "fresh", 1, "I"), ("G", "skip", 9, "X"))
+        .toDF("name", "size", "count", "op")
+      t.merge(feed, keyCols = Seq("name"),
+        deleteWhen = col("op") === "D", insertWhen = col("op") =!= "X")
+      t.read().orderBy("name")
+    },
+
     // POSITIONAL delete (Iceberg v2's second delete flavor): rows are
     // addressed physically as (file, row ordinal) via readWithPos, so ONE
     // of two rows sharing key 'A' can be removed surgically — not

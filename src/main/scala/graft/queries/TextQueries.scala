@@ -640,6 +640,48 @@ object TextQueries extends QueryPack {
         .orderBy("word")
     },
 
+    // EPOCH UP-SAMPLING (the data-recipe repetition step: tail domains
+    // repeat for multiple epochs toward a uniform token share, capped —
+    // the standard remedy when down-weighting the head alone can't
+    // balance the mix). repeats = clamp(1..4, round(budget / tokens))
+    // with budget = total/nlangs, computed as the (2n+d) div (2d)
+    // rounded INTEGER division on exact token sums, so both engines
+    // agree bit-for-bit. The expansion itself is materialized per DOC
+    // (explode over sequence(1, repeats)) and re-aggregated per (lang,
+    // epoch) — validating the row-level manifest a training run would
+    // write. Scale: the lang histogram is a tiny two-phase agg + one-row
+    // broadcast; repeats broadcast back; the explode is row-local —
+    // zero extra shuffles beyond the output agg.
+    Q(
+      "q_mix_epochs",
+      """WITH d AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),
+        |s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(tok) AS BIGINT) AS tokens
+        |      FROM d GROUP BY lang),
+        |t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS nl FROM s),
+        |r AS (SELECT lang, LEAST(4, GREATEST(1,
+        |        (2 * (tot // nl) + tokens) // (2 * tokens))) AS repeats FROM s, t),
+        |e AS (SELECT d.lang, unnest(generate_series(1, CAST(r.repeats AS INT))) AS epoch, d.tok
+        |      FROM d JOIN r ON d.lang = r.lang)
+        |SELECT lang, CAST(epoch AS BIGINT) AS epoch, CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(SUM(tok) AS BIGINT) AS tokens
+        |FROM e GROUP BY lang, epoch ORDER BY lang, epoch""",
+    ) { (s, dir) =>
+      val d = Tables.spread(Tables.documents(s, dir))
+        .select(col("lang"), size(split(col("text"), " ")).cast("long").as("tok"))
+      val st = d.groupBy("lang").agg(count(lit(1)).as("docs"), sum("tok").as("tokens"))
+      val tot = st.agg(sum("tokens").as("tot"), count(lit(1)).as("nl"))
+      val r = st.crossJoin(broadcast(tot))
+        .withColumn("repeats", least(lit(4L), greatest(lit(1L),
+          expr("(2L * (tot div nl) + tokens) div (2L * tokens)"))))
+        .select("lang", "repeats")
+      d.join(broadcast(r), "lang")
+        .select(col("lang"), col("tok"), explode(expr("sequence(1L, repeats)")).as("epoch"))
+        .groupBy("lang", "epoch")
+        .agg(count(lit(1)).as("docs"), sum("tok").as("tokens"))
+        .select(col("lang"), col("epoch").cast("long").as("epoch"), col("docs"), col("tokens"))
+        .orderBy("lang", "epoch")
+    },
+
     // multilingual TEMPERATURE RE-BALANCING (the standard pretraining
     // language-mixing step, α = 0.5 a.k.a. T = 2: sample quota ∝ √count,
     // so head languages are down-weighted and tail languages kept whole-

@@ -1164,6 +1164,56 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       statsCols, bloomCols)
   }
 
+  /** Full three-clause MERGE INTO (Iceberg/Delta's
+    * `MERGE ... WHEN MATCHED [AND cond] THEN UPDATE/DELETE,
+    *  WHEN NOT MATCHED [AND cond] THEN INSERT`), merge-on-read — the CDC
+    * apply primitive. Source rows are matched to the current view by
+    * `keyCols`:
+    *  - matched AND `deleteWhen`   → the target row is deleted
+    *  - matched otherwise          → replaced by the source row (UPDATE SET *)
+    *  - not matched AND `insertWhen` → inserted
+    * The clause conditions are Columns over the SOURCE row (a CDC feed's
+    * op column: `deleteWhen = col("op") === "D"`). Source may carry
+    * extra columns (op codes, metadata) — appended rows are projected to
+    * the target's current schema. ONE atomic mixed commit: an equality
+    * delete of the matched keys plus the appended replacement/insert
+    * rows (sequence-number scoping makes the appended rows survive their
+    * own delete, exactly like upsert).
+    *
+    * Scale shape: the only target-side cost is a key-column projection
+    * scan joined to the (written-once) source — Catalyst broadcasts the
+    * source side when small, the common CDC case; no target file is
+    * read beyond the key columns and none is rewritten (MoR). The
+    * source is staged to parquet once and re-read for every derived
+    * frame, upsert's determinism doctrine.
+    */
+  def merge(source: DataFrame, keyCols: Seq[String],
+      deleteWhen: Column = lit(false), insertWhen: Column = lit(true)): Long = {
+    requireNoReserved(source)
+    val stage = Files.createTempDirectory("graft_merge_src")
+    val staged = stage.resolve("src") // parquet refuses a pre-existing dir
+    try {
+      source.write.parquet(staged.toString)
+      val src = spark.read.schema(source.schema).parquet(staged.toString)
+      val tgtKeys = read().select(keyCols.map(col): _*).distinct()
+      val matched = src.join(tgtKeys, keyCols, "left_semi")
+      val unmatched = src.join(tgtKeys, keyCols, "left_anti")
+      val outCols = schemaAt().map(_.fieldNames.toSeq)
+        .getOrElse(source.columns.toSeq).filter(source.columns.contains)
+      require(outCols.nonEmpty, "merge source shares no columns with the target schema")
+      val appendRows = matched.filter(!deleteWhen)
+        .unionByName(unmatched.filter(insertWhen))
+        .select(outCols.map(col): _*)
+      val delKeys = matched.select(keyCols.map(col): _*).distinct()
+      val dDir = newShardDir("data")
+      appendRows.write.parquet(dDir.toString)
+      mixedCommit(dDir, delKeys, keyCols, idSchemaJson(appendRows.schema))
+    } finally {
+      walked(stage)(_.toSeq).reverse.foreach(p =>
+        try Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
+    }
+  }
+
   /** Copy-on-write UPDATE ... WHERE key = value (Iceberg's
     * write.update.mode = copy-on-write, the read-optimized complement of
     * the MoR upsert): only the files that MAY contain the key — pruned

@@ -593,6 +593,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.exists(t => math.abs(t._3) == 1000000L))
   }
 
+  test("q_mix_epochs equals a driver replay of rounded-division repeats") {
+    val docs = Tables.documents(spark, sf).select("lang", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1).split(" ").length.toLong)
+    val st = docs.groupBy(_._1).view.mapValues(ds => (ds.size.toLong, ds.map(_._2).sum)).toMap
+    val (tot, nl) = (st.values.map(_._2).sum, st.size.toLong)
+    val rep = st.view.mapValues { case (_, tok) =>
+      math.min(4L, math.max(1L, (2 * (tot / nl) + tok) / (2 * tok))) }.toMap
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (lang, ds) =>
+      (1L to rep(lang)).map(e => (lang, e, ds.size.toLong, ds.map(_._2).sum))
+    }.sorted
+    val got = q("q_mix_epochs").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
   test("q_quality_linear equals a driver replay of the integer scorer") {
     val stop = Set("the", "a", "row", "data", "value")
     val rows = Tables.documents(spark, sf).select("source", "text").collect()

@@ -447,6 +447,28 @@ class TableLayerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.cloneTo(dst.toString))
   }
 
+  test("merge: clause edges — delete of unmatched is a no-op, one atomic seq, time travel intact") {
+    val t = freshTable("mergeedges")
+    t.append(items)                                     // seq 0 (6 rows, A twice)
+    val feed = Seq(
+      ("A", "gone", 0, "D"),   // matched + delete: BOTH A rows die
+      ("Z", "ghost", 7, "D"),  // NOT matched: clauses are independent (SQL
+      //   MERGE semantics) — a delete op for an absent key is a no-op
+      //   only because the insert condition excludes it
+      ("B", "upd", 99, "U"),   // matched: replaced
+      ("N", "new", 5, "I"))    // not matched: inserted
+      .toDF("name", "size", "count", "op")
+    val seq = t.merge(feed, keyCols = Seq("name"),
+      deleteWhen = col("op") === "D", insertWhen = col("op").isin("I", "U"))
+    assert(seq == 1 && t.headSeq == 1) // ONE atomic commit
+    val got = t.read().collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).sorted
+    assert(got.toSeq == Seq(("B", "upd", 99), ("C", "medium", 10),
+      ("D", "small", 20), ("E", "large", 20), ("N", "new", 5)))
+    assert(!t.read().columns.contains("op")) // CDC columns never land
+    // pre-merge snapshot intact
+    assert(t.read(asOf = 0).count() == 6)
+  }
+
   test("compaction neither resurrects a dropped column nor launders it past a re-add") {
     // the r6 fuzz-found hole: compact() used to stamp the pass-through
     // view's schema, minting a FRESH id for the dropped column — head
