@@ -1195,9 +1195,16 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     try {
       source.write.parquet(staged.toString)
       val src = spark.read.schema(source.schema).parquet(staged.toString)
-      val tgtKeys = read().select(keyCols.map(col): _*).distinct()
-      val matched = src.join(tgtKeys, keyCols, "left_semi")
-      val unmatched = src.join(tgtKeys, keyCols, "left_anti")
+      // an EMPTY target (no committed schema) matches nothing: the merge
+      // degenerates to the filtered insert, and the full source schema
+      // becomes the table's (pre-project the source if op columns exist)
+      val (matched, unmatched) = schemaAt() match {
+        case None => (src.limit(0), src)
+        case Some(_) =>
+          val tgtKeys = read().select(keyCols.map(col): _*).distinct()
+          (src.join(tgtKeys, keyCols, "left_semi"),
+            src.join(tgtKeys, keyCols, "left_anti"))
+      }
       val outCols = schemaAt().map(_.fieldNames.toSeq)
         .getOrElse(source.columns.toSeq).filter(source.columns.contains)
       require(outCols.nonEmpty, "merge source shares no columns with the target schema")

@@ -469,6 +469,16 @@ class TableLayerSpec extends AnyFunSuite {
     assert(t.read(asOf = 0).count() == 6)
   }
 
+  test("merge into an EMPTY table degenerates to the filtered insert") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable("mergeempty")
+    t.merge(Seq(("A", 1, "I"), ("B", 2, "X")).toDF("name", "count", "op"),
+      Seq("name"), insertWhen = col("op") === "I")
+    val got = t.read().collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    // no target schema existed, so the FULL source schema lands
+    assert(got.toSeq == Seq(("A", 1, "I")))
+  }
+
   test("compaction neither resurrects a dropped column nor launders it past a re-add") {
     // the r6 fuzz-found hole: compact() used to stamp the pass-through
     // view's schema, minting a FRESH id for the dropped column — head
