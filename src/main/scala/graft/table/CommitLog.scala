@@ -192,20 +192,43 @@ final class CommitLog(val root: Path) {
     }
   }
 
-  /** IN-MEMORY form: absolute. Relative entries resolve against the
-    * CURRENT root; a legacy absolute entry (logs written before paths
-    * went relative) whose file vanished because the table moved is
-    * rebased at its table-structure segment (data/ or deletes/) — the
-    * read-time migration that keeps old logs working after a rename.
+  /** IN-MEMORY form: absolute and NORMALIZED — consumers compare these
+    * strings/paths against walked directory listings, so a table opened
+    * through a relative or dot-infixed root must still produce the same
+    * canonical form (the orphan sweep deletes what it fails to match).
+    * Relative entries resolve against the CURRENT root (`..`-stepping
+    * branch entries normalize up into the owning table); a legacy
+    * absolute entry (logs written before paths went relative) whose
+    * parent DIRECTORY vanished because the table moved is rebased at its
+    * table-structure segment (data/ or deletes/) — the read-time
+    * migration that keeps old logs working after a rename.
     */
   private def resolvePath(p: String): String = {
     val q = Paths.get(p)
-    if (!q.isAbsolute) rootAbs.resolve(p).toString
-    else if (q.normalize.startsWith(rootAbs) || Files.exists(q)) p
+    if (!q.isAbsolute) rootAbs.resolve(p).normalize.toString
     else {
-      val i = math.max(p.lastIndexOf("/data/"), p.lastIndexOf("/deletes/"))
-      if (i < 0) p else rootAbs.resolve(p.substring(i + 1)).toString
+      val n = q.normalize
+      if (n.startsWith(rootAbs) || parentDirExists(n)) n.toString
+      else {
+        val s = n.toString
+        val i = math.max(s.lastIndexOf("/data/"), s.lastIndexOf("/deletes/"))
+        if (i < 0) s else rootAbs.resolve(s.substring(i + 1)).toString
+      }
     }
+  }
+
+  /** one directory probe per SHARD DIR, not per file: entries() runs on
+    * every metadata read, and a clone adopting 50k out-of-root files
+    * would otherwise pay 50k exists() syscalls per parse. The verdict is
+    * cached for the CommitLog's lifetime — the rebase fallback exists
+    * for moved tables, and shard directories are never deleted while
+    * their files are referenced (vacuum removes files, not dirs).
+    */
+  private val dirProbe = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def parentDirExists(file: Path): Boolean = {
+    val d = file.getParent
+    d != null && dirProbe.computeIfAbsent(d.toString,
+      k => java.lang.Boolean.valueOf(Files.isDirectory(Paths.get(k)))).booleanValue
   }
 
   private def resolved(e: LogEntry): LogEntry =

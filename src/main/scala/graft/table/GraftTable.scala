@@ -826,24 +826,48 @@ final class GraftTable(spark: SparkSession, val root: Path) {
   // training-data pipeline has. ----
 
   private def branchRoot(name: String): Path = {
-    require(name.nonEmpty && !name.contains('/') && !name.contains('\u0000'),
+    // one path segment, no traversal: branch("..") would resolve to the
+    // table root itself and masquerade as a branch (the same safeName
+    // class GraftCatalog enforces, ADVICE r5)
+    require(name.nonEmpty && name != "." && name != ".." &&
+        !name.contains('/') && !name.contains('\\') && !name.contains('\u0000'),
       s"invalid branch name: $name")
     root.resolve("_branches").resolve(name)
   }
 
+  /** write `es` verbatim as a fresh per-seq log under `dstLog` (branch
+    * seeding and shallow clones share this shape).
+    */
+  private def seedLog(dstLog: Path, es: Seq[LogEntry]): Unit = {
+    Files.createDirectories(dstLog)
+    es.foreach { e =>
+      Files.write(dstLog.resolve(f"${e.seq}%020d.json"),
+        Json.renderEntry(e).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
   /** Create branch `name` at the current head and return it as a table.
     * Exclusive: creating an existing branch fails (like tag creation).
+    *
+    * Seeded entries reference the owning table's files by `..`-stepping
+    * RELATIVE paths (`../../data/...`): the branch lives INSIDE the
+    * table directory, so a catalog rename moves branch and data files
+    * together and the references must travel with them — an absolute
+    * seed would sever every branch on the first rename.
     */
   def createBranch(name: String): GraftTable = {
     val bRoot = branchRoot(name)
     require(!Files.exists(bRoot), s"branch already exists: $name")
-    val bLog = bRoot.resolve("_log")
-    Files.createDirectories(bLog)
-    val es = log.entries()
-    es.foreach { e =>
-      Files.write(bLog.resolve(f"${e.seq}%020d.json"),
-        Json.renderEntry(e).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val rootAbs = root.toAbsolutePath.normalize
+    val bAbs = rootAbs.resolve("_branches").resolve(name)
+    def branchRel(p: String): String = {
+      val q = Paths.get(p).toAbsolutePath.normalize
+      if (q.startsWith(rootAbs)) bAbs.relativize(q).toString else p
     }
+    val es = log.entries()
+    seedLog(bRoot.resolve("_log"), es.map(e => e.copy(
+      dataFiles = e.dataFiles.map(branchRel),
+      deleteFiles = e.deleteFiles.map(branchRel))))
     Files.writeString(bRoot.resolve("_base"),
       es.lastOption.map(_.seq).getOrElse(-1L).toString)
     new GraftTable(spark, bRoot)
@@ -986,21 +1010,24 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     *
     * CAVEAT (exactly Delta's): the clone pins no lock on the source —
     * expiring snapshots or vacuuming the SOURCE can physically delete
-    * files the clone still references. A production deployment gates
-    * source GC on registered clones or deep-copies on expiry.
+    * files the clone still references, and renaming/moving the source
+    * directory severs the absolute references the same way (the clone
+    * trades relocatability for zero-copy; deep-copy if the source must
+    * stay movable). A production deployment gates source GC and renames
+    * on registered clones or deep-copies on expiry.
     * Reference: catalog-level table management, lib.rs:34-78.
     */
   def cloneTo(dir: String): GraftTable = {
     val dst = Paths.get(dir)
-    require(!Files.exists(dst) || !Files.list(dst).iterator().hasNext,
-      s"clone target exists and is non-empty: $dir")
-    val dstLog = dst.resolve("_log")
-    Files.createDirectories(dstLog)
-    val es = log.entries() // resolved: data-file paths come out absolute
-    es.foreach { e =>
-      Files.write(dstLog.resolve(f"${e.seq}%020d.json"),
-        Json.renderEntry(e).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val empty = !Files.exists(dst) || {
+      val s = Files.list(dst)
+      try !s.iterator().hasNext finally s.close()
     }
+    require(empty, s"clone target exists and is non-empty: $dir")
+    // resolved entries carry absolute paths; outside the clone root they
+    // are never rebased, so the source's files are adopted verbatim
+    val es = log.entries()
+    seedLog(dst.resolve("_log"), es)
     // provenance marker only — never read on the hot path
     Files.writeString(dst.resolve("_cloned_from"),
       s"${root.toAbsolutePath.normalize} @ ${es.lastOption.map(_.seq).getOrElse(-1L)}")
@@ -1205,11 +1232,23 @@ final class GraftTable(spark: SparkSession, val root: Path) {
           (src.join(tgtKeys, keyCols, "left_semi"),
             src.join(tgtKeys, keyCols, "left_anti"))
       }
-      val outCols = schemaAt().map(_.fieldNames.toSeq)
-        .getOrElse(source.columns.toSeq).filter(source.columns.contains)
-      require(outCols.nonEmpty, "merge source shares no columns with the target schema")
-      val appendRows = matched.filter(!deleteWhen)
-        .unionByName(unmatched.filter(insertWhen))
+      // replacement/insert rows must carry EVERY target column: the
+      // commit's schema stamp is last-writer-wins, so a source missing a
+      // target column would silently narrow the head schema table-wide
+      // (dropping the column for untouched rows too). SQL MERGE rejects
+      // the same omission at analysis time.
+      val outCols = schemaAt().map(_.fieldNames.toSeq).getOrElse(source.columns.toSeq)
+      val missing = outCols.filterNot(source.columns.contains)
+      require(missing.isEmpty,
+        s"merge source lacks target column(s) ${missing.mkString(", ")}: " +
+          "UPDATE/INSERT rows must carry every target column")
+      // clause conditions follow SQL MERGE's WHEN ... AND <cond>: a NULL
+      // condition does not fire the clause (coalesce, not 3VL leak — a
+      // NULL deleteWhen row must fall through to the UPDATE, not vanish)
+      val del = coalesce(deleteWhen, lit(false))
+      val ins = coalesce(insertWhen, lit(false))
+      val appendRows = matched.filter(!del)
+        .unionByName(unmatched.filter(ins))
         .select(outCols.map(col): _*)
       val delKeys = matched.select(keyCols.map(col): _*).distinct()
       val dDir = newShardDir("data")
@@ -2119,11 +2158,17 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * remove_orphan_files / expire_snapshots are ref-aware for branches
     * the same way they are for tags.
     */
+  /** canonical (absolute, normalized) file set referenced by head or any
+    * branch — resolved entry paths are already canonical, but normalize
+    * again defensively: the sweeps below DELETE whatever fails to match,
+    * so a representation mismatch (table opened via a relative or
+    * dot-infixed root) must never read as "unreferenced".
+    */
   private def referencedByAnyRef: Set[Path] = {
     val branchEntries = branches.flatMap(n => new CommitLog(branchRoot(n)).entries())
     (log.entries() ++ branchEntries)
       .flatMap(e => e.dataFiles ++ e.deleteFiles)
-      .map(Paths.get(_)).toSet
+      .map(Paths.get(_).toAbsolutePath.normalize).toSet
   }
 
   def removeOrphanFiles(olderThanMs: Long = 3L * 3600 * 1000): Int = {
@@ -2133,7 +2178,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       val dir = root.resolve(kind)
       if (!Files.exists(dir)) Nil
       else walked(dir)(_.toSeq).filter { p =>
-        p.getFileName.toString.endsWith(".parquet") && !referenced.contains(p) &&
+        p.getFileName.toString.endsWith(".parquet") &&
+          !referenced.contains(p.toAbsolutePath.normalize) &&
           Files.getLastModifiedTime(p).toMillis < cutoff
       }
     }
@@ -2169,7 +2215,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       val dir = root.resolve(kind)
       if (Files.exists(dir)) {
         walked(dir)(_.toSeq)
-          .filter(p => p.getFileName.toString.endsWith(".parquet") && !referenced.contains(p))
+          .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+            !referenced.contains(p.toAbsolutePath.normalize))
           .foreach(Files.delete)
       }
     }

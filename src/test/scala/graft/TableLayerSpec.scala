@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import graft.table.{CommitLog, GraftTable, PartitionSpec, Transform}
+import graft.table.{CommitLog, GraftCatalog, GraftTable, PartitionSpec, Transform}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
 import org.scalatest.funsuite.AnyFunSuite
@@ -467,6 +467,57 @@ class TableLayerSpec extends AnyFunSuite {
     assert(!t.read().columns.contains("op")) // CDC columns never land
     // pre-merge snapshot intact
     assert(t.read(asOf = 0).count() == 6)
+  }
+
+  test("GC sweeps survive a dot-infixed (non-normalized) table root") {
+    // resolved entry paths are normalized; the sweep must canonicalize
+    // the walked side too, or every live file reads as "unreferenced"
+    // and a zero-horizon vacuum destroys the table
+    val base = Files.createTempDirectory("spec_dotroot")
+    val t = GraftTable.createOrReplace(spark, s"$base/./tbl")
+    t.append(items)
+    t.tag("pin", 0L)
+    t.expireSnapshots()
+    t.removeOrphanFiles(olderThanMs = 0)
+    assert(t.read().count() == 6)
+    assert(t.readTag("pin").count() == 6)
+  }
+
+  test("branches survive a catalog rename (relative ..-seeded references)") {
+    val cat = GraftCatalog(spark, Files.createTempDirectory("spec_brmove").toString)
+    val t = cat.createTable("ns", "t1")
+    t.append(items)                                            // main seq 0
+    val b = t.createBranch("wip")
+    b.append(Seq(("H", "staged", 7)).toDF("name", "size", "count")) // staged 1
+    cat.renameTable("ns", "t1", "t2")
+    val moved = cat.openTable("ns", "t2")
+    // the branch's seeded references moved WITH the table directory
+    assert(moved.branch("wip").read().count() == 7)
+    val seqs = moved.publishBranch("wip")
+    assert(seqs.nonEmpty && moved.read().count() == 7)
+  }
+
+  test("branch names reject traversal segments") {
+    val t = freshTable("brname")
+    t.append(items)
+    intercept[IllegalArgumentException](t.createBranch(".."))
+    intercept[IllegalArgumentException](t.branch("."))
+  }
+
+  test("merge refuses a source missing target columns; NULL deleteWhen updates") {
+    val t = freshTable("mergenull")
+    t.append(items)
+    // missing `size` would silently narrow the head schema table-wide
+    intercept[IllegalArgumentException] {
+      t.merge(Seq(("A", 1)).toDF("name", "count"), Seq("name"))
+    }
+    // a NULL delete condition must NOT fire the delete clause: the row
+    // falls through to the matched-update, not into the void
+    val feed = Seq(("A", "upd", 11, null.asInstanceOf[String]))
+      .toDF("name", "size", "count", "op")
+    t.merge(feed, Seq("name"), deleteWhen = col("op") === "D")
+    val a = t.read().filter(col("name") === "A").collect()
+    assert(a.length == 1 && a.head.getInt(2) == 11)
   }
 
   test("merge into an EMPTY table degenerates to the filtered insert") {

@@ -532,7 +532,11 @@ object TableModelProps extends Properties("graft-table-model") {
   property("expiration + aggressive vacuum preserve head and every tagged read") =
     forAll(genOps, Gen.listOf(Gen.choose(0, 5))) { (ops, tagSeqsRaw) =>
       import spark.implicits._
-      val t = run("prop_gc", ops)
+      // dot-infixed root: the sweeps compare canonicalized paths, and a
+      // non-normalized open must never make live files read as orphans
+      val t = GraftTable.createOrReplace(spark,
+        s"${Files.createTempDirectory("prop_gc")}/./t")
+      runOn(t, ops, from = 0)
       val tagSeqs = tagSeqsRaw.map(s => math.min(s, ops.size - 1)).distinct.sorted
       tagSeqs.foreach(s => t.tag(s"keep$s", s.toLong))
       def readAt(asOf: Int, head: Boolean): List[Row] = sortedRows(
