@@ -80,6 +80,13 @@ object StreamQueries extends QueryPack {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    val w = Files.walk(p)
+    try w.sorted(java.util.Comparator.reverseOrder())
+      .forEach(Files.deleteIfExists(_))
+    finally w.close()
+  }
+
   private def streamedEvents(s: SparkSession, dir: String, mode: String = "complete")(
       agg: DataFrame => DataFrame): DataFrame = withStreamParallelism(s, dir) {
     val sink = "graft_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -89,14 +96,15 @@ object StreamQueries extends QueryPack {
       .format("memory")
       .queryName(sink)
       .start()
-    query.awaitTermination()
     // detach the result from the sink (eager localCheckpoint), then drop
-    // the temp view — otherwise every invocation pins its full result in
-    // the driver for the session lifetime (Verify/Bench/tests run these
-    // queries dozens of times in one JVM)
-    val result = s.table(sink).localCheckpoint(true)
-    s.catalog.dropTempView(sink)
-    result
+    // the temp view ON EVERY PATH — otherwise an invocation (failing ones
+    // included) pins its full result in the driver for the session
+    // lifetime (Verify/Bench/tests run these queries dozens of times in
+    // one JVM)
+    try {
+      query.awaitTermination()
+      s.table(sink).localCheckpoint(true)
+    } finally s.catalog.dropTempView(sink)
   }
 
   /** Run a STREAM-STREAM join for real: two independent AvailableNow file
@@ -120,10 +128,13 @@ object StreamQueries extends QueryPack {
       .format("memory")
       .queryName(sink)
       .start()
-    query.awaitTermination()
-    val result = s.table(sink).localCheckpoint(true)
-    s.catalog.dropTempView(sink)
-    result
+    // detach the result from the sink (eager localCheckpoint), then drop
+    // the temp view ON EVERY PATH — a failing query must not pin its
+    // partial sink state in the driver for the session lifetime
+    try {
+      query.awaitTermination()
+      s.table(sink).localCheckpoint(true)
+    } finally s.catalog.dropTempView(sink)
   }
 
   override def queries: Seq[Q] = Seq(
@@ -241,12 +252,6 @@ object StreamQueries extends QueryPack {
       import s.implicits._
       val land = Files.createTempDirectory("graft_wm_land")
       val ckpt = Files.createTempDirectory("graft_wm_ckpt")
-      def rmTree(p: java.nio.file.Path): Unit = {
-        val w = Files.walk(p)
-        try w.sorted(java.util.Comparator.reverseOrder())
-          .forEach(Files.deleteIfExists(_))
-        finally w.close()
-      }
       try {
         val ev = Tables.events(s, dir).select("event_id", "event_type", "ts")
         // stage one arrival file per half into the landing dir
@@ -453,13 +458,15 @@ object StreamQueries extends QueryPack {
     ) { (s, dir) =>
       import s.implicits._
       val src = Files.createTempDirectory("graft_ingest_src")
+      val tblDir = Files.createTempDirectory("graft_ingest_tbl")
+      try {
       // 6 JSON-lines files of B2-shaped items (bench-kafka.rs:17)
       (0 until 6).foreach { f =>
         val lines = (0 until 50).map(i =>
           s"""{"name":"item-$f-$i","size":"${Seq("small", "medium", "large")(i % 3)}","count":${f * 100 + i}}""")
         Files.write(src.resolve(f"part-$f%02d.json"), String.join("\n", lines: _*).getBytes)
       }
-      val table = GraftTable.createOrReplace(s, Files.createTempDirectory("graft_ingest_tbl").toString)
+      val table = GraftTable.createOrReplace(s, tblDir.toString)
       // IngestSource seam: the JSON-file stand-in is interchangeable with
       // graft.sources.KafkaSource when a Kafka connector jar is present
       val stream = _root_.graft.sources.JsonFileSource(
@@ -476,11 +483,15 @@ object StreamQueries extends QueryPack {
         }
         .start()
       query.awaitTermination()
-      // observable result: committed snapshots and their row payloads
+      // observable result: committed snapshots and their row payloads —
+      // total is EAGER and snaps is driver-local, so the temp table/src
+      // dirs can be reclaimed before returning (each invocation used to
+      // leak both for the machine lifetime)
       val snaps = table.snapshots.map(e => (e.seq, e.action, epochRows(e.seq)))
         .toDF("seq", "action", "n_rows")
       val total = table.read().agg(count(lit(1))).as[Long].head()
       snaps.withColumn("total_rows", lit(total)).orderBy("seq")
+      } finally { rmTree(src); rmTree(tblDir) }
     },
 
     // Streaming CDC-apply (the Debezium-to-lakehouse loop): each
@@ -498,6 +509,8 @@ object StreamQueries extends QueryPack {
         |ORDER BY name""",
     ) { (s, _) =>
       val src = Files.createTempDirectory("graft_cdc_src")
+      val tblDir = Files.createTempDirectory("graft_cdc_tbl")
+      try {
       val epochs = Seq(
         Seq("A" -> 1, "B" -> 1, "C" -> 1),
         Seq("A" -> 10, "D" -> 1),
@@ -509,7 +522,7 @@ object StreamQueries extends QueryPack {
         Files.setLastModifiedTime(p,
           java.nio.file.attribute.FileTime.fromMillis(1700000000000L + f * 60000L))
       }
-      val table = GraftTable.createOrReplace(s, Files.createTempDirectory("graft_cdc_tbl").toString)
+      val table = GraftTable.createOrReplace(s, tblDir.toString)
       val stream = _root_.graft.sources.JsonFileSource(
         src.toString, "name STRING, count INT", maxFilesPerTrigger = 1).load(s)
       val query = stream.writeStream
@@ -519,10 +532,14 @@ object StreamQueries extends QueryPack {
         }
         .start()
       query.awaitTermination()
+      // eager localCheckpoint detaches the result from the table's
+      // parquet, so the temp dirs can be reclaimed before returning
       table.read()
         .withColumn("n_commits", lit(table.snapshots.size))
         .withColumn("rows_at_seq0", lit(table.read(asOf = 0).count()))
         .orderBy("name")
+        .localCheckpoint(true)
+      } finally { rmTree(src); rmTree(tblDir) }
     },
   )
 }

@@ -251,10 +251,17 @@ final class CommitLog(val root: Path) {
   private def ckptSeqOf(p: Path): Long =
     p.getFileName.toString.stripSuffix(".json").toLong
 
+  /** size with vanished-file tolerance: checkpoint folds and expiration
+    * delete files between a racer's listing and its stat — a vanished
+    * file reads as empty (skipped), never as an exception.
+    */
+  private def sizeOrZero(p: Path): Long =
+    try Files.size(p) catch { case _: java.nio.file.NoSuchFileException => 0L }
+
   private def latestCkpt: Option[Path] =
     if (!Files.exists(ckptDir)) None
     else listed(ckptDir)(_.filter(p =>
-        p.getFileName.toString.endsWith(".json") && Files.size(p) > 0).toSeq)
+        p.getFileName.toString.endsWith(".json") && sizeOrZero(p) > 0).toSeq)
       .sortBy(_.getFileName.toString).lastOption
 
   /** list a directory with the stream closed (Files.list leaks a
@@ -416,21 +423,49 @@ final class CommitLog(val root: Path) {
     require(!assignRowIds || (fileRows.size == dataFiles.size && fileRowIds.isEmpty),
       "assignRowIds derives fileRowIds from fileRows; pass counts, not bases")
     var attempt = 0
+    var waits = 0
     while (attempt < maxAttempts) {
-      val seq = headSeq() + 1
-      val p = entryPath(seq)
-      // row-id assignment happens INSIDE the CAS loop: the base is
-      // re-derived from the just-read head on every attempt, so the
-      // committer that wins the seq also owns [base, base + rows) — two
-      // racing appends can never interleave id ranges.
-      val (ids, high) =
-        if (!assignRowIds) (fileRowIds, rowIdHigh)
-        else {
-          val base = CommitLog.nextRowId(entriesOnce(Long.MaxValue))
-          (fileRows.scanLeft(base)(_ + _).init, base + fileRows.sum)
-        }
       try {
-        Files.createFile(p) // atomic O_EXCL claim — the CAS
+        // ONE listing decides head AND detects in-flight claims, so a
+        // claim visible to headSeq is always visible to the id logic too
+        val (head, hasEmptyClaim) = listed(logDir) { it =>
+          val js = it.filter(_.getFileName.toString.endsWith(".json")).toSeq
+          val mx = if (js.isEmpty) -1L
+            else js.map(f => f.getFileName.toString.stripSuffix(".json").toLong).max
+          (math.max(mx, latestCkpt.map(ckptSeqOf).getOrElse(-1L)),
+            js.exists(f => sizeOrZero(f) == 0L))
+        }
+        if (assignRowIds && hasEmptyClaim) {
+          // a racer sits between its O_EXCL claim and its atomic content
+          // move: its row range is unknowable until the move lands, and
+          // deriving our base from the WRITTEN entries alone could mint
+          // the same range (entriesOnce skips empty claims by design).
+          // The window is sub-millisecond in a live committer — wait it
+          // out; a crashed claim surfaces as a clear error, never as
+          // silently duplicated "stable" row ids.
+          waits += 1
+          if (waits >= 250)
+            throw new IllegalStateException(
+              "abandoned commit claim blocks row-id assignment (a committer " +
+                "crashed between claim and content move); remove the " +
+                "zero-length _log entry to unblock")
+          Thread.sleep(20)
+        } else {
+          val seq = head + 1
+          val p = entryPath(seq)
+          // row-id assignment happens INSIDE the CAS loop: the base is
+          // re-derived from the just-read head on every attempt — and the
+          // no-empty-claim guard above means every predecessor's range is
+          // durably visible — so the committer that wins the seq also owns
+          // [base, base + rows): two racing appends can never interleave
+          // id ranges.
+          val (ids, high) =
+            if (!assignRowIds) (fileRowIds, rowIdHigh)
+            else {
+              val base = CommitLog.nextRowId(entriesOnce(Long.MaxValue))
+              (fileRows.scanLeft(base)(_ + _).init, base + fileRows.sum)
+            }
+          Files.createFile(p) // atomic O_EXCL claim — the CAS
         val e = relativized(LogEntry(seq, action, dataFiles, deleteFiles,
           equalityCols, System.currentTimeMillis(),
           stats.map(_._1), stats.map(_._2), stats.map(_._3), schemaJson,
@@ -440,12 +475,17 @@ final class CommitLog(val root: Path) {
         // empty claim (skipped by entries()) or the full entry — never a
         // partial write.
         val tmp = Files.createTempFile(logDir, s".$seq-", ".tmp")
-        Files.write(tmp, Json.renderEntry(e).getBytes(StandardCharsets.UTF_8))
-        Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        return seq
+          Files.write(tmp, Json.renderEntry(e).getBytes(StandardCharsets.UTF_8))
+          Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          return seq
+        }
       } catch {
         case _: FileAlreadyExistsException => attempt += 1 // lost the race; re-read head
+        case _: java.nio.file.NoSuchFileException => attempt += 1
+          // a concurrent checkpoint() folded entry files away between our
+          // listing and read — everything above ran BEFORE our claim, so
+          // retrying against the new layout is safe (mirrors entries())
       }
     }
     throw new IllegalStateException(s"commit lost CAS race $maxAttempts times")
@@ -500,15 +540,21 @@ final class CommitLog(val root: Path) {
     * when every entry inside it expires.
     */
   def expireBefore(before: Long): Int = {
+    // clamp to the head: expiring EVERYTHING would (absent a checkpoint,
+    // whose name pins the counter) regress headSeq to -1, re-minting
+    // burned seqs — existing tags would silently re-point to unrelated
+    // future snapshots and row-id bases would restart. The head entry is
+    // always retained, exactly Iceberg's keep-the-current-snapshot rule.
+    val cap = math.min(before, headSeq())
     val victims = listed(logDir)(_.toSeq)
       .filter { p =>
         val n = p.getFileName.toString
-        n.endsWith(".json") && n.stripSuffix(".json").toLong < before
+        n.endsWith(".json") && n.stripSuffix(".json").toLong < cap
       }
     victims.foreach(Files.delete)
     val fromCkpt = latestCkpt.map { p =>
       val es = Json.parseEntries(Files.readString(p))
-      val keep = es.filter(_.seq >= before)
+      val keep = es.filter(_.seq >= cap)
       if (keep.size == es.size) 0
       else {
         val tmp = Files.createTempFile(ckptDir, s".expire-", ".tmp")

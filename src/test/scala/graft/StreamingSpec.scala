@@ -23,6 +23,21 @@ class StreamingSpec extends AnyFunSuite {
   private def ts(min: Int, sec: Int = 0): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
 
+  test("session_window MERGES an event landing exactly at the previous window's end") {
+    // pins the q_stream_session oracle's strict `> gap` break predicate:
+    // Spark's operator extends a session whose end equals the next start
+    // (verified against the engine — a `>=` oracle would diverge the
+    // moment the data contains an exact-gap pair)
+    import org.apache.spark.sql.functions._
+    val df = Seq(("u", ts(0)), ("u", ts(30)), ("v", ts(0)), ("v", ts(30, 1)))
+      .toDF("user_id", "t")
+    val sessions = df.groupBy(col("user_id"), session_window(col("t"), "30 minutes"))
+      .count().groupBy("user_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sessions("u") == 1L) // exact-gap event merges
+    assert(sessions("v") == 2L) // one second past the gap breaks
+  }
+
   test("registered q_stream_tumble/slide/dedup/join/enrich execute GENUINE streaming queries") {
     // guard against a refactor silently reverting the registered entries
     // to batch: a StreamingQueryListener must observe one started
