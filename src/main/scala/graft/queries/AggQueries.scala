@@ -236,10 +236,10 @@ object AggQueries extends QueryPack {
     // arithmetic), so the DuckDB oracle replays it bit-for-bit.
     Q(
       "q_sketch_cms",
-      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
         |exact AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS exact_n FROM w GROUP BY word),
         |h AS (SELECT word, exact_n,
-        |        CAST('0x' || substring(md5(word), 1, 15) AS BIGINT) AS h1,
+        |        ${DedupQueries.h60Sql("word")} AS h1,
         |        CAST('0x' || substring(md5(word), 16, 15) AS BIGINT) AS h2 FROM exact),
         |cells AS (SELECT j, (h1 + j * h2) % 64 AS b, CAST(SUM(exact_n) AS BIGINT) AS c
         |          FROM h, (SELECT unnest(range(4)) AS j) GROUP BY j, b),
@@ -252,7 +252,10 @@ object AggQueries extends QueryPack {
         |SELECT word, exact_n, est_n, est_n >= exact_n AS no_underestimate
         |FROM e ORDER BY word""",
     ) { (s, dir) =>
-      val h1 = "CAST(CONV(substring(md5(word), 1, 15), 16, 10) AS BIGINT)"
+      // h1 = the shared 60-bit cross-engine hash primitive; h2 = the
+      // SECOND 60-bit slice of the same md5 (its independent sibling for
+      // the CMS double-hash family)
+      val h1 = DedupQueries.h60("word")
       val h2 = "CAST(CONV(substring(md5(word), 16, 15), 16, 10) AS BIGINT)"
       // CMS cells are additive in per-word counts, so hash DISTINCT words
       // (one corpus shuffle, md5 once per word not per occurrence) and
@@ -356,7 +359,7 @@ object AggQueries extends QueryPack {
         |  epoch_us(CAST(ts AS TIMESTAMP)) - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS prev_delta_us,
         |  LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER w - epoch_us(CAST(ts AS TIMESTAMP)) AS next_delta_us
         |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
         |ORDER BY event_id""",
     ) { (s, dir) =>
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -581,14 +584,15 @@ object AggQueries extends QueryPack {
     // integer ×1e4 floor-div (all counts non-negative).
     Q(
       "q_funnel",
-      """WITH w AS (SELECT user_id, event_type, ts,
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |w AS (SELECT user_id, event_type, ts,
         |        MIN(CASE WHEN event_type = 'click' THEN ts END)
         |          OVER (PARTITION BY user_id) AS first_click
-        |      FROM events),
+        |      FROM e),
         |u AS (SELECT user_id, MIN(first_click) AS fc,
         |        MIN(CASE WHEN event_type = 'purchase' AND ts > first_click THEN ts END) AS conv_ts
         |      FROM w WHERE first_click IS NOT NULL GROUP BY user_id)
-        |SELECT CAST(CAST(fc AS TIMESTAMP) AS DATE) AS cohort,
+        |SELECT CAST(fc AS DATE) AS cohort,
         |  CAST(COUNT(*) AS BIGINT) AS n_clicked,
         |  CAST(COUNT(conv_ts) AS BIGINT) AS n_converted,
         |  CAST(COUNT(conv_ts) * 10000 // COUNT(*) AS BIGINT) AS conv_x1e4

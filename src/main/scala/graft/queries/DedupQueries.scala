@@ -42,9 +42,9 @@ object DedupQueries extends QueryPack {
     * BIGINT). Uniform (md5 avalanche), positive, identical in both
     * engines — the primitive that makes MinHash/SimHash oracle-able.
     */
-  private def h60(e: String): String =
+  private[queries] def h60(e: String): String =
     s"CAST(CONV(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
-  private def h60Sql(e: String): String =
+  private[queries] def h60Sql(e: String): String =
     s"CAST('0x' || substring(md5($e), 1, 15) AS BIGINT)"
 
   /** Deterministic total order for an output-sized result. A plain
@@ -112,7 +112,7 @@ object DedupQueries extends QueryPack {
     * chain: byte-identical boilerplate is caught upstream by q_dedup_exact
     * (hash dedup has no cap); the shingle-jaccard path additionally routes
     * fully-hot docs through an exact SET-identity keeper pass
-    * ([[fullyHotKeeperPairs]] — set-identical boilerplate groups surface
+    * (the fully-hot rescue in pairCountsWithRescue — set-identical boilerplate groups surface
     * as jaccard-1.0 keeper pairs instead of vanishing); and q_dedup_near
     * scores the survivors over the RETAINED key universe (ns counts
     * post-cap shingles — see [[jaccardPairs]]), so docs that mix
@@ -183,7 +183,7 @@ object DedupQueries extends QueryPack {
 
   /** The shingle-bucket pair plan PLUS the fully-hot rescue, both carved
     * from ONE exploded relation so the expensive scan→shingle subtree is
-    * never duplicated (see [[fullyHotKeeperPairs]]'s cost note).
+    * never duplicated (see the fully-hot rescue's cost note below).
     */
   private def pairCountsWithRescue(sh: DataFrame, cap: Long): (DataFrame, DataFrame) = {
     // explode_outer, not explode: plain explode makes the optimizer push a
@@ -244,16 +244,13 @@ object DedupQueries extends QueryPack {
     * is no signal left to score them, and that residual loss remains
     * documented at [[MaxBucketDf]]. Cost: ZERO extra passes over the
     * corpus — the rescue is carved from the main pass's own relations in
-    * [[pairCountsWithRescue]] (its hot rows semi-joined from the one
+    * pairCountsWithRescue (its hot rows semi-joined from the one
     * exploded relation, fully-hot membership by anti-join against ns).
     * Two earlier formulations re-ran the scan→shingle subtree per union
     * branch because pushed-down projections made the copies canonically
     * distinct and killed exchange reuse (measured 2.3 s → 8+ s at
     * sf0.1); deriving from the shared exchange is the fix.
     */
-  private[graft] def fullyHotKeeperPairs(sh: DataFrame, cap: Long): DataFrame =
-    pairCountsWithRescue(sh, cap)._2
-
   private[graft] def jaccardPairs(sh: DataFrame, cap: Long = MaxBucketDf): DataFrame = {
     val (counts, rescue) = pairCountsWithRescue(sh, cap)
     counts
@@ -395,7 +392,7 @@ object DedupQueries extends QueryPack {
          |         FROM ex a JOIN ex b ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id),
          |jc AS (SELECT da, db,
          |        CAST(len(list_intersect(x.bh, y.bh)) AS BIGINT) AS inter,
-         |        CAST(len(x.bh) + len(y.bh) - len(list_intersect(x.bh, y.bh)) AS BIGINT) AS uni
+         |        CAST(len(list_distinct(x.bh || y.bh)) AS BIGINT) AS uni
          |      FROM cand JOIN sg x ON x.doc_id = da JOIN sg y ON y.doc_id = db)
          |SELECT da, db, CAST((inter * 10000) // uni AS BIGINT) AS jacc_x1e4
          |FROM jc WHERE inter * 2 >= uni

@@ -84,6 +84,32 @@ object VectorQueries extends QueryPack {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.embeddings(s, dir)) // single-file scan → spread before vector math
 
+  /** the shared IVF / SemDeDup / k-means assignment kernel: broadcast
+    * codebook (cid, cv, cn) × every vector, argmax as a map-side max_by
+    * partial agg (nothing sorts, the scored rows collapse before the
+    * shuffle), tie-break = lowest cid via the lexicographic (csim, -cid)
+    * max — ONE definition so the tie-break/NaN semantics can never drift
+    * between the three queries that promise "the same assignment kernel".
+    * first(vec)/first(vn) are deterministic: every row in a group carries
+    * the same vector.
+    */
+  private def nearestCentroid(df: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, out: String): DataFrame =
+    df.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(dot(col(vecCol), col("cv")), col("vn"), col("cn")))
+      .groupBy(col(idCol))
+      .agg(max_by(col("cid"), struct(col("csim"), (-col("cid")).as("nc"))).as(out),
+        first(col(vecCol)).as(vecCol), first(col("vn")).as("vn"))
+
+  /** the shared LSH-bucketed projection (q_sim_ann_lsh / q_dedup_embed):
+    * bucket id + precomputed self-dot per vector, one definition so both
+    * bucketed queries always agree on bucket ids.
+    */
+  private def withBucket(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"), col("embedding"),
+      bucketOf(col("embedding")).as("bucket"),
+      dot(col("embedding"), col("embedding")).as("vn"))
+
   // ---- DuckDB oracle fragments for the cosine queries ----
 
   /** cosine in DuckDB over DOUBLE[] lists: list_dot_product accumulates
@@ -191,9 +217,7 @@ object VectorQueries extends QueryPack {
          |SELECT probe_id, rn, neighbor_id, bucket, CAST(ROUND(score * 1e6) AS BIGINT) AS score_x1e6
          |FROM r WHERE rn <= 5 ORDER BY probe_id, rn""",
     ) { (s, dir) =>
-      val withBucket = emb(s, dir)
-        .select(col("vec_id"), col("embedding"), bucketOf(col("embedding")).as("bucket"),
-          dot(col("embedding"), col("embedding")).as("vn"))
+      val withBucket = VectorQueries.this.withBucket(s, dir)
       val probes = withBucket.filter(col("vec_id") < 5)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pv"), col("bucket"),
           col("vn").as("pn"))
@@ -265,14 +289,7 @@ object VectorQueries extends QueryPack {
       // first(vec)/first(vn) are deterministic here: every row in a group
       // carries the same vector. Centroid/vector norms ride along
       // precomputed ("cn"/"vn"), so assignment costs ONE dot per pair.
-      def nearest(df: DataFrame, idCol: String, vecCol: String,
-          cents: DataFrame, out: String): DataFrame =
-        df.crossJoin(broadcast(cents))
-          .withColumn("csim", cosine(dot(col(vecCol), col("cv")), col("vn"), col("cn")))
-          .groupBy(col(idCol))
-          .agg(max_by(col("cid"), struct(col("csim"), (-col("cid")).as("nc"))).as(out),
-            first(col(vecCol)).as(vecCol), first(col("vn")).as("vn"))
-      val a1 = nearest(all, "vec_id", "embedding", c0, "cid0")
+      val a1 = nearestCentroid(all, "vec_id", "embedding", c0, "cid0")
       val c1 = a1
         .select(col("cid0"), posexplode_outer(
           expr("transform(embedding, e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000000) AS BIGINT))"))
@@ -284,7 +301,7 @@ object VectorQueries extends QueryPack {
         .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> CAST(x.m AS DOUBLE) / 1000000)")
           .as("cv"))
         .withColumn("cn", dot(col("cv"), col("cv")))
-      val lists = nearest(all, "vec_id", "embedding", c1, "list_id")
+      val lists = nearestCentroid(all, "vec_id", "embedding", c1, "list_id")
       // nprobe = 2 nearest lists per probe: top-k needs the window form,
       // but only over 5 probes × nlist rows — driver-scale, not data-scale
       val wp = Window.partitionBy("probe_id").orderBy(col("csim").desc, col("cid"))
@@ -323,9 +340,7 @@ object VectorQueries extends QueryPack {
          |SELECT vec_id, nn_id, CAST(ROUND(score * 1e6) AS BIGINT) AS score_x1e6, score >= 0.95 AS is_near_dup
          |FROM r WHERE rn = 1 ORDER BY vec_id""",
     ) { (s, dir) =>
-      val withBucket = emb(s, dir)
-        .select(col("vec_id"), col("embedding"), bucketOf(col("embedding")).as("bucket"),
-          dot(col("embedding"), col("embedding")).as("vn"))
+      val withBucket = VectorQueries.this.withBucket(s, dir)
       val a = withBucket.select(col("vec_id"), col("embedding").as("va"), col("bucket"),
         col("vn").as("na"))
       val b = withBucket.select(col("vec_id").as("nn_id"), col("embedding").as("vb"),
@@ -385,11 +400,7 @@ object VectorQueries extends QueryPack {
         .withColumn("vn", dot(col("embedding"), col("embedding")))
       val c0 = all.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("vn").as("cn"))
-      val assigned = all.crossJoin(broadcast(c0))
-        .withColumn("csim", cosine(dot(col("embedding"), col("cv")), col("vn"), col("cn")))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cid"), struct(col("csim"), (-col("cid")).as("nc"))).as("list_id"),
-          first(col("embedding")).as("embedding"), first(col("vn")).as("vn"))
+      val assigned = nearestCentroid(all, "vec_id", "embedding", c0, "list_id")
       val mem = assigned.groupBy("list_id").agg(count(lit(1)).as("n_members"))
       val a = assigned.select(col("list_id"), col("vec_id").as("ia"),
         col("embedding").as("va"), col("vn").as("na"))
@@ -611,7 +622,6 @@ object VectorQueries extends QueryPack {
         |            ELSE (proj * 1000000) // mx END AS BIGINT) AS loading_x1e6
         |FROM w, mx ORDER BY pos""",
     ) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val q = emb(s, dir).select(col("vec_id"),
           posexplode(expr(
             "transform(embedding, e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000) AS BIGINT))"))
@@ -678,11 +688,7 @@ object VectorQueries extends QueryPack {
         .withColumn("vn", dot(col("embedding"), col("embedding")))
       val c0 = all.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("vn").as("cn"))
-      val a0 = all.crossJoin(broadcast(c0))
-        .withColumn("csim", cosine(dot(col("embedding"), col("cv")), col("vn"), col("cn")))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cid"), struct(col("csim"), (-col("cid")).as("nc"))).as("l0"),
-          first(col("embedding")).as("embedding"), first(col("vn")).as("vn"))
+      val a0 = nearestCentroid(all, "vec_id", "embedding", c0, "l0")
       val comp = a0
         .select(col("l0"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .withColumn("q", round(col("x").cast("double") * 1e6).cast("long"))
