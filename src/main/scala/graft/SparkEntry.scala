@@ -15,6 +15,7 @@ object SparkEntry {
     _root_.graft.queries.AggQueries,
     _root_.graft.queries.FuncQueries,
     _root_.graft.queries.TextQueries,
+    _root_.graft.queries.CurateQueries,
     _root_.graft.queries.DedupQueries,
     _root_.graft.queries.VectorQueries,
     _root_.graft.queries.RetrievalQueries,

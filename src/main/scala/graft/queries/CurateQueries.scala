@@ -1,0 +1,217 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a production training-data pipeline runs
+  * between raw crawl and tokenizer: PII redaction, URL-level dedup,
+  * composite quality gating (Gopher-style rules), and tokenizer-training
+  * statistics (BPE merge-pair counting). North star: BASELINE.json; the
+  * reference delegates this layer to its Spark container
+  * (docker-compose.yml:58-81) — here it is first-class.
+  *
+  * Determinism (SURVEY.md §7.5): outputs are strings/BIGINTs only; every
+  * regex is in the common Java-regex ∩ RE2 subset (character classes,
+  * bounded repetition, anchors — no backreferences, no lookaround) so
+  * Spark and DuckDB replace identically; DuckDB's regexp_replace needs
+  * the explicit 'g' flag to match Spark's replace-all semantics.
+  *
+  * Scale notes: PII/quality are row-local single-scan maps; URL dedup is
+  * one canonical-key aggregation shuffle; BPE pair counting aggregates to
+  * the VOCABULARY first (corpus-sized explode → word-keyed partial agg)
+  * so the quadratic-ish pair expansion runs over vocab-sized, not
+  * corpus-sized, input.
+  */
+object CurateQueries extends QueryPack {
+
+  /** deterministic pseudo-PII suffix appended to each document — the
+    * corpus itself is PII-free word salad, so the operator's subject
+    * matter is synthesized from doc_id by the IDENTICAL expression in
+    * both engines (same rendering of BIGINT arithmetic to string).
+    */
+  private val PiiSuffixSql =
+    """' contact u' || doc_id || '@mail' || (doc_id % 7) || '.com ip 10.' ||
+      | (doc_id % 256) || '.0.' || (doc_id % 100) || ' tel 555-' ||
+      | (1000 + doc_id % 9000)""".stripMargin.replace("\n", "")
+
+  private val EmailRe = "[a-z0-9]+@[a-z0-9.]*[a-z]"
+  private val IpRe    = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+  private val PhoneRe = "555-[0-9]{4}"
+
+  /** deterministic synthetic URL per document (the corpus has no URL
+    * column): mixed case, optional trailing slash, tracking params in
+    * two arrangements, optional fragment — every mess the canonicalizer
+    * must undo, keyed off doc_id identically in both engines.
+    */
+  private val UrlSql =
+    """'HTTPS://WWW.SRC' || (doc_id % 5) || '.Example.COM/Page/' || (doc_id % 7) ||
+      | CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+      | CASE WHEN doc_id % 2 = 0
+      |   THEN '?utm_source=feed&utm_campaign=x&ref=' || (doc_id % 3)
+      |   ELSE '?b=1&utm_medium=m' END ||
+      | CASE WHEN doc_id % 5 = 0 THEN '#frag' || (doc_id % 4) ELSE '' END""".stripMargin.replace("\n", "")
+
+  override def queries: Seq[Q] = Seq(
+
+    // PII detection + redaction (the pass every released corpus runs —
+    // emails/IPs/phones → typed placeholders). Counts are detected on
+    // the RAW text; the scrub applies the three patterns sequentially
+    // (email → ip → phone), so a span consumed by an earlier rule is
+    // invisible to later ones in BOTH engines. Row-local: one scan, no
+    // shuffle before the ordered output.
+    Q(
+      "q_text_pii",
+      s"""WITH aug AS (SELECT doc_id, text || $PiiSuffixSql AS t FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(t, '$IpRe')) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phone,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |      '$EmailRe', '<EMAIL>', 'g'),
+         |      '$IpRe', '<IP>', 'g'),
+         |      '$PhoneRe', '<PHONE>', 'g') AS scrubbed
+         |FROM aug ORDER BY doc_id""",
+    ) { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("t", expr(s"text || $PiiSuffixSql"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).cast("long").as("n_email"),
+          size(regexp_extract_all(col("t"), lit(IpRe), lit(0))).cast("long").as("n_ip"),
+          size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))).cast("long").as("n_phone"),
+          regexp_replace(regexp_replace(regexp_replace(col("t"),
+            EmailRe, "<EMAIL>"),
+            IpRe, "<IP>"),
+            PhoneRe, "<PHONE>").as("scrubbed"))
+        .orderBy("doc_id")
+    },
+
+    // URL canonicalization + dedup (CCNet/RefinedWeb keep one document
+    // per canonical URL before any content dedup): lowercase, https→http,
+    // strip www./fragment/tracking params/trailing slash — then ONE
+    // canonical-key aggregation picks the keeper (min doc_id). The
+    // regex chain is row-local; the only shuffle is the groupBy, keyed
+    // on the canonical URL (near-uniform — no skew at corpus scale).
+    Q(
+      "q_dedup_url",
+      s"""WITH u AS (SELECT doc_id, $UrlSql AS url FROM documents),
+         |c AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    lower(url),
+         |    '#.*', '', 'g'),
+         |    '^https://', 'http://', 'g'),
+         |    '^http://www\\.', 'http://', 'g'),
+         |    'utm_[a-z]+=[^&#]*&?', '', 'g'),
+         |    '\\?&', '?', 'g'),
+         |    '[?&]$$', '', 'g'),
+         |    '/$$', '', 'g') AS canon_url
+         | FROM u)
+         |SELECT canon_url, MIN(doc_id) AS keeper, COUNT(*) AS n_urls
+         |FROM c GROUP BY canon_url ORDER BY canon_url""",
+    ) { (s, dir) =>
+      val canon = Seq[(String, String)](
+        "#.*" -> "",                       // fragment
+        "^https://" -> "http://",          // scheme normalization
+        "^http://www\\." -> "http://",     // www strip
+        "utm_[a-z]+=[^&#]*&?" -> "",       // tracking params
+        "\\?&" -> "?",                     // ?& left when utm was first
+        "[?&]$" -> "",                     // dangling separator
+        "/$" -> "")                        // trailing slash
+        .foldLeft(lower(expr(UrlSql))) { case (c, (re, repl)) =>
+          regexp_replace(c, re, repl)
+        }
+      Tables.documents(s, dir)
+        .select(col("doc_id"), canon.as("canon_url"))
+        .groupBy("canon_url")
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_urls"))
+        .orderBy("canon_url")
+    },
+
+    // composite quality gate (Gopher-style rule set, Rae et al. 2021):
+    // five integer-exact rules — word count bounds, mean word length
+    // bounds (cross-multiplied, no division), stopword floor, duplicate
+    // -word ceiling, max token length — emitted as per-rule flags + a
+    // bitmask + the final keep decision. This is the operator shape of
+    // every rule-based corpus filter: one scan, all rules row-local over
+    // one tokenization, no shuffle before the ordered output.
+    Q(
+      "q_quality_gopher",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n,
+        |  CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+        |  CAST(list_max(list_transform(w, x -> length(x))) AS BIGINT) AS max_len,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+        |  CAST(len(list_filter(w, x -> x IN ('the','a','row','data','value'))) AS BIGINT) AS n_stop
+        | FROM t)
+        |SELECT doc_id, n,
+        |  CAST(n >= 50 AND n <= 100000 AS BIGINT) AS r_wordcount,
+        |  CAST(sum_len >= 3 * n AND sum_len <= 10 * n AS BIGINT) AS r_meanlen,
+        |  CAST(n_stop >= 2 AS BIGINT) AS r_stopwords,
+        |  CAST(n_uniq * 2 >= n AS BIGINT) AS r_dupwords,
+        |  CAST(max_len <= 15 AS BIGINT) AS r_maxlen,
+        |  CAST(CAST(n >= 50 AND n <= 100000 AS BIGINT)
+        |     + 2 * CAST(sum_len >= 3 * n AND sum_len <= 10 * n AS BIGINT)
+        |     + 4 * CAST(n_stop >= 2 AS BIGINT)
+        |     + 8 * CAST(n_uniq * 2 >= n AS BIGINT)
+        |     + 16 * CAST(max_len <= 15 AS BIGINT) AS BIGINT) AS rule_mask,
+        |  CAST(n >= 50 AND n <= 100000 AND sum_len >= 3 * n AND sum_len <= 10 * n
+        |    AND n_stop >= 2 AND n_uniq * 2 >= n AND max_len <= 15 AS BIGINT) AS keep
+        |FROM m ORDER BY doc_id""",
+    ) { (s, dir) =>
+      val m = Tables.documents(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n"),
+          expr("aggregate(transform(w, x -> length(x)), 0L, (a, b) -> a + b)").as("sum_len"),
+          expr("CAST(array_max(transform(w, x -> length(x))) AS BIGINT)").as("max_len"),
+          size(array_distinct(col("w"))).cast("long").as("n_uniq"),
+          expr("CAST(size(filter(w, x -> x IN ('the','a','row','data','value'))) AS BIGINT)").as("n_stop"))
+      val r1 = (col("n") >= 50 && col("n") <= 100000).cast("long")
+      val r2 = (col("sum_len") >= col("n") * 3 && col("sum_len") <= col("n") * 10).cast("long")
+      val r3 = (col("n_stop") >= 2).cast("long")
+      val r4 = (col("n_uniq") * 2 >= col("n")).cast("long")
+      val r5 = (col("max_len") <= 15).cast("long")
+      m.select(col("doc_id"), col("n"),
+        r1.as("r_wordcount"), r2.as("r_meanlen"), r3.as("r_stopwords"),
+        r4.as("r_dupwords"), r5.as("r_maxlen"),
+        (r1 + r2 * 2 + r3 * 4 + r4 * 8 + r5 * 16).as("rule_mask"),
+        (r1 * r2 * r3 * r4 * r5).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // tokenizer training statistics: the first BPE iteration's merge
+    // ranking (Sennrich et al. 2016) — count adjacent character pairs
+    // weighted by corpus word frequency, rank the top 20 merges with a
+    // total-order tie-break. The pair expansion runs over the WORD
+    // FREQUENCY table (vocab-sized), not the corpus: explode → word
+    // partial-agg (shuffle 1, pre-combined), pair expansion + sum
+    // (shuffle 2, vocab-sized), TakeOrdered top-20 (no global sort
+    // exchange). At 100 TB the vocab table is the classic small
+    // intermediate — this is exactly how BPE trainers batch it.
+    Q(
+      "q_tokenizer_bpe",
+      """WITH wf AS (SELECT word, COUNT(*) AS cnt
+        |            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |            GROUP BY word),
+        |p AS (SELECT unnest(list_transform(range(1, length(word)),
+        |               i -> substring(word, CAST(i AS INT), 2))) AS pair, cnt
+        |      FROM wf WHERE length(word) >= 2)
+        |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS weight
+        |FROM p GROUP BY pair
+        |ORDER BY weight DESC, pair LIMIT 20""",
+    ) { (s, dir) =>
+      val wf = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      wf.filter(length(col("word")) >= 2)
+        // Spark's sequence(1, n) counts DOWN when n < 1 — the length
+        // guard above keeps single-char words out of the generator
+        .select(explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+          .as("pair"), col("cnt"))
+        .groupBy("pair").agg(sum(col("cnt")).as("weight"))
+        .orderBy(col("weight").desc, col("pair"))
+        .limit(20)
+    },
+  )
+}

@@ -175,6 +175,37 @@ object StreamQueries extends QueryPack {
       }.orderBy("ws")
     },
 
+    // streaming top-k: per tumbling hour, the 2 most frequent event
+    // types (count DESC, type ASC tie-break — total order, so the cut is
+    // deterministic). The COUNTING runs incrementally (the same genuine
+    // streaming aggregation as q_stream_tumble); the rank-and-cut is a
+    // batch window over the streaming RESULT — (window × type)-sized,
+    // i.e. aggregate-sized, never the event stream. That split is the
+    // production shape: a dashboard's top-k is re-derived per refresh
+    // from the continuously-maintained counts, because rank itself is
+    // not incrementally maintainable under append-only state.
+    Q(
+      "q_stream_topk",
+      """WITH wc AS (SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n
+        |            FROM events GROUP BY 1, 2)
+        |SELECT ws, event_type, n, rk FROM (
+        |  SELECT ws, event_type, n,
+        |    ROW_NUMBER() OVER (PARTITION BY ws ORDER BY n DESC, event_type) AS rk
+        |  FROM wc)
+        |WHERE rk <= 2 ORDER BY ws, rk""",
+    ) { (s, dir) =>
+      val counts = streamedEvents(s, dir) { ev =>
+        ev.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("w.start").as("ws"), col("event_type"), col("n"))
+      }
+      val rk = Window.partitionBy("ws").orderBy(col("n").desc, col("event_type"))
+      counts
+        .withColumn("rk", row_number().over(rk).cast("long"))
+        .filter(col("rk") <= 2)
+        .orderBy("ws", "rk")
+    },
+
     // session windows (30-minute gap), executed INCREMENTALLY: the
     // registered entry runs Spark's session_window operator through real
     // Structured Streaming (AvailableNow file stream → merging session

@@ -473,6 +473,42 @@ object TableQueries extends QueryPack {
         .orderBy("probe", "name")
     },
 
+    // Metadata-only DELETE WHERE (Iceberg metadata delete / Delta
+    // partition delete): on a count-partitioned layout, delete #1's range
+    // aligns with one partition file — the file leaves the file list
+    // WITHOUT BEING READ (d1_rewritten = 0 pinned: zero data I/O, the
+    // way a 100 TB table drops a day); delete #2's range cuts through a
+    // file, so exactly that file is rewritten filtered while bounds-
+    // disjoint files are adopted verbatim and a bounds-inside file drops.
+    // Pre-delete history stays travelable (pre_rows = 10 via time travel
+    // across both replace commits).
+    Q(
+      "t_metadata_drop",
+      """SELECT * FROM (VALUES
+        |  ('A',2,1,0,1,1,10),('A',102,1,0,1,1,10),('C',110,1,0,1,1,10),
+        |  ('D',20,1,0,1,1,10),('E',20,1,0,1,1,10))
+        |  AS t(name, count, d1_dropped, d1_rewritten, d2_dropped, d2_rewritten, pre_rows)
+        |ORDER BY name, count""",
+    ) { (s, _) =>
+      val t = tmpTable(s, "metadrop")
+      val spec = PartitionSpec("count", Transform.Truncate(10))
+      t.appendPartitioned(items(s), spec, statsCols = Seq("count"))
+      val preSeq = t.appendPartitioned(
+        items(s).withColumn("count", col("count") + 100),
+        spec, statsCols = Seq("count"))
+      // partition-aligned: drops the [10,19] file, reads nothing
+      val r1 = t.deleteWhereRange("count", 10, 19, statsCols = Seq("count"))
+      // straddles the [110,119] file (keeps 110, cuts 115), drops [120,129]
+      val r2 = t.deleteWhereRange("count", 115, 125, statsCols = Seq("count"))
+      t.read().select("name", "count")
+        .withColumn("d1_dropped", lit(r1.dropped))
+        .withColumn("d1_rewritten", lit(r1.rewritten))
+        .withColumn("d2_dropped", lit(r2.dropped))
+        .withColumn("d2_rewritten", lit(r2.rewritten))
+        .withColumn("pre_rows", lit(t.read(asOf = preSeq).count().toInt))
+        .orderBy("name", "count")
+    },
+
     // Field-id schema evolution (Iceberg's stable-id model, lib.rs:58-62):
     // rename + int→long widening are metadata-only commits; files written
     // under the old name/narrow type resolve BY ID on read — no rewrite.

@@ -1343,6 +1343,106 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       rowIdHigh = CommitLog.nextRowId(entries))
   }
 
+  /** DELETE WHERE col BETWEEN lo AND hi, metadata-only when the layout
+    * allows (Iceberg's metadata delete / Delta's partition delete): each
+    * live data file is classified by its RECORDED per-file bounds —
+    * fully inside the range is dropped from the file list without being
+    * read, fully outside is adopted verbatim with its stats/blooms/
+    * lineage, and only files whose bounds STRADDLE the range (or carry
+    * no bounds for the column) are rewritten, filtered. On a table laid
+    * out by appendPartitioned over the delete column, every file is
+    * inside or outside — dropping a partition of a 100 TB table is one
+    * O(metadata) commit with ZERO data I/O, which is why engines ship
+    * this as a distinct operation from row-level deletes.
+    *
+    * Delete-where semantics: rows where the predicate is NULL (null col)
+    * are RETAINED, matching SQL DELETE. Pending MoR delete files or
+    * non-uniform live schemas force the full copy-on-write path (same
+    * rationale as updateWhereEq: an adopting replace must not change
+    * what historical delete entries apply to, and mixed physical schemas
+    * cannot adopt under one recorded schema).
+    */
+  def deleteWhereRange(colName: String, loV: Any, hiV: Any,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): DeleteWhereReport = {
+    val lo = BigDecimal(loV.toString)
+    val hi = BigDecimal(hiV.toString)
+    val entries = log.entries()
+    require(entries.nonEmpty, "delete on an empty table")
+    val state @ (dataFiles, deleteFiles) = CommitLog.stateFrom(entries)
+    val schemaJson =
+      entries.filter(_.schemaJson.nonEmpty).lastOption.map(_.schemaJson).getOrElse("")
+    val liveSeqs = dataFiles.map(_._2).toSet
+    val uniformSchema = (entries.filter(e => liveSeqs(e.seq) && e.dataFiles.nonEmpty)
+      .map(_.schemaJson) :+ schemaJson).distinct.size <= 1
+    // predicate-NULL rows survive: not(coalesce(cond, false))
+    val retain = !coalesce(col(colName) >= lit(loV) && col(colName) <= lit(hiV), lit(false))
+    val dir = newShardDir("data")
+    if (deleteFiles.nonEmpty || !uniformSchema) {
+      val (fullView, fullMat) = rewriteSource(entries, state)
+      fullView.filter(retain).write.parquet(dir.toString)
+      val files = parquetFilesIn(dir)
+      val (fs, strCols) = perFileStats(dir, files, statsCols)
+      val (mrows, mids) = physMarkers(files, fullMat)
+      val seq = log.commit("replace", dataFiles = files,
+        stats = foldStats(fs, statsCols, strCols),
+        schemaJson = schemaJson,
+        fileStats = fs,
+        fileBlooms = perFileBlooms(dir, files, bloomCols),
+        fileRows = mrows, fileRowIds = mids,
+        rowIdHigh = CommitLog.nextRowId(entries))
+      return DeleteWhereReport(seq, dropped = dataFiles.size, kept = 0,
+        rewritten = files.size)
+    }
+    val (allStats, _) = adoptedMeta(entries, dataFiles)
+    // 0 = bounds ⊆ [lo, hi] (drop), 1 = disjoint (keep), 2 = straddle/unknown
+    val classed = dataFiles.zip(allStats).map { case (f, st) =>
+      val cls = st.get(colName) match {
+        case Some((mn, mx)) =>
+          try {
+            val (bmn, bmx) = (BigDecimal(mn), BigDecimal(mx))
+            if (bmn >= lo && bmx <= hi) 0
+            else if (bmx < lo || bmn > hi) 1
+            else 2
+          } catch { case _: NumberFormatException => 2 }
+        case None => 2
+      }
+      (f, cls)
+    }
+    val dropped = classed.collect { case (f, 0) => f }
+    val kept = classed.collect { case (f, 1) => f }
+    val straddling = classed.collect { case (f, 2) => f }
+    if (dropped.isEmpty && straddling.isEmpty)
+      return DeleteWhereReport(entries.last.seq, 0, kept.size, 0) // provably no match
+    val (newFiles, mat) =
+      if (straddling.isEmpty) (Nil, false)
+      else {
+        val (src, m) = rewriteSource(entries, (straddling, Nil))
+        src.filter(retain).write.parquet(dir.toString)
+        (parquetFilesIn(dir), m)
+      }
+    val (newStats0, _) = perFileStats(dir, newFiles, statsCols)
+    val newBlooms0 = perFileBlooms(dir, newFiles, bloomCols)
+    val (keptStats, keptBlooms) = adoptedMeta(entries, kept)
+    val (keptRows, keptIds) = adoptedLineage(entries, kept)
+    val padStats =
+      if (newStats0.isEmpty) newFiles.map(_ => Map.empty[String, (String, String)])
+      else newStats0
+    val padBlooms =
+      if (newBlooms0.isEmpty) newFiles.map(_ => Map.empty[String, String])
+      else newBlooms0
+    // no commit-level stats fold: adopted files' recorded columns may
+    // differ from statsCols (same rationale as compactSmall)
+    val seq = log.commit("replace",
+      dataFiles = kept.map(_._1) ++ newFiles,
+      schemaJson = schemaJson,
+      fileStats = keptStats ++ padStats,
+      fileBlooms = keptBlooms ++ padBlooms,
+      fileRows = keptRows ++ newFiles.map(_ => 0L),
+      fileRowIds = keptIds ++ newFiles.map(_ => if (mat) -2L else -1L),
+      rowIdHigh = CommitLog.nextRowId(entries))
+    DeleteWhereReport(seq, dropped.size, kept.size, newFiles.size)
+  }
+
   /** immutable named snapshot (Iceberg tag): the handle a training run
     * records so its exact input stays reproducible. Tagged history
     * survives expireSnapshots. The default pins the last COMMITTED
@@ -2233,6 +2333,15 @@ final class GraftTable(spark: SparkSession, val root: Path) {
   def headSeq: Long = log.headSeq()
   def commitLog: CommitLog = log
 }
+
+/** How [[GraftTable.deleteWhereRange]] handled each live data file:
+  * `dropped` left the file list without being read, `kept` were adopted
+  * verbatim, `rewritten` straddled the range and were filtered+rewritten.
+  * dropped + kept + rewritten-source = the pre-delete live file count
+  * (on the copy-on-write fallback path, kept = 0 and rewritten counts
+  * the OUTPUT files of the full rewrite).
+  */
+final case class DeleteWhereReport(seq: Long, dropped: Int, kept: Int, rewritten: Int)
 
 object GraftTable {
   /** idempotent create: drop-if-exists then create — the reference's

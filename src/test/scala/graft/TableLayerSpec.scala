@@ -1734,4 +1734,56 @@ class TableLayerSpec extends AnyFunSuite {
     assert(files.count(_.startsWith("ext-")) == n)
     assert(files.count(_.startsWith("loc-")) == n)
   }
+
+  test("deleteWhereRange drops aligned files metadata-only, rewrites straddlers, keeps NULL rows") {
+    val t = freshTable("dropwhere")
+    val spec = PartitionSpec("count", Transform.Truncate(10))
+    t.appendPartitioned(items, spec, statsCols = Seq("count"))
+    // files: [0,9]→{2,7}, [10,19]→{15,10}, [20,29]→{20,20}
+    val filesBefore = t.snapshots.flatMap(_.dataFiles).toSet
+    val r = t.deleteWhereRange("count", 10, 19, statsCols = Seq("count"))
+    assert(r.dropped == 1 && r.kept == 2 && r.rewritten == 0,
+      s"aligned delete must be metadata-only: $r")
+    // the adopting replace reuses the SAME physical files (nothing read or written)
+    val liveAfter = t.snapshots.last.dataFiles.toSet
+    assert(liveAfter.subsetOf(filesBefore), "metadata-only delete must not write files")
+    assert(t.read().select("count").as[Int].collect().sorted.sameElements(Array(2, 7, 20, 20)))
+    // straddling range: [0,9] file has bounds (2,7); [5,25] cuts through it
+    val r2 = t.deleteWhereRange("count", 5, 25, statsCols = Seq("count"))
+    assert(r2.dropped == 1 && r2.kept == 0 && r2.rewritten >= 1, s"$r2")
+    assert(t.read().select("count").as[Int].collect().sorted.sameElements(Array(2)))
+    // pre-delete history stays travelable across both replaces
+    assert(t.read(asOf = 0).count() == 6)
+  }
+
+  test("deleteWhereRange retains predicate-NULL rows and no-ops on a provably absent range") {
+    val t = freshTable("dropnull")
+    // ONE shard file: a parallel write would isolate the NULL row into a
+    // file with no recorded count bounds, which (correctly) cannot prove
+    // range absence and would take the rewrite path instead of no-op'ing
+    t.append(Seq(("A", Some(2)), ("B", None), ("C", Some(30))).toDF("name", "count")
+      .coalesce(1), statsCols = Seq("count"))
+    val head = t.headSeq
+    // range matches nothing recorded: short-circuit, no new snapshot
+    val r0 = t.deleteWhereRange("count", 100, 200, statsCols = Seq("count"))
+    assert(r0.dropped == 0 && r0.rewritten == 0 && t.headSeq == head,
+      "absent range must not commit")
+    // the file's bounds (2,30) straddle [1,5]: rewrite filters the 2 but
+    // MUST keep the NULL row (SQL DELETE: predicate-NULL rows survive)
+    t.deleteWhereRange("count", 1, 5, statsCols = Seq("count"))
+    val left = t.read().select("name").as[String].collect().sorted
+    assert(left.sameElements(Array("B", "C")), left.mkString(","))
+  }
+
+  test("deleteWhereRange falls back to copy-on-write over pending MoR deletes") {
+    val t = freshTable("dropfallback")
+    t.append(items, statsCols = Seq("count"))
+    t.delete(Seq("A").toDF("name"), Seq("name")) // pending equality delete
+    val r = t.deleteWhereRange("count", 10, 19, statsCols = Seq("count"))
+    assert(r.kept == 0, "pending deletes force the full rewrite path")
+    val counts = t.read().select("count").as[Int].collect().sorted
+    assert(counts.sameElements(Array(20, 20)), counts.mkString(","))
+    // the rewrite folded the MoR delete in: no delete files remain live
+    assert(t.snapshots.last.action == "replace")
+  }
 }
