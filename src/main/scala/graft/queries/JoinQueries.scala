@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Dec, Q, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -45,6 +46,24 @@ object JoinQueries extends QueryPack {
     */
   private def dirTag(dir: String): String =
     (dir.hashCode.toLong & 0xffffffffL).toHexString
+
+  /** Run raw SQL TEXT over session-isolated temp views: each (name, df)
+    * registers under a UUID-suffixed view, `{name}` placeholders in the
+    * SQL resolve to the suffixed names, and every view is dropped as soon
+    * as spark.sql returns (analysis is eager — the returned DataFrame's
+    * plan no longer needs the views). Concurrent invocations on one
+    * session therefore never race on shared catalog state (ADVICE r5),
+    * while the entries still exercise the parser/analyzer front end that
+    * pure DataFrame plans bypass.
+    */
+  private def sqlOverViews(s: SparkSession, views: (String, DataFrame)*)(
+      sql: String): DataFrame = {
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val named = views.map { case (n, _) => n -> s"v_${n}_$sfx" }.toMap
+    views.foreach { case (n, df) => df.createOrReplaceTempView(named(n)) }
+    try s.sql(named.foldLeft(sql) { case (q, (n, v)) => q.replace(s"{$n}", v) })
+    finally named.values.foreach(s.catalog.dropTempView)
+  }
 
   override def queries: Seq[Q] = Seq(
 
@@ -256,15 +275,15 @@ object JoinQueries extends QueryPack {
         |ORDER BY revenue_x1e6 DESC, l_orderkey
         |LIMIT 10""",
     ) { (s, dir) =>
-      Tables.customer(s, dir).createOrReplaceTempView("v_q3_customer")
-      Tables.orders(s, dir).createOrReplaceTempView("v_q3_orders")
-      Tables.lineitem(s, dir).createOrReplaceTempView("v_q3_lineitem")
-      s.sql("""
+      sqlOverViews(s,
+        "customer" -> Tables.customer(s, dir),
+        "orders" -> Tables.orders(s, dir),
+        "lineitem" -> Tables.lineitem(s, dir))("""
         SELECT l_orderkey,
           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS revenue_x1e6,
           o_orderdate, o_orderpriority
-        FROM v_q3_customer JOIN v_q3_orders ON c_custkey = o_custkey
-        JOIN v_q3_lineitem ON l_orderkey = o_orderkey
+        FROM {customer} JOIN {orders} ON c_custkey = o_custkey
+        JOIN {lineitem} ON l_orderkey = o_orderkey
         WHERE c_mktsegment = 'BUILDING'
           AND o_orderdate < TIMESTAMP '1995-03-15'
           AND l_shipdate > TIMESTAMP '1995-03-15'
@@ -296,20 +315,20 @@ object JoinQueries extends QueryPack {
         |GROUP BY n_name
         |ORDER BY revenue_x1e6 DESC, n_name""",
     ) { (s, dir) =>
-      Tables.region(s, dir).createOrReplaceTempView("v_q5_region")
-      Tables.nation(s, dir).createOrReplaceTempView("v_q5_nation")
-      Tables.customer(s, dir).createOrReplaceTempView("v_q5_customer")
-      Tables.supplier(s, dir).createOrReplaceTempView("v_q5_supplier")
-      Tables.orders(s, dir).createOrReplaceTempView("v_q5_orders")
-      Tables.lineitem(s, dir).createOrReplaceTempView("v_q5_lineitem")
-      s.sql("""
+      sqlOverViews(s,
+        "region" -> Tables.region(s, dir),
+        "nation" -> Tables.nation(s, dir),
+        "customer" -> Tables.customer(s, dir),
+        "supplier" -> Tables.supplier(s, dir),
+        "orders" -> Tables.orders(s, dir),
+        "lineitem" -> Tables.lineitem(s, dir))("""
         SELECT n_name,
           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS revenue_x1e6
-        FROM v_q5_customer JOIN v_q5_orders ON c_custkey = o_custkey
-        JOIN v_q5_lineitem ON l_orderkey = o_orderkey
-        JOIN v_q5_supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-        JOIN v_q5_nation ON s_nationkey = n_nationkey
-        JOIN v_q5_region ON n_regionkey = r_regionkey
+        FROM {customer} JOIN {orders} ON c_custkey = o_custkey
+        JOIN {lineitem} ON l_orderkey = o_orderkey
+        JOIN {supplier} ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN {nation} ON s_nationkey = n_nationkey
+        JOIN {region} ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
           AND o_orderdate >= TIMESTAMP '1994-01-01'
           AND o_orderdate < TIMESTAMP '1996-01-01'
@@ -338,17 +357,17 @@ object JoinQueries extends QueryPack {
         |ORDER BY totalprice_x1e2 DESC, o_orderkey
         |LIMIT 100""",
     ) { (s, dir) =>
-      Tables.customer(s, dir).createOrReplaceTempView("v_q18_customer")
-      Tables.orders(s, dir).createOrReplaceTempView("v_q18_orders")
-      Tables.lineitem(s, dir).createOrReplaceTempView("v_q18_lineitem")
-      s.sql("""
+      sqlOverViews(s,
+        "customer" -> Tables.customer(s, dir),
+        "orders" -> Tables.orders(s, dir),
+        "lineitem" -> Tables.lineitem(s, dir))("""
         SELECT c_name, c_custkey, o_orderkey, o_orderdate,
           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS totalprice_x1e2,
           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) * 100 AS BIGINT) AS sum_qty_x1e2
-        FROM v_q18_customer JOIN v_q18_orders ON c_custkey = o_custkey
-        JOIN v_q18_lineitem ON o_orderkey = l_orderkey
+        FROM {customer} JOIN {orders} ON c_custkey = o_custkey
+        JOIN {lineitem} ON o_orderkey = l_orderkey
         WHERE o_orderkey IN (
-          SELECT l_orderkey FROM v_q18_lineitem GROUP BY l_orderkey
+          SELECT l_orderkey FROM {lineitem} GROUP BY l_orderkey
           HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250)
         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         ORDER BY totalprice_x1e2 DESC, o_orderkey
@@ -380,10 +399,9 @@ object JoinQueries extends QueryPack {
         |FROM walk WHERE anc <= 9
         |GROUP BY anc ORDER BY root""",
     ) { (s, dir) =>
-      Tables.part(s, dir).createOrReplaceTempView("v_rec_part")
-      s.sql("""
+      sqlOverViews(s, "part" -> Tables.part(s, dir))("""
         WITH RECURSIVE walk(node, anc, depth) AS (
-          SELECT p_partkey AS node, p_partkey AS anc, 0 AS depth FROM v_rec_part
+          SELECT p_partkey AS node, p_partkey AS anc, 0 AS depth FROM {part}
           UNION ALL
           SELECT node, anc DIV 10 AS anc, depth + 1 AS depth FROM walk WHERE anc > 9
         )
@@ -418,33 +436,24 @@ object JoinQueries extends QueryPack {
         |ORDER BY revenue_x1e6 DESC, c_custkey
         |LIMIT 20""",
     ) { (s, dir) =>
-      // UUID-suffixed view names, dropped right after spark.sql resolves
-      // the plan (analysis is eager): concurrent invocations on one
-      // session never race on shared session state, and the entry still
-      // exercises the SQL-text surface (ADVICE r5). Every other query
-      // builds a pure DataFrame plan; this one is the spark.sql(...) rep.
-      val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
-      Tables.customer(s, dir).createOrReplaceTempView(s"v_q10_customer_$sfx")
-      Tables.orders(s, dir).createOrReplaceTempView(s"v_q10_orders_$sfx")
-      Tables.lineitem(s, dir).createOrReplaceTempView(s"v_q10_lineitem_$sfx")
-      Tables.nation(s, dir).createOrReplaceTempView(s"v_q10_nation_$sfx")
-      val df = s.sql(s"""
+      sqlOverViews(s,
+        "customer" -> Tables.customer(s, dir),
+        "orders" -> Tables.orders(s, dir),
+        "lineitem" -> Tables.lineitem(s, dir),
+        "nation" -> Tables.nation(s, dir))("""
         SELECT c_custkey, c_name,
           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS revenue_x1e6,
           CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS acctbal_x1e2,
           n_name
-        FROM v_q10_customer_$sfx JOIN v_q10_orders_$sfx ON c_custkey = o_custkey
-        JOIN v_q10_lineitem_$sfx ON l_orderkey = o_orderkey
-        JOIN v_q10_nation_$sfx ON c_nationkey = n_nationkey
+        FROM {customer} JOIN {orders} ON c_custkey = o_custkey
+        JOIN {lineitem} ON l_orderkey = o_orderkey
+        JOIN {nation} ON c_nationkey = n_nationkey
         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1996-04-01'
           AND l_returnflag = 'R'
         GROUP BY c_custkey, c_name, c_acctbal, n_name
         ORDER BY revenue_x1e6 DESC, c_custkey
         LIMIT 20""")
-      Seq("customer", "orders", "lineitem", "nation")
-        .foreach(t => s.catalog.dropTempView(s"v_q10_${t}_$sfx"))
-      df
     },
 
     // Weighted PageRank over the nation trade graph — the iterative
