@@ -213,5 +213,43 @@ object CurateQueries extends QueryPack {
         .orderBy(col("weight").desc, col("pair"))
         .limit(20)
     },
+
+    // tokenizer VOCABULARY COVERAGE (the fertility/OOV report a
+    // tokenizer release ships): learn the top-100 corpus words as the
+    // vocab (count DESC, word ASC total-order tie-break — the cut is
+    // deterministic), then report each document's out-of-vocabulary
+    // rate. Scale shape: the vocab is learned with one word-keyed
+    // partial agg and is SMALL BY CONSTRUCTION (top-K), so membership
+    // attaches to the corpus scan as a broadcast join — per-doc OOV
+    // counting never shuffles the corpus again.
+    Q(
+      "q_tokenizer_vocab",
+      """WITH wf AS (SELECT word, COUNT(*) AS c
+        |            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |            GROUP BY word),
+        |v AS (SELECT word FROM wf ORDER BY c DESC, word LIMIT 100),
+        |d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(COUNT(*) FILTER (WHERE w NOT IN (SELECT word FROM v)) AS BIGINT) AS n_oov,
+        |  CAST((COUNT(*) FILTER (WHERE w NOT IN (SELECT word FROM v)) * 10000) // COUNT(*) AS BIGINT) AS oov_x1e4
+        |FROM d GROUP BY doc_id ORDER BY doc_id""",
+    ) { (s, dir) =>
+      val words = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val vocab = words.groupBy(col("w").as("vw"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("vw"))
+        .limit(100)
+        .select("vw")
+      words
+        .join(broadcast(vocab), col("w") === col("vw"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(when(col("vw").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_words"), col("n_oov"),
+          expr("CAST((n_oov * 10000L) div n_words AS BIGINT)").as("oov_x1e4"))
+        .orderBy("doc_id")
+    },
   )
 }

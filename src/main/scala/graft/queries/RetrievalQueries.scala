@@ -172,5 +172,58 @@ object RetrievalQueries extends QueryPack {
         .select("probe_id", "rn", "cand_id", "lex_rank", "vec_rank", "rrf_x1e6")
         .orderBy("probe_id", "rn")
     },
+
+    // retrieval-quality EVALUATION (the IR-metrics harness every
+    // retrieval stack ships next to its rankers): cosine top-10 per
+    // probe judged against label relevance (same label = relevant, the
+    // embeddings table's ground truth), reported as hits@10, exact
+    // integer P@5 (hits·2000 = hits·1e4/5) and MRR×1e6 (floor(1e6/first
+    // relevant rank), 0 when none lands in the cut). Scale: the ranking
+    // is the broadcast-probes linear scan of q_sim_topk (probe count ×
+    // N dot products, no pair blow-up); metrics aggregate the top-10
+    // rows only — evaluation cost is rank-cut-sized, not corpus-sized.
+    Q(
+      "q_retrieval_eval",
+      s"""WITH p AS (SELECT vec_id AS probe_id, label AS plabel,
+         |             CAST(embedding AS DOUBLE[]) AS pv
+         |           FROM embeddings WHERE vec_id < 5),
+         |a AS (SELECT vec_id AS nid, label AS nlabel, CAST(embedding AS DOUBLE[]) AS nv
+         |      FROM embeddings),
+         |s AS (SELECT probe_id, plabel, nid, nlabel, ${cosSql("pv", "nv")} AS score
+         |      FROM a, p WHERE nid <> probe_id),
+         |r AS (SELECT probe_id, plabel, nlabel,
+         |        row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, nid) AS rn
+         |      FROM s)
+         |SELECT probe_id, plabel AS label,
+         |  CAST(COUNT(*) FILTER (WHERE nlabel = plabel) AS BIGINT) AS n_rel_top10,
+         |  CAST(COUNT(*) FILTER (WHERE nlabel = plabel AND rn <= 5) * 2000 AS BIGINT) AS p_at5_x1e4,
+         |  CAST(COALESCE(1000000 // MIN(CASE WHEN nlabel = plabel THEN rn END), 0) AS BIGINT) AS mrr_x1e6
+         |FROM r WHERE rn <= 10
+         |GROUP BY probe_id, plabel ORDER BY probe_id""",
+    ) { (s, dir) =>
+      val base = Tables.spread(Tables.embeddings(s, dir))
+      val probes = base.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
+          col("embedding").as("pv"))
+        .withColumn("pn", dot(col("pv"), col("pv")))
+      val cands = base
+        .select(col("vec_id").as("nid"), col("label").as("nlabel"),
+          col("embedding").as("nv"))
+        .withColumn("nn", dot(col("nv"), col("nv")))
+      val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("nid"))
+      cands.crossJoin(broadcast(probes))
+        .filter(col("nid") =!= col("probe_id"))
+        .withColumn("score", dot(col("pv"), col("nv")) / sqrt(col("pn") * col("nn")))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .groupBy(col("probe_id"), col("plabel").as("label"))
+        .agg(
+          sum(when(col("nlabel") === col("plabel"), 1L).otherwise(0L)).as("n_rel_top10"),
+          (sum(when(col("nlabel") === col("plabel") && col("rn") <= 5, 1L).otherwise(0L)) * 2000)
+            .as("p_at5_x1e4"),
+          coalesce(expr("1000000L div MIN(CASE WHEN nlabel = plabel THEN rn END)"), lit(0L))
+            .as("mrr_x1e6"))
+        .orderBy("probe_id")
+    },
   )
 }

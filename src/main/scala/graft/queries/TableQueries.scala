@@ -473,6 +473,83 @@ object TableQueries extends QueryPack {
         .orderBy("probe", "name")
     },
 
+    // Data governance riding table PROPERTIES (Iceberg UpdateProperties
+    // + the policy-enforced read): masking (hash pseudonym / null) and a
+    // row filter are declared ONCE as table metadata and every governed
+    // read enforces them; properties version with the log (phase 2 unsets
+    // the count mask — the earlier policy stays travelable). Policies are
+    // row-local projections/filters: zero extra shuffles, the row filter
+    // pushes toward the scan like any user predicate.
+    Q(
+      "t_governance",
+      """WITH it(name, size, count) AS (VALUES
+        |  ('A','small',2),('B','medium',15),('C','medium',10),
+        |  ('D','small',20),('E','large',20))
+        |SELECT '1_masked' AS phase, sha256(name) AS name, size,
+        |       CAST(NULL AS INT) AS count
+        |FROM it WHERE size <> 'small'
+        |UNION ALL
+        |SELECT '2_count_unmasked', sha256(name), size, count
+        |FROM it WHERE size <> 'small'
+        |ORDER BY phase, name""",
+    ) { (s, _) =>
+      val t = tmpTable(s, "governance")
+      t.append(items(s))
+      t.setProperties(Map(
+        "mask.name" -> "hash", "mask.count" -> "null",
+        "filter.row" -> "size <> 'small'"))
+      val masked = t.readGoverned()
+        .select(lit("1_masked").as("phase"), col("name"), col("size"), col("count"))
+      t.setProperties(Map("mask.count" -> "")) // unset: count serves again
+      val partial = t.readGoverned()
+        .select(lit("2_count_unmasked").as("phase"), col("name"), col("size"), col("count"))
+      masked.unionByName(partial).orderBy("phase", "name")
+    },
+
+    // Atomic MULTI-TABLE transaction (the REST-catalog multi-table
+    // commit): appends staged across two tables publish with ONE marker
+    // create — all-or-nothing. An aborting body (exception after staging
+    // to table A) leaves both tables untouched, and a crash-simulated
+    // staged entry with no marker (writer died pre-publish) stays
+    // invisible — the presumed-abort path. Counts pinned after each
+    // phase; rows_a/rows_b never diverge, which IS the atomicity claim.
+    Q(
+      "t_multi_table_txn",
+      """SELECT * FROM (VALUES
+        |  ('1_committed', 5, 5),
+        |  ('2_aborted', 5, 5),
+        |  ('3_staged_invisible', 5, 5))
+        |  AS t(phase, rows_a, rows_b)
+        |ORDER BY phase""",
+    ) { (s, _) =>
+      import s.implicits._
+      val wh = Files.createTempDirectory("graft_txnwh")
+      val cat = GraftCatalog(s, wh.toString)
+      cat.createTable("lake", "ta")
+      cat.createTable("lake", "tb")
+      def counts: (Int, Int) =
+        (cat.openTable("lake", "ta").read().count().toInt,
+          cat.openTable("lake", "tb").read().count().toInt)
+      cat.transact { txn =>
+        txn.append("lake", "ta", items(s))
+        txn.append("lake", "tb", items(s))
+      }
+      val (a1, b1) = counts
+      try cat.transact { txn =>
+        txn.append("lake", "ta", items(s))
+        txn.append("lake", "tb", items(s))
+        sys.error("abort after staging both tables")
+      } catch { case _: RuntimeException => () }
+      val (a2, b2) = counts
+      cat.openTable("lake", "tb")
+        .appendInTxn(items(s), wh.resolve("_txns").resolve("never.commit"))
+      val (a3, b3) = counts
+      Seq(("1_committed", a1, b1), ("2_aborted", a2, b2),
+        ("3_staged_invisible", a3, b3))
+        .toDF("phase", "rows_a", "rows_b")
+        .orderBy("phase")
+    },
+
     // Metadata-only DELETE WHERE (Iceberg metadata delete / Delta
     // partition delete): on a count-partitioned layout, delete #1's range
     // aligns with one partition file — the file leaves the file list

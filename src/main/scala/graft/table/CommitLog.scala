@@ -68,7 +68,20 @@ final case class LogEntry(
     // next-row-id table field, carried per snapshot): max over entries
     // is the counter, so it survives snapshot expiration dropping the
     // entries that originally advanced it. -1 = entry never touched it.
-    rowIdHigh: Long = -1L) {
+    rowIdHigh: Long = -1L,
+    // multi-table transaction marker (REST-catalog multi-table commit):
+    // non-empty = this entry is STAGED and invisible to readers until the
+    // marker file exists (one atomic create publishes every staged entry
+    // of the transaction across all tables — presumed abort otherwise).
+    // Stored table-root-relative ("../../_txns/<id>.commit") so a moved
+    // warehouse keeps its markers; "" = ordinary entry.
+    txnMarker: String = "",
+    // table-property assignments carried by this entry (Iceberg's
+    // UpdateProperties): head properties = fold of all entries' maps in
+    // seq order, an EMPTY value unsets the key. Rides a dedicated
+    // file-less "props" action (stateFrom ignores it) but any entry may
+    // carry assignments.
+    props: Map[String, String] = Map.empty) {
 
   /** bounds-intersection under the PRUNE's ordering: string prunes
     * compare lexicographically (string columns record native min/max —
@@ -231,13 +244,46 @@ final class CommitLog(val root: Path) {
       k => java.lang.Boolean.valueOf(Files.isDirectory(Paths.get(k)))).booleanValue
   }
 
+  // txn markers live OUTSIDE the table root (warehouse _txns/), so the
+  // data-file helpers don't apply: relativize unconditionally (".."
+  // chains are exactly what keeps a moved warehouse's markers reachable),
+  // resolve against the current root.
+  private def relMarker(p: String): String = {
+    val q = Paths.get(p)
+    if (!q.isAbsolute) p else rootAbs.relativize(q.normalize).toString
+  }
+
+  private def resolveMarker(p: String): String =
+    if (p.isEmpty) p
+    else {
+      val q = Paths.get(p)
+      (if (q.isAbsolute) q.normalize else rootAbs.resolve(p).normalize).toString
+    }
+
+  /** has this staged entry's transaction committed? A marker, once
+    * created, never disappears while its entries live (markers expire
+    * only with the entries referencing them), so positives are cached;
+    * absence is re-probed every read — the transaction may commit at any
+    * moment.
+    */
+  private val markerSeen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def txnCommitted(markerAbs: String): Boolean =
+    markerSeen.contains(markerAbs) || {
+      val there = try Files.size(Paths.get(markerAbs)) > 0
+        catch { case _: java.io.IOException => false }
+      if (there) markerSeen.add(markerAbs)
+      there
+    }
+
   private def resolved(e: LogEntry): LogEntry =
     e.copy(dataFiles = e.dataFiles.map(resolvePath),
-      deleteFiles = e.deleteFiles.map(resolvePath))
+      deleteFiles = e.deleteFiles.map(resolvePath),
+      txnMarker = resolveMarker(e.txnMarker))
 
   private def relativized(e: LogEntry): LogEntry =
     e.copy(dataFiles = e.dataFiles.map(relPath),
-      deleteFiles = e.deleteFiles.map(relPath))
+      deleteFiles = e.deleteFiles.map(relPath),
+      txnMarker = relMarker(e.txnMarker))
 
   private def entryPath(seq: Long): Path = logDir.resolve(f"$seq%020d.json")
 
@@ -296,7 +342,25 @@ final class CommitLog(val root: Path) {
     try entriesOnce(asOf)
     catch { case _: java.nio.file.NoSuchFileException => entriesOnce(asOf) }
 
-  private def entriesOnce(asOf: Long): Seq[LogEntry] = {
+  /** Staged transaction entries whose marker is ABSENT are invisible to
+    * every reader (presumed abort); `includePending = true` surfaces them
+    * — used ONLY by row-id assignment, which must never re-mint a range a
+    * staged-but-unpublished append already claimed.
+    */
+  private def entriesOnce(asOf: Long, includePending: Boolean = false): Seq[LogEntry] =
+    entriesRaw(asOf).filter(e =>
+      e.txnMarker.isEmpty || includePending || txnCommitted(e.txnMarker))
+
+  /** staged entries of transactions that have not (yet) published:
+    * invisible to reads, but their data files must survive orphan sweeps
+    * while the transaction could still commit (until expiration retires
+    * them past [[CommitLog.TxnAbandonHorizonMs]]).
+    */
+  def pendingEntries: Seq[LogEntry] =
+    entriesRaw(Long.MaxValue).filter(e =>
+      e.txnMarker.nonEmpty && !txnCommitted(e.txnMarker))
+
+  private def entriesRaw(asOf: Long): Seq[LogEntry] = {
     val ck = latestCkpt
     val base = ck.map(p => Json.parseEntries(Files.readString(p)))
       .getOrElse(Nil).map(resolved)
@@ -343,8 +407,12 @@ final class CommitLog(val root: Path) {
     val p = ckptDir.resolve(f"$top%020d.json")
     val tmp = Files.createTempFile(ckptDir, s".$top-", ".tmp")
     // the fold re-renders resolved (absolute) entries: re-relativize so a
-    // checkpoint never re-pins the table to its current location
-    Files.write(tmp, Json.renderEntries(es.map(relativized))
+    // checkpoint never re-pins the table to its current location. Entries
+    // reaching the fold have PROVEN their txn committed (entriesOnce
+    // filters pending ones), so the marker reference is cleared — folded
+    // entries stop depending on the marker file's existence forever.
+    Files.write(tmp,
+      Json.renderEntries(es.map(e => relativized(e.copy(txnMarker = ""))))
       .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -411,6 +479,8 @@ final class CommitLog(val root: Path) {
       fileRowIds: Seq[Long] = Nil,
       rowIdHigh: Long = -1L,
       assignRowIds: Boolean = false,
+      txnMarker: String = "",
+      props: Map[String, String] = Map.empty,
       maxAttempts: Int = 50): Long = {
     require(fileStats.isEmpty || fileStats.size == dataFiles.size,
       s"fileStats (${fileStats.size}) must parallel dataFiles (${dataFiles.size})")
@@ -462,14 +532,17 @@ final class CommitLog(val root: Path) {
           val (ids, high) =
             if (!assignRowIds) (fileRowIds, rowIdHigh)
             else {
-              val base = CommitLog.nextRowId(entriesOnce(Long.MaxValue))
+              // pending txn entries included: their staged appends own
+              // their id ranges even before (or without) publishing
+              val base = CommitLog.nextRowId(
+                entriesOnce(Long.MaxValue, includePending = true))
               (fileRows.scanLeft(base)(_ + _).init, base + fileRows.sum)
             }
           Files.createFile(p) // atomic O_EXCL claim — the CAS
         val e = relativized(LogEntry(seq, action, dataFiles, deleteFiles,
           equalityCols, System.currentTimeMillis(),
           stats.map(_._1), stats.map(_._2), stats.map(_._3), schemaJson,
-          fileStats, partSpec, fileBlooms, fileRows, ids, high))
+          fileStats, partSpec, fileBlooms, fileRows, ids, high, txnMarker, props))
         // content becomes visible atomically: write a temp file, then
         // rename over the claimed (empty) entry. Readers see either an
         // empty claim (skipped by entries()) or the full entry — never a
@@ -551,6 +624,20 @@ final class CommitLog(val root: Path) {
         val n = p.getFileName.toString
         n.endsWith(".json") && n.stripSuffix(".json").toLong < cap
       }
+      // a staged entry whose transaction has not (yet) committed must
+      // survive expiration — deleting it would silently abort an
+      // in-flight multi-table transaction from a maintenance job — but
+      // only within the abandonment horizon: a transaction pending longer
+      // than that is a crashed/abandoned writer (presumed abort), and
+      // expiring its entry is what finally lets orphan sweeps reclaim its
+      // staged data files.
+      .filterNot { p =>
+        sizeOrZero(p) > 0 && {
+          val e = resolved(Json.parseEntry(Files.readString(p)))
+          e.txnMarker.nonEmpty && !txnCommitted(e.txnMarker) &&
+            e.tsMs > System.currentTimeMillis() - CommitLog.TxnAbandonHorizonMs
+        }
+      }
     victims.foreach(Files.delete)
     val fromCkpt = latestCkpt.map { p =>
       val es = Json.parseEntries(Files.readString(p))
@@ -569,6 +656,13 @@ final class CommitLog(val root: Path) {
 }
 
 object CommitLog {
+  /** a staged-but-unpublished txn entry older than this is treated as
+    * abandoned (crashed writer): expiration may drop it, after which
+    * orphan sweeps reclaim its staged data files. Mirrors the
+    * remove_orphan_files default horizon.
+    */
+  val TxnAbandonHorizonMs: Long = 3L * 3600 * 1000
+
   def apply(dir: String): CommitLog = new CommitLog(Paths.get(dir))
 
   /** equality-cols sentinel marking a DELETION-VECTOR delete file
@@ -676,6 +770,11 @@ private[table] object Json {
     larr("fileRows", e.fileRows)
     larr("fileRowIds", e.fileRowIds)
     if (e.rowIdHigh >= 0) o.put("rowIdHigh", e.rowIdHigh)
+    if (e.txnMarker.nonEmpty) o.put("txnMarker", e.txnMarker)
+    if (e.props.nonEmpty) {
+      val po = o.putObject("props")
+      e.props.toSeq.sortBy(_._1).foreach { case (k, v) => po.put(k, v) }
+    }
     mapper.writeValueAsString(o)
   }
 
@@ -730,6 +829,12 @@ private[table] object Json {
       fileStats,
       if (n.has("partSpec")) n.get("partSpec").asText else "",
       fileBlooms, larr("fileRows"), larr("fileRowIds"),
-      if (n.has("rowIdHigh")) n.get("rowIdHigh").asLong else -1L)
+      if (n.has("rowIdHigh")) n.get("rowIdHigh").asLong else -1L,
+      if (n.has("txnMarker")) n.get("txnMarker").asText else "",
+      {
+        val po = n.get("props")
+        if (po == null) Map.empty[String, String]
+        else po.fieldNames().asScala.map(k => k -> po.get(k).asText).toMap
+      })
   }
 }

@@ -146,6 +146,69 @@ final class GraftCatalog(spark: SparkSession, warehouse: Path) {
     require(!Files.exists(dst), s"clone target exists: $toNs.$toName")
     src.cloneTo(dst.toString)
   }
+
+  private def txnsDir: Path = whAbs.resolve("_txns")
+
+  /** Atomic MULTI-TABLE transaction (the Iceberg REST-catalog multi-table
+    * commit): every append staged inside `body` lands in its table's
+    * commit log carrying this transaction's marker path, INVISIBLE to all
+    * readers; one atomic marker-file create at the end publishes every
+    * staged entry across every touched table at once. If `body` throws —
+    * or the process dies anywhere before the marker move — no marker
+    * exists and every staged entry stays permanently invisible (presumed
+    * abort; staged data files become vacuumable orphans, staged seqs stay
+    * burned like crashed commit claims).
+    *
+    * Publish-time validation: a `replace` (compaction / CoW rewrite) that
+    * landed on a table AFTER its staged append would swallow the staged
+    * entry during state replay — the transaction aborts instead of
+    * publishing a torn result. The check-then-publish window is not
+    * serialized against further replaces (a REST catalog closes it
+    * server-side; single-warehouse deployments close it by pausing
+    * maintenance during ingest transactions).
+    *
+    * Scale: staging cost is per-table parquet writes (parallel,
+    * executor-side); the transaction itself adds ONE metadata file —
+    * commit cost is O(1) regardless of table count or data size.
+    */
+  def transact[A](body: CatalogTxn => A): A = {
+    Files.createDirectories(txnsDir)
+    val id = java.util.UUID.randomUUID().toString.replace("-", "")
+    val marker = txnsDir.resolve(s"$id.commit")
+    val txn = new CatalogTxn(this, marker)
+    val out = body(txn) // an exception here = abort: no marker, nothing visible
+    txn.staged.foreach { case (ns, name, seq) =>
+      val clash = openTable(ns, name).snapshots
+        .exists(e => e.seq > seq && e.action == "replace")
+      if (clash) throw new IllegalStateException(
+        s"transaction aborted: $ns.$name was rewritten (replace) after " +
+          s"staged seq $seq — republishing would lose the staged append")
+    }
+    val tmp = Files.createTempFile(txnsDir, s".$id-", ".tmp")
+    Files.write(tmp, txn.staged
+      .map { case (ns, name, seq) => s"$ns.$name@$seq" }
+      .mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, marker, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    out
+  }
+}
+
+/** Staging handle passed to [[GraftCatalog.transact]]'s body: appends
+  * stage under the transaction's marker and record (ns, table, seq) for
+  * publish-time validation.
+  */
+final class CatalogTxn private[table] (cat: GraftCatalog, marker: Path) {
+  private var stagedSeqs = List.empty[(String, String, Long)]
+
+  def append(ns: String, name: String, df: org.apache.spark.sql.DataFrame,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
+    val seq = cat.openTable(ns, name).appendInTxn(df, marker, statsCols, bloomCols)
+    stagedSeqs ::= ((ns, name, seq))
+    seq
+  }
+
+  private[table] def staged: Seq[(String, String, Long)] = stagedSeqs.reverse
 }
 
 object GraftCatalog {

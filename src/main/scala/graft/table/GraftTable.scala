@@ -189,6 +189,29 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       fileRows = fileRowCounts(files), assignRowIds = true)
   }
 
+  /** fast_append STAGED under a multi-table transaction: identical to
+    * [[append]] except the committed entry carries the transaction's
+    * marker path — the entry (and its data) stays invisible to every
+    * reader until the marker file is atomically created, which publishes
+    * ALL of the transaction's staged entries across all tables at once
+    * (GraftCatalog.transact). Row-id ranges are claimed at stage time,
+    * so concurrent transactions never mint overlapping ids even before
+    * either publishes.
+    */
+  def appendInTxn(df: DataFrame, marker: Path, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
+    requireNoReserved(df)
+    val dir = newShardDir("data")
+    df.write.parquet(dir.toString)
+    val files = parquetFilesIn(dir)
+    val (fs, strCols) = perFileStats(dir, files, statsCols)
+    log.commit("add", dataFiles = files, stats = foldStats(fs, statsCols, strCols),
+      schemaJson = idSchemaJson(df.schema), fileStats = fs,
+      fileBlooms = perFileBlooms(dir, files, bloomCols),
+      fileRows = fileRowCounts(files), assignRowIds = true,
+      txnMarker = marker.toAbsolutePath.normalize.toString)
+  }
+
   /** Partitioned fast_append (hidden partitioning): data is clustered and
     * laid out by `spec.transform(spec.col)`, and each file's partition
     * value is recorded as an exact [v, v] file-stat on the derived
@@ -1443,6 +1466,60 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     DeleteWhereReport(seq, dropped.size, kept.size, newFiles.size)
   }
 
+  /** Table-property assignment (Iceberg's UpdateProperties): one
+    * file-less "props" commit; an EMPTY value unsets the key. Properties
+    * version with the log — [[properties]] at an asOf replays exactly the
+    * assignments visible then.
+    */
+  def setProperties(kv: Map[String, String]): Long = {
+    require(kv.nonEmpty, "empty property assignment")
+    log.commit("props", props = kv)
+  }
+
+  /** head (or as-of) table properties: fold of every entry's assignments
+    * in seq order, empty-value unsets winning like any later write.
+    */
+  def properties(asOf: Long = Long.MaxValue): Map[String, String] =
+    log.entries(asOf).foldLeft(Map.empty[String, String]) { (m, e) =>
+      e.props.foldLeft(m) {
+        case (acc, (k, v)) => if (v.isEmpty) acc - k else acc.updated(k, v)
+      }
+    }
+
+  /** Governed read: [[read]] with the table's declared masking and
+    * row-filter policies applied from its PROPERTIES — the policies
+    * travel with the table (set once by an admin, enforced for every
+    * governed reader), not with the query:
+    *
+    *  - `mask.<col> = hash`   → column replaced by its SHA-256 hex (a
+    *    stable pseudonym: joins/grouping still work across tables that
+    *    hash the same key — the GDPR-pseudonymization trick)
+    *  - `mask.<col> = null`   → column nulled, type preserved
+    *  - `mask.<col> = redact` → column replaced by the literal '***'
+    *  - `filter.row = <sql>`  → SQL predicate rows must satisfy
+    *
+    * Row-local projection/filter over the normal MoR view: zero extra
+    * shuffles, and Catalyst pushes the row filter toward the scan like
+    * any user predicate. Unknown mask kinds fail loudly — a typo'd
+    * policy must never silently serve unmasked data.
+    */
+  def readGoverned(asOf: Long = Long.MaxValue): DataFrame = {
+    val ps = properties(asOf)
+    val base = read(asOf)
+    val filtered = ps.get("filter.row").map(base.filter).getOrElse(base)
+    ps.collect { case (k, kind) if k.startsWith("mask.") => (k.stripPrefix("mask."), kind) }
+      .foldLeft(filtered) { case (df, (c, kind)) =>
+        require(df.columns.contains(c), s"masking policy on unknown column: $c")
+        kind match {
+          case "hash" => df.withColumn(c, sha2(col(c).cast("string"), 256))
+          case "null" => df.withColumn(c, lit(null).cast(df.schema(c).dataType))
+          case "redact" => df.withColumn(c, lit("***"))
+          case other => throw new IllegalArgumentException(
+            s"unknown mask kind '$other' for column $c")
+        }
+      }
+  }
+
   /** immutable named snapshot (Iceberg tag): the handle a training run
     * records so its exact input stays reproducible. Tagged history
     * survives expireSnapshots. The default pins the last COMMITTED
@@ -2266,7 +2343,10 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     */
   private def referencedByAnyRef: Set[Path] = {
     val branchEntries = branches.flatMap(n => new CommitLog(branchRoot(n)).entries())
-    (log.entries() ++ branchEntries)
+    // pending txn entries count as references: their transaction may
+    // still publish, so sweeps must not reclaim staged files until
+    // expiration retires the abandoned entry (TxnAbandonHorizonMs)
+    (log.entries() ++ log.pendingEntries ++ branchEntries)
       .flatMap(e => e.dataFiles ++ e.deleteFiles)
       .map(Paths.get(_).toAbsolutePath.normalize).toSet
   }

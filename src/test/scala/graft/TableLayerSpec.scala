@@ -1775,6 +1775,116 @@ class TableLayerSpec extends AnyFunSuite {
     assert(left.sameElements(Array("B", "C")), left.mkString(","))
   }
 
+  test("table properties fold in seq order, unset by empty value, travel with asOf") {
+    val t = freshTable("props")
+    t.append(items)
+    val s1 = t.setProperties(Map("owner" -> "ingest", "mask.name" -> "hash"))
+    val s2 = t.setProperties(Map("owner" -> "curation")) // overwrite
+    t.setProperties(Map("mask.name" -> ""))              // unset
+    assert(t.properties() == Map("owner" -> "curation"))
+    assert(t.properties(asOf = s1) ==
+      Map("owner" -> "ingest", "mask.name" -> "hash"))
+    assert(t.properties(asOf = s2) ==
+      Map("owner" -> "curation", "mask.name" -> "hash"))
+    // props entries carry no files: table state is untouched
+    assert(t.read().count() == 6)
+  }
+
+  test("readGoverned enforces masks and row filter; unknown policies fail loudly") {
+    val t = freshTable("governed")
+    t.append(items)
+    t.setProperties(Map("mask.count" -> "null", "filter.row" -> "name <> 'A'"))
+    val rows = t.readGoverned().select("name", "count").collect()
+    assert(rows.forall(_.isNullAt(1)), "count must be masked to null")
+    assert(!rows.map(_.getString(0)).contains("A"), "row filter must apply")
+    assert(rows.length == 4)
+    // a redact mask stringifies; a hash mask is a stable pseudonym
+    t.setProperties(Map("mask.count" -> "", "mask.name" -> "hash"))
+    val hashed = t.readGoverned().select("name").collect().map(_.getString(0))
+    assert(hashed.forall(_.matches("[0-9a-f]{64}")))
+    // same input hashes identically — grouping/joining on pseudonyms
+    // works (both A rows are filtered, leaving B..E's 4 distinct names)
+    assert(hashed.length == 4 && hashed.distinct.length == 4)
+    t.setProperties(Map("mask.typo" -> "hash"))
+    intercept[IllegalArgumentException] {
+      t.readGoverned().collect()
+    }
+    t.setProperties(Map("mask.typo" -> "", "mask.name" -> "bogus"))
+    intercept[IllegalArgumentException] {
+      t.readGoverned().collect()
+    }
+  }
+
+  test("multi-table transact publishes atomically; readers inside the body see nothing") {
+    val wh = Files.createTempDirectory("spec_txn")
+    val cat = GraftCatalog(spark, wh.toString)
+    cat.createTable("lake", "x")
+    cat.createTable("lake", "y")
+    cat.transact { txn =>
+      txn.append("lake", "x", items)
+      txn.append("lake", "y", items)
+      // both staged, nothing published: a concurrent reader sees EMPTY
+      assert(cat.openTable("lake", "x").read().count() == 0)
+      assert(cat.openTable("lake", "y").read().count() == 0)
+    }
+    assert(cat.openTable("lake", "x").read().count() == 6)
+    assert(cat.openTable("lake", "y").read().count() == 6)
+    // publishing is retroactive at the staged seq: time travel sees it too
+    assert(cat.openTable("lake", "x").read(asOf = 0).count() == 6)
+  }
+
+  test("aborted transaction stays invisible; staged files vacuum only past the horizon") {
+    val wh = Files.createTempDirectory("spec_txnabort")
+    val cat = GraftCatalog(spark, wh.toString)
+    cat.createTable("lake", "x")
+    val t = cat.openTable("lake", "x")
+    t.append(items)
+    intercept[IllegalStateException] {
+      cat.transact { txn =>
+        txn.append("lake", "x", items)
+        throw new IllegalStateException("boom")
+      }
+    }
+    assert(t.read().count() == 6, "aborted staging must not surface")
+    // the staged data files are protected from an immediate orphan sweep
+    // (the txn could still be in flight from the sweeper's point of view)
+    assert(t.removeOrphanFiles(olderThanMs = 0) == 0,
+      "pending staged files must survive the sweep inside the horizon")
+    assert(t.read().count() == 6)
+  }
+
+  test("concurrently staged transactions never mint overlapping row ids") {
+    val wh = Files.createTempDirectory("spec_txnids")
+    val cat = GraftCatalog(spark, wh.toString)
+    cat.createTable("lake", "x")
+    val t = cat.openTable("lake", "x")
+    val m1 = wh.resolve("_txns").resolve("m1.commit")
+    Files.createDirectories(m1.getParent)
+    t.appendInTxn(items, m1) // staged, unpublished
+    t.append(items)          // a normal append races the pending txn
+    // publish the transaction AFTER the normal append landed
+    Files.write(m1, "ok".getBytes)
+    val ids = t.readWithLineage().select("_row_id").as[Long].collect()
+    assert(ids.length == 12)
+    assert(ids.distinct.length == 12, "row-id ranges overlapped")
+  }
+
+  test("transact aborts instead of publishing under a replace that would swallow it") {
+    val wh = Files.createTempDirectory("spec_txnconflict")
+    val cat = GraftCatalog(spark, wh.toString)
+    cat.createTable("lake", "x")
+    val t = cat.openTable("lake", "x")
+    t.append(items)
+    val ex = intercept[IllegalStateException] {
+      cat.transact { txn =>
+        txn.append("lake", "x", items)
+        t.compact() // a maintenance rewrite lands after the staged seq
+      }
+    }
+    assert(ex.getMessage.contains("aborted"))
+    assert(t.read().count() == 6, "conflicted staging must not surface")
+  }
+
   test("deleteWhereRange falls back to copy-on-write over pending MoR deletes") {
     val t = freshTable("dropfallback")
     t.append(items, statsCols = Seq("count"))
