@@ -473,6 +473,43 @@ object TableQueries extends QueryPack {
         .orderBy("probe", "name")
     },
 
+    // Write-side CHECK constraints (Delta ADD CONSTRAINT): predicates
+    // declared once as table properties gate every append — a batch with
+    // any violating row is rejected WHOLE before a byte lands (phase 2:
+    // count -1 and NULL-named rows bounce, table state identical before/
+    // after), NULL predicates pass per SQL CHECK, and dropping the
+    // constraint (phase 3) re-admits the same batch. Enforcement cost is
+    // one batch-sized filtered count per declared constraint, on the
+    // write path only.
+    Q(
+      "t_check_constraint",
+      """SELECT * FROM (VALUES
+        |  ('1_accepted', 6, 0),
+        |  ('2_rejected_whole', 6, 1),
+        |  ('3_dropped_readmits', 8, 0))
+        |  AS t(phase, n_rows, rejected)
+        |ORDER BY phase""",
+    ) { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "checks")
+      t.setProperties(Map("check.count_positive" -> "count > 0"))
+      t.append(items(s))
+      // NULL predicate passes (SQL CHECK): a null count row is admitted
+      t.append(Seq(("F", "small", Option.empty[Int])).toDF("name", "size", "count"))
+      val n1 = t.read().count().toInt
+      val bad = Seq(("G", "large", 5), ("H", "small", -1)).toDF("name", "size", "count")
+      val r2 = try { t.append(bad); 0 }
+        catch { case _: IllegalArgumentException => 1 }
+      val n2 = t.read().count().toInt
+      t.setProperties(Map("check.count_positive" -> ""))
+      t.append(bad)
+      val n3 = t.read().count().toInt
+      Seq(("1_accepted", n1, 0), ("2_rejected_whole", n2, r2),
+        ("3_dropped_readmits", n3, 0))
+        .toDF("phase", "n_rows", "rejected")
+        .orderBy("phase")
+    },
+
     // Data governance riding table PROPERTIES (Iceberg UpdateProperties
     // + the policy-enforced read): masking (hash pseudonym / null) and a
     // row filter are declared ONCE as table metadata and every governed

@@ -176,9 +176,33 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * column so POINT reads skip files whose bounds intersect but which
     * definitely lack the key (see [[Bloom]]).
     */
+  /** Write-side CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT):
+    * table properties `check.<name> = <sql predicate>` are enforced on
+    * every append path — a batch containing ANY violating row is rejected
+    * whole before a byte is written (atomic: nothing commits, the table
+    * is untouched). SQL CHECK semantics: a row violates only when the
+    * predicate is FALSE; a NULL predicate passes. Cost: one filtered
+    * count over the INCOMING batch per constraint (batch-sized, never
+    * table-sized) and only when constraints are declared; the read path
+    * pays nothing. The count re-evaluates the batch plan — cache
+    * non-deterministic sources before appending under constraints.
+    */
+  private def enforceConstraints(df: DataFrame): Unit = {
+    val checks = properties().collect {
+      case (k, pred) if k.startsWith("check.") => (k.stripPrefix("check."), pred)
+    }
+    checks.foreach { case (name, pred) =>
+      val violations = df.filter(!coalesce(expr(pred), lit(true))).count()
+      if (violations > 0) throw new IllegalArgumentException(
+        s"CHECK constraint '$name' ($pred) violated by $violations row(s); " +
+          "append rejected, table unchanged")
+    }
+  }
+
   def append(df: DataFrame, statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil, bloomBits: Int = Bloom.DefaultM): Long = {
     requireNoReserved(df)
+    enforceConstraints(df)
     val dir = newShardDir("data")
     df.write.parquet(dir.toString)
     val files = parquetFilesIn(dir)
@@ -201,6 +225,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
   def appendInTxn(df: DataFrame, marker: Path, statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil): Long = {
     requireNoReserved(df)
+    enforceConstraints(df)
     val dir = newShardDir("data")
     df.write.parquet(dir.toString)
     val files = parquetFilesIn(dir)
@@ -245,6 +270,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     require(specs.map(_.col).distinct.size == specs.size,
       "one transform per source column")
     requireNoReserved(df)
+    enforceConstraints(df)
     val dir = newShardDir("data")
     val pcols = specs.indices.map(partColFor)
     specs.zipWithIndex.foldLeft(df) { case (d, (sp, i)) =>

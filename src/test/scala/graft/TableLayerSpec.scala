@@ -1775,6 +1775,28 @@ class TableLayerSpec extends AnyFunSuite {
     assert(left.sameElements(Array("B", "C")), left.mkString(","))
   }
 
+  test("check constraints gate every append path atomically; null predicates pass") {
+    val t = freshTable("checks")
+    t.setProperties(Map("check.pos" -> "count > 0", "check.named" -> "name IS NOT NULL"))
+    t.append(items)
+    assert(t.read().count() == 6)
+    val snapshotsBefore = t.snapshots.size
+    val bad = Seq(("X", "small", -5)).toDF("name", "size", "count")
+    intercept[IllegalArgumentException] { t.append(bad) }
+    intercept[IllegalArgumentException] {
+      t.appendPartitioned(bad, PartitionSpec("count", Transform.Truncate(10)))
+    }
+    intercept[IllegalArgumentException] {
+      t.appendInTxn(bad, t.root.resolve("_never.commit"))
+    }
+    // rejection is pre-write: no snapshot, no rows, no data files
+    assert(t.snapshots.size == snapshotsBefore)
+    assert(t.read().count() == 6)
+    // SQL CHECK: NULL predicate result passes the row
+    t.append(Seq(("Y", "small", Option.empty[Int])).toDF("name", "size", "count"))
+    assert(t.read().count() == 7)
+  }
+
   test("table properties fold in seq order, unset by empty value, travel with asOf") {
     val t = freshTable("props")
     t.append(items)
