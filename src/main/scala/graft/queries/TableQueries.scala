@@ -239,6 +239,50 @@ object TableQueries extends QueryPack {
         .orderBy("name")
     },
 
+    // branch REBASE publish — the diverged-main complement of the
+    // fast-forward: two staged audit appends replay IN ORDER onto a main
+    // that advanced past the branch base (fast-forward refuses exactly
+    // this, ff_refused pinned), metadata-only under the cherry-pick
+    // guards. All-or-nothing: a branch carrying a staged DELETE is
+    // refused whole — main gains none of its commits (dirty_refused +
+    // the absence of H3) — because seq-scoped deletes change meaning
+    // replayed out of context.
+    Q(
+      "t_branch_rebase",
+      """SELECT * FROM (VALUES
+        |  ('A','small',2, true, true),('B','medium',15, true, true),
+        |  ('C','medium',10, true, true),('D','small',20, true, true),
+        |  ('E','large',20, true, true),('F','post',1, true, true),
+        |  ('R1','audit',41, true, true),('R2','audit',42, true, true))
+        |  AS t(name, size, count, ff_refused, dirty_refused)
+        |ORDER BY name""",
+    ) { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "rebase")
+      t.append(items(s))                                             // main seq 0
+      val b = t.createBranch("audit")
+      b.append(Seq(("R1", "audit", 41)).toDF("name", "size", "count"))
+      b.append(Seq(("R2", "audit", 42)).toDF("name", "size", "count"))
+      t.append(Seq(("F", "post", 1)).toDF("name", "size", "count"))  // main diverges
+      val ffRefused =
+        try { t.publishBranch("audit"); false }
+        catch { case _: IllegalArgumentException => true }
+      t.rebaseBranch("audit") // both staged appends land, in order
+      // a branch whose staged set contains a delete is refused WHOLE
+      val d = t.createBranch("dirty")
+      d.append(Seq(("H3", "dirty", 9)).toDF("name", "size", "count"))
+      d.delete(Seq("H3").toDF("name"), Seq("name"))
+      val pre = t.read().count()
+      val dirtyRefused =
+        try { t.rebaseBranch("dirty"); false }
+        catch { case _: IllegalArgumentException => true }
+      val atomic = t.read().count() == pre // nothing from dirty landed
+      t.read()
+        .withColumn("ff_refused", lit(ffRefused))
+        .withColumn("dirty_refused", lit(dirtyRefused && atomic))
+        .orderBy("name")
+    },
+
     // zero-copy shallow clone (Delta CLONE): the clone replays the
     // source's commit-log metadata into a fresh root, adopting every
     // source data file by absolute path — zero_copy pins that NO parquet

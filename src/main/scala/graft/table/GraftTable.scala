@@ -1001,22 +1001,18 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     *    (branch-side new columns, main-side renames/widens of a staged
     *    column) is refused: re-branch and publish.
     */
-  def cherryPick(name: String, seq: Long): Long = {
-    val bRoot = branchRoot(name)
-    require(Files.exists(bRoot), s"no such branch: $name")
-    val base = Files.readString(bRoot.resolve("_base")).trim.toLong
-    val e = new CommitLog(bRoot).entries().filter(_.seq > base)
-      .find(_.seq == seq)
-      .getOrElse(throw new IllegalArgumentException(
-        s"branch $name has no staged commit $seq"))
+  /** cherryPick's three guards over one staged entry, shared with
+    * rebaseBranch's all-or-nothing pre-validation. Returns main's
+    * current schema json (the schema the pick commits under).
+    */
+  private def requirePickable(e: LogEntry, mainEntries: Seq[LogEntry]): String = {
     require(e.action == "add" && e.deleteFiles.isEmpty,
-      s"cherry-pick supports pure appends only (staged $seq is '${e.action}'): " +
+      s"cherry-pick supports pure appends only (staged ${e.seq} is '${e.action}'): " +
         "deletes and replaces scope by sequence number and would change " +
         "meaning replayed out of context")
-    val mainEntries = log.entries()
     require(e.dataFiles.nonEmpty &&
         !mainEntries.exists(_.dataFiles.toSet.intersect(e.dataFiles.toSet).nonEmpty),
-      s"staged $seq was already picked (its files are referenced by main)")
+      s"staged ${e.seq} was already picked (its files are referenced by main)")
     def idNameTypes(json: String): Set[(Long, String, DataType)] =
       DataType.fromJson(json).asInstanceOf[StructType]
         .fields.flatMap(f => fieldId(f).map((_, f.name, f.dataType))).toSet
@@ -1025,10 +1021,23 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     if (e.schemaJson.nonEmpty) {
       require(currentJson.nonEmpty &&
           idNameTypes(e.schemaJson).subsetOf(idNameTypes(currentJson)),
-        s"staged $seq's schema is not contained in main's current schema " +
+        s"staged ${e.seq}'s schema is not contained in main's current schema " +
           "(renamed/widened/new columns since the branch base); " +
           "re-branch and publish instead")
     }
+    currentJson
+  }
+
+  def cherryPick(name: String, seq: Long): Long = {
+    val bRoot = branchRoot(name)
+    require(Files.exists(bRoot), s"no such branch: $name")
+    val base = Files.readString(bRoot.resolve("_base")).trim.toLong
+    val e = new CommitLog(bRoot).entries().filter(_.seq > base)
+      .find(_.seq == seq)
+      .getOrElse(throw new IllegalArgumentException(
+        s"branch $name has no staged commit $seq"))
+    val mainEntries = log.entries()
+    val currentJson = requirePickable(e, mainEntries)
     // row ids are RE-ASSIGNED from main's counter (unlike publishBranch):
     // main may have advanced past the branch base and claimed the very
     // range the branch assigned — ids are manifest metadata here, so a
@@ -1038,6 +1047,33 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       if (e.schemaJson.nonEmpty) currentJson else "",
       e.fileStats, e.partSpec, e.fileBlooms,
       fileRows = e.fileRows, assignRowIds = e.fileRows.nonEmpty)
+  }
+
+  /** REBASE publish — the diverged-main complement of publishBranch's
+    * fast-forward: replay EVERY staged branch commit onto a main that
+    * has advanced past the branch base, in staged order, each under
+    * cherryPick's safety guards (pure appends, no double-pick, schema
+    * containment). All staged commits are validated FIRST, against
+    * main's state plus the picks that would precede them — a branch
+    * with any unreplayable commit is refused WHOLE, never left
+    * half-published. Metadata-only like every publish: files adopt by
+    * path, row ids re-assign from main's counter. Returns the new main
+    * seqs (empty for an empty branch).
+    */
+  def rebaseBranch(name: String): Seq[Long] = {
+    val bRoot = branchRoot(name)
+    require(Files.exists(bRoot), s"no such branch: $name")
+    val base = Files.readString(bRoot.resolve("_base")).trim.toLong
+    val staged = new CommitLog(bRoot).entries().filter(_.seq > base)
+    val mainEntries = log.entries()
+    // all-or-nothing: validate the whole set before the first commit.
+    // Each later pick is checked against main AS IF the earlier picks
+    // landed (their file sets join the double-pick reference check).
+    staged.foldLeft(mainEntries) { (view, e) =>
+      requirePickable(e, view)
+      view :+ e.copy(seq = view.lastOption.map(_.seq + 1).getOrElse(0L))
+    }
+    staged.map(e => cherryPick(name, e.seq))
   }
 
   /** Zero-copy SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE`,

@@ -1775,6 +1775,34 @@ class TableLayerSpec extends AnyFunSuite {
     assert(left.sameElements(Array("B", "C")), left.mkString(","))
   }
 
+  test("rebaseBranch replays staged appends in order onto a diverged main, all-or-nothing") {
+    val t = freshTable("rebase")
+    t.append(items)
+    val b = t.createBranch("work")
+    b.append(Seq(("R1", "w", 1)).toDF("name", "size", "count"))
+    b.append(Seq(("R2", "w", 2)).toDF("name", "size", "count"))
+    t.append(Seq(("M", "m", 0)).toDF("name", "size", "count")) // diverge
+    val seqs = t.rebaseBranch("work")
+    assert(seqs.size == 2 && seqs == seqs.sorted)
+    val names = t.read().select("name").as[String].collect().sorted
+    assert(names.count(_ == "R1") == 1 && names.count(_ == "R2") == 1)
+    // staged order preserved: R1's commit precedes R2's
+    val bySeq = t.snapshots.filter(_.seq >= seqs.head)
+    assert(bySeq.head.seq == seqs.head)
+    // re-rebasing the same branch is refused (double-pick guard)
+    intercept[IllegalArgumentException] { t.rebaseBranch("work") }
+    // row ids stay unique after re-assignment from main's counter
+    val ids = t.readWithLineage().select("_row_id").as[Long].collect()
+    assert(ids.distinct.length == ids.length)
+    // all-or-nothing: a branch with ANY unreplayable commit adds nothing
+    val d = t.createBranch("dirty")
+    d.append(Seq(("X", "d", 7)).toDF("name", "size", "count"))
+    d.delete(Seq("X").toDF("name"), Seq("name"))
+    val head = t.headSeq
+    intercept[IllegalArgumentException] { t.rebaseBranch("dirty") }
+    assert(t.headSeq == head, "refused rebase must commit nothing")
+  }
+
   test("check constraints gate every append path atomically; null predicates pass") {
     val t = freshTable("checks")
     t.setProperties(Map("check.pos" -> "count > 0", "check.named" -> "name IS NOT NULL"))
