@@ -360,6 +360,17 @@ final class CommitLog(val root: Path) {
     entriesRaw(Long.MaxValue).filter(e =>
       e.txnMarker.nonEmpty && !txnCommitted(e.txnMarker))
 
+  /** every committed entry PLUS pending txn stages — the full claimed
+    * history a metadata replay (branch publish) must carry so staged
+    * transactions survive the replay still awaiting their marker.
+    */
+  def entriesWithPending(asOf: Long = Long.MaxValue): Seq[LogEntry] =
+    try entriesOnce(asOf, includePending = true)
+    catch {
+      case _: java.nio.file.NoSuchFileException =>
+        entriesOnce(asOf, includePending = true)
+    }
+
   private def entriesRaw(asOf: Long): Seq[LogEntry] = {
     val ck = latestCkpt
     val base = ck.map(p => Json.parseEntries(Files.readString(p)))

@@ -961,7 +961,11 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     val head = log.entries().lastOption.map(_.seq).getOrElse(-1L)
     require(head == base,
       s"main advanced past branch base ($base -> $head); re-branch and re-audit")
-    val staged = new CommitLog(bRoot).entries().filter(_.seq > base)
+    // pending txn stages replay too, still carrying their marker: a
+    // transaction staged on the branch and not yet published must stay
+    // publishable (or abandoned) after the fast-forward, not silently
+    // vanish from the replayed history
+    val staged = new CommitLog(bRoot).entriesWithPending().filter(_.seq > base)
     staged.map { e =>
       // lineage carries verbatim: the branch log was seeded with main's
       // entries, so its row-id counter CONTINUED main's — and the
@@ -970,7 +974,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       log.commit(e.action, e.dataFiles, e.deleteFiles, e.equalityCols,
         e.statsCols.lazyZip(e.statsMin).lazyZip(e.statsMax).toSeq,
         e.schemaJson, e.fileStats, e.partSpec, e.fileBlooms,
-        fileRows = e.fileRows, fileRowIds = e.fileRowIds, rowIdHigh = e.rowIdHigh)
+        fileRows = e.fileRows, fileRowIds = e.fileRowIds, rowIdHigh = e.rowIdHigh,
+        txnMarker = e.txnMarker)
     }
   }
 

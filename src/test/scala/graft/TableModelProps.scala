@@ -35,6 +35,13 @@ object TableModelProps extends Properties("graft-table-model") {
   // (truncate(count) + bucket(name)), 3 = string-prefix spec on the key
   // column (truncstr) — reads must be indistinguishable
   private case class Append(rows: List[Row], partitioned: Int) extends Op
+  // multi-table-txn staged append: the entry burns one seq either way
+  // (keeping op index == commit seq); published = marker created right
+  // after staging (rows visible at the staged seq), abandoned = marker
+  // never created (rows invisible FOREVER, to head and every asOf —
+  // presumed abort). Interleaves with every other op, so compactions,
+  // rollbacks, updates and branches all run above pending entries.
+  private case class TxnAppend(rows: List[Row], publish: Boolean) extends Op
   private case class Delete(keys: List[String]) extends Op
   private case class Mixed(rows: List[Row], keys: List[String]) extends Op
   private case class Upsert(rows: List[Row]) extends Op
@@ -92,6 +99,10 @@ object TableModelProps extends Properties("graft-table-model") {
       def view = rows.collect { case (r, s) if !dead(r, s) => r }
       op match {
         case Append(rs, _) => rows ++= rs.map(_ -> seq)
+        case TxnAppend(rs, pub) =>
+          // published txn rows surface at their STAGED seq; an abandoned
+          // txn is a burned seq with no content
+          if (pub) rows ++= rs.map(_ -> seq)
         case Delete(ks) => dels ++= ks.map(_ -> seq)
         case Mixed(rs, ks) =>
           // one atomic entry: the delete scopes to data BELOW this seq,
@@ -137,6 +148,10 @@ object TableModelProps extends Properties("graft-table-model") {
       rows <- Gen.nonEmptyListOf(genRow).map(_.take(5))
       part <- Gen.oneOf(0, 1, 2, 3)
     } yield Append(rows, part)),
+    2 -> (for {
+      rows <- Gen.nonEmptyListOf(genRow).map(_.take(3))
+      pub <- Gen.oneOf(true, false)
+    } yield TxnAppend(rows, pub)),
     2 -> Gen.nonEmptyListOf(Gen.oneOf("A", "B", "C", "D", "E", "F"))
       .map(ks => Delete(ks.distinct.take(3))),
     1 -> (for {
@@ -211,6 +226,13 @@ object TableModelProps extends Properties("graft-table-model") {
           case _ => t.appendPartitioned(df,
             Seq(spec, PartitionSpec(keyCol, Transform.Bucket(4))), Seq("count"), Nil)
         }
+      case TxnAppend(rows, publish) =>
+        // fresh marker per staged op; abandoned txns never create it —
+        // the entry must stay invisible through every later op and asOf
+        val marker = t.root.resolve("_txns").resolve(s"m$idx.commit")
+        Files.createDirectories(marker.getParent)
+        t.appendInTxn(rows.toDF(keyCol, "count"), marker, statsCols = Seq("count"))
+        if (publish) Files.write(marker, "ok".getBytes)
       case Delete(keys) => t.delete(keys.toDF(keyCol), Seq(keyCol))
       case Mixed(rows, keys) =>
         t.appendAndDelete(rows.toDF(keyCol, "count"), keys.toDF(keyCol), Seq(keyCol))
@@ -537,7 +559,12 @@ object TableModelProps extends Properties("graft-table-model") {
       val t = GraftTable.createOrReplace(spark,
         s"${Files.createTempDirectory("prop_gc")}/./t")
       runOn(t, ops, from = 0)
+      // only VISIBLE commits are taggable: an abandoned-txn seq is a
+      // burned claim with no committed snapshot behind it, and tag()
+      // (correctly) refuses it — the fuzz tags around those
+      val committed = t.snapshots.map(_.seq).toSet
       val tagSeqs = tagSeqsRaw.map(s => math.min(s, ops.size - 1)).distinct.sorted
+        .filter(s => committed(s.toLong))
       tagSeqs.foreach(s => t.tag(s"keep$s", s.toLong))
       def readAt(asOf: Int, head: Boolean): List[Row] = sortedRows(
         t.read(if (head) Long.MaxValue else asOf.toLong)
