@@ -1107,7 +1107,15 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * on registered clones or deep-copies on expiry.
     * Reference: catalog-level table management, lib.rs:34-78.
     */
-  def cloneTo(dir: String): GraftTable = {
+  def cloneTo(dir: String): GraftTable = cloneTo(dir, Long.MaxValue)
+
+  /** Version-as-of shallow clone (Delta's `CLONE ... VERSION AS OF`):
+    * identical to [[cloneTo]] but the clone's history ends at `asOf` —
+    * entries above it never enter the clone's log, so the clone's head
+    * IS the source's historical snapshot and its own lineage grows from
+    * there. The source is untouched.
+    */
+  def cloneTo(dir: String, asOf: Long): GraftTable = {
     val dst = Paths.get(dir)
     val empty = !Files.exists(dst) || {
       val s = Files.list(dst)
@@ -1116,7 +1124,9 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     require(empty, s"clone target exists and is non-empty: $dir")
     // resolved entries carry absolute paths; outside the clone root they
     // are never rebased, so the source's files are adopted verbatim
-    val es = log.entries()
+    val es = log.entries(asOf)
+    require(asOf == Long.MaxValue || es.exists(_.seq == asOf),
+      s"clone asOf $asOf is not a committed snapshot")
     seedLog(dst.resolve("_log"), es)
     // provenance marker only — never read on the hot path
     Files.writeString(dst.resolve("_cloned_from"),

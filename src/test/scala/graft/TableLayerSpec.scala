@@ -1775,6 +1775,22 @@ class TableLayerSpec extends AnyFunSuite {
     assert(left.sameElements(Array("B", "C")), left.mkString(","))
   }
 
+  test("version-as-of clone ends at the requested snapshot and diverges independently") {
+    val t = freshTable("cloneasof")
+    t.append(items)                                                  // seq 0: 6 rows
+    t.append(Seq(("X", "post", 9)).toDF("name", "size", "count"))    // seq 1: 7 rows
+    val c = t.cloneTo(Files.createTempDirectory("spec_cloneasof_dst").toString, asOf = 0)
+    assert(c.read().count() == 6, "clone head must be the source's seq-0 snapshot")
+    assert(c.headSeq == 0)
+    c.append(Seq(("Y", "clone", 1)).toDF("name", "size", "count"))
+    assert(c.read().count() == 7 && t.read().count() == 7)
+    assert(!t.read().select("name").as[String].collect().contains("Y"))
+    // an uncommitted seq is refused
+    intercept[IllegalArgumentException] {
+      t.cloneTo(Files.createTempDirectory("spec_cloneasof_bad").toString, asOf = 99)
+    }
+  }
+
   test("rebaseBranch replays staged appends in order onto a diverged main, all-or-nothing") {
     val t = freshTable("rebase")
     t.append(items)
