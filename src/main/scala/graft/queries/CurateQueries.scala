@@ -251,5 +251,47 @@ object CurateQueries extends QueryPack {
           expr("CAST((n_oov * 10000L) div n_words AS BIGINT)").as("oov_x1e4"))
         .orderBy("doc_id")
     },
+
+    // DATASET CARD rollup (the per-slice report a corpus release ships):
+    // per (source, language) — document and token counts, exact-dup rate
+    // (docs minus distinct texts, the md5 keeper view), rule-gate keep
+    // rate (the word-count/stopword core of the Gopher gate), mean doc
+    // length — all integer-exact ratios. One scan computes every signal
+    // row-locally, ONE (source, lang) aggregation shuffle rolls them up:
+    // the report costs the same as any single corpus statistic at 100 TB.
+    Q(
+      "q_dataset_card",
+      """WITH d AS (SELECT source, lang,
+        |    string_split(text, ' ') AS w, md5(text) AS th
+        |  FROM documents),
+        |m AS (SELECT source, lang, th,
+        |    CAST(len(w) AS BIGINT) AS n,
+        |    CAST(len(w) >= 50 AND
+        |      len(list_filter(w, x -> x IN ('the','a','row','data','value'))) >= 2
+        |      AS BIGINT) AS keep
+        |  FROM d)
+        |SELECT source, lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) - COUNT(DISTINCT th) AS BIGINT) AS n_exact_dups,
+        |  CAST((SUM(keep) * 10000) // COUNT(*) AS BIGINT) AS keep_x1e4,
+        |  CAST((SUM(n) * 10000) // COUNT(*) AS BIGINT) AS mean_len_x1e4
+        |FROM m GROUP BY source, lang ORDER BY source, lang""",
+    ) { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .select(col("source"), col("lang"), md5(col("text")).as("th"),
+          size(col("w")).cast("long").as("n"),
+          (size(col("w")) >= 50 &&
+            expr("size(filter(w, x -> x IN ('the','a','row','data','value')))") >= 2)
+            .cast("long").as("keep"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("n_tokens"),
+          (count(lit(1)) - countDistinct(col("th"))).as("n_exact_dups"),
+          expr("CAST((SUM(keep) * 10000L) div COUNT(*) AS BIGINT)").as("keep_x1e4"),
+          expr("CAST((SUM(n) * 10000L) div COUNT(*) AS BIGINT)").as("mean_len_x1e4"))
+        .orderBy("source", "lang")
+    },
   )
 }

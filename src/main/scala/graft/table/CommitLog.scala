@@ -371,6 +371,17 @@ final class CommitLog(val root: Path) {
         entriesOnce(asOf, includePending = true)
     }
 
+  /** every marker path ANY entry of this log still references (resolved
+    * absolute), committed or pending — the set a warehouse-level marker
+    * sweep must not delete: removing a committed entry's marker would
+    * flip it back to pending. Checkpoints strip proven-committed marker
+    * references, so this set shrinks as the log folds.
+    */
+  def referencedMarkers: Set[String] =
+    entriesWithPending().collect {
+      case e if e.txnMarker.nonEmpty => e.txnMarker
+    }.toSet
+
   private def entriesRaw(asOf: Long): Seq[LogEntry] = {
     val ck = latestCkpt
     val base = ck.map(p => Json.parseEntries(Files.readString(p)))

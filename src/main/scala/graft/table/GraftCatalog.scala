@@ -189,8 +189,43 @@ final class GraftCatalog(spark: SparkSession, warehouse: Path) {
       .map { case (ns, name, seq) => s"$ns.$name@$seq" }
       .mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    Files.move(tmp, marker, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(tmp, marker, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      // non-atomic fallback stays safe: the marker name is unique to this
+      // transaction, so the only observable intermediate is absence —
+      // readers just see the txn as not-yet-committed a moment longer
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, marker)
+    }
     out
+  }
+
+  /** Reclaim transaction-marker files no table in the warehouse
+    * references any more (their entries were checkpointed — which strips
+    * proven-committed marker references — or expired). Age-gated like
+    * every sweep: a marker younger than the horizon may belong to a
+    * transaction whose FIRST staged entry has not landed yet. Returns
+    * the number of markers removed. Never removes a referenced marker —
+    * deleting one would flip its committed entries back to pending.
+    */
+  def vacuumTxnMarkers(olderThanMs: Long = 3L * 3600 * 1000): Int = {
+    if (!Files.isDirectory(txnsDir)) return 0
+    val referenced: Set[Path] = (for {
+      ns <- namespaces
+      t <- listTables(ns)
+      m <- new CommitLog(tableDir(ns, t)).referencedMarkers
+    } yield Paths.get(m).toAbsolutePath.normalize).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val s = Files.list(txnsDir)
+    val victims =
+      try s.iterator().asScala.toSeq.filter { p =>
+        p.getFileName.toString.endsWith(".commit") &&
+          !referenced.contains(p.toAbsolutePath.normalize) &&
+          Files.getLastModifiedTime(p).toMillis < cutoff
+      }
+      finally s.close()
+    victims.foreach(Files.deleteIfExists(_))
+    victims.size
   }
 }
 
@@ -199,16 +234,20 @@ final class GraftCatalog(spark: SparkSession, warehouse: Path) {
   * publish-time validation.
   */
 final class CatalogTxn private[table] (cat: GraftCatalog, marker: Path) {
-  private var stagedSeqs = List.empty[(String, String, Long)]
+  // a body may stage tables from several threads (parallel ingest);
+  // recording must not lose entries to a lost-update race
+  private val stagedSeqs =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long)]()
 
   def append(ns: String, name: String, df: org.apache.spark.sql.DataFrame,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     val seq = cat.openTable(ns, name).appendInTxn(df, marker, statsCols, bloomCols)
-    stagedSeqs ::= ((ns, name, seq))
+    stagedSeqs.add((ns, name, seq))
     seq
   }
 
-  private[table] def staged: Seq[(String, String, Long)] = stagedSeqs.reverse
+  private[table] def staged: Seq[(String, String, Long)] =
+    stagedSeqs.asScala.toSeq
 }
 
 object GraftCatalog {

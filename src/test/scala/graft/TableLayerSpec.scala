@@ -1775,6 +1775,26 @@ class TableLayerSpec extends AnyFunSuite {
     assert(left.sameElements(Array("B", "C")), left.mkString(","))
   }
 
+  test("marker vacuum removes only unreferenced old markers; checkpoint releases references") {
+    val wh = Files.createTempDirectory("spec_txnvac")
+    val cat = GraftCatalog(spark, wh.toString)
+    cat.createTable("lake", "x")
+    val t = cat.openTable("lake", "x")
+    cat.transact(_.append("lake", "x", items))
+    import scala.jdk.CollectionConverters._
+    val markers = Files.list(wh.resolve("_txns"))
+    val markerCount = try markers.iterator().asScala.size finally markers.close()
+    assert(markerCount == 1)
+    // referenced by a committed un-checkpointed entry: NOT reclaimable,
+    // even at horizon 0 — deleting it would flip the commit to pending
+    assert(cat.vacuumTxnMarkers(olderThanMs = 0) == 0)
+    assert(t.read().count() == 6)
+    // the checkpoint strips proven-committed marker references
+    t.checkpointMetadata()
+    assert(cat.vacuumTxnMarkers(olderThanMs = 0) == 1)
+    assert(t.read().count() == 6, "reads survive marker removal after checkpoint")
+  }
+
   test("version-as-of clone ends at the requested snapshot and diverges independently") {
     val t = freshTable("cloneasof")
     t.append(items)                                                  // seq 0: 6 rows
