@@ -2133,6 +2133,45 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       rowIdHigh = CommitLog.nextRowId(entries))
   }
 
+  /** Partition-layout-PRESERVING compaction: the MoR view rewrites under
+    * `spec` with appendPartitioned's write shape (repartition by the
+    * partition value → one file per value, exact [v, v] partition stats
+    * per file) and commits as a REPLACE that records the spec — so
+    * partition pruning keeps working across the rewrite. A plain
+    * [[compact]] writes an unpartitioned blob and silently DROPS the
+    * layout: every later partition-scoped probe falls back to whatever
+    * plain column stats the compact recorded, and bucket-transform
+    * pruning (which only works spec-scoped) is lost entirely. At 100 TB
+    * a partitioned fact compacts THIS way, partition by partition.
+    */
+  def compactPartitioned(spec: PartitionSpec, statsCols: Seq[String] = Nil): Long = {
+    val dir = newShardDir("data")
+    val entries = log.entries()
+    require(entries.nonEmpty, "compact on an empty table")
+    val (view, mat) = rewriteSource(entries, CommitLog.stateFrom(entries))
+    val pcol = partColFor(0)
+    view.withColumn(pcol, spec.transform.expr(col(spec.col)))
+      .repartition(col(pcol))
+      .write.partitionBy(pcol).parquet(dir.toString)
+    val files = parquetFilesIn(dir)
+    // exact partition tuple from the directory names — no data scan
+    val partStat: Seq[Map[String, (String, String)]] = files.map { f =>
+      partValueFromPath(f, 0).map(v => pcol -> (v, v)).toMap
+    }
+    val (extra, strCols) = perFileStats(dir, files, statsCols)
+    val merged =
+      if (extra.isEmpty) partStat
+      else partStat.zip(extra).map { case (a, b) => a ++ b }
+    val (mrows, mids) = physMarkers(files, mat)
+    log.commit("replace", dataFiles = files,
+      stats = foldStats(extra, statsCols, strCols),
+      schemaJson = materializedSchemaJson(view.drop(pcol)),
+      fileStats = merged,
+      partSpec = PartitionSpec.renderAll(Seq(spec)),
+      fileRows = mrows, fileRowIds = mids,
+      rowIdHigh = CommitLog.nextRowId(entries))
+  }
+
   /** Bin-packing small-file compaction (Iceberg's rewrite_data_files
     * binpack with its min-input-size filter): consolidate ONLY the live
     * files smaller than `targetBytes` into ~targetBytes outputs; files

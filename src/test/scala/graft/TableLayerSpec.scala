@@ -1775,6 +1775,64 @@ class TableLayerSpec extends AnyFunSuite {
     assert(left.sameElements(Array("B", "C")), left.mkString(","))
   }
 
+  test("compactPartitioned preserves partition pruning across the rewrite") {
+    val t = freshTable("compactpart")
+    val spec = PartitionSpec("count", Transform.Truncate(10))
+    t.appendPartitioned(items, spec, statsCols = Seq("count"))
+    t.appendPartitioned(items.withColumn("count", col("count") + 100),
+      spec, statsCols = Seq("count"))
+    t.delete(Seq("B").toDF("name"), Seq("name"))
+    val before = t.read().select("name", "count").as[(String, Int)].collect().sorted
+    val preFiles = t.prunedFileCountEq("count", 15) // wait — B(15) deleted; use 10
+    t.compactPartitioned(spec, statsCols = Seq("count"))
+    val after = t.read().select("name", "count").as[(String, Int)].collect().sorted
+    assert(after.sameElements(before), "content must survive the rewrite")
+    // one file per partition value, point probes open exactly one
+    assert(t.prunedFileCountEq("count", 10) == 1)
+    assert(t.prunedFileCountEq("count", 110) == 1)
+    // the MoR delete folded in: no delete files remain
+    assert(t.snapshots.last.action == "replace")
+    assert(t.snapshots.last.deleteFiles.isEmpty)
+    assert(preFiles >= 1)
+  }
+
+  test("concurrent transactions never expose cross-table divergence to a racing reader") {
+    val wh = Files.createTempDirectory("spec_txnrace")
+    val cat = GraftCatalog(spark, wh.toString)
+    cat.createTable("lake", "left")
+    cat.createTable("lake", "right")
+    val one = Seq(("R", "row", 1)).toDF("name", "size", "count").coalesce(1)
+    @volatile var diverged = false
+    @volatile var writing = true
+    val reader = new Thread(() => {
+      // the atomicity invariant: BOTH tables gain each transaction's row
+      // together, so a reader that counts left-then-right may see right
+      // AHEAD of left (published between the two counts) but never left
+      // ahead of right by more than the in-flight window — and after
+      // quiescence the counts are equal. Divergence beyond the number of
+      // writer iterations would mean a torn publish.
+      while (writing) {
+        val l = cat.openTable("lake", "left").read().count()
+        val r = cat.openTable("lake", "right").read().count()
+        if (l > r) diverged = true // left published without right: torn
+      }
+    })
+    reader.start()
+    (1 to 5).foreach { _ =>
+      cat.transact { txn =>
+        // right staged FIRST, so a torn (non-atomic) publish would let
+        // the reader catch left > right between partial commits
+        txn.append("lake", "right", one)
+        txn.append("lake", "left", one)
+      }
+    }
+    writing = false
+    reader.join(30000)
+    assert(!diverged, "a reader observed a torn multi-table publish")
+    assert(cat.openTable("lake", "left").read().count() == 5)
+    assert(cat.openTable("lake", "right").read().count() == 5)
+  }
+
   test("marker vacuum removes only unreferenced old markers; checkpoint releases references") {
     val wh = Files.createTempDirectory("spec_txnvac")
     val cat = GraftCatalog(spark, wh.toString)
