@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a production training-data pipeline runs
@@ -250,6 +251,66 @@ object CurateQueries extends QueryPack {
         .select(col("doc_id"), col("n_words"), col("n_oov"),
           expr("CAST((n_oov * 10000L) div n_words AS BIGINT)").as("oov_x1e4"))
         .orderBy("doc_id")
+    },
+
+    // character-n-gram language ID (the fastText-style successor to
+    // q_text_langid's marker words): per-language profiles = the top-20
+    // char trigrams by occurrence (count DESC, gram ASC — deterministic
+    // cut) learned from the labeled corpus itself, a document's
+    // prediction = the language whose profile its distinct-trigram set
+    // overlaps most (ties: language ASC), docs with no overlap predict
+    // 'unknown'; reported as label × prediction confusion counts. Scale:
+    // profile learning is one (lang, gram) partial-agg'd shuffle; the
+    // profile is 20×|langs| and BROADCASTS into the doc-gram scan; the
+    // per-doc argmax windows ≤|langs| rows per doc — the only corpus-
+    // sized shuffle is the doc-gram distinct, the standard tokenization
+    // cost.
+    Q(
+      "q_text_langid_ngram",
+      """WITH g AS (SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, length(text) - 1),
+        |      i -> substring(text, CAST(i AS INT), 3))) AS gm
+        |  FROM documents),
+        |pc AS (SELECT lang AS plang, gm, COUNT(*) AS c FROM g GROUP BY 1, 2),
+        |prof AS (SELECT plang, gm FROM (
+        |    SELECT plang, gm, row_number() OVER (PARTITION BY plang ORDER BY c DESC, gm) AS rn
+        |    FROM pc) WHERE rn <= 20),
+        |dg AS (SELECT DISTINCT doc_id, gm FROM g),
+        |ov AS (SELECT doc_id, plang, COUNT(*) AS ov
+        |       FROM dg JOIN prof USING (gm) GROUP BY 1, 2),
+        |pred AS (SELECT doc_id, plang AS pred FROM (
+        |    SELECT doc_id, plang, row_number() OVER (PARTITION BY doc_id ORDER BY ov DESC, plang) AS rn
+        |    FROM ov) WHERE rn = 1)
+        |SELECT d.lang, COALESCE(p.pred, 'unknown') AS pred, COUNT(*) AS n
+        |FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
+        |GROUP BY 1, 2 ORDER BY lang, pred""",
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val grams = Tables.spread(docs)
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), col("lang"),
+          explode(expr(
+            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+            .as("gm"))
+      val profRank = Window.partitionBy("plang").orderBy(col("c").desc, col("gm"))
+      val prof = grams.groupBy(col("lang").as("plang"), col("gm"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(profRank))
+        .filter(col("rn") <= 20)
+        .select("plang", "gm")
+      val predRank = Window.partitionBy("doc_id").orderBy(col("ov").desc, col("plang"))
+      val pred = grams.select("doc_id", "gm").distinct()
+        .join(broadcast(prof), "gm")
+        .groupBy("doc_id", "plang")
+        .agg(count(lit(1)).as("ov"))
+        .withColumn("rn", row_number().over(predRank))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("plang").as("pred"))
+      docs.select("doc_id", "lang")
+        .join(pred, Seq("doc_id"), "left")
+        .groupBy(col("lang"), coalesce(col("pred"), lit("unknown")).as("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
     },
 
     // DATASET CARD rollup (the per-slice report a corpus release ships):

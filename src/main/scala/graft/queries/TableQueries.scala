@@ -517,6 +517,35 @@ object TableQueries extends QueryPack {
         .orderBy("probe", "name")
     },
 
+    // Partition-layout-PRESERVING compaction: a partitioned fact with a
+    // pending MoR delete compacts under its spec — the delete folds in,
+    // the rewrite emits one file per partition value, and the replace
+    // commit RECORDS the spec, so point probes still open exactly one
+    // file afterwards (files_opened pinned). A plain compact would write
+    // an unpartitioned blob and silently drop the layout. This is how a
+    // partitioned 100 TB fact compacts.
+    Q(
+      "t_compact_partitioned",
+      """SELECT * FROM (VALUES
+        |  ('A','small',2,1),('A','small',102,1),('C','medium',10,1),
+        |  ('C','medium',110,1),('D','small',20,1),('D','small',120,1),
+        |  ('E','large',20,1),('E','large',120,1))
+        |  AS t(name, size, count, files_opened_eq10)
+        |ORDER BY name, count""",
+    ) { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "compactpart")
+      val spec = PartitionSpec("count", Transform.Truncate(10))
+      t.appendPartitioned(items(s), spec, statsCols = Seq("count"))
+      t.appendPartitioned(items(s).withColumn("count", col("count") + 100),
+        spec, statsCols = Seq("count"))
+      t.delete(Seq("B").toDF("name"), Seq("name")) // pending MoR delete
+      t.compactPartitioned(spec, statsCols = Seq("count"))
+      t.read().select("name", "size", "count")
+        .withColumn("files_opened_eq10", lit(t.prunedFileCountEq("count", 10)))
+        .orderBy("name", "count")
+    },
+
     // Write-side CHECK constraints (Delta ADD CONSTRAINT): predicates
     // declared once as table properties gate every append — a batch with
     // any violating row is rejected WHOLE before a byte lands (phase 2:
