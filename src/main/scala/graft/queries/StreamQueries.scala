@@ -206,6 +206,46 @@ object StreamQueries extends QueryPack {
         .orderBy("ws", "rk")
     },
 
+    // streaming anomaly detection: per-type hourly event counts run as
+    // the GENUINE incremental streaming aggregation; the 2σ outlier
+    // flagging is a batch pass over the (window × type)-sized RESULT
+    // using q_anomaly_sigma's exact integer inequality
+    // (n·x − S)² > 4(nQ − S²) — no float moments, no sqrt, bit-exact in
+    // both engines. The monitoring split mirrors q_stream_topk: counts
+    // maintain incrementally, thresholds re-derive per evaluation
+    // because σ over all windows is not incrementally maintainable
+    // append-only. Cost of the post-pass ∝ windows × types, never the
+    // stream.
+    Q(
+      "q_stream_anomaly",
+      """WITH wc AS (SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS x
+        |            FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS q
+        |       FROM wc GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_windows,
+        |  CAST(COUNT(*) FILTER (
+        |    WHERE (n * x - s) * (n * x - s) > 4 * (n * q - s * s)) AS BIGINT) AS n_anomalous
+        |FROM wc JOIN st USING (event_type)
+        |GROUP BY event_type, n ORDER BY event_type""",
+    ) { (s, dir) =>
+      val wc = streamedEvents(s, dir) { ev =>
+        ev.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("x"))
+          .select(col("event_type"), col("x"))
+      }
+      val st = wc.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+          sum(col("x") * col("x")).as("q"))
+      wc.join(broadcast(st), "event_type")
+        .groupBy(col("event_type"), col("n"))
+        .agg(sum(when(
+          (col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s")) >
+            (col("n") * col("q") - col("s") * col("s")) * 4, 1L).otherwise(0L))
+          .as("n_anomalous"))
+        .select(col("event_type"), col("n").as("n_windows"), col("n_anomalous"))
+        .orderBy("event_type")
+    },
+
     // session windows (30-minute gap), executed INCREMENTALLY: the
     // registered entry runs Spark's session_window operator through real
     // Structured Streaming (AvailableNow file stream → merging session
