@@ -712,5 +712,58 @@ object VectorQueries extends QueryPack {
           sum(round(col("s1") * 1e6).cast("long")).as("cohesion_x1e6"))
         .orderBy("list_id")
     },
+
+    // embedding-space OUTLIER flagging (the data-pruning / mislabel-
+    // detection pass): per label, the 3 vectors farthest from their
+    // label's mean embedding. DIVISION-FREE exact arithmetic — distance
+    // from the mean scaled by n² is ‖n·x − S‖² over the 1e-6-quantized
+    // components (S = the label's component-wise sum, n = label count),
+    // so no rounded mean ever exists to disagree between engines; the
+    // per-vector sum accumulates in DECIMAL(38,0) (int64 would overflow
+    // near 2e8 quantized magnitudes — i.e. labels of ~200 vectors are
+    // already within 4× of the cliff). Plan: one (label, pos) partial
+    // agg for S (dims × labels rows, broadcast back), row-local
+    // difference squares, one vec_id-keyed rollup, per-label top-3 rank
+    // window over label-sized partitions.
+    Q(
+      "q_embed_outliers",
+      """WITH q AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+        |      CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qc
+        |    FROM embeddings),
+        |cn AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY 1),
+        |st AS (SELECT label, pos, CAST(SUM(qc) AS BIGINT) AS s FROM q GROUP BY 1, 2),
+        |d AS (SELECT q.vec_id, q.label,
+        |        CAST(SUM(CAST(cn.n * q.qc - st.s AS DECIMAL(38,0))
+        |               * CAST(cn.n * q.qc - st.s AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS dist
+        |      FROM q JOIN st ON q.label = st.label AND q.pos = st.pos
+        |      JOIN cn ON cn.label = q.label
+        |      GROUP BY 1, 2)
+        |SELECT label, CAST(rk AS BIGINT) AS rk, vec_id, dist AS distn2_x1e12
+        |FROM (SELECT label, vec_id, dist,
+        |        row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rk
+        |      FROM d)
+        |WHERE rk <= 3 ORDER BY label, rk""",
+    ) { (s, dir) =>
+      val q = emb(s, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode_outer(expr(
+            "transform(embedding, e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000000) AS BIGINT))"))
+            .as(Seq("pos0", "qc")))
+        // DuckDB's generate_subscripts is 1-based; keep positions aligned
+        .withColumn("pos", col("pos0") + 1).drop("pos0")
+      val cn = emb(s, dir).groupBy("label").agg(count(lit(1)).as("n"))
+      val st = q.groupBy("label", "pos").agg(sum(col("qc")).cast("long").as("s"))
+      val d = q
+        .join(broadcast(st), Seq("label", "pos"))
+        .join(broadcast(cn), Seq("label"))
+        .withColumn("t", expr("CAST(n * qc - s AS DECIMAL(38,0))"))
+        .groupBy("vec_id", "label")
+        .agg(expr("CAST(SUM(t * t) AS DECIMAL(38,0))").as("dist"))
+      val rk = Window.partitionBy("label").orderBy(col("dist").desc, col("vec_id"))
+      d.withColumn("rk", row_number().over(rk).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("label"), col("rk"), col("vec_id"), col("dist").as("distn2_x1e12"))
+        .orderBy("label", "rk")
+    },
   )
 }
