@@ -725,6 +725,16 @@ object VectorQueries extends QueryPack {
     // agg for S (dims × labels rows, broadcast back), row-local
     // difference squares, one vec_id-keyed rollup, per-label top-3 rank
     // window over label-sized partitions.
+    //
+    // Output determinism (§7.5.2, VERDICT r6): the DECIMAL(38,0) distance
+    // must NOT ship as a decimal — the driver hashes decimal
+    // representations, which differ between engines even at scale 0. It
+    // ships as two exact BIGINT halves (dist div 1e9, dist mod 1e9; dist
+    // is non-negative so div/mod agree across engines, and max dist
+    // ≈ 2.6e20 puts the high half well inside int64). DuckDB gotcha:
+    // `//` on DECIMAL operands is FLOAT division (cast-to-BIGINT then
+    // rounds, off-by-one vs floor) — the oracle routes through HUGEINT,
+    // whose `//` is true integer division.
     Q(
       "q_embed_outliers",
       """WITH q AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
@@ -738,7 +748,9 @@ object VectorQueries extends QueryPack {
         |      FROM q JOIN st ON q.label = st.label AND q.pos = st.pos
         |      JOIN cn ON cn.label = q.label
         |      GROUP BY 1, 2)
-        |SELECT label, CAST(rk AS BIGINT) AS rk, vec_id, dist AS distn2_x1e12
+        |SELECT label, CAST(rk AS BIGINT) AS rk, vec_id,
+        |       CAST(CAST(dist AS HUGEINT) // 1000000000 AS BIGINT) AS dist_hi,
+        |       CAST(CAST(dist AS HUGEINT) % 1000000000 AS BIGINT) AS dist_lo
         |FROM (SELECT label, vec_id, dist,
         |        row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rk
         |      FROM d)
@@ -762,7 +774,9 @@ object VectorQueries extends QueryPack {
       val rk = Window.partitionBy("label").orderBy(col("dist").desc, col("vec_id"))
       d.withColumn("rk", row_number().over(rk).cast("long"))
         .filter(col("rk") <= 3)
-        .select(col("label"), col("rk"), col("vec_id"), col("dist").as("distn2_x1e12"))
+        .select(col("label"), col("rk"), col("vec_id"),
+          expr("CAST(dist div 1000000000 AS BIGINT)").as("dist_hi"),
+          expr("CAST(dist % 1000000000 AS BIGINT)").as("dist_lo"))
         .orderBy("label", "rk")
     },
   )

@@ -608,6 +608,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q_embed_outliers equals an exact top-3-per-label replay") {
+    // replay the division-free distance ‖n·x − S‖² in BigInt on the driver
+    // and reassemble the query's split-BIGINT output (hi·1e9 + lo)
+    def rnd(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val vs = Tables.embeddings(spark, sf).select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(e => rnd(e.toDouble * 1000000)).toArray))
+    val expected = vs.groupBy(_._2).toSeq.flatMap { case (label, g) =>
+      val n = BigInt(g.length)
+      val dims = g.head._3.length
+      val s = Array.tabulate(dims)(p => g.map(v => BigInt(v._3(p))).sum)
+      g.map { case (id, _, v) =>
+        val dist = (0 until dims).map { p => val t = n * v(p) - s(p); t * t }.sum
+        (id, dist)
+      }.sortBy { case (id, dist) => (-dist, id) }.take(3).zipWithIndex
+        .map { case ((id, dist), i) =>
+          (label, i + 1L, id, (dist / 1000000000L).toLong, (dist % 1000000000L).toLong)
+        }
+    }.sortBy(t => (t._1, t._2))
+    val got = q("q_embed_outliers").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // the split is genuinely needed: at least one distance exceeds int64
+    // territory's comfort zone (hi half non-zero)
+    assert(got.exists(_._4 > 0L))
+  }
+
   test("q_quality_linear equals a driver replay of the integer scorer") {
     val stop = Set("the", "a", "row", "data", "value")
     val rows = Tables.documents(spark, sf).select("source", "text").collect()

@@ -17,6 +17,29 @@ class QuerySurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("no oracle-gated query ships decimal/double/float output columns (§7.5.2)") {
+    // VERDICT r6: a DECIMAL(38,0) output column passed localverify (values
+    // and DuckDB-read types identical) but FAILED the driver's hash — the
+    // driver hashes the decimal's textual representation, which differs
+    // between engines even at scale 0. Doubles/floats are likewise banned
+    // from oracle-gated outputs (IEEE rendering differs). This converts the
+    // prose rule into a gate; only the declared no-oracle sketches (whose
+    // driver check is rows-only) are exempt.
+    import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, FloatType, ArrayType, StructType, MapType}
+    def banned(dt: DataType): Boolean = dt match {
+      case _: DecimalType | DoubleType | FloatType => true
+      case ArrayType(et, _) => banned(et)
+      case MapType(k, v, _) => banned(k) || banned(v)
+      case st: StructType => st.fields.exists(f => banned(f.dataType))
+      case _ => false
+    }
+    val offenders = SparkEntry.all.filter(_.oracle.isDefined).flatMap { q =>
+      val bad = q.fn(spark, sf).schema.fields.filter(f => banned(f.dataType))
+      if (bad.isEmpty) None else Some(s"${q.name}: ${bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}")
+    }
+    assert(offenders.isEmpty, s"non-hash-stable output columns:\n${offenders.mkString("\n")}")
+  }
+
   test("every query name has at most one oracle and names are unique") {
     val names = SparkEntry.all.map(_.name)
     assert(names.distinct.size == names.size)

@@ -87,6 +87,16 @@ def main():
         if len(got) != len(exp):
             results[name] = f"ROWCOUNT-MISMATCH spark={len(got)} duck={len(exp)}"
             continue
+        # VERDICT r6: DECIMAL output columns can compare EQUAL here (values
+        # and DuckDB-read types identical) yet fail the driver's hash, which
+        # is representation-sensitive (q_embed_outliers, DECIMAL(38,0)).
+        # Doubles/floats risk the same via rendering. Flag them even when
+        # the value compare would pass — §7.5.2 is a gate, not prose.
+        unstable = [c for c, t in zip(gcols, gtypes)
+                    if "DECIMAL" in t or t in ("DOUBLE", "FLOAT", "REAL")]
+        if unstable:
+            results[name] = f"UNSTABLE-TYPES {unstable} (decimal/double output fails the driver hash even when values match)"
+            continue
         if got == exp:
             results[name] = f"PASS ({len(got)} rows)"
         elif sorted(got) == sorted(exp):
