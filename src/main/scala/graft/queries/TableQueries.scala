@@ -621,14 +621,21 @@ object TableQueries extends QueryPack {
     // create — all-or-nothing. An aborting body (exception after staging
     // to table A) leaves both tables untouched, and a crash-simulated
     // staged entry with no marker (writer died pre-publish) stays
-    // invisible — the presumed-abort path. Counts pinned after each
-    // phase; rows_a/rows_b never diverge, which IS the atomicity claim.
+    // invisible — the presumed-abort path. Phase 4 (r7) is the
+    // cross-table GDPR-erasure shape: one user equality-DELETED from
+    // both tables at a single commit point (deletes.rs:94-110
+    // generalized across tables); phase 5 mixes kinds — append to one
+    // table, delete from the other, one marker. Counts pinned after
+    // each phase; the per-phase (rows_a, rows_b) pair moving in
+    // lockstep IS the atomicity claim.
     Q(
       "t_multi_table_txn",
       """SELECT * FROM (VALUES
         |  ('1_committed', 5, 5),
         |  ('2_aborted', 5, 5),
-        |  ('3_staged_invisible', 5, 5))
+        |  ('3_staged_invisible', 5, 5),
+        |  ('4_txn_delete', 4, 4),
+        |  ('5_mixed_kinds', 9, 3))
         |  AS t(phase, rows_a, rows_b)
         |ORDER BY phase""",
     ) { (s, _) =>
@@ -654,8 +661,24 @@ object TableQueries extends QueryPack {
       cat.openTable("lake", "tb")
         .appendInTxn(items(s), wh.resolve("_txns").resolve("never.commit"))
       val (a3, b3) = counts
+      // cross-table erasure: user 'A' leaves BOTH tables at one commit
+      // point (the staged pending append from phase 3 sits BELOW these
+      // deletes' seqs, so even a late publish could not resurrect 'A')
+      val erase = Seq("A").toDF("name")
+      cat.transact { txn =>
+        txn.delete("lake", "ta", erase, Seq("name"))
+        txn.delete("lake", "tb", erase, Seq("name"))
+      }
+      val (a4, b4) = counts
+      // mixed kinds under one marker: +5 rows to ta, -1 row from tb
+      cat.transact { txn =>
+        txn.append("lake", "ta", items(s))
+        txn.delete("lake", "tb", Seq("B").toDF("name"), Seq("name"))
+      }
+      val (a5, b5) = counts
       Seq(("1_committed", a1, b1), ("2_aborted", a2, b2),
-        ("3_staged_invisible", a3, b3))
+        ("3_staged_invisible", a3, b3), ("4_txn_delete", a4, b4),
+        ("5_mixed_kinds", a5, b5))
         .toDF("phase", "rows_a", "rows_b")
         .orderBy("phase")
     },

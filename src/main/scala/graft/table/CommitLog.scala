@@ -486,6 +486,18 @@ final class CommitLog(val root: Path) {
 
   /** CAS commit: claims head+1, retrying on losing the race.
     * Returns the committed seq.
+    *
+    * History-REWRITING commits — `replace` (compaction/CoW, which resets
+    * state replay) and equality-flavor deletes (which retroactively scope
+    * every lower-seq append) — additionally serialize through the table's
+    * maintenance lock ([[MaintLock]]). That is what closes the
+    * check-then-publish window in GraftCatalog.transact (VERDICT r6 #4):
+    * the transaction validates and publishes its marker while holding the
+    * same lock, so no rewriting commit can land between its validation
+    * and the marker create and silently swallow the staged entries.
+    * Appends and props commits never take the lock — the ingest hot path
+    * is unchanged; a maintenance commit pays one flock() on a
+    * metadata-sized operation.
     */
   def commit(
       action: String,
@@ -503,6 +515,16 @@ final class CommitLog(val root: Path) {
       assignRowIds: Boolean = false,
       txnMarker: String = "",
       props: Map[String, String] = Map.empty,
+      // Iceberg-style optimistic validation for STATE-DEPENDENT rewrites
+      // (VERDICT r7): the committed-seq set the rewrite's content was
+      // built from. At claim time the current committed set is re-derived
+      // (marker probes included, so a multi-table transaction PUBLISHING
+      // between the rewrite's log read and its commit counts); any drift
+      // throws CommitConflictException — the caller rebuilds from fresh
+      // state instead of committing a replace that would silently swallow
+      // the concurrent rows. None (the default) skips the check: appends
+      // and deletes compose through seq scoping and need no validation.
+      expectedCommittedSeqs: Option[Set[Long]] = None,
       maxAttempts: Int = 50): Long = {
     require(fileStats.isEmpty || fileStats.size == dataFiles.size,
       s"fileStats (${fileStats.size}) must parallel dataFiles (${dataFiles.size})")
@@ -514,6 +536,35 @@ final class CommitLog(val root: Path) {
       s"fileRowIds (${fileRowIds.size}) must parallel dataFiles (${dataFiles.size})")
     require(!assignRowIds || (fileRows.size == dataFiles.size && fileRowIds.isEmpty),
       "assignRowIds derives fileRowIds from fileRows; pass counts, not bases")
+    if (CommitLog.isRewriting(action, equalityCols))
+      MaintLock.withLocks(Seq(CommitLog.maintLockPath(root)))(casLoop(
+        action, dataFiles, deleteFiles, equalityCols, stats, schemaJson,
+        fileStats, partSpec, fileBlooms, fileRows, fileRowIds, rowIdHigh,
+        assignRowIds, txnMarker, props, expectedCommittedSeqs, maxAttempts))
+    else casLoop(
+      action, dataFiles, deleteFiles, equalityCols, stats, schemaJson,
+      fileStats, partSpec, fileBlooms, fileRows, fileRowIds, rowIdHigh,
+      assignRowIds, txnMarker, props, expectedCommittedSeqs, maxAttempts)
+  }
+
+  private def casLoop(
+      action: String,
+      dataFiles: Seq[String],
+      deleteFiles: Seq[String],
+      equalityCols: Seq[String],
+      stats: Seq[(String, String, String)],
+      schemaJson: String,
+      fileStats: Seq[Map[String, (String, String)]],
+      partSpec: String,
+      fileBlooms: Seq[Map[String, String]],
+      fileRows: Seq[Long],
+      fileRowIds: Seq[Long],
+      rowIdHigh: Long,
+      assignRowIds: Boolean,
+      txnMarker: String,
+      props: Map[String, String],
+      expectedCommittedSeqs: Option[Set[Long]],
+      maxAttempts: Int): Long = {
     var attempt = 0
     var waits = 0
     while (attempt < maxAttempts) {
@@ -526,6 +577,17 @@ final class CommitLog(val root: Path) {
             else js.map(f => f.getFileName.toString.stripSuffix(".json").toLong).max
           (math.max(mx, latestCkpt.map(ckptSeqOf).getOrElse(-1L)),
             js.exists(f => sizeOrZero(f) == 0L))
+        }
+        // optimistic rewrite validation: runs on every attempt, INSIDE
+        // the maintenance lock for rewriting actions — so a transaction
+        // marker cannot land between this check and our claim
+        expectedCommittedSeqs.foreach { exp =>
+          val now = entriesOnce(Long.MaxValue).map(_.seq).toSet
+          if (now != exp) throw new CommitConflictException(
+            s"rewrite base changed: committed set drifted by " +
+              s"${((now -- exp) ++ (exp -- now)).toSeq.sorted.mkString(",")} " +
+              "since the rewrite's log read (a commit landed or a staged " +
+              "transaction published); rebuild from fresh state")
         }
         if (assignRowIds && hasEmptyClaim) {
           // a racer sits between its O_EXCL claim and its atomic content
@@ -677,6 +739,14 @@ final class CommitLog(val root: Path) {
   }
 }
 
+/** Thrown by [[CommitLog.commit]] when a state-dependent rewrite's
+  * `expectedCommittedSeqs` no longer matches the log — the rewrite's
+  * content is stale and committing it would lose concurrent rows.
+  * GraftTable's rewrite ops catch this and rebuild from fresh state
+  * (optimistic concurrency, Iceberg's replace-commit validation).
+  */
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
 object CommitLog {
   /** a staged-but-unpublished txn entry older than this is treated as
     * abandoned (crashed writer): expiration may drop it, after which
@@ -693,6 +763,25 @@ object CommitLog {
     * deletes must never use this column list (GraftTable.delete guards).
     */
   val DvCols: Seq[String] = Seq("_dv")
+
+  /** Does a commit of this shape REWRITE history — i.e. change what an
+    * already-claimed lower-seq entry means when replayed? `replace` resets
+    * state entirely; an equality-flavor delete retroactively scopes every
+    * lower-seq append (including a STAGED one, invisible to the deleter).
+    * Positional-flavor deletes and dvrewrites address physical files of
+    * VISIBLE data only — they cannot name a staged file — and appends/
+    * props touch nothing below themselves.
+    */
+  def isRewriting(action: String, eqCols: Seq[String]): Boolean =
+    action == "replace" ||
+      ((action == "delete" || action == "mixed") &&
+        eqCols.nonEmpty && eqCols != DvCols)
+
+  /** the table-level maintenance lock file: held by rewriting commits and
+    * by GraftCatalog.transact across its validate+publish window.
+    */
+  def maintLockPath(root: Path): Path =
+    root.resolve("_log").resolve(".maint.lock")
 
   /** positional FLAVOR (physical row addresses, not key predicates):
     * plain positional delete files (empty equality cols) and deletion
@@ -736,6 +825,45 @@ object CommitLog {
       dels = dels ++ e.deleteFiles.map(f => (f, e.seq, e.equalityCols))
     }
     (data, dels)
+  }
+}
+
+/** Cross-process + cross-thread advisory locks over lock FILES — the
+  * serialization primitive behind [[CommitLog.commit]]'s rewriting-commit
+  * guard and GraftCatalog.transact's validate+publish window. Two layers:
+  * a per-path JVM monitor (java.nio FileLock throws
+  * OverlappingFileLockException when one JVM locks the same file twice,
+  * so in-process threads must serialize BEFORE touching the channel) and
+  * an OS flock via FileChannel.lock (what actually excludes other
+  * processes — proven cross-process the same way ConflictRacer proves
+  * the commit CAS). Multi-path acquisition sorts canonically first, so
+  * two transactions locking overlapping table sets can never deadlock
+  * ABBA-style. Same POSIX caveat as the CAS: on an object store this
+  * seam becomes the REST catalog's server-side commit serialization.
+  */
+private[table] object MaintLock {
+  private val monitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  def withLocks[A](paths: Seq[Path])(f: => A): A = {
+    val ordered =
+      paths.map(_.toAbsolutePath.normalize).distinct.sortBy(_.toString)
+    def go(rest: List[Path]): A = rest match {
+      case Nil => f
+      case p :: tail =>
+        val mon = monitors.computeIfAbsent(p.toString, _ => new Object)
+        mon.synchronized {
+          Files.createDirectories(p.getParent)
+          val ch = java.nio.channels.FileChannel.open(p,
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE)
+          try {
+            val l = ch.lock()
+            try go(tail) finally l.release()
+          } finally ch.close()
+        }
+    }
+    go(ordered.toList)
   }
 }
 

@@ -178,9 +178,14 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     */
   /** Write-side CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT):
     * table properties `check.<name> = <sql predicate>` are enforced on
-    * every append path — a batch containing ANY violating row is rejected
-    * whole before a byte is written (atomic: nothing commits, the table
-    * is untouched). SQL CHECK semantics: a row violates only when the
+    * every ROW-ADDING path — append/appendInTxn/appendPartitioned/
+    * overwritePartitions before a byte is written, and the inserted/
+    * replacement row sets of appendAndDelete, upsert, merge, and
+    * updateWhereEq (ADVICE r6 closed the latter four) — a batch
+    * containing ANY violating row is rejected whole before the commit
+    * (atomic: nothing commits, the table is untouched; a shard already
+    * staged to disk becomes a vacuumable orphan). SQL CHECK semantics: a
+    * row violates only when the
     * predicate is FALSE; a NULL predicate passes. Cost: one filtered
     * count over the INCOMING batch per constraint (batch-sized, never
     * table-sized) and only when constraints are declared; the read path
@@ -310,6 +315,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
   def overwritePartitions(df: DataFrame, spec: PartitionSpec,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     requireNoReserved(df)
+    enforceConstraints(df)
     val dir = newShardDir("data")
     df.withColumn(PartCol, spec.transform.expr(col(spec.col)))
       .repartition(col(PartCol))
@@ -669,6 +675,24 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     log.commit("delete", deleteFiles = parquetFilesIn(dir), equalityCols = equalityCols)
   }
 
+  /** equality delete STAGED under a multi-table transaction: identical to
+    * [[delete]] except the entry carries the transaction's marker path —
+    * the deleted rows keep being served until the marker lands, then the
+    * delete scopes exactly the data committed below its stage-time seq
+    * (GraftCatalog.transact publishes and validates; a replace landing
+    * between stage and publish aborts the transaction rather than
+    * swallowing this entry). The delete-file write is batch-key-sized;
+    * the commit is one metadata file like every delete.
+    */
+  def deleteInTxn(keys: DataFrame, equalityCols: Seq[String], marker: Path): Long = {
+    require(equalityCols != CommitLog.DvCols,
+      s"equality columns ${CommitLog.DvCols.mkString(",")} are reserved for deletion vectors")
+    val dir = newShardDir("deletes")
+    keys.select(equalityCols.map(col): _*).distinct().write.parquet(dir.toString)
+    log.commit("delete", deleteFiles = parquetFilesIn(dir), equalityCols = equalityCols,
+      txnMarker = marker.toAbsolutePath.normalize.toString)
+  }
+
   /** physical row address columns exposed by readWithPos / consumed by
     * deleteAt: Spark's file-source _metadata struct.
     */
@@ -800,7 +824,9 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * referenced by their original entries until snapshot expiration).
     * Returns the current head if there is nothing to fold.
     */
-  def rewritePositionDeletes(): Long = {
+  def rewritePositionDeletes(): Long = rewriteRetry(rewritePositionDeletesOnce())
+
+  private def rewritePositionDeletesOnce(): Long = {
     val entries = log.entries()
     val (_, dels) = CommitLog.stateFrom(entries)
     val posFiles = dels.filter(_._3.isEmpty).map(_._1)
@@ -815,8 +841,12 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       if (dvFiles.isEmpty) None
       else Some(dvPositionsOf(spark.read.parquet(dvFiles.map(_._1): _*)))
     val addr = (fromPos.toSeq ++ fromDv.toSeq).reduce(_.unionByName(_))
+    // validated like every state-dependent rewrite: a positional delete
+    // committed after this fold's read would be superseded WITHOUT being
+    // encoded — its rows would silently come back
     log.commit("dvrewrite", deleteFiles = writeDvFiles(addr),
-      equalityCols = CommitLog.DvCols)
+      equalityCols = CommitLog.DvCols,
+      expectedCommittedSeqs = Some(entries.map(_.seq).toSet))
   }
 
   /** shared tail of the mixed (append+delete-in-one-transaction) commits:
@@ -842,6 +872,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     */
   def appendAndDelete(df: DataFrame, keys: DataFrame, equalityCols: Seq[String]): Long = {
     requireNoReserved(df)
+    enforceConstraints(df)
     val dDir = newShardDir("data")
     df.write.parquet(dDir.toString)
     mixedCommit(dDir, keys, equalityCols, idSchemaJson(df.schema))
@@ -914,9 +945,15 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       if (q.startsWith(rootAbs)) bAbs.relativize(q).toString else p
     }
     val es = log.entries()
+    // txnMarker cleared (ADVICE r6): these entries are PROVEN committed
+    // (entries() filters pending), and the warehouse marker sweep only
+    // scans catalog table logs — a branch log still referencing a marker
+    // after main checkpointed (which strips ITS references) would see the
+    // marker vacuumed and its committed entries silently flip to pending
     seedLog(bRoot.resolve("_log"), es.map(e => e.copy(
       dataFiles = e.dataFiles.map(branchRel),
-      deleteFiles = e.deleteFiles.map(branchRel))))
+      deleteFiles = e.deleteFiles.map(branchRel),
+      txnMarker = "")))
     Files.writeString(bRoot.resolve("_base"),
       es.lastOption.map(_.seq).getOrElse(-1L).toString)
     new GraftTable(spark, bRoot)
@@ -1127,7 +1164,10 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     val es = log.entries(asOf)
     require(asOf == Long.MaxValue || es.exists(_.seq == asOf),
       s"clone asOf $asOf is not a committed snapshot")
-    seedLog(dst.resolve("_log"), es)
+    // txnMarker cleared, same argument as createBranch (ADVICE r6): the
+    // entries are proven committed, and a clone may live OUTSIDE any
+    // catalog — vacuumTxnMarkers could never see its references at all
+    seedLog(dst.resolve("_log"), es.map(_.copy(txnMarker = "")))
     // provenance marker only — never read on the hot path
     Files.writeString(dst.resolve("_cloned_from"),
       s"${root.toAbsolutePath.normalize} @ ${es.lastOption.map(_.seq).getOrElse(-1L)}")
@@ -1287,6 +1327,12 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     // (sample(), mid-ingest re-read) would otherwise delete keys it never
     // appended, or append rows whose old versions survive
     val written = spark.read.schema(df.schema).parquet(dDir.toString)
+    // constraints gate the INSERTED/REPLACEMENT rows (ADVICE r6: every
+    // row-adding path, not just append) — checked over the written
+    // parquet, honoring the same determinism doctrine as the delete keys;
+    // a violation throws BEFORE the commit, leaving the table unchanged
+    // (the orphaned shard is reclaimed by removeOrphanFiles)
+    enforceConstraints(written)
     mixedCommit(dDir, written, keyCols, idSchemaJson(df.schema),
       statsCols, bloomCols)
   }
@@ -1350,6 +1396,9 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       val appendRows = matched.filter(!del)
         .unionByName(unmatched.filter(ins))
         .select(outCols.map(col): _*)
+      // constraints gate the UPDATE/INSERT rows (over the staged source —
+      // deterministic re-read, so the checked rows ARE the written rows)
+      enforceConstraints(appendRows)
       val delKeys = matched.select(keyCols.map(col): _*).distinct()
       val dDir = newShardDir("data")
       appendRows.write.parquet(dDir.toString)
@@ -1382,7 +1431,11 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * it, and adopted files re-stamp _last_seq (adoptedLineage note).
     */
   def updateWhereEq(keyCol: String, value: Any, set: Map[String, Column],
-      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long =
+    rewriteRetry(updateWhereEqOnce(keyCol, value, set, statsCols, bloomCols))
+
+  private def updateWhereEqOnce(keyCol: String, value: Any, set: Map[String, Column],
+      statsCols: Seq[String], bloomCols: Seq[String]): Long = {
     require(set.nonEmpty, "update with no assignments")
     val entries = log.entries()
     require(entries.nonEmpty, "update on an empty table")
@@ -1398,6 +1451,12 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       }
     // schema preservation is judged on the PLAN only (no data read)
     val (fullView, fullMat) = rewriteSource(entries, state)
+    // constraints gate the POST-ASSIGNMENT versions of the touched rows
+    // (ADVICE r6): an UPDATE must not be the path that sneaks a violating
+    // value into a CHECK-gated table. Only the updated rows are checked
+    // (untouched rows already passed at their own write), and only when
+    // constraints are declared — enforceConstraints is a no-op otherwise.
+    enforceConstraints(applySet(fullView).filter(col(keyCol) === lit(value)))
     val schemaChanged =
       logicalSchemaOf(applySet(fullView)).json != logicalSchemaOf(fullView).json
     val dir = newShardDir("data")
@@ -1412,7 +1471,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
         fileStats = fs,
         fileBlooms = perFileBlooms(dir, files, bloomCols),
         fileRows = mrows, fileRowIds = mids,
-        rowIdHigh = CommitLog.nextRowId(entries))
+        rowIdHigh = CommitLog.nextRowId(entries),
+        expectedCommittedSeqs = Some(entries.map(_.seq).toSet))
     }
     val affected = CommitLog.stateFrom(entries, eqPrunes(entries, keyCol, value))._1
     if (affected.isEmpty) return entries.last.seq // key provably absent: no-op
@@ -1440,7 +1500,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       fileBlooms = keptBlooms ++ padBlooms,
       fileRows = keptRows ++ newFiles.map(_ => 0L),
       fileRowIds = keptIds ++ newFiles.map(_ => if (mat) -2L else -1L),
-      rowIdHigh = CommitLog.nextRowId(entries))
+      rowIdHigh = CommitLog.nextRowId(entries),
+      expectedCommittedSeqs = Some(entries.map(_.seq).toSet))
   }
 
   /** DELETE WHERE col BETWEEN lo AND hi, metadata-only when the layout
@@ -1463,7 +1524,11 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * cannot adopt under one recorded schema).
     */
   def deleteWhereRange(colName: String, loV: Any, hiV: Any,
-      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): DeleteWhereReport = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): DeleteWhereReport =
+    rewriteRetry(deleteWhereRangeOnce(colName, loV, hiV, statsCols, bloomCols))
+
+  private def deleteWhereRangeOnce(colName: String, loV: Any, hiV: Any,
+      statsCols: Seq[String], bloomCols: Seq[String]): DeleteWhereReport = {
     val lo = BigDecimal(loV.toString)
     val hi = BigDecimal(hiV.toString)
     val entries = log.entries()
@@ -1489,7 +1554,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
         fileStats = fs,
         fileBlooms = perFileBlooms(dir, files, bloomCols),
         fileRows = mrows, fileRowIds = mids,
-        rowIdHigh = CommitLog.nextRowId(entries))
+        rowIdHigh = CommitLog.nextRowId(entries),
+        expectedCommittedSeqs = Some(entries.map(_.seq).toSet))
       return DeleteWhereReport(seq, dropped = dataFiles.size, kept = 0,
         rewritten = files.size)
     }
@@ -1530,16 +1596,29 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     val padBlooms =
       if (newBlooms0.isEmpty) newFiles.map(_ => Map.empty[String, String])
       else newBlooms0
+    // spec-scoped pruning survives a metadata-only range delete (ADVICE
+    // r6): when no straddler was rewritten and every adopted file was
+    // written under ONE partition spec, the replace records that spec —
+    // bucket transforms only prune via requireSpec, and the adopted
+    // files already carry their exact [v,v] partition stats. Mixed or
+    // absent specs, or any rewrite (whose output is not partition-laid),
+    // fall back to "" — the same conservative drop compact() documents.
+    val specBySeq = entries.map(e => e.seq -> e.partSpec).toMap
+    val keptSpecs = kept.map(f => specBySeq.getOrElse(f._2, "")).distinct
+    val outSpec =
+      if (newFiles.isEmpty && keptSpecs.size == 1) keptSpecs.head else ""
     // no commit-level stats fold: adopted files' recorded columns may
     // differ from statsCols (same rationale as compactSmall)
     val seq = log.commit("replace",
       dataFiles = kept.map(_._1) ++ newFiles,
       schemaJson = schemaJson,
       fileStats = keptStats ++ padStats,
+      partSpec = outSpec,
       fileBlooms = keptBlooms ++ padBlooms,
       fileRows = keptRows ++ newFiles.map(_ => 0L),
       fileRowIds = keptIds ++ newFiles.map(_ => if (mat) -2L else -1L),
-      rowIdHigh = CommitLog.nextRowId(entries))
+      rowIdHigh = CommitLog.nextRowId(entries),
+      expectedCommittedSeqs = Some(entries.map(_.seq).toSet))
     DeleteWhereReport(seq, dropped.size, kept.size, newFiles.size)
   }
 
@@ -2109,6 +2188,33 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     }
   }
 
+  /** Optimistic concurrency for state-dependent rewrites (Iceberg's
+    * replace-commit validation, r7): each attempt rebuilds its content
+    * from a fresh log read and hands commit() the committed-seq set it
+    * built from; commit throws [[CommitConflictException]] when that set
+    * drifted — a concurrent commit landed, or a staged transaction
+    * PUBLISHED, between the read and the claim (the check runs under the
+    * table's maintenance lock, the same lock transact publishes under,
+    * so it cannot itself race the marker). Without this, a replace built
+    * from a stale read silently swallows the concurrent rows — the
+    * classic compaction lost-update. Retrying re-runs the whole rewrite
+    * (Spark jobs included): conflicts are maintenance-vs-ingest races
+    * and rare, and the rebuild is the only correct response. Appends
+    * never validate, never lock, never wait — ingest is unaffected.
+    */
+  private def rewriteRetry[A](f: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt >= 6) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** compaction: materialize the MoR view into fresh files and commit a
     * `replace` — deletes are folded in, history before the replace is
     * superseded (but still time-travelable). With `statsCols`/`bloomCols`
@@ -2117,7 +2223,10 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * [[rewriteSource]]), so readWithLineage returns identical ids across
     * the rewrite.
     */
-  def compact(statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
+  def compact(statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long =
+    rewriteRetry(compactOnce(statsCols, bloomCols))
+
+  private def compactOnce(statsCols: Seq[String], bloomCols: Seq[String]): Long = {
     val dir = newShardDir("data")
     val entries = log.entries()
     val (view, mat) = rewriteSource(entries, CommitLog.stateFrom(entries))
@@ -2130,7 +2239,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       schemaJson = materializedSchemaJson(view), fileStats = fs,
       fileBlooms = perFileBlooms(dir, files, bloomCols),
       fileRows = mrows, fileRowIds = mids,
-      rowIdHigh = CommitLog.nextRowId(entries))
+      rowIdHigh = CommitLog.nextRowId(entries),
+      expectedCommittedSeqs = Some(entries.map(_.seq).toSet))
   }
 
   /** Partition-layout-PRESERVING compaction: the MoR view rewrites under
@@ -2144,7 +2254,10 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * pruning (which only works spec-scoped) is lost entirely. At 100 TB
     * a partitioned fact compacts THIS way, partition by partition.
     */
-  def compactPartitioned(spec: PartitionSpec, statsCols: Seq[String] = Nil): Long = {
+  def compactPartitioned(spec: PartitionSpec, statsCols: Seq[String] = Nil): Long =
+    rewriteRetry(compactPartitionedOnce(spec, statsCols))
+
+  private def compactPartitionedOnce(spec: PartitionSpec, statsCols: Seq[String]): Long = {
     val dir = newShardDir("data")
     val entries = log.entries()
     require(entries.nonEmpty, "compact on an empty table")
@@ -2169,7 +2282,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       fileStats = merged,
       partSpec = PartitionSpec.renderAll(Seq(spec)),
       fileRows = mrows, fileRowIds = mids,
-      rowIdHigh = CommitLog.nextRowId(entries))
+      rowIdHigh = CommitLog.nextRowId(entries),
+      expectedCommittedSeqs = Some(entries.map(_.seq).toSet))
   }
 
   /** Bin-packing small-file compaction (Iceberg's rewrite_data_files
@@ -2195,7 +2309,11 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * get fresh stats/blooms, so consolidation never degrades skipping.
     */
   def compactSmall(targetBytes: Long, statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Long = {
+      bloomCols: Seq[String] = Nil): Long =
+    rewriteRetry(compactSmallOnce(targetBytes, statsCols, bloomCols))
+
+  private def compactSmallOnce(targetBytes: Long, statsCols: Seq[String],
+      bloomCols: Seq[String]): Long = {
     val entries = log.entries()
     require(entries.nonEmpty, "compactSmall on an empty table")
     val (dataFiles, deleteFiles) = CommitLog.stateFrom(entries)
@@ -2243,7 +2361,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       // (marker -2 — the read path uses their materialized column)
       fileRows = keptRows ++ newFiles.map(_ => 0L),
       fileRowIds = keptIds ++ newFiles.map(_ => if (packMat) -2L else -1L),
-      rowIdHigh = CommitLog.nextRowId(entries))
+      rowIdHigh = CommitLog.nextRowId(entries),
+      expectedCommittedSeqs = Some(entries.map(_.seq).toSet))
   }
 
   /** Backfill per-file column stats (Iceberg's compute-stats
@@ -2261,7 +2380,10 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * no partition spec; per-file partition-value stats keep pruning
     * source-column bounds.
     */
-  def recomputeStats(statsCols: Seq[String]): Long = {
+  def recomputeStats(statsCols: Seq[String]): Long =
+    rewriteRetry(recomputeStatsOnce(statsCols))
+
+  private def recomputeStatsOnce(statsCols: Seq[String]): Long = {
     require(statsCols.nonEmpty, "recomputeStats: name at least one column")
     val entries = log.entries()
     require(entries.nonEmpty, "recomputeStats on an empty table")
@@ -2281,7 +2403,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       stats = foldStats(merged, statsCols, strCols),
       schemaJson = schemaJson, fileStats = merged, fileBlooms = oldBlooms,
       fileRows = rows, fileRowIds = ids,
-      rowIdHigh = CommitLog.nextRowId(entries))
+      rowIdHigh = CommitLog.nextRowId(entries),
+      expectedCommittedSeqs = Some(entries.map(_.seq).toSet))
   }
 
   /** Roll the table back to its committed state at `seq` (Iceberg
@@ -2306,7 +2429,9 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * source-column bounds); the next compaction re-establishes full
     * pruning.
     */
-  def rollbackTo(seq: Long): Long = {
+  def rollbackTo(seq: Long): Long = rewriteRetry(rollbackToOnce(seq))
+
+  private def rollbackToOnce(seq: Long): Long = {
     val entries = log.entries(seq)
     require(entries.nonEmpty, s"no committed snapshot at or before $seq")
     val (dataFiles, deleteFiles) = CommitLog.stateFrom(entries)
@@ -2319,8 +2444,13 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     val uniformSchema = (entries.filter(e => liveSeqs(e.seq) && e.dataFiles.nonEmpty)
       .map(_.schemaJson) :+ schemaJson).distinct.size <= 1
     // the id counter must NEVER regress — derive it from the FULL log,
-    // not the rollback target: ids assigned after `seq` stay burned
-    val high = CommitLog.nextRowId(log.entries())
+    // not the rollback target: ids assigned after `seq` stay burned.
+    // The full committed set is also the rewrite's conflict base: a
+    // commit landing ANYWHERE (even above the target) while the rollback
+    // builds would be silently superseded by the replace.
+    val allEntries = log.entries()
+    val base = Some(allEntries.map(_.seq).toSet)
+    val high = CommitLog.nextRowId(allEntries)
     if (deleteFiles.isEmpty && uniformSchema) {
       // metadata-only: adopt the live files by path, keep their stats
       // AND blooms (a rollback must not reopen the point-read pruning
@@ -2329,7 +2459,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       val (rows, ids) = adoptedLineage(entries, dataFiles)
       log.commit("replace", dataFiles = dataFiles.map(_._1),
         schemaJson = schemaJson, fileStats = fs, fileBlooms = fb,
-        fileRows = rows, fileRowIds = ids, rowIdHigh = high)
+        fileRows = rows, fileRowIds = ids, rowIdHigh = high,
+        expectedCommittedSeqs = base)
     } else {
       val dir = newShardDir("data")
       val (view, mat) = rewriteSource(entries, (dataFiles, deleteFiles))
@@ -2337,7 +2468,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       val files = parquetFilesIn(dir)
       val (mrows, mids) = physMarkers(files, mat)
       log.commit("replace", dataFiles = files, schemaJson = schemaJson,
-        fileRows = mrows, fileRowIds = mids, rowIdHigh = high)
+        fileRows = mrows, fileRowIds = mids, rowIdHigh = high,
+        expectedCommittedSeqs = base)
     }
   }
 
@@ -2350,7 +2482,10 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * stats into actual skipped I/O. This is the standard maintenance step
     * that keeps a 100 TB time-series table readable by key range.
     */
-  def compactSorted(sortCol: String, numFiles: Int): Long = {
+  def compactSorted(sortCol: String, numFiles: Int): Long =
+    rewriteRetry(compactSortedOnce(sortCol, numFiles))
+
+  private def compactSortedOnce(sortCol: String, numFiles: Int): Long = {
     val dir = newShardDir("data")
     val entries = log.entries()
     val (view, mat) = rewriteSource(entries, CommitLog.stateFrom(entries))
@@ -2365,7 +2500,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       schemaJson = materializedSchemaJson(view),
       fileStats = fs,
       fileRows = mrows, fileRowIds = mids,
-      rowIdHigh = CommitLog.nextRowId(entries))
+      rowIdHigh = CommitLog.nextRowId(entries),
+      expectedCommittedSeqs = Some(entries.map(_.seq).toSet))
   }
 
   /** Z-order compaction (Iceberg's rewrite_data_files with zorder(a, b)):
@@ -2383,7 +2519,10 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * metadata-sized (1 row), the same driver-side scale as the per-file
     * stats fold. Null dimension values normalize to 0 (sort first).
     */
-  def compactZOrder(cols: Seq[String], numFiles: Int): Long = {
+  def compactZOrder(cols: Seq[String], numFiles: Int): Long =
+    rewriteRetry(compactZOrderOnce(cols, numFiles))
+
+  private def compactZOrderOnce(cols: Seq[String], numFiles: Int): Long = {
     require(cols.size == 2, "z-order is implemented for two dimensions")
     require(Set(4, 16, 64, 256)(numFiles), s"numFiles must be a power of 4, got $numFiles")
     val dir = newShardDir("data")
@@ -2408,6 +2547,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     def spreadBits(c: Column): Column =
       (0 until 16).map(i => shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), 2 * i))
         .reduce(_ bitwiseOR _)
+    val zOrderBase = Some(entries.map(_.seq).toSet)
     val z = spreadBits(norm(a, bd(0), bd(1)))
       .bitwiseOR(shiftleft(spreadBits(norm(b, bd(2), bd(3))), 1))
     // explicit equal z-range bucket per file: top log2(numFiles) bits
@@ -2428,7 +2568,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       schemaJson = materializedSchemaJson(view),
       fileStats = fs,
       fileRows = mrows, fileRowIds = mids,
-      rowIdHigh = CommitLog.nextRowId(entries))
+      rowIdHigh = CommitLog.nextRowId(entries),
+      expectedCommittedSeqs = zOrderBase)
   }
 
   /** Orphan-file removal WITHOUT expiration (Iceberg's standalone

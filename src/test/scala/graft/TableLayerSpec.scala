@@ -2040,4 +2040,148 @@ class TableLayerSpec extends AnyFunSuite {
     // the rewrite folded the MoR delete in: no delete files remain live
     assert(t.snapshots.last.action == "replace")
   }
+
+  test("branch and clone logs survive checkpoint + marker vacuum (seed clears txnMarker)") {
+    // ADVICE r6 (high): seeded entries used to keep their txnMarker, but
+    // vacuumTxnMarkers only scans CATALOG table logs and checkpoint()
+    // strips main's references — so after checkpoint + vacuum, a branch
+    // or out-of-catalog clone still referencing the marker would see its
+    // committed entries silently flip back to pending and lose the rows.
+    val wh = Files.createTempDirectory("spec_branchvac")
+    val cat = GraftCatalog(spark, wh.toString)
+    cat.createTable("lake", "x")
+    val t = cat.openTable("lake", "x")
+    cat.transact(_.append("lake", "x", items))
+    val b = t.createBranch("audit")
+    val c = t.cloneTo(Files.createTempDirectory("spec_branchvac_clone").toString)
+    t.checkpointMetadata() // strips main's proven-committed marker refs
+    assert(cat.vacuumTxnMarkers(olderThanMs = 0) == 1)
+    assert(t.read().count() == 6)
+    assert(b.read().count() == 6, "branch read must survive marker vacuum")
+    assert(c.read().count() == 6, "clone read must survive marker vacuum")
+  }
+
+  test("transact aborts when an equality delete lands between stage and publish") {
+    // ADVICE r6 (medium): staged entries keep their stage-time seq, so an
+    // equality delete committed after staging scopes ABOVE the staged
+    // append and would retroactively erase the transaction's rows when
+    // the marker lands (Iceberg re-sequences at commit; this model
+    // refuses instead). A staged DELETE is not torn by a later delete —
+    // each delete scopes independently — only by a replace.
+    val wh = Files.createTempDirectory("spec_txndel")
+    val cat = GraftCatalog(spark, wh.toString)
+    cat.createTable("lake", "x")
+    val t = cat.openTable("lake", "x")
+    t.append(items)
+    val ex = intercept[IllegalStateException] {
+      cat.transact { txn =>
+        txn.append("lake", "x", Seq(("Z", "zzz", 9)).toDF("name", "size", "count"))
+        t.delete(Seq("Z").toDF("name"), Seq("name"))
+      }
+    }
+    assert(ex.getMessage.contains("retroactively"))
+    assert(!t.read().select("name").as[String].collect().contains("Z"))
+    // mixed staged kinds: the staged DELETE tolerates the direct delete
+    cat.transact { txn =>
+      txn.delete("lake", "x", Seq("A").toDF("name"), Seq("name"))
+      t.delete(Seq("B").toDF("name"), Seq("name"))
+    }
+    assert(t.read().select("name").as[String].collect().toSet == Set("C", "D", "E"))
+  }
+
+  test("transact racing live compaction never loses a committed transaction's rows") {
+    // VERDICT r6 #4: pre-lock, a replace landing in the validate→publish
+    // window could swallow staged entries AFTER validation passed — the
+    // transaction reported success, the rows were gone. transact now
+    // validates and publishes under the staged tables' maintenance locks
+    // (the same locks every rewriting commit takes), so a transaction
+    // that returns MUST have its rows visible — raced here against a
+    // continuous compactor.
+    val wh = Files.createTempDirectory("spec_txn_compact_race")
+    val cat = GraftCatalog(spark, wh.toString)
+    cat.createTable("lake", "x")
+    val t = cat.openTable("lake", "x")
+    t.append(items)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val compactor = new Thread(() => {
+      while (!stop.get) {
+        // a conflict-exhausted compact under sustained publishing is the
+        // correct surrender — keep racing
+        try t.compact()
+        catch { case _: graft.table.CommitConflictException => () }
+      }
+    })
+    compactor.start()
+    var committed = List.empty[Int]
+    try {
+      (1 to 8).foreach { i =>
+        try {
+          cat.transact(_.append("lake", "x",
+            Seq(("T", s"txn$i", 100 + i)).toDF("name", "size", "count")))
+          committed ::= i
+        } catch { case _: IllegalStateException => () } // validated abort: fine
+      }
+    } finally { stop.set(true); compactor.join() }
+    val visible = t.read().filter(col("name") === "T")
+      .select("count").as[Int].collect().toSet
+    assert(committed.map(100 + _).toSet.subsetOf(visible),
+      s"committed=${committed.sorted} visible=${visible.toSeq.sorted}")
+    assert(committed.nonEmpty || t.read().count() >= 6)
+  }
+
+  test("check constraints gate mixed/upsert/merge/update paths too (ADVICE r6)") {
+    val t = freshTable("checks2")
+    t.append(items)
+    t.setProperties(Map("check.pos" -> "count > 0"))
+    val snapshotsBefore = t.snapshots.size
+    val bad = Seq(("X", "small", -5)).toDF("name", "size", "count")
+    intercept[IllegalArgumentException] {
+      t.appendAndDelete(bad, Seq("A").toDF("name"), Seq("name"))
+    }
+    intercept[IllegalArgumentException] { t.upsert(bad, Seq("name")) }
+    intercept[IllegalArgumentException] { t.merge(bad, Seq("name")) }
+    intercept[IllegalArgumentException] {
+      t.updateWhereEq("name", "A", Map("count" -> (col("count") - 100)))
+    }
+    // every rejection is pre-commit: no snapshot, no surviving violation
+    assert(t.snapshots.size == snapshotsBefore)
+    assert(t.read().count() == 6)
+    assert(t.read().filter(col("count") <= 0).count() == 0)
+    // conforming flavors of the same paths still land
+    t.upsert(Seq(("A", "small", 3)).toDF("name", "size", "count"), Seq("name"))
+    t.updateWhereEq("name", "B", Map("count" -> (col("count") + 1)))
+    assert(t.read().filter(col("count") <= 0).count() == 0)
+    assert(t.read().filter(col("name") === "B").select("count").as[Int].head() == 16)
+  }
+
+  test("metadata-only range delete preserves the partition spec for bucket pruning") {
+    // ADVICE r6 (low): the adopting replace used to commit partSpec = "",
+    // silently dropping spec-scoped pruning (bucket transforms only
+    // prune via requireSpec) for every adopted file.
+    val t = freshTable("droppspec")
+    val specs = Seq(PartitionSpec("count", Transform.Truncate(10)),
+      PartitionSpec("name", Transform.Bucket(8)))
+    t.appendPartitioned(items, specs, Seq("count"), Nil)
+    assert(t.prunedFileCountEq("name", "C") == 1)
+    // drop the [20,29] truncate partition: aligned bounds, no straddlers
+    val r = t.deleteWhereRange("count", 20, 29, statsCols = Seq("count"))
+    assert(r.rewritten == 0 && r.dropped >= 1 && r.kept >= 1)
+    assert(t.snapshots.last.partSpec == t.snapshots.head.partSpec
+      && t.snapshots.last.partSpec.nonEmpty,
+      "adopting metadata delete must carry the layout's spec forward")
+    // bucket point probe still opens exactly one file after the delete
+    assert(t.prunedFileCountEq("name", "C") == 1)
+    assert(t.readEq("name", "C").count() == 1)
+    assert(t.read().filter(col("count") >= 20).count() == 0)
+  }
+
+  test("reserved underscore names are rejected and never listed as namespaces") {
+    val wh = Files.createTempDirectory("spec_reserved")
+    val cat = GraftCatalog(spark, wh.toString)
+    cat.createTable("lake", "x")
+    cat.transact(_.append("lake", "x", items)) // materializes _txns/
+    assert(cat.namespaces == Seq("lake"), "warehouse _txns must not list")
+    intercept[IllegalArgumentException] { cat.createNamespace("_txns") }
+    intercept[IllegalArgumentException] { cat.createTable("lake", "_sneaky") }
+  }
 }

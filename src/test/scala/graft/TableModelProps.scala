@@ -42,6 +42,16 @@ object TableModelProps extends Properties("graft-table-model") {
   // presumed abort). Interleaves with every other op, so compactions,
   // rollbacks, updates and branches all run above pending entries.
   private case class TxnAppend(rows: List[Row], publish: Boolean) extends Op
+  // multi-table-txn staged equality DELETE (r7): same marker protocol as
+  // TxnAppend — published = keys deleted scoping data below the STAGED
+  // seq, abandoned = burned seq that never deletes anything, at head or
+  // any asOf. Interleaves with compactions/rollbacks/updates above it.
+  private case class TxnDelete(keys: List[String], publish: Boolean) extends Op
+  // table-property assignment (r7): a file-less "props" commit — burns
+  // one seq, touches no rows; the head property fold is checked
+  // separately in the main property (assignments are LOG-folded, so a
+  // rollback does not revert them — matching setProperties' semantics)
+  private case class SetProps(value: String) extends Op
   private case class Delete(keys: List[String]) extends Op
   private case class Mixed(rows: List[Row], keys: List[String]) extends Op
   private case class Upsert(rows: List[Row]) extends Op
@@ -103,6 +113,11 @@ object TableModelProps extends Properties("graft-table-model") {
           // published txn rows surface at their STAGED seq; an abandoned
           // txn is a burned seq with no content
           if (pub) rows ++= rs.map(_ -> seq)
+        case TxnDelete(ks, pub) =>
+          // published txn deletes scope at their STAGED seq; abandoned
+          // ones never delete anything
+          if (pub) dels ++= ks.map(_ -> seq)
+        case SetProps(_) => () // metadata-only: one seq, no rows
         case Delete(ks) => dels ++= ks.map(_ -> seq)
         case Mixed(rs, ks) =>
           // one atomic entry: the delete scopes to data BELOW this seq,
@@ -152,6 +167,11 @@ object TableModelProps extends Properties("graft-table-model") {
       rows <- Gen.nonEmptyListOf(genRow).map(_.take(3))
       pub <- Gen.oneOf(true, false)
     } yield TxnAppend(rows, pub)),
+    1 -> (for {
+      keys <- Gen.nonEmptyListOf(Gen.oneOf("A", "B", "C", "D", "E", "F"))
+      pub <- Gen.oneOf(true, false)
+    } yield TxnDelete(keys.distinct.take(2), pub)),
+    1 -> Gen.oneOf("x", "y", "").map(SetProps),
     2 -> Gen.nonEmptyListOf(Gen.oneOf("A", "B", "C", "D", "E", "F"))
       .map(ks => Delete(ks.distinct.take(3))),
     1 -> (for {
@@ -233,6 +253,12 @@ object TableModelProps extends Properties("graft-table-model") {
         Files.createDirectories(marker.getParent)
         t.appendInTxn(rows.toDF(keyCol, "count"), marker, statsCols = Seq("count"))
         if (publish) Files.write(marker, "ok".getBytes)
+      case TxnDelete(keys, publish) =>
+        val marker = t.root.resolve("_txns").resolve(s"m$idx.commit")
+        Files.createDirectories(marker.getParent)
+        t.deleteInTxn(keys.toDF(keyCol), Seq(keyCol), marker)
+        if (publish) Files.write(marker, "ok".getBytes)
+      case SetProps(v) => t.setProperties(Map("fuzz.note" -> v))
       case Delete(keys) => t.delete(keys.toDF(keyCol), Seq(keyCol))
       case Mixed(rows, keys) =>
         t.appendAndDelete(rows.toDF(keyCol, "count"), keys.toDF(keyCol), Seq(keyCol))
@@ -278,8 +304,18 @@ object TableModelProps extends Properties("graft-table-model") {
           .select(org.apache.spark.sql.functions.col(keyColAt(ops, asOf)).as("name"),
             org.apache.spark.sql.functions.col("count").cast("int").as("count"))
           .as[Row].collect().toSeq)
+      // head properties = LOG-fold of every assignment ("" unsets), in op
+      // order — rollbacks do NOT revert them (properties are folded over
+      // entries, not reverted by replaces), which this pins
+      val wantProps = ops.foldLeft(Map.empty[String, String]) {
+        case (m, SetProps(v)) =>
+          if (v.isEmpty) m - "fuzz.note" else m.updated("fuzz.note", v)
+        case (m, _) => m
+      }
+      val propsOk = t.properties() == wantProps
+      if (!propsOk) println(s"PROPS MISMATCH ops=$ops got=${t.properties()} want=$wantProps")
       // head read plus every historical snapshot
-      (0 until ops.size).forall { asOf =>
+      propsOk && (0 until ops.size).forall { asOf =>
         val got = actual(asOf)
         val want = sortedRows(model(ops, asOf))
         val ok = got == want
@@ -369,7 +405,10 @@ object TableModelProps extends Properties("graft-table-model") {
       // file — PLUS one un-foldable entry file per PENDING txn stage:
       // folding a pending entry would freeze its visibility decision,
       // so the checkpoint deliberately leaves those as tail files
-      val pending = ops.count { case TxnAppend(_, false) => true; case _ => false }
+      val pending = ops.count {
+        case TxnAppend(_, false) | TxnDelete(_, false) => true
+        case _ => false
+      }
       val folded = t.commitLog.metaFileCount == 1 + pending
       val same = reads() == before
       if (!folded || !same) println(s"CKPT MISMATCH ops=$ops folded=$folded same=$same")
@@ -527,6 +566,65 @@ object TableModelProps extends Properties("graft-table-model") {
       val cloneOk = cloneHead == sortedRows(("Z", 1) :: model(ops, ops.size - 1))
       if (!srcOk || !cloneOk) println(s"CLONE DIVERGE MISMATCH ops=$ops")
       historyOk && srcOk && cloneOk
+    }
+
+  property("a catalog rename mid-lineage keeps every snapshot and continues the lineage") =
+    forAll(genOps, Gen.choose(1, 5)) { (ops, cutRaw) =>
+      import spark.implicits._
+      // run a random prefix, RELOCATE the table via the catalog (cross-
+      // namespace atomic move), then run the suffix against the moved
+      // table: root-relative log paths, rename-stable file keys and
+      // relative txn-marker references must all survive — at head and at
+      // every historical snapshot, including ones with pending/published
+      // staged entries, partitioned appends, rollbacks and updates
+      val wh = Files.createTempDirectory("prop_ren_wh")
+      val cat = graft.table.GraftCatalog(spark, wh.toString)
+      cat.createNamespace("ns")
+      val t0 = cat.createTable("ns", "src")
+      val cut = math.min(cutRaw, ops.size)
+      runOn(t0, ops.take(cut), from = 0)
+      cat.renameTable("ns", "src", "ns2", "dst")
+      val t = cat.openTable("ns2", "dst")
+      runOn(t, ops, from = cut)
+      val gone = !cat.tableExists("ns", "src") && cat.listTables("ns").isEmpty
+      gone && (0 until ops.size).forall { asOf =>
+        val got = sortedRows(
+          t.read(if (asOf == ops.size - 1) Long.MaxValue else asOf.toLong)
+            .select(org.apache.spark.sql.functions.col(keyColAt(ops, asOf)).as("name"),
+              org.apache.spark.sql.functions.col("count").cast("int").as("count"))
+            .as[Row].collect().toSeq)
+        val want = sortedRows(model(ops, asOf))
+        val ok = got == want
+        if (!ok) println(s"RENAME MISMATCH asOf=$asOf cut=$cut ops=$ops\n got=$got\n want=$want")
+        ok
+      }
+    }
+
+  property("a version-as-of clone ends history at the target and reads it faithfully") =
+    forAll(genOps, Gen.choose(0, 5)) { (ops, rawAsOf) =>
+      import spark.implicits._
+      val t = run("prop_clone_asof", ops)
+      // clamp to a COMMITTED snapshot: burned seqs (abandoned txn stages)
+      // are not clonable targets, matching cloneTo's own require
+      val committed = t.snapshots.map(_.seq)
+      val asOf = committed.filter(_ <= math.min(rawAsOf, ops.size - 1).toLong)
+        .lastOption.getOrElse(committed.head)
+      val c = t.cloneTo(
+        Files.createTempDirectory("prop_clone_asof_dst").toString, asOf)
+      def readC(a: Int): List[Row] = sortedRows(
+        c.read(if (a.toLong == asOf) Long.MaxValue else a.toLong)
+          .select(org.apache.spark.sql.functions.col(keyColAt(ops, a)).as("name"),
+            org.apache.spark.sql.functions.col("count").cast("int").as("count"))
+          .as[Row].collect().toSeq)
+      // the clone's HEAD is the source's historical snapshot, and every
+      // earlier snapshot below the cut reads identically through it
+      (0 to asOf.toInt).forall { a =>
+        val got = readC(a)
+        val want = sortedRows(model(ops, a))
+        val ok = got == want
+        if (!ok) println(s"ASOF-CLONE MISMATCH a=$a asOf=$asOf ops=$ops\n got=$got\n want=$want")
+        ok
+      }
     }
 
   property("branch ops published onto an unmoved main equal the straight-line table") =
