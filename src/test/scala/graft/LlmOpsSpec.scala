@@ -637,6 +637,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.exists(_._4 > 0L))
   }
 
+  test("minLabelComponents: O(log d) rounds on a deep path, exact labels, separate components") {
+    import spark.implicits._
+    // a 200-hop chain is the adversarial shape for plain min-label
+    // propagation (200 rounds — it would blow the 20-round cap and fail
+    // loudly); pointer jumping needs ~log2(200) + O(1)
+    val n = 200
+    val und = (0 until n - 1).map(i => (i.toLong, i + 1L))
+    val edges = und.toDF("src", "dst")
+      .union(und.map(_.swap).toDF("src", "dst"))
+    val (labels, rounds) = queries.DedupQueries.minLabelComponents(edges)
+    assert(rounds <= 12, s"expected O(log n) rounds on the chain, got $rounds")
+    val got = labels.orderBy("id").as[(Long, Long)].collect()
+    assert(got.sameElements((0 until n).map(i => (i.toLong, 0L))))
+    // components never merge across a gap
+    val twoRaw = Seq((10L, 11L), (11L, 12L), (20L, 21L))
+    val two = twoRaw.toDF("src", "dst").union(twoRaw.map(_.swap).toDF("src", "dst"))
+    val (l2, _) = queries.DedupQueries.minLabelComponents(two)
+    assert(l2.orderBy("id").as[(Long, Long)].collect().toSeq ==
+      Seq((10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L)))
+  }
+
   test("q_quality_linear equals a driver replay of the integer scorer") {
     val stop = Set("the", "a", "row", "data", "value")
     val rows = Tables.documents(spark, sf).select("source", "text").collect()
