@@ -792,6 +792,61 @@ object JoinQueries extends QueryPack {
         .orderBy("user_id")
     },
 
+    // UNKEYED interval-overlap join (r7) — the genomics/log-correlation
+    // primitive q_join_range_theta's banded join cannot express: two
+    // interval sets with NO equality key, matched on [s,e] overlap.
+    // Scale pattern (chunked interval join): both sides replicate into
+    // every fixed-width time chunk their interval covers (explode over
+    // sequence(chunk(s), chunk(e)) — intervals here span hours, so ~5
+    // copies at a 1-hour chunk), the join equi-keys on the chunk, and
+    // the overlap predicate filters inside each chunk's group. A pair
+    // overlapping in several chunks is emitted EXACTLY once, dedup-free:
+    // only the chunk containing max(a.s, b.s) owns the pair (that point
+    // lies in both intervals iff they overlap) — no distinct, no second
+    // shuffle. Group size is bounded by intervals-per-chunk, never by
+    // table size, so one busy hour bounds a task at 100 TB. Durations
+    // quantize exactly (decimal ×1e4 → ×6000 µs), overlap lengths are
+    // integer µs. Output aggregates per left interval (pair lists are
+    // quadratic-ish at bench scale; the per-a rollup keeps the output
+    // interval-count-sized without weakening the join's correctness —
+    // every pair's exact overlap length lands in the sum).
+    Q(
+      "q_join_interval",
+      """WITH e AS (SELECT event_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |             epoch_us(CAST(ts AS TIMESTAMP))
+        |               + CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) * 6000 AS e2
+        |      FROM events),
+        |a AS (SELECT event_id, s, e2 FROM e WHERE event_type = 'signup'),
+        |b AS (SELECT event_id, s, e2 FROM e WHERE event_type = 'error')
+        |SELECT a.event_id AS a_id, COUNT(*) AS n_overlaps,
+        |       CAST(SUM(least(a.e2, b.e2) - greatest(a.s, b.s)) AS BIGINT) AS sum_overlap_us
+        |FROM a JOIN b ON a.s <= b.e2 AND b.s <= a.e2
+        |GROUP BY a.event_id
+        |ORDER BY a_id""",
+    ) { (s, dir) =>
+      val chunkUs = 3600L * 1000000L // 1-hour chunks
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) +
+            graft.Dec.asLong(graft.Dec.d4(col("value")), 4) * 6000L).as("e2"))
+      def side(t: String, p: String) = ev.filter(col("event_type") === t)
+        .select(col("event_id").as(s"${p}_id"), col("s").as(s"${p}_s"),
+          col("e2").as(s"${p}_e"),
+          explode(sequence(expr(s"s div $chunkUs"), expr(s"e2 div $chunkUs"))).as(s"${p}_ck"))
+      side("signup", "a").join(side("error", "b"),
+          col("a_ck") === col("b_ck")
+            && col("a_s") <= col("b_e") && col("b_s") <= col("a_e")
+            // chunk ownership: exactly one chunk emits each pair
+            && col("a_ck") === expr(s"greatest(a_s, b_s) div $chunkUs"))
+        .groupBy(col("a_id"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+            .as("sum_overlap_us"))
+        .orderBy("a_id")
+    },
+
     // skew-salted join — the hot-key mitigation registered as a surface
     // query (SkewSaltingSpec proves the task-balance property on an
     // adversarial 90%-one-key dataset; this registers the PATTERN over

@@ -510,6 +510,65 @@ object StreamQueries extends QueryPack {
       }.orderBy("user_id")
     },
 
+    // Streaming CEP — sequential PATTERN detection (r7), the
+    // Flink-MATCH_RECOGNIZE-class operator the windowed aggs cannot
+    // express: per user, a greedy non-overlapping state machine counts
+    // completed view → click → purchase funnels (non-matching events
+    // between stages are skipped, a completed match resets the machine).
+    // Runs as GENUINE incremental streaming state: one (n_matches,
+    // open_stage, n_seen) tuple per user in flatMapGroupsWithState,
+    // carried across micro-batches — O(1) state per key regardless of
+    // stream length, hash-partitioned across state stores. Within a
+    // micro-batch the group's rows replay in (ts, event_id) order (the
+    // iterator is not time-ordered; buffering is per-user-per-BATCH,
+    // bounded by batch size, never stream length). The oracle reproduces
+    // the automaton in closed form: the ordered event-initial string per
+    // user, lazy-regex 'v.*?c.*?p' global matching — non-overlapping
+    // lazy matches ARE the greedy automaton (first v, earliest c after
+    // it, earliest p after that) — and the open stage falls out of the
+    // match-stripped remainder.
+    Q(
+      "q_stream_cep",
+      """WITH r AS (SELECT user_id, substr(event_type, 1, 1) AS c, ts, event_id
+        |           FROM events WHERE event_type IN ('view','click','purchase')),
+        |s AS (SELECT user_id, string_agg(c, '' ORDER BY ts, event_id) AS seq
+        |      FROM r GROUP BY user_id),
+        |m AS (SELECT user_id, seq,
+        |        CAST(len(regexp_extract_all(seq, 'v.*?c.*?p')) AS BIGINT) AS n_matches,
+        |        regexp_replace(seq, 'v.*?c.*?p', '', 'g') AS rem
+        |      FROM s)
+        |SELECT user_id, n_matches,
+        |  CAST(CASE WHEN regexp_matches(rem, 'v.*c') THEN 2
+        |            WHEN regexp_matches(rem, 'v') THEN 1 ELSE 0 END AS BIGINT) AS open_stage,
+        |  CAST(len(seq) AS BIGINT) AS n_relevant
+        |FROM m ORDER BY user_id""",
+    ) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      streamedEvents(s, dir, "update") { ev =>
+        ev.filter(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("tus"), col("event_id"))
+          .as[(Long, String, Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Int, Long), (Long, Long, Long, Long)](
+            OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+            (user: Long, rows: Iterator[(Long, String, Long, Long)],
+             state: GroupState[(Long, Int, Long)]) =>
+              var (matches, stage, n) = state.getOption.getOrElse((0L, 0, 0L))
+              rows.toSeq.sortBy(r => (r._3, r._4)).foreach { case (_, typ, _, _) =>
+                n += 1
+                if (stage == 0) { if (typ == "view") stage = 1 }
+                else if (stage == 1) { if (typ == "click") stage = 2 }
+                else if (typ == "purchase") { matches += 1; stage = 0 }
+              }
+              state.update((matches, stage, n))
+              Iterator.single((user, matches, stage.toLong, n))
+          }
+          .toDF("user_id", "n_matches", "open_stage", "n_relevant")
+      }.orderBy("user_id")
+    },
+
     // A8–A15 end-to-end: JSON-lines files (the offline Kafka stand-in,
     // SURVEY §7.4) → Structured Streaming micro-batches (2 files per
     // trigger = the reference's ready_chunks(2)) → foreachBatch, where

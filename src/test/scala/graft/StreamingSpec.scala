@@ -236,6 +236,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CEP automaton carries an open pattern across micro-batches") {
+    // the q_stream_cep state machine: a funnel STARTED in batch 1
+    // (view, click) must complete on batch 2's purchase — the open
+    // stage is streaming state, not per-batch bookkeeping
+    val ms = MemoryStream[(Long, String, Long)] // (user, type, seq-as-ts)
+    val matched = ms.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Int), (Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, String, Long)], state: GroupState[(Long, Int)]) =>
+          var (matches, stage) = state.getOption.getOrElse((0L, 0))
+          rows.toSeq.sortBy(_._3).foreach { case (_, typ, _) =>
+            if (stage == 0) { if (typ == "view") stage = 1 }
+            else if (stage == 1) { if (typ == "click") stage = 2 }
+            else if (typ == "purchase") { matches += 1; stage = 0 }
+          }
+          state.update((matches, stage))
+          Iterator.single((user, matches, stage.toLong))
+      }
+      .toDF("user", "matches", "stage")
+    val q = matched.writeStream.format("memory").queryName("cep")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      ms.addData((1L, "view", 1L), (1L, "click", 2L), (2L, "view", 1L))
+      q.processAllAvailable()
+      ms.addData((1L, "purchase", 3L), (1L, "view", 4L), (2L, "error", 2L))
+      q.processAllAvailable()
+      // sink row order across batches is not guaranteed; the match count
+      // is monotone, so max selects each user's latest emission
+      val last = spark.table("cep").collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(r => (r.getLong(1), r.getLong(2))).maxBy(_._1)).toMap
+      assert(last(1L) == ((1L, 1L)), "batch-1 open funnel completes in batch 2, a new one opens")
+      assert(last(2L) == ((0L, 1L)), "non-advancing events leave the open stage untouched")
+    } finally q.stop()
+  }
+
   test("transformWithState (v2 arbitrary-state API) accumulates ValueState across batches") {
     // the successor API to flatMapGroupsWithState (Spark 4): explicit
     // typed state handles (ValueState here) + time modes + TTL, backed by
