@@ -1719,7 +1719,7 @@ class TableLayerSpec extends AnyFunSuite {
       System.getProperty("java.home"), "bin", "java").toString
     val proc = new ProcessBuilder(
       javaBin, "-cp", cp, "graft.table.ConflictRacer",
-      dir.toString, n.toString, "ext")
+      dir.toString, "add", n.toString, "ext")
       .redirectErrorStream(true).start()
     // race from THIS process concurrently
     (0 until n).foreach(i => log.commit("add", dataFiles = Seq(s"loc-$i")))
@@ -1733,6 +1733,42 @@ class TableLayerSpec extends AnyFunSuite {
     assert(files.toSet.size == 2 * n, "duplicate or lost data files")
     assert(files.count(_.startsWith("ext-")) == n)
     assert(files.count(_.startsWith("loc-")) == n)
+  }
+
+  test("optimistic rewrites hold across PROCESSES: stale replaces never lose an append") {
+    // r7's compaction-lost-update fix, proven between JVMs like the CAS:
+    // a second process runs metadata-only replaces (ConflictRacer mode
+    // `rewrite` — read live state, commit a replace adopting it, carrying
+    // expectedCommittedSeqs) while THIS process appends. The only
+    // mediators are the kernel flock (MaintLock) and the committed-set
+    // validation; if either failed cross-process, a replace built from a
+    // stale read would silently drop concurrently appended files.
+    val dir = Files.createTempDirectory("spec_xproc_rw")
+    val log = CommitLog(dir.toString)
+    log.commit("add", dataFiles = Seq("seed-0"))
+    val classesDir = classOf[graft.table.CommitLog]
+      .getProtectionDomain.getCodeSource.getLocation.toURI
+    val sparkJars = java.nio.file.Paths.get(
+      classOf[org.apache.spark.sql.SparkSession]
+        .getProtectionDomain.getCodeSource.getLocation.toURI).getParent
+    val cp = s"${java.nio.file.Paths.get(classesDir)}:$sparkJars/*"
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val proc = new ProcessBuilder(
+      javaBin, "-cp", cp, "graft.table.ConflictRacer",
+      dir.toString, "rewrite", "12", "unused")
+      .redirectErrorStream(true).start()
+    val n = 40
+    (0 until n).foreach(i => log.commit("add", dataFiles = Seq(s"loc-$i")))
+    val out = new String(proc.getInputStream.readAllBytes())
+    assert(proc.waitFor() == 0, s"racer JVM failed:\n$out")
+    // EVERY append survives in final table state: either above the last
+    // replace, or adopted by the (validated, rebuilt-on-conflict) chain
+    val names = CommitLog.stateFrom(log.entries())._1
+      .map(_._1.split('/').last).toSet
+    (0 until n).foreach(i => assert(names.contains(s"loc-$i"),
+      s"append loc-$i lost to a stale cross-process rewrite"))
+    assert(names.contains("seed-0"))
   }
 
   test("deleteWhereRange drops aligned files metadata-only, rewrites straddlers, keeps NULL rows") {
