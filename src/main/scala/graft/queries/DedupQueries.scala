@@ -709,5 +709,63 @@ object DedupQueries extends QueryPack {
           (coalesce(col("ct"), lit(0L)) * 2 >= col("n_tokens")).cast("long").as("drop_doc"))
         .orderBy("doc_id")
     },
+
+    // LINE-level boilerplate removal with order-preserving REASSEMBLY
+    // (r7 — the CCNet/RefinedWeb line-dedup pass): the corpus is cut
+    // into fixed 10-token "lines", any line occurring in MORE THAN TWO
+    // distinct documents is boilerplate (headers, chrome, templates) and
+    // is REMOVED from every document, and each document's surviving
+    // lines are stitched back together in original order — the output is
+    // the cleaned corpus, not just a flag. This differs from
+    // q_dedup_substring (which MARKS duplicated windows and flags docs)
+    // exactly where production pipelines differ: line dedup rewrites the
+    // text and keeps the doc. Plan: line explode → one line-keyed
+    // distinct-doc count (partial-aggregated), the hot-line set (tiny —
+    // boilerplate by definition concentrates) broadcasts back as a
+    // left-anti-style flag join, then ONE doc-keyed rollup rebuilds the
+    // text via sort_array(collect_list(struct(pos, line))) — per-doc
+    // arrays, bounded by document length, never corpus-sized. At 100 TB
+    // swap the broadcast for a regular join if the hot set ever outgrows
+    // the driver (the plan is otherwise unchanged). Output ships the
+    // cleaned text as its md5 (hash-stable, size-bounded) + exact
+    // kept/dropped counts.
+    Q(
+      "q_dedup_lines",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |        array_to_string(w[i*10+1 : i*10+10], ' ') AS line
+        |      FROM d, unnest(range(0, CAST(ceil(len(w)/10.0) AS BIGINT))) t(i)),
+        |hot AS (SELECT line FROM c GROUP BY line HAVING COUNT(DISTINCT doc_id) > 2),
+        |k AS (SELECT c.*, NOT EXISTS(SELECT 1 FROM hot WHERE hot.line = c.line) AS keep
+        |      FROM c)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+        |  CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped,
+        |  md5(COALESCE(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE keep), ''))
+        |    AS clean_md5
+        |FROM k GROUP BY doc_id ORDER BY doc_id""",
+    ) { (s, dir) =>
+      val d = Tables.spread(Tables.documents(s, dir))
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) > 0) // sequence(0, -1) would count DOWN
+      val lines = d.select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, CAST(ceil(size(w)/10.0) AS INT) - 1),
+          |  i -> array_join(slice(w, i*10+1, 10), ' '))""".stripMargin))
+        .as(Seq("pos", "line")))
+      val hot = lines.groupBy("line")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 2)
+        .select(col("line"), lit(true).as("_hot"))
+      lines.join(broadcast(hot), Seq("line"), "left")
+        .withColumn("keep", col("_hot").isNull)
+        .groupBy("doc_id")
+        .agg(
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+          md5(array_join(
+            expr("transform(array_sort(collect_list(CASE WHEN keep THEN struct(pos, line) END)), x -> x.line)"),
+            " ")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
   )
 }
