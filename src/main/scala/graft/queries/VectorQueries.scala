@@ -779,5 +779,67 @@ object VectorQueries extends QueryPack {
           expr("CAST(dist % 1000000000 AS BIGINT)").as("dist_lo"))
         .orderBy("label", "rk")
     },
+
+    // EMBEDDING-DISTRIBUTION DRIFT between corpus halves (r7) — the
+    // data-quality monitor a training pipeline runs per ingest epoch:
+    // has a label's embedding centroid MOVED between epoch A (even
+    // vec_id) and epoch B (odd vec_id)? Division-free exact arithmetic,
+    // the q_embed_outliers recipe applied to a two-sample statistic:
+    // ‖S_A/n_A − S_B/n_B‖² scaled by (n_A·n_B)² is ‖n_B·S_A − n_A·S_B‖²
+    // over 1e-6-quantized components — no rounded mean ever exists to
+    // disagree between engines. Per-dimension differences stay int64
+    // (|d| ≤ n·S ≈ n²·1e6, safe to n ≈ 2×10⁶ vectors per label); the
+    // squared sum accumulates in DECIMAL(38,0) and ships as two exact
+    // BIGINT halves (div/mod 1e9 — §7.5.2). Plan: ONE (label, pos)
+    // partial agg over the exploded corpus (map-side combined; output
+    // labels × dims rows), then label-sized joins/rollups — a single
+    // pass over the data regardless of corpus size.
+    Q(
+      "q_embed_drift",
+      """WITH q AS (SELECT vec_id, label, vec_id % 2 AS par,
+        |      generate_subscripts(embedding, 1) AS pos,
+        |      CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qc
+        |    FROM embeddings),
+        |cn AS (SELECT label,
+        |        CAST(COUNT(*) FILTER (WHERE vec_id % 2 = 0) AS BIGINT) AS na,
+        |        CAST(COUNT(*) FILTER (WHERE vec_id % 2 = 1) AS BIGINT) AS nb
+        |       FROM embeddings GROUP BY 1),
+        |st AS (SELECT label, pos,
+        |        CAST(COALESCE(SUM(qc) FILTER (WHERE par = 0), 0) AS BIGINT) AS sa,
+        |        CAST(COALESCE(SUM(qc) FILTER (WHERE par = 1), 0) AS BIGINT) AS sb
+        |       FROM q GROUP BY 1, 2),
+        |d AS (SELECT st.label,
+        |        CAST(SUM(CAST(cn.nb * st.sa - cn.na * st.sb AS DECIMAL(38,0))
+        |               * CAST(cn.nb * st.sa - cn.na * st.sb AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS drift
+        |      FROM st JOIN cn ON cn.label = st.label
+        |      GROUP BY 1)
+        |SELECT d.label, cn.na, cn.nb,
+        |       CAST(CAST(drift AS HUGEINT) // 1000000000 AS BIGINT) AS drift_hi,
+        |       CAST(CAST(drift AS HUGEINT) % 1000000000 AS BIGINT) AS drift_lo
+        |FROM d JOIN cn ON cn.label = d.label
+        |ORDER BY d.label""",
+    ) { (s, dir) =>
+      val q = emb(s, dir)
+        .select(col("vec_id"), col("label"), (col("vec_id") % 2).as("par"),
+          posexplode_outer(expr(
+            "transform(embedding, e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000000) AS BIGINT))"))
+            .as(Seq("pos0", "qc")))
+        .withColumn("pos", col("pos0") + 1).drop("pos0")
+      val cn = emb(s, dir).groupBy("label").agg(
+        sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("nb"))
+      val st = q.groupBy("label", "pos").agg(
+        coalesce(sum(when(col("par") === 0, col("qc"))), lit(0L)).cast("long").as("sa"),
+        coalesce(sum(when(col("par") === 1, col("qc"))), lit(0L)).cast("long").as("sb"))
+      st.join(broadcast(cn), Seq("label"))
+        .withColumn("t", expr("CAST(nb * sa - na * sb AS DECIMAL(38,0))"))
+        .groupBy("label")
+        .agg(expr("CAST(SUM(t * t) AS DECIMAL(38,0))").as("drift"),
+          max(col("na")).as("na"), max(col("nb")).as("nb"))
+        .select(col("label"), col("na"), col("nb"),
+          expr("CAST(drift div 1000000000 AS BIGINT)").as("drift_hi"),
+          expr("CAST(drift % 1000000000 AS BIGINT)").as("drift_lo"))
+        .orderBy("label")
+    },
   )
 }

@@ -658,6 +658,32 @@ class LlmOpsSpec extends AnyFunSuite {
       Seq((10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L)))
   }
 
+  test("q_embed_drift equals an exact two-sample replay in BigInt") {
+    // replay ‖n_B·S_A − n_A·S_B‖² on the driver over the same 1e-6
+    // quantization and reassemble the split-BIGINT output (hi·1e9 + lo)
+    def rnd(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val vs = Tables.embeddings(spark, sf).select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(e => rnd(e.toDouble * 1000000)).toArray))
+    val expected = vs.groupBy(_._2).toSeq.map { case (label, g) =>
+      val (a, b) = g.partition(_._1 % 2 == 0)
+      val dims = g.head._3.length
+      def sums(side: Array[(Long, Int, Array[Long])]) =
+        Array.tabulate(dims)(p => side.map(v => BigInt(v._3(p))).sum)
+      val (sa, sb) = (sums(a), sums(b))
+      val (na, nb) = (BigInt(a.length), BigInt(b.length))
+      val drift = (0 until dims).map { p => val t = nb * sa(p) - na * sb(p); t * t }.sum
+      (label, a.length.toLong, b.length.toLong,
+        (drift / 1000000000L).toLong, (drift % 1000000000L).toLong)
+    }.sortBy(_._1)
+    val got = q("q_embed_drift").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty && got.forall(t => t._2 > 0 && t._3 > 0),
+      "both epochs must be populated for every label at this sf")
+  }
+
   test("q_quality_linear equals a driver replay of the integer scorer") {
     val stop = Set("the", "a", "row", "data", "value")
     val rows = Tables.documents(spark, sf).select("source", "text").collect()
