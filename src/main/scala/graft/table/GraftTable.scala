@@ -2630,8 +2630,23 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * data/delete files no longer referenced. Reads are unchanged; time
     * travel before the expiration point is — deliberately — gone, which
     * is what bounds metadata and reclaims storage on a long-lived table.
+    *
+    * `orphanOlderThanMs` age-gates the file sweep exactly like
+    * [[removeOrphanFiles]]: a concurrent writer that has staged parquet
+    * but not yet committed is referenced by NOTHING, and a zero-horizon
+    * sweep would delete its files out from under the commit (r7). The
+    * default stays 0 — immediate, provable reclamation is the
+    * GDPR-erasure contract this op anchors (t_gdpr_erasure pins that
+    * every byte is gone) — so a deployment running expiration BESIDE
+    * live ingest passes the same 3h horizon removeOrphanFiles defaults
+    * to; one paused for maintenance keeps 0.
     */
-  def expireSnapshots(): Long = {
+  def expireSnapshots(orphanOlderThanMs: Long = 0L): Long = {
+    // 0 = no gate at all (never "this millisecond's files survive" —
+    // a same-ms compact output must stay immediately reclaimable-around)
+    val cutoff =
+      if (orphanOlderThanMs <= 0) Long.MaxValue
+      else System.currentTimeMillis() - orphanOlderThanMs
     val seq = compact()
     // tagged snapshots are retained (Iceberg's ref-aware retention): a
     // tag's replay needs every entry from its last preceding `replace`
@@ -2653,7 +2668,8 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       if (Files.exists(dir)) {
         walked(dir)(_.toSeq)
           .filter(p => p.getFileName.toString.endsWith(".parquet") &&
-            !referenced.contains(p.toAbsolutePath.normalize))
+            !referenced.contains(p.toAbsolutePath.normalize) &&
+            Files.getLastModifiedTime(p).toMillis < cutoff)
           .foreach(Files.delete)
       }
     }

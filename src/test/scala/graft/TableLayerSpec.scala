@@ -2211,6 +2211,25 @@ class TableLayerSpec extends AnyFunSuite {
     assert(t.read().filter(col("count") >= 20).count() == 0)
   }
 
+  test("expireSnapshots honors the orphan age horizon for in-flight writer files") {
+    // r7: the inline sweep used to reclaim unconditionally — a writer
+    // that staged parquet but had not yet committed would lose its files
+    // to a concurrent expiration. With a horizon the young file survives;
+    // the zero-horizon default keeps the GDPR immediate-destruction
+    // contract intact.
+    val t = freshTable("expirehorizon")
+    t.append(items)
+    t.append(items)
+    val staged = t.root.resolve("data").resolve("inflight").resolve("part-0.parquet")
+    Files.createDirectories(staged.getParent)
+    Files.write(staged, Array[Byte](1, 2, 3))
+    t.expireSnapshots(orphanOlderThanMs = 3600000L)
+    assert(Files.exists(staged), "young in-flight files must survive a horizon sweep")
+    t.expireSnapshots()
+    assert(!Files.exists(staged), "zero horizon reclaims immediately (GDPR contract)")
+    assert(t.read().count() == 12)
+  }
+
   test("reserved underscore names are rejected and never listed as namespaces") {
     val wh = Files.createTempDirectory("spec_reserved")
     val cat = GraftCatalog(spark, wh.toString)
