@@ -635,7 +635,8 @@ object TableQueries extends QueryPack {
         |  ('2_aborted', 5, 5),
         |  ('3_staged_invisible', 5, 5),
         |  ('4_txn_delete', 4, 4),
-        |  ('5_mixed_kinds', 9, 3))
+        |  ('5_mixed_kinds', 9, 3),
+        |  ('6_txn_upsert', 5, 3))
         |  AS t(phase, rows_a, rows_b)
         |ORDER BY phase""",
     ) { (s, _) =>
@@ -676,9 +677,13 @@ object TableQueries extends QueryPack {
         txn.delete("lake", "tb", Seq("B").toDF("name"), Seq("name"))
       }
       val (a5, b5) = counts
+      // staged MoR upsert: ta's 9 rows (all keyed A–E) collapse to the
+      // incoming 5 in ONE mixed entry under the marker
+      cat.transact(_.upsert("lake", "ta", items(s), Seq("name")))
+      val (a6, b6) = counts
       Seq(("1_committed", a1, b1), ("2_aborted", a2, b2),
         ("3_staged_invisible", a3, b3), ("4_txn_delete", a4, b4),
-        ("5_mixed_kinds", a5, b5))
+        ("5_mixed_kinds", a5, b5), ("6_txn_upsert", a6, b6))
         .toDF("phase", "rows_a", "rows_b")
         .orderBy("phase")
     },

@@ -293,6 +293,18 @@ final class CatalogTxn private[table] (cat: GraftCatalog, marker: Path) {
     seq
   }
 
+  /** stage a MoR upsert (one atomic mixed entry — delete of the incoming
+    * keys + replacement rows). Records kind "add": the staged APPEND
+    * half is what a concurrent equality delete would retroactively
+    * erase, so upserts get the append-grade publish validation.
+    */
+  def upsert(ns: String, name: String, df: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String]): Long = {
+    val seq = cat.openTable(ns, name).upsertInTxn(df, keyCols, marker)
+    stagedSeqs.add((ns, name, seq, "add"))
+    seq
+  }
+
   private[table] def staged: Seq[(String, String, Long, String)] =
     stagedSeqs.asScala.toSeq
 }

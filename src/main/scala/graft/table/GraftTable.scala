@@ -854,7 +854,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     */
   private def mixedCommit(dDir: Path, keys: DataFrame, equalityCols: Seq[String],
       schemaJson: String, statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Long = {
+      bloomCols: Seq[String] = Nil, txnMarker: String = ""): Long = {
     val delDir = newShardDir("deletes")
     keys.select(equalityCols.map(col): _*).distinct().write.parquet(delDir.toString)
     val files = parquetFilesIn(dDir)
@@ -864,7 +864,27 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       stats = foldStats(fs, statsCols, strCols),
       schemaJson = schemaJson, fileStats = fs,
       fileBlooms = perFileBlooms(dDir, files, bloomCols),
-      fileRows = fileRowCounts(files), assignRowIds = true)
+      fileRows = fileRowCounts(files), assignRowIds = true,
+      txnMarker = txnMarker)
+  }
+
+  /** MoR upsert STAGED under a multi-table transaction (the reference's
+    * atomic mixed commit, deletes.rs:94-110, inside the multi-table
+    * marker protocol): one mixed entry — equality delete of the incoming
+    * keys plus the replacement rows — invisible until the marker lands,
+    * then scoping exactly like [[upsert]] (delete applies below the
+    * STAGE-time seq; the staged rows carry that seq and survive their
+    * own delete). Keys come from the written files, upsert's determinism
+    * doctrine; constraints gate the replacement rows.
+    */
+  def upsertInTxn(df: DataFrame, keyCols: Seq[String], marker: Path): Long = {
+    requireNoReserved(df)
+    val dDir = newShardDir("data")
+    df.write.parquet(dDir.toString)
+    val written = spark.read.schema(df.schema).parquet(dDir.toString)
+    enforceConstraints(written)
+    mixedCommit(dDir, written, keyCols, idSchemaJson(df.schema),
+      txnMarker = marker.toAbsolutePath.normalize.toString)
   }
 
   /** atomic mixed commit: new data files AND a delete in ONE log entry

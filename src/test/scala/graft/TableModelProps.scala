@@ -47,6 +47,10 @@ object TableModelProps extends Properties("graft-table-model") {
   // seq, abandoned = burned seq that never deletes anything, at head or
   // any asOf. Interleaves with compactions/rollbacks/updates above it.
   private case class TxnDelete(keys: List[String], publish: Boolean) extends Op
+  // multi-table-txn staged MoR UPSERT (r7): one mixed entry under the
+  // marker — published = delete-keys-below-seq + rows-at-seq (the rows
+  // survive their own delete), abandoned = burned seq, no effect
+  private case class TxnMixed(rows: List[Row], publish: Boolean) extends Op
   // table-property assignment (r7): a file-less "props" commit — burns
   // one seq, touches no rows; the head property fold is checked
   // separately in the main property (assignments are LOG-folded, so a
@@ -117,6 +121,11 @@ object TableModelProps extends Properties("graft-table-model") {
           // published txn deletes scope at their STAGED seq; abandoned
           // ones never delete anything
           if (pub) dels ++= ks.map(_ -> seq)
+        case TxnMixed(rs, pub) =>
+          if (pub) {
+            dels ++= rs.map(_._1).distinct.map(_ -> seq)
+            rows ++= rs.map(_ -> seq)
+          }
         case SetProps(_) => () // metadata-only: one seq, no rows
         case Delete(ks) => dels ++= ks.map(_ -> seq)
         case Mixed(rs, ks) =>
@@ -171,6 +180,10 @@ object TableModelProps extends Properties("graft-table-model") {
       keys <- Gen.nonEmptyListOf(Gen.oneOf("A", "B", "C", "D", "E", "F"))
       pub <- Gen.oneOf(true, false)
     } yield TxnDelete(keys.distinct.take(2), pub)),
+    1 -> (for {
+      rows <- Gen.nonEmptyListOf(genRow).map(_.take(3))
+      pub <- Gen.oneOf(true, false)
+    } yield TxnMixed(rows, pub)),
     1 -> Gen.oneOf("x", "y", "").map(SetProps),
     2 -> Gen.nonEmptyListOf(Gen.oneOf("A", "B", "C", "D", "E", "F"))
       .map(ks => Delete(ks.distinct.take(3))),
@@ -257,6 +270,11 @@ object TableModelProps extends Properties("graft-table-model") {
         val marker = t.root.resolve("_txns").resolve(s"m$idx.commit")
         Files.createDirectories(marker.getParent)
         t.deleteInTxn(keys.toDF(keyCol), Seq(keyCol), marker)
+        if (publish) Files.write(marker, "ok".getBytes)
+      case TxnMixed(rows, publish) =>
+        val marker = t.root.resolve("_txns").resolve(s"m$idx.commit")
+        Files.createDirectories(marker.getParent)
+        t.upsertInTxn(rows.toDF(keyCol, "count"), Seq(keyCol), marker)
         if (publish) Files.write(marker, "ok".getBytes)
       case SetProps(v) => t.setProperties(Map("fuzz.note" -> v))
       case Delete(keys) => t.delete(keys.toDF(keyCol), Seq(keyCol))
@@ -406,7 +424,7 @@ object TableModelProps extends Properties("graft-table-model") {
       // folding a pending entry would freeze its visibility decision,
       // so the checkpoint deliberately leaves those as tail files
       val pending = ops.count {
-        case TxnAppend(_, false) | TxnDelete(_, false) => true
+        case TxnAppend(_, false) | TxnDelete(_, false) | TxnMixed(_, false) => true
         case _ => false
       }
       val folded = t.commitLog.metaFileCount == 1 + pending
