@@ -688,6 +688,45 @@ object TableQueries extends QueryPack {
         .orderBy("phase")
     },
 
+    // IDEMPOTENT streaming ingest (r7 — Delta's txnAppId/txnVersion,
+    // exactly-once table writes over at-least-once delivery): the
+    // version watermark rides the SAME commit entry as the data, so a
+    // foreachBatch sink crashing between its append and its offset
+    // record can replay the batch — the replay is a no-op, pinned here
+    // by both the row count and the data-commit count across a replay,
+    // a next epoch, a far-stale replay, and an independent appId.
+    Q(
+      "t_idempotent_ingest",
+      """SELECT * FROM (VALUES
+        |  ('1_first', 5, CAST(1 AS BIGINT)),
+        |  ('2_replay_noop', 5, CAST(1 AS BIGINT)),
+        |  ('3_next_epoch', 10, CAST(2 AS BIGINT)),
+        |  ('4_stale_replay', 10, CAST(2 AS BIGINT)),
+        |  ('5_other_app', 15, CAST(3 AS BIGINT)))
+        |  AS t(phase, rows, n_commits)
+        |ORDER BY phase""",
+    ) { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "idem")
+      def snap: (Int, Long) = (t.read().count().toInt,
+        t.snapshots.count(_.dataFiles.nonEmpty).toLong)
+      t.appendIdempotent(items(s), "epochs", 1)
+      val (r1, c1) = snap
+      t.appendIdempotent(items(s), "epochs", 1) // crash replay of epoch 1
+      val (r2, c2) = snap
+      t.appendIdempotent(items(s), "epochs", 2)
+      val (r3, c3) = snap
+      t.appendIdempotent(items(s), "epochs", 1) // far-stale replay
+      val (r4, c4) = snap
+      t.appendIdempotent(items(s), "backfill", 1) // independent appId
+      val (r5, c5) = snap
+      Seq(("1_first", r1, c1), ("2_replay_noop", r2, c2),
+        ("3_next_epoch", r3, c3), ("4_stale_replay", r4, c4),
+        ("5_other_app", r5, c5))
+        .toDF("phase", "rows", "n_commits")
+        .orderBy("phase")
+    },
+
     // Metadata-only DELETE WHERE (Iceberg metadata delete / Delta
     // partition delete): on a count-partitioned layout, delete #1's range
     // aligns with one partition file — the file leaves the file list

@@ -242,6 +242,42 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       txnMarker = marker.toAbsolutePath.normalize.toString)
   }
 
+  /** IDEMPOTENT append (Delta's txnAppId/txnVersion, Iceberg's WAP-id
+    * dedup): the commit carries `txn.<appId> = version` as an entry
+    * property, and a call whose version is ≤ the recorded watermark is a
+    * NO-OP returning the current head — so a streaming `foreachBatch`
+    * sink that crashes between writing and recording its offset can
+    * REPLAY the batch without double-appending (exactly-once table
+    * writes over at-least-once delivery). The version stamp rides the
+    * SAME log entry as the data (one atomic commit): there is no window
+    * where the data landed but the watermark didn't. Contract, exactly
+    * Delta's: one live committer per appId (Structured Streaming runs
+    * foreachBatch single-threaded per query) — two concurrent writers
+    * sharing an appId could both pass the watermark check; different
+    * appIds never interact. Watermark reads are metadata-sized
+    * (properties fold); versions must be monotonically increasing per
+    * appId, which epoch/batch ids are.
+    */
+  def appendIdempotent(df: DataFrame, appId: String, version: Long,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
+    require(appId.nonEmpty && !appId.contains('='), s"bad appId: $appId")
+    val key = s"txn.$appId"
+    val last = properties().get(key).map(_.toLong).getOrElse(Long.MinValue)
+    if (version <= last)
+      return log.entries().lastOption.map(_.seq).getOrElse(-1L) // replayed batch: no-op
+    requireNoReserved(df)
+    enforceConstraints(df)
+    val dir = newShardDir("data")
+    df.write.parquet(dir.toString)
+    val files = parquetFilesIn(dir)
+    val (fs, strCols) = perFileStats(dir, files, statsCols)
+    log.commit("add", dataFiles = files, stats = foldStats(fs, statsCols, strCols),
+      schemaJson = idSchemaJson(df.schema), fileStats = fs,
+      fileBlooms = perFileBlooms(dir, files, bloomCols),
+      fileRows = fileRowCounts(files), assignRowIds = true,
+      props = Map(key -> version.toString))
+  }
+
   /** Partitioned fast_append (hidden partitioning): data is clustered and
     * laid out by `spec.transform(spec.col)`, and each file's partition
     * value is recorded as an exact [v, v] file-stat on the derived

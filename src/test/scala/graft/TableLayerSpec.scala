@@ -2230,6 +2230,31 @@ class TableLayerSpec extends AnyFunSuite {
     assert(t.read().count() == 12)
   }
 
+  test("appendIdempotent stamps its watermark atomically with the data") {
+    val t = freshTable("idem")
+    t.appendIdempotent(items, "stream-a", 7)
+    // the watermark is a property of the SAME entry that carries the data
+    val e = t.snapshots.last
+    assert(e.dataFiles.nonEmpty && e.props == Map("txn.stream-a" -> "7"))
+    assert(t.properties() == Map("txn.stream-a" -> "7"))
+    // replay and regression are no-ops returning the current head
+    assert(t.appendIdempotent(items, "stream-a", 7) == e.seq)
+    assert(t.appendIdempotent(items, "stream-a", 3) == e.seq)
+    assert(t.read().count() == 6)
+    // time travel BEFORE the stamped commit sees no watermark
+    assert(t.properties(asOf = e.seq - 1).isEmpty || e.seq == 0)
+    // constraints still gate the idempotent path
+    t.setProperties(Map("check.pos" -> "count > 0"))
+    intercept[IllegalArgumentException] {
+      t.appendIdempotent(Seq(("X", "bad", -1)).toDF("name", "size", "count"),
+        "stream-a", 8)
+    }
+    // the failed attempt must not have burned the watermark
+    assert(t.properties()("txn.stream-a") == "7")
+    t.appendIdempotent(items, "stream-a", 8)
+    assert(t.read().count() == 12)
+  }
+
   test("reserved underscore names are rejected and never listed as namespaces") {
     val wh = Files.createTempDirectory("spec_reserved")
     val cat = GraftCatalog(spark, wh.toString)
