@@ -913,5 +913,56 @@ object JoinQueries extends QueryPack {
           unix_micros(col("ts")).as("ts_us"), col("last_click_us"))
         .orderBy("event_id")
     },
+
+    // NEAREST-event as-of join (r7) — the BIDIRECTIONAL tolerance variant
+    // q_join_asof's backward-only window pass cannot express: each
+    // purchase pairs with its nearest click by the same user within
+    // ±10 minutes, in EITHER direction (sensor/feature alignment: take
+    // the closest reading, before or after). Scale pattern: the same
+    // banded equi-join as q_join_range_theta — purchases explode into
+    // their 10-minute bucket and both neighbors, clicks keep one bucket,
+    // the join keys on (user, bucket) so |dt| ≤ band is evaluated inside
+    // per-user-per-20-minute groups — then ONE purchase-keyed min_by
+    // picks the winner under the deterministic (|dt|, click ts, click
+    // id) order. No window over the world, no per-user sort.
+    Q(
+      "q_join_asof_nearest",
+      """WITH p AS (SELECT event_id AS p_id, user_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS pus
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) AS cus
+        |      FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.p_id, c.c_id, c.cus - p.pus AS dt_us,
+        |        abs(c.cus - p.pus) AS adt, c.cus
+        |      FROM p JOIN c ON p.user_id = c.user_id
+        |        AND abs(c.cus - p.pus) <= 600000000)
+        |SELECT p_id, c_id, dt_us
+        |FROM (SELECT *, row_number() OVER (PARTITION BY p_id
+        |        ORDER BY adt, cus, c_id) AS rn FROM j)
+        |WHERE rn = 1 ORDER BY p_id""",
+    ) { (s, dir) =>
+      val bandUs = 600000000L // ±10 minutes; bucket width = the band
+      val ev = Tables.events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          unix_micros(col("ts")).as("pus"))
+        .withColumn("bk", explode(array(
+          expr(s"pus div $bandUs") - 1, expr(s"pus div $bandUs"),
+          expr(s"pus div $bandUs") + 1)))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("user_c"),
+          unix_micros(col("ts")).as("cus"))
+        .withColumn("bk_c", expr(s"cus div $bandUs"))
+      p.join(c, col("user_id") === col("user_c") && col("bk") === col("bk_c")
+          && abs(col("cus") - col("pus")) <= bandUs)
+        .groupBy(col("p_id"))
+        .agg(
+          min_by(col("c_id"),
+            struct(abs(col("cus") - col("pus")), col("cus"), col("c_id"))).as("c_id"),
+          min_by(col("cus") - col("pus"),
+            struct(abs(col("cus") - col("pus")), col("cus"), col("c_id"))).as("dt_us"))
+        .orderBy("p_id")
+    },
   )
 }
