@@ -190,9 +190,17 @@ object DedupQueries extends QueryPack {
     val e = edges.localCheckpoint(true)
     var labels = e.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint(true)
-    var changed = 1L
+    // convergence via the MONOTONE label sum: labels only ever decrease
+    // (least over self + neighbors + jump target), so "no sum change"
+    // IS "no label change" — one node-scale aggregate per round instead
+    // of a join + filter + count. DECIMAL(38,0): node ids can be 1e12+
+    // at corpus scale and a billion-node sum overflows int64.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl")).cast("decimal(38,0)")).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var changed = true
     var rounds = 0
-    while (changed > 0 && rounds < maxRounds) {
+    while (changed && rounds < maxRounds) {
       // relaxation as aggregate-BEFORE-join (no self-union: the shuffle
       // into the left join carries one row per node, not one per edge —
       // and a Union over a checkpointed LogicalRDD trips Catalyst's
@@ -214,12 +222,13 @@ object DedupQueries extends QueryPack {
         .select(col("a.id").as("id"),
           least(col("a.lbl"), coalesce(col("jlbl"), col("a.lbl"))).as("lbl"))
         .localCheckpoint(true)
-      changed = jumped.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
-        .filter(col("lbl") =!= col("old")).count()
+      val sumNow = labelSum(jumped)
+      changed = sumNow.compareTo(prevSum) != 0
+      prevSum = sumNow
       labels = jumped
       rounds += 1
     }
-    require(changed == 0, s"label propagation did not converge in $rounds rounds")
+    require(!changed, s"label propagation did not converge in $rounds rounds")
     (labels, rounds)
   }
 
