@@ -159,47 +159,85 @@ object Bench {
         System.err.println(s"[bench] x_ingest_stress failed: ${e.getMessage}")
         Some(-1.0)
       }
-    // maintenance-vs-ingest CONCURRENCY stress (r7): 8 writer threads
-    // append 8 batches each while a maintenance thread runs small-file
-    // compaction CONTINUOUSLY against them — the optimistic rewrite
-    // validation (expectedCommittedSeqs + per-table flock) is what keeps
-    // this correct: a compaction built from a stale log read rebuilds
-    // instead of committing a replace that would swallow the concurrent
-    // appends. Hard-asserted at the end: the exact row count AND the
-    // exact count of DISTINCT stable row ids (rewrites must materialize
-    // lineage — a lost update or a double-adoption would break either).
-    // Conflict-exhausted compactions (6 stale rebuilds in a row) are
-    // counted and reported, not failed: surrender under sustained ingest
-    // is the correct behavior, and the count is the evidence the race
-    // was actually exercised.
+    // maintenance-vs-ingest CONCURRENCY stress (r7; WIDENED r8 per the
+    // r7 verdict's task #4): writer threads append batches while a
+    // maintenance thread ROTATES through every state-dependent rewrite
+    // path — compactSmall, updateWhereEq, deleteWhereRange,
+    // rewritePositionDeletes — so each `rewriteRetry` wrapper races real
+    // concurrent appends. The optimistic rewrite validation
+    // (expectedCommittedSeqs + per-table flock) is what keeps this
+    // correct: a rewrite built from a stale log read rebuilds instead of
+    // committing a replace that would swallow the concurrent appends.
+    // Row accounting stays exact under deletion because each successful
+    // deleteWhereRange removes one FRESH disjoint 10-id chunk of the
+    // 1000 seeded sacrificial rows (ids -1000..-11; -10..-1 are kept
+    // alive as the updateWhereEq target), so expected rows = appends +
+    // seeds - 10×(committed delete chunks). Hard-asserted at the end:
+    // the exact row count AND the exact count of DISTINCT stable row
+    // ids (rewrites must materialize lineage — a lost update or a
+    // double-adoption would break either). Conflict-exhausted rewrites
+    // (6 stale rebuilds in a row) are counted and reported, not failed:
+    // surrender under sustained ingest is the correct behavior, and the
+    // count is the evidence the race was actually exercised.
     val maintSec =
       if (only.exists(!_.contains("x_maint_stress"))) None
       else try {
+        import org.apache.spark.sql.functions.lit
         val writers = 4; val batches = 4; val rowsPer = 100
         val table = GraftTable.createOrReplace(spark,
           Files.createTempDirectory("graft_maint_tbl").toString)
-        // seed one row: compactSmall on an EMPTY table refuses (require),
-        // which would kill the maintenance thread before the race starts
-        table.append(spark.range(-1, 0).toDF("id"))
+        // seed sacrificial rows: deleteWhereRange needs live victims,
+        // and compactSmall on an EMPTY table refuses (require), which
+        // would kill the maintenance thread before the race starts
+        table.append(spark.range(-1000, 0).toDF("id"))
         val t0 = System.nanoTime()
         val surrenders = new java.util.concurrent.atomic.AtomicInteger(0)
-        val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
+        val rewrites = new java.util.concurrent.atomic.AtomicInteger(0)
+        val deletedRows = new java.util.concurrent.atomic.AtomicLong(0)
+        // maint-thread-only, read after join(): no synchronization needed
+        val opMix = scala.collection.mutable.Map.empty[String, Int]
         // named to dodge Thread.stop() shadowing inside the subclass
         val stopFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+        // delChunk is maint-thread-then-sweep sequential (never concurrent)
+        var delChunk = 0 // next unconsumed sacrificial 10-id chunk
+        def runOp(op: String): Unit = {
+          op match {
+            case "compact" => table.compactSmall(1L << 20)
+            case "update" =>
+              // value-preserving rewrite of the file holding id=-1:
+              // counts unchanged, full updateWhereEq path exercised
+              table.updateWhereEq("id", -1L, Map("id" -> lit(-1L)))
+            case "delete" if delChunk < 99 =>
+              val lo = -1000L + 10L * delChunk
+              table.deleteWhereRange("id", lo, lo + 9L)
+              deletedRows.addAndGet(10); delChunk += 1
+            case "delete" => // sacrificial rows exhausted: compact
+              table.compactSmall(1L << 20)
+            case "rewrite_pos" => table.rewritePositionDeletes()
+          }
+          rewrites.incrementAndGet()
+          opMix(op) = opMix.getOrElse(op, 0) + 1
+        }
+        val allOps = Seq("compact", "update", "delete", "rewrite_pos")
         val maint = new Thread {
-          override def run(): Unit = while (!stopFlag.get()) {
-            try {
-              table.compactSmall(1L << 20); compactions.incrementAndGet()
-              Thread.sleep(100) // maintenance cadence: rebuild storms are
-              // the writers' enemy, not the scenario's point
-            }
-            catch {
-              case _: graft.table.CommitConflictException =>
-                surrenders.incrementAndGet(); ()
-              case e: Throwable =>
-                // any other failure is a real bug — surface it, don't spin
-                System.err.println(s"[bench] x_maint_stress compactor died: $e")
-                return
+          override def run(): Unit = {
+            var cycle = 0
+            while (!stopFlag.get()) {
+              val op = allOps(cycle % 4)
+              try {
+                runOp(op)
+                Thread.sleep(100) // maintenance cadence: rebuild storms
+                // are the writers' enemy, not the scenario's point
+              }
+              catch {
+                case _: graft.table.CommitConflictException =>
+                  surrenders.incrementAndGet(); ()
+                case e: Throwable =>
+                  // any other failure is a real bug — surface, don't spin
+                  System.err.println(s"[bench] x_maint_stress $op died: $e")
+                  return
+              }
+              cycle += 1
             }
           }
         }
@@ -213,15 +251,23 @@ object Bench {
         }
         maint.start(); ws.foreach(_.start()); ws.foreach(_.join())
         stopFlag.set(true); maint.join()
+        // deterministic sweep: a cold race window can end before the
+        // rotation reaches every op, so run one full rotation here —
+        // no concurrent writers, so no conflicts — guaranteeing every
+        // rewriteRetry path ran and the delete row-accounting is tested
+        allOps.foreach(runOp)
         val sec = (System.nanoTime() - t0) / 1e9
-        val want = writers.toLong * batches * rowsPer + 1 // + the seed row
+        val want = writers.toLong * batches * rowsPer + 1000 - deletedRows.get()
         val rows = table.read().count()
         require(rows == want, s"maint stress lost rows: $rows != $want")
         val ids = table.readWithLineage().select("_row_id").distinct().count()
         require(ids == want, s"maint stress broke row lineage: $ids != $want")
+        val mix = opMix.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString(", ")
         System.err.println(
           f"[bench] x_maint_stress: $rows rows through ${writers * batches} appends vs " +
-            f"${compactions.get} live compactions (${surrenders.get} conflict surrenders), " +
+            f"${rewrites.get} live rewrites [$mix] (${surrenders.get} conflict " +
+            f"surrenders, ${deletedRows.get} rows range-deleted), " +
             f"${sec}%.3f s -- zero lost updates, lineage intact")
         Some(sec)
       } catch { case e: Throwable =>
