@@ -281,6 +281,20 @@ final class CatalogTxn private[table] (cat: GraftCatalog, marker: Path) {
     seq
   }
 
+  /** stage a PARTITIONED append (hidden partitioning, staged): the shape
+    * a derived index needs — e.g. a bucket-partitioned dedup index that
+    * must publish in lockstep with the corpus it indexes. Kind "add":
+    * same publish validation as any staged append.
+    */
+  def appendPartitioned(ns: String, name: String, df: org.apache.spark.sql.DataFrame,
+      spec: PartitionSpec, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
+    val seq = cat.openTable(ns, name)
+      .appendPartitionedInTxn(df, spec, marker, statsCols, bloomCols)
+    stagedSeqs.add((ns, name, seq, "add"))
+    seq
+  }
+
   /** stage an equality delete: invisible (rows still served) until the
     * transaction's marker lands, at which point it scopes exactly the
     * data committed below its stage-time seq — later appends are

@@ -306,7 +306,23 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * probe each open only their slice of the grid.
     */
   def appendPartitioned(df: DataFrame, specs: Seq[PartitionSpec],
-      statsCols: Seq[String], bloomCols: Seq[String]): Long = {
+      statsCols: Seq[String], bloomCols: Seq[String]): Long =
+    appendPartitionedImpl(df, specs, statsCols, bloomCols, txnMarker = "")
+
+  /** [[appendPartitioned]] STAGED under a multi-table transaction (the
+    * partitioned analogue of [[appendInTxn]]): the entry carries the
+    * transaction's marker and stays invisible until the marker publishes
+    * every staged table at once. The shape a derived index needs — a
+    * bucket-partitioned table that must move in lockstep with the corpus
+    * it indexes (GraftCatalog.CatalogTxn.appendPartitioned).
+    */
+  def appendPartitionedInTxn(df: DataFrame, spec: PartitionSpec, marker: Path,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long =
+    appendPartitionedImpl(df, Seq(spec), statsCols, bloomCols,
+      txnMarker = marker.toAbsolutePath.normalize.toString)
+
+  private def appendPartitionedImpl(df: DataFrame, specs: Seq[PartitionSpec],
+      statsCols: Seq[String], bloomCols: Seq[String], txnMarker: String): Long = {
     require(specs.nonEmpty, "at least one partition dimension")
     require(specs.map(_.col).distinct.size == specs.size,
       "one transform per source column")
@@ -333,7 +349,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       schemaJson = idSchemaJson(df.schema), fileStats = merged,
       partSpec = PartitionSpec.renderAll(specs),
       fileBlooms = perFileBlooms(dir, files, bloomCols),
-      fileRows = fileRowCounts(files), assignRowIds = true)
+      fileRows = fileRowCounts(files), assignRowIds = true, txnMarker = txnMarker)
   }
 
   /** Atomic partition overwrite (Iceberg's dynamic overwrite / INSERT
@@ -1063,12 +1079,17 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       // lineage carries verbatim: the branch log was seeded with main's
       // entries, so its row-id counter CONTINUED main's — and the
       // fast-forward precondition (main unmoved since the base) means no
-      // main commit could have claimed an overlapping range meanwhile
+      // main commit could have claimed an overlapping range meanwhile.
+      // Property assignments replay too (they are fold entries like any
+      // other): a governance policy or idempotence watermark set on the
+      // audit branch must be enforced on main after the fast-forward —
+      // dropping them would silently serve unmasked data and re-admit
+      // replayed batches (r8 fix; the pre-r8 replay lost e.props)
       log.commit(e.action, e.dataFiles, e.deleteFiles, e.equalityCols,
         e.statsCols.lazyZip(e.statsMin).lazyZip(e.statsMax).toSeq,
         e.schemaJson, e.fileStats, e.partSpec, e.fileBlooms,
         fileRows = e.fileRows, fileRowIds = e.fileRowIds, rowIdHigh = e.rowIdHigh,
-        txnMarker = e.txnMarker)
+        txnMarker = e.txnMarker, props = e.props)
     }
   }
 
@@ -1108,6 +1129,19 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       s"cherry-pick supports pure appends only (staged ${e.seq} is '${e.action}'): " +
         "deletes and replaces scope by sequence number and would change " +
         "meaning replayed out of context")
+    // property assignments scope by FOLD ORDER (last write wins), so
+    // replaying one onto a main that advanced past the branch base can
+    // REGRESS a later main-side write — e.g. an idempotence watermark
+    // rolled back to an older version re-admits every replayed batch, a
+    // masking policy flipped back serves unmasked data. Refused like
+    // deletes: a props-carrying commit (file-less `props` or an
+    // idempotent append) publishes only via the fast-forward path,
+    // whose unmoved-main precondition keeps the fold linear.
+    require(e.props.isEmpty,
+      s"cherry-pick refuses property-carrying commits (staged ${e.seq} " +
+        s"assigns ${e.props.keys.mkString(", ")}): assignments fold in seq " +
+        "order and would regress later main-side writes; re-branch and " +
+        "publish (fast-forward) instead")
     require(e.dataFiles.nonEmpty &&
         !mainEntries.exists(_.dataFiles.toSet.intersect(e.dataFiles.toSet).nonEmpty),
       s"staged ${e.seq} was already picked (its files are referenced by main)")

@@ -1995,6 +1995,71 @@ class TableLayerSpec extends AnyFunSuite {
     }
   }
 
+  test("governance, checks and idempotence watermarks travel through a clone and diverge") {
+    val t = freshTable("govclone_src")
+    t.append(items)
+    t.setProperties(Map(
+      "mask.name" -> "hash", "filter.row" -> "count >= 10",
+      "check.pos" -> "count >= 0"))
+    t.appendIdempotent(Seq(("F", "small", 9)).toDF("name", "size", "count"),
+      appId = "ing", version = 3L)
+    val c = t.cloneTo(Files.createTempDirectory("govclone_dst").toString)
+    // the full property fold is the clone's too — policies are entries,
+    // entries are what a shallow clone replays
+    assert(c.properties() == t.properties())
+    // governed reads enforce the SAME policies through the clone: every
+    // name masked, the row filter keeps B,C,D,E (and drops F's 9)
+    val gov = c.readGoverned().select("name", "count").collect()
+    assert(gov.forall(_.getString(0).matches("[0-9a-f]{64}")))
+    assert(gov.forall(_.getInt(1) >= 10) && gov.length == 4)
+    // CHECK constraints bind clone-side appends; a replayed idempotent
+    // batch is refused by the inherited watermark (same app, old version)
+    intercept[IllegalArgumentException] {
+      c.append(Seq(("X", "small", -1)).toDF("name", "size", "count"))
+    }
+    val head = c.headSeq
+    c.appendIdempotent(Seq(("F", "small", 9)).toDF("name", "size", "count"),
+      appId = "ing", version = 3L)
+    assert(c.headSeq == head, "replay at the inherited watermark must be a no-op")
+    // divergence is one-way: the clone relaxes its policies, the source
+    // keeps enforcing — two tables, two property folds
+    c.setProperties(Map("mask.name" -> "", "filter.row" -> ""))
+    assert(c.readGoverned().select("name").collect().exists(!_.getString(0).matches("[0-9a-f]{64}")))
+    assert(t.readGoverned().select("name", "count").collect().forall(r =>
+      r.getString(0).matches("[0-9a-f]{64}") && r.getInt(1) >= 10))
+  }
+
+  test("props commits fast-forward with a branch; cherry-pick and rebase refuse them") {
+    val t = freshTable("propsbranch")
+    t.append(items)
+    // WAP-style: governance assigned ON THE AUDIT BRANCH publishes with
+    // it — main enforces the policy after the fast-forward
+    val b = t.createBranch("audit")
+    b.setProperties(Map("mask.name" -> "redact"))
+    b.append(Seq(("G", "small", 7)).toDF("name", "size", "count"))
+    t.publishBranch("audit")
+    assert(t.properties() == Map("mask.name" -> "redact"))
+    assert(t.readGoverned().select("name").collect().forall(_.getString(0) == "***"))
+    assert(t.read().count() == 7)
+    // out-of-order replay is refused: a branch staged before main moved
+    // cannot cherry-pick or rebase a property-carrying commit (the fold
+    // would regress main's later writes — see requirePickable)
+    val b2 = t.createBranch("stale")
+    val propsSeq = b2.setProperties(Map("mask.name" -> "hash"))
+    b2.appendIdempotent(Seq(("H", "small", 8)).toDF("name", "size", "count"),
+      appId = "ing2", version = 1L)
+    t.append(Seq(("I", "small", 9)).toDF("name", "size", "count")) // main diverges
+    val e1 = intercept[IllegalArgumentException] { t.cherryPick("stale", propsSeq) }
+    assert(e1.getMessage.contains("pure appends only"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] { t.cherryPick("stale", propsSeq + 1) }
+    assert(e2.getMessage.contains("property-carrying"), e2.getMessage)
+    // all-or-nothing: the rebase refuses the WHOLE branch, main untouched
+    val headBefore = t.headSeq
+    intercept[IllegalArgumentException] { t.rebaseBranch("stale") }
+    assert(t.headSeq == headBefore)
+    assert(t.properties() == Map("mask.name" -> "redact"))
+  }
+
   test("multi-table transact publishes atomically; readers inside the body see nothing") {
     val wh = Files.createTempDirectory("spec_txn")
     val cat = GraftCatalog(spark, wh.toString)

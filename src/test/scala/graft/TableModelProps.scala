@@ -733,9 +733,24 @@ object TableModelProps extends Properties("graft-table-model") {
       val b = t.createBranch("wap")
       runOn(b, all, from = pre.size)
       t.publishBranch("wap")
+      // the properties fold replays through the fast-forward too: a
+      // governance policy or idempotence watermark assigned on the
+      // branch is enforced on main after publish (r8 — the pre-r8
+      // replay dropped entry props, which only a rows check missed)
+      val wantProps = all.foldLeft(Map.empty[String, String]) {
+        case (m, SetProps(v)) =>
+          if (v.isEmpty) m - "fuzz.note" else m.updated("fuzz.note", v)
+        case (m, IdemAppend(_, app, ver)) =>
+          val key = s"txn.$app"
+          if (m.get(key).forall(_.toLong < ver)) m.updated(key, ver.toString) else m
+        case (m, _) => m
+      }
+      val propsOk = t.properties() == wantProps
+      if (!propsOk) println(
+        s"BRANCH PROPS MISMATCH pre=$pre post=$post\n got=${t.properties()} want=$wantProps")
       // main must now be indistinguishable from having run the whole
       // sequence directly — at HEAD and at every historical snapshot
-      (0 until all.size).forall { asOf =>
+      propsOk && (0 until all.size).forall { asOf =>
         val got = sortedRows(
           t.read(if (asOf == all.size - 1) Long.MaxValue else asOf.toLong)
             .select(org.apache.spark.sql.functions.col(keyColAt(all, asOf)).as("name"),
