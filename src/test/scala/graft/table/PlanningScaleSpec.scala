@@ -1,0 +1,95 @@
+package graft.table
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-side PLANNING cost at manifest scale (VERDICT r7 #7): the
+  * commit log's per-read work is parse-checkpoint + parse-tail +
+  * stateFrom fold + prune filter, all O(live files) on the driver. The
+  * checkpoint bounds the FILE COUNT a read opens (1 + new commits) but
+  * not the byte size of the folded file LIST — this spec measures that
+  * cost at ~50k live files (a 100 TB table at a healthy 2 GB/file, or a
+  * badly-compacted 10 TB one) so the bound in SURVEY §8 is a number,
+  * not a guess. No SparkSession: everything measured here happens
+  * before Spark sees a plan.
+  *
+  * Timing asserts are deliberately loose (CI boxes vary 5-10×); the
+  * printed numbers are the deliverable. Reference shape: Iceberg's
+  * manifest-list planning, which budgets the same way.
+  */
+class PlanningScaleSpec extends AnyFunSuite {
+
+  private def ms[A](f: => A): (A, Long) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1000000)
+  }
+
+  test("50k-file planning: checkpoint parse + state fold stay interactive") {
+    val log = new CommitLog(Files.createTempDirectory("plan_scale"))
+    val commits = 500
+    val filesPer = 100 // 50k live files total
+    (0 until commits).foreach { c =>
+      val files = (0 until filesPer).map(f =>
+        f"data/epoch-$c%04d/part-$f%05d-0123456789abcdef.snappy.parquet")
+      // ts tiles DISJOINTLY: file i of commit c owns exactly
+      // [c*100000 + i*1000, …+999] — a one-commit probe prunes exactly
+      val fs = files.indices.map(i => Map(
+        "ts" -> (s"${c * 100000 + i * 1000}.000000", s"${c * 100000 + i * 1000 + 999}.000000"),
+        "user_id" -> (s"$i.000000", s"${i + 5000}.000000")))
+      log.commit("add", dataFiles = files,
+        stats = Seq(("ts", s"${c * 100000}.000000", s"${c * 100000 + 99999}.000000")),
+        fileStats = fs, fileRows = files.map(_ => 10000L))
+    }
+    val (_, tFoldAll) = ms(log.checkpoint())
+    assert(log.metaFileCount == 1)
+    val (es, tParse) = ms(log.entries())
+    assert(es.map(_.dataFiles.size).sum == commits * filesPer)
+    val (st, tState) = ms(CommitLog.stateFrom(es))
+    assert(st._1.size == commits * filesPer)
+    val (pruned, tPrune) = ms(
+      CommitLog.stateFrom(es,
+        Seq(Prune("ts", BigDecimal(42 * 100000), BigDecimal(42 * 100000 + 99999)))))
+    // the ts ranges tile disjointly per commit: exactly one commit's
+    // files survive a one-commit-wide probe
+    assert(pruned._1.size == filesPer)
+    info(s"50k files: checkpoint fold ${tFoldAll}ms, " +
+      s"entries() parse ${tParse}ms, stateFrom ${tState}ms, pruned plan ${tPrune}ms")
+    println(s"PLANNING_SCALE 50k: fold=${tFoldAll}ms parse=${tParse}ms " +
+      s"state=${tState}ms prune=${tPrune}ms")
+    // loose ceilings: planning must stay interactive, not instant
+    assert(tParse < 15000, s"checkpoint parse took ${tParse}ms at 50k files")
+    assert(tState < 5000)
+    assert(tPrune < 5000)
+  }
+
+  test("5k bloom-carrying files: per-file filters dominate manifest bytes, parse stays bounded") {
+    val log = new CommitLog(Files.createTempDirectory("plan_scale_bloom"))
+    // default 16 KiB filters -> ~2.7 KB base64 per (file, column); 5k
+    // files ≈ a 14 MB checkpoint — measured here, ×10 documented in
+    // SURVEY §8 for the 50k worst case
+    val bloom = Bloom.encode((0 until 256).map(_ * 17 % Bloom.DefaultM), Bloom.DefaultM)
+    (0 until 50).foreach { c =>
+      val files = (0 until 100).map(f => f"data/e$c%02d/part-$f%05d.parquet")
+      log.commit("add", dataFiles = files,
+        fileStats = files.indices.map(i =>
+          Map("user_id" -> (s"$i.000000", s"${i + 5000}.000000"))),
+        fileBlooms = files.map(_ => Map("user_id" -> bloom)),
+        fileRows = files.map(_ => 10000L))
+    }
+    val (_, tFold) = ms(log.checkpoint())
+    val ckBytes = {
+      val d = log.root.resolve("_log").resolve("_ckpt")
+      val s = Files.list(d)
+      try s.mapToLong(Files.size(_)).sum finally s.close()
+    }
+    val (es, tParse) = ms(log.entries())
+    assert(es.map(_.dataFiles.size).sum == 5000)
+    info(s"5k bloom'd files: checkpoint ${ckBytes / 1024 / 1024} MiB, " +
+      s"fold ${tFold}ms, parse ${tParse}ms")
+    println(s"PLANNING_SCALE 5k-bloom: ckpt=${ckBytes / 1024}KiB " +
+      s"fold=${tFold}ms parse=${tParse}ms")
+    assert(tParse < 20000, s"bloom checkpoint parse took ${tParse}ms")
+  }
+}
