@@ -804,5 +804,177 @@ object AggQueries extends QueryPack {
         .filter(col("rn") <= 3)
         .orderBy("p_brand", "rn")
     },
+
+    // Robust (MAD-based) anomaly detection (r8) — the median/MAD
+    // complement of q_anomaly_sigma's mean/stddev: a long-tailed metric
+    // poisons the mean and explodes sigma, so production monitors flag
+    // on |x - median| > 3·MAD. EXACT distributed median: no percentile()
+    // (that buffers every group value in executor memory — not a 100 TB
+    // shape) and no float interpolation divergence; instead the corpus
+    // collapses to the (type, value)-distinct COUNT relation (partial
+    // agg'd), a cumulative window over that AGGREGATE-sized relation
+    // finds the lo/hi middle elements, and med2 = lo + hi doubles the
+    // median into exact integers (odd n: lo = hi). The same machinery
+    // reruns on a = |2x - med2| for the MAD, and the flag compare
+    // 2a > 3·mad4 stays all-integer end to end. Cost: two corpus scans
+    // (med, then deviations) + one aggregate-sized window each — the
+    // unavoidable two-pass price of an exact MAD.
+    Q(
+      "q_anomaly_mad",
+      """WITH b AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(38,4)) * 10000 AS BIGINT) AS v4 FROM events),
+        |g AS (SELECT event_type, v4, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |w AS (SELECT event_type, v4,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY v4) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n FROM g),
+        |med AS (SELECT event_type, MAX(n) AS n,
+        |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN v4 END)
+        |      + MIN(CASE WHEN cum >= n // 2 + 1 THEN v4 END) AS med2
+        |  FROM w GROUP BY event_type),
+        |a AS (SELECT b.event_type, abs(2 * b.v4 - med.med2) AS a
+        |  FROM b JOIN med ON b.event_type = med.event_type),
+        |ga AS (SELECT event_type, a, COUNT(*) AS c FROM a GROUP BY 1, 2),
+        |wa AS (SELECT event_type, a,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY a) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n FROM ga),
+        |mad AS (SELECT event_type,
+        |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN a END)
+        |      + MIN(CASE WHEN cum >= n // 2 + 1 THEN a END) AS mad4
+        |  FROM wa GROUP BY event_type)
+        |SELECT a.event_type, CAST(med.n AS BIGINT) AS n,
+        |  CAST(med.med2 AS BIGINT) AS med2_x1e4, CAST(mad.mad4 AS BIGINT) AS mad4_x1e4,
+        |  CAST(SUM(CASE WHEN 2 * a.a > 3 * mad.mad4 THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+        |FROM a JOIN med ON a.event_type = med.event_type
+        |JOIN mad ON a.event_type = mad.event_type
+        |GROUP BY a.event_type, med.n, med.med2, mad.mad4
+        |ORDER BY a.event_type""",
+    ) { (s, dir) =>
+      def exactMed2(df: org.apache.spark.sql.DataFrame, vc: String)
+          : org.apache.spark.sql.DataFrame = {
+        val g = df.groupBy(col("event_type"), col(vc)).agg(count(lit(1)).as("c"))
+        val wc = Window.partitionBy("event_type").orderBy(vc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wn = Window.partitionBy("event_type")
+        g.withColumn("cum", sum(col("c")).over(wc))
+          .withColumn("n", sum(col("c")).over(wn))
+          .groupBy("event_type")
+          .agg(max(col("n")).as("n"),
+            (min(when(expr("cum >= (n + 1) div 2"), col(vc)))
+              + min(when(expr("cum >= n div 2 + 1"), col(vc)))).as(s"med2_$vc"))
+      }
+      val b = Tables.events(s, dir)
+        .select(col("event_type"), Dec.asLong(col("value"), 4).as("v4"))
+      val med = exactMed2(b, "v4") // (event_type, n, med2_v4)
+      val a = b.join(broadcast(med), "event_type")
+        .select(col("event_type"), abs(lit(2) * col("v4") - col("med2_v4")).as("a"))
+      val mad = exactMed2(a, "a").select(col("event_type"), col("med2_a").as("mad4"))
+      a.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"), col("n"), col("med2_v4"), col("mad4"))
+        .agg(sum(when(lit(2) * col("a") > lit(3) * col("mad4"), 1L).otherwise(0L))
+          .cast("long").as("n_out"))
+        .select(col("event_type"), col("n").cast("long").as("n"),
+          col("med2_v4").cast("long").as("med2_x1e4"),
+          col("mad4").cast("long").as("mad4_x1e4"), col("n_out"))
+        .orderBy("event_type")
+    },
+
+    // Empirical-CDF attachment / quantile normalization (r8) — map each
+    // raw metric to its within-group cumulative distribution position,
+    // the feature transform that makes heavy-tailed metrics comparable
+    // across groups (and the exact form of cume_dist, whose built-in is
+    // a double division that can round differently across engines):
+    // cd = |{v ≤ x}|/n as an x1e6 integer rational, plus the decile
+    // bucket 1 + ((n_le−1)·10) div n derived from it. The ≤-count comes
+    // from a RANGE frame so tied values agree on their position
+    // (row-frame counting would split ties arbitrarily). One keyed
+    // window per type — parallelism = #types, no global window.
+    // q_win_ntile covers rank-based percent_rank; this is the
+    // value-based CDF, a different statistic under ties.
+    Q(
+      "q_win_cume_dist",
+      """WITH b AS (SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(38,4)) * 10000 AS BIGINT) AS v4 FROM events),
+        |w AS (SELECT event_id, event_type,
+        |    COUNT(*) OVER (PARTITION BY event_type
+        |      ORDER BY v4 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_le,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n FROM b)
+        |SELECT event_id, event_type,
+        |  CAST((n_le * 1000000) // n AS BIGINT) AS cd_x1e6,
+        |  CAST(1 + ((n_le - 1) * 10) // n AS BIGINT) AS decile
+        |FROM w ORDER BY event_id""",
+    ) { (s, dir) =>
+      val wLe = Window.partitionBy("event_type").orderBy("v4")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("event_type")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), Dec.asLong(col("value"), 4).as("v4"))
+        .withColumn("n_le", count(lit(1)).over(wLe))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .select(col("event_id"), col("event_type"),
+          expr("CAST((n_le * 1000000L) div n AS BIGINT)").as("cd_x1e6"),
+          expr("CAST(1 + ((n_le - 1) * 10L) div n AS BIGINT)").as("decile"))
+        .orderBy("event_id")
+    },
+
+    // Exact least-squares regression per group (r8) — SQL-standard
+    // REGR_SLOPE / REGR_INTERCEPT / R² re-derived in integer-exact
+    // arithmetic (the built-ins are float and rounding diverges across
+    // engines): one partial-agg'd pass collects the five moments (Σx,
+    // Σy, Σx², Σy², Σxy), then slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)
+    // etc. land as x1e6 integer rationals. Negative numerators route
+    // through sign·(|a| div b) so Spark's truncating `div` and DuckDB's
+    // flooring `//` agree. The whole query is ONE two-phase aggregation
+    // over the fact — the canonical "distributive statistic" shape that
+    // scales to any corpus (moments fit in DECIMAL(38,0) to sf 10³).
+    Q(
+      "q_agg_regr",
+      """WITH b AS (SELECT l_returnflag AS rf, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem),
+        |st AS (SELECT rf, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM b GROUP BY rf),
+        |d AS (SELECT rf, n, sx, sy,
+        |    n * sxy - sx * sy AS num, n * sxx - sx * sx AS denx,
+        |    n * syy - sy * sy AS deny FROM st)
+        |SELECT rf AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN num < 0 THEN -((-num * 1000000) // denx)
+        |            ELSE (num * 1000000) // denx END AS BIGINT) AS slope_x1e6,
+        |  CAST(CASE WHEN sy * denx - num * sx < 0
+        |            THEN -((-(sy * denx - num * sx) * 1000000) // (n * denx))
+        |            ELSE ((sy * denx - num * sx) * 1000000) // (n * denx)
+        |       END AS BIGINT) AS icept_x1e6,
+        |  CAST(((abs(num) * 1000) // denx) * ((abs(num) * 1000) // deny)
+        |       AS BIGINT) AS r2_x1e6
+        |FROM d ORDER BY l_returnflag""",
+    ) { (s, dir) =>
+      val b = Tables.lineitem(s, dir).select(
+        col("l_returnflag").as("rf"),
+        col("l_quantity").cast("long").as("x"),
+        Dec.asLong(col("l_extendedprice"), 2).as("y"))
+      b.groupBy("rf")
+        .agg(
+          count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+          sum(col("x")).cast(DecimalType(38, 0)).as("sx"),
+          sum(col("y")).cast(DecimalType(38, 0)).as("sy"),
+          sum(col("x").cast(DecimalType(19, 0)) * col("x")).cast(DecimalType(38, 0)).as("sxx"),
+          sum(col("y").cast(DecimalType(19, 0)) * col("y")).cast(DecimalType(38, 0)).as("syy"),
+          sum(col("x").cast(DecimalType(19, 0)) * col("y")).cast(DecimalType(38, 0)).as("sxy"))
+        .withColumn("num", expr("n * sxy - sx * sy"))
+        .withColumn("denx", expr("n * sxx - sx * sx"))
+        .withColumn("deny", expr("n * syy - sy * sy"))
+        .select(col("rf").as("l_returnflag"), col("n").cast("long").as("n"),
+          expr("""CAST(CASE WHEN num < 0 THEN -((-num * 1000000) div denx)
+                 ELSE (num * 1000000) div denx END AS BIGINT)""").as("slope_x1e6"),
+          expr("""CAST(CASE WHEN sy * denx - num * sx < 0
+                 THEN -((-(sy * denx - num * sx) * 1000000) div (n * denx))
+                 ELSE ((sy * denx - num * sx) * 1000000) div (n * denx)
+                 END AS BIGINT)""").as("icept_x1e6"),
+          expr("""CAST(((abs(num) * 1000) div denx) * ((abs(num) * 1000) div deny)
+                 AS BIGINT)""").as("r2_x1e6"))
+        .orderBy("l_returnflag")
+    },
   )
 }

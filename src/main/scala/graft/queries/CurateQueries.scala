@@ -354,5 +354,41 @@ object CurateQueries extends QueryPack {
           expr("CAST((SUM(n) * 10000L) div COUNT(*) AS BIGINT)").as("mean_len_x1e4"))
         .orderBy("source", "lang")
     },
+
+    // Cross-source PRIORITY dedup (r8) — the mixture-construction rule
+    // every multi-source corpus needs: when the same content arrives
+    // from several sources (Common Crawl AND a curated dump AND a
+    // partner feed), keep exactly one copy, chosen by source PRIORITY
+    // (curated beats crawl), tying on doc_id for determinism. Not the
+    // same op as exact dedup: the survivor is policy-chosen, not
+    // hash-arbitrary. Shape at 100 TB: ONE content-keyed aggregation
+    // carrying the winner via min_by over a composite (priority, id)
+    // order key — no window, no self-join, no second shuffle; the
+    // content key is the same md5 bucketing every dedup op shares.
+    // Content key = 20-char prefix hash (the corpus has no byte-exact
+    // dups by construction — §7.5 synthetic-key rule); priority = the
+    // source's numeric suffix (src0 outranks src19).
+    Q(
+      "q_mix_dedup_priority",
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(substring(source, 4) AS BIGINT) * 1000000000 + doc_id AS ord,
+        |    md5(substring(text, 1, 20)) AS k
+        |  FROM documents)
+        |SELECT arg_min(doc_id, ord) AS doc_id, arg_min(source, ord) AS source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM d GROUP BY k ORDER BY doc_id""",
+    ) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          (expr("CAST(substring(source, 4, 8) AS BIGINT)") * lit(1000000000L)
+            + col("doc_id")).as("ord"),
+          md5(substring(col("text"), 1, 20)).as("k"))
+        .groupBy("k")
+        .agg(min_by(col("doc_id"), col("ord")).as("doc_id"),
+          min_by(col("source"), col("ord")).as("source"),
+          count(lit(1)).as("n_copies"))
+        .select("doc_id", "source", "n_copies")
+        .orderBy("doc_id")
+    },
   )
 }

@@ -964,5 +964,76 @@ object JoinQueries extends QueryPack {
             struct(abs(col("cus") - col("pus")), col("cus"), col("c_id"))).as("dt_us"))
         .orderBy("p_id")
     },
+
+    // Multi-hop BFS reachability (r8) — the TRAVERSAL graph shape next
+    // to fixed-point scoring (q_graph_pagerank), components
+    // (q_dedup_cluster) and motif counting (q_graph_triangles): hop
+    // distance from a seed over the trade-backbone graph (nation→nation
+    // edges kept only when strictly heavier than the source's mean edge
+    // weight — a deterministic sparsifier, so the walk has real depth
+    // instead of a one-hop clique). The Spark side is FRONTIER BFS, the
+    // scale-correct algorithm: per round, only the newly-reached
+    // frontier joins the edge list (broadcast — the frontier is
+    // node-scale), visited nodes never re-expand, and the driver loop
+    // tests ONE aggregate (frontier count) per round — O(diameter)
+    // rounds, each a keyed join, vs the oracle's exhaustive
+    // (node, depth)-space recursive CTE. Edge derivation is the one
+    // corpus-sized cost (same 4-table join as pagerank, partial-agg'd
+    // to node²-bounded edges); everything after is metadata-sized.
+    Q(
+      "q_graph_bfs",
+      """WITH e0 AS (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+        |  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |m AS (SELECT src, SUM(w) AS tw, COUNT(*) AS cnt FROM e0 GROUP BY src),
+        |e AS (SELECT e0.src, e0.dst FROM e0 JOIN m ON e0.src = m.src
+        |      WHERE e0.w * m.cnt > m.tw AND e0.src <> e0.dst),
+        |b AS (
+        |  WITH RECURSIVE bb(node, d) AS (
+        |    SELECT CAST(0 AS BIGINT) AS node, 0 AS d
+        |    UNION
+        |    SELECT e.dst, bb.d + 1 FROM bb JOIN e ON e.src = bb.node WHERE bb.d < 25)
+        |  SELECT node, MIN(d) AS dist FROM bb GROUP BY node)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
+        |FROM b ORDER BY node""",
+    ) { (s, dir) =>
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val su = Tables.supplier(s, dir)
+      val e0 = c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
+        .groupBy(c("c_nationkey").cast("long").as("src"),
+          su("s_nationkey").cast("long").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val m = e0.groupBy("src").agg(sum(col("w")).as("tw"), count(lit(1)).as("cnt"))
+      // node²-bounded backbone, the only corpus-derived relation; pinned
+      // local so every BFS round joins a tiny materialized edge list
+      val e = e0.join(m, "src")
+        .filter(col("w") * col("cnt") > col("tw") && col("src") =!= col("dst"))
+        .select("src", "dst")
+        .localCheckpoint(true)
+      var dist = Seq((0L, 0L)).toDF("node", "dist").localCheckpoint(true)
+      var frontier = dist
+      var round = 0L
+      while (round < 25 && frontier.count() > 0) {
+        round += 1
+        // expand ONLY the frontier, then drop already-visited nodes —
+        // both sides of both joins are node-scale (broadcast)
+        val next = e.join(broadcast(frontier.select(col("node").as("src"))), "src")
+          .select(col("dst").as("node")).distinct()
+          .join(broadcast(dist.select(col("node"))), Seq("node"), "left_anti")
+          .select(col("node"), lit(round).as("dist"))
+          .localCheckpoint(true)
+        frontier = next
+        dist = dist.union(next).localCheckpoint(true)
+      }
+      dist.orderBy("node")
+    },
   )
 }

@@ -1805,5 +1805,34 @@ object TableQueries extends QueryPack {
           round(col("score") * 1e6).cast("long").as("score_x1e6"))
         .orderBy("probe_id", "rank")
     },
+
+    // Governance × clone composition (r8): policies are table PROPERTIES,
+    // properties are log entries, and a shallow clone replays the log —
+    // so a masked, row-filtered table stays governed through cloneTo with
+    // ZERO policy re-declaration (the audit-sandbox shape: hand a
+    // redacted zero-copy clone to a consumer). Divergence is one-way:
+    // the clone relaxing its row filter re-admits rows CLONE-SIDE only,
+    // while the source keeps enforcing — two logs, two folds. Golden
+    // pins the redacted/filtered rows through the clone before and after
+    // the clone-side relaxation, plus the untouched source count.
+    Q(
+      "t_governed_clone",
+      """SELECT name, count, CAST(4 AS BIGINT) AS inherited_rows,
+        |  CAST(4 AS BIGINT) AS src_rows
+        |FROM (VALUES ('***', 2), ('***', 10), ('***', 15), ('***', 20), ('***', 20))
+        |  AS t(name, count)
+        |ORDER BY count, name""",
+    ) { (s, _) =>
+      val t = tmpTable(s, "govclone")
+      t.append(items(s))
+      t.setProperties(Map("mask.name" -> "redact", "filter.row" -> "count >= 10"))
+      val c = t.cloneTo(Files.createTempDirectory("graft_govclone_dst").toString)
+      val inherited = c.readGoverned().count() // policy enforced through the clone
+      c.setProperties(Map("filter.row" -> "")) // clone-side relaxation
+      c.readGoverned().select(col("name"), col("count"))
+        .withColumn("inherited_rows", lit(inherited))
+        .withColumn("src_rows", lit(t.readGoverned().count())) // source unmoved
+        .orderBy("count", "name")
+    },
   )
 }
