@@ -976,5 +976,86 @@ object AggQueries extends QueryPack {
                  AS BIGINT)""").as("r2_x1e6"))
         .orderBy("l_returnflag")
     },
+
+    // Longest-streak / gaps-and-islands (r8) — per-user activity streaks
+    // over consecutive calendar days, the canonical engagement metric the
+    // window family was still missing (q_sessionize groups by a time GAP
+    // on raw events; this groups by calendar-day ISLANDS on the distinct
+    // day set — different statistic, different shape). The islands trick:
+    // dayNumber − row_number over per-user day order is constant exactly
+    // within a run of consecutive days, so one distinct + one keyed
+    // window + two aggregations produce total active days, best streak,
+    // and streak count. All integer (epoch-day arithmetic). Scale: the
+    // distinct collapses the corpus to (user, day) — bounded by
+    // users × calendar span — and the window partitions by user, so no
+    // global sort anywhere; parallelism = #users.
+    Q(
+      "q_win_streaks",
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |    CAST(day - DATE '1970-01-01' AS BIGINT)
+        |      - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp FROM d),
+        |st AS (SELECT user_id, grp, COUNT(*) AS len FROM r GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_days,
+        |  CAST(MAX(len) AS BIGINT) AS best_streak, CAST(COUNT(*) AS BIGINT) AS n_streaks
+        |FROM st GROUP BY user_id ORDER BY user_id""",
+    ) { (s, dir) =>
+      val d = Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .distinct()
+      d.withColumn("grp",
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long")
+            - row_number().over(Window.partitionBy("user_id").orderBy("day")))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(sum("len").cast("long").as("n_days"),
+          max("len").cast("long").as("best_streak"),
+          count(lit(1)).cast("long").as("n_streaks"))
+        .orderBy("user_id")
+    },
+
+    // Exact WEIGHTED median (r8) — the robust center of a weighted
+    // distribution (here: price weighted by shipped quantity per return
+    // flag — "the price of the median shipped unit", which differs from
+    // the median of line prices whenever cheap lines ship big
+    // quantities). Same doubling discipline as q_anomaly_mad's exact
+    // median — lo = min{v : cum ≥ (W+1) div 2}, hi = min{v : cum ≥
+    // W div 2 + 1}, wmed2 = lo + hi — but the cumulative walks SUMMED
+    // WEIGHTS over the (group, value)-distinct relation, so the whole
+    // query is one corpus-collapsing aggregate plus windows over the
+    // aggregate-sized relation. percentile() built-ins buffer whole
+    // groups and interpolate in float; this neither buffers nor rounds.
+    Q(
+      "q_agg_weighted_median",
+      """WITH b AS (SELECT l_returnflag AS rf,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS p2,
+        |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+        |g AS (SELECT rf, p2, SUM(w) AS w FROM b GROUP BY 1, 2),
+        |c AS (SELECT rf, p2,
+        |    SUM(w) OVER (PARTITION BY rf ORDER BY p2) AS cum,
+        |    SUM(w) OVER (PARTITION BY rf) AS tw FROM g)
+        |SELECT rf AS l_returnflag, CAST(MAX(tw) AS BIGINT) AS total_w,
+        |  CAST(MIN(CASE WHEN cum >= (tw + 1) // 2 THEN p2 END)
+        |     + MIN(CASE WHEN cum >= tw // 2 + 1 THEN p2 END) AS BIGINT) AS wmed2_x1e2
+        |FROM c GROUP BY rf ORDER BY rf""",
+    ) { (s, dir) =>
+      val b = Tables.lineitem(s, dir).select(
+        col("l_returnflag").as("rf"),
+        Dec.asLong(col("l_extendedprice"), 2).as("p2"),
+        col("l_quantity").cast("long").as("w"))
+      val g = b.groupBy("rf", "p2").agg(sum("w").as("w"))
+      val wc = Window.partitionBy("rf").orderBy("p2")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy("rf")
+      g.withColumn("cum", sum(col("w")).over(wc))
+        .withColumn("tw", sum(col("w")).over(wn))
+        .groupBy("rf")
+        .agg(max("tw").cast("long").as("total_w"),
+          (min(when(expr("cum >= (tw + 1) div 2"), col("p2")))
+            + min(when(expr("cum >= tw div 2 + 1"), col("p2"))))
+            .cast("long").as("wmed2_x1e2"))
+        .select(col("rf").as("l_returnflag"), col("total_w"), col("wmed2_x1e2"))
+        .orderBy("l_returnflag")
+    },
   )
 }

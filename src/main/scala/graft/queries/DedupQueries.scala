@@ -788,5 +788,50 @@ object DedupQueries extends QueryPack {
             " ")).as("clean_md5"))
         .orderBy("doc_id")
     },
+
+    // Cross-source duplication CONTINGENCY (r8) — the dedup AUDIT: which
+    // sources share content with which (crawl mirroring a curated dump,
+    // two crawls overlapping), counted as distinct shared contents per
+    // unordered source pair, plus the diagonal (contents duplicated
+    // WITHIN one source). This is the report a curation team reads
+    // before choosing the q_mix_dedup_priority policy. The oracle
+    // self-joins per-content source sets (n² per content); the Spark
+    // side never self-joins: ONE content-keyed aggregation collects each
+    // content's tiny per-source count list (bounded by #sources), pairs
+    // come from an aggregate-sized slice/transform expansion, and the
+    // diagonal falls out of the same pass (c ≥ 2). Scale: one keyed
+    // shuffle of pre-combined (content, source) rows; the pair explode
+    // is per-content O(#sources²) with #sources small and fixed —
+    // nothing grows with corpus size except the one partial-agg'd
+    // exchange.
+    Q(
+      "q_dedup_cross_source",
+      """WITH cs AS (SELECT md5(substr(text, 1, 256)) AS k, source, COUNT(*) AS c
+        |    FROM documents GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.source AS source_a, b.source AS source_b
+        |  FROM cs a JOIN cs b ON a.k = b.k AND a.source < b.source
+        |  UNION ALL
+        |  SELECT source, source FROM cs WHERE c >= 2)
+        |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""",
+    ) { (s, dir) =>
+      val cs = Tables.spread(Tables.documents(s, dir))
+        .select(md5(substring(col("text"), 1, 256)).as("k"), col("source"))
+        .groupBy("k", "source").agg(count(lit(1)).as("c"))
+      val perK = cs.groupBy("k").agg(
+        sort_array(collect_list(struct(col("source"), col("c")))).as("arr"))
+      perK.select(explode(expr(
+          """concat(
+            |  flatten(transform(arr, (x, i) ->
+            |    transform(slice(arr, i + 2, size(arr)),
+            |      y -> struct(x.source AS source_a, y.source AS source_b)))),
+            |  transform(filter(arr, x -> x.c >= 2),
+            |    x -> struct(x.source AS source_a, x.source AS source_b)))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
+        .agg(count(lit(1)).cast("long").as("n_shared"))
+        .orderBy("source_a", "source_b")
+    },
   )
 }

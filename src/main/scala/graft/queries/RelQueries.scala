@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Dec, Q, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scans, filters, conditional projection, top-k and set operations —
@@ -225,6 +226,51 @@ object RelQueries extends QueryPack {
         .select(col("p.col_name"), col("n_rows"), col("p.n_nonnull"),
           col("p.n_distinct"), col("p.min_repr"), col("p.max_repr"))
         .orderBy("col_name")
+    },
+
+    // SKYLINE / Pareto frontier (r8) — the multi-objective filter
+    // (minimize price, maximize size): keep parts no other part beats on
+    // both axes (≤ price, ≥ size, one strict). The naive form is an n²
+    // NOT EXISTS self-join (exactly what the oracle runs); the
+    // distributed form is the classic two-phase skyline: (1) bucket-local
+    // skylines via two keyed windows over each hash bucket — max size
+    // among strictly-cheaper bucket rows (RANGE frame to −1) and max size
+    // within the same price — then (2) the final frontier as one
+    // broadcast anti-join of the small candidate union against itself.
+    // Correct because dominance is transitive: any globally-dominated row
+    // is dominated by some bucket-local survivor, so pruning against the
+    // candidate set alone is exact. Scale: phase 1 touches each row once
+    // with parallelism = #buckets and no global sort; phase 2's input is
+    // bounded by #buckets × per-bucket frontier (2-D frontiers are tiny),
+    // so the broadcast never grows with the corpus.
+    Q(
+      "q_skyline",
+      """WITH b AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+        |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_x1e2 FROM part)
+        |SELECT p_partkey, size, price_x1e2 FROM b a
+        |WHERE NOT EXISTS (SELECT 1 FROM b x
+        |  WHERE x.price_x1e2 <= a.price_x1e2 AND x.size >= a.size
+        |    AND (x.price_x1e2 < a.price_x1e2 OR x.size > a.size))
+        |ORDER BY p_partkey""",
+    ) { (s, dir) =>
+      val b = Tables.part(s, dir).select(
+        col("p_partkey"), col("p_size").cast("long").as("size"),
+        Dec.asLong(col("p_retailprice"), 2).as("price_x1e2"),
+        pmod(hash(col("p_partkey")), lit(32)).as("bkt"))
+      val wPrev = Window.partitionBy("bkt").orderBy("price_x1e2")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wEq = Window.partitionBy("bkt", "price_x1e2")
+      val local = b
+        .withColumn("m1", max("size").over(wPrev))
+        .withColumn("m2", max("size").over(wEq))
+        .filter((col("m1").isNull || col("size") > col("m1")) && col("size") === col("m2"))
+        .select("p_partkey", "size", "price_x1e2")
+      val other = local.select(col("price_x1e2").as("xp"), col("size").as("xs"))
+      local.join(broadcast(other),
+          col("xp") <= col("price_x1e2") && col("xs") >= col("size")
+            && (col("xp") < col("price_x1e2") || col("xs") > col("size")),
+          "left_anti")
+        .orderBy("p_partkey")
     },
   )
 }

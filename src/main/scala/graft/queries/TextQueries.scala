@@ -770,5 +770,61 @@ object TextQueries extends QueryPack {
           col("sum_score_x1e4"))
         .orderBy("source")
     },
+
+    // Largest-remainder token-budget apportionment (r8) — the exact
+    // integer answer to "split a B-token training budget across domains
+    // proportional to capped weights" (Hamilton's method: floor shares
+    // first, then the K leftover tokens to the K largest remainders).
+    // Head domains are capped at the mean (wt = min(tokens, tot div ns))
+    // so no single source can swallow the mixture — the budget-planning
+    // complement of q_mix_temperature (which SAMPLES per-language docs
+    // by √count) and q_mix_epochs (which REPEATS tail languages). By
+    // construction Σalloc = B exactly — the invariant float-weighted
+    // mixtures never give you. Scale: ONE corpus pass partial-aggs to
+    // per-source token counts; everything after is domain-cardinality-
+    // sized, and the remainder rank comes from a keys=[] collect +
+    // sort_array + posexplode (aggregate-sized, no global window).
+    Q(
+      "q_mix_domain_balance",
+      """WITH d AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),
+        |s AS (SELECT source, CAST(SUM(tok) AS BIGINT) AS tokens FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS ns FROM s),
+        |w AS (SELECT source, tokens, LEAST(tokens, tot // ns) AS wt, tot // 2 AS b FROM s, t),
+        |tw AS (SELECT CAST(SUM(wt) AS BIGINT) AS wsum FROM w),
+        |base AS (SELECT source, tokens, wt, b, (b * wt) // wsum AS alloc0, (b * wt) % wsum AS rem
+        |  FROM w, tw),
+        |k AS (SELECT CAST(MAX(b) - SUM(alloc0) AS BIGINT) AS leftover FROM base),
+        |r AS (SELECT source, tokens, wt, alloc0,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk FROM base)
+        |SELECT source, tokens, CAST(wt AS BIGINT) AS weight,
+        |  CAST(alloc0 + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r, k ORDER BY source""",
+    ) { (s, dir) =>
+      val d = Tables.spread(Tables.documents(s, dir))
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("tok"))
+      val perSrc = d.groupBy("source").agg(sum("tok").as("tokens"))
+      val tot = perSrc.agg(sum("tokens").as("tot"), count(lit(1)).as("ns"))
+      val w = perSrc.crossJoin(broadcast(tot))
+        .withColumn("wt", least(col("tokens"), expr("tot div ns")))
+        .withColumn("b", expr("tot div 2"))
+      val tw = w.agg(sum("wt").as("wsum"))
+      val base = w.crossJoin(broadcast(tw))
+        .withColumn("alloc0", expr("(b * wt) div wsum"))
+        .withColumn("rem", expr("(b * wt) % wsum"))
+      val k = base.agg((max("b") - sum("alloc0")).as("leftover"))
+      // remainder rank without a global window: keys=[] collect of the
+      // domain-sized relation, sort by (−rem, source), posexplode
+      base.agg(sort_array(collect_list(struct(
+            (-col("rem")).as("nr"), col("source"), col("tokens"),
+            col("wt"), col("alloc0")))).as("arr"))
+        .select(posexplode(col("arr")).as(Seq("pos", "r")))
+        .crossJoin(broadcast(k))
+        .select(col("r.source").as("source"),
+          col("r.tokens").cast("long").as("tokens"),
+          col("r.wt").cast("long").as("weight"),
+          (col("r.alloc0") + when(col("pos") + 1 <= col("leftover"), 1L).otherwise(0L))
+            .cast("long").as("alloc"))
+        .orderBy("source")
+    },
   )
 }

@@ -384,7 +384,10 @@ final class CommitLog(val root: Path) {
 
   private def entriesRaw(asOf: Long): Seq[LogEntry] = {
     val ck = latestCkpt
-    val base = ck.map(p => Json.parseEntries(Files.readString(p)))
+    // checkpoint parse goes through the content-keyed process cache
+    // (CommitLog.cachedCkptParse): repeated plans at an unchanged head
+    // skip the O(live files) JSON parse entirely
+    val base = ck.map(CommitLog.cachedCkptParse)
       .getOrElse(Nil).map(resolved)
     // An entry file is part of the log unless the checkpoint already
     // contains its seq. Filtering by CONTAINMENT rather than `seq > ckSeq`
@@ -460,7 +463,7 @@ final class CommitLog(val root: Path) {
     */
   def metaFileCount: Int = {
     val ck = latestCkpt
-    val baseSeqs = ck.map(p => Json.parseEntries(Files.readString(p)).map(_.seq).toSet)
+    val baseSeqs = ck.map(p => CommitLog.cachedCkptParse(p).map(_.seq).toSet)
       .getOrElse(Set.empty[Long])
     val tail = listed(logDir)(_.count { p =>
       val n = p.getFileName.toString
@@ -656,7 +659,7 @@ final class CommitLog(val root: Path) {
     * Exclusive create: tagging an existing name fails, like the CAS.
     */
   def createTag(name: String, seq: Long): Unit = {
-    require(name.nonEmpty && !name.contains('/') && !name.contains(' '),
+    require(name.nonEmpty && !name.contains('/') && !name.contains('\u0000'),
       s"invalid tag name: $name")
     require(entries().exists(_.seq == seq), s"tag $name targets uncommitted seq $seq")
     Files.createDirectories(refsDir)
@@ -754,6 +757,44 @@ object CommitLog {
     * remove_orphan_files default horizon.
     */
   val TxnAbandonHorizonMs: Long = 3L * 3600 * 1000
+
+  /** Process-wide parsed-checkpoint cache (r8) — the r7 verdict measured
+    * the read path's one scaling cost: EVERY entries() re-reads and
+    * re-parses the checkpoint JSON, O(live files) per plan (417 ms cold /
+    * 122 ms per re-read at 50k files). The checkpoint is an immutable-
+    * once-written file that changes only by atomic move, so its parse is
+    * memoizable by CONTENT IDENTITY — (absolute path, size, mtime ns) —
+    * never by table state: a new checkpoint lands at a new top-seq path;
+    * a same-path rewrite (expiration's in-place shrink, a re-fold
+    * adopting a straggler) changes size; and either changes mtime. A
+    * stale key can therefore never serve wrong entries, and commits need
+    * no invalidation hook (tail entry files are read fresh per call).
+    * Entries are cached UNRESOLVED (as parsed); resolution against the
+    * table root stays per-call string work. Iceberg's manifest caching
+    * (io.manifest.cache-enabled) makes the same trade.
+    */
+  private val ckptCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Seq[LogEntry]]()
+  private[table] val ckptCacheHits = new java.util.concurrent.atomic.LongAdder
+  private[table] val ckptCacheMisses = new java.util.concurrent.atomic.LongAdder
+
+  private[table] def cachedCkptParse(p: Path): Seq[LogEntry] = {
+    val a = Files.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes])
+    val key = (p.toAbsolutePath.toString, a.size(),
+      a.lastModifiedTime().to(java.util.concurrent.TimeUnit.NANOSECONDS))
+    val hit = ckptCache.get(key)
+    if (hit != null) { ckptCacheHits.increment(); hit }
+    else {
+      // bound the footprint: one entry per live (table, checkpoint) —
+      // test suites churn thousands of tmp tables, so evict wholesale
+      // past a small cap instead of tracking LRU order
+      if (ckptCache.size() >= 64) ckptCache.clear()
+      val parsed = Json.parseEntries(Files.readString(p))
+      ckptCache.put(key, parsed)
+      ckptCacheMisses.increment()
+      parsed
+    }
+  }
 
   def apply(dir: String): CommitLog = new CommitLog(Paths.get(dir))
 

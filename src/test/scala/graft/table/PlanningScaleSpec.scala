@@ -46,6 +46,11 @@ class PlanningScaleSpec extends AnyFunSuite {
     assert(log.metaFileCount == 1)
     val (es, tParse) = ms(log.entries())
     assert(es.map(_.dataFiles.size).sum == commits * filesPer)
+    // r8: the warm path goes through the parsed-checkpoint cache — the
+    // per-plan cost at an unchanged head drops from the full JSON parse
+    // to an attribute stat + per-call resolution
+    val (es2, tParseWarm) = ms(log.entries())
+    assert(es2.map(_.dataFiles.size).sum == commits * filesPer)
     val (st, tState) = ms(CommitLog.stateFrom(es))
     assert(st._1.size == commits * filesPer)
     val (pruned, tPrune) = ms(
@@ -55,9 +60,10 @@ class PlanningScaleSpec extends AnyFunSuite {
     // files survive a one-commit-wide probe
     assert(pruned._1.size == filesPer)
     info(s"50k files: checkpoint fold ${tFoldAll}ms, " +
-      s"entries() parse ${tParse}ms, stateFrom ${tState}ms, pruned plan ${tPrune}ms")
+      s"entries() parse ${tParse}ms (warm ${tParseWarm}ms), " +
+      s"stateFrom ${tState}ms, pruned plan ${tPrune}ms")
     println(s"PLANNING_SCALE 50k: fold=${tFoldAll}ms parse=${tParse}ms " +
-      s"state=${tState}ms prune=${tPrune}ms")
+      s"warm=${tParseWarm}ms state=${tState}ms prune=${tPrune}ms")
     // loose ceilings: planning must stay interactive, not instant
     assert(tParse < 15000, s"checkpoint parse took ${tParse}ms at 50k files")
     assert(tState < 5000)
