@@ -1021,10 +1021,11 @@ object AggQueries extends QueryPack {
     // quantities). Same doubling discipline as q_anomaly_mad's exact
     // median — lo = min{v : cum ≥ (W+1) div 2}, hi = min{v : cum ≥
     // W div 2 + 1}, wmed2 = lo + hi — but the cumulative walks SUMMED
-    // WEIGHTS over the (group, value)-distinct relation, so the whole
-    // query is one corpus-collapsing aggregate plus windows over the
-    // aggregate-sized relation. percentile() built-ins buffer whole
-    // groups and interpolate in float; this neither buffers nor rounds.
+    // WEIGHTS over the (group, value)-distinct relation, computed as a
+    // hierarchical prefix sum (see the plan note in the body) so no
+    // window is ever keyed by the tiny group column alone. percentile()
+    // built-ins buffer whole groups and interpolate in float; this
+    // neither buffers nor rounds.
     Q(
       "q_agg_weighted_median",
       """WITH b AS (SELECT l_returnflag AS rf,
@@ -1039,16 +1040,32 @@ object AggQueries extends QueryPack {
         |     + MIN(CASE WHEN cum >= tw // 2 + 1 THEN p2 END) AS BIGINT) AS wmed2_x1e2
         |FROM c GROUP BY rf ORDER BY rf""",
     ) { (s, dir) =>
+      // HIERARCHICAL cumulative sum (r8 plan fix): the one-window-per-
+      // group form sorts each group's whole (value → weight) relation in
+      // a SINGLE task (3 return flags = 3 tasks — dead at 100 TB, where
+      // the distinct-price relation is ~1e8 rows/group). Instead: cum =
+      // (running sum over coarse VALUE BUCKETS, a group×~1e3-row window)
+      // + (running sum WITHIN the bucket, windows keyed by (group,
+      // bucket) — parallelism = groups × buckets). Same exact cum at
+      // every row, so the same lo+hi doubling; only the plan changed.
       val b = Tables.lineitem(s, dir).select(
         col("l_returnflag").as("rf"),
         Dec.asLong(col("l_extendedprice"), 2).as("p2"),
         col("l_quantity").cast("long").as("w"))
       val g = b.groupBy("rf", "p2").agg(sum("w").as("w"))
-      val wc = Window.partitionBy("rf").orderBy("p2")
+        .withColumn("bkt", expr("p2 div 100000")) // ~1e3 coarse buckets
+      // bucket-level prefix: tiny relation (groups × buckets), one window
+      val perBkt = g.groupBy("rf", "bkt").agg(sum("w").as("bw"))
+        .withColumn("boff",
+          coalesce(sum(col("bw")).over(Window.partitionBy("rf").orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("tw", sum(col("bw")).over(Window.partitionBy("rf")))
+      // within-bucket prefix: windows keyed by (rf, bkt) — fully parallel
+      val wIn = Window.partitionBy("rf", "bkt").orderBy("p2")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wn = Window.partitionBy("rf")
-      g.withColumn("cum", sum(col("w")).over(wc))
-        .withColumn("tw", sum(col("w")).over(wn))
+      g.withColumn("icum", sum(col("w")).over(wIn))
+        .join(broadcast(perBkt.select("rf", "bkt", "boff", "tw")), Seq("rf", "bkt"))
+        .withColumn("cum", col("boff") + col("icum"))
         .groupBy("rf")
         .agg(max("tw").cast("long").as("total_w"),
           (min(when(expr("cum >= (tw + 1) div 2"), col("p2")))

@@ -456,6 +456,153 @@ object JoinQueries extends QueryPack {
         LIMIT 20""")
     },
 
+    // TPC-H Q7 (volume shipping, r8): the bidirectional two-nation trade
+    // flow — lineitem joins BOTH dims of the same tiny table (nation
+    // aliased twice, once through supplier, once through customer), with
+    // an OR-of-pairs predicate that can only be applied AFTER both dims
+    // attach. The plan Catalyst picks (and should at 100 TB): nation and
+    // supplier broadcast, so the only shuffles are the two fact joins
+    // (lineitem⋈orders, orders⋈customer) and the final 6-group partial
+    // agg; the date filter pushes to the lineitem scan. Exact arithmetic:
+    // revenue summed in DECIMAL then scaled to BIGINT like q3/q5/q10.
+    Q(
+      "q_sql_q7",
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(CAST(SUM(vol) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS revenue_x1e6,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |        CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+        |        CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) AS vol
+        |      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |      JOIN orders ON o_orderkey = l_orderkey
+        |      JOIN customer ON c_custkey = o_custkey
+        |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |      WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |          OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+        |        AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |        AND l_shipdate < TIMESTAMP '1998-01-01')
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""",
+    ) { (s, dir) =>
+      sqlOverViews(s,
+        "supplier" -> Tables.supplier(s, dir),
+        "lineitem" -> Tables.lineitem(s, dir),
+        "orders" -> Tables.orders(s, dir),
+        "customer" -> Tables.customer(s, dir),
+        "nation" -> Tables.nation(s, dir))("""
+        SELECT supp_nation, cust_nation, l_year,
+          CAST(CAST(SUM(vol) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS revenue_x1e6,
+          CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) AS vol
+              FROM {supplier} JOIN {lineitem} ON s_suppkey = l_suppkey
+              JOIN {orders} ON o_orderkey = l_orderkey
+              JOIN {customer} ON c_custkey = o_custkey
+              JOIN {nation} n1 ON s_nationkey = n1.n_nationkey
+              JOIN {nation} n2 ON c_nationkey = n2.n_nationkey
+              WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+                  OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+                AND l_shipdate >= TIMESTAMP '1995-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01')
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year""")
+    },
+
+    // TPC-H Q1 (pricing summary, r8): THE canonical scan-heavy report —
+    // one pass over lineitem, 7 aggregates per (returnflag, linestatus),
+    // nothing but a pushed date filter and a two-phase partial agg in
+    // the plan (the query whole-stage codegen was built for). Exact
+    // arithmetic: base/discounted/charged revenue accumulate in DECIMAL
+    // at their natural scales (2/4/6) and land as scaled BIGINTs; the
+    // averages are integer rationals over (sum, count) — no float, no
+    // AVG() rounding divergence.
+    Q(
+      "q_sql_q1",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) * 100 AS BIGINT) AS sum_base_x1e2,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS sum_disc_x1e4,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS sum_charge_x1e6,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST((SUM(CAST(l_quantity AS BIGINT)) * 1000000) // COUNT(*) AS BIGINT) AS avg_qty_x1e6,
+        |  CAST((SUM(CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)) * 10000) // COUNT(*) AS BIGINT) AS avg_disc_x1e6
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""",
+    ) { (s, dir) =>
+      sqlOverViews(s, "lineitem" -> Tables.lineitem(s, dir))("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) * 100 AS BIGINT) AS sum_base_x1e2,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS sum_disc_x1e4,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS sum_charge_x1e6,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST((SUM(CAST(l_quantity AS BIGINT)) * 1000000L) div COUNT(*) AS BIGINT) AS avg_qty_x1e6,
+          CAST((SUM(CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)) * 10000L) div COUNT(*) AS BIGINT) AS avg_disc_x1e6
+        FROM {lineitem} WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
+    },
+
+    // Node-similarity Jaccard over the customer–part co-purchase graph
+    // (r8): "customers like you" / collaborative-filtering candidate
+    // generation — for every customer pair sharing a purchased part,
+    // |parts(a) ∩ parts(b)| / |parts(a) ∪ parts(b)| as an exact x1e6
+    // rational, top-20. The classic set-similarity join: NEVER the n²
+    // customer self-join — pairs are enumerated per part (the inverted
+    // index), so work is Σ_p deg(p)², bounded by the hot-part cap below.
+    // Parts above the cap are excluded in BOTH engines (like dedup's
+    // MaxBucketDf stop keys — ubiquitous items carry no similarity
+    // signal, exactly stop-word removal in set-similarity literature).
+    Q(
+      "q_graph_jaccard",
+      """WITH cp0 AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |hot AS (SELECT p FROM cp0 GROUP BY p HAVING COUNT(*) > 500),
+        |cp AS (SELECT c, p FROM cp0 WHERE p NOT IN (SELECT p FROM hot)),
+        |deg AS (SELECT c, COUNT(*) AS d FROM cp GROUP BY 1),
+        |inter AS (SELECT a.c AS c1, b.c AS c2, COUNT(*) AS i
+        |          FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c GROUP BY 1, 2)
+        |SELECT c1, c2, CAST(i AS BIGINT) AS n_common,
+        |  CAST((i * 1000000) // (d1.d + d2.d - i) AS BIGINT) AS jaccard_x1e6
+        |FROM inter JOIN deg d1 ON c1 = d1.c JOIN deg d2 ON c2 = d2.c
+        |ORDER BY jaccard_x1e6 DESC, c1, c2 LIMIT 20""",
+    ) { (s, dir) =>
+      val maxDeg = 500 // hot-part stop key: work/part ≤ maxDeg², corpus-independent
+      val cp = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey").as("p"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey").as("c")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select("c", "p").distinct()
+      // per-part customer lists (the inverted index), hot parts dropped;
+      // pair enumeration is array-local per part — no customer self-join
+      val byPart = cp.groupBy("p")
+        .agg(sort_array(collect_list(col("c"))).as("cs"))
+        .filter(size(col("cs")) <= maxDeg)
+      // pairs ride as ONE packed BIGINT (c1 << 32 | c2, c1 < c2 because
+      // cs is sorted): Σdeg² of them per corpus — a narrow explode and a
+      // single-long shuffle key instead of a struct
+      val pairs = byPart.filter(size(col("cs")) >= 2).select(explode(expr(
+          """flatten(transform(cs, (x, i) ->
+            |  transform(slice(cs, i + 2, size(cs)),
+            |    y -> x * 4294967296L + y)))""".stripMargin)).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("i"))
+        .select(expr("pk div 4294967296L").as("c1"),
+          expr("pk % 4294967296L").as("c2"), col("i"))
+      // degree = non-hot parts per customer, derived from the SAME
+      // inverted index (Spark reuses the exchange; singleton parts count)
+      val deg = byPart.select(explode(col("cs")).as("c"))
+        .groupBy("c").agg(count(lit(1)).as("d"))
+      pairs
+        .join(deg.select(col("c").as("c1"), col("d").as("d1")), Seq("c1"))
+        .join(deg.select(col("c").as("c2"), col("d").as("d2")), Seq("c2"))
+        .select(col("c1"), col("c2"), col("i").cast("long").as("n_common"),
+          expr("CAST((i * 1000000L) div (d1 + d2 - i) AS BIGINT)").as("jaccard_x1e6"))
+        .orderBy(col("jaccard_x1e6").desc, col("c1"), col("c2"))
+        .limit(20)
+    },
+
     // Weighted PageRank over the nation trade graph — the iterative
     // graph-analytics shape (label propagation's weighted cousin; the
     // frontier-walk q_sql_recursive covers the traversal family, this

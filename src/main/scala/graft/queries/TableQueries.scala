@@ -1834,5 +1834,47 @@ object TableQueries extends QueryPack {
         .withColumn("src_rows", lit(t.readGoverned().count())) // source unmoved
         .orderBy("count", "name")
     },
+
+    // add_files import (r8): adopt a pre-existing raw parquet lake into a
+    // governed table as ONE metadata commit — no byte copied, no rewrite
+    // (Iceberg's add_files procedure, Delta's CONVERT TO DELTA). The
+    // adopted files keep their external absolute paths in the log (the
+    // same out-of-root adoption shallow clones use), get footer row
+    // counts + per-file stats at adoption (so data skipping prunes them
+    // immediately), and join row-id lineage like any native append. The
+    // 100 TB story: migrating a lake in O(manifest) instead of O(data).
+    // Golden pins the merged read (native + adopted rows); in-place
+    // adoption and stats pruning are hard-asserted in the body, and the
+    // deep checks (vacuum safety, compaction re-homing) live in
+    // TableLayerSpec.
+    Q(
+      "t_add_files",
+      """SELECT * FROM (VALUES
+        |  ('A','small',2),('A','small',202),('B','medium',15),('B','medium',215),
+        |  ('C','medium',10),('C','medium',210),('D','small',20),('D','small',220),
+        |  ('E','large',20),('E','large',220)) AS t(name, size, count)
+        |ORDER BY name, count""",
+    ) { (s, _) =>
+      val t = tmpTable(s, "addfiles")
+      t.append(items(s), statsCols = Seq("count"))
+      // the "legacy lake": parquet written OUTSIDE the table by a
+      // foreign writer (two shards, pinned for the pruning assert)
+      val ext = Files.createTempDirectory("graft_legacy_lake").resolve("items")
+      items(s).withColumn("count", col("count") + 200)
+        .repartition(2).write.parquet(ext.toString)
+      val extFiles = Files.walk(ext).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toSeq.sorted
+      t.addFiles(extFiles, statsCols = Seq("count"))
+      // adopted in place: every external file is live AT its original path
+      val live = t.filesMeta.select("path").collect().map(_.getString(0)).toSet
+      require(extFiles.forall(live), "adopted files must stay at their external paths")
+      require(extFiles.forall(f => !f.startsWith(t.root.toString)),
+        "fixture broke: legacy files must live outside the table root")
+      // adoption stats prune: a count>200 probe opens no native file
+      require(t.prunedFileCount("count", BigDecimal(202), BigDecimal(10000)) <= 2,
+        "adopted per-file stats must prune the native files")
+      t.read().orderBy("name", "count")
+    },
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline (north star,
@@ -825,6 +826,79 @@ object TextQueries extends QueryPack {
           (col("r.alloc0") + when(col("pos") + 1 <= col("leftover"), 1L).otherwise(0L))
             .cast("long").as("alloc"))
         .orderBy("source")
+    },
+
+    // Exact stratified sampling (r8) — draw a FIXED-size eval/holdout set
+    // (K = 100 docs) allocated across language strata by Hamilton
+    // apportionment (Σ per-stratum quota = K exactly), with the rows
+    // inside each stratum chosen by deterministic md5 rank — the same
+    // replayable-hash discipline as q_sample_split, but with EXACT
+    // per-stratum counts instead of Bernoulli rates (an eval set sized
+    // "about 100" is not an eval set). Scale shape: the per-stratum
+    // top-quota never global-sorts and never single-partitions a
+    // stratum — phase 1 takes each (stratum, hash-bucket)'s local
+    // top-quota (any global top-quota row is within its own bucket's
+    // top-quota), phase 2 ranks only the candidate union, bounded by
+    // #buckets × quota — aggregate-sized, corpus-independent. Parallelism
+    // = #strata × #buckets, so one giant stratum can't serialize.
+    Q(
+      "q_sample_stratified",
+      """WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM n),
+        |b AS (SELECT lang, n, (100 * n) // tot AS q0, (100 * n) % tot AS rem FROM n, t),
+        |k AS (SELECT 100 - SUM(q0) AS leftover FROM b),
+        |r AS (SELECT lang, n, q0, ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk FROM b),
+        |qt AS (SELECT lang, n, q0 + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota FROM r, k),
+        |rk2 AS (SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents),
+        |sel AS (SELECT rk2.lang, doc_id FROM rk2 JOIN qt USING (lang) WHERE rn <= quota)
+        |SELECT qt.lang, CAST(qt.n AS BIGINT) AS n_total, CAST(qt.quota AS BIGINT) AS quota,
+        |  CAST(COUNT(sel.doc_id) AS BIGINT) AS n_sampled,
+        |  CAST(COALESCE(SUM(sel.doc_id), 0) AS BIGINT) AS sum_ids
+        |FROM qt LEFT JOIN sel ON qt.lang = sel.lang
+        |GROUP BY 1, 2, 3 ORDER BY 1""",
+    ) { (s, dir) =>
+      val K = 100
+      val B = 8 // hash buckets per stratum; scale with cluster width
+      val docs = Tables.spread(Tables.documents(s, dir))
+        .select(col("lang"), col("doc_id"),
+          md5(col("doc_id").cast("string")).as("h"))
+      val n = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val base = n.crossJoin(broadcast(n.agg(sum("n").as("tot"))))
+        .withColumn("q0", expr(s"($K * n) div tot"))
+        .withColumn("rem", expr(s"($K * n) % tot"))
+      val leftover = base.agg((lit(K) - sum("q0")).as("leftover"))
+      // Hamilton remainder rank on the strata-sized relation (no global
+      // window): keys=[] collect + sort_array + posexplode, as
+      // q_mix_domain_balance
+      val quota = base
+        .agg(sort_array(collect_list(struct(
+          (-col("rem")).as("nr"), col("lang"), col("n"), col("q0")))).as("arr"))
+        .select(posexplode(col("arr")).as(Seq("pos", "r")))
+        .crossJoin(broadcast(leftover))
+        .select(col("r.lang").as("lang"), col("r.n").as("n_total"),
+          (col("r.q0") + when(col("pos") < col("leftover"), 1L).otherwise(0L))
+            .as("quota"))
+      // phase 1: (stratum, bucket)-local top-quota — superset of the
+      // global per-stratum top-quota, |candidates| ≤ B × quota
+      val bucketed = docs
+        .withColumn("b", pmod(hash(col("doc_id")), lit(B)))
+        .join(broadcast(quota.select("lang", "quota")), Seq("lang"))
+      val wLoc = Window.partitionBy("lang", "b").orderBy(col("h"), col("doc_id"))
+      val cand = bucketed.withColumn("rn", row_number().over(wLoc))
+        .filter(col("rn") <= col("quota"))
+      // phase 2: exact rank over the aggregate-sized candidate union
+      val wG = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      val sel = cand.withColumn("grn", row_number().over(wG))
+        .filter(col("grn") <= col("quota"))
+      quota.join(
+          sel.groupBy("lang")
+            .agg(count(lit(1)).as("n_sampled"), sum("doc_id").as("sum_ids")),
+          Seq("lang"), "left")
+        .select(col("lang"), col("n_total").cast("long").as("n_total"),
+          col("quota").cast("long").as("quota"),
+          coalesce(col("n_sampled"), lit(0L)).cast("long").as("n_sampled"),
+          coalesce(col("sum_ids"), lit(0L)).cast("long").as("sum_ids"))
+        .orderBy("lang")
     },
   )
 }

@@ -81,7 +81,16 @@ final case class LogEntry(
     // seq order, an EMPTY value unsets the key. Rides a dedicated
     // file-less "props" action (stateFrom ignores it) but any entry may
     // carry assignments.
-    props: Map[String, String] = Map.empty) {
+    props: Map[String, String] = Map.empty,
+    // SIDECAR pointer for this entry's per-file blooms (r8) — Iceberg's
+    // Puffin idea: bitmap payloads leave the manifest, so the log entry
+    // and every checkpoint fold stay stats-sized (the r8 measurement:
+    // inline blooms put 107 MiB into a 5k-file checkpoint). Root-relative
+    // on disk, absolute in memory; loaded LAZILY (and process-cached)
+    // only when a point probe actually consults blooms — plans without
+    // bloom probes never read it. "" = none; entries may instead carry
+    // legacy INLINE fileBlooms above, which still read fine.
+    bloomsRef: String = "") {
 
   /** bounds-intersection under the PRUNE's ordering: string prunes
     * compare lexicographically (string columns record native min/max —
@@ -278,12 +287,20 @@ final class CommitLog(val root: Path) {
   private def resolved(e: LogEntry): LogEntry =
     e.copy(dataFiles = e.dataFiles.map(resolvePath),
       deleteFiles = e.deleteFiles.map(resolvePath),
-      txnMarker = resolveMarker(e.txnMarker))
+      txnMarker = resolveMarker(e.txnMarker),
+      bloomsRef = if (e.bloomsRef.isEmpty) "" else {
+        // like data files: relative resolves against THIS root (branch
+        // seeds `..`-step to the owning table's sidecar), absolute stays
+        val q = Paths.get(e.bloomsRef)
+        if (q.isAbsolute) q.normalize.toString
+        else rootAbs.resolve(e.bloomsRef).normalize.toString
+      })
 
   private def relativized(e: LogEntry): LogEntry =
     e.copy(dataFiles = e.dataFiles.map(relPath),
       deleteFiles = e.deleteFiles.map(relPath),
-      txnMarker = relMarker(e.txnMarker))
+      txnMarker = relMarker(e.txnMarker),
+      bloomsRef = relPath(e.bloomsRef))
 
   private def entryPath(seq: Long): Path = logDir.resolve(f"$seq%020d.json")
 
@@ -539,14 +556,32 @@ final class CommitLog(val root: Path) {
       s"fileRowIds (${fileRowIds.size}) must parallel dataFiles (${dataFiles.size})")
     require(!assignRowIds || (fileRows.size == dataFiles.size && fileRowIds.isEmpty),
       "assignRowIds derives fileRowIds from fileRows; pass counts, not bases")
+    // SPILL blooms to a sidecar (r8, the Puffin move): bitmap payloads
+    // never enter the log entry or any checkpoint fold — the entry keeps
+    // a pointer, loaded lazily by the first point probe. Written BEFORE
+    // the CAS under a random name (no seq dependence); a commit that
+    // loses every CAS attempt leaves a small orphan that
+    // removeOrphanFiles' sidecar sweep reclaims past the age horizon.
+    val (blooms2, bloomsRef) =
+      if (fileBlooms.forall(_.isEmpty)) (fileBlooms, "")
+      else {
+        val dir = logDir.resolve("_puffin")
+        Files.createDirectories(dir)
+        val tmp = Files.createTempFile(dir, ".bloom-", ".tmp")
+        Files.write(tmp, Json.renderBlooms(fileBlooms).getBytes(StandardCharsets.UTF_8))
+        val p = dir.resolve(
+          java.util.UUID.randomUUID().toString.replace("-", "") + ".json")
+        Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        (Nil, p.toAbsolutePath.normalize.toString)
+      }
     if (CommitLog.isRewriting(action, equalityCols))
       MaintLock.withLocks(Seq(CommitLog.maintLockPath(root)))(casLoop(
         action, dataFiles, deleteFiles, equalityCols, stats, schemaJson,
-        fileStats, partSpec, fileBlooms, fileRows, fileRowIds, rowIdHigh,
+        fileStats, partSpec, blooms2, bloomsRef, fileRows, fileRowIds, rowIdHigh,
         assignRowIds, txnMarker, props, expectedCommittedSeqs, maxAttempts))
     else casLoop(
       action, dataFiles, deleteFiles, equalityCols, stats, schemaJson,
-      fileStats, partSpec, fileBlooms, fileRows, fileRowIds, rowIdHigh,
+      fileStats, partSpec, blooms2, bloomsRef, fileRows, fileRowIds, rowIdHigh,
       assignRowIds, txnMarker, props, expectedCommittedSeqs, maxAttempts)
   }
 
@@ -560,6 +595,7 @@ final class CommitLog(val root: Path) {
       fileStats: Seq[Map[String, (String, String)]],
       partSpec: String,
       fileBlooms: Seq[Map[String, String]],
+      bloomsRef: String,
       fileRows: Seq[Long],
       fileRowIds: Seq[Long],
       rowIdHigh: Long,
@@ -629,7 +665,8 @@ final class CommitLog(val root: Path) {
         val e = relativized(LogEntry(seq, action, dataFiles, deleteFiles,
           equalityCols, System.currentTimeMillis(),
           stats.map(_._1), stats.map(_._2), stats.map(_._3), schemaJson,
-          fileStats, partSpec, fileBlooms, fileRows, ids, high, txnMarker, props))
+          fileStats, partSpec, fileBlooms, fileRows, ids, high, txnMarker, props,
+          bloomsRef))
         // content becomes visible atomically: write a temp file, then
         // rename over the claimed (empty) entry. Readers see either an
         // empty claim (skipped by entries()) or the full entry — never a
@@ -778,6 +815,37 @@ object CommitLog {
   private[table] val ckptCacheHits = new java.util.concurrent.atomic.LongAdder
   private[table] val ckptCacheMisses = new java.util.concurrent.atomic.LongAdder
 
+  /** process-wide bloom-sidecar cache: sidecar files are immutable once
+    * moved into place (never rewritten, unlike checkpoints), so the key
+    * is just the absolute path; missing/vanished files cache Nil (the
+    * sweep may reclaim a sidecar whose entries expired while an old
+    * reader still holds a reference — it degrades to no-bloom pruning).
+    */
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Map[String, String]]]()
+
+  /** an entry's per-file blooms wherever they live: inline (legacy
+    * pre-sidecar entries) or hydrated from the sidecar. Rewrites that
+    * carry blooms forward re-commit them through the normal spill, so
+    * every entry owns its own sidecar.
+    */
+  def bloomsOf(e: LogEntry): Seq[Map[String, String]] =
+    if (e.fileBlooms.nonEmpty || e.bloomsRef.isEmpty) e.fileBlooms
+    else cachedBloomParse(e.bloomsRef)
+
+  private[table] def cachedBloomParse(ref: String): Seq[Map[String, String]] = {
+    val hit = bloomCache.get(ref)
+    if (hit != null) hit
+    else {
+      if (bloomCache.size() >= 64) bloomCache.clear()
+      val parsed =
+        try Json.parseBlooms(Files.readString(Paths.get(ref)))
+        catch { case _: java.io.IOException => Nil }
+      bloomCache.put(ref, parsed)
+      parsed
+    }
+  }
+
   private[table] def cachedCkptParse(p: Path): Seq[LogEntry] = {
     val a = Files.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes])
     val key = (p.toAbsolutePath.toString, a.size(),
@@ -848,7 +916,17 @@ object CommitLog {
       : (Seq[(String, Long)], Seq[(String, Long, Seq[String])]) = {
     var data = Vector.empty[(String, Long)]
     var dels = Vector.empty[(String, Long, Seq[String])]
+    // bloom sidecars hydrate ONLY under a point probe, and only for
+    // entries where at least one file SURVIVES stats pruning (stats are
+    // checked bloom-free first) — range scans, plain reads, and entries
+    // stats already excluded never pay the bitmap I/O. A vanished
+    // sidecar (expired + swept) hydrates to Nil, which fileMayContain
+    // reads as "no filter" — degraded pruning, never a wrong plan.
+    val needBloom = prune.exists(_.bloom.nonEmpty)
     entries.foreach { e =>
+      lazy val hydrated =
+        if (needBloom && e.fileBlooms.isEmpty && e.bloomsRef.nonEmpty)
+          e.copy(fileBlooms = cachedBloomParse(e.bloomsRef)) else e
       if (e.action == "replace") { data = Vector.empty; dels = Vector.empty }
       // a dvrewrite supersedes every prior positional-flavor delete (its
       // vectors re-encode exactly their addressed rows); equality deletes
@@ -859,8 +937,12 @@ object CommitLog {
         dels = dels.filterNot(d => isPositionalFlavor(d._3))
       data = data ++ e.dataFiles.zipWithIndex.collect {
         case (f, i) if prune.forall(p =>
-          (p.requireSpec.nonEmpty && e.partSpec != p.requireSpec) ||
-            e.fileMayContain(i, p)) =>
+          (p.requireSpec.nonEmpty && e.partSpec != p.requireSpec) || {
+            // stats first, bloom-free: only a file that SURVIVES stats
+            // forces the sidecar read
+            e.fileMayContain(i, if (p.bloom.isEmpty) p else p.copy(bloom = None)) &&
+              (p.bloom.isEmpty || hydrated.fileMayContain(i, p))
+          }) =>
           f -> e.seq
       }
       dels = dels ++ e.deleteFiles.map(f => (f, e.seq, e.equalityCols))
@@ -966,7 +1048,28 @@ private[table] object Json {
       val po = o.putObject("props")
       e.props.toSeq.sortBy(_._1).foreach { case (k, v) => po.put(k, v) }
     }
+    if (e.bloomsRef.nonEmpty) o.put("bloomsRef", e.bloomsRef)
     mapper.writeValueAsString(o)
+  }
+
+  /** bloom SIDECAR payload: the fileBlooms structure alone, one JSON
+    * array parallel to the owning entry's dataFiles.
+    */
+  def renderBlooms(fb: Seq[Map[String, String]]): String = {
+    val a = mapper.createArrayNode()
+    fb.foreach { m =>
+      val fo = a.addObject()
+      m.toSeq.sortBy(_._1).foreach { case (c, b64) => fo.put(c, b64) }
+    }
+    mapper.writeValueAsString(a)
+  }
+
+  def parseBlooms(s: String): Seq[Map[String, String]] = {
+    val a = mapper.readTree(s)
+    (0 until a.size).map { i =>
+      val fo = a.get(i)
+      fo.fieldNames().asScala.map(c => c -> fo.get(c).asText).toMap
+    }
   }
 
   /** checkpoint payload: a JSON array of entry objects. */
@@ -1026,6 +1129,7 @@ private[table] object Json {
         val po = n.get("props")
         if (po == null) Map.empty[String, String]
         else po.fieldNames().asScala.map(k => k -> po.get(k).asText).toMap
-      })
+      },
+      if (n.has("bloomsRef")) n.get("bloomsRef").asText else "")
   }
 }

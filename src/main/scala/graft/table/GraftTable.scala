@@ -218,6 +218,42 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       fileRows = fileRowCounts(files), assignRowIds = true)
   }
 
+  /** Register EXISTING parquet files into the table WITHOUT copying or
+    * rewriting a byte — Iceberg's `add_files` procedure / Delta's
+    * CONVERT TO DELTA, the O(metadata) migration path that turns a raw
+    * parquet lake into a governed table in one commit. At 100 TB this is
+    * the difference between an afternoon of manifest writes and weeks of
+    * rewriting the lake. The log stores the files' ABSOLUTE paths (the
+    * same out-of-root adoption shallow clones use, so reads, time travel
+    * and vacuum's is-it-referenced logic all already understand them);
+    * per-file stats + footer row counts are computed at adoption so data
+    * skipping and row-id lineage work immediately; later compaction
+    * rewrites adopted files INTO the table root exactly as it does
+    * native ones. Schema contract: the files' merged parquet schema must
+    * match the table's current logical schema by (name, type) — widening
+    * belongs to widenColumn, not to an import.
+    */
+  def addFiles(extFiles: Seq[String], statsCols: Seq[String] = Nil): Long = {
+    require(extFiles.nonEmpty, "addFiles: empty file list")
+    val files = extFiles.map(f => Paths.get(f).toAbsolutePath.normalize.toString)
+    files.foreach(f => require(Files.isRegularFile(Paths.get(f)),
+      s"addFiles: not a file: $f"))
+    val df0 = spark.read.parquet(files: _*)
+    requireNoReserved(df0)
+    schemaFrom(log.entries()).foreach { cur =>
+      val curT = cur.fields.map(f => f.name -> f.dataType).toMap
+      val newT = df0.schema.fields.map(f => f.name -> f.dataType).toMap
+      require(curT == newT,
+        s"addFiles: schema mismatch — table has ${curT.toSeq.sortBy(_._1)}, " +
+          s"files have ${newT.toSeq.sortBy(_._1)}")
+    }
+    enforceConstraints(df0)
+    val (fs, strCols) = perFileStatsIn(df0, files, statsCols)
+    log.commit("add", dataFiles = files, stats = foldStats(fs, statsCols, strCols),
+      schemaJson = idSchemaJson(df0.schema), fileStats = fs,
+      fileRows = fileRowCounts(files), assignRowIds = true)
+  }
+
   /** fast_append STAGED under a multi-table transaction: identical to
     * [[append]] except the committed entry carries the transaction's
     * marker path — the entry (and its data) stays invisible to every
@@ -763,10 +799,10 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * shard dirs are UUIDs and can never introduce another.
     */
   private def fileKey(c: Column): Column =
-    regexp_replace(c, "^.*/(data|deletes)/", "$1/")
+    regexp_replace(regexp_replace(c, "^file:/+", "/"), "^.*/(data|deletes)/", "$1/")
 
   private def fileKeyOf(p: String): String =
-    p.replaceFirst("^.*/(data|deletes)/", "$1/")
+    p.replaceFirst("^file:/+", "/").replaceFirst("^.*/(data|deletes)/", "$1/")
 
   /** snapshot read carrying each row's physical address (file path + row
     * ordinal) — the handle a positional delete targets.
@@ -1025,6 +1061,9 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     seedLog(bRoot.resolve("_log"), es.map(e => e.copy(
       dataFiles = e.dataFiles.map(branchRel),
       deleteFiles = e.deleteFiles.map(branchRel),
+      // bloom sidecars travel like data files: the seed `..`-steps to
+      // the owning table's _log/_puffin, so a rename moves both together
+      bloomsRef = if (e.bloomsRef.isEmpty) "" else branchRel(e.bloomsRef),
       txnMarker = "")))
     Files.writeString(bRoot.resolve("_base"),
       es.lastOption.map(_.seq).getOrElse(-1L).toString)
@@ -1087,7 +1126,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       // replayed batches (r8 fix; the pre-r8 replay lost e.props)
       log.commit(e.action, e.dataFiles, e.deleteFiles, e.equalityCols,
         e.statsCols.lazyZip(e.statsMin).lazyZip(e.statsMax).toSeq,
-        e.schemaJson, e.fileStats, e.partSpec, e.fileBlooms,
+        e.schemaJson, e.fileStats, e.partSpec, CommitLog.bloomsOf(e),
         fileRows = e.fileRows, fileRowIds = e.fileRowIds, rowIdHigh = e.rowIdHigh,
         txnMarker = e.txnMarker, props = e.props)
     }
@@ -1177,7 +1216,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     log.commit(e.action, e.dataFiles, Nil, Nil,
       e.statsCols.lazyZip(e.statsMin).lazyZip(e.statsMax).toSeq,
       if (e.schemaJson.nonEmpty) currentJson else "",
-      e.fileStats, e.partSpec, e.fileBlooms,
+      e.fileStats, e.partSpec, CommitLog.bloomsOf(e),
       fileRows = e.fileRows, assignRowIds = e.fileRows.nonEmpty)
   }
 
@@ -2197,7 +2236,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       val e = byEntry(s)
       val i = e.dataFiles.indexOf(f)
       (e.fileStats.lift(i).getOrElse(Map.empty[String, (String, String)]),
-        e.fileBlooms.lift(i).getOrElse(Map.empty[String, String]))
+        CommitLog.bloomsOf(e).lift(i).getOrElse(Map.empty[String, String]))
     }
     (metas.map(_._1), metas.map(_._2))
   }
@@ -2711,7 +2750,26 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       }
     }
     victims.foreach(Files.delete)
-    victims.size
+    // bloom-sidecar sweep (r8): a sidecar whose entry expired (or whose
+    // commit lost every CAS attempt) is debris like an orphan shard.
+    // Ref-aware exactly as the data sweep: the main log, PENDING txn
+    // entries and every branch's log keep their sidecars; the age gate
+    // protects a committer between sidecar write and CAS claim.
+    val bloomRefs =
+      (log.entries() ++ log.pendingEntries ++
+        branches.flatMap(n => new CommitLog(branchRoot(n)).entries()))
+        .map(_.bloomsRef).filter(_.nonEmpty)
+        .map(Paths.get(_).toAbsolutePath.normalize).toSet
+    val pf = root.resolve("_log").resolve("_puffin")
+    val bloomVictims =
+      if (!Files.exists(pf)) Nil
+      else walked(pf)(_.toSeq).filter { p =>
+        p.getFileName.toString.endsWith(".json") &&
+          !bloomRefs.contains(p.toAbsolutePath.normalize) &&
+          Files.getLastModifiedTime(p).toMillis < cutoff
+      }
+    bloomVictims.foreach(Files.delete)
+    victims.size + bloomVictims.size
   }
 
   /** Snapshot expiration + orphan-file removal (Iceberg's

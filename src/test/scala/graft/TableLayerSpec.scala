@@ -904,10 +904,16 @@ class TableLayerSpec extends AnyFunSuite {
     assert(e.dataFiles.map(_.split('/').last) == Seq("a.parquet", "b.parquet"))
     assert(e.deleteFiles.map(_.split('/').last) == Seq("d.parquet"))
     assert(e.equalityCols == Seq("name", "size"))
-    assert(e.fileBlooms == blooms)
-    assert(graft.table.Bloom.mightContain(e.fileBlooms.head("name"), "A"))
+    // blooms SPILL to a sidecar (r8, the Puffin move): the entry carries
+    // only the pointer — bitmap bytes never enter the log or checkpoints
+    assert(e.fileBlooms.isEmpty && e.bloomsRef.nonEmpty,
+      "blooms must live in a sidecar, not inline in the entry")
+    assert(e.bloomsRef.contains("_puffin"))
+    val hydrated = CommitLog.bloomsOf(e)
+    assert(hydrated == blooms)
+    assert(graft.table.Bloom.mightContain(hydrated.head("name"), "A"))
     assert(!graft.table.Bloom.mightContain(
-      e.fileBlooms.head("name"), "definitely-absent"))
+      hydrated.head("name"), "definitely-absent"))
   }
 
   test("metadata checkpoint folds the log without changing history or the CAS") {
@@ -2318,6 +2324,62 @@ class TableLayerSpec extends AnyFunSuite {
     assert(t.properties()("txn.stream-a") == "7")
     t.appendIdempotent(items, "stream-a", 8)
     assert(t.read().count() == 12)
+  }
+
+  test("addFiles adopts external parquet in place; compaction re-homes; sweeps never touch external storage") {
+    import scala.jdk.CollectionConverters._
+    val t = freshTable("addfiles")
+    t.append(items, statsCols = Seq("count"))
+    // the "legacy lake": parquet written outside the table root
+    val ext = Files.createTempDirectory("spec_legacy").resolve("part")
+    items.withColumn("count", col("count") + 100)
+      .repartition(2).write.parquet(ext.toString)
+    val extFiles = {
+      val s = Files.walk(ext)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toList.sorted
+      finally s.close()
+    }
+    val adoptSeq = t.addFiles(extFiles, statsCols = Seq("count"))
+    assert(t.read().count() == 12)
+    // adopted in place — live file set includes the EXTERNAL paths
+    val liveBefore = t.filesMeta.select("path").as[String].collect().toSet
+    assert(extFiles.forall(liveBefore), "adoption must not copy or move files")
+    // row-id lineage spans native + adopted rows without collision
+    val ids = t.readWithLineage().select("_row_id").as[Long].collect()
+    assert(ids.distinct.length == 12, "adopted rows must join row-id lineage")
+    // schema contract: a mismatched import is rejected, table unchanged
+    intercept[IllegalArgumentException] {
+      val bad = Files.createTempDirectory("spec_legacy_bad").resolve("part")
+      items.withColumn("count", col("count").cast("string"))
+        .write.parquet(bad.toString)
+      val badFiles = {
+        val s = Files.walk(bad)
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(_.toString).toList
+        finally s.close()
+      }
+      t.addFiles(badFiles)
+    }
+    assert(t.read().count() == 12)
+    // compaction re-homes adopted data INTO the table root...
+    t.compact(statsCols = Seq("count"))
+    val liveAfter = t.filesMeta.select("path").as[String].collect().toSet
+    assert(liveAfter.forall(_.startsWith(t.root.toString)),
+      "compaction must rewrite adopted files into the table root")
+    assert(t.read().count() == 12)
+    // ...while time travel to the adoption snapshot still reads the
+    // external files, and maintenance sweeps never delete them (they
+    // only walk root's data/ and deletes/ dirs — the table does not own
+    // external storage, so a sweep reclaiming it would be a data-loss
+    // bug for whoever else reads that lake)
+    assert(t.read(adoptSeq).count() == 12)
+    t.removeOrphanFiles(olderThanMs = 0)
+    assert(extFiles.forall(f => Files.exists(java.nio.file.Paths.get(f))),
+      "orphan sweep must never delete files outside the table root")
+    assert(t.read(adoptSeq).count() == 12)
   }
 
   test("reserved underscore names are rejected and never listed as namespaces") {

@@ -67,6 +67,16 @@ object TableModelProps extends Properties("graft-table-model") {
   // A wrongly-applied replay surfaces as extra rows; a wrongly-refused
   // fresh version as missing rows — at head and every asOf.
   private case class IdemAppend(rows: List[Row], app: String, ver: Long) extends Op
+  // add_files import (r8): a foreign writer materializes rows as parquet
+  // OUTSIDE the table root and one metadata commit adopts them in place —
+  // model semantics are EXACTLY an append (rows land at the commit's
+  // seq). What the fuzz buys beyond the scenario test: adopted external
+  // files composed with every other op — CoW updates and compactions
+  // re-homing them, deletes scoping across them, rollbacks crossing the
+  // adoption commit, renames/widenings above them (the interpreter
+  // writes the files at the table's CURRENT physical schema — an import
+  // must match, unlike an append which may widen on write).
+  private case class AddFilesOp(rows: List[Row]) extends Op
   private case class Delete(keys: List[String]) extends Op
   private case class Mixed(rows: List[Row], keys: List[String]) extends Op
   private case class Upsert(rows: List[Row]) extends Op
@@ -148,6 +158,7 @@ object TableModelProps extends Properties("graft-table-model") {
             dels = Vector.empty
             pdels = Vector.empty
           }
+        case AddFilesOp(rs) => rows ++= rs.map(_ -> seq) // ≡ append
         case Delete(ks) => dels ++= ks.map(_ -> seq)
         case Mixed(rs, ks) =>
           // one atomic entry: the delete scopes to data BELOW this seq,
@@ -215,6 +226,7 @@ object TableModelProps extends Properties("graft-table-model") {
     } yield IdemAppend(rows, app, ver)),
     2 -> Gen.nonEmptyListOf(Gen.oneOf("A", "B", "C", "D", "E", "F"))
       .map(ks => Delete(ks.distinct.take(3))),
+    2 -> Gen.nonEmptyListOf(genRow).map(rs => AddFilesOp(rs.take(3))),
     1 -> (for {
       rows <- Gen.nonEmptyListOf(genRow).map(_.take(3))
       keys <- Gen.nonEmptyListOf(Gen.oneOf("A", "B", "C", "D", "E", "F"))
@@ -310,6 +322,26 @@ object TableModelProps extends Properties("graft-table-model") {
         t.appendIdempotent(rows.toDF(keyCol, "count"), app, ver,
           statsCols = Seq("count"))
         if (t.headSeq == before) t.compact() // replayed no-op (see Op doc)
+      case AddFilesOp(rows) =>
+        // foreign writer: parquet outside the table root, at the table's
+        // CURRENT physical schema (a widened table needs widened files —
+        // addFiles is an import and refuses to evolve on the way in)
+        import scala.jdk.CollectionConverters._
+        val ext = Files.createTempDirectory("fuzz_ext").resolve("p")
+        var df = rows.toDF(keyCol, "count")
+        t.read().schema.fields.find(_.name == "count").foreach { f =>
+          df = df.withColumn("count",
+            org.apache.spark.sql.functions.col("count").cast(f.dataType))
+        }
+        df.coalesce(1).write.parquet(ext.toString)
+        val extFiles = {
+          val st = Files.walk(ext)
+          try st.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(_.toString).toList.sorted
+          finally st.close()
+        }
+        t.addFiles(extFiles, statsCols = Seq("count"))
       case Delete(keys) => t.delete(keys.toDF(keyCol), Seq(keyCol))
       case Mixed(rows, keys) =>
         t.appendAndDelete(rows.toDF(keyCol, "count"), keys.toDF(keyCol), Seq(keyCol))

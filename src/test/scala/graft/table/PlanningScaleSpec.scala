@@ -70,11 +70,14 @@ class PlanningScaleSpec extends AnyFunSuite {
     assert(tPrune < 5000)
   }
 
-  test("5k bloom-carrying files: per-file filters dominate manifest bytes, parse stays bounded") {
+  test("5k bloom-carrying files: sidecars keep the checkpoint stats-sized, probes hydrate lazily") {
     val log = new CommitLog(Files.createTempDirectory("plan_scale_bloom"))
-    // default 16 KiB filters -> ~2.7 KB base64 per (file, column); 5k
-    // files ≈ a 14 MB checkpoint — measured here, ×10 documented in
-    // SURVEY §8 for the 50k worst case
+    // pre-sidecar (r8 measurement): 16 KiB filters inlined ≈ 21 KB
+    // base64 per (file, column) → 107 MiB checkpoint at 5k bloom'd
+    // files, 463 ms parse. With the Puffin-style spill the bitmaps live
+    // in per-commit sidecars: the checkpoint holds only pointers, plans
+    // without a point probe never read a bitmap, and a probed plan
+    // hydrates only the entries whose files survive stats pruning.
     val bloom = Bloom.encode((0 until 256).map(_ * 17 % Bloom.DefaultM), Bloom.DefaultM)
     (0 until 50).foreach { c =>
       val files = (0 until 100).map(f => f"data/e$c%02d/part-$f%05d.parquet")
@@ -85,17 +88,31 @@ class PlanningScaleSpec extends AnyFunSuite {
         fileRows = files.map(_ => 10000L))
     }
     val (_, tFold) = ms(log.checkpoint())
-    val ckBytes = {
-      val d = log.root.resolve("_log").resolve("_ckpt")
-      val s = Files.list(d)
-      try s.mapToLong(Files.size(_)).sum finally s.close()
-    }
+    def dirBytes(d: java.nio.file.Path): Long =
+      if (!Files.exists(d)) 0L
+      else { val s = Files.list(d); try s.mapToLong(Files.size(_)).sum finally s.close() }
+    val ckBytes = dirBytes(log.root.resolve("_log").resolve("_ckpt"))
+    val puffinBytes = dirBytes(log.root.resolve("_log").resolve("_puffin"))
     val (es, tParse) = ms(log.entries())
     assert(es.map(_.dataFiles.size).sum == 5000)
-    info(s"5k bloom'd files: checkpoint ${ckBytes / 1024 / 1024} MiB, " +
-      s"fold ${tFold}ms, parse ${tParse}ms")
+    assert(es.forall(e => e.fileBlooms.isEmpty && e.bloomsRef.nonEmpty))
+    // the r8 fix, asserted: bitmap bytes are OUT of the checkpoint
+    assert(ckBytes < 8L * 1024 * 1024,
+      s"checkpoint still carries bloom payloads: ${ckBytes / 1024} KiB")
+    // a plain plan never touches the sidecars
+    val (st, tPlain) = ms(CommitLog.stateFrom(es))
+    assert(st._1.size == 5000)
+    // a point probe hydrates lazily (cold), then serves from the cache
+    val probe = Seq(Prune("user_id", BigDecimal(1), BigDecimal(1), bloom = Some("1")))
+    val (_, tProbeCold) = ms(CommitLog.stateFrom(es, probe))
+    val (_, tProbeWarm) = ms(CommitLog.stateFrom(es, probe))
+    info(s"5k bloom'd files: checkpoint ${ckBytes / 1024} KiB + " +
+      s"${puffinBytes / 1024 / 1024} MiB sidecars; fold ${tFold}ms, " +
+      s"parse ${tParse}ms, plain plan ${tPlain}ms, " +
+      s"probed plan ${tProbeCold}ms cold / ${tProbeWarm}ms warm")
     println(s"PLANNING_SCALE 5k-bloom: ckpt=${ckBytes / 1024}KiB " +
-      s"fold=${tFold}ms parse=${tParse}ms")
-    assert(tParse < 20000, s"bloom checkpoint parse took ${tParse}ms")
+      s"puffin=${puffinBytes / 1024}KiB fold=${tFold}ms parse=${tParse}ms " +
+      s"plain=${tPlain}ms probe_cold=${tProbeCold}ms probe_warm=${tProbeWarm}ms")
+    assert(tParse < 5000, s"stats-only checkpoint parse took ${tParse}ms")
   }
 }
