@@ -1876,5 +1876,112 @@ object TableQueries extends QueryPack {
         "adopted per-file stats must prune the native files")
       t.read().orderBy("name", "count")
     },
+
+    // CDC replication (r8): the Delta-CDF / Iceberg-changelog consumption
+    // loop — a downstream REPLICA follows the source by reading the
+    // changelog once per sync and applying each commit's delta as ONE
+    // atomic mixed commit (deletes + inserts together, like the source's
+    // own upserts), so the replica passes through the same consistent
+    // states the source did, in order. Cost per sync ∝ changed rows
+    // (one changelog read, one commit per source epoch) — never a source
+    // rescan or a full diff. The per-epoch driver loop is metadata-sized
+    // (epochs per sync, not rows). Golden pins the fully-synced replica;
+    // the body hard-asserts replica ≡ source both ways.
+    Q(
+      "t_replicate",
+      """SELECT * FROM (VALUES
+        |  ('A','small',102, CAST(6 AS BIGINT), CAST(2 AS BIGINT)),
+        |  ('A','v2',500, CAST(6 AS BIGINT), CAST(2 AS BIGINT)),
+        |  ('B','medium',115, CAST(6 AS BIGINT), CAST(2 AS BIGINT)),
+        |  ('C','medium',10, CAST(6 AS BIGINT), CAST(2 AS BIGINT)),
+        |  ('C','medium',110, CAST(6 AS BIGINT), CAST(2 AS BIGINT)),
+        |  ('D','small',20, CAST(6 AS BIGINT), CAST(2 AS BIGINT)),
+        |  ('D','small',120, CAST(6 AS BIGINT), CAST(2 AS BIGINT)),
+        |  ('E','large',20, CAST(6 AS BIGINT), CAST(2 AS BIGINT)),
+        |  ('E','large',120, CAST(6 AS BIGINT), CAST(2 AS BIGINT)))
+        |  AS t(name, size, count, n_inserts, n_deletes)
+        |ORDER BY name, count""",
+    ) { (s, _) =>
+      import s.implicits._
+      val src = tmpTable(s, "replsrc")
+      src.append(items(s)) // seq 0
+      val replica = tmpTable(s, "repldst")
+      replica.append(src.read()) // initial full load at the sync point
+      // source evolves past the sync point
+      src.upsert(Seq(("A", "v2", 500)).toDF("name", "size", "count"), Seq("name")) // seq 1
+      src.delete(Seq("B").toDF("name"), Seq("name"))                               // seq 2
+      src.append(items(s).withColumn("count", col("count") + 100))                 // seq 3
+      // ONE changelog read for the whole sync window (fromSeq is the
+      // sync point, EXCLUSIVE — the snapshot the replica already holds);
+      // apply per source epoch, each as one atomic mixed commit.
+      // Changelog deletes name exact ROWS, so the replica-side equality
+      // delete keys on the full row — an upstream key-delete replays as
+      // its row-level effects.
+      val log = src.readChangelog(fromSeq = 0)
+        .select("name", "size", "count", "change_type", "change_seq").cache()
+      var nIns = 0L; var nDel = 0L
+      log.select("change_seq").distinct().orderBy("change_seq")
+        .as[Long].collect().foreach { sq =>
+        val epoch = log.filter(col("change_seq") === sq)
+        val ins = epoch.filter(col("change_type") === "insert")
+          .select("name", "size", "count")
+        val del = epoch.filter(col("change_type") === "delete")
+          .select("name", "size", "count")
+        nIns += ins.count(); nDel += del.count()
+        replica.appendAndDelete(ins, del, equalityCols = Seq("name", "size", "count"))
+      }
+      // replica ≡ source, both directions
+      require(replica.read().exceptAll(src.read()).isEmpty
+        && src.read().exceptAll(replica.read()).isEmpty,
+        "replica diverged from source after CDC apply")
+      replica.read()
+        .withColumn("n_inserts", lit(nIns))
+        .withColumn("n_deletes", lit(nDel))
+        .orderBy("name", "count")
+    },
+
+    // Policy-driven maintenance (r8): the table DECLARES its upkeep as
+    // properties (compact target, expiration, vacuum horizon) and one
+    // maintain() call applies them — the Delta auto-optimize / Iceberg
+    // table-property operations model: policy travels WITH the table
+    // (through clones and branches, like every property), and the
+    // scheduler that fires maintain() needs zero table-specific config.
+    // Golden pins the surviving rows AND the report counts; file/entry
+    // shapes are pinned by explicit repartitions in the fixture.
+    Q(
+      "t_maintain_policy",
+      """SELECT * FROM (VALUES
+        |  ('A','small',2, CAST(4 AS BIGINT), CAST(7 AS BIGINT), true),
+        |  ('B','medium',15, CAST(4 AS BIGINT), CAST(7 AS BIGINT), true),
+        |  ('C','medium',10, CAST(4 AS BIGINT), CAST(7 AS BIGINT), true),
+        |  ('D','small',20, CAST(4 AS BIGINT), CAST(7 AS BIGINT), true))
+        |  AS t(name, size, count, compacted_small, expired_entries, policy_kept)
+        |ORDER BY name""",
+    ) { (s, _) =>
+      import s.implicits._
+      val t = tmpTable(s, "maintpol")
+      t.setProperties(Map(                                      // seq 0
+        "maint.compact.target-bytes" -> (1L << 20).toString,
+        "maint.expire.enabled" -> "true",
+        "maint.vacuum.horizon-ms" -> "0"))
+      // four tiny single-file appends + one (matchless) delete = the
+      // classic neglected-ingest shape maintain() exists for
+      Seq(("A", "small", 2), ("B", "medium", 15),
+        ("C", "medium", 10), ("D", "small", 20)).foreach { r => // seq 1-4
+        t.append(Seq(r).toDF("name", "size", "count").repartition(1))
+      }
+      t.delete(Seq("E").toDF("name"), Seq("name"))              // seq 5
+      val report = t.maintain() // compactSmall @6, expire-compact @7,
+                                // drop 0-6, props re-stamp @8
+      // the policy SURVIVES its own expiration step (the r8 fix: the
+      // pre-expiration property fold is re-stamped) — without it the
+      // next maintain() would be a silent no-op forever
+      val kept = t.properties().get("maint.expire.enabled").contains("true")
+      t.read()
+        .withColumn("compacted_small", lit(report.getOrElse("compacted_small", -1L)))
+        .withColumn("expired_entries", lit(report.getOrElse("expired_entries", -1L)))
+        .withColumn("policy_kept", lit(kept))
+        .orderBy("name")
+    },
   )
 }

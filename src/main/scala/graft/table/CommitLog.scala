@@ -823,6 +823,8 @@ object CommitLog {
     */
   private val bloomCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Map[String, String]]]()
+  private[table] val bloomCacheHits = new java.util.concurrent.atomic.LongAdder
+  private[table] val bloomCacheMisses = new java.util.concurrent.atomic.LongAdder
 
   /** an entry's per-file blooms wherever they live: inline (legacy
     * pre-sidecar entries) or hydrated from the sidecar. Rewrites that
@@ -835,13 +837,14 @@ object CommitLog {
 
   private[table] def cachedBloomParse(ref: String): Seq[Map[String, String]] = {
     val hit = bloomCache.get(ref)
-    if (hit != null) hit
+    if (hit != null) { bloomCacheHits.increment(); hit }
     else {
       if (bloomCache.size() >= 64) bloomCache.clear()
       val parsed =
         try Json.parseBlooms(Files.readString(Paths.get(ref)))
         catch { case _: java.io.IOException => Nil }
       bloomCache.put(ref, parsed)
+      bloomCacheMisses.increment()
       parsed
     }
   }

@@ -239,6 +239,21 @@ final class GraftCatalog(spark: SparkSession, warehouse: Path) {
     * the number of markers removed. Never removes a referenced marker —
     * deleting one would flip its committed entries back to pending.
     */
+  /** Warehouse-wide policy-driven maintenance (r8): apply every table's
+    * OWN declared `maint.*` policy (GraftTable.maintain) across every
+    * namespace — the "one dumb cron per warehouse" operations model.
+    * Tables without a policy are no-ops; per-table failures don't stop
+    * the sweep (a locked or mid-rewrite table just reports an empty map
+    * this round — the policy is retried by the next sweep).
+    */
+  def maintainAll(): Map[(String, String), Map[String, Long]] =
+    namespaces.flatMap { ns =>
+      listTables(ns).map { t =>
+        (ns, t) -> (try openTable(ns, t).maintain()
+        catch { case _: CommitConflictException => Map.empty[String, Long] })
+      }
+    }.toMap
+
   def vacuumTxnMarkers(olderThanMs: Long = 3L * 3600 * 1000): Int = {
     if (!Files.isDirectory(txnsDir)) return 0
     val referenced: Set[Path] = (for {

@@ -1761,6 +1761,60 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     log.commit("props", props = kv)
   }
 
+  /** Policy-driven maintenance (r8): one entry point that applies the
+    * upkeep the table DECLARES in its own properties — the "set the
+    * policy on the table, point a dumb cron at maintain()" operations
+    * model of Delta's auto-optimize and Iceberg's table-property-driven
+    * maintenance (commit.manifest*, history.expire.*). Recognized keys:
+    *
+    *   maint.compact.target-bytes  bin-pack files smaller than this
+    *                               (compactSmall; skipped when <2 qualify)
+    *   maint.expire.enabled        "true" → expireSnapshots() (tag-aware;
+    *                               trades pre-head history for space)
+    *   maint.vacuum.horizon-ms     removeOrphanFiles horizon; data files,
+    *                               delete files and bloom sidecars no ref
+    *                               uses and older than this are reclaimed
+    *
+    * Absent keys skip their step — a table with no maint.* properties is
+    * a no-op. Steps run compact → expire → vacuum (rewrite first so
+    * expiration folds its output; vacuum last so both steps' debris goes).
+    * Every step rides the SAME concurrency discipline as calling it
+    * directly (optimistic rewrite validation + maintenance flock), so
+    * maintain() is safe beside live writers. Returns a per-step report.
+    */
+  def maintain(): Map[String, Long] = {
+    val props0 = properties()
+    var report = Map.empty[String, Long]
+    props0.get("maint.compact.target-bytes").map(_.toLong).foreach { target =>
+      val nSmall = log.state()._1.count { case (f, _) =>
+        val p = Paths.get(f)
+        Files.exists(p) && Files.size(p) < target
+      }
+      if (nSmall >= 2) {
+        compactSmall(target, statsCols = statsColsOf(props0))
+        report += "compacted_small" -> nSmall.toLong
+      } else report += "compacted_small" -> 0L
+    }
+    if (props0.get("maint.expire.enabled").contains("true")) {
+      val beforeSeqs = log.entries().map(_.seq).toSet
+      expireSnapshots(
+        props0.get("maint.vacuum.horizon-ms").map(_.toLong).getOrElse(0L))
+      report += "expired_entries" ->
+        (beforeSeqs -- log.entries().map(_.seq).toSet).size.toLong
+    }
+    props0.get("maint.vacuum.horizon-ms").map(_.toLong).foreach { h =>
+      report += "orphans_removed" -> removeOrphanFiles(h).toLong
+    }
+    report
+  }
+
+  /** stats columns a maintenance rewrite should recompute, declared as
+    * `maint.stats-cols` (comma-separated; empty/absent = none).
+    */
+  private def statsColsOf(props: Map[String, String]): Seq[String] =
+    props.get("maint.stats-cols").toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+
   /** head (or as-of) table properties: fold of every entry's assignments
     * in seq order, empty-value unsets winning like any later write.
     */
@@ -2806,7 +2860,16 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       all.filter(e => e.seq <= at && e.action == "replace")
         .lastOption.map(_.seq).getOrElse(0L)
     val keepFrom = (log.tags.values.toSeq.map(baseFor) :+ seq).min
+    // properties are LOG-FOLDED, so dropping pre-base entries would
+    // silently lose every assignment they carried — governance policies
+    // would stop masking, and idempotence watermarks (txn.*) would reset,
+    // letting a replayed streaming batch double-append. Re-stamp the
+    // pre-expiration fold when expiration changed it (Iceberg keeps
+    // properties in table metadata OUTSIDE snapshots for this reason).
+    val savedProps = properties()
     log.expireBefore(keepFrom)
+    if (savedProps.nonEmpty && properties() != savedProps)
+      log.commit("props", props = savedProps)
     // keep every file any RETAINED entry references (head, tags, and the
     // time-travel points between them stay readable); only files of
     // dropped entries are orphans

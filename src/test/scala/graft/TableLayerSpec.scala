@@ -2382,6 +2382,40 @@ class TableLayerSpec extends AnyFunSuite {
     assert(t.read(adoptSeq).count() == 12)
   }
 
+  test("maintainAll applies each table's own declared policy across the warehouse") {
+    val cat = GraftCatalog(spark, Files.createTempDirectory("spec_maintall").toString)
+    cat.createNamespace("lake")
+    val a = cat.createTable("lake", "a") // declares a compaction policy
+    a.setProperties(Map("maint.compact.target-bytes" -> (1L << 20).toString))
+    (0 until 3).foreach(_ => a.append(items.repartition(1)))
+    val b = cat.createTable("lake", "b") // no policy: must be a no-op
+    b.append(items.repartition(1))
+    val headB = b.headSeq
+    val report = cat.maintainAll()
+    assert(report(("lake", "a"))("compacted_small") == 3)
+    assert(report(("lake", "b")).isEmpty)
+    assert(b.headSeq == headB, "a policy-less table must be untouched")
+    assert(a.read().count() == 18 && b.read().count() == 6)
+  }
+
+  test("properties and idempotence watermarks survive snapshot expiration") {
+    val t = freshTable("expireprops")
+    t.setProperties(Map("mask.name" -> "redact"))
+    t.appendIdempotent(items, "stream-a", 7)
+    t.append(items)
+    t.expireSnapshots() // drops the entries that carried the assignments
+    // governance still enforced, watermark still set (r8 fix: the
+    // pre-expiration fold is re-stamped; before it, a replayed batch
+    // after expiration would double-append and masking would stop)
+    assert(t.properties()("mask.name") == "redact")
+    assert(t.properties()("txn.stream-a") == "7")
+    val before = t.read().count()
+    t.appendIdempotent(items, "stream-a", 7) // replay: must stay a no-op
+    assert(t.read().count() == before, "replayed batch double-appended after expiration")
+    assert(t.readGoverned().select("name").distinct().collect()
+      .map(_.getString(0)).toSet == Set("***"), "masking lost after expiration")
+  }
+
   test("reserved underscore names are rejected and never listed as namespaces") {
     val wh = Files.createTempDirectory("spec_reserved")
     val cat = GraftCatalog(spark, wh.toString)

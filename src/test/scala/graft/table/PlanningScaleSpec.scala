@@ -99,13 +99,20 @@ class PlanningScaleSpec extends AnyFunSuite {
     // the r8 fix, asserted: bitmap bytes are OUT of the checkpoint
     assert(ckBytes < 8L * 1024 * 1024,
       s"checkpoint still carries bloom payloads: ${ckBytes / 1024} KiB")
-    // a plain plan never touches the sidecars
+    // a plain plan never touches the sidecars — counted, not inferred
+    def ioCount() = (CommitLog.bloomCacheHits.sum(), CommitLog.bloomCacheMisses.sum())
+    val (h0, m0) = ioCount()
     val (st, tPlain) = ms(CommitLog.stateFrom(es))
     assert(st._1.size == 5000)
+    val (h1, m1) = ioCount()
+    assert(h1 == h0 && m1 == m0, "a bloom-free plan must read zero sidecars")
     // a point probe hydrates lazily (cold), then serves from the cache
     val probe = Seq(Prune("user_id", BigDecimal(1), BigDecimal(1), bloom = Some("1")))
     val (_, tProbeCold) = ms(CommitLog.stateFrom(es, probe))
+    val (_, m2) = ioCount()
+    assert(m2 > m1, "a point probe must hydrate sidecars")
     val (_, tProbeWarm) = ms(CommitLog.stateFrom(es, probe))
+    assert(ioCount()._2 == m2, "the second probe must hit the cache, not re-read")
     info(s"5k bloom'd files: checkpoint ${ckBytes / 1024} KiB + " +
       s"${puffinBytes / 1024 / 1024} MiB sidecars; fold ${tFold}ms, " +
       s"parse ${tParse}ms, plain plan ${tPlain}ms, " +
