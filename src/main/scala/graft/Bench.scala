@@ -214,16 +214,22 @@ object Bench {
             case "delete" => // sacrificial rows exhausted: compact
               table.compactSmall(1L << 20)
             case "rewrite_pos" => table.rewritePositionDeletes()
+            case "expire" =>
+              // history truncation racing live appends (r8): the orphan
+              // horizon protects a writer's written-but-not-yet-committed
+              // shard from the sweep — sweeping at 0 here would DELETE a
+              // racing append's files before its commit lands
+              table.expireSnapshots(orphanOlderThanMs = 3600000L)
           }
           rewrites.incrementAndGet()
           opMix(op) = opMix.getOrElse(op, 0) + 1
         }
-        val allOps = Seq("compact", "update", "delete", "rewrite_pos")
+        val allOps = Seq("compact", "update", "delete", "rewrite_pos", "expire")
         val maint = new Thread {
           override def run(): Unit = {
             var cycle = 0
             while (!stopFlag.get()) {
-              val op = allOps(cycle % 4)
+              val op = allOps(cycle % allOps.size)
               try {
                 runOp(op)
                 Thread.sleep(100) // maintenance cadence: rebuild storms

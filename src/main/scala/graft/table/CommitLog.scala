@@ -823,6 +823,12 @@ object CommitLog {
     */
   private val bloomCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Map[String, String]]]()
+  // bound by BYTES, not entry count: one sidecar's size ∝ its commit's
+  // file count (a 100-file bloom'd commit ≈ 2 MiB), so an entry cap
+  // alone under-uses memory on small tables and over-uses it on big
+  // ones. 256 MiB ≈ a 12k-file fully-bloom'd working set stays cached.
+  private val bloomCacheBytes = new java.util.concurrent.atomic.AtomicLong(0)
+  private val BloomCacheMaxBytes = 256L * 1024 * 1024
   private[table] val bloomCacheHits = new java.util.concurrent.atomic.LongAdder
   private[table] val bloomCacheMisses = new java.util.concurrent.atomic.LongAdder
 
@@ -839,11 +845,14 @@ object CommitLog {
     val hit = bloomCache.get(ref)
     if (hit != null) { bloomCacheHits.increment(); hit }
     else {
-      if (bloomCache.size() >= 64) bloomCache.clear()
+      if (bloomCache.size() >= 4096 || bloomCacheBytes.get() > BloomCacheMaxBytes) {
+        bloomCache.clear(); bloomCacheBytes.set(0)
+      }
       val parsed =
         try Json.parseBlooms(Files.readString(Paths.get(ref)))
         catch { case _: java.io.IOException => Nil }
       bloomCache.put(ref, parsed)
+      bloomCacheBytes.addAndGet(parsed.iterator.map(_.valuesIterator.map(_.length).sum).sum.toLong)
       bloomCacheMisses.increment()
       parsed
     }

@@ -2382,6 +2382,35 @@ class TableLayerSpec extends AnyFunSuite {
     assert(t.read(adoptSeq).count() == 12)
   }
 
+  test("bloom sidecars serve branch reads and survive a catalog rename") {
+    val cat = GraftCatalog(spark, Files.createTempDirectory("spec_bloombr").toString)
+    cat.createNamespace("lake")
+    val t = cat.createTable("lake", "src")
+    def batch(off: Int) = (off until off + 17 by 4)
+      .map(i => (s"k$i", "x", i)).toDF("name", "size", "count").repartition(1)
+    t.append(batch(0), statsCols = Seq("count"), bloomCols = Seq("count"))
+    t.append(batch(2), statsCols = Seq("count"), bloomCols = Seq("count"))
+    // both epochs' count bounds ([0,16] and [2,18]) contain 8, so only
+    // the bloom can prune the second file on the probe
+    assert(t.prunedFileCountEq("count", 8) == 1)
+    // a branch's seeded entries reference the owning table's sidecars by
+    // `..`-stepping refs — bloom pruning must work THROUGH the branch
+    t.createBranch("audit")
+    val br = t.branch("audit")
+    assert(br.prunedFileCountEq("count", 8) == 1,
+      "branch reads lost bloom pruning (sidecar ref did not travel)")
+    assert(br.readEq("count", 8).count() == 1)
+    // a catalog rename moves table + branch + sidecars together; the
+    // relative refs must keep resolving at the new location
+    cat.renameTable("lake", "src", "dst")
+    val moved = cat.openTable("lake", "dst")
+    assert(moved.prunedFileCountEq("count", 8) == 1,
+      "rename broke sidecar resolution on the table")
+    assert(moved.branch("audit").prunedFileCountEq("count", 8) == 1,
+      "rename broke sidecar resolution through the branch")
+    assert(moved.readEq("count", 8).count() == 1)
+  }
+
   test("maintainAll applies each table's own declared policy across the warehouse") {
     val cat = GraftCatalog(spark, Files.createTempDirectory("spec_maintall").toString)
     cat.createNamespace("lake")
