@@ -870,7 +870,7 @@ object TextQueries extends QueryPack {
       // Hamilton remainder rank on the strata-sized relation (no global
       // window): keys=[] collect + sort_array + posexplode, as
       // q_mix_domain_balance
-      val quota = base
+      val quotaPlan = base
         .agg(sort_array(collect_list(struct(
           (-col("rem")).as("nr"), col("lang"), col("n"), col("q0")))).as("arr"))
         .select(posexplode(col("arr")).as(Seq("pos", "r")))
@@ -878,6 +878,14 @@ object TextQueries extends QueryPack {
         .select(col("r.lang").as("lang"), col("r.n").as("n_total"),
           (col("r.q0") + when(col("pos") < col("leftover"), 1L).otherwise(0L))
             .as("quota"))
+      // quota is STRATA-sized (one row per language): materialize it ONCE
+      // on the driver and re-broadcast as a literal — referencing the
+      // plan twice would re-run its corpus aggregation lineage at each
+      // use (the same metadata-scale collect precedent as t_ann_index's
+      // probe list ids; never row-scale)
+      import s.implicits._
+      val quota = quotaPlan.as[(String, Long, Long)].collect().toSeq
+        .toDF("lang", "n_total", "quota")
       // phase 1: (stratum, bucket)-local top-quota — superset of the
       // global per-stratum top-quota, |candidates| ≤ B × quota
       val bucketed = docs
