@@ -827,7 +827,7 @@ object CommitLog {
   // file count (a 100-file bloom'd commit ≈ 2 MiB), so an entry cap
   // alone under-uses memory on small tables and over-uses it on big
   // ones. 256 MiB ≈ a 12k-file fully-bloom'd working set stays cached.
-  private val bloomCacheBytes = new java.util.concurrent.atomic.AtomicLong(0)
+  private[table] val bloomCacheBytes = new java.util.concurrent.atomic.AtomicLong(0)
   private val BloomCacheMaxBytes = 256L * 1024 * 1024
   private[table] val bloomCacheHits = new java.util.concurrent.atomic.LongAdder
   private[table] val bloomCacheMisses = new java.util.concurrent.atomic.LongAdder
@@ -848,12 +848,24 @@ object CommitLog {
       if (bloomCache.size() >= 4096 || bloomCacheBytes.get() > BloomCacheMaxBytes) {
         bloomCache.clear(); bloomCacheBytes.set(0)
       }
+      bloomCacheMisses.increment()
       val parsed =
         try Json.parseBlooms(Files.readString(Paths.get(ref)))
-        catch { case _: java.io.IOException => Nil }
-      bloomCache.put(ref, parsed)
-      bloomCacheBytes.addAndGet(parsed.iterator.map(_.valuesIterator.map(_.length).sum).sum.toLong)
-      bloomCacheMisses.increment()
+        catch {
+          // a SWEPT sidecar is a permanent absence — cache the degraded
+          // no-bloom answer. Any OTHER IO failure may be transient
+          // (contended filesystem, interrupted read): degrade this probe
+          // but do NOT cache, so the next probe retries the read instead
+          // of losing bloom pruning for the process lifetime.
+          case _: java.nio.file.NoSuchFileException => Nil
+          case _: java.io.FileNotFoundException => Nil
+          case _: java.io.IOException => return Nil
+        }
+      // putIfAbsent so a racing double-parse charges the byte budget
+      // ONCE — check-then-put double-counted on racing inserts, letting
+      // the accounted total drift past what the map actually holds
+      if (bloomCache.putIfAbsent(ref, parsed) == null)
+        bloomCacheBytes.addAndGet(parsed.iterator.map(_.valuesIterator.map(_.length).sum).sum.toLong)
       parsed
     }
   }

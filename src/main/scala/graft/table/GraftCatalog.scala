@@ -243,14 +243,16 @@ final class GraftCatalog(spark: SparkSession, warehouse: Path) {
     * OWN declared `maint.*` policy (GraftTable.maintain) across every
     * namespace — the "one dumb cron per warehouse" operations model.
     * Tables without a policy are no-ops; per-table failures don't stop
-    * the sweep (a locked or mid-rewrite table just reports an empty map
-    * this round — the policy is retried by the next sweep).
+    * the sweep — ANY non-fatal error (a commit race, a malformed maint.*
+    * value, an IO failure) is confined to its table and reported as
+    * `"failed" -> 1` in that table's map, so the rest of the warehouse
+    * still gets maintained and the policy is retried by the next sweep.
     */
   def maintainAll(): Map[(String, String), Map[String, Long]] =
     namespaces.flatMap { ns =>
       listTables(ns).map { t =>
         (ns, t) -> (try openTable(ns, t).maintain()
-        catch { case _: CommitConflictException => Map.empty[String, Long] })
+        catch { case scala.util.control.NonFatal(_) => Map("failed" -> 1L) })
       }
     }.toMap
 

@@ -238,6 +238,17 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     val files = extFiles.map(f => Paths.get(f).toAbsolutePath.normalize.toString)
     files.foreach(f => require(Files.isRegularFile(Paths.get(f)),
       s"addFiles: not a file: $f"))
+    // reject files the table already references (any ref: head, tags,
+    // branches, pending txns) — a RETRIED migration job re-running the
+    // same import must fail loudly, not silently register the same
+    // parquet twice and duplicate every row (Iceberg's add_files
+    // check_duplicate_files, which defaults to on)
+    val referenced = referencedByAnyRef
+    val dupes = files.filter(f =>
+      referenced.contains(Paths.get(f).toAbsolutePath.normalize))
+    require(dupes.isEmpty,
+      s"addFiles: ${dupes.size} file(s) already referenced by this table " +
+        s"(re-run import?): ${dupes.take(3).mkString(", ")}")
     val df0 = spark.read.parquet(files: _*)
     requireNoReserved(df0)
     schemaFrom(log.entries()).foreach { cur =>
@@ -248,7 +259,9 @@ final class GraftTable(spark: SparkSession, val root: Path) {
           s"files have ${newT.toSeq.sortBy(_._1)}")
     }
     enforceConstraints(df0)
-    val (fs, strCols) = perFileStatsIn(df0, files, statsCols)
+    val (fs, strCols) =
+      if (statsCols.isEmpty) (Seq.empty[Map[String, (String, String)]], Set.empty[String])
+      else perFileStatsIn(df0, files, statsCols)
     log.commit("add", dataFiles = files, stats = foldStats(fs, statsCols, strCols),
       schemaJson = idSchemaJson(df0.schema), fileStats = fs,
       fileRows = fileRowCounts(files), assignRowIds = true)
@@ -1771,6 +1784,18 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     *                               (compactSmall; skipped when <2 qualify)
     *   maint.expire.enabled        "true" → expireSnapshots() (tag-aware;
     *                               trades pre-head history for space)
+    *   maint.expire.horizon-ms     age gate for the file sweep expiration
+    *                               performs; defaults to
+    *                               maint.vacuum.horizon-ms, then to the 3h
+    *                               removeOrphanFiles default — NEVER to 0,
+    *                               because maintain() is the cron-beside-
+    *                               live-ingest entry point and a zero
+    *                               horizon would reclaim a concurrent
+    *                               writer's staged-but-uncommitted parquet
+    *                               (the r7 hazard). Provable immediate
+    *                               reclamation (GDPR erasure) calls
+    *                               expireSnapshots(0) directly, with
+    *                               ingest paused.
     *   maint.vacuum.horizon-ms     removeOrphanFiles horizon; data files,
     *                               delete files and bloom sidecars no ref
     *                               uses and older than this are reclaimed
@@ -1798,7 +1823,9 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     if (props0.get("maint.expire.enabled").contains("true")) {
       val beforeSeqs = log.entries().map(_.seq).toSet
       expireSnapshots(
-        props0.get("maint.vacuum.horizon-ms").map(_.toLong).getOrElse(0L))
+        props0.get("maint.expire.horizon-ms").map(_.toLong)
+          .orElse(props0.get("maint.vacuum.horizon-ms").map(_.toLong))
+          .getOrElse(3L * 3600 * 1000))
       report += "expired_entries" ->
         (beforeSeqs -- log.entries().map(_.seq).toSet).size.toLong
     }
@@ -2866,10 +2893,18 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     // letting a replayed streaming batch double-append. Re-stamp the
     // pre-expiration fold when expiration changed it (Iceberg keeps
     // properties in table metadata OUTSIDE snapshots for this reason).
+    // Re-stamp ONLY keys no SURVIVING entry touches: a concurrent
+    // set/unset lands with seq > keepFrom, survives expiration, and must
+    // win over the stale pre-expiration fold — blanket-re-stamping
+    // savedProps would clobber it (lost update). A key untouched by every
+    // surviving entry can only have been assigned by dropped entries, so
+    // its re-stamp races with nothing.
     val savedProps = properties()
     log.expireBefore(keepFrom)
-    if (savedProps.nonEmpty && properties() != savedProps)
-      log.commit("props", props = savedProps)
+    val touchedBySurvivors = log.entries().flatMap(_.props.keys).toSet
+    val droppedOnly = savedProps.filter { case (k, _) => !touchedBySurvivors.contains(k) }
+    if (droppedOnly.nonEmpty)
+      log.commit("props", props = droppedOnly)
     // keep every file any RETAINED entry references (head, tags, and the
     // time-travel points between them stay readable); only files of
     // dropped entries are orphans

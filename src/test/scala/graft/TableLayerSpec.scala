@@ -2427,6 +2427,78 @@ class TableLayerSpec extends AnyFunSuite {
     assert(a.read().count() == 18 && b.read().count() == 6)
   }
 
+  test("maintain() with expire enabled but no horizon never sweeps a fresh staged file") {
+    // the cron-beside-live-ingest hazard (r8 advice, high): a writer's
+    // staged-but-uncommitted parquet is referenced by nothing, so an
+    // expire step running with a ZERO horizon would delete it out from
+    // under the in-flight commit. maintain() must default the expire
+    // step's age gate to the 3h removeOrphanFiles horizon when neither
+    // maint.expire.horizon-ms nor maint.vacuum.horizon-ms is set.
+    val t = freshTable("maintexpire")
+    t.append(items)
+    t.setProperties(Map("maint.expire.enabled" -> "true"))
+    // simulate a concurrent writer mid-append: parquet staged under the
+    // table root, commit not yet attempted (fresh mtime)
+    val staged = t.root.resolve("data").resolve("staged-inflight")
+    items.repartition(1).write.parquet(staged.toString)
+    val stagedFiles = {
+      val s = Files.walk(staged)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+      } finally s.close()
+    }
+    assert(stagedFiles.nonEmpty)
+    val report = t.maintain()
+    assert(report.contains("expired_entries"))
+    assert(stagedFiles.forall(Files.exists(_)),
+      "maintain()'s expire step swept a concurrent writer's staged files")
+    // an EXPLICIT zero horizon (ingest paused, provable reclamation)
+    // still opts in to the immediate sweep
+    t.setProperties(Map("maint.expire.horizon-ms" -> "0"))
+    t.maintain()
+    assert(stagedFiles.forall(p => !Files.exists(p)),
+      "explicit maint.expire.horizon-ms=0 must reclaim immediately")
+  }
+
+  test("maintainAll confines any per-table failure and sweeps the rest of the warehouse") {
+    val cat = GraftCatalog(spark, Files.createTempDirectory("spec_maintfail").toString)
+    cat.createNamespace("lake")
+    val bad = cat.createTable("lake", "bad") // malformed policy: NumberFormatException
+    bad.setProperties(Map("maint.compact.target-bytes" -> "banana"))
+    bad.append(items.repartition(1))
+    val good = cat.createTable("lake", "good")
+    good.setProperties(Map("maint.compact.target-bytes" -> (1L << 20).toString))
+    (0 until 3).foreach(_ => good.append(items.repartition(1)))
+    val report = cat.maintainAll() // must not propagate bad's failure
+    assert(report(("lake", "bad")) == Map("failed" -> 1L),
+      "a malformed policy must be reported, not swallowed or propagated")
+    assert(report(("lake", "good"))("compacted_small") == 3,
+      "a failing table must not stop the rest of the sweep")
+    assert(bad.read().count() == 6 && good.read().count() == 18)
+  }
+
+  test("addFiles rejects files the table already references (re-run import)") {
+    import scala.jdk.CollectionConverters._
+    val t = freshTable("addfilesdup")
+    val ext = Files.createTempDirectory("spec_legacy_dup").resolve("part")
+    items.repartition(1).write.parquet(ext.toString)
+    val extFiles = {
+      val s = Files.walk(ext)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toList.sorted
+      finally s.close()
+    }
+    t.addFiles(extFiles)
+    assert(t.read().count() == 6)
+    // a retried migration job re-runs the same import: must fail loudly
+    // (Iceberg add_files' check_duplicate_files), never double-register
+    val ex = intercept[IllegalArgumentException] { t.addFiles(extFiles) }
+    assert(ex.getMessage.contains("already referenced"))
+    assert(t.read().count() == 6, "re-run import duplicated rows")
+  }
+
   test("properties and idempotence watermarks survive snapshot expiration") {
     val t = freshTable("expireprops")
     t.setProperties(Map("mask.name" -> "redact"))

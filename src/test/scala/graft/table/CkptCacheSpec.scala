@@ -63,6 +63,67 @@ class CkptCacheSpec extends AnyFunSuite {
     assert(es.flatMap(_.dataFiles).map(_.split('/').last).toSet == Set("f2.parquet", "f3.parquet"))
   }
 
+  private def bloomCounters(): (Long, Long) =
+    (CommitLog.bloomCacheHits.sum(), CommitLog.bloomCacheMisses.sum())
+
+  test("bloom cache under two-table contention: a 50-commit hydration stays warm through interleaved probes") {
+    // the r8 regression this budget replaced an entry cap for: table B's
+    // sidecars wholesale-cleared table A's 50-commit hydration
+    // mid-stream. With a BYTE budget, two small tables coexist — after
+    // hydrating both, re-probing A must be all hits, zero re-parses.
+    def bloomTable(prefix: String, commits: Int): CommitLog = {
+      val log = fresh(prefix)
+      (0 until commits).foreach { i =>
+        log.commit("add", dataFiles = Seq(s"data/f$i.parquet"),
+          fileBlooms = Seq(Map("k" -> ("deadbeef" * 64 + i.toString))))
+      }
+      log
+    }
+    val a = bloomTable("blm_a", 50)
+    val b = bloomTable("blm_b", 20)
+    def hydrate(log: CommitLog): Unit =
+      log.entries().foreach(e => assert(CommitLog.bloomsOf(e).nonEmpty))
+    hydrate(a) // cold: 50 misses
+    // interleave: B's hydration must not evict A (both fit the byte budget)
+    hydrate(b)
+    val (h0, m0) = bloomCounters()
+    hydrate(a)
+    val (h1, m1) = bloomCounters()
+    assert(m1 == m0, s"re-probing A re-parsed ${m1 - m0} sidecars — hydration was evicted")
+    assert(h1 == h0 + 50, "warm hydration must be all cache hits")
+  }
+
+  test("bloom byte budget: racing probes of one sidecar charge its size exactly once") {
+    val log = fresh("blm_race")
+    val payload = Map("k" -> ("cafebabe" * 512))
+    log.commit("add", dataFiles = Seq("data/f0.parquet"), fileBlooms = Seq(payload))
+    val entry = log.entries().head
+    assert(entry.bloomsRef.nonEmpty && entry.fileBlooms.isEmpty, "bloom must spill to a sidecar")
+    val before = CommitLog.bloomCacheBytes.get()
+    val barrier = new java.util.concurrent.CyclicBarrier(16)
+    val threads = (0 until 16).map { _ =>
+      new Thread(() => { barrier.await(); CommitLog.cachedBloomParse(entry.bloomsRef); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val size = CommitLog.cachedBloomParse(entry.bloomsRef)
+      .iterator.map(_.valuesIterator.map(_.length).sum).sum.toLong
+    assert(CommitLog.bloomCacheBytes.get() == before + size,
+      s"racing double-parses double-charged the budget: ${CommitLog.bloomCacheBytes.get() - before} != $size")
+  }
+
+  test("swept sidecar degrades to no-bloom pruning and negative-caches; the file's return is irrelevant") {
+    val log = fresh("blm_swept")
+    log.commit("add", dataFiles = Seq("data/f0.parquet"),
+      fileBlooms = Seq(Map("k" -> "feedface")))
+    val e = log.entries().head
+    Files.delete(java.nio.file.Paths.get(e.bloomsRef)) // the orphan sweep
+    val (_, m0) = bloomCounters()
+    assert(CommitLog.bloomsOf(e).isEmpty, "vanished sidecar must degrade to Nil, never throw")
+    assert(CommitLog.bloomsOf(e).isEmpty)
+    val (_, m1) = bloomCounters()
+    assert(m1 == m0 + 1, "a permanent absence (NoSuchFile) must negative-cache, not re-stat per probe")
+  }
+
   test("cap eviction: churning >64 tables stays correct (wholesale clear, no stale cross-talk)") {
     val logs = (0 until 70).map { i =>
       val log = fresh(f"ckc_churn$i%02d")
