@@ -52,36 +52,49 @@ object Bench {
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    // BEST-OF-N per query (default 2, VERDICT r5 #10): three rounds of
-    // driver benches have reported 4× per-query spikes that were machine
-    // contention, not regressions — a second pass on warm caches costs a
-    // fraction of the first and lets the minimum shed transient CPU
-    // pressure. The min is the right statistic here: the quantity under
-    // test is the PLAN's cost, and contention only ever adds time.
+    // CORROBORATED-MIN per query (r9, VERDICT r8 #1): pass-wise best-of-2
+    // still let same-code records disagree 222 vs 257 s with single
+    // queries swinging 2-4x BOTH directions — one contended sample per
+    // pass and the min is whichever pass got lucky. The quantity under
+    // test is the PLAN's cost; contention only ever adds time, so the
+    // statistic that converges is a min CORROBORATED by a second sample:
+    // run reps back-to-back (warm page cache/codegen between reps, so
+    // plan cost is the only signal) and keep adding reps — up to
+    // SPARK_GRAFT_MAX_EXTRA — until the best two samples agree within
+    // 20%. An idle box pays 2 reps; a noisy sample buys its own retry
+    // instead of polluting the record. The x_* stress scenarios below
+    // stay single-shot: fresh state IS their timing.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
-    def runPass(pass: Int): Seq[(String, Double)] = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      // a crash must not masquerade as a fast run: failed queries report
-      // -1 and are excluded from the total
-      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      // per-query progress to stderr AS IT COMPLETES: if the run is killed
-      // or the stdout line is lost, the partial timings still diagnose
-      // which query was slow (VERDICT r3: two driver rounds lost detail)
-      System.err.println(f"[bench] p$pass $name%-28s ${sec}%8.3f s")
-      name -> sec
-    }
-    val allPasses = (1 to passes).map(runPass)
-    // best over passes; a query that failed in one pass but ran in
-    // another keeps its successful timing (failure stays -1 only when
-    // EVERY pass failed)
-    val perQuery = selected.map(_._1).zipWithIndex.map { case (name, i) =>
-      val ts = allPasses.map(_(i)._2).filter(_ >= 0)
+    val maxExtra = sys.env.getOrElse("SPARK_GRAFT_MAX_EXTRA", "2").toInt.max(0)
+    val perQuery = selected.map { case (name, fn) =>
+      def rep(i: Int): Double = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        // a crash must not masquerade as a fast run: failed reps report
+        // -1 and are excluded; -1 stands only when EVERY rep failed
+        val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        // per-rep progress to stderr AS IT COMPLETES: if the run is killed
+        // or the stdout line is lost, the partial timings still diagnose
+        // which query was slow (VERDICT r3: two driver rounds lost detail)
+        System.err.println(f"[bench] r$i $name%-28s ${sec}%8.3f s")
+        sec
+      }
+      var ts = (1 to passes).map(rep).filter(_ >= 0).toList
+      def unsettled: Boolean = {
+        val sorted = ts.sorted
+        sorted.size < 2 || sorted(1) > sorted(0) * 1.2
+      }
+      var extra = 0
+      while (extra < maxExtra && unsettled) {
+        extra += 1
+        val s = rep(passes + extra)
+        if (s >= 0) ts ::= s
+      }
       name -> (if (ts.isEmpty) -1.0 else ts.min)
     }
     // decoupled-ingest CONCURRENCY stress (VERDICT r5 #5 → r7 #6,

@@ -591,7 +591,9 @@ object JoinQueries extends QueryPack {
         .select(expr("pk div 4294967296L").as("c1"),
           expr("pk % 4294967296L").as("c2"), col("i"))
       // degree = non-hot parts per customer, derived from the SAME
-      // inverted index (Spark reuses the exchange; singleton parts count)
+      // inverted index — AQE serves both branches from one part-keyed
+      // aggregation exchange (ReusedExchange, asserted in PlanAuditSpec;
+      // singleton parts count toward degree)
       val deg = byPart.select(explode(col("cs")).as("c"))
         .groupBy("c").agg(count(lit(1)).as("d"))
       pairs

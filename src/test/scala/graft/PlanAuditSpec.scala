@@ -365,6 +365,28 @@ class PlanAuditSpec extends AnyFunSuite {
         "(md5 per distinct word, not per occurrence)")
   }
 
+  test("q_graph_jaccard derives pairs and degrees from ONE inverted-index exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val df = SparkEntry.queries("q_graph_jaccard")(spark, sf)
+    df.collect() // AQE materializes exchange reuse at runtime, not at plan time
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => Nil
+      }
+      p +: (p.children ++ nested).flatMap(walk)
+    }
+    val reused = walk(df.queryExecution.executedPlan)
+      .collect { case r: ReusedExchangeExec => r }
+    assert(reused.nonEmpty,
+      "the pairs and degrees branches must consume ONE part-keyed byPart " +
+        "aggregation exchange — recomputing the corpus-sized inverted index " +
+        "doubles the dominant scan+distinct+shuffle work")
+  }
+
   test("q_graph_triangles broadcasts node-scale degrees; wedge joins stay keyed") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val root = physicalRoot("q_graph_triangles")

@@ -834,6 +834,80 @@ object TableModelProps extends Properties("graft-table-model") {
       okExpire && okVacuum
     }
 
+  // ---- policy-driven maintenance fuzz (r9, VERDICT r8 #4): the
+  // props-dropped-by-expire bug (r8) and the zero-horizon maintain()
+  // hazard (r8 advice) were both found BY HAND in exactly this
+  // composition — maintain() over an arbitrary lineage with branches,
+  // tags and idempotence watermarks in play. Pin the class: a random
+  // maint.* policy runs over a random lineage with a branch at head and
+  // a tag below it; afterwards (1) head, tag and branch reads all still
+  // match the model, (2) the property fold (lineage props + watermarks +
+  // the policy itself) survives expiration, (3) a replayed idempotent
+  // batch is STILL a no-op (a reset watermark double-appends), and
+  // (4) every bloom sidecar a surviving ref points at still exists —
+  // the sidecar sweep is ref-aware across main AND the branch's copied
+  // log (deleting a referenced sidecar silently degrades pruning, which
+  // no row check would ever catch).
+  private val genPolicy: Gen[Map[String, String]] = Gen.oneOf(
+    Map("maint.compact.target-bytes" -> (1L << 20).toString),
+    Map("maint.expire.enabled" -> "true"), // horizon defaults to 3h: files age-gated
+    Map("maint.expire.enabled" -> "true", "maint.vacuum.horizon-ms" -> "0"),
+    Map("maint.compact.target-bytes" -> (1L << 20).toString,
+      "maint.expire.enabled" -> "true", "maint.vacuum.horizon-ms" -> "0"))
+
+  property("maintain() under a random policy preserves head/tag/branch reads, the props fold, and sidecar refs") =
+    forAll(genOps, Gen.choose(0, 5), genPolicy) { (ops, tagRaw, policy) =>
+      import spark.implicits._
+      val t = run("prop_maint", ops)
+      val committed = t.snapshots.map(_.seq)
+      val tagSeq = committed.filter(_ <= math.min(tagRaw, ops.size - 1).toLong)
+        .lastOption.getOrElse(committed.head)
+      t.tag("keep", tagSeq)
+      val b = t.createBranch("audit") // shares base-history files BY PATH
+      t.setProperties(policy)
+      t.maintain()
+      def readAt(tab: GraftTable, asOf: Int, head: Boolean): List[Row] = sortedRows(
+        tab.read(if (head) Long.MaxValue else asOf.toLong)
+          .select(org.apache.spark.sql.functions.col(keyColAt(ops, asOf)).as("name"),
+            org.apache.spark.sql.functions.col("count").cast("int").as("count"))
+          .as[Row].collect().toSeq)
+      val wantHead = sortedRows(model(ops, ops.size - 1))
+      val okHead = readAt(t, ops.size - 1, head = true) == wantHead
+      val okTag = readAt(t, tagSeq.toInt, head = false) == sortedRows(model(ops, tagSeq.toInt))
+      // the branch was cut at head, its files shared with main by path:
+      // neither expiration nor the vacuum step may reclaim them
+      val okBranch = readAt(b, ops.size - 1, head = true) == wantHead
+      // props fold: everything the lineage assigned, plus the policy
+      // itself, survives expiration (the r8 bug dropped ALL of it)
+      val wantProps = ops.foldLeft(Map.empty[String, String]) {
+        case (m, SetProps(v)) =>
+          if (v.isEmpty) m - "fuzz.note" else m.updated("fuzz.note", v)
+        case (m, IdemAppend(_, app, ver)) =>
+          val key = s"txn.$app"
+          if (m.get(key).forall(_.toLong < ver)) m.updated(key, ver.toString) else m
+        case (m, _) => m
+      } ++ policy
+      val okProps = t.properties() == wantProps
+      // a replayed idempotent batch must STILL be a no-op after
+      // maintenance: expiration resetting the watermark double-appends
+      val okReplay = wantProps.keys.find(_.startsWith("txn.")).forall { key =>
+        val app = key.stripPrefix("txn.")
+        val ver = wantProps(key).toLong
+        val before = t.read().count()
+        t.appendIdempotent(List(("Z", 1)).toDF(keyColAt(ops, ops.size - 1), "count"), app, ver)
+        t.read().count() == before
+      }
+      // every sidecar a SURVIVING ref (main entries + the branch's copied
+      // log) points at must still exist on disk after the sweep
+      val refs = (t.commitLog.entries() ++ b.commitLog.entries())
+        .map(_.bloomsRef).filter(_.nonEmpty)
+      val okSidecars = refs.forall(r => Files.exists(java.nio.file.Paths.get(r)))
+      val ok = okHead && okTag && okBranch && okProps && okReplay && okSidecars
+      if (!ok) println(s"MAINT MISMATCH ops=$ops tag=$tagSeq policy=$policy " +
+        s"head=$okHead tag=$okTag branch=$okBranch props=$okProps replay=$okReplay sidecars=$okSidecars")
+      ok
+    }
+
   property("bounded reads equal filtered full reads on random lineages") =
     forAll(genOps, Gen.choose(0, 99), Gen.choose(0, 99)) { (ops, a, b) =>
       import spark.implicits._
