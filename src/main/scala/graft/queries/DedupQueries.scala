@@ -93,6 +93,51 @@ object DedupQueries extends QueryPack {
       // explode stage at sf0.1.
       .repartition(col("doc_id"))
 
+  /** MinHash band keys per document — ONE definition shared by the batch
+    * pipeline (q_dedup_minhash) and the ONLINE ingest path
+    * (t_online_neardup), so the two can never compute different keys for
+    * the same text (an index probed under a drifted key silently admits
+    * every duplicate). 16 signatures via Kirsch-Mitzenmacher double
+    * hashing — ONE md5 per distinct 3-shingle yields h1 (hex 1-15) and
+    * h2 (hex 16-30, reduced mod 2^56), g_j = h1 + j·h2 — in 8 bands of
+    * 2 (s-curve knee ≈ 0.35, right for a 0.5-Jaccard threshold). Output:
+    * one row per (doc, band): idCol, `bh` (the distinct shingle h1 set,
+    * carried for the exact-Jaccard verify), `bb` struct (band, k1, k2).
+    * Docs under 3 tokens emit no rows (empty shingle set — callers
+    * needing them route through the exact md5 path instead).
+    */
+  private[graft] def minhashBanded(docs: DataFrame, idCol: String,
+      textCol: String = "text"): DataFrame = {
+    val base = docs
+      .withColumn("w", split(col(textCol), " "))
+      // empty shingle set → NULL signatures; SQL's equi-join never
+      // matches NULL band keys, so exclude <3-token docs to match the
+      // oracle. Filtered HERE on the cheap token count: a filter on the
+      // constructed hs would be pushed below the repartition and
+      // re-evaluate the md5 transform once per row just for the guard.
+      .filter(size(col("w")) >= 3)
+      .select(col(idCol),
+        // ONE md5 per distinct shingle; h1/h2 are slices of its hex
+        expr(s"""transform(transform($trigramsExpr, x -> md5(x)),
+                |  h -> named_struct('h1', CAST(CONV(substring(h, 1, 15), 16, 10) AS BIGINT),
+                |    'h2', CAST(CONV(substring(h, 16, 15), 16, 10) AS BIGINT) % 72057594037927936L))""".stripMargin)
+          .as("hs"))
+      // materialization boundary — same rationale as shingled()
+      .repartition(col(idCol))
+      .select(col(idCol), expr("transform(hs, p -> p.h1)").as("bh"), col("hs"))
+    // all 16 signature minimums in one native codegen pass over hs
+    // (graft.functions.MinHashSig) — the HOF equivalent
+    // transform(sequence(0,15), j -> array_min(transform(hs, ...)))
+    // walks the array 16 times through interpreted lambdas
+    val sigArr = call_function("graft_minhash_sig", col("hs"))
+    base
+      .select(col(idCol), col("bh"), sigArr.as("sig"))
+      .select(col(idCol), col("bh"),
+        explode_outer(expr( // outer: skip the pushed-down non-empty guard
+          "transform(sequence(0, 7), bd -> named_struct('band', bd, 'k1', element_at(sig, 2*bd+1), 'k2', element_at(sig, 2*bd+2)))"))
+          .as("bb"))
+  }
+
   /** Hot-bucket cap (the stop-shingle guard): candidate cost of every
     * bucketed dedup is Σ bucket² — the ONLY unbounded term in the cost
     * model at 100 TB. A shingle like "of the and" can occur in 10⁷
@@ -487,34 +532,7 @@ object DedupQueries extends QueryPack {
          |FROM jc WHERE inter * 2 >= uni
          |ORDER BY da, db""",
     ) { (s, dir) =>
-      val base = Tables.spread(Tables.documents(s, dir))
-        .withColumn("w", split(col("text"), " "))
-        // empty shingle set → NULL signatures; SQL's equi-join never
-        // matches NULL band keys, so exclude <3-token docs to match the
-        // oracle. Filtered HERE on the cheap token count: a filter on the
-        // constructed hs would be pushed below the repartition and
-        // re-evaluate the md5 transform once per row just for the guard.
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"),
-          // ONE md5 per distinct shingle; h1/h2 are slices of its hex
-          expr(s"""transform(transform($trigramsExpr, x -> md5(x)),
-                  |  h -> named_struct('h1', CAST(CONV(substring(h, 1, 15), 16, 10) AS BIGINT),
-                  |    'h2', CAST(CONV(substring(h, 16, 15), 16, 10) AS BIGINT) % 72057594037927936L))""".stripMargin)
-            .as("hs"))
-        // materialization boundary — same rationale as shingled()
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), expr("transform(hs, p -> p.h1)").as("bh"), col("hs"))
-      // all 16 signature minimums in one native codegen pass over hs
-      // (graft.functions.MinHashSig) — the HOF equivalent
-      // transform(sequence(0,15), j -> array_min(transform(hs, ...)))
-      // walks the array 16 times through interpreted lambdas
-      val sigArr = call_function("graft_minhash_sig", col("hs"))
-      val banded = base
-        .select(col("doc_id"), col("bh"), sigArr.as("sig"))
-        .select(col("doc_id"), col("bh"),
-          explode_outer(expr( // outer: skip the pushed-down non-empty guard
-            "transform(sequence(0, 7), bd -> named_struct('band', bd, 'k1', element_at(sig, 2*bd+1), 'k2', element_at(sig, 2*bd+2)))"))
-            .as("bb"))
+      val banded = minhashBanded(Tables.spread(Tables.documents(s, dir)), "doc_id")
       // group by the bucket STRUCT itself (not its fields): the grouping
       // then reuses dropHotBuckets' partitioning — zero extra exchange
       val buckets = dropHotBuckets(banded, "bb", MaxBucketDf)

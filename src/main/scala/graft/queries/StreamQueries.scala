@@ -756,5 +756,128 @@ object StreamQueries extends QueryPack {
         .localCheckpoint(true)
       } finally { rmTree(src); rmTree(wh) }
     },
+
+    // ONLINE NEAR-dup at ingest (r9, VERDICT r8 #6 — the production
+    // fuzzy-dedup loop): t_online_dedup catches byte-identical arrivals;
+    // this closes the real gap — a REWORDED duplicate arriving epochs
+    // later. Each micro-batch computes MinHash band keys through the
+    // SAME construction the batch pipeline uses (DedupQueries
+    // .minhashBanded — one definition, so index and probe keys can never
+    // drift), drops batch-local near-dups (band-bucket candidate pairs,
+    // exact-Jaccard ≥ 0.5 verify on the shingle sets, larger id loses),
+    // probes the PERSISTENT band index for cross-epoch candidates with
+    // the same verify, and lands corpus rows + the novel docs' 8 band
+    // rows ATOMICALLY in one multi-table transaction (a crash can never
+    // leave a doc indexed-but-absent or landed-but-unindexed). Index
+    // cost stays ∝ delta: each epoch appends exactly 8·novel band rows
+    // (pinned by index_rows = 8 × corpus_rows and one index commit per
+    // novel epoch), and the probe is ONE keyed join of the batch's
+    // bands against the bucket-partitioned index — history is never
+    // rescanned, and exact verification touches only candidate pairs
+    // (banding recall ≥ 1-(1-j²)^8: a 0.75-Jaccard rewrite is missed
+    // with p < 0.2%; the fixture's pairs are deterministic md5 hits).
+    // Exact dups are the j=1 special case of the same path. Short
+    // (<3-token) docs emit no bands — production composes the exact
+    // md5 index (t_online_dedup) in the same transaction for those.
+    Q(
+      "t_online_neardup",
+      """SELECT CAST(epoch AS BIGINT) AS epoch, CAST(n_in AS BIGINT) AS n_in,
+        |  CAST(n_novel AS BIGINT) AS n_novel, CAST(5 AS BIGINT) AS corpus_rows,
+        |  CAST(40 AS BIGINT) AS index_rows, 3 AS index_commits
+        |FROM (VALUES (0,4,3),(1,3,1),(2,3,1)) AS t(epoch, n_in, n_novel)
+        |ORDER BY epoch""",
+    ) { (s, _) =>
+      import s.implicits._
+      val src = Files.createTempDirectory("graft_oneardup_src")
+      val wh = Files.createTempDirectory("graft_oneardup_wh")
+      try {
+      val epochs = Seq(
+        Seq( // d02 is a batch-local NEAR dup of d00 (last token reworded)
+          "d00" -> "the quick brown fox jumps over the lazy dog tonight",
+          "d01" -> "spark engines shuffle data across the cluster nodes efficiently",
+          "d02" -> "the quick brown fox jumps over the lazy dog today",
+          "d03" -> "completely unrelated third document about language models"),
+        Seq( // d10: CROSS-EPOCH NEAR dup of d00 (not byte-equal — the
+          // exact md5 path would admit it); d12: exact dup of d01 (j=1)
+          "d10" -> "the quick brown fox jumps over the lazy dog forever",
+          "d11" -> "fresh content describing streaming ingestion pipelines end to end",
+          "d12" -> "spark engines shuffle data across the cluster nodes efficiently"),
+        Seq( // d20: near dup of epoch-1's d11; d22: exact dup of d00
+          "d20" -> "fresh content describing streaming ingestion pipelines end to end again",
+          "d21" -> "a genuinely novel document closing out the online scenario",
+          "d22" -> "the quick brown fox jumps over the lazy dog tonight"))
+      epochs.zipWithIndex.foreach { case (rows, f) =>
+        val p = src.resolve(f"part-$f%02d.json")
+        Files.write(p, rows.map { case (id, tx) => s"""{"name":"$id","text":"$tx"}""" }
+          .mkString("\n").getBytes)
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + f * 60000L))
+      }
+      val cat = _root_.graft.table.GraftCatalog(s, wh.toString)
+      cat.createTable("lake", "corpus")
+      cat.createTable("lake", "band_idx")
+      val counts = scala.collection.concurrent.TrieMap.empty[Long, (Long, Long)]
+      // exact-Jaccard verify on the carried shingle h1 sets: banding
+      // proposes, this disposes — probabilistic recall, exact precision
+      def verified(df: DataFrame): DataFrame = df
+        .filter(size(array_intersect(col("sa"), col("sb"))) * 2 >=
+          size(array_union(col("sa"), col("sb"))))
+      val stream = _root_.graft.sources.JsonFileSource(
+        src.toString, "name STRING, text STRING", maxFilesPerTrigger = 1).load(s)
+      val query = stream.writeStream
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          val bands = _root_.graft.queries.DedupQueries
+            .minhashBanded(batch, "name").persist()
+          // batch-local near-dups: same-band candidates, larger id loses
+          val localDups = verified(
+            bands.as("a").join(bands.as("b"),
+              col("a.bb") === col("b.bb") && col("a.name") < col("b.name"))
+              .groupBy(col("a.name").as("da"), col("b.name").as("db"))
+              .agg(first(col("a.bh")).as("sa"), first(col("b.bh")).as("sb")))
+            .select(col("db").as("name")).distinct()
+          val keptBands = bands.join(localDups, Seq("name"), "left_anti").persist()
+          // cross-epoch: ONE keyed probe of the persistent band index
+          val idx = cat.openTable("lake", "band_idx")
+          val hits =
+            if (idx.snapshots.isEmpty) s.emptyDataFrame.withColumn("name", lit(""))
+              .select("name")
+            else verified(
+              keptBands.as("n").join(idx.read().as("o"),
+                col("n.bb.band") === col("o.band") &&
+                  col("n.bb.k1") === col("o.k1") && col("n.bb.k2") === col("o.k2"))
+                .groupBy(col("n.name").as("nname"), col("o.doc_id"))
+                .agg(first(col("n.bh")).as("sa"), first(col("o.bh")).as("sb")))
+              .select(col("nname").as("name")).distinct()
+          val novelBands = keptBands.join(hits, Seq("name"), "left_anti").persist()
+          val novelDocs = batch.join(
+            novelBands.select("name").distinct(), Seq("name"), "left_semi").persist()
+          val nNovel = novelDocs.count()
+          if (nNovel > 0) cat.transact { txn =>
+            txn.append("lake", "corpus", novelDocs.select("name", "text"))
+            txn.appendPartitioned("lake", "band_idx",
+              novelBands.select(col("name").as("doc_id"), col("bh"),
+                col("bb.band").as("band"), col("bb.k1").as("k1"), col("bb.k2").as("k2")),
+              _root_.graft.table.PartitionSpec("k1",
+                _root_.graft.table.Transform.Bucket(8))): Unit
+          }
+          counts(bid) = (batch.count(), nNovel)
+          bands.unpersist(); keptBands.unpersist()
+          novelBands.unpersist(); novelDocs.unpersist(): Unit
+        }
+        .start()
+      query.awaitTermination()
+      val corpusRows = cat.openTable("lake", "corpus").read().count()
+      val idx = cat.openTable("lake", "band_idx")
+      counts.toSeq.sortBy(_._1)
+        .map { case (e, (i, n)) => (e, i, n) }
+        .toDF("epoch", "n_in", "n_novel")
+        .withColumn("corpus_rows", lit(corpusRows))
+        .withColumn("index_rows", lit(idx.read().count()))
+        .withColumn("index_commits", lit(idx.snapshots.size))
+        .orderBy("epoch")
+        .localCheckpoint(true)
+      } finally { rmTree(src); rmTree(wh) }
+    },
   )
 }
