@@ -546,6 +546,135 @@ object JoinQueries extends QueryPack {
         ORDER BY l_returnflag, l_linestatus""")
     },
 
+    // TPC-H Q6 shape (forecast revenue change): THE scan-bound query —
+    // one pass over the fact, every predicate pushed into the parquet
+    // scan (PlanAuditSpec pins PushedFilters), one global sum, zero
+    // joins. Exact arithmetic: price and discount are 2-decimal values,
+    // so revenue = price_x1e2 · disc_x1e2 is an exact x1e4 BIGINT per
+    // row — no decimal multiplication semantics to align across engines.
+    // At 100 TB this is the query that proves scan rate: cost = column-
+    // pruned I/O, the agg is one partial per task + one 1-row final.
+    Q(
+      "q_sql_q6",
+      """SELECT
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |           * CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_x1e4,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""",
+    ) { (s, dir) =>
+      sqlOverViews(s, "lineitem" -> Tables.lineitem(s, dir))("""
+        SELECT
+          CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   * CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_x1e4,
+          CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM {lineitem}
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""")
+    },
+
+    // TPC-H Q4 shape (order-priority checking): the CORRELATED-EXISTS
+    // query — orders in a quarter counted by priority when at least one
+    // of their lines shipped after the order date (late-shipping proxy
+    // for the spec's commit/receipt columns, which this testdata lacks).
+    // The analyzer decorrelates the subquery into a LEFT SEMI join on
+    // l_orderkey with the non-equi date conjunct as the join condition —
+    // the semi join never multiplies rows (one probe hit suffices), so
+    // the shuffle is orders-quarter-sized vs lineitem keyed, then a
+    // 5-group agg. At 100 TB both sides partition on the join key; the
+    // date filter pushes to the orders scan.
+    Q(
+      "q_sql_q4",
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""",
+    ) { (s, dir) =>
+      sqlOverViews(s,
+        "orders" -> Tables.orders(s, dir),
+        "lineitem" -> Tables.lineitem(s, dir))("""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM {orders}
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM {lineitem}
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    },
+
+    // TPC-H Q13 shape (customer order-count distribution): the DOUBLE
+    // AGGREGATION over an OUTER join — customers (including the order-
+    // less ones, which only the left join keeps) rolled up to per-
+    // customer order counts, then the counts histogrammed. Classic skew
+    // probe: the second agg's key cardinality is tiny (distinct order
+    // counts), but its input is only customer-sized — the corpus-scale
+    // work is the one keyed outer join with partial counts. All-integer
+    // output; count(o_orderkey) not count(*) so order-less customers
+    // land in the 0 bucket exactly like the spec.
+    Q(
+      "q_sql_q13",
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""",
+    ) { (s, dir) =>
+      sqlOverViews(s,
+        "customer" -> Tables.customer(s, dir),
+        "orders" -> Tables.orders(s, dir))("""
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+              FROM {customer} LEFT JOIN {orders} ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC""")
+    },
+
+    // TPC-H Q14 shape (promotion effect): conditional aggregation + an
+    // exact RATIO OF SUMS — the promo share of a month's revenue. Per-row
+    // revenue is the exact x1e4 BIGINT of q_sql_q6; the share scales the
+    // promo sum through DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) before
+    // the integral divide, because sum_x1e4 · 1e6 clears int64 already at
+    // sf0.1 — the overflow-safe ratio pattern, not a float in sight. The
+    // part dim broadcasts (one keyed fact shuffle); the month filter
+    // pushes to the lineitem scan.
+    Q(
+      "q_sql_q14",
+      """WITH j AS (SELECT CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo,
+        |        CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |          * CAST(CAST(100 * (1 - l_discount) AS DECIMAL(5,2)) AS BIGINT) AS rev_x1e4
+        |      FROM lineitem JOIN part ON l_partkey = p_partkey
+        |      WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01')
+        |SELECT
+        |  CAST((CAST(SUM(is_promo * rev_x1e4) AS HUGEINT) * 1000000)
+        |       // CAST(SUM(rev_x1e4) AS HUGEINT) AS BIGINT) AS promo_share_x1e6,
+        |  CAST(SUM(rev_x1e4) AS BIGINT) AS revenue_x1e4,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM j""",
+    ) { (s, dir) =>
+      sqlOverViews(s,
+        "lineitem" -> Tables.lineitem(s, dir),
+        "part" -> Tables.part(s, dir))("""
+        WITH j AS (SELECT CASE WHEN p_type = 'PROMO' THEN 1L ELSE 0L END AS is_promo,
+                CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  * CAST(CAST(100 * (1 - l_discount) AS DECIMAL(5,2)) AS BIGINT) AS rev_x1e4
+              FROM {lineitem} JOIN {part} ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01')
+        SELECT
+          CAST((CAST(SUM(is_promo * rev_x1e4) AS DECIMAL(38,0)) * 1000000)
+               div CAST(SUM(rev_x1e4) AS DECIMAL(38,0)) AS BIGINT) AS promo_share_x1e6,
+          CAST(SUM(rev_x1e4) AS BIGINT) AS revenue_x1e4,
+          CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM j""")
+    },
+
     // Node-similarity Jaccard over the customer–part co-purchase graph
     // (r8): "customers like you" / collaborative-filtering candidate
     // generation — for every customer pair sharing a purchased part,

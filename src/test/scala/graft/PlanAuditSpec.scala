@@ -365,6 +365,29 @@ class PlanAuditSpec extends AnyFunSuite {
         "(md5 per distinct word, not per occurrence)")
   }
 
+  test("q_sql_q6 pushes every predicate into the scan and stays join-free") {
+    val p = plan("q_sql_q6")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") && p.contains("LessThan(l_shipdate"),
+      "the date range must reach the parquet scan")
+    assert(p.contains("LessThan(l_quantity"), "the quantity cut must reach the scan")
+    assert(!p.contains("Join"), "Q6 is the scan-bound query — any join is a regression")
+  }
+
+  test("q_sql_q4's EXISTS decorrelates to a semi join, never a per-order subquery") {
+    val p = plan("q_sql_q4")
+    assert(p.contains("LeftSemi"), "correlated EXISTS must become ONE semi join")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(o_orderdate"),
+      "the quarter filter must reach the orders scan")
+  }
+
+  test("q_sql_q14 broadcasts the part dim onto the month-filtered fact") {
+    val p = plan("q_sql_q14")
+    assert(p.contains("BroadcastHashJoin"), "part is dim-sized: it must broadcast")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "the month filter must reach the lineitem scan")
+  }
+
   test("q_graph_jaccard derives pairs and degrees from ONE inverted-index exchange") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
