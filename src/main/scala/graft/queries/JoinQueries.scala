@@ -675,6 +675,88 @@ object JoinQueries extends QueryPack {
         FROM j""")
     },
 
+    // TPC-H Q15 shape (top supplier): aggregate-then-select-the-max — a
+    // quarter's revenue per supplier, returning every supplier that hits
+    // the maximum (ties kept, per the spec's view formulation). The max-
+    // of-aggregate is a 1-row broadcast back onto the supplier-sized
+    // aggregate — never a window over it (a global window would
+    // single-partition the aggregate; the broadcast join keeps it
+    // parallel and is exactly how the spec's VIEW + scalar subquery
+    // plans). Revenue as the exact x1e4 BIGINT of q_sql_q6.
+    Q(
+      "q_sql_q15",
+      """WITH rev AS (SELECT l_suppkey AS supplier_no,
+        |        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |                 * CAST(CAST(100 * (1 - l_discount) AS DECIMAL(5,2)) AS BIGINT)) AS BIGINT) AS total_revenue_x1e4
+        |      FROM lineitem
+        |      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |      GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue_x1e4
+        |FROM supplier JOIN rev ON s_suppkey = supplier_no
+        |WHERE total_revenue_x1e4 = (SELECT MAX(total_revenue_x1e4) FROM rev)
+        |ORDER BY s_suppkey""",
+    ) { (s, dir) =>
+      sqlOverViews(s,
+        "supplier" -> Tables.supplier(s, dir),
+        "lineitem" -> Tables.lineitem(s, dir))("""
+        WITH rev AS (SELECT l_suppkey AS supplier_no,
+                CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                         * CAST(CAST(100 * (1 - l_discount) AS DECIMAL(5,2)) AS BIGINT)) AS BIGINT) AS total_revenue_x1e4
+              FROM {lineitem}
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue_x1e4
+        FROM {supplier} JOIN rev ON s_suppkey = supplier_no
+        WHERE total_revenue_x1e4 = (SELECT MAX(total_revenue_x1e4) FROM rev)
+        ORDER BY s_suppkey""")
+    },
+
+    // TPC-H Q22 shape (global sales opportunity): scalar-subquery
+    // threshold + ANTI join — customers from a nation set holding more
+    // than the average positive balance who have NEVER ordered, counted
+    // per nation (the spec's phone-prefix becomes the nation dim this
+    // testdata carries). Three distinct sub-shapes in one plan: a 1-row
+    // global threshold broadcast as a filter (the average as an EXACT
+    // integral division — both engines truncate identically, so the
+    // boundary row can never flip on float noise), a LEFT ANTI join against
+    // orders (order-less = no probe hit — never an outer join + null
+    // filter), and a tiny final agg. Balances are 2-decimal values, so
+    // every sum is an exact x1e2 BIGINT.
+    Q(
+      "q_sql_q22",
+      """WITH cust AS (SELECT c_custkey, n_name,
+        |        CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_x1e2
+        |      FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |      WHERE n_name IN ('NATION_1', 'NATION_5', 'NATION_9', 'NATION_13', 'NATION_17')),
+        |thresh AS (SELECT SUM(bal_x1e2) // COUNT(*) AS a FROM cust WHERE bal_x1e2 > 0)
+        |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(SUM(bal_x1e2) AS BIGINT) AS totacctbal_x1e2
+        |FROM cust, thresh
+        |WHERE bal_x1e2 > a
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY n_name
+        |ORDER BY n_name""",
+    ) { (s, dir) =>
+      sqlOverViews(s,
+        "customer" -> Tables.customer(s, dir),
+        "nation" -> Tables.nation(s, dir),
+        "orders" -> Tables.orders(s, dir))("""
+        WITH cust AS (SELECT c_custkey, n_name,
+                CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_x1e2
+              FROM {customer} JOIN {nation} ON c_nationkey = n_nationkey
+              WHERE n_name IN ('NATION_1', 'NATION_5', 'NATION_9', 'NATION_13', 'NATION_17')),
+        thresh AS (SELECT SUM(bal_x1e2) div COUNT(*) AS a FROM cust WHERE bal_x1e2 > 0)
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+          CAST(SUM(bal_x1e2) AS BIGINT) AS totacctbal_x1e2
+        FROM cust, thresh
+        WHERE bal_x1e2 > a
+          AND NOT EXISTS (SELECT 1 FROM {orders} WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY n_name
+        ORDER BY n_name""")
+    },
+
     // Node-similarity Jaccard over the customer–part co-purchase graph
     // (r8): "customers like you" / collaborative-filtering candidate
     // generation — for every customer pair sharing a purchased part,

@@ -908,6 +908,49 @@ object TableModelProps extends Properties("graft-table-model") {
       ok
     }
 
+  property("mid-lineage branch + zero-horizon vacuums around later main ops never orphan a shared file") =
+    forAll(genOps, Gen.listOfN(3, genOp)) { (pre, post) =>
+      import spark.implicits._
+      // the sweep × branch interplay (r9, VERDICT r8 #4): a branch cut
+      // mid-lineage shares every base file with main BY PATH; immediate
+      // (zero-horizon) orphan sweeps fire BETWEEN later main ops — each
+      // sweep must treat the branch's copied log (data files AND bloom
+      // sidecars) as references even as main's own lineage rolls forward
+      // over compactions/rollbacks that retire those files from main.
+      val all = pre ++ post
+      val t = run("prop_brvac", pre)
+      val b = t.createBranch("audit")
+      t.removeOrphanFiles(olderThanMs = 0) // sweep right at the cut
+      runOn(t, all, from = pre.size)
+      t.removeOrphanFiles(olderThanMs = 0) // sweep after main diverged
+      def readAt(tab: GraftTable, ops: List[Op], asOf: Int, head: Boolean): List[Row] =
+        sortedRows(
+          tab.read(if (head) Long.MaxValue else asOf.toLong)
+            .select(org.apache.spark.sql.functions.col(keyColAt(ops, asOf)).as("name"),
+              org.apache.spark.sql.functions.col("count").cast("int").as("count"))
+            .as[Row].collect().toSeq)
+      // the branch still reads the PREFIX lineage — head and every asOf
+      val branchOk = (0 until pre.size).forall { asOf =>
+        val got = readAt(b, pre, asOf, head = asOf == pre.size - 1)
+        val want = sortedRows(model(pre, asOf))
+        if (got != want) println(s"BRVAC BRANCH MISMATCH asOf=$asOf pre=$pre post=$post\n got=$got\n want=$want")
+        got == want
+      }
+      // main reads its full composite lineage through both sweeps
+      val mainOk = (0 until all.size).forall { asOf =>
+        val got = readAt(t, all, asOf, head = asOf == all.size - 1)
+        val want = sortedRows(model(all, asOf))
+        if (got != want) println(s"BRVAC MAIN MISMATCH asOf=$asOf pre=$pre post=$post\n got=$got\n want=$want")
+        got == want
+      }
+      // no sidecar either ref points at was swept
+      val refs = (t.commitLog.entries() ++ b.commitLog.entries())
+        .map(_.bloomsRef).filter(_.nonEmpty)
+      val sidecarsOk = refs.forall(r => Files.exists(java.nio.file.Paths.get(r)))
+      if (!sidecarsOk) println(s"BRVAC SIDECAR MISMATCH pre=$pre post=$post")
+      branchOk && mainOk && sidecarsOk
+    }
+
   property("bounded reads equal filtered full reads on random lineages") =
     forAll(genOps, Gen.choose(0, 99), Gen.choose(0, 99)) { (ops, a, b) =>
       import spark.implicits._
