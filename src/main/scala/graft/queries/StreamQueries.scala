@@ -757,6 +757,88 @@ object StreamQueries extends QueryPack {
       } finally { rmTree(src); rmTree(wh) }
     },
 
+    // EXACTLY-ONCE online ingest (r9): the replay-safety composition the
+    // online-dedup scenarios assumed but never proved. A foreachBatch
+    // sink is at-least-once — after a crash the same batch id is
+    // REDELIVERED, and t_online_dedup's transaction, replayed, would
+    // re-admit every row its first delivery landed (they're in the
+    // corpus, so the anti-join... catches dups, but a NON-duplicate row
+    // would double-land — and the index would double-grow). The fix is
+    // Delta's txnAppId/txnVersion lifted into the multi-table txn: the
+    // corpus append stages a `txn.ingest = batchId` watermark ON ITS
+    // ENTRY (CatalogTxn.appendIdempotent), so the watermark becomes
+    // visible ATOMICALLY with the transaction's publish. The processor
+    // checks the VISIBLE watermark before opening a transaction:
+    //   crash BEFORE publish → no watermark leaked (staged entries are
+    //     invisible) → replay reprocesses — correct, nothing landed;
+    //   crash AFTER publish → watermark folded with the data → replay
+    //     skips the whole transaction — correct, everything landed.
+    // The golden drives all four arms: two fresh epochs, a replay of a
+    // published epoch (skipped), a crash mid-transaction (aborted,
+    // watermark NOT advanced), and the crashed epoch's redelivery
+    // (processed). At 100 TB the watermark check is one metadata-sized
+    // properties fold — no data read, no extra commit.
+    Q(
+      "t_ingest_exactly_once",
+      """SELECT step, action, CAST(watermark AS BIGINT) AS watermark,
+        |  CAST(corpus_rows AS BIGINT) AS corpus_rows,
+        |  CAST(index_rows AS BIGINT) AS index_rows
+        |FROM (VALUES
+        |  (0, 'committed', 0, 2, 2), (1, 'committed', 1, 3, 3),
+        |  (2, 'skipped',   1, 3, 3), (3, 'aborted',   1, 3, 3),
+        |  (4, 'committed', 2, 4, 4))
+        |AS t(step, action, watermark, corpus_rows, index_rows)
+        |ORDER BY step""",
+    ) { (s, _) =>
+      import s.implicits._
+      val wh = Files.createTempDirectory("graft_e1x_wh")
+      try {
+      val cat = _root_.graft.table.GraftCatalog(s, wh.toString)
+      cat.createTable("lake", "corpus")
+      cat.createTable("lake", "dedup_idx")
+      def corpus = cat.openTable("lake", "corpus")
+      def watermark: Long =
+        corpus.properties().get("txn.ingest").map(_.toLong).getOrElse(-1L)
+      def process(rows: Seq[(String, String)], bid: Long, crash: Boolean): String = {
+        if (watermark >= bid) return "skipped" // replay of a published epoch
+        val batch = rows.toDF("name", "text").withColumn("th", md5(col("text")))
+        val idx = cat.openTable("lake", "dedup_idx")
+        val novel = (if (idx.snapshots.isEmpty) batch
+          else batch.join(idx.read().select("th"), Seq("th"), "left_anti")).persist()
+        novel.count(): Unit // materialize before staging (non-deterministic sources)
+        try {
+          cat.transact { txn =>
+            txn.appendIdempotent("lake", "corpus",
+              novel.select("name", "text", "th"), "ingest", bid)
+            txn.appendPartitioned("lake", "dedup_idx", novel.select("th"),
+              _root_.graft.table.PartitionSpec("th",
+                _root_.graft.table.Transform.Bucket(8))): Unit
+            if (crash) throw new IllegalStateException("crash before publish")
+          }
+          "committed"
+        } catch {
+          case _: IllegalStateException => "aborted" // staged entries never publish
+        } finally novel.unpersist(): Unit
+      }
+      val e0 = Seq("a1" -> "alpha", "a2" -> "bravo")
+      val e1 = Seq("b1" -> "bravo", "b2" -> "charlie") // bravo: cross-epoch dup
+      val e2 = Seq("c1" -> "delta")
+      // observable state snapshotted AFTER EACH step (a driver-side fold
+      // of tiny tables — the scenario IS the state machine), never in a
+      // deferred map that would read everything at the end
+      val plan = Seq((e0, 0L, false), (e1, 1L, false),
+        (e1, 1L, false), (e2, 2L, true), (e2, 2L, false))
+      val steps = plan.zipWithIndex.map { case ((rows, bid, crash), step) =>
+        val action = process(rows, bid, crash)
+        (step, action, watermark,
+          corpus.read().count(), cat.openTable("lake", "dedup_idx").read().count())
+      }
+      steps.toDF("step", "action", "watermark", "corpus_rows", "index_rows")
+        .orderBy("step")
+        .localCheckpoint(true)
+      } finally rmTree(wh)
+    },
+
     // ONLINE NEAR-dup at ingest (r9, VERDICT r8 #6 — the production
     // fuzzy-dedup loop): t_online_dedup catches byte-identical arrivals;
     // this closes the real gap — a REWORDED duplicate arriving epochs

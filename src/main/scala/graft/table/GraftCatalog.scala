@@ -292,10 +292,30 @@ final class CatalogTxn private[table] (cat: GraftCatalog, marker: Path) {
     new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long, String)]()
 
   def append(ns: String, name: String, df: org.apache.spark.sql.DataFrame,
-      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
-    val seq = cat.openTable(ns, name).appendInTxn(df, marker, statsCols, bloomCols)
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty): Long = {
+    val seq = cat.openTable(ns, name).appendInTxn(df, marker, statsCols, bloomCols, props)
     stagedSeqs.add((ns, name, seq, "add"))
     seq
+  }
+
+  /** Stage an append stamped with a `txn.<appId> = version` idempotence
+    * watermark (GraftTable.appendIdempotent's contract, lifted into the
+    * multi-table transaction): the watermark rides the staged entry, so
+    * it becomes visible ATOMICALLY with the transaction's publish. The
+    * caller checks the table's visible watermark BEFORE opening the
+    * transaction (`properties().get("txn.<appId>")`) and skips the whole
+    * body on a replay — crash before publish leaves no watermark
+    * (replay reprocesses, correct), crash after publish leaves it
+    * folded (replay skips, correct): exactly-once multi-table writes
+    * over at-least-once delivery.
+    */
+  def appendIdempotent(ns: String, name: String, df: org.apache.spark.sql.DataFrame,
+      appId: String, version: Long, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
+    require(appId.nonEmpty && !appId.contains('='), s"bad appId: $appId")
+    append(ns, name, df, statsCols, bloomCols,
+      props = Map(s"txn.$appId" -> version.toString))
   }
 
   /** stage a PARTITIONED append (hidden partitioning, staged): the shape

@@ -277,18 +277,23 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     * either publishes.
     */
   def appendInTxn(df: DataFrame, marker: Path, statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Long = {
+      bloomCols: Seq[String] = Nil, props: Map[String, String] = Map.empty): Long = {
     requireNoReserved(df)
     enforceConstraints(df)
     val dir = newShardDir("data")
     df.write.parquet(dir.toString)
     val files = parquetFilesIn(dir)
     val (fs, strCols) = perFileStats(dir, files, statsCols)
+    // props (e.g. a txn.<appId> idempotence watermark) ride the staged
+    // entry: invisible like its rows until the marker publishes, then
+    // folded atomically WITH them — so a multi-table transaction can be
+    // made replay-safe (crash before publish → replay reprocesses; crash
+    // after → the visible watermark skips the whole transaction)
     log.commit("add", dataFiles = files, stats = foldStats(fs, statsCols, strCols),
       schemaJson = idSchemaJson(df.schema), fileStats = fs,
       fileBlooms = perFileBlooms(dir, files, bloomCols),
       fileRows = fileRowCounts(files), assignRowIds = true,
-      txnMarker = marker.toAbsolutePath.normalize.toString)
+      txnMarker = marker.toAbsolutePath.normalize.toString, props = props)
   }
 
   /** IDEMPOTENT append (Delta's txnAppId/txnVersion, Iceberg's WAP-id

@@ -2499,6 +2499,27 @@ class TableLayerSpec extends AnyFunSuite {
     assert(t.read().count() == 6, "re-run import duplicated rows")
   }
 
+  test("staged-entry props publish atomically with the txn and never leak from an abort") {
+    val cat = GraftCatalog(spark, Files.createTempDirectory("spec_txnprops").toString)
+    cat.createTable("lake", "t")
+    val t = cat.openTable("lake", "t")
+    // abort: body throws after staging — the watermark must NOT leak
+    // (a leaked stamp would make the replay skip rows that never landed)
+    intercept[IllegalStateException] {
+      cat.transact { txn =>
+        txn.appendIdempotent("lake", "t", items, "ing", 5)
+        throw new IllegalStateException("crash before publish")
+      }
+    }
+    assert(t.properties().get("txn.ing").isEmpty,
+      "aborted txn leaked its idempotence watermark")
+    assert(t.read().count() == 0)
+    // publish: rows and watermark become visible in ONE atomic step
+    cat.transact(_.appendIdempotent("lake", "t", items, "ing", 5))
+    assert(t.properties()("txn.ing") == "5")
+    assert(t.read().count() == 6)
+  }
+
   test("properties and idempotence watermarks survive snapshot expiration") {
     val t = freshTable("expireprops")
     t.setProperties(Map("mask.name" -> "redact"))
