@@ -67,6 +67,20 @@ object TableModelProps extends Properties("graft-table-model") {
   // A wrongly-applied replay surfaces as extra rows; a wrongly-refused
   // fresh version as missing rows — at head and every asOf.
   private case class IdemAppend(rows: List[Row], app: String, ver: Long) extends Op
+  // staged IDEMPOTENT append (r9): the exactly-once watermark riding a
+  // multi-table-txn entry (CatalogTxn.appendIdempotent + the processor's
+  // check-visible-watermark-first contract, t_ingest_exactly_once).
+  // Fresh version + published = rows land at the staged seq AND txn.<app>
+  // advances ATOMICALLY with them; fresh + abandoned = a burned seq that
+  // leaks NEITHER rows NOR watermark (a leaked stamp would make a later
+  // replay skip rows that never landed — the crash-before-publish arm,
+  // here composed with every other op: rollbacks and branches above
+  // pending stamps, plain IdemAppends sharing the appId, expiration
+  // folding the published stamp). A version at-or-below the visible
+  // watermark is a replay: the processor never opens the txn, and the
+  // interpreter compacts to burn the seq (the IdemAppend trick).
+  private case class TxnIdemAppend(rows: List[Row], app: String, ver: Long,
+      publish: Boolean) extends Op
   // add_files import (r8): a foreign writer materializes rows as parquet
   // OUTSIDE the table root and one metadata commit adopts them in place —
   // model semantics are EXACTLY an append (rows land at the commit's
@@ -158,6 +172,16 @@ object TableModelProps extends Properties("graft-table-model") {
             dels = Vector.empty
             pdels = Vector.empty
           }
+        case TxnIdemAppend(rs, app, ver, pub) =>
+          if (ver > marks.getOrElse(app, Long.MinValue)) {
+            // fresh version: published = rows + watermark atomically;
+            // abandoned = burned seq, NEITHER rows nor watermark leak
+            if (pub) { marks += app -> ver; rows ++= rs.map(_ -> seq) }
+          } else { // replay: the processor skips the txn; interpreter compacts
+            rows = view.map(_ -> seq)
+            dels = Vector.empty
+            pdels = Vector.empty
+          }
         case AddFilesOp(rs) => rows ++= rs.map(_ -> seq) // ≡ append
         case Delete(ks) => dels ++= ks.map(_ -> seq)
         case Mixed(rs, ks) =>
@@ -194,6 +218,24 @@ object TableModelProps extends Properties("graft-table-model") {
     rows.collect { case (r, s) if !dead(r, s) => r }.toList
   }
 
+  /** head property fold the lineage produces: SetProps assignments
+    * ("" unsets), plus the idempotence watermarks of APPLIED idempotent
+    * appends — plain and staged-published alike (replays write nothing,
+    * abandoned stages leak nothing, so last-write = running max).
+    */
+  private def foldWantProps(ops: List[Op]): Map[String, String] =
+    ops.foldLeft(Map.empty[String, String]) {
+      case (m, SetProps(v)) =>
+        if (v.isEmpty) m - "fuzz.note" else m.updated("fuzz.note", v)
+      case (m, IdemAppend(_, app, ver)) =>
+        val key = s"txn.$app"
+        if (m.get(key).forall(_.toLong < ver)) m.updated(key, ver.toString) else m
+      case (m, TxnIdemAppend(_, app, ver, true)) =>
+        val key = s"txn.$app"
+        if (m.get(key).forall(_.toLong < ver)) m.updated(key, ver.toString) else m
+      case (m, _) => m
+    }
+
   private val genRow: Gen[Row] = for {
     name <- Gen.oneOf("A", "B", "C", "D", "E", "F")
     count <- Gen.choose(0, 99)
@@ -224,6 +266,12 @@ object TableModelProps extends Properties("graft-table-model") {
       app <- Gen.oneOf("ing1", "ing2")
       ver <- Gen.choose(0L, 3L)
     } yield IdemAppend(rows, app, ver)),
+    2 -> (for {
+      rows <- Gen.nonEmptyListOf(genRow).map(_.take(3))
+      app <- Gen.oneOf("ing1", "ing2")
+      ver <- Gen.choose(0L, 3L)
+      pub <- Gen.oneOf(true, false)
+    } yield TxnIdemAppend(rows, app, ver, pub)),
     2 -> Gen.nonEmptyListOf(Gen.oneOf("A", "B", "C", "D", "E", "F"))
       .map(ks => Delete(ks.distinct.take(3))),
     2 -> Gen.nonEmptyListOf(genRow).map(rs => AddFilesOp(rs.take(3))),
@@ -322,6 +370,19 @@ object TableModelProps extends Properties("graft-table-model") {
         t.appendIdempotent(rows.toDF(keyCol, "count"), app, ver,
           statsCols = Seq("count"))
         if (t.headSeq == before) t.compact() // replayed no-op (see Op doc)
+      case TxnIdemAppend(rows, app, ver, publish) =>
+        // the processor's contract: check the VISIBLE watermark before
+        // opening the transaction; a replayed version burns its seq via
+        // compact (same trick as IdemAppend) so op index == commit seq
+        val wm = t.properties().get(s"txn.$app").map(_.toLong).getOrElse(Long.MinValue)
+        if (ver <= wm) t.compact()
+        else {
+          val marker = t.root.resolve("_txns").resolve(s"m$idx.commit")
+          Files.createDirectories(marker.getParent)
+          t.appendInTxn(rows.toDF(keyCol, "count"), marker,
+            statsCols = Seq("count"), props = Map(s"txn.$app" -> ver.toString))
+          if (publish) Files.write(marker, "ok".getBytes)
+        }
       case AddFilesOp(rows) =>
         // foreign writer: parquet outside the table root, at the table's
         // CURRENT physical schema (a widened table needs widened files —
@@ -392,14 +453,7 @@ object TableModelProps extends Properties("graft-table-model") {
       // entries, not reverted by replaces), which this pins. Idempotence
       // watermarks join the fold: txn.$app = running MAX version of the
       // APPLIED IdemAppends (replays write nothing, so last-write = max)
-      val wantProps = ops.foldLeft(Map.empty[String, String]) {
-        case (m, SetProps(v)) =>
-          if (v.isEmpty) m - "fuzz.note" else m.updated("fuzz.note", v)
-        case (m, IdemAppend(_, app, ver)) =>
-          val key = s"txn.$app"
-          if (m.get(key).forall(_.toLong < ver)) m.updated(key, ver.toString) else m
-        case (m, _) => m
-      }
+      val wantProps = foldWantProps(ops)
       val propsOk = t.properties() == wantProps
       if (!propsOk) println(s"PROPS MISMATCH ops=$ops got=${t.properties()} want=$wantProps")
       // head read plus every historical snapshot
@@ -493,9 +547,23 @@ object TableModelProps extends Properties("graft-table-model") {
       // file — PLUS one un-foldable entry file per PENDING txn stage:
       // folding a pending entry would freeze its visibility decision,
       // so the checkpoint deliberately leaves those as tail files
-      val pending = ops.count {
-        case TxnAppend(_, false) | TxnDelete(_, false) | TxnMixed(_, false) => true
-        case _ => false
+      // pending = abandoned stages. A TxnIdemAppend counts only when its
+      // version was FRESH at its point in the fold (a replayed one never
+      // stages — the interpreter compacted); the watermark fold is
+      // order-sensitive across plain and staged idempotent appends.
+      var wmFold = Map.empty[String, Long]
+      val pending = ops.count { op =>
+        op match {
+          case TxnAppend(_, false) | TxnDelete(_, false) | TxnMixed(_, false) => true
+          case IdemAppend(_, app, ver) =>
+            if (ver > wmFold.getOrElse(app, Long.MinValue)) wmFold += app -> ver
+            false
+          case TxnIdemAppend(_, app, ver, pub) =>
+            val fresh = ver > wmFold.getOrElse(app, Long.MinValue)
+            if (fresh && pub) wmFold += app -> ver
+            fresh && !pub
+          case _ => false
+        }
       }
       val folded = t.commitLog.metaFileCount == 1 + pending
       val same = reads() == before
@@ -769,14 +837,7 @@ object TableModelProps extends Properties("graft-table-model") {
       // governance policy or idempotence watermark assigned on the
       // branch is enforced on main after publish (r8 — the pre-r8
       // replay dropped entry props, which only a rows check missed)
-      val wantProps = all.foldLeft(Map.empty[String, String]) {
-        case (m, SetProps(v)) =>
-          if (v.isEmpty) m - "fuzz.note" else m.updated("fuzz.note", v)
-        case (m, IdemAppend(_, app, ver)) =>
-          val key = s"txn.$app"
-          if (m.get(key).forall(_.toLong < ver)) m.updated(key, ver.toString) else m
-        case (m, _) => m
-      }
+      val wantProps = foldWantProps(all)
       val propsOk = t.properties() == wantProps
       if (!propsOk) println(
         s"BRANCH PROPS MISMATCH pre=$pre post=$post\n got=${t.properties()} want=$wantProps")
@@ -879,14 +940,7 @@ object TableModelProps extends Properties("graft-table-model") {
       val okBranch = readAt(b, ops.size - 1, head = true) == wantHead
       // props fold: everything the lineage assigned, plus the policy
       // itself, survives expiration (the r8 bug dropped ALL of it)
-      val wantProps = ops.foldLeft(Map.empty[String, String]) {
-        case (m, SetProps(v)) =>
-          if (v.isEmpty) m - "fuzz.note" else m.updated("fuzz.note", v)
-        case (m, IdemAppend(_, app, ver)) =>
-          val key = s"txn.$app"
-          if (m.get(key).forall(_.toLong < ver)) m.updated(key, ver.toString) else m
-        case (m, _) => m
-      } ++ policy
+      val wantProps = foldWantProps(ops) ++ policy
       val okProps = t.properties() == wantProps
       // a replayed idempotent batch must STILL be a no-op after
       // maintenance: expiration resetting the watermark double-appends
