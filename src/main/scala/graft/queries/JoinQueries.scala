@@ -696,19 +696,30 @@ object JoinQueries extends QueryPack {
         |WHERE total_revenue_x1e4 = (SELECT MAX(total_revenue_x1e4) FROM rev)
         |ORDER BY s_suppkey""",
     ) { (s, dir) =>
-      sqlOverViews(s,
-        "supplier" -> Tables.supplier(s, dir),
-        "lineitem" -> Tables.lineitem(s, dir))("""
-        WITH rev AS (SELECT l_suppkey AS supplier_no,
-                CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
-                         * CAST(CAST(100 * (1 - l_discount) AS DECIMAL(5,2)) AS BIGINT)) AS BIGINT) AS total_revenue_x1e4
-              FROM {lineitem}
-              WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
-              GROUP BY l_suppkey)
-        SELECT s_suppkey, s_name, total_revenue_x1e4
-        FROM {supplier} JOIN rev ON s_suppkey = supplier_no
-        WHERE total_revenue_x1e4 = (SELECT MAX(total_revenue_x1e4) FROM rev)
-        ORDER BY s_suppkey""")
+      // DataFrame formulation, not the SQL scalar subquery: Spark plans
+      // a scalar subquery as its own independent stage, so the spec's
+      // `WHERE rev = (SELECT MAX(...) FROM rev)` SCANS THE QUARTER'S
+      // LINEITEM SLICE TWICE. Deriving the max FROM the same rev plan
+      // lets AQE serve both consumers from one supplier-keyed
+      // aggregation exchange (ReusedExchange — asserted in
+      // PlanAuditSpec), exactly the jaccard/cms pattern.
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1996-04-01'"))
+        // explicit null-key filter: the equi-join INFERS isnotnull on its
+        // side only, which would make the two rev exchange subtrees
+        // structurally different and break the reuse this plan is built on
+        .filter(col("l_suppkey").isNotNull)
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(expr(
+          """CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+            |* CAST(CAST(100 * (1 - l_discount) AS DECIMAL(5,2)) AS BIGINT)""".stripMargin))
+          .cast("long").as("total_revenue_x1e4"))
+      val mx = rev.agg(max(col("total_revenue_x1e4")).as("mx"))
+      rev.join(broadcast(mx), col("total_revenue_x1e4") === col("mx"))
+        .join(Tables.supplier(s, dir), col("s_suppkey") === col("supplier_no"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue_x1e4"))
+        .orderBy("s_suppkey")
     },
 
     // TPC-H Q22 shape (global sales opportunity): scalar-subquery

@@ -388,6 +388,27 @@ class PlanAuditSpec extends AnyFunSuite {
       "the month filter must reach the lineitem scan")
   }
 
+  test("q_sql_q15 computes the supplier revenue aggregate ONCE for the join and its max") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val df = SparkEntry.queries("q_sql_q15")(spark, sf)
+    df.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => Nil
+      }
+      p +: (p.children ++ nested ++ p.subqueries).flatMap(walk)
+    }
+    val reused = walk(df.queryExecution.executedPlan)
+      .collect { case r: ReusedExchangeExec => r }
+    assert(reused.nonEmpty,
+      "the scalar-subquery MAX and the join must consume ONE supplier-revenue " +
+        "exchange — recomputing it scans the quarter's lineitem slice twice")
+  }
+
   test("q_graph_jaccard derives pairs and degrees from ONE inverted-index exchange") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
