@@ -175,17 +175,31 @@ object Prune {
   * files in parallel, exactly the decoupled writer/committer shape of
   * decouple.rs (200 writers, one committer).
   *
-  * Object-store deployment note: the CAS here relies on POSIX O_EXCL
-  * create, which S3-class stores do not provide (PUT is
-  * last-writer-wins). Deploying this log onto S3 requires swapping the
-  * claim step for an external atomic primitive — a conditional PUT
-  * (If-None-Match, where the store supports it), a DynamoDB-style lock
-  * table, or a REST catalog endpoint (which is exactly what the
-  * reference delegates to: its Iceberg REST catalog serializes commits
-  * server-side, lib.rs:21-39 + docker-compose.yml:5-43). Everything
-  * else in this class — entry format, seq discipline, retry loop, tag
-  * refs — carries over unchanged; only `Files.createFile` is the
-  * POSIX-conditional seam.
+  * Object-store deployment note (the protocol's correctness story is
+  * deliberately FS-specific in this environment; these are the four
+  * seams an S3-class port must swap, everything else — entry format,
+  * seq discipline, retry loop, tag refs, fold semantics — carries over):
+  *  1. The commit CAS relies on POSIX O_EXCL create (plain PUT is
+  *     last-writer-wins): swap for a conditional PUT (If-None-Match,
+  *     which S3 supports since 2024), a DynamoDB-style lock table, or a
+  *     REST catalog endpoint — exactly what the reference delegates to
+  *     (its Iceberg REST catalog serializes commits server-side,
+  *     lib.rs:21-39 + docker-compose.yml:5-43).
+  *  2. The maintenance/transact locks are OS flocks ([[MaintLock]]):
+  *     same swap — server-side serialization or a lease table. Lock
+  *     scope and the canonical-order multi-path acquisition are
+  *     primitive-independent.
+  *  3. Checkpoint rewrites use rename(ATOMIC_MOVE); S3 has no rename.
+  *     Conditional PUT of the new checkpoint + the existing
+  *     content-identity cache key (path, size, mtime) gives the same
+  *     no-torn-read guarantee (readers never see a half-written file
+  *     because S3 PUTs are atomic per object).
+  *  4. Orphan/expire horizons age-gate on filesystem mtimes; S3
+  *     Last-Modified carries the same semantics (set once at PUT), so
+  *     the sweeps port unchanged — but multipart uploads in progress
+  *     are invisible to LIST, which REPLACES the staged-file hazard the
+  *     horizon guards against (in-progress uploads cannot be swept at
+  *     all; only the commit CAS decides visibility).
   */
 final class CommitLog(val root: Path) {
   private val logDir = root.resolve("_log")
@@ -828,6 +842,9 @@ object CommitLog {
   // alone under-uses memory on small tables and over-uses it on big
   // ones. 256 MiB ≈ a 12k-file fully-bloom'd working set stays cached.
   private[table] val bloomCacheBytes = new java.util.concurrent.atomic.AtomicLong(0)
+  // guards the capacity reset against the insert+charge pair (miss path
+  // only — see cachedBloomParse)
+  private val bloomCacheLock = new Object
   private val BloomCacheMaxBytes = 256L * 1024 * 1024
   private[table] val bloomCacheHits = new java.util.concurrent.atomic.LongAdder
   private[table] val bloomCacheMisses = new java.util.concurrent.atomic.LongAdder
@@ -845,8 +862,17 @@ object CommitLog {
     val hit = bloomCache.get(ref)
     if (hit != null) { bloomCacheHits.increment(); hit }
     else {
-      if (bloomCache.size() >= 4096 || bloomCacheBytes.get() > BloomCacheMaxBytes) {
-        bloomCache.clear(); bloomCacheBytes.set(0)
+      // the capacity reset and the insert+charge pair are mutually
+      // exclusive (ADVICE r9): an insert landing BETWEEN clear() and
+      // set(0) would keep its map entry but lose its byte charge (or the
+      // reverse), drifting the accounted total from what the map holds —
+      // the same class of drift the putIfAbsent below closes. Only the
+      // miss path locks; hits stay lock-free, and the lock never spans
+      // the file read/parse.
+      bloomCacheLock.synchronized {
+        if (bloomCache.size() >= 4096 || bloomCacheBytes.get() > BloomCacheMaxBytes) {
+          bloomCache.clear(); bloomCacheBytes.set(0)
+        }
       }
       bloomCacheMisses.increment()
       val parsed =
@@ -863,9 +889,13 @@ object CommitLog {
         }
       // putIfAbsent so a racing double-parse charges the byte budget
       // ONCE — check-then-put double-counted on racing inserts, letting
-      // the accounted total drift past what the map actually holds
-      if (bloomCache.putIfAbsent(ref, parsed) == null)
-        bloomCacheBytes.addAndGet(parsed.iterator.map(_.valuesIterator.map(_.length).sum).sum.toLong)
+      // the accounted total drift past what the map actually holds;
+      // locked against the capacity reset above (entry and charge move
+      // together or not at all)
+      bloomCacheLock.synchronized {
+        if (bloomCache.putIfAbsent(ref, parsed) == null)
+          bloomCacheBytes.addAndGet(parsed.iterator.map(_.valuesIterator.map(_.length).sum).sum.toLong)
+      }
       parsed
     }
   }

@@ -314,6 +314,19 @@ final class CatalogTxn private[table] (cat: GraftCatalog, marker: Path) {
       appId: String, version: Long, statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil): Long = {
     require(appId.nonEmpty && !appId.contains('='), s"bad appId: $appId")
+    // defense-in-depth (ADVICE r9): the caller's contract is to check the
+    // VISIBLE watermark before opening the transaction, but a caller that
+    // skips it must fail loudly here, not silently double-land the batch.
+    // Throwing (vs a silent per-table skip) is deliberate: the txn is the
+    // atomicity unit — a replayed batch means NOTHING staged under this
+    // marker should publish, so the caller must abandon the whole txn.
+    val wm = cat.openTable(ns, name).properties()
+      .get(s"txn.$appId").flatMap(_.toLongOption)
+    if (wm.exists(version <= _))
+      throw new IllegalStateException(
+        s"replayed idempotent batch: txn.$appId version $version <= visible " +
+          s"watermark ${wm.get} on $ns.$name — check the watermark before " +
+          "opening the transaction; abandon this txn (do not publish)")
     append(ns, name, df, statsCols, bloomCols,
       props = Map(s"txn.$appId" -> version.toString))
   }

@@ -207,13 +207,14 @@ final class GraftTable(spark: SparkSession, val root: Path) {
   def append(df: DataFrame, statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil, bloomBits: Int = Bloom.DefaultM): Long = {
     requireNoReserved(df)
-    enforceConstraints(df)
+    val in = conformToCurrent(df)
+    enforceConstraints(in)
     val dir = newShardDir("data")
-    df.write.parquet(dir.toString)
+    in.write.parquet(dir.toString)
     val files = parquetFilesIn(dir)
     val (fs, strCols) = perFileStats(dir, files, statsCols)
     log.commit("add", dataFiles = files, stats = foldStats(fs, statsCols, strCols),
-      schemaJson = idSchemaJson(df.schema), fileStats = fs,
+      schemaJson = idSchemaJson(in.schema), fileStats = fs,
       fileBlooms = perFileBlooms(dir, files, bloomCols, bloomBits),
       fileRows = fileRowCounts(files), assignRowIds = true)
   }
@@ -235,17 +236,28 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     */
   def addFiles(extFiles: Seq[String], statsCols: Seq[String] = Nil): Long = {
     require(extFiles.nonEmpty, "addFiles: empty file list")
-    val files = extFiles.map(f => Paths.get(f).toAbsolutePath.normalize.toString)
+    // canonicalize through SYMLINKS (toRealPath), not just lexically
+    // (ADVICE r9): a retried import addressing the same parquet through a
+    // symlinked or bind-mounted alias would evade a normalize-only
+    // duplicate check and double-register every row. The resolved real
+    // path is also what the log RECORDS, so later dupe checks, lineage
+    // lookups and sweeps all see one spelling per physical file. Vanished
+    // files fall back to the lexical form (the isRegularFile require
+    // below still rejects them with the clearer message).
+    def realOr(p: Path): Path =
+      try p.toRealPath() catch { case _: java.io.IOException => p.toAbsolutePath.normalize }
+    val files = extFiles.map(f => realOr(Paths.get(f)).toString)
     files.foreach(f => require(Files.isRegularFile(Paths.get(f)),
       s"addFiles: not a file: $f"))
     // reject files the table already references (any ref: head, tags,
     // branches, pending txns) — a RETRIED migration job re-running the
     // same import must fail loudly, not silently register the same
     // parquet twice and duplicate every row (Iceberg's add_files
-    // check_duplicate_files, which defaults to on)
-    val referenced = referencedByAnyRef
-    val dupes = files.filter(f =>
-      referenced.contains(Paths.get(f).toAbsolutePath.normalize))
+    // check_duplicate_files, which defaults to on). The reference side is
+    // symlink-resolved too: an earlier import may have registered the
+    // alias spelling.
+    val referenced = referencedByAnyRef.map(realOr)
+    val dupes = files.filter(f => referenced.contains(Paths.get(f)))
     require(dupes.isEmpty,
       s"addFiles: ${dupes.size} file(s) already referenced by this table " +
         s"(re-run import?): ${dupes.take(3).mkString(", ")}")
@@ -279,9 +291,10 @@ final class GraftTable(spark: SparkSession, val root: Path) {
   def appendInTxn(df: DataFrame, marker: Path, statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil, props: Map[String, String] = Map.empty): Long = {
     requireNoReserved(df)
-    enforceConstraints(df)
+    val in = conformToCurrent(df)
+    enforceConstraints(in)
     val dir = newShardDir("data")
-    df.write.parquet(dir.toString)
+    in.write.parquet(dir.toString)
     val files = parquetFilesIn(dir)
     val (fs, strCols) = perFileStats(dir, files, statsCols)
     // props (e.g. a txn.<appId> idempotence watermark) ride the staged
@@ -290,7 +303,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     // made replay-safe (crash before publish → replay reprocesses; crash
     // after → the visible watermark skips the whole transaction)
     log.commit("add", dataFiles = files, stats = foldStats(fs, statsCols, strCols),
-      schemaJson = idSchemaJson(df.schema), fileStats = fs,
+      schemaJson = idSchemaJson(in.schema), fileStats = fs,
       fileBlooms = perFileBlooms(dir, files, bloomCols),
       fileRows = fileRowCounts(files), assignRowIds = true,
       txnMarker = marker.toAbsolutePath.normalize.toString, props = props)
@@ -320,13 +333,14 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     if (version <= last)
       return log.entries().lastOption.map(_.seq).getOrElse(-1L) // replayed batch: no-op
     requireNoReserved(df)
-    enforceConstraints(df)
+    val in = conformToCurrent(df)
+    enforceConstraints(in)
     val dir = newShardDir("data")
-    df.write.parquet(dir.toString)
+    in.write.parquet(dir.toString)
     val files = parquetFilesIn(dir)
     val (fs, strCols) = perFileStats(dir, files, statsCols)
     log.commit("add", dataFiles = files, stats = foldStats(fs, statsCols, strCols),
-      schemaJson = idSchemaJson(df.schema), fileStats = fs,
+      schemaJson = idSchemaJson(in.schema), fileStats = fs,
       fileBlooms = perFileBlooms(dir, files, bloomCols),
       fileRows = fileRowCounts(files), assignRowIds = true,
       props = Map(key -> version.toString))
@@ -381,10 +395,11 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     require(specs.map(_.col).distinct.size == specs.size,
       "one transform per source column")
     requireNoReserved(df)
-    enforceConstraints(df)
+    val in = conformToCurrent(df)
+    enforceConstraints(in)
     val dir = newShardDir("data")
     val pcols = specs.indices.map(partColFor)
-    specs.zipWithIndex.foldLeft(df) { case (d, (sp, i)) =>
+    specs.zipWithIndex.foldLeft(in) { case (d, (sp, i)) =>
         d.withColumn(partColFor(i), sp.transform.expr(col(sp.col)))
       }
       .repartition(pcols.map(col): _*)
@@ -400,7 +415,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       if (extra.isEmpty) partStat
       else partStat.zip(extra).map { case (a, b) => a ++ b }
     log.commit("add", dataFiles = files, stats = foldStats(extra, statsCols, strCols),
-      schemaJson = idSchemaJson(df.schema), fileStats = merged,
+      schemaJson = idSchemaJson(in.schema), fileStats = merged,
       partSpec = PartitionSpec.renderAll(specs),
       fileBlooms = perFileBlooms(dir, files, bloomCols),
       fileRows = fileRowCounts(files), assignRowIds = true, txnMarker = txnMarker)
@@ -421,9 +436,10 @@ final class GraftTable(spark: SparkSession, val root: Path) {
   def overwritePartitions(df: DataFrame, spec: PartitionSpec,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     requireNoReserved(df)
-    enforceConstraints(df)
+    val in = conformToCurrent(df)
+    enforceConstraints(in)
     val dir = newShardDir("data")
-    df.withColumn(PartCol, spec.transform.expr(col(spec.col)))
+    in.withColumn(PartCol, spec.transform.expr(col(spec.col)))
       .repartition(col(PartCol))
       .write.partitionBy(PartCol).parquet(dir.toString)
     val files = parquetFilesIn(dir)
@@ -433,7 +449,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     val merged =
       if (extra.isEmpty) partStat
       else partStat.zip(extra).map { case (a, b) => a ++ b }
-    val written = spark.read.schema(df.schema).parquet(dir.toString)
+    val written = spark.read.schema(in.schema).parquet(dir.toString)
     val pv = written.select(spec.transform.expr(col(spec.col)).as("_pv")).distinct()
     // existing rows of the touched partitions -> distinct delete keys.
     // The keys overlapping the new data are harmless: the delete scopes
@@ -445,7 +461,7 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     victims.write.parquet(delDir.toString)
     log.commit("mixed", dataFiles = files, deleteFiles = parquetFilesIn(delDir),
       equalityCols = Seq(spec.col), stats = foldStats(extra, statsCols, strCols),
-      schemaJson = idSchemaJson(df.schema), fileStats = merged,
+      schemaJson = idSchemaJson(in.schema), fileStats = merged,
       partSpec = spec.render,
       fileBlooms = perFileBlooms(dir, files, bloomCols),
       fileRows = fileRowCounts(files), assignRowIds = true)
@@ -476,6 +492,35 @@ final class GraftTable(spark: SparkSession, val root: Path) {
         s"$PartCol[n]/$SeqCol/$FileCol/$PosCol/$RowIdCol/$LastSeqCol " +
         "are synthesized by the table layer")
   }
+
+  /** WIDEN ON WRITE: cast incoming columns UP to the current schema's
+    * type wherever the safe promotion applies (int→long, float→double,
+    * decimal precision). A write must never NARROW the table's recorded
+    * schema — before this (r10 fuzz finding, surfaced by the addFiles
+    * strict-schema check), an int-typed append landing after
+    * widenColumn(long) stamped its own narrower schemaJson as the head
+    * schema while reads kept serving long (old files cannot down-cast),
+    * leaving schemaAt() and read().schema contradicting each other.
+    * Iceberg semantics: writers conform to the table schema; evolution
+    * only ever goes through widenColumn. Unknown/extra columns pass
+    * through untouched (each path keeps its own contract for those).
+    */
+  private def conformToCurrent(df: DataFrame): DataFrame =
+    schemaAt() match {
+      case None => df
+      case Some(cur) =>
+        val curByName = cur.fields.map(f => f.name -> f.dataType).toMap
+        val needs = df.schema.fields.exists(f =>
+          curByName.get(f.name).exists(t => t != f.dataType && safeWiden(f.dataType, t)))
+        if (!needs) df
+        else df.select(df.schema.fields.map { f =>
+          curByName.get(f.name) match {
+            case Some(t) if t != f.dataType && safeWiden(f.dataType, t) =>
+              col(f.name).cast(t).as(f.name)
+            case _ => col(f.name)
+          }
+        }.toSeq: _*)
+    }
 
   // ---- row lineage (Iceberg v3): every appended row gets a STABLE id,
   // assigned as metadata — file j of an append carries fileRowIds(j), and
@@ -985,11 +1030,12 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     */
   def upsertInTxn(df: DataFrame, keyCols: Seq[String], marker: Path): Long = {
     requireNoReserved(df)
+    val in = conformToCurrent(df)
     val dDir = newShardDir("data")
-    df.write.parquet(dDir.toString)
-    val written = spark.read.schema(df.schema).parquet(dDir.toString)
+    in.write.parquet(dDir.toString)
+    val written = spark.read.schema(in.schema).parquet(dDir.toString)
     enforceConstraints(written)
-    mixedCommit(dDir, written, keyCols, idSchemaJson(df.schema),
+    mixedCommit(dDir, written, keyCols, idSchemaJson(in.schema),
       txnMarker = marker.toAbsolutePath.normalize.toString)
   }
 
@@ -998,10 +1044,11 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     */
   def appendAndDelete(df: DataFrame, keys: DataFrame, equalityCols: Seq[String]): Long = {
     requireNoReserved(df)
-    enforceConstraints(df)
+    val in = conformToCurrent(df)
+    enforceConstraints(in)
     val dDir = newShardDir("data")
-    df.write.parquet(dDir.toString)
-    mixedCommit(dDir, keys, equalityCols, idSchemaJson(df.schema))
+    in.write.parquet(dDir.toString)
+    mixedCommit(dDir, keys, equalityCols, idSchemaJson(in.schema))
   }
 
   /** snapshot read; `asOf` = time travel to that committed seq. */
@@ -1467,20 +1514,21 @@ final class GraftTable(spark: SparkSession, val root: Path) {
   def upsert(df: DataFrame, keyCols: Seq[String],
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     requireNoReserved(df)
+    val in = conformToCurrent(df)
     val dDir = newShardDir("data")
-    df.write.parquet(dDir.toString)
+    in.write.parquet(dDir.toString)
     // the delete-key set comes from the data ALREADY WRITTEN, not from a
     // second evaluation of df's lineage: a non-deterministic source
     // (sample(), mid-ingest re-read) would otherwise delete keys it never
     // appended, or append rows whose old versions survive
-    val written = spark.read.schema(df.schema).parquet(dDir.toString)
+    val written = spark.read.schema(in.schema).parquet(dDir.toString)
     // constraints gate the INSERTED/REPLACEMENT rows (ADVICE r6: every
     // row-adding path, not just append) — checked over the written
     // parquet, honoring the same determinism doctrine as the delete keys;
     // a violation throws BEFORE the commit, leaving the table unchanged
     // (the orphaned shard is reclaimed by removeOrphanFiles)
     enforceConstraints(written)
-    mixedCommit(dDir, written, keyCols, idSchemaJson(df.schema),
+    mixedCommit(dDir, written, keyCols, idSchemaJson(in.schema),
       statsCols, bloomCols)
   }
 
@@ -1510,11 +1558,12 @@ final class GraftTable(spark: SparkSession, val root: Path) {
   def merge(source: DataFrame, keyCols: Seq[String],
       deleteWhen: Column = lit(false), insertWhen: Column = lit(true)): Long = {
     requireNoReserved(source)
+    val in = conformToCurrent(source)
     val stage = Files.createTempDirectory("graft_merge_src")
     val staged = stage.resolve("src") // parquet refuses a pre-existing dir
     try {
-      source.write.parquet(staged.toString)
-      val src = spark.read.schema(source.schema).parquet(staged.toString)
+      in.write.parquet(staged.toString)
+      val src = spark.read.schema(in.schema).parquet(staged.toString)
       // an EMPTY target (no committed schema) matches nothing: the merge
       // degenerates to the filtered insert, and the full source schema
       // becomes the table's (pre-project the source if op columns exist)
@@ -1585,7 +1634,11 @@ final class GraftTable(spark: SparkSession, val root: Path) {
       statsCols: Seq[String], bloomCols: Seq[String]): Long = {
     require(set.nonEmpty, "update with no assignments")
     val entries = log.entries()
-    require(entries.nonEmpty, "update on an empty table")
+    // SQL UPDATE on an empty table = 0 rows affected, not an error: no
+    // commit, head unchanged (-1 on an entry-less log) — the same
+    // contract as the provably-absent no-op below, which also returns
+    // the current head without burning a sequence number.
+    if (entries.isEmpty) return log.headSeq()
     val state @ (dataFiles, deleteFiles) = CommitLog.stateFrom(entries)
     val schemaJson =
       entries.filter(_.schemaJson.nonEmpty).lastOption.map(_.schemaJson).getOrElse("")
@@ -1679,7 +1732,10 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     val lo = BigDecimal(loV.toString)
     val hi = BigDecimal(hiV.toString)
     val entries = log.entries()
-    require(entries.nonEmpty, "delete on an empty table")
+    // SQL DELETE on an empty table = 0 rows affected, not an error (same
+    // contract as updateWhereEq's empty/absent no-ops): no commit, the
+    // report carries the unchanged head and zero file classifications.
+    if (entries.isEmpty) return DeleteWhereReport(log.headSeq(), 0, 0, 0)
     val state @ (dataFiles, deleteFiles) = CommitLog.stateFrom(entries)
     val schemaJson =
       entries.filter(_.schemaJson.nonEmpty).lastOption.map(_.schemaJson).getOrElse("")
@@ -1853,7 +1909,25 @@ final class GraftTable(spark: SparkSession, val root: Path) {
   def properties(asOf: Long = Long.MaxValue): Map[String, String] =
     log.entries(asOf).foldLeft(Map.empty[String, String]) { (m, e) =>
       e.props.foldLeft(m) {
-        case (acc, (k, v)) => if (v.isEmpty) acc - k else acc.updated(k, v)
+        case (acc, (k, v)) if v.isEmpty => acc - k
+        // `txn.*` idempotence watermarks are MONOTONIC by contract
+        // (appendIdempotent only ever writes version > watermark), so the
+        // fold takes the numeric MAX instead of last-write (ADVICE r9):
+        // expiration's props re-stamp is the one writer that can place a
+        // STALE watermark at a seq above a pending staged txn's higher
+        // one — under last-write, that txn publishing after the expire
+        // regressed the watermark and a replayed batch double-appended.
+        // Max-fold is arm-proof: publish → max(stale, staged) = staged;
+        // abort → the re-stamp alone stands. Non-numeric values (not a
+        // watermark) keep last-write.
+        case (acc, (k, v)) if k.startsWith("txn.") =>
+          val prior = acc.get(k).flatMap(_.toLongOption)
+          val next = v.toLongOption
+          (prior, next) match {
+            case (Some(p), Some(n)) => acc.updated(k, math.max(p, n).toString)
+            case _ => acc.updated(k, v)
+          }
+        case (acc, (k, v)) => acc.updated(k, v)
       }
     }
 

@@ -2538,6 +2538,147 @@ class TableLayerSpec extends AnyFunSuite {
       .map(_.getString(0)).toSet == Set("***"), "masking lost after expiration")
   }
 
+  test("CatalogTxn.appendIdempotent refuses a replayed version instead of staging it") {
+    // defense-in-depth (ADVICE r9): the caller's contract is to check
+    // the visible watermark BEFORE opening the transaction; a caller
+    // that skips the pre-check must get a loud abort, not a silently
+    // double-landed batch riding an otherwise-valid txn
+    val cat = GraftCatalog(spark, Files.createTempDirectory("spec_idemtxn").toString)
+    cat.createTable("lake", "t")
+    val t = cat.openTable("lake", "t")
+    cat.transact(_.appendIdempotent("lake", "t", items, "ing", 5))
+    assert(t.read().count() == 6)
+    val ex = intercept[IllegalStateException] {
+      cat.transact(_.appendIdempotent("lake", "t", items, "ing", 5))
+    }
+    assert(ex.getMessage.contains("replayed idempotent batch"))
+    assert(t.read().count() == 6, "replayed txn batch double-landed")
+    assert(t.properties()("txn.ing") == "5")
+    // a FRESH version still lands normally
+    cat.transact(_.appendIdempotent("lake", "t", items, "ing", 6))
+    assert(t.read().count() == 12 && t.properties()("txn.ing") == "6")
+  }
+
+  test("addFiles rejects a symlinked alias of an already-referenced file") {
+    // ADVICE r9: a retried import addressing the same parquet through a
+    // symlink evaded the normalize-only duplicate check (normalize is
+    // lexical — it never resolves links) and double-registered every row
+    import scala.jdk.CollectionConverters._
+    val t = freshTable("addfileslink")
+    val extRoot = Files.createTempDirectory("spec_link_dup")
+    val ext = extRoot.resolve("real")
+    items.repartition(1).write.parquet(ext.toString)
+    val extFiles = {
+      val s = Files.walk(ext)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toList.sorted
+      finally s.close()
+    }
+    t.addFiles(extFiles)
+    assert(t.read().count() == 6)
+    val alias = extRoot.resolve("alias")
+    Files.createSymbolicLink(alias, ext)
+    val aliased = extFiles.map(_.replace(ext.toString, alias.toString))
+    val ex = intercept[IllegalArgumentException] { t.addFiles(aliased) }
+    assert(ex.getMessage.contains("already referenced"))
+    assert(t.read().count() == 6, "symlinked re-run import duplicated rows")
+  }
+
+  test("a concurrent setProperties during expiration is never lost to the re-stamp") {
+    // VERDICT r9 #4: expireSnapshots re-stamps ONLY keys no surviving
+    // entry touches — a blanket re-stamp of the pre-expiration fold
+    // would clobber a set/unset landing while the expire runs. Race a
+    // monotone sequence of assignments against repeated expirations:
+    // whatever interleaving the scheduler picks, the final fold must be
+    // the LAST value the setter wrote (a regression to any earlier value
+    // is the lost update), and the fold must never be observed to move
+    // backwards by the setter itself.
+    val t = freshTable("expirerace")
+    t.append(items)
+    t.setProperties(Map("app.v" -> "0"))
+    val rounds = 30
+    val regressed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val setter = new Thread {
+      override def run(): Unit = (1 to rounds).foreach { i =>
+        t.setProperties(Map("app.v" -> i.toString))
+        val seen = t.properties()("app.v").toInt
+        if (seen < i) regressed.set(true)
+      }
+    }
+    val expirer = new Thread {
+      override def run(): Unit = (0 until 10).foreach { _ =>
+        t.expireSnapshots(orphanOlderThanMs = 3600000L)
+        Thread.sleep(5)
+      }
+    }
+    setter.start(); expirer.start(); setter.join(); expirer.join()
+    t.expireSnapshots(orphanOlderThanMs = 3600000L) // one quiescent sweep
+    assert(!regressed.get(), "a setProperties fold moved backwards mid-race")
+    assert(t.properties()("app.v") == rounds.toString,
+      s"expiration's re-stamp clobbered the concurrent assignment: " +
+        s"${t.properties().get("app.v")} != $rounds")
+  }
+
+  test("a stale txn watermark re-stamped above a higher one folds to the max") {
+    // unit pin of the monotonic txn.* fold (ADVICE r9): watermarks only
+    // advance, so a STALE value written at a higher seq (expiration's
+    // re-stamp racing a pending txn's publish) must not regress the fold
+    val t = freshTable("wmfold")
+    t.appendIdempotent(items, "ing", 7)
+    t.setProperties(Map("txn.ing" -> "3")) // the stale re-stamp, simulated
+    assert(t.properties()("txn.ing") == "7",
+      "a stale watermark at a higher seq regressed the fold")
+    val before = t.read().count()
+    t.appendIdempotent(items, "ing", 7) // must still read as a replay
+    assert(t.read().count() == before, "regressed watermark double-appended")
+    // non-watermark keys keep last-write semantics
+    t.setProperties(Map("note" -> "a"))
+    t.setProperties(Map("note" -> "b"))
+    assert(t.properties()("note") == "b")
+  }
+
+  test("writes after a widen conform UP: no path ever narrows the head schema") {
+    // r10 fuzz finding (surfaced by addFiles' strict schema check once
+    // the shrinker stopped masking failures): an int-typed write landing
+    // after widenColumn(long) used to stamp its own NARROWER schemaJson
+    // as the head schema while reads kept serving long (old files cannot
+    // down-cast) — schemaAt() and read().schema contradicted each other
+    // and a subsequent read-schema-conformed addFiles import was
+    // rejected. Writers must conform to the table schema (widen on
+    // write); only widenColumn moves it.
+    import scala.jdk.CollectionConverters._
+    val t = freshTable("widenwrite")
+    t.append(items) // count: int
+    t.widenColumn("count", LongType)
+    // every row-adding path, with the ORIGINAL int-typed frame:
+    t.append(items)
+    t.appendPartitioned(items, PartitionSpec("count", Transform.Truncate(25)))
+    t.upsert(items, keyCols = Seq("name"))
+    t.appendAndDelete(items, Seq("Z").toDF("name"), Seq("name"))
+    t.overwritePartitions(items, PartitionSpec("count", Transform.Truncate(25)))
+    t.merge(items, Seq("name"))
+    t.appendIdempotent(items, "w", 1)
+    def countType(tab: GraftTable) =
+      tab.read().schema.fields.find(_.name == "count").get.dataType
+    assert(t.schemaAt().get.fields.find(_.name == "count").get.dataType == LongType,
+      "a write narrowed the head schema back to int")
+    assert(countType(t) == LongType)
+    // the read-schema-conformed import the fuzz was making when it threw
+    val ext = Files.createTempDirectory("spec_widen_ext").resolve("p")
+    items.withColumn("count", col("count").cast("long"))
+      .coalesce(1).write.parquet(ext.toString)
+    val extFiles = {
+      val s = Files.walk(ext)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toList.sorted
+      finally s.close()
+    }
+    t.addFiles(extFiles) // must not throw "schema mismatch"
+    assert(countType(t) == LongType)
+  }
+
   test("reserved underscore names are rejected and never listed as namespaces") {
     val wh = Files.createTempDirectory("spec_reserved")
     val cat = GraftCatalog(spark, wh.toString)
