@@ -768,6 +768,254 @@ object JoinQueries extends QueryPack {
         ORDER BY n_name""")
     },
 
+    // TPC-H Q17 shape (small-quantity-order revenue): the CORRELATED
+    // SCALAR SUBQUERY on the same fact — lines of a brand/size part slice
+    // whose quantity sits below a fifth of that part's average, summed.
+    // (p_container doesn't exist in this testdata; p_size <= 25 stands in
+    // for the container filter — same selectivity role.) The classic
+    // aggregate-then-rejoin decorrelation, with the Q15 treatment: the
+    // part-filtered fact is repartitioned on l_partkey ONCE, and that one
+    // exchange feeds BOTH the per-part average aggregate and the probe
+    // side of the rejoin (ReusedExchange, asserted in PlanAuditSpec) —
+    // the SQL scalar-subquery formulation would scan lineitem twice.
+    // `qty < avg/5` is compared as `5·qty·cnt < sum` — all-integer, no
+    // float boundary; the yearly average divides by 7 integrally.
+    Q(
+      "q_sql_q17",
+      """WITH pf AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13' AND p_size <= 25),
+        |agg AS (SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS sq, COUNT(*) AS cnt
+        |        FROM lineitem JOIN pf ON l_partkey = p_partkey GROUP BY 1)
+        |SELECT
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) // 7 AS BIGINT) AS avg_yearly_x1e2,
+        |  CAST(COUNT(*) AS BIGINT) AS n_small_lines
+        |FROM lineitem l JOIN agg ON l.l_partkey = agg.l_partkey
+        |WHERE 5 * CAST(l_quantity AS BIGINT) * cnt < sq""",
+    ) { (s, dir) =>
+      val pf = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#13" && col("p_size") <= 25)
+        .select("p_partkey")
+      // one part-filtered fact plan, hash-distributed on the correlation
+      // key: the broadcast part filter runs below the exchange, so both
+      // consumers see the already-reduced slice
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_partkey").isNotNull)
+        .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("price_x1e2"))
+        .repartition(col("l_partkey"))
+      val agg = li.groupBy("l_partkey")
+        .agg(sum("qty").as("sq"), count(lit(1)).as("cnt"))
+      li.join(agg, "l_partkey")
+        .filter(lit(5L) * col("qty") * col("cnt") < col("sq"))
+        .agg(expr("CAST(SUM(price_x1e2) div 7 AS BIGINT)").as("avg_yearly_x1e2"),
+          count(lit(1)).cast("long").as("n_small_lines"))
+    },
+
+    // TPC-H Q20 shape (potential part promotion): the NESTED-IN over a
+    // CORRELATED AGGREGATE — suppliers holding a (supplier, part) pair,
+    // over a name-prefix part slice, where the window year's shipments
+    // exceed half the pair's all-time shipments. (No partsupp table in
+    // this testdata: ps_availqty's role — a per-(supplier,part) quantity
+    // compared against a correlated lineitem sum — is played by the
+    // pair's all-time shipped total, and the spec's `availqty > qty/2`
+    // becomes `2·window > total`, which actually discriminates on this
+    // data.) Spark-first: the spec's two nested subqueries over the same
+    // fact collapse into ONE conditional aggregation per (suppkey,
+    // partkey) — a single fact scan and a single keyed shuffle where the
+    // literal translation would scan lineitem twice and semi-join; the
+    // supplier projection is a broadcast of the tiny qualifying set.
+    Q(
+      "q_sql_q20",
+      """WITH qual AS (
+        |  SELECT l_suppkey, l_partkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'large%')
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING 2 * SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+        |                       AND l_shipdate < TIMESTAMP '1997-01-01'
+        |                      THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+        |         > SUM(CAST(l_quantity AS BIGINT)))
+        |SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS n_parts
+        |FROM supplier JOIN qual ON s_suppkey = l_suppkey
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY s_name""",
+    ) { (s, dir) =>
+      val pf = Tables.part(s, dir)
+        .filter(col("p_name").like("large%")).select("p_partkey")
+      val inWindow = col("l_shipdate") >= expr("TIMESTAMP '1996-01-01'") &&
+        col("l_shipdate") < expr("TIMESTAMP '1997-01-01'")
+      val qual = Tables.lineitem(s, dir)
+        .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum(col("l_quantity").cast("long")).as("tot"),
+          sum(when(inWindow, col("l_quantity").cast("long")).otherwise(0L)).as("yr"))
+        .filter(lit(2L) * col("yr") > col("tot"))
+        .groupBy("l_suppkey").agg(count(lit(1)).as("n_parts"))
+      Tables.supplier(s, dir)
+        .join(broadcast(qual), col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_parts").cast("long"))
+        .orderBy("s_name")
+    },
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the EXISTS +
+    // NOT-EXISTS DOUBLE SELF-JOIN on the fact — the hardest decorrelation
+    // in the suite. "Late" is proxied line-locally by l_returnflag = 'R'
+    // (no commit/receipt dates in this testdata): count, per supplier,
+    // the returned lines on FINISHED multi-supplier orders where that
+    // supplier was the ONLY one with a returned line. Spark-first: the
+    // spec's two correlated subqueries become ONE per-order aggregate —
+    // distinct-supplier and returned-supplier counts via a (orderkey,
+    // suppkey) pre-dedup — derived from the SAME order-keyed exchange as
+    // the probe side (repartition once; the dedup and per-order rollup
+    // run exchange-free on top, ReusedExchange plan-asserted). EXISTS ≡
+    // nsupp > 1, NOT EXISTS ≡ nret = 1: the fact is scanned once and
+    // shuffled once where the literal translation shuffles it three times.
+    Q(
+      "q_sql_q21",
+      """WITH st AS (SELECT l_orderkey,
+        |        COUNT(DISTINCT l_suppkey) AS nsupp,
+        |        COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS nret
+        |      FROM lineitem GROUP BY 1)
+        |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM lineitem l1
+        |  JOIN st ON l1.l_orderkey = st.l_orderkey
+        |  JOIN orders ON o_orderkey = l1.l_orderkey
+        |  JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+        |  AND nsupp > 1 AND nret = 1
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""",
+    ) { (s, dir) =>
+      // both null-key filters are EXPLICIT in the shared plan: the
+      // supplier equi-join infers isnotnull(l_suppkey) on the probe
+      // branch only, which would fork the exchange subtrees and break
+      // the reuse this plan is built on (the q15 lesson)
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey").isNotNull && col("l_suppkey").isNotNull)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_returnflag") === "R").cast("int").as("ret"))
+        .repartition(col("l_orderkey"))
+      // per-(order, supplier) dedup — exchange-free on the order-keyed
+      // partitioning (a hash partition on a KEY PREFIX satisfies the
+      // wider clustering), sidestepping the Expand-based multi-distinct
+      // rewrite a COUNT(DISTINCT ..) pair would plan. BOTH consumers
+      // below branch from this aggregate, not from raw lines: its `ret`
+      // is an aggregate output, which a filter cannot push through — a
+      // raw-line probe's `ret = 1` filter would push below the
+      // repartition, fork the exchange subtrees, and silently scan
+      // lineitem twice (the q15 null-key lesson, one level up). The pair
+      // carries its returned-LINE count so the final rollup still counts
+      // lines, as the spec's l1 granularity does.
+      val os = li.groupBy("l_orderkey", "l_suppkey")
+        .agg(max("ret").as("ret"), sum("ret").as("nretlines"))
+      val st = os.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("nsupp"), sum("ret").as("nret"))
+      os.filter(col("ret") === 1)
+        .join(st, "l_orderkey")
+        .filter(col("nsupp") > 1 && col("nret") === 1)
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(sum("nretlines").cast("long").as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    },
+
+    // TPC-H Q8 shape (national market share): the suite's WIDEST star —
+    // the fact joined through part, supplier, orders, customer, BOTH
+    // nation roles and region (8 relations), then a per-year exact
+    // ratio-of-sums (one nation's volume share). Q7's dual-nation join
+    // + Q14's overflow-safe integral divide composed at full width: the
+    // fact shuffles only on its two key joins (orders, then customer via
+    // orders); part/supplier/nation/region all broadcast; the date window
+    // pushes to the orders scan and the type filter to the part scan.
+    Q(
+      "q_sql_q8",
+      """WITH j AS (
+        |  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |           * CAST(CAST(100 * (1 - l_discount) AS DECIMAL(5,2)) AS BIGINT) AS vol_x1e4,
+        |         n2.n_name AS supp_nation
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |    JOIN supplier ON s_suppkey = l_suppkey
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |    JOIN region ON n1.n_regionkey = r_regionkey
+        |    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31')
+        |SELECT CAST(o_year AS BIGINT) AS o_year,
+        |  CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol_x1e4 ELSE 0 END) AS HUGEINT) * 1000000
+        |       // CAST(SUM(vol_x1e4) AS HUGEINT) AS BIGINT) AS mkt_share_x1e6,
+        |  CAST(SUM(vol_x1e4) AS BIGINT) AS volume_x1e4,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM j GROUP BY o_year ORDER BY o_year""",
+    ) { (s, dir) =>
+      sqlOverViews(s,
+        "lineitem" -> Tables.lineitem(s, dir),
+        "part" -> Tables.part(s, dir),
+        "supplier" -> Tables.supplier(s, dir),
+        "orders" -> Tables.orders(s, dir),
+        "customer" -> Tables.customer(s, dir),
+        "nation" -> Tables.nation(s, dir),
+        "region" -> Tables.region(s, dir))("""
+        WITH j AS (
+          SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                 CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   * CAST(CAST(100 * (1 - l_discount) AS DECIMAL(5,2)) AS BIGINT) AS vol_x1e4,
+                 n2.n_name AS supp_nation
+          FROM {lineitem} JOIN {part} ON p_partkey = l_partkey
+            JOIN {supplier} ON s_suppkey = l_suppkey
+            JOIN {orders} ON l_orderkey = o_orderkey
+            JOIN {customer} ON o_custkey = c_custkey
+            JOIN {nation} n1 ON c_nationkey = n1.n_nationkey
+            JOIN {region} ON n1.n_regionkey = r_regionkey
+            JOIN {nation} n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+            AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31')
+        SELECT CAST(o_year AS BIGINT) AS o_year,
+          CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol_x1e4 ELSE 0L END) AS DECIMAL(38,0)) * 1000000
+               div CAST(SUM(vol_x1e4) AS DECIMAL(38,0)) AS BIGINT) AS mkt_share_x1e6,
+          CAST(SUM(vol_x1e4) AS BIGINT) AS volume_x1e4,
+          CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM j GROUP BY o_year ORDER BY o_year""")
+    },
+
+    // TPC-H Q19 shape (discounted revenue): the OR-OF-CONJUNCTS join
+    // predicate — three (brand, size-range, quantity-range) disjuncts
+    // that each need BOTH sides of the part join (p_container/shipmode
+    // don't exist here; p_size ranges play the container role). The
+    // planner's job this query exists to probe: extract the common
+    // p_partkey equi-key so the join stays hash-based (never a nested
+    // loop over the disjunction), and push the part-only disjunction
+    // (brand ∨ brand ∨ brand) to the part scan while the mixed
+    // brand×quantity conjuncts evaluate post-join.
+    Q(
+      "q_sql_q19",
+      """SELECT
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |           * CAST(CAST(100 * (1 - l_discount) AS DECIMAL(5,2)) AS BIGINT)) AS BIGINT) AS revenue_x1e4,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)""",
+    ) { (s, dir) =>
+      sqlOverViews(s,
+        "lineitem" -> Tables.lineitem(s, dir),
+        "part" -> Tables.part(s, dir))("""
+        SELECT
+          CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   * CAST(CAST(100 * (1 - l_discount) AS DECIMAL(5,2)) AS BIGINT)) AS BIGINT) AS revenue_x1e4,
+          CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM {lineitem} JOIN {part} ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)""")
+    },
+
     // Node-similarity Jaccard over the customer–part co-purchase graph
     // (r8): "customers like you" / collaborative-filtering candidate
     // generation — for every customer pair sharing a purchased part,

@@ -409,6 +409,52 @@ class PlanAuditSpec extends AnyFunSuite {
         "exchange — recomputing it scans the quarter's lineitem slice twice")
   }
 
+  test("q_sql_q17 feeds the per-part average and the probe from ONE fact exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val df = SparkEntry.queries("q_sql_q17")(spark, sf)
+    df.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => Nil
+      }
+      p +: (p.children ++ nested ++ p.subqueries).flatMap(walk)
+    }
+    val reused = walk(df.queryExecution.executedPlan)
+      .collect { case r: ReusedExchangeExec => r }
+    assert(reused.nonEmpty,
+      "the correlated-average aggregate and the rejoin probe must consume ONE " +
+        "l_partkey repartition of the part-filtered fact — the scalar-subquery " +
+        "formulation scans lineitem twice")
+  }
+
+  test("q_sql_q21 derives the EXISTS rollup and the probe from ONE order-keyed exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val df = SparkEntry.queries("q_sql_q21")(spark, sf)
+    df.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => Nil
+      }
+      p +: (p.children ++ nested ++ p.subqueries).flatMap(walk)
+    }
+    val all = walk(df.queryExecution.executedPlan)
+    assert(all.collect { case r: ReusedExchangeExec => r }.nonEmpty,
+      "the per-order supplier rollup and the returned-line probe must consume " +
+        "ONE l_orderkey repartition of the fact — the literal EXISTS/NOT-EXISTS " +
+        "translation shuffles lineitem three times")
+    assert(!all.exists(_.nodeName.contains("Expand")),
+      "the supplier/returner counts must come from the dedup-then-rollup, " +
+        "never the Expand-based multi-distinct rewrite")
+  }
+
   test("q_graph_jaccard derives pairs and degrees from ONE inverted-index exchange") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
