@@ -772,12 +772,17 @@ object JoinQueries extends QueryPack {
     // SCALAR SUBQUERY on the same fact — lines of a brand/size part slice
     // whose quantity sits below a fifth of that part's average, summed.
     // (p_container doesn't exist in this testdata; p_size <= 25 stands in
-    // for the container filter — same selectivity role.) The classic
-    // aggregate-then-rejoin decorrelation, with the Q15 treatment: the
-    // part-filtered fact is repartitioned on l_partkey ONCE, and that one
-    // exchange feeds BOTH the per-part average aggregate and the probe
-    // side of the rejoin (ReusedExchange, asserted in PlanAuditSpec) —
-    // the SQL scalar-subquery formulation would scan lineitem twice.
+    // for the container filter — same selectivity role.) Spark-first the
+    // decorrelation goes FURTHER than aggregate-then-rejoin: quantities
+    // are small integers, so the fact collapses to a (l_partkey, qty)
+    // aggregate carrying each cell's line count and price sum, and the
+    // per-part average becomes a WINDOW over that aggregate — partitions
+    // of ≤50 distinct-quantity rows, never the raw fact. ONE lineitem
+    // scan and ONE keyed shuffle total (plan-asserted), where the SQL
+    // scalar-subquery formulation scans lineitem twice — and no exchange
+    // -reuse fragility: an earlier rejoin formulation silently forked
+    // the shared exchange because column pruning narrowed the aggregate
+    // branch's scan (qty only) away from the probe's (qty + price).
     // `qty < avg/5` is compared as `5·qty·cnt < sum` — all-integer, no
     // float boundary; the yearly average divides by 7 integrally.
     Q(
@@ -794,23 +799,29 @@ object JoinQueries extends QueryPack {
       val pf = Tables.part(s, dir)
         .filter(col("p_brand") === "Brand#13" && col("p_size") <= 25)
         .select("p_partkey")
-      // one part-filtered fact plan, hash-distributed on the correlation
-      // key: the broadcast part filter runs below the exchange, so both
-      // consumers see the already-reduced slice
-      val li = Tables.lineitem(s, dir)
-        .filter(col("l_partkey").isNotNull)
+      // (part, quantity)-level rollup of the part-filtered fact over ONE
+      // explicit l_partkey exchange: a key-PREFIX hash partitioning
+      // satisfies both the rollup's wider (l_partkey, qty) clustering and
+      // the window's l_partkey partitioning below, so neither adds a
+      // shuffle of its own
+      val g = Tables.lineitem(s, dir)
         .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
         .select(col("l_partkey"),
           col("l_quantity").cast("long").as("qty"),
           expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
             .as("price_x1e2"))
         .repartition(col("l_partkey"))
-      val agg = li.groupBy("l_partkey")
-        .agg(sum("qty").as("sq"), count(lit(1)).as("cnt"))
-      li.join(agg, "l_partkey")
+        .groupBy("l_partkey", "qty")
+        .agg(sum("price_x1e2").as("ps"), count(lit(1)).as("n"))
+      // per-part totals as a window over the TINY rollup (≤50 rows per
+      // part): sq = Σ qty·n, cnt = Σ n — the correlated subquery without
+      // a second scan, a rejoin, or a reused-exchange dependency
+      val w = Window.partitionBy("l_partkey")
+      g.withColumn("sq", sum(col("qty") * col("n")).over(w))
+        .withColumn("cnt", sum(col("n")).over(w))
         .filter(lit(5L) * col("qty") * col("cnt") < col("sq"))
-        .agg(expr("CAST(SUM(price_x1e2) div 7 AS BIGINT)").as("avg_yearly_x1e2"),
-          count(lit(1)).cast("long").as("n_small_lines"))
+        .agg(expr("CAST(SUM(ps) div 7 AS BIGINT)").as("avg_yearly_x1e2"),
+          sum("n").cast("long").as("n_small_lines"))
     },
 
     // TPC-H Q20 shape (potential part promotion): the NESTED-IN over a

@@ -409,10 +409,10 @@ class PlanAuditSpec extends AnyFunSuite {
         "exchange — recomputing it scans the quarter's lineitem slice twice")
   }
 
-  test("q_sql_q17 feeds the per-part average and the probe from ONE fact exchange") {
+  test("q_sql_q17 scans the fact once; the correlated average is a rollup window") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val df = SparkEntry.queries("q_sql_q17")(spark, sf)
     df.collect()
     def walk(p: SparkPlan): Seq[SparkPlan] = {
@@ -423,12 +423,22 @@ class PlanAuditSpec extends AnyFunSuite {
       }
       p +: (p.children ++ nested ++ p.subqueries).flatMap(walk)
     }
-    val reused = walk(df.queryExecution.executedPlan)
-      .collect { case r: ReusedExchangeExec => r }
-    assert(reused.nonEmpty,
-      "the correlated-average aggregate and the rejoin probe must consume ONE " +
-        "l_partkey repartition of the part-filtered fact — the scalar-subquery " +
-        "formulation scans lineitem twice")
+    val all = walk(df.queryExecution.executedPlan)
+    // the whole decorrelation: ONE lineitem scan (the SQL scalar-subquery
+    // form reads it twice — and the earlier rejoin formulation silently
+    // forked its "shared" exchange through column pruning, which is why
+    // this asserts the scan count, not exchange reuse). Dedup by INSTANCE
+    // identity: a reused AQE stage is one object reached via two parents.
+    assert(all.filter(p => p.nodeName.contains("Scan") &&
+      p.toString.contains("lineitem"))
+      .map(System.identityHashCode).distinct.size == 1,
+      "q17 must scan lineitem exactly once")
+    // and ONE corpus-sized shuffle (the rollup's); the window and final
+    // agg run on (part, qty)- and 1-row-sized data
+    assert(all.filter(p => p.isInstanceOf[ShuffleExchangeLike])
+      .map(System.identityHashCode).distinct.size <= 2,
+      "q17's only corpus-sized exchange is the (l_partkey, qty) rollup " +
+        "(plus at most the 1-row final-agg exchange)")
   }
 
   test("q_sql_q21 derives the EXISTS rollup and the probe from ONE order-keyed exchange") {
@@ -453,6 +463,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!all.exists(_.nodeName.contains("Expand")),
       "the supplier/returner counts must come from the dedup-then-rollup, " +
         "never the Expand-based multi-distinct rewrite")
+    assert(all.filter(p => p.nodeName.contains("Scan") &&
+      p.toString.contains("lineitem"))
+      .map(System.identityHashCode).distinct.size == 1,
+      "q21 must scan lineitem exactly once — the literal EXISTS/NOT-EXISTS " +
+        "translation reads it three times")
+  }
+
+  test("q_sql_q20 collapses the nested correlated aggregates into ONE fact scan") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = SparkEntry.queries("q_sql_q20")(spark, sf)
+    df.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => Nil
+      }
+      p +: (p.children ++ nested ++ p.subqueries).flatMap(walk)
+    }
+    val all = walk(df.queryExecution.executedPlan)
+    assert(all.filter(p => p.nodeName.contains("Scan") &&
+      p.toString.contains("lineitem"))
+      .map(System.identityHashCode).distinct.size == 1,
+      "q20's window-vs-total comparison must be ONE conditional aggregation " +
+        "over one fact scan — the spec's nested subqueries read lineitem twice")
   }
 
   test("q_graph_jaccard derives pairs and degrees from ONE inverted-index exchange") {

@@ -2449,10 +2449,29 @@ class TableLayerSpec extends AnyFunSuite {
       } finally s.close()
     }
     assert(stagedFiles.nonEmpty)
+    // pin the default NUMERICALLY at 3h (VERDICT r9 #4: the behavior test
+    // alone would pass with any nonzero horizon): a second orphan
+    // back-dated past 3h must fall to the same sweep that spares the
+    // fresh one — together they bracket the default at exactly the
+    // removeOrphanFiles horizon
+    val old = t.root.resolve("data").resolve("staged-old")
+    items.repartition(1).write.parquet(old.toString)
+    val oldFiles = {
+      val s = Files.walk(old)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+      } finally s.close()
+    }
+    oldFiles.foreach(p => Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - (3L * 3600 * 1000 + 60000))))
     val report = t.maintain()
     assert(report.contains("expired_entries"))
     assert(stagedFiles.forall(Files.exists(_)),
       "maintain()'s expire step swept a concurrent writer's staged files")
+    assert(oldFiles.forall(p => !Files.exists(p)),
+      "an orphan older than the 3h default horizon must be reclaimed")
     // an EXPLICIT zero horizon (ingest paused, provable reclamation)
     // still opts in to the immediate sweep
     t.setProperties(Map("maint.expire.horizon-ms" -> "0"))
