@@ -470,6 +470,29 @@ class PlanAuditSpec extends AnyFunSuite {
         "translation reads it three times")
   }
 
+  test("q_sql_q8 broadcasts every dim and pushes both filters to their scans") {
+    val p = plan("q_sql_q8")
+    assert(p.contains("BroadcastHashJoin"),
+      "part/supplier/nation/region are dim-sized: the star's dims must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "an 8-relation star must stay equi-keyed throughout")
+    assert(p.contains("EqualTo(p_type,ECONOMY)"),
+      "the part type filter must reach the part scan")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "the date window must reach the orders scan")
+  }
+
+  test("q_sql_q19 keeps the OR-of-conjuncts on a hash join with the part disjunction pushed") {
+    val p = plan("q_sql_q19")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      "the common p_partkey equi-key must be extracted — the disjunction " +
+        "must never degrade the join to a nested loop")
+    // the part-only disjunction (brand OR brand OR brand) prunes the part
+    // scan even though each disjunct also carries fact-side conjuncts
+    assert(p.contains("Or(") && p.contains("EqualTo(p_brand,Brand#12)"),
+      "the brand disjunction must be pushed to the part scan")
+  }
+
   test("q_sql_q20 collapses the nested correlated aggregates into ONE fact scan") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
