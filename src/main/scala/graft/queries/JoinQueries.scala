@@ -803,9 +803,12 @@ object JoinQueries extends QueryPack {
       // explicit l_partkey exchange: a key-PREFIX hash partitioning
       // satisfies both the rollup's wider (l_partkey, qty) clustering and
       // the window's l_partkey partitioning below, so neither adds a
-      // shuffle of its own
+      // shuffle of its own. The part slice is deliberately UNHINTED: it
+      // grows with SF (a brand×size slice of a 100 TB run's part table is
+      // ~1e9 rows — a forced broadcast would OOM where AQE correctly
+      // broadcasts small and shuffles large)
       val g = Tables.lineitem(s, dir)
-        .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+        .join(pf, col("l_partkey") === col("p_partkey"))
         .select(col("l_partkey"),
           col("l_quantity").cast("long").as("qty"),
           expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
@@ -856,15 +859,19 @@ object JoinQueries extends QueryPack {
         .filter(col("p_name").like("large%")).select("p_partkey")
       val inWindow = col("l_shipdate") >= expr("TIMESTAMP '1996-01-01'") &&
         col("l_shipdate") < expr("TIMESTAMP '1997-01-01'")
+      // the name-prefix part slice grows with SF: no forced broadcast —
+      // AQE broadcasts it while small and shuffles it at warehouse scale
       val qual = Tables.lineitem(s, dir)
-        .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+        .join(pf, col("l_partkey") === col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(sum(col("l_quantity").cast("long")).as("tot"),
           sum(when(inWindow, col("l_quantity").cast("long")).otherwise(0L)).as("yr"))
         .filter(lit(2L) * col("yr") > col("tot"))
         .groupBy("l_suppkey").agg(count(lit(1)).as("n_parts"))
+      // qual is aggregate-sized (≤ distinct qualifying suppliers) but
+      // still ∝ SF — unhinted for the same AQE-decides reason
       Tables.supplier(s, dir)
-        .join(broadcast(qual), col("s_suppkey") === col("l_suppkey"))
+        .join(qual, col("s_suppkey") === col("l_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("n_parts").cast("long"))
         .orderBy("s_name")
     },
@@ -927,7 +934,9 @@ object JoinQueries extends QueryPack {
         .filter(col("nsupp") > 1 && col("nret") === 1)
         .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.supplier(s, dir)),
+        // supplier grows with SF: unhinted, AQE decides (broadcast at
+        // bench scale, shuffle at warehouse scale)
+        .join(Tables.supplier(s, dir),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_name").agg(sum("nretlines").cast("long").as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
