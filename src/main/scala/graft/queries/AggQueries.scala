@@ -1052,8 +1052,17 @@ object AggQueries extends QueryPack {
         col("l_returnflag").as("rf"),
         Dec.asLong(col("l_extendedprice"), 2).as("p2"),
         col("l_quantity").cast("long").as("w"))
+        // explicit null-key filters in the SHARED plan (the q15 lesson):
+        // the (rf, bkt) rejoin infers isnotnull on the p2-derived bucket
+        // on the probe branch only, which forked the (rf, p2) rollup's
+        // exchange subtrees and silently scanned lineitem twice
+        .filter(col("rf").isNotNull && col("p2").isNotNull)
       val g = b.groupBy("rf", "p2").agg(sum("w").as("w"))
         .withColumn("bkt", expr("p2 div 100000")) // ~1e3 coarse buckets
+        // the rejoin's inferred isnotnull(bkt) pushes through the rollup
+        // aggregate on the probe side only; stating it here puts the same
+        // conjunct in BOTH branches so the shared subtrees stay identical
+        .filter(col("bkt").isNotNull)
       // bucket-level prefix: tiny relation (groups × buckets), one window
       val perBkt = g.groupBy("rf", "bkt").agg(sum("w").as("bw"))
         .withColumn("boff",

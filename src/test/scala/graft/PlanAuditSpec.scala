@@ -514,6 +514,30 @@ class PlanAuditSpec extends AnyFunSuite {
         "over one fact scan — the spec's nested subqueries read lineitem twice")
   }
 
+  test("q_agg_weighted_median derives both prefix levels from ONE rollup exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = SparkEntry.queries("q_agg_weighted_median")(spark, sf)
+    df.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => Nil
+      }
+      p +: (p.children ++ nested ++ p.subqueries).flatMap(walk)
+    }
+    // the bucket-level prefix and the within-bucket prefix both consume
+    // the (rf, p2) rollup: ONE fact scan (r10 scan audit found the
+    // rejoin's inferred isnotnull(bkt) pushing through the rollup on the
+    // probe side only, silently forking the shared exchange — the
+    // explicit bkt filter on the shared node keeps the subtrees equal)
+    assert(walk(df.queryExecution.executedPlan)
+      .filter(p => p.nodeName.contains("Scan") && p.toString.contains("lineitem"))
+      .map(System.identityHashCode).distinct.size == 1,
+      "weighted median must scan lineitem exactly once")
+  }
+
   test("q_graph_jaccard derives pairs and degrees from ONE inverted-index exchange") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
