@@ -357,21 +357,28 @@ object JoinQueries extends QueryPack {
         |ORDER BY totalprice_x1e2 DESC, o_orderkey
         |LIMIT 100""",
     ) { (s, dir) =>
-      sqlOverViews(s,
-        "customer" -> Tables.customer(s, dir),
-        "orders" -> Tables.orders(s, dir),
-        "lineitem" -> Tables.lineitem(s, dir))("""
-        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
-          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS totalprice_x1e2,
-          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) * 100 AS BIGINT) AS sum_qty_x1e2
-        FROM {customer} JOIN {orders} ON c_custkey = o_custkey
-        JOIN {lineitem} ON o_orderkey = l_orderkey
-        WHERE o_orderkey IN (
-          SELECT l_orderkey FROM {lineitem} GROUP BY l_orderkey
-          HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250)
-        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
-        ORDER BY totalprice_x1e2 DESC, o_orderkey
-        LIMIT 100""")
+      // DataFrame formulation (r10, the q15/q17 treatment): the IN
+      // subquery's HAVING aggregate and the output's SUM are the SAME
+      // per-order quantity sum, but the SQL form computes them as two
+      // independent lineitem scans (the scan audit flagged it). Aggregate
+      // once, filter, join the dims — the fact is scanned and shuffled
+      // exactly once and the output sum is the filter column itself.
+      // Customer is unhinted: it grows with SF, AQE decides the strategy.
+      val sq = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey").isNotNull)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("sqty"))
+        .filter(col("sqty") > 250)
+      sq.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("totalprice_x1e2"),
+          expr("CAST(CAST(sqty AS DECIMAL(38,2)) * 100 AS BIGINT)")
+            .as("sum_qty_x1e2"))
+        .orderBy(col("totalprice_x1e2").desc, col("o_orderkey"))
+        .limit(100)
     },
 
     // Recursive CTE (WITH RECURSIVE, new SQL surface in Spark 4): walk a

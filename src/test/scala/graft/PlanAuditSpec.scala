@@ -493,6 +493,26 @@ class PlanAuditSpec extends AnyFunSuite {
       "the brand disjunction must be pushed to the part scan")
   }
 
+  test("q_sql_q18 computes the per-order sum once: ONE fact scan feeds filter and output") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = SparkEntry.queries("q_sql_q18")(spark, sf)
+    df.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => Nil
+      }
+      p +: (p.children ++ nested ++ p.subqueries).flatMap(walk)
+    }
+    assert(walk(df.queryExecution.executedPlan)
+      .filter(p => p.nodeName.contains("Scan") && p.toString.contains("lineitem"))
+      .map(System.identityHashCode).distinct.size == 1,
+      "q18's IN-subquery aggregate IS the output aggregate — the SQL form's " +
+        "two lineitem scans must collapse to one")
+  }
+
   test("q_sql_q20 collapses the nested correlated aggregates into ONE fact scan") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
