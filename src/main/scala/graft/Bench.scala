@@ -411,21 +411,35 @@ object Bench {
     // this scheme and was builder-corroborated, so it counts as 0
     if (only.isEmpty) {
       val path = Paths.get("BENCH_LOCAL.json")
-      val oldUnsettled =
-        if (!Files.exists(path)) Some(Int.MaxValue)
-        else {
-          val prior = Files.readString(path)
-          """"unsettled":\[([^\]]*)\]""".r.findFirstMatchIn(prior)
-            .map(m => if (m.group(1).trim.isEmpty) 0
-                      else m.group(1).count(_ == ',') + 1)
-            .orElse(Some(0))
-        }
-      if (oldUnsettled.exists(unsettledNames.size <= _))
+      val prior = if (Files.exists(path)) Some(Files.readString(path)) else None
+      val oldUnsettled = prior.map { p =>
+        """"unsettled":\[([^\]]*)\]""".r.findFirstMatchIn(p)
+          .map(m => if (m.group(1).trim.isEmpty) 0
+                    else m.group(1).count(_ == ',') + 1)
+          .getOrElse(0)
+      }.getOrElse(Int.MaxValue)
+      val oldTotal = prior.flatMap(p =>
+        """"value":([0-9.]+)""".r.findFirstMatchIn(p).map(_.group(1).toDouble))
+      // contention corroborates too: a uniformly-loaded box slows every
+      // rep equally, so a 20%-slower-overall run can still settle every
+      // entry and would clobber a faster settled record. The record is a
+      // corroborated-MIN reference — it only gets replaced by a run that
+      // is at least as corroborated AND not grossly slower in total
+      // (>15% — genuine code regressions land well under that across 200+
+      // entries; force with SPARK_GRAFT_FORCE_RECORD=1 when one is real).
+      val force = sys.env.get("SPARK_GRAFT_FORCE_RECORD").contains("1")
+      val slower = oldUnsettled == 0 && oldTotal.exists(total > _ * 1.15)
+      if (force || (unsettledNames.size <= oldUnsettled && !slower))
         Files.writeString(path, record)
+      else if (slower && !force)
+        System.err.println(f"[bench] NOT overwriting BENCH_LOCAL.json: total " +
+          f"${total}%.1f s is >15%% above the settled record's " +
+          f"${oldTotal.get}%.1f s — a uniformly contended run, not a plan " +
+          "change (set SPARK_GRAFT_FORCE_RECORD=1 to record a real regression)")
       else
         System.err.println(s"[bench] NOT overwriting BENCH_LOCAL.json: this run " +
           s"left ${unsettledNames.size} entries uncorroborated " +
-          s"(${unsettledNames.take(8).mkString(", ")}) vs ${oldUnsettled.get} in " +
+          s"(${unsettledNames.take(8).mkString(", ")}) vs $oldUnsettled in " +
           "the existing record")
     }
     spark.stop()
