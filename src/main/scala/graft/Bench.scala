@@ -46,7 +46,7 @@ object Bench {
       .filter(_.nonEmpty) // empty/whitespace value = unset, not "run nothing"
     only.foreach { names =>
       val unknown =
-        names -- SparkEntry.queries.keySet - "x_ingest_stress" - "x_maint_stress"
+        names -- SparkEntry.queries.keySet - "x_ingest_stress" - "x_maint_stress" - "x_dedup_stress"
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.mkString(", ")}")
     }
@@ -321,6 +321,92 @@ object Bench {
         System.err.println(s"[bench] x_maint_stress failed: ${e.getMessage}")
         Some(-1.0)
       }
+    // near-dup PIPELINE scale stress (r10): the LLM north-star path —
+    // shingle → MinHash → band-bucket → verify → cluster — driven through
+    // its PUBLIC entry points (SparkEntry.queries, bit-for-bit the
+    // deployed pipeline, not a parallel reimplementation) over a corpus
+    // replicated 2× and 4× with per-replica perturbation (a distinct
+    // token prepended, so replicas are NEAR-dups, not byte dups — the
+    // exact-hash shortcut can't fire). What it proves, hard-asserted:
+    //  1. RECALL — every ≥20-token doc's 4-replica clique must surface
+    //     (≥6 verified pairs per clique; banding recall at j≥0.8 is
+    //     1-(1-j²)^8 ≈ 0.9997, so a 0.9 slack only absorbs borderline
+    //     token counts).
+    //  2. BOUNDED CANDIDATES — verified pairs per doc stay O(true dups):
+    //     ≤30·corpus at 4×, where an all-pairs design would emit
+    //     corpus/2 per doc (≈10⁴ at sf0.1 ⇒ ~300× the cap). This is the
+    //     Σ bucket² bound measured, not argued.
+    //  3. The clustering stage's component count stays sane (one keeper
+    //     per replica clique, merges only via genuine cross-doc dups).
+    // Timed per stage (pair generation vs clustering); single-shot like
+    // the other x_* scenarios (fresh temp corpus IS the scenario). The
+    // base corpus is CAPPED at 1000 docs (deterministic doc_id prefix):
+    // the scenario asserts STRUCTURE (recall floor, candidate bound,
+    // growth law) which is size-independent, while the pipeline's
+    // throughput-vs-SF story already lives in the q_dedup_* timings —
+    // an uncapped 4× corpus at sf1 would spend minutes re-proving the
+    // same invariants. Clustering runs at 4× only (the deeper corpus);
+    // the 2× leg exists for the pair growth law.
+    val dedupSec =
+      if (only.exists(!_.contains("x_dedup_stress"))) None
+      else try {
+        import org.apache.spark.sql.functions._
+        val base = Tables.documents(spark, sfDir).filter(col("doc_id") < 1000)
+        val nDocs = base.count()
+        val eligible = base // ≥20 tokens: prepending one token keeps j ≥ ~0.8
+          .filter(size(split(col("text"), " ")) >= 20).count()
+        def scaled(rep: Int): String = {
+          val dir = Files.createTempDirectory(s"graft_dedup_x$rep")
+          base.withColumn("rep", explode(expr(s"sequence(0, ${rep - 1})")))
+            .select((col("doc_id") * rep + col("rep")).as("doc_id"),
+              when(col("rep") === 0, col("text"))
+                .otherwise(concat(lit("rep"), col("rep").cast("string"),
+                  lit(" "), col("text"))).as("text"),
+              col("lang"), col("source"), col("n_chars"))
+            .write.mode("overwrite")
+            .parquet(Paths.get(dir.toString, "documents.parquet").toString)
+          dir.toString
+        }
+        def run(rep: Int, cluster: Boolean): (Double, Long, Double, Long) = {
+          val dir = scaled(rep)
+          val t0 = System.nanoTime()
+          val pairs = SparkEntry.queries("q_dedup_minhash")(spark, dir).count()
+          val pairSec = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val keepers = if (!cluster) -1L
+            else SparkEntry.queries("q_dedup_cluster")(spark, dir)
+              .filter(col("is_keeper")).count()
+          val clusterSec = if (!cluster) 0.0 else (System.nanoTime() - t1) / 1e9
+          System.err.println(f"[bench] x_dedup_stress x$rep: corpus ${nDocs * rep}, " +
+            f"$pairs verified pairs in ${pairSec}%.3f s, $keepers keepers in ${clusterSec}%.3f s")
+          (pairSec, pairs, clusterSec, keepers)
+        }
+        val t0 = System.nanoTime()
+        val (p2s, p2, _, _) = run(2, cluster = false)
+        val (p4s, p4, c4s, k4) = run(4, cluster = true)
+        val sec = (System.nanoTime() - t0) / 1e9
+        // recall floor: each eligible doc's R-clique verifies fully
+        require(p2 >= eligible * 1 * 9 / 10, s"x2 recall floor broken: $p2 pairs < 0.9*$eligible cliques")
+        require(p4 >= eligible * 6 * 9 / 10, s"x4 recall floor broken: $p4 pairs < 0.9*6*$eligible")
+        // bounded-candidate ceiling: linear in corpus, never all-pairs
+        require(p4 <= nDocs * 4 * 30, s"candidate blowup: $p4 pairs > 30/doc at 4x")
+        // clustering sanity: ≥2 docs per component ⇒ keepers ≤ corpus/2;
+        // components exist wherever cliques do
+        require(k4 > 0 && k4 <= nDocs * 2, s"cluster count insane: $k4")
+        System.err.println(
+          f"[bench] x_dedup_stress: pairs x2→x4 $p2→$p4 (${p4.toDouble / p2}%.1fx, " +
+            f"clique law ~6x, all-pairs would be ~${nDocs * 4 / 2 / 30}x the ceiling), " +
+            f"total ${sec}%.3f s")
+        val stages = s"""{"corpus_x2":${nDocs * 2},"corpus_x4":${nDocs * 4},""" +
+          s""""eligible_cliques":$eligible,"pairs_x2":$p2,"pairs_x4":$p4,""" +
+          f""""pair_s_x2":${p2s}%.3f,"pair_s_x4":${p4s}%.3f,""" +
+          f""""cluster_s_x4":${c4s}%.3f,"keepers_x4":$k4,""" +
+          f""""total_s":${sec}%.3f}"""
+        Some((sec, stages))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] x_dedup_stress failed: ${e.getMessage}")
+        Some((-1.0, "{}"))
+      }
     // FIXED-FLOOR measurement (VERDICT r9 #6): the genuinely-streamed
     // entries carry a state-store/checkpoint lifecycle cost that does not
     // scale with data — at sf0.1 that floor dominates q_stream_session's
@@ -352,7 +438,8 @@ object Bench {
     // their timing) — one rep, settled by construction, spread n/a
     val results = perQuery ++
       stressSec.map(s => "x_ingest_stress" -> QSample(s._1, 1, 0.0, unsettled = false)) ++
-      maintSec.map(s => "x_maint_stress" -> QSample(s, 1, 0.0, unsettled = false))
+      maintSec.map(s => "x_maint_stress" -> QSample(s, 1, 0.0, unsettled = false)) ++
+      dedupSec.map(s => "x_dedup_stress" -> QSample(s._1, 1, 0.0, unsettled = false))
     def fmt(v: Double, scale: Int): String =
       BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.collect { case (_, s) if s.secs >= 0 => s.secs }.sum
@@ -386,7 +473,8 @@ object Bench {
       val qs = results.map { case (k, s) => s"\"$k\":${fmt(s.secs, 3)}" }
         .mkString("{", ",", "}")
       val stages = stressSec.map(s => s""","x_ingest_stress_stages":${s._2}""")
-        .getOrElse("")
+        .getOrElse("") +
+        dedupSec.map(s => s""","x_dedup_stress_stages":${s._2}""").getOrElse("")
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,""" +
         s""""detail":$detail,"unsettled":[${unsettledNames.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""passes":$passes,"max_extra":$maxExtra$stages,"sf":"$sfDir"}"""

@@ -788,6 +788,122 @@ object AggQueries extends QueryPack {
         .orderBy("event_type", "hh")
     },
 
+    // Time-series LINEAR interpolation (r10) — the gap-fill
+    // q_ts_resample's forward-fill can't express: a missing hour takes
+    // the straight line between its surrounding observations (edge gaps
+    // extend the nearest one), which is what metric backfill and feature
+    // grids actually want for continuous series. Exactness: interpolation
+    // positions are the spine ROW NUMBERS (the spine is a uniform 1-hour
+    // grid, so rank is an affine image of epoch time and the weights are
+    // identical) — no epoch()/extract divergence between engines — and
+    // the fill is the integer-weighted mean (pv·(nr−rn) + nv·(rn−pr))
+    // div (nr−pr): all-BIGINT, non-negative, so Spark's truncating div
+    // and DuckDB's flooring // agree. Scale shape: same as q_ts_resample
+    // — the corpus collapses to (type, hour) counts first, the spine is
+    // aggregate-sized, and BOTH fill directions are windows over
+    // spine-sized rows partitioned by type; the raw events are scanned
+    // once and never re-sorted.
+    Q(
+      "q_ts_interpolate",
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hh,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(hh) AS mn, MAX(hh) AS mx FROM h),
+        |types AS (SELECT DISTINCT event_type FROM h),
+        |spine AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hh
+        |          FROM types, bounds),
+        |j AS (SELECT s.event_type, s.hh, h.n AS n_raw,
+        |        ROW_NUMBER() OVER (PARTITION BY s.event_type ORDER BY s.hh) AS rn
+        |      FROM spine s LEFT JOIN h ON h.event_type = s.event_type AND h.hh = s.hh),
+        |w AS (SELECT event_type, hh, n_raw, rn,
+        |    last_value(n_raw IGNORE NULLS) OVER pw AS pv,
+        |    last_value(CASE WHEN n_raw IS NOT NULL THEN rn END IGNORE NULLS) OVER pw AS pr,
+        |    first_value(n_raw IGNORE NULLS) OVER nw AS nv,
+        |    first_value(CASE WHEN n_raw IS NOT NULL THEN rn END IGNORE NULLS) OVER nw AS nr
+        |  FROM j
+        |  WINDOW pw AS (PARTITION BY event_type ORDER BY hh ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         nw AS (PARTITION BY event_type ORDER BY hh ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, hh, (n_raw IS NULL) AS is_gap,
+        |  CAST(COALESCE(n_raw,
+        |    CASE WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv
+        |         ELSE (pv * (nr - rn) + nv * (rn - pr)) // (nr - pr) END) AS BIGINT) AS n_interp
+        |FROM w ORDER BY event_type, hh""",
+    ) { (s, dir) =>
+      val h = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hh"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = h.agg(min(col("hh")).as("mn"), max(col("hh")).as("mx"))
+      val spine = h.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(expr("sequence(mn, mx, interval 1 hour)")).as("hh"))
+      val ord = Window.partitionBy("event_type").orderBy("hh")
+      val pw = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nw = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(h, Seq("event_type", "hh"), "left")
+        .select(col("event_type"), col("hh"), col("n").as("n_raw"))
+        .withColumn("rn", row_number().over(ord).cast("long"))
+        .withColumn("pv", last(col("n_raw"), ignoreNulls = true).over(pw))
+        .withColumn("pr", last(when(col("n_raw").isNotNull, col("rn")), ignoreNulls = true).over(pw))
+        .withColumn("nv", first(col("n_raw"), ignoreNulls = true).over(nw))
+        .withColumn("nr", first(when(col("n_raw").isNotNull, col("rn")), ignoreNulls = true).over(nw))
+        .select(col("event_type"), col("hh"), col("n_raw").isNull.as("is_gap"),
+          coalesce(col("n_raw"),
+            when(col("pv").isNull, col("nv"))
+              .when(col("nv").isNull, col("pv"))
+              .otherwise(expr("(pv * (nr - rn) + nv * (rn - pr)) div (nr - pr)")))
+            .cast("long").as("n_interp"))
+        .orderBy("event_type", "hh")
+    },
+
+    // Seasonal decomposition + residual anomaly (r10) — the screen
+    // q_anomaly_sigma can't run: traffic has an hour-of-day shape, so a
+    // 3 a.m. lull and a noon spike are both "normal" while the SAME
+    // absolute count is anomalous at one and routine at the other.
+    // Baseline = per (type, hour-of-day) mean/variance over the observed
+    // days; each (type, hour) cell is then flagged against ITS OWN
+    // seasonal cell via the cross-multiplied integer inequality
+    // (k·n − sn)² > 9·(k·snn − sn²) ⇔ |n − mean| > 3σ — exact, no
+    // sqrt, no float. The baseline attaches as a WINDOW over (type, hod)
+    // rather than an aggregate-then-rejoin: a rejoin consumes the cell
+    // relation twice and its "shared" scan silently forks under column
+    // pruning (the q17/weighted-median defect class) — the window reads
+    // it once by construction. Scale: one corpus collapse to (type,
+    // hour) counts, then one aggregate-sized exchange to (type, hod)
+    // partitions; no joins anywhere.
+    Q(
+      "q_ts_seasonal",
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hh,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, hh, n,
+        |    CAST(extract(hour FROM hh) AS BIGINT) AS hod,
+        |    CAST(COUNT(*) OVER sw AS BIGINT) AS k,
+        |    CAST(SUM(n) OVER sw AS BIGINT) AS sn,
+        |    SUM(CAST(n AS HUGEINT) * n) OVER sw AS snn
+        |  FROM h
+        |  WINDOW sw AS (PARTITION BY event_type, CAST(extract(hour FROM hh) AS BIGINT)))
+        |SELECT event_type, hh, hod, n,
+        |  CAST((sn * 10000) // k AS BIGINT) AS seasonal_mean_x1e4,
+        |  (CAST(k * n - sn AS HUGEINT) * (k * n - sn)
+        |     > 9 * (k * snn - CAST(sn AS HUGEINT) * sn)) AS is_anomaly
+        |FROM w ORDER BY event_type, hh""",
+    ) { (s, dir) =>
+      val sw = Window.partitionBy(col("event_type"), hour(col("hh")).cast("long"))
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hh"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("hh"), hour(col("hh")).cast("long").as("hod"),
+          col("n"),
+          count(lit(1)).over(sw).as("k"),
+          sum(col("n")).over(sw).as("sn"),
+          sum(col("n").cast(DecimalType(19, 0)) * col("n")).over(sw)
+            .cast(DecimalType(38, 0)).as("snn"))
+        .select(col("event_type"), col("hh"), col("hod"), col("n"),
+          expr("CAST((sn * 10000) div k AS BIGINT)").as("seasonal_mean_x1e4"),
+          expr("""CAST(k * n - sn AS DECIMAL(38,0)) * (k * n - sn)
+                 > 9 * (k * snn - CAST(sn AS DECIMAL(38,0)) * sn)""").as("is_anomaly"))
+        .orderBy("event_type", "hh")
+    },
+
     Q(
       "q_topk_per_group",
       """SELECT * FROM (
@@ -975,6 +1091,71 @@ object AggQueries extends QueryPack {
           expr("""CAST(((abs(num) * 1000) div denx) * ((abs(num) * 1000) div deny)
                  AS BIGINT)""").as("r2_x1e6"))
         .orderBy("l_returnflag")
+    },
+
+    // Pairwise correlation MATRIX (r10) — Pearson correlation between
+    // every pair of event types' hourly value series, the metric-drift
+    // screen ("which signals move together?") that q_agg_regr's single
+    // x→y regression can't produce. Same integer-rational discipline as
+    // regr: the corpus collapses to the (hour, type) aggregate FIRST
+    // (one partial-agg'd scan), the pair relation is an equi-join of
+    // that AGGREGATE-sized grid with itself on hour (types ordered, so
+    // each unordered pair lands once), and the five moments per pair are
+    // DECIMAL(38,0)-exact. Output is sign(num) plus corr²·1e6 via the
+    // same two-truncation rational regr uses for R² — no sqrt, no float,
+    // hash-identical across engines. Scale: the self-join and everything
+    // above it runs on |types|·|hours| rows regardless of corpus size;
+    // moments fit DECIMAL(38,0) to sf ~10³ (|num|·1000 peaks ~1e27 at
+    // sf0.1, ceiling 1e38).
+    Q(
+      "q_agg_corr_matrix",
+      """WITH e AS (SELECT date_trunc('hour', ts) AS hh, event_type,
+        |    CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) AS v2 FROM events),
+        |g AS (SELECT hh, event_type, CAST(SUM(v2) AS BIGINT) AS v FROM e GROUP BY 1, 2),
+        |p AS (SELECT a.event_type AS ta, b.event_type AS tb, a.v AS x, b.v AS y
+        |      FROM g a JOIN g b ON a.hh = b.hh AND a.event_type < b.event_type),
+        |st AS (SELECT ta, tb, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM p GROUP BY ta, tb),
+        |d AS (SELECT ta, tb, n, n * sxy - sx * sy AS num,
+        |    n * sxx - sx * sx AS denx, n * syy - sy * sy AS deny FROM st)
+        |SELECT ta, tb, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN denx = 0 OR deny = 0 OR num = 0 THEN 0
+        |            WHEN num < 0 THEN -1 ELSE 1 END AS BIGINT) AS corr_sign,
+        |  CAST(CASE WHEN denx = 0 OR deny = 0 THEN 0
+        |       ELSE ((abs(num) * 1000) // denx) * ((abs(num) * 1000) // deny)
+        |       END AS BIGINT) AS corr2_x1e6
+        |FROM d ORDER BY ta, tb""",
+    ) { (s, dir) =>
+      val g = Tables.events(s, dir)
+        .select(date_trunc("hour", col("ts")).as("hh"), col("event_type"),
+          Dec.asLong(col("value"), 2).as("v2"))
+        .groupBy("hh", "event_type")
+        .agg(sum("v2").as("v"))
+      val p = g.as("a").join(g.as("b"),
+          col("a.hh") === col("b.hh") && col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"),
+          col("a.v").as("x"), col("b.v").as("y"))
+      p.groupBy("ta", "tb")
+        .agg(
+          count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+          sum(col("x")).cast(DecimalType(38, 0)).as("sx"),
+          sum(col("y")).cast(DecimalType(38, 0)).as("sy"),
+          sum(col("x").cast(DecimalType(19, 0)) * col("x")).cast(DecimalType(38, 0)).as("sxx"),
+          sum(col("y").cast(DecimalType(19, 0)) * col("y")).cast(DecimalType(38, 0)).as("syy"),
+          sum(col("x").cast(DecimalType(19, 0)) * col("y")).cast(DecimalType(38, 0)).as("sxy"))
+        .withColumn("num", expr("n * sxy - sx * sy"))
+        .withColumn("denx", expr("n * sxx - sx * sx"))
+        .withColumn("deny", expr("n * syy - sy * sy"))
+        .select(col("ta"), col("tb"), col("n").cast("long").as("n"),
+          expr("""CAST(CASE WHEN denx = 0 OR deny = 0 OR num = 0 THEN 0
+                 WHEN num < 0 THEN -1 ELSE 1 END AS BIGINT)""").as("corr_sign"),
+          expr("""CAST(CASE WHEN denx = 0 OR deny = 0 THEN 0
+                 ELSE ((abs(num) * 1000) div denx) * ((abs(num) * 1000) div deny)
+                 END AS BIGINT)""").as("corr2_x1e6"))
+        .orderBy("ta", "tb")
     },
 
     // Longest-streak / gaps-and-islands (r8) — per-user activity streaks

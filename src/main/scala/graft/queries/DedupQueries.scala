@@ -107,7 +107,7 @@ object DedupQueries extends QueryPack {
     * needing them route through the exact md5 path instead).
     */
   private[graft] def minhashBanded(docs: DataFrame, idCol: String,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", keepSig: Boolean = false): DataFrame = {
     val base = docs
       .withColumn("w", split(col(textCol), " "))
       // empty shingle set → NULL signatures; SQL's equi-join never
@@ -130,12 +130,16 @@ object DedupQueries extends QueryPack {
     // transform(sequence(0,15), j -> array_min(transform(hs, ...)))
     // walks the array 16 times through interpreted lambdas
     val sigArr = call_function("graft_minhash_sig", col("hs"))
-    base
+    val exploded = base
       .select(col(idCol), col("bh"), sigArr.as("sig"))
-      .select(col(idCol), col("bh"),
+      .select(col(idCol), col("bh"), col("sig"),
         explode_outer(expr( // outer: skip the pushed-down non-empty guard
           "transform(sequence(0, 7), bd -> named_struct('band', bd, 'k1', element_at(sig, 2*bd+1), 'k2', element_at(sig, 2*bd+2)))"))
           .as("bb"))
+    // `keepSig` carries the full 16-signature array to callers that score
+    // estimator quality (q_dedup_minhash_recall); the dedup paths drop it
+    // so the banded relation shuffles nothing they don't read.
+    if (keepSig) exploded else exploded.drop("sig")
   }
 
   /** Hot-bucket cap (the stop-shingle guard): candidate cost of every
@@ -550,6 +554,84 @@ object DedupQueries extends QueryPack {
           .select(col("da"), col("db"),
             expr("CAST((inter * 10000L) div uni AS BIGINT)").as("jacc_x1e4")),
         "da", "db")
+    },
+
+    // MinHash estimator CALIBRATION (r10) — the eval pass a production
+    // dedup pipeline ships next to its sketch: on every LSH candidate
+    // pair (no jaccard cutoff — the full estimator range matters),
+    // compare the SIGNATURE-estimated similarity (matching positions of
+    // the 16 minhashes, an unbiased Jaccard estimator in steps of 1/16)
+    // against the EXACT shingle Jaccard, bucketed by the estimate:
+    // per-bucket pair count, mean exact Jaccard, and mean |error|. A
+    // healthy sketch shows mean_jacc tracking est16·625 within the
+    // binomial noise band; drift flags a broken hash family or banding
+    // before it silently eats recall. On this corpus the pass EXPOSES the
+    // documented Kirsch-Mitzenmacher weakness: for SMALL shingle sets,
+    // when one doc's minimal h1 also minimizes every g_j = h1 + j·h2,
+    // two docs sharing just that one shingle match many/all positions —
+    // mid-range est16 buckets carry near-zero true Jaccard. Harmless for
+    // dedup (the exact-Jaccard verify discards them — precision is
+    // exact), but exactly the estimator-health signal this query exists
+    // to surface, measured instead of assumed. All-integer (est·625 is exact:
+    // 10000/16), same construction as q_dedup_minhash via the SHARED
+    // minhashBanded — the estimator audited is bit-for-bit the one
+    // deployed. Scale: identical candidate plan to q_dedup_minhash
+    // (bucket-keyed, MaxBucketDf-capped, never all-pairs); the
+    // calibration rollup adds one pair-sized aggregation grouped on 17
+    // possible keys.
+    Q(
+      "q_dedup_minhash_recall",
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id,
+         |        list_distinct(list_transform(range(0, len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shs
+         |      FROM d),
+         |hh AS (SELECT doc_id, list_transform(list_transform(shs, x -> md5(x)), h -> struct_pack(
+         |          h1 := CAST('0x' || substring(h, 1, 15) AS BIGINT),
+         |          h2 := CAST('0x' || substring(h, 16, 15) AS BIGINT) % 72057594037927936)) AS hs
+         |       FROM s),
+         |sg AS (SELECT doc_id,
+         |        list_transform(hs, p -> p.h1) AS bh,
+         |        list_transform(range(0, 16), j -> list_min(list_transform(hs, p -> p.h1 + j * p.h2))) AS sig
+         |      FROM hh),
+         |ex0 AS (SELECT doc_id, band, sig[2*band+1] AS k1, sig[2*band+2] AS k2
+         |       FROM (SELECT doc_id, sig, unnest(range(0, 8)) AS band FROM sg)),
+         |hot AS (SELECT band, k1, k2 FROM ex0 GROUP BY band, k1, k2 HAVING COUNT(*) > $MaxBucketDf),
+         |ex AS (SELECT * FROM ex0 WHERE NOT EXISTS (SELECT 1 FROM hot
+         |        WHERE hot.band = ex0.band AND hot.k1 = ex0.k1 AND hot.k2 = ex0.k2)),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |         FROM ex a JOIN ex b ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id),
+         |jc AS (SELECT da, db,
+         |        CAST(len(list_filter(range(0, 16), j -> x.sig[j+1] = y.sig[j+1])) AS BIGINT) AS est,
+         |        CAST(len(list_intersect(x.bh, y.bh)) AS BIGINT) AS inter,
+         |        CAST(len(list_distinct(x.bh || y.bh)) AS BIGINT) AS uni
+         |      FROM cand JOIN sg x ON x.doc_id = da JOIN sg y ON y.doc_id = db)
+         |SELECT est AS est16, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM((inter * 10000) // uni) // COUNT(*) AS BIGINT) AS mean_jacc_x1e4,
+         |  CAST(SUM(abs(est * 625 - (inter * 10000) // uni)) // COUNT(*) AS BIGINT) AS mean_err_x1e4
+         |FROM jc GROUP BY est ORDER BY est16""",
+    ) { (s, dir) =>
+      val banded = minhashBanded(Tables.spread(Tables.documents(s, dir)), "doc_id",
+        keepSig = true)
+      val buckets = dropHotBuckets(banded, "bb", MaxBucketDf)
+        .groupBy(col("bb"))
+        .agg(collect_list(struct(col("doc_id"), col("bh"), col("sig"))).as("members"))
+      val pairs = expandPairs(buckets)
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(first(col("a.bh")).as("sa"), first(col("b.bh")).as("sb"),
+          first(col("a.sig")).as("ga"), first(col("b.sig")).as("gb"))
+      pairs
+        .withColumn("est16",
+          size(filter(zip_with(col("ga"), col("gb"), (x, y) => x === y), b => b)).cast("long"))
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .withColumn("uni", size(array_union(col("sa"), col("sb"))).cast("long"))
+        .withColumn("jacc_x1e4", expr("(inter * 10000L) div uni"))
+        .withColumn("err", abs(col("est16") * 625 - col("jacc_x1e4")))
+        .groupBy("est16")
+        .agg(count(lit(1)).as("n_pairs"), sum("jacc_x1e4").as("sj"), sum("err").as("se"))
+        .select(col("est16"), col("n_pairs"),
+          expr("CAST(sj div n_pairs AS BIGINT)").as("mean_jacc_x1e4"),
+          expr("CAST(se div n_pairs AS BIGINT)").as("mean_err_x1e4"))
+        .orderBy("est16")
     },
 
     // duplicate CLUSTERING — the step after pair generation that corpus

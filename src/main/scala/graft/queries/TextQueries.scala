@@ -188,6 +188,30 @@ object TextQueries extends QueryPack {
         .orderBy("lang", "split")
     },
 
+    // Exact-k uniform sample (r10) — "carve a fixed-size eval set":
+    // q_sample_split's hash threshold gives a BERNOULLI sample whose size
+    // drifts ±√n; an eval set wants EXACTLY k docs, reproducibly. Rank
+    // every doc by a salted md5 of its stable id and keep the k smallest
+    // — equivalent to a uniform draw without replacement, identical
+    // across runs/engines, and (unlike reservoir algorithms with RNG
+    // state) order-independent. Plan shape is the scale story: orderBy +
+    // limit compiles to TakeOrderedAndProject — each partition keeps a
+    // local k-heap and the driver merges P·k candidates; NO global sort,
+    // NO shuffle of the corpus, and driver memory is k rows. (For k
+    // beyond driver-merge comfort, the same salted key flips to the
+    // hash-threshold split plus an exact trim of the boundary bucket.)
+    Q(
+      "q_sample_reservoir",
+      """SELECT doc_id, lang, source, md5('rsv1:' || CAST(doc_id AS VARCHAR)) AS k
+        |FROM documents ORDER BY k LIMIT 100""",
+    ) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          md5(concat(lit("rsv1:"), col("doc_id").cast("string"))).as("k"))
+        .orderBy("k")
+        .limit(100)
+    },
+
     // Domain-reweighted sampling (the Pile/Dolma-style mixing pass):
     // each source gets a target inclusion rate (tiered 10/35/60/85% here,
     // derived from the source id) and every doc keeps or drops by the

@@ -611,4 +611,61 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
       "projection window must partition by vec_id, never globally")
   }
+
+  test("q_sample_reservoir takes the k smallest hashes without a global sort") {
+    val p = plan("q_sample_reservoir")
+    // per-partition k-heaps + driver merge — the exact-k sample must
+    // never range-shuffle or fully sort the corpus
+    assert(p.contains("TakeOrderedAndProject"),
+      "exact-k sampling must compile to TakeOrderedAndProject")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "a range exchange means the corpus is being globally sorted for k rows")
+  }
+
+  test("q_ts_interpolate fills both directions on spine-sized windows, keyed by type") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val root = physicalRoot("q_ts_interpolate")
+    // every window (forward fill, backward fill, rank) partitions by
+    // event_type over the aggregate-sized spine — none is global
+    val windows = root.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "interpolation windows must partition by event_type, never globally")
+    // the raw events collapse to (type, hour) BELOW the spine join
+    assert("HashAggregate".r.findAllIn(root.toString).size >= 2,
+      "the corpus must two-phase-aggregate before the spine join")
+  }
+
+  test("q_agg_corr_matrix self-joins the aggregate grid, not the corpus") {
+    val p = plan("q_agg_corr_matrix")
+    // the (hour, type) collapse is two-phase BELOW the pair join; the
+    // moments rollup above it is two-phase again
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "grid and moments must both be partial-agg'd")
+    assert(!p.contains("CartesianProduct"),
+      "the pair relation must come from the hour-keyed equi-join")
+  }
+
+  test("q_ts_seasonal attaches the baseline as a keyed window — no join, one cell read") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val root = physicalRoot("q_ts_seasonal")
+    // aggregate-then-rejoin would read the cell relation twice (and its
+    // shared scan forks under column pruning — the q17 defect class);
+    // the window formulation is join-free with every window keyed
+    assert(root.collect { case j: BaseJoinExec => j }.isEmpty,
+      "the seasonal baseline must be a window, not a rejoin")
+    val windows = root.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "seasonal windows must partition by (type, hour-of-day), never globally")
+  }
+
+  test("q_dedup_minhash_recall keeps the capped bucket-collect candidate plan") {
+    val p = plan("q_dedup_minhash_recall")
+    // same discipline as q_dedup_near: candidates expand INSIDE collected
+    // buckets; the exploded band relation is never self-joined, so the
+    // only corpus-scale exchanges are the banded shuffle + the pair rollup
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      "the banded relation must never self-join — pairs expand in-bucket")
+  }
 }
