@@ -236,6 +236,74 @@ object VectorQueries extends QueryPack {
         .orderBy("probe_id", "rn")
     },
 
+    // ANN RECALL eval (r10) — the calibration pass a vector platform
+    // ships next to its index (the q_dedup_minhash_recall of the
+    // similarity family): per probe, recall@5 of the LSH-bucketed search
+    // against the exact brute-force top-5 — THE number that tunes the
+    // plane count (each added plane halves bucket size and trades
+    // recall for cost; this query measures what that trade actually
+    // buys). Both rankings come from the SAME shared constructions the
+    // deployed queries use (withBucket / graft_vecdot), so the estimator
+    // audited is the estimator served. Scale: exact side is the
+    // broadcast-probes × one-scan plan (never vectors²), approx side the
+    // bucket equi-join; the recall join runs on 5·k rank-cut rows.
+    Q(
+      "q_sim_ann_recall",
+      s"""WITH wb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucketSql AS bucket FROM wb),
+         |p AS (SELECT vec_id AS probe_id, v AS pv, bucket FROM b WHERE vec_id < 5),
+         |exs AS (SELECT p.probe_id, c.vec_id AS neighbor_id, ${cosSql("p.pv", "c.v")} AS score
+         |       FROM wb c, p WHERE c.vec_id <> p.probe_id),
+         |ex AS (SELECT probe_id, neighbor_id FROM (
+         |    SELECT probe_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rn
+         |    FROM exs) WHERE rn <= 5),
+         |aps AS (SELECT p.probe_id, c.vec_id AS neighbor_id, ${cosSql("p.pv", "c.v")} AS score
+         |       FROM b c JOIN p ON c.bucket = p.bucket AND c.vec_id <> p.probe_id),
+         |ap AS (SELECT probe_id, neighbor_id FROM (
+         |    SELECT probe_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rn
+         |    FROM aps) WHERE rn <= 5)
+         |SELECT ex.probe_id, CAST(COUNT(ap.neighbor_id) AS BIGINT) AS n_matched,
+         |  CAST((COUNT(ap.neighbor_id) * 10000) // 5 AS BIGINT) AS recall_x1e4
+         |FROM ex LEFT JOIN ap ON ap.probe_id = ex.probe_id AND ap.neighbor_id = ex.neighbor_id
+         |GROUP BY ex.probe_id ORDER BY ex.probe_id""",
+    ) { (s, dir) =>
+      val base = withBucket(s, dir)
+      val probes = base.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+          col("bucket").as("pbucket"), col("vn").as("pn"))
+      val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("neighbor_id"))
+      val exact = base
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"), col("vn").as("nn"))
+        .crossJoin(broadcast(probes))
+        .filter(col("neighbor_id") =!= col("probe_id"))
+        .withColumn("score", cosine(dot(col("pv"), col("nv")), col("pn"), col("nn")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("probe_id"), col("neighbor_id"))
+      val approx = base
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+          col("bucket"), col("vn").as("nn"))
+        .join(broadcast(probes),
+          col("bucket") === col("pbucket") && col("neighbor_id") =!= col("probe_id"))
+        .withColumn("score", cosine(dot(col("pv"), col("nv")), col("pn"), col("nn")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("probe_id"), col("neighbor_id").as("a_neighbor"))
+      // the approx rank-cut is ≤ 5·k rows BY CONSTRUCTION (probes × rn
+      // cut) — broadcast it explicitly rather than leaving the estimator
+      // to guess sizes above two windows
+      exact.join(broadcast(approx),
+          exact("probe_id") === approx("probe_id")
+            && exact("neighbor_id") === approx("a_neighbor"), "left")
+        .groupBy(exact("probe_id"))
+        .agg(count(col("a_neighbor")).as("n_matched"))
+        .select(col("probe_id"), col("n_matched"),
+          expr("CAST((n_matched * 10000) div 5 AS BIGINT)").as("recall_x1e4"))
+        .orderBy("probe_id")
+    },
+
     // IVF-flat approximate top-5: seed codebook = first 16 vectors, ONE
     // k-means refinement pass (assign → recompute means → reassign), then
     // probes search the nprobe=2 nearest inverted lists. Centroid means

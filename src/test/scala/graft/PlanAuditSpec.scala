@@ -659,6 +659,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "seasonal windows must partition by (type, hour-of-day), never globally")
   }
 
+  test("q_sim_ann_recall never self-joins the vectors — probes broadcast into both rankers") {
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val root = physicalRoot("q_sim_ann_recall")
+    // exact = broadcast probes × one scan; approx = bucket join with the
+    // 5-probe side broadcast; the recall join runs on rank-cut rows —
+    // nothing corpus-sized may shuffle-join
+    val shuffledJoins = root.collect {
+      case j: SortMergeJoinExec => j: Any
+      case j: ShuffledHashJoinExec => j: Any
+    }
+    assert(shuffledJoins.isEmpty,
+      "probes and rank-cut relations must broadcast — no shuffled join of vectors")
+  }
+
   test("q_dedup_minhash_recall keeps the capped bucket-collect candidate plan") {
     val p = plan("q_dedup_minhash_recall")
     // same discipline as q_dedup_near: candidates expand INSIDE collected
