@@ -506,24 +506,38 @@ object Bench {
                     else m.group(1).count(_ == ',') + 1)
           .getOrElse(0)
       }.getOrElse(Int.MaxValue)
-      val oldTotal = prior.flatMap(p =>
-        """"value":([0-9.]+)""".r.findFirstMatchIn(p).map(_.group(1).toDouble))
       // contention corroborates too: a uniformly-loaded box slows every
       // rep equally, so a 20%-slower-overall run can still settle every
       // entry and would clobber a faster settled record. The record is a
       // corroborated-MIN reference — it only gets replaced by a run that
-      // is at least as corroborated AND not grossly slower in total
-      // (>15% — genuine code regressions land well under that across 200+
-      // entries; force with SPARK_GRAFT_FORCE_RECORD=1 when one is real).
+      // is at least as corroborated AND not grossly slower (>15% — genuine
+      // code regressions land well under that across 200+ entries; force
+      // with SPARK_GRAFT_FORCE_RECORD=1 when one is real). The comparison
+      // runs over the SHARED entry names only (r10): raw totals across
+      // surfaces of different sizes would read every newly added query or
+      // stress scenario as a phantom "regression" and freeze the record.
+      val oldQueries: Map[String, Double] = prior.map { p =>
+        val qsBlock = """"queries":\{([^}]*)\}""".r
+          .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+        """"([a-zA-Z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(qsBlock)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+      val newByName = results.toMap
+      val sharedNames = oldQueries.keySet
+        .intersect(newByName.keySet)
+        .filter(n => oldQueries(n) >= 0 && newByName(n).secs >= 0)
+      val oldShared = sharedNames.toSeq.map(oldQueries).sum
+      val newShared = sharedNames.toSeq.map(n => newByName(n).secs).sum
       val force = sys.env.get("SPARK_GRAFT_FORCE_RECORD").contains("1")
-      val slower = oldUnsettled == 0 && oldTotal.exists(total > _ * 1.15)
+      val slower = oldUnsettled == 0 && sharedNames.nonEmpty &&
+        newShared > oldShared * 1.15
       if (force || (unsettledNames.size <= oldUnsettled && !slower))
         Files.writeString(path, record)
       else if (slower && !force)
-        System.err.println(f"[bench] NOT overwriting BENCH_LOCAL.json: total " +
-          f"${total}%.1f s is >15%% above the settled record's " +
-          f"${oldTotal.get}%.1f s — a uniformly contended run, not a plan " +
-          "change (set SPARK_GRAFT_FORCE_RECORD=1 to record a real regression)")
+        System.err.println(f"[bench] NOT overwriting BENCH_LOCAL.json: the " +
+          f"${sharedNames.size} shared entries sum ${newShared}%.1f s, >15%% above " +
+          f"the settled record's ${oldShared}%.1f s — a uniformly contended run, " +
+          "not a plan change (set SPARK_GRAFT_FORCE_RECORD=1 to record a real regression)")
       else
         System.err.println(s"[bench] NOT overwriting BENCH_LOCAL.json: this run " +
           s"left ${unsettledNames.size} entries uncorroborated " +

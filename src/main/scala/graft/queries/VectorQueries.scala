@@ -49,9 +49,10 @@ object VectorQueries extends QueryPack {
   }
 
   /** 8 deterministic hyperplanes over dim-64 vectors, components in
-    * [-1, 1).
+    * [-1, 1). private[graft]: LlmOpsSpec replays the bucketing driver-side
+    * (same constants, independent arithmetic) for the recall eval.
     */
-  private[queries] val planes: Array[Array[Double]] =
+  private[graft] val planes: Array[Array[Double]] =
     Array.tabulate(8, 64)((j, i) => (sm64(j * 64L + i + 42L) % 1000L).toDouble / 1000.0)
 
   /** native codegen'd dot product (graft_vecdot, a Catalyst Expression —

@@ -272,6 +272,34 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_sim_ann_recall equals a driver-side recall replay") {
+    // same plane constants as the deployed bucketing, independent
+    // arithmetic: left-to-right double accumulation matches graft_vecdot
+    // bit-for-bit, so bucket ids and rankings replay exactly
+    val planes = graft.queries.VectorQueries.planes
+    def bucket(v: Array[Double]): Long =
+      planes.indices.map { j =>
+        var d = 0.0; var i = 0
+        while (i < v.length) { d += v(i) * planes(j)(i); i += 1 }
+        if (d > 0) 1L << j else 0L
+      }.sum
+    def top5(p: Long, pool: Seq[(Long, Array[Double])]): Set[Long] =
+      pool.filter(_._1 != p)
+        .map { case (id, v) => (id, cos(vecs(p), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+    val all = vecs.toSeq
+    val expected = (0L until 5L).map { p =>
+      val exact = top5(p, all)
+      val pb = bucket(vecs(p))
+      val approx = top5(p, all.filter { case (id, v) => bucket(v) == pb })
+      p -> (exact & approx).size.toLong
+    }.toMap
+    val rows = q("q_sim_ann_recall").collect()
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
+    // recall_x1e4 is exactly matched/5 in fixed point
+    rows.foreach(r => assert(r.getLong(2) == r.getLong(1) * 2000))
+  }
+
   test("q_sim_ann_ivf scores are true cosines and lists assign to nearest refined centroid") {
     val rows = q("q_sim_ann_ivf").collect()
     assert(rows.nonEmpty)
