@@ -533,16 +533,50 @@ object Bench {
         newShared > oldShared * 1.15
       if (force || (unsettledNames.size <= oldUnsettled && !slower))
         Files.writeString(path, record)
-      else if (slower && !force)
-        System.err.println(f"[bench] NOT overwriting BENCH_LOCAL.json: the " +
-          f"${sharedNames.size} shared entries sum ${newShared}%.1f s, >15%% above " +
-          f"the settled record's ${oldShared}%.1f s — a uniformly contended run, " +
-          "not a plan change (set SPARK_GRAFT_FORCE_RECORD=1 to record a real regression)")
-      else
-        System.err.println(s"[bench] NOT overwriting BENCH_LOCAL.json: this run " +
-          s"left ${unsettledNames.size} entries uncorroborated " +
-          s"(${unsettledNames.take(8).mkString(", ")}) vs $oldUnsettled in " +
-          "the existing record")
+      else {
+        if (slower && !force)
+          System.err.println(f"[bench] NOT overwriting BENCH_LOCAL.json: the " +
+            f"${sharedNames.size} shared entries sum ${newShared}%.1f s, >15%% above " +
+            f"the settled record's ${oldShared}%.1f s — a uniformly contended run, " +
+            "not a plan change (set SPARK_GRAFT_FORCE_RECORD=1 to record a real regression)")
+        else
+          System.err.println(s"[bench] NOT overwriting BENCH_LOCAL.json: this run " +
+            s"left ${unsettledNames.size} entries uncorroborated " +
+            s"(${unsettledNames.take(8).mkString(", ")}) vs $oldUnsettled in " +
+            "the existing record")
+        // entries the record has NEVER seen still fold in (r10): a first
+        // settled measurement cannot regress a record that holds no value
+        // for it, and leaving new surface out of the record forever —
+        // because the box never goes quiet — is worse than carrying a
+        // possibly-contended (still corroborated-min) first sample. The
+        // fold is tagged so a reader knows its provenance; a later quiet
+        // full run replaces the whole record and clears the tags.
+        val addable = results.collect {
+          case (n, s) if !oldQueries.contains(n) && s.secs >= 0 && !s.unsettled => n -> s
+        }
+        if (addable.nonEmpty && prior.isDefined) {
+          val qAdd = addable.map { case (n, s) => s""""$n":${fmt(s.secs, 3)}""" }.mkString(",")
+          val dAdd = addable.map { case (n, s) =>
+            s""""$n":{"secs":${fmt(s.secs, 3)},"reps":${s.reps},""" +
+              s""""spread_pct":${fmt(s.spreadPct, 1)},"folded_in":true}"""
+          }.mkString(",")
+          val newTotal = oldQueries.values.filter(_ >= 0).sum + addable.map(_._2.secs).sum
+          var rec = prior.get
+          rec = rec.replaceFirst("\"queries\":\\{",
+            java.util.regex.Matcher.quoteReplacement(s""""queries":{$qAdd,"""))
+          rec = rec.replaceFirst("\"detail\":\\{",
+            java.util.regex.Matcher.quoteReplacement(s""""detail":{$dAdd,"""))
+          rec = rec.replaceFirst("\"value\":[0-9.]+", s""""value":${fmt(newTotal, 3)}""")
+          // stage blobs for folded stress scenarios ride along
+          dedupSec.filter(_ => addable.exists(_._1 == "x_dedup_stress")).foreach { s =>
+            rec = rec.replaceFirst(",\"sf\":",
+              java.util.regex.Matcher.quoteReplacement(s""","x_dedup_stress_stages":${s._2},"sf":"""))
+          }
+          Files.writeString(path, rec)
+          System.err.println(s"[bench] folded ${addable.size} first-seen entries into " +
+            s"the kept record: ${addable.map(_._1).mkString(", ")}")
+        }
+      }
     }
     spark.stop()
   }
