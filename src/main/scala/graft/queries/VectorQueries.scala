@@ -145,9 +145,10 @@ object VectorQueries extends QueryPack {
         |         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qc,
         |         vec_id
         |  FROM embeddings),
-        |p AS (SELECT label, pos, CAST(SUM(qc) AS BIGINT) AS s FROM q GROUP BY label, pos)
+        |p AS (SELECT label, pos, CAST(SUM(qc) AS BIGINT) AS s,
+        |        CAST(COUNT(*) AS BIGINT) AS c FROM q GROUP BY label, pos)
         |SELECT label,
-        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings e WHERE e.label = p.label) AS n_vecs,
+        |  CAST(SUM(CASE WHEN pos = 1 THEN c ELSE 0 END) AS BIGINT) AS n_vecs,
         |  CAST(SUM(CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))) AS BIGINT) AS sumvec_normsq_x1e12
         |FROM p GROUP BY label ORDER BY label""",
     ) { (s, dir) =>
@@ -163,13 +164,24 @@ object VectorQueries extends QueryPack {
         // would re-evaluate the quantization transform at the scan
         .select(col("label"), posexplode_outer(col("q")).as(Seq("pos", "qc")))
         .groupBy("label", "pos")
-        .agg(sum(col("qc")).as("s"))
-      val counts = quant.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+        .agg(sum(col("qc")).as("s"), count(lit(1)).as("c"))
+      // n_vecs rides the SAME exploded relation (r10): every vector lands
+      // exactly once in its label's pos-0 group (pos IS NULL for an
+      // empty-array vector, outer-exploded), so the vector count is the
+      // pos-0 + pos-null group sizes — the former second corpus scan for
+      // a bare COUNT(*) is gone (ScanAudit at sf0.01 showed AQE stopped
+      // reusing the forked exchange there; single-scan by construction
+      // beats reuse-dependent sharing). Oracle mirrors via pos = 1
+      // (generate_subscripts is 1-based; DuckDB's unnest of an empty list
+      // emits no row, matching: the testdata has no empty vectors and the
+      // hash gate pins that).
       perPos
         .groupBy("label")
-        .agg(sum(expr("CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))")).cast("long")
-          .as("sumvec_normsq_x1e12"))
-        .join(counts, "label")
+        .agg(
+          sum(when(col("pos") === 0 || col("pos").isNull, col("c")).otherwise(0L))
+            .cast("long").as("n_vecs"),
+          sum(expr("CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))")).cast("long")
+            .as("sumvec_normsq_x1e12"))
         .select(col("label"), col("n_vecs"), col("sumvec_normsq_x1e12"))
         .orderBy("label")
     },
