@@ -904,6 +904,124 @@ object AggQueries extends QueryPack {
         .orderBy("event_type", "hh")
     },
 
+    // Level-shift changepoint detection (r10) — the screen neither
+    // q_anomaly_sigma (pointwise outliers against ONE global moment) nor
+    // q_ts_seasonal (cells against their own hour-of-day baseline) runs:
+    // a REGIME CHANGE moves every subsequent point, so each point is
+    // individually "normal" against the new level and only the before/
+    // after CONTRAST sees it. Statistic = the sliding two-sample
+    // mean-shift |mean(prev 24h) − mean(next 24h)| at every interior
+    // hour, flagged when the shift exceeds half the series' own global
+    // mean — the classic windowed CUSUM alternative that needs no
+    // recursion (CUSUM's running max is sequential by construction;
+    // the two-window contrast is pure window algebra). Exactness: the
+    // flag and the reported shift are integer cross-multiplications —
+    // |sl·kr − sr·kl| · 2 · nt > st · kl · kr ⇔ |ml − mr| > (st/nt)/2 —
+    // in DECIMAL(38,0)/HUGEINT, no float division anywhere; reported
+    // means/shift use floor division (div and // agree on the
+    // non-negative operands). Scale: the corpus collapses to (type, hour)
+    // counts in one two-phase agg; the ±24-row windows and the per-type
+    // totals all run over that AGGREGATE-sized relation partitioned by
+    // type — no joins, no global window, edge hours (incomplete windows)
+    // are emitted unflagged with NULL contrast rather than dropped.
+    Q(
+      "q_ts_changepoint",
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hh,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, hh, n,
+        |    CAST(COUNT(*) OVER lw AS BIGINT) AS kl, CAST(COALESCE(SUM(n) OVER lw, 0) AS BIGINT) AS sl,
+        |    CAST(COUNT(*) OVER rw AS BIGINT) AS kr, CAST(COALESCE(SUM(n) OVER rw, 0) AS BIGINT) AS sr,
+        |    CAST(COUNT(*) OVER tw AS BIGINT) AS nt, CAST(SUM(n) OVER tw AS BIGINT) AS st
+        |  FROM h
+        |  WINDOW lw AS (PARTITION BY event_type ORDER BY hh ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING),
+        |         rw AS (PARTITION BY event_type ORDER BY hh ROWS BETWEEN 1 FOLLOWING AND 24 FOLLOWING),
+        |         tw AS (PARTITION BY event_type))
+        |SELECT event_type, hh, n,
+        |  CASE WHEN kl = 24 AND kr = 24 THEN CAST((sl * 10000) // kl AS BIGINT) END AS mean_before_x1e4,
+        |  CASE WHEN kl = 24 AND kr = 24 THEN CAST((sr * 10000) // kr AS BIGINT) END AS mean_after_x1e4,
+        |  CASE WHEN kl = 24 AND kr = 24
+        |       THEN CAST(abs(sl * kr - sr * kl) * 10000 // (kl * kr) AS BIGINT) END AS shift_x1e4,
+        |  (kl = 24 AND kr = 24 AND
+        |   CAST(abs(sl * kr - sr * kl) AS HUGEINT) * 2 * nt > CAST(st AS HUGEINT) * kl * kr) AS is_changepoint
+        |FROM w ORDER BY event_type, hh""",
+    ) { (s, dir) =>
+      val ord = Window.partitionBy("event_type").orderBy("hh")
+      val lw = ord.rowsBetween(-24, -1)
+      val rw = ord.rowsBetween(1, 24)
+      val tw = Window.partitionBy("event_type")
+      val full = col("kl") === 24 && col("kr") === 24
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hh"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("hh"), col("n"),
+          count(lit(1)).over(lw).cast("long").as("kl"),
+          coalesce(sum(col("n")).over(lw), lit(0L)).cast("long").as("sl"),
+          count(lit(1)).over(rw).cast("long").as("kr"),
+          coalesce(sum(col("n")).over(rw), lit(0L)).cast("long").as("sr"),
+          count(lit(1)).over(tw).cast("long").as("nt"),
+          sum(col("n")).over(tw).cast("long").as("st"))
+        .select(col("event_type"), col("hh"), col("n"),
+          when(full, expr("CAST((sl * 10000) div kl AS BIGINT)")).as("mean_before_x1e4"),
+          when(full, expr("CAST((sr * 10000) div kr AS BIGINT)")).as("mean_after_x1e4"),
+          when(full, expr("CAST(abs(sl * kr - sr * kl) * 10000 div (kl * kr) AS BIGINT)"))
+            .as("shift_x1e4"),
+          (full && expr("CAST(abs(sl * kr - sr * kl) AS DECIMAL(38,0)) * 2 * nt")
+            > expr("CAST(st AS DECIMAL(38,0)) * kl * kr")).as("is_changepoint"))
+        .orderBy("event_type", "hh")
+    },
+
+    // Key-skew diagnosis (r10) — the pre-flight report a 100 TB pipeline
+    // reads before picking join/agg strategies (q_join_skew_salted
+    // APPLIES a salt; this measures whether one is needed and how wide):
+    // per event type, the (type, user) key histogram collapses to
+    // aggregate-sized stats — key count, hottest key's rows, exact
+    // MEDIAN key size (cumulative-window machinery over the size-
+    // distinct counts, q_anomaly_mad's shape — no percentile() buffering
+    // a group in memory), hot/mean skew ratio, and the salt factor that
+    // would level the hottest key to the mean (the number
+    // q_join_skew_salted's SALT constant is chosen from). All integer:
+    // ratios x1e4 floor-div, salt = ceil via (max·keys + total − 1) div
+    // total. Scale: ONE corpus shuffle to (type, user) counts (partial-
+    // agg'd), everything after runs on the aggregate relation.
+    Q(
+      "q_skew_stats",
+      """WITH g AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS nk FROM g GROUP BY 1, 2),
+        |w AS (SELECT event_type, c, nk,
+        |        SUM(nk) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+        |        SUM(nk) OVER (PARTITION BY event_type) AS keys FROM d),
+        |m AS (SELECT event_type, CAST(MAX(keys) AS BIGINT) AS n_keys,
+        |        CAST(SUM(c * nk) AS BIGINT) AS n_rows,
+        |        CAST(MAX(c) AS BIGINT) AS max_key_rows,
+        |        CAST(MIN(CASE WHEN cum * 2 >= keys THEN c END) AS BIGINT) AS median_key_rows
+        |      FROM w GROUP BY event_type)
+        |SELECT event_type, n_rows, n_keys, max_key_rows, median_key_rows,
+        |  CAST(n_rows * 10000 // n_keys AS BIGINT) AS mean_x1e4,
+        |  CAST(max_key_rows * n_keys * 10000 // n_rows AS BIGINT) AS skew_x1e4,
+        |  CAST((max_key_rows * n_keys + n_rows - 1) // n_rows AS BIGINT) AS salt_hint
+        |FROM m ORDER BY event_type""",
+    ) { (s, dir) =>
+      val cumW = Window.partitionBy("event_type").orderBy("c")
+      val totW = Window.partitionBy("event_type")
+      Tables.events(s, dir)
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
+        .groupBy("event_type", "c").agg(count(lit(1)).as("nk"))
+        .withColumn("cum", sum(col("nk")).over(cumW))
+        .withColumn("keys", sum(col("nk")).over(totW))
+        .groupBy("event_type")
+        .agg(max(col("keys")).cast("long").as("n_keys"),
+          sum(col("c") * col("nk")).cast("long").as("n_rows"),
+          max(col("c")).cast("long").as("max_key_rows"),
+          min(when(col("cum") * 2 >= col("keys"), col("c"))).cast("long").as("median_key_rows"))
+        .select(col("event_type"), col("n_rows"), col("n_keys"), col("max_key_rows"),
+          col("median_key_rows"),
+          expr("CAST(n_rows * 10000 div n_keys AS BIGINT)").as("mean_x1e4"),
+          expr("CAST(max_key_rows * n_keys * 10000 div n_rows AS BIGINT)").as("skew_x1e4"),
+          expr("CAST((max_key_rows * n_keys + n_rows - 1) div n_rows AS BIGINT)").as("salt_hint"))
+        .orderBy("event_type")
+    },
+
     Q(
       "q_topk_per_group",
       """SELECT * FROM (

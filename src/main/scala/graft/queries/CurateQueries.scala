@@ -390,5 +390,125 @@ object CurateQueries extends QueryPack {
         .select("doc_id", "source", "n_copies")
         .orderBy("doc_id")
     },
+
+    // Tokenizer fertility report (r10) — the per-LANGUAGE efficiency eval
+    // a tokenizer release ships next to q_tokenizer_vocab's per-doc OOV:
+    // fertility (subword pieces per whitespace word) and bytes per piece,
+    // the two numbers that decide whether a language is over-segmented.
+    // The segmenter is a deterministic stand-in for a learned BPE merge
+    // table: fixed-width pieces of ≤4 chars per word (⌈len/4⌉ pieces —
+    // a max-piece-length vocabulary's worst case), so fertility varies
+    // with each language's word-length profile instead of needing merge
+    // state both engines would have to share. Byte counts are
+    // octet_length/strlen (UTF-8 bytes in both engines). Exactness:
+    // per-doc counts are row-local integers, ratios floor-div x1e4.
+    // Scale: ONE corpus scan, all counting row-local (a fold over the
+    // split array — no exploded token relation), one partial-agg'd
+    // shuffle to |langs| rows.
+    Q(
+      "q_tokenizer_fertility",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+        |  CAST(SUM(list_sum(list_transform(string_split(text, ' '), x -> (length(x) + 3) // 4))) AS BIGINT) AS n_pieces,
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes,
+        |  CAST(SUM(list_sum(list_transform(string_split(text, ' '), x -> (length(x) + 3) // 4))) * 10000
+        |    // SUM(len(string_split(text, ' '))) AS BIGINT) AS fertility_x1e4,
+        |  CAST(SUM(strlen(text)) * 10000
+        |    // SUM(list_sum(list_transform(string_split(text, ' '), x -> (length(x) + 3) // 4))) AS BIGINT) AS bytes_per_piece_x1e4
+        |FROM documents GROUP BY lang ORDER BY lang""",
+    ) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("nw"),
+          expr("aggregate(transform(split(text, ' '), x -> CAST((length(x) + 3) div 4 AS BIGINT)), 0L, (a, x) -> a + x)")
+            .as("nt"),
+          expr("octet_length(text)").cast("long").as("nb"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("n_words"),
+          sum(col("nt")).as("n_pieces"),
+          sum(col("nb")).as("n_bytes"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_pieces"), col("n_bytes"),
+          expr("CAST(n_pieces * 10000 div n_words AS BIGINT)").as("fertility_x1e4"),
+          expr("CAST(n_bytes * 10000 div n_pieces AS BIGINT)").as("bytes_per_piece_x1e4"))
+        .orderBy("lang")
+    },
+
+    // DSIR-style importance resampling (r10; Xie et al., "Data Selection
+    // for Language Models via Importance Resampling", public preprint) —
+    // the data-selection pass that reweights a raw crawl toward a target
+    // domain using n-gram frequency ratios. Target distribution = the
+    // corpus's own English slice (lang = 'en'); features = word bigrams;
+    // a feature's importance ratio is its target relative frequency over
+    // its raw relative frequency, fixed-point:
+    //   w_x1e6(f) = cnt_t(f)·total_raw·1e6 div (cnt_raw(f)·total_t)
+    // (the paper's log-likelihood-ratio sum is a float; the occurrence-
+    // weighted MEAN ratio ranks the same direction and stays integral —
+    // floor div agrees across engines, intermediates in DECIMAL(38,0)/
+    // HUGEINT so corpus-scale totals cannot overflow). Each doc scores
+    // the nd-weighted mean ratio of its bigrams; the resample keeps the
+    // top-100 scores (ties at the threshold all kept — the cut is on the
+    // VALUE, so it needs no global row numbering). Docs with no bigram
+    // (single-word texts) have no feature mass and are absent by
+    // construction in both engines. Scale: one corpus scan collapses to
+    // the (doc, bigram) tf relation (partial-agg'd); the per-feature
+    // marginals attach as (a, b)-partitioned WINDOWS over it (bounded by
+    // a bigram's distinct docs — join-free, q_lm_score's doctrine); the
+    // corpus totals and the top-k threshold are 1-row broadcasts
+    // (TakeOrderedAndProject + global agg, never a global sort/window).
+    Q(
+      "q_dsir_importance",
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |i AS (SELECT doc_id, lang, w, unnest(range(0, len(w) - 1)) AS i FROM d),
+        |g AS (SELECT doc_id, lang, w[i+1] AS a, w[i+2] AS b FROM i),
+        |t AS (SELECT doc_id, lang, a, b, CAST(COUNT(*) AS BIGINT) AS nd
+        |      FROM g GROUP BY 1, 2, 3, 4),
+        |tot AS (SELECT CAST(SUM(nd) AS BIGINT) AS total_r,
+        |               CAST(SUM(nd) FILTER (WHERE lang = 'en') AS BIGINT) AS total_t FROM t),
+        |m AS (SELECT doc_id, lang, nd,
+        |        SUM(nd) OVER (PARTITION BY a, b) AS cnt_r,
+        |        SUM(CASE WHEN lang = 'en' THEN nd ELSE 0 END) OVER (PARTITION BY a, b) AS cnt_t
+        |      FROM t),
+        |sc AS (SELECT doc_id, MIN(lang) AS lang,
+        |         CAST(SUM(nd) AS BIGINT) AS n_bigrams,
+        |         CAST(SUM(nd * (CAST(cnt_t AS HUGEINT) * total_r * 1000000
+        |                        // (CAST(cnt_r AS HUGEINT) * total_t)))
+        |              // SUM(nd) AS BIGINT) AS score_x1e6
+        |       FROM m, tot GROUP BY doc_id),
+        |th AS (SELECT MIN(score_x1e6) AS cut FROM
+        |        (SELECT score_x1e6 FROM sc ORDER BY score_x1e6 DESC, doc_id LIMIT 100))
+        |SELECT doc_id, lang, n_bigrams, score_x1e6, (score_x1e6 >= cut) AS is_selected
+        |FROM sc, th ORDER BY doc_id""",
+    ) { (s, dir) =>
+      val isEn = col("lang") === "en"
+      val fw = Window.partitionBy("a", "b")
+      val tf = Tables.spread(Tables.documents(s, dir))
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(slice(w, 1, greatest(size(w) - 1, 0)), (x, i) -> struct(x AS a, w[i + 1] AS b))"))
+          .as("g"))
+        .select(col("doc_id"), col("lang"), col("g.a").as("a"), col("g.b").as("b"))
+        .groupBy("doc_id", "lang", "a", "b").agg(count(lit(1)).as("nd"))
+      val tot = tf.agg(
+        sum(col("nd")).cast("long").as("total_r"),
+        sum(when(isEn, col("nd")).otherwise(0L)).cast("long").as("total_t"))
+      val scores = tf
+        .withColumn("cnt_r", sum(col("nd")).over(fw))
+        .withColumn("cnt_t", sum(when(isEn, col("nd")).otherwise(0L)).over(fw))
+        .crossJoin(broadcast(tot))
+        .withColumn("w6", expr(
+          """CAST(cnt_t AS DECIMAL(38,0)) * total_r * 1000000
+             div (CAST(cnt_r AS DECIMAL(38,0)) * total_t)"""))
+        .groupBy("doc_id")
+        .agg(min(col("lang")).as("lang"),
+          sum(col("nd")).cast("long").as("n_bigrams"),
+          expr("CAST(sum(nd * w6) div sum(nd) AS BIGINT)").as("score_x1e6"))
+      val cut = scores.orderBy(col("score_x1e6").desc, col("doc_id")).limit(100)
+        .agg(min(col("score_x1e6")).as("cut"))
+      scores.crossJoin(broadcast(cut))
+        .select(col("doc_id"), col("lang"), col("n_bigrams"), col("score_x1e6"),
+          (col("score_x1e6") >= col("cut")).as("is_selected"))
+        .orderBy("doc_id")
+    },
   )
 }

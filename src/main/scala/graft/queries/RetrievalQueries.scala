@@ -225,5 +225,83 @@ object RetrievalQueries extends QueryPack {
             .as("mrr_x1e6"))
         .orderBy("probe_id")
     },
+
+    // NDCG@10 (r10) — the position-WEIGHTED retrieval metric
+    // q_retrieval_eval's set metrics (hits, P@5, MRR) can't express: a
+    // relevant hit at rank 1 is worth more than at rank 10, and the
+    // score normalizes against the best achievable ordering so probes
+    // with few relevant candidates aren't penalized for corpus makeup.
+    // Determinism: the 1/log2(rank+1) discounts are FIXED x1e6 integer
+    // literals for ranks 1..10 (the only floats in NDCG are these ten
+    // constants — freezing them makes both engines sum identical
+    // integers; no ln()/log2() call anywhere). Ideal DCG = the same
+    // weights over min(R, 10) top ranks, where R = the label's corpus
+    // relevant count (cohort size − 1) from a 1-row-per-label broadcast.
+    // Scale: ranking is the broadcast-probes linear scan (q_sim_topk's
+    // shape); metrics aggregate rank-cut rows; the label histogram is a
+    // |labels|-row broadcast.
+    Q(
+      "q_retrieval_ndcg",
+      s"""WITH wt AS (SELECT [1000000,630930,500000,430677,386853,356207,333333,315465,301030,289065] AS w),
+         |p AS (SELECT vec_id AS probe_id, label AS plabel,
+         |        CAST(embedding AS DOUBLE[]) AS pv
+         |      FROM embeddings WHERE vec_id < 5),
+         |lc AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY label),
+         |a AS (SELECT vec_id AS nid, label AS nlabel, CAST(embedding AS DOUBLE[]) AS nv
+         |      FROM embeddings),
+         |s AS (SELECT probe_id, plabel, nid, nlabel, ${cosSql("pv", "nv")} AS score
+         |      FROM a, p WHERE nid <> probe_id),
+         |r AS (SELECT probe_id, plabel, nlabel,
+         |        row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, nid) AS rn
+         |      FROM s),
+         |d AS (SELECT probe_id, plabel,
+         |        CAST(COUNT(*) FILTER (WHERE nlabel = plabel) AS BIGINT) AS n_rel_top10,
+         |        CAST(COALESCE(SUM(CASE WHEN nlabel = plabel THEN w[CAST(rn AS INT)] END), 0) AS BIGINT) AS dcg_x1e6
+         |      FROM r, wt WHERE rn <= 10 GROUP BY probe_id, plabel),
+         |i AS (SELECT d.probe_id, d.plabel, d.n_rel_top10, d.dcg_x1e6,
+         |        CAST(list_sum(wt.w[1:CAST(least(lc.n - 1, 10) AS INT)]) AS BIGINT) AS idcg_x1e6
+         |      FROM d JOIN lc ON lc.label = d.plabel, wt)
+         |SELECT probe_id, plabel AS label, n_rel_top10, dcg_x1e6, idcg_x1e6,
+         |  CAST(dcg_x1e6 * 1000000 // idcg_x1e6 AS BIGINT) AS ndcg_x1e6
+         |FROM i ORDER BY probe_id""",
+    ) { (s, dir) =>
+      val wts = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+        356207L, 333333L, 315465L, 301030L, 289065L)
+      val wArr = array(wts.map(lit): _*)
+      val base = Tables.spread(Tables.embeddings(s, dir))
+      val probes = base.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
+          col("embedding").as("pv"))
+        .withColumn("pn", dot(col("pv"), col("pv")))
+      val labelCounts = base.groupBy(col("label").as("lbl"))
+        .agg(count(lit(1)).as("n"))
+        // ideal DCG folds on the |labels|-sized relation, before broadcast
+        .withColumn("wt", wArr)
+        .withColumn("r", least(col("n") - 1, lit(10L)).cast("int"))
+        .withColumn("idcg_x1e6",
+          expr("aggregate(slice(wt, 1, r), 0L, (a, x) -> a + x)"))
+      val cands = base
+        .select(col("vec_id").as("nid"), col("label").as("nlabel"), col("embedding").as("nv"))
+        .withColumn("nn", dot(col("nv"), col("nv")))
+      val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("nid"))
+      cands.crossJoin(broadcast(probes))
+        .filter(col("nid") =!= col("probe_id"))
+        .withColumn("score", dot(col("pv"), col("nv")) / sqrt(col("pn") * col("nn")))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .withColumn("wt", wArr)
+        .groupBy(col("probe_id"), col("plabel").as("label"))
+        .agg(
+          sum(when(col("nlabel") === col("plabel"), 1L).otherwise(0L)).as("n_rel_top10"),
+          coalesce(sum(when(col("nlabel") === col("plabel"),
+            element_at(col("wt"), col("rn").cast("int")))), lit(0L)).cast("long")
+            .as("dcg_x1e6"))
+        .join(broadcast(labelCounts.select(col("lbl"), col("idcg_x1e6"))),
+          col("label") === col("lbl"))
+        .select(col("probe_id"), col("label"), col("n_rel_top10"), col("dcg_x1e6"),
+          col("idcg_x1e6"),
+          expr("CAST(dcg_x1e6 * 1000000L div idcg_x1e6 AS BIGINT)").as("ndcg_x1e6"))
+        .orderBy("probe_id")
+    },
   )
 }

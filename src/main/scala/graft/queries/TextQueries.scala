@@ -932,5 +932,76 @@ object TextQueries extends QueryPack {
           coalesce(col("sum_ids"), lit(0L)).cast("long").as("sum_ids"))
         .orderBy("lang")
     },
+
+    // Curriculum schedule (r10) — the training-ORDER complement of the
+    // mixture family: q_mix_* decide WHAT to train on, this decides WHEN.
+    // Easy-to-hard curriculum with per-LANGUAGE difficulty quartiles
+    // (difficulty scales differ across languages — zh's chars-per-word
+    // dwarfs en's, so a global cut would order by language, not by
+    // difficulty): difficulty = chars per word (x1e4), stage = the doc's
+    // quartile within its language, reading order inside a stage = a
+    // seeded md5 shuffle (deterministic, engine-portable, uncorrelated
+    // with ingest order — q_shuffle_shard's rule). Exact quartiles, no
+    // ntile: a global/per-lang NTILE window would funnel the corpus
+    // through |langs| tasks; instead the corpus collapses to the
+    // (lang, difficulty)-distinct COUNT relation and the three cut
+    // points fall out of a cumulative window over that AGGREGATE-sized
+    // relation (q_anomaly_mad's exact-quantile machinery), broadcast
+    // back onto the scan. The schedule materializes as (stage, shard,
+    // pos_in_shard) — positions are numbered inside (stage, shard)
+    // partitions (shard = md5-derived, q_shuffle_shard's rule), NEVER per
+    // stage alone: a per-stage row numbering would funnel a quarter of
+    // the corpus through one task, while (stage × shard) windows spread
+    // the numbering across stage·16 tasks and the reader consumes shards
+    // round-robin within each stage exactly like sharded training data.
+    Q(
+      "q_curriculum_order",
+      s"""WITH d AS (SELECT doc_id, lang,
+        |    CAST(length(text) * 10000 // len($W) AS BIGINT) AS diff FROM documents),
+        |g AS (SELECT lang, diff, COUNT(*) AS c FROM d GROUP BY 1, 2),
+        |w AS (SELECT lang, diff,
+        |    SUM(c) OVER (PARTITION BY lang ORDER BY diff) AS cum,
+        |    SUM(c) OVER (PARTITION BY lang) AS n FROM g),
+        |cuts AS (SELECT lang,
+        |    MIN(CASE WHEN cum * 4 >= n THEN diff END) AS c1,
+        |    MIN(CASE WHEN cum * 2 >= n THEN diff END) AS c2,
+        |    MIN(CASE WHEN cum * 4 >= 3 * n THEN diff END) AS c3
+        |  FROM w GROUP BY lang),
+        |st AS (SELECT d.doc_id, d.lang, d.diff,
+        |    1 + CAST(d.diff > c.c1 AS INT) + CAST(d.diff > c.c2 AS INT)
+        |      + CAST(d.diff > c.c3 AS INT) AS stage,
+        |    md5('curr42|' || CAST(d.doc_id AS VARCHAR)) AS k,
+        |    CAST('0x' || substring(md5('curr42|' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 16 AS shard
+        |  FROM d JOIN cuts c ON d.lang = c.lang)
+        |SELECT doc_id, lang, diff AS difficulty_x1e4, CAST(stage AS BIGINT) AS stage,
+        |  CAST(shard AS BIGINT) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY stage, shard ORDER BY k, doc_id) AS BIGINT) AS pos_in_shard
+        |FROM st ORDER BY stage, shard, pos_in_shard""",
+    ) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          expr("CAST(length(text) * 10000 div size(split(text, ' ')) AS BIGINT)").as("diff"))
+      val cumW = Window.partitionBy("lang").orderBy("diff")
+      val totW = Window.partitionBy("lang")
+      val cuts = d.groupBy("lang", "diff").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(cumW))
+        .withColumn("n", sum(col("c")).over(totW))
+        .groupBy("lang")
+        .agg(min(when(col("cum") * 4 >= col("n"), col("diff"))).as("c1"),
+          min(when(col("cum") * 2 >= col("n"), col("diff"))).as("c2"),
+          min(when(col("cum") * 4 >= col("n") * 3, col("diff"))).as("c3"))
+      val posW = Window.partitionBy("stage", "shard").orderBy("k", "doc_id")
+      d.join(broadcast(cuts), Seq("lang"))
+        .withColumn("stage",
+          lit(1) + (col("diff") > col("c1")).cast("int")
+            + (col("diff") > col("c2")).cast("int")
+            + (col("diff") > col("c3")).cast("int"))
+        .withColumn("k", md5(concat(lit("curr42|"), col("doc_id").cast("string"))))
+        .withColumn("shard", expr("CAST(CONV(substring(k, 1, 15), 16, 10) AS BIGINT) % 16"))
+        .select(col("doc_id"), col("lang"), col("diff").as("difficulty_x1e4"),
+          col("stage").cast("long").as("stage"), col("shard").cast("long").as("shard"),
+          row_number().over(posW).cast("long").as("pos_in_shard"))
+        .orderBy("stage", "shard", "pos_in_shard")
+    },
   )
 }

@@ -922,5 +922,95 @@ object VectorQueries extends QueryPack {
           expr("CAST(drift % 1000000000 AS BIGINT)").as("drift_lo"))
         .orderBy("label")
     },
+
+    // Margin-based bitext mining (r10; Artetxe & Schwenk — the parallel-
+    // corpus miner behind CCMatrix/LASER-style training data): candidate
+    // translation pairs scored by the MARGIN between their cosine and
+    // the average cosine of each side's k-NN neighborhood, which
+    // suppresses hubness (a vector cosine-close to EVERYTHING scores
+    // high against any probe; dividing by its neighborhood average
+    // cancels that). Sides here = even/odd vec_id halves ("languages"
+    // this synthetic corpus lacks); per probe (side A, id < 40) the
+    // best side-B candidate by margin, accepted at margin > 1.10.
+    // Determinism: per-pair cosines quantize to x1e6 BIGINTs FIRST
+    // (each a single IEEE-identical expression), so the neighborhood
+    // sums are integer sums of identical integers — no float-sum
+    // ordering anywhere; margin = cos6·2k·1e6 div (dA6 + dB6), guarded
+    // to positive denominators (floor vs truncate never diverges).
+    // Scale: forward pass = broadcast probes × ONE side-B scan (k-NN by
+    // probe-partitioned window over probes×N rows); reverse pass = the
+    // rank-cut candidate set (≤ probes·k rows, broadcast) × ONE side-A
+    // scan; the margin join runs on rank-cut-sized relations. Two corpus
+    // scans total — the documented two-pass price of the bidirectional
+    // neighborhood, never a vectors × vectors blow-up.
+    Q(
+      "q_bitext_margin",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, vec_id % 2 AS side FROM embeddings),
+         |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE side = 0 AND vec_id < 40),
+         |b AS (SELECT vec_id AS cand_id, v AS cv FROM e WHERE side = 1),
+         |fs AS (SELECT probe_id, cand_id, CAST(ROUND(${cosSql("pv", "cv")} * 1e6) AS BIGINT) AS cos6
+         |       FROM b, p),
+         |fr AS (SELECT probe_id, cand_id, cos6,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY cos6 DESC, cand_id) AS rn FROM fs),
+         |knn AS (SELECT * FROM fr WHERE rn <= 4),
+         |da AS (SELECT probe_id, CAST(SUM(cos6) AS BIGINT) AS da6 FROM knn GROUP BY probe_id),
+         |ys AS (SELECT DISTINCT cand_id FROM knn),
+         |aa AS (SELECT vec_id AS aid, v AS av FROM e WHERE side = 0),
+         |rs AS (SELECT y.cand_id, aa.aid, CAST(ROUND(${cosSql("cv", "av")} * 1e6) AS BIGINT) AS cos6
+         |       FROM aa, (SELECT b.cand_id, b.cv FROM b JOIN ys ON ys.cand_id = b.cand_id) y),
+         |rr AS (SELECT cand_id, cos6,
+         |         row_number() OVER (PARTITION BY cand_id ORDER BY cos6 DESC, aid) AS rn FROM rs),
+         |db AS (SELECT cand_id, CAST(SUM(cos6) AS BIGINT) AS db6 FROM rr WHERE rn <= 4 GROUP BY cand_id),
+         |m AS (SELECT k.probe_id, k.cand_id, k.cos6,
+         |        CASE WHEN da.da6 + db.db6 > 0 AND k.cos6 > 0
+         |             THEN CAST(k.cos6 * 8 * 1000000 // (da.da6 + db.db6) AS BIGINT)
+         |             ELSE 0 END AS margin_x1e6
+         |      FROM knn k JOIN da ON da.probe_id = k.probe_id JOIN db ON db.cand_id = k.cand_id)
+         |SELECT probe_id, cand_id AS best_id, CAST(cos6 AS BIGINT) AS cos_x1e6,
+         |  margin_x1e6, (margin_x1e6 > 1100000) AS accepted
+         |FROM (SELECT m.*, row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY margin_x1e6 DESC, cand_id) AS rn FROM m)
+         |WHERE rn = 1 ORDER BY probe_id""",
+    ) { (s, dir) =>
+      val e = emb(s, dir)
+        .select(col("vec_id"), col("embedding"), (col("vec_id") % 2).as("side"),
+          dot(col("embedding"), col("embedding")).as("vn"))
+      val probes = e.filter(col("side") === 0 && col("vec_id") < 40)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"), col("vn").as("pn"))
+      val sideB = e.filter(col("side") === 1)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("cv"), col("vn").as("cn"))
+      val fw = Window.partitionBy("probe_id").orderBy(col("cos6").desc, col("cand_id"))
+      val knn = sideB.crossJoin(broadcast(probes))
+        .withColumn("cos6",
+          round(cosine(dot(col("pv"), col("cv")), col("pn"), col("cn")) * 1e6).cast("long"))
+        .withColumn("rn", row_number().over(fw))
+        .filter(col("rn") <= 4)
+        .select("probe_id", "cand_id", "cos6")
+      val da = knn.groupBy("probe_id").agg(sum(col("cos6")).cast("long").as("da6"))
+      // the candidate-id set is rank-cut-sized (≤ probes·k): broadcast it
+      // into side B to pull the candidate vectors without shuffling B
+      val ys = sideB.join(broadcast(knn.select("cand_id").distinct()), Seq("cand_id"))
+      val sideA = e.filter(col("side") === 0)
+        .select(col("vec_id").as("aid"), col("embedding").as("av"), col("vn").as("an"))
+      val rw = Window.partitionBy("cand_id").orderBy(col("cos6").desc, col("aid"))
+      val db = sideA.crossJoin(broadcast(ys))
+        .withColumn("cos6",
+          round(cosine(dot(col("cv"), col("av")), col("cn"), col("an")) * 1e6).cast("long"))
+        .withColumn("rn", row_number().over(rw))
+        .filter(col("rn") <= 4)
+        .groupBy("cand_id").agg(sum(col("cos6")).cast("long").as("db6"))
+      knn.join(broadcast(da), Seq("probe_id")).join(broadcast(db), Seq("cand_id"))
+        .withColumn("margin_x1e6",
+          when(col("da6") + col("db6") > 0 && col("cos6") > 0,
+            expr("CAST(cos6 * 8 * 1000000L div (da6 + db6) AS BIGINT)")).otherwise(0L))
+        .groupBy("probe_id")
+        .agg(
+          max_by(col("cand_id"), struct(col("margin_x1e6"), (-col("cand_id")).as("nc"))).as("best_id"),
+          max_by(col("cos6"), struct(col("margin_x1e6"), (-col("cand_id")).as("nc")))
+            .cast("long").as("cos_x1e6"),
+          max(col("margin_x1e6")).cast("long").as("margin_x1e6"))
+        .withColumn("accepted", col("margin_x1e6") > 1100000L)
+        .orderBy("probe_id")
+    },
   )
 }

@@ -507,10 +507,17 @@ class LlmOpsSpec extends AnyFunSuite {
       (3L, "three words here and more tokens for a real trigram row", "en", "web", 56L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$dir/documents.parquet")
-    for (name <- Seq("q_ngram_lm", "q_lm_score", "q_cooccur")) {
+    for (name <- Seq("q_ngram_lm", "q_lm_score", "q_cooccur", "q_dsir_importance",
+        "q_curriculum_order", "q_tokenizer_fertility")) {
       val rows = SparkEntry.queries(name)(spark, dir.toString).collect()
       assert(rows.length >= 0, name)
     }
+    // the bigram scorer drops only the 1-token doc (no feature mass)
+    val dsir = SparkEntry.queries("q_dsir_importance")(spark, dir.toString).collect()
+    assert(dsir.map(_.getLong(0)).toSeq.sorted == Seq(2L, 3L))
+    // every doc lands in the schedule exactly once, whatever its length
+    val curr = SparkEntry.queries("q_curriculum_order")(spark, dir.toString).collect()
+    assert(curr.map(_.getLong(0)).toSeq.sorted == Seq(1L, 2L, 3L))
     // the trigram scorer still scores the one doc long enough to have them
     val scored = SparkEntry.queries("q_lm_score")(spark, dir.toString).collect()
     assert(scored.map(_.getLong(0)).toSeq == Seq(3L))

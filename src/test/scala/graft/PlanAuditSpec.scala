@@ -659,6 +659,115 @@ class PlanAuditSpec extends AnyFunSuite {
       "seasonal windows must partition by (type, hour-of-day), never globally")
   }
 
+  test("q_ts_changepoint contrasts on keyed windows over the hourly aggregate — join-free") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val root = physicalRoot("q_ts_changepoint")
+    // before/after windows and the per-type totals all ride the same
+    // (type, hour) aggregate relation — no join, nothing global
+    assert(root.collect { case j: BaseJoinExec => j }.isEmpty,
+      "the contrast must be windows over the aggregate, not a rejoin")
+    val windows = root.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "changepoint windows must partition by event_type, never globally")
+    assert("HashAggregate".r.findAllIn(root.toString).size >= 2,
+      "the corpus must two-phase-aggregate to (type, hour) first")
+  }
+
+  test("q_curriculum_order broadcasts the quartile cuts and numbers inside (stage, shard)") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val root = physicalRoot("q_curriculum_order")
+    // the |langs|-row cut table attaches as a broadcast — the corpus must
+    // not shuffle to learn its stage boundaries
+    assert(root.collect {
+      case j: SortMergeJoinExec => j: Any
+      case j: ShuffledHashJoinExec => j: Any
+    }.isEmpty, "cuts must broadcast, not shuffle the corpus")
+    assert(root.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+    // position numbering spreads over (stage, shard) — a bare per-stage
+    // window would funnel a quarter of the corpus through one task
+    val windows = root.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "schedule windows must be keyed, never global")
+    val posW = windows.filter(_.windowExpression.exists(_.sql.contains("row_number")))
+    assert(posW.nonEmpty && posW.forall(_.partitionSpec.size >= 2),
+      "pos numbering must partition by (stage, shard), not stage alone")
+  }
+
+  test("q_dsir_importance attaches feature marginals as keyed windows; threshold is a top-k") {
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val root = physicalRoot("q_dsir_importance")
+    val p = root.toString
+    // marginals are (a, b)-partitioned windows over the tf relation —
+    // an aggregate-then-rejoin would fork the corpus scan
+    val windows = root.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.size >= 2),
+      "feature marginals must window by (a, b), never globally")
+    // totals and threshold are 1-row broadcasts; no shuffled join anywhere
+    assert(root.collect {
+      case j: SortMergeJoinExec => j: Any
+      case j: ShuffledHashJoinExec => j: Any
+    }.isEmpty, "totals/threshold must broadcast, not shuffle")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-100 threshold must compile to TakeOrderedAndProject, not a global sort")
+  }
+
+  test("q_tokenizer_fertility counts row-locally — no token explode, one keyed agg") {
+    val p = plan("q_tokenizer_fertility")
+    assert(!p.contains("Generate"),
+      "token counting must be a row-local regex count, never an exploded relation")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "the per-language rollup must be two-phase")
+  }
+
+  test("q_skew_stats measures the distribution on aggregate-sized keyed windows") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val root = physicalRoot("q_skew_stats")
+    assert(root.collect { case j: BaseJoinExec => j }.isEmpty,
+      "the report is windows + rollups over one keyed collapse, never a join")
+    val windows = root.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "distribution windows must partition by event_type, never globally")
+    assert("HashAggregate".r.findAllIn(root.toString).size >= 4,
+      "both collapses (key counts, size distribution) must be two-phase")
+  }
+
+  test("q_retrieval_ndcg rides one ranking scan; label histogram attaches as a broadcast") {
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val root = physicalRoot("q_retrieval_ndcg")
+    assert(root.collect {
+      case j: SortMergeJoinExec => j: Any
+      case j: ShuffledHashJoinExec => j: Any
+    }.isEmpty, "probes and the label histogram must broadcast, never shuffle the scan")
+    val windows = root.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "the ranking window must partition by probe, never globally")
+  }
+
+  test("q_bitext_margin is two broadcast fan-outs — the vectors never self-join shuffled") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val root = physicalRoot("q_bitext_margin")
+    // forward: probes broadcast × side-B scan; reverse: rank-cut candidate
+    // set broadcast × side-A scan; margin join on rank-cut rows — every
+    // join in the plan must have a broadcast side
+    assert(root.collect {
+      case j: SortMergeJoinExec => j: Any
+      case j: ShuffledHashJoinExec => j: Any
+    }.isEmpty, "no corpus-shuffling join is allowed anywhere in the mining plan")
+    assert(root.collect {
+      case j: BroadcastHashJoinExec => j: Any
+      case j: BroadcastNestedLoopJoinExec => j: Any
+    }.nonEmpty)
+    val windows = root.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "k-NN windows must partition by probe/candidate, never globally")
+  }
+
   test("q_sim_ann_recall never self-joins the vectors — probes broadcast into both rankers") {
     import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
     val root = physicalRoot("q_sim_ann_recall")
