@@ -531,9 +531,21 @@ object Bench {
       val force = sys.env.get("SPARK_GRAFT_FORCE_RECORD").contains("1")
       val slower = oldUnsettled == 0 && sharedNames.nonEmpty &&
         newShared > oldShared * 1.15
-      if (force || (unsettledNames.size <= oldUnsettled && !slower))
+      // a record is per-SCALE-FACTOR: a smoke run at sf0.001 must never
+      // replace (or fold into) the sf0.1 record the judge reads — every
+      // number in it would be from a 100×-smaller dataset and read as a
+      // phantom 10× speedup. Found the hard way: a contract smoke at
+      // sf0.001 clobbered the committed sf0.1 record in the working tree.
+      val oldSf = prior.flatMap(p =>
+        """"sf":"([^"]*)"""".r.findFirstMatchIn(p).map(_.group(1)))
+      val sfMismatch = oldSf.exists(_ != sfDir)
+      if (force || (!sfMismatch && unsettledNames.size <= oldUnsettled && !slower))
         Files.writeString(path, record)
-      else {
+      else if (sfMismatch) {
+        System.err.println(s"[bench] NOT touching BENCH_LOCAL.json: it records " +
+          s"${oldSf.get} and this run is $sfDir (set SPARK_GRAFT_FORCE_RECORD=1 " +
+          "to switch the record's scale factor)")
+      } else {
         if (slower && !force)
           System.err.println(f"[bench] NOT overwriting BENCH_LOCAL.json: the " +
             f"${sharedNames.size} shared entries sum ${newShared}%.1f s, >15%% above " +
