@@ -46,7 +46,8 @@ object Bench {
       .filter(_.nonEmpty) // empty/whitespace value = unset, not "run nothing"
     only.foreach { names =>
       val unknown =
-        names -- SparkEntry.queries.keySet - "x_ingest_stress" - "x_maint_stress" - "x_dedup_stress"
+        names -- SparkEntry.queries.keySet - "x_ingest_stress" - "x_maint_stress" -
+          "x_dedup_stress" - "x_ann_stress"
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.mkString(", ")}")
     }
@@ -407,6 +408,109 @@ object Bench {
         System.err.println(s"[bench] x_dedup_stress failed: ${e.getMessage}")
         Some((-1.0, "{}"))
       }
+    // ANN-index scale stress (r10): t_ann_index's two architectural
+    // claims, MEASURED instead of argued, on an embeddings corpus
+    // replicated 2x and 4x (vec_ids remapped, one deterministic
+    // component nudge per replica so assignments stay diverse):
+    //  1. MAINTENANCE ∝ DELTA — the index is built once, then a 10%
+    //     delta batch lands as ONE partitioned append; hard-asserted:
+    //     the indexed row count equals the corpus exactly after the
+    //     delta (nothing lost, nothing double-indexed).
+    //  2. PRUNED PROBES — a probe opens nprobe=4 of nlist=16 identity
+    //     partitions; hard-asserted: the candidate rows actually read
+    //     stay ≤ 3x the fair share (corpus·nprobe/nlist — the 3x
+    //     absorbs centroid imbalance), where an unpruned read would
+    //     scan the whole corpus; and candidates grow ∝ corpus
+    //     (x4 ≤ 3·x2), never super-linearly.
+    // Stage timings (build vs delta vs probe) go to the stages field;
+    // single-shot like the other x_* scenarios.
+    val annSec: Option[(Double, String)] =
+      if (only.exists(!_.contains("x_ann_stress"))) None
+      else try {
+        import org.apache.spark.sql.functions._
+        import graft.table.{PartitionSpec, Transform}
+        graft.functions.GraftFunctions.register(spark)
+        val base = Tables.embeddings(spark, sfDir)
+        def corpus(rep: Int) = base
+          .withColumn("rep", explode(expr(s"sequence(0, ${rep - 1})")))
+          .select((col("vec_id") * rep + col("rep")).as("vec_id"),
+            expr("transform(embedding, x -> CAST(x + rep * 0.001 AS FLOAT))")
+              .as("embedding"))
+        // codebook: the 16 base vectors, stable across replications
+        val cents = base.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+          .withColumn("cn", expr("graft_vecdot(cv, cv)"))
+          .localCheckpoint(true)
+        def assign(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("vn", expr("graft_vecdot(embedding, embedding)"))
+          .crossJoin(broadcast(cents))
+          .withColumn("csim", expr("graft_vecdot(embedding, cv)") / sqrt(col("vn") * col("cn")))
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("cid"), struct(col("csim"), (-col("cid")).as("nc"))).as("list_id"),
+            first(col("embedding")).as("embedding"), first(col("vn")).as("vn"))
+          .select(col("list_id"), col("vec_id"), col("embedding"), col("vn"))
+        val spec = PartitionSpec("list_id", Transform.Identity)
+        val t0all = System.nanoTime()
+        def run(rep: Int): (Long, Long, Double, Double, Double) = {
+          val c = corpus(rep).localCheckpoint(true)
+          val n = c.count()
+          val t = GraftTable.createOrReplace(spark,
+            Files.createTempDirectory(s"graft_ann_x$rep").toString)
+          val t0 = System.nanoTime()
+          t.appendPartitioned(assign(c.filter(col("vec_id") % 10 =!= 0)), spec)
+          val buildSec = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          t.appendPartitioned(assign(c.filter(col("vec_id") % 10 === 0)), spec)
+          val deltaSec = (System.nanoTime() - t1) / 1e9
+          val indexed = t.read().count()
+          require(indexed == n, s"x$rep index lost rows: $indexed != $n")
+          // probe: nprobe=4 nearest lists for 2 probe vectors
+          val t2 = System.nanoTime()
+          val probes = c.filter(col("vec_id").isin(3L, 47L))
+            .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+            .withColumn("pn", expr("graft_vecdot(pv, pv)"))
+          val pl = probes.crossJoin(broadcast(cents))
+            .withColumn("csim", expr("graft_vecdot(pv, cv)") / sqrt(col("pn") * col("cn")))
+            .withColumn("crn", org.apache.spark.sql.functions.row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+                .orderBy(col("csim").desc, col("cid"))))
+            .filter(col("crn") <= 4)
+            .select(col("probe_id"), col("pv"), col("pn"), col("cid").as("list_id"))
+          val lists = pl.select("list_id").distinct().collect().map(_.getLong(0))
+          val cand = lists.map(v => t.readEq("list_id", v)).reduce(_ unionByName _)
+          val candRows = cand.count()
+          val top = cand.join(broadcast(pl), Seq("list_id"))
+            .filter(col("vec_id") =!= col("probe_id"))
+            .withColumn("score", expr("graft_vecdot(pv, embedding)") / sqrt(col("pn") * col("vn")))
+            .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+                .orderBy(col("score").desc, col("vec_id"))))
+            .filter(col("rk") <= 5).count()
+          val probeSec = (System.nanoTime() - t2) / 1e9
+          require(top == 10, s"x$rep probe did not return 2x top-5: $top")
+          // fair share = corpus * nprobe/nlist per probe; distinct lists
+          // across both probes are at most 8, hence the 2x on the share
+          require(candRows <= n * 8 / 16 * 3,
+            s"x$rep pruning broken: $candRows candidate rows > 3x fair share of $n")
+          (n, candRows, buildSec, deltaSec, probeSec)
+        }
+        val (n2, cand2, b2, d2, p2) = run(2)
+        val (n4, cand4, b4, d4, p4) = run(4)
+        require(cand4 <= cand2 * 3, s"candidates grew super-linearly: $cand2 -> $cand4")
+        val sec = (System.nanoTime() - t0all) / 1e9
+        System.err.println(
+          f"[bench] x_ann_stress: x2 corpus $n2 (build ${b2}%.2f s, delta ${d2}%.2f s, " +
+            f"probe ${p2}%.2f s, $cand2 cand rows), x4 corpus $n4 (build ${b4}%.2f s, " +
+            f"delta ${d4}%.2f s, probe ${p4}%.2f s, $cand4 cand rows), total ${sec}%.3f s")
+        val stages = f"""{"corpus_x2":$n2,"cand_x2":$cand2,"build_s_x2":${b2}%.3f,""" +
+          f""""delta_s_x2":${d2}%.3f,"probe_s_x2":${p2}%.3f,"corpus_x4":$n4,""" +
+          f""""cand_x4":$cand4,"build_s_x4":${b4}%.3f,"delta_s_x4":${d4}%.3f,""" +
+          f""""probe_s_x4":${p4}%.3f,"total_s":${sec}%.3f}"""
+        Some((sec, stages))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] x_ann_stress failed: ${e.getMessage}")
+        Some((-1.0, "{}"))
+      }
     // FIXED-FLOOR measurement (VERDICT r9 #6): the genuinely-streamed
     // entries carry a state-store/checkpoint lifecycle cost that does not
     // scale with data — at sf0.1 that floor dominates q_stream_session's
@@ -439,7 +543,8 @@ object Bench {
     val results = perQuery ++
       stressSec.map(s => "x_ingest_stress" -> QSample(s._1, 1, 0.0, unsettled = false)) ++
       maintSec.map(s => "x_maint_stress" -> QSample(s, 1, 0.0, unsettled = false)) ++
-      dedupSec.map(s => "x_dedup_stress" -> QSample(s._1, 1, 0.0, unsettled = false))
+      dedupSec.map(s => "x_dedup_stress" -> QSample(s._1, 1, 0.0, unsettled = false)) ++
+      annSec.map(s => "x_ann_stress" -> QSample(s._1, 1, 0.0, unsettled = false))
     def fmt(v: Double, scale: Int): String =
       BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.collect { case (_, s) if s.secs >= 0 => s.secs }.sum
@@ -474,7 +579,8 @@ object Bench {
         .mkString("{", ",", "}")
       val stages = stressSec.map(s => s""","x_ingest_stress_stages":${s._2}""")
         .getOrElse("") +
-        dedupSec.map(s => s""","x_dedup_stress_stages":${s._2}""").getOrElse("")
+        dedupSec.map(s => s""","x_dedup_stress_stages":${s._2}""").getOrElse("") +
+        annSec.map(s => s""","x_ann_stress_stages":${s._2}""").getOrElse("")
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,""" +
         s""""detail":$detail,"unsettled":[${unsettledNames.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""passes":$passes,"max_extra":$maxExtra$stages,"sf":"$sfDir"}"""
@@ -583,6 +689,10 @@ object Bench {
           dedupSec.filter(_ => addable.exists(_._1 == "x_dedup_stress")).foreach { s =>
             rec = rec.replaceFirst(",\"sf\":",
               java.util.regex.Matcher.quoteReplacement(s""","x_dedup_stress_stages":${s._2},"sf":"""))
+          }
+          annSec.filter(_ => addable.exists(_._1 == "x_ann_stress")).foreach { s =>
+            rec = rec.replaceFirst(",\"sf\":",
+              java.util.regex.Matcher.quoteReplacement(s""","x_ann_stress_stages":${s._2},"sf":"""))
           }
           Files.writeString(path, rec)
           System.err.println(s"[bench] folded ${addable.size} first-seen entries into " +
