@@ -510,5 +510,94 @@ object CurateQueries extends QueryPack {
           (col("score_x1e6") >= col("cut")).as("is_selected"))
         .orderBy("doc_id")
     },
+
+    // Quality-classifier evaluation (r10) — the calibration number a
+    // scorer release ships: does q_quality_linear's score RANK the docs
+    // the gopher gate keeps above the ones it rejects? AUC is the exact
+    // Mann-Whitney rank statistic — for the heavily imbalanced labels a
+    // strict rule conjunction produces (~2% positives here), THE metric
+    // (accuracy at any threshold reads 98% by voting reject). Exact, no
+    // floats, no ties lost: the corpus collapses to the per-SCORE
+    // (n_pos, n_neg) histogram; 2·U = Σ_s np(s)·(2·cumneg(<s) + nn(s))
+    // counts wins twice and ties once; AUC_x1e6 = 2U·1e6 div (2·P·N).
+    // Also reports precision/recall at the scorer's deployed 15000
+    // threshold — the operating point next to the ranking quality.
+    // Scale: ONE corpus scan (score and label are row-local over one
+    // tokenization), one partial-agg'd shuffle to the score histogram;
+    // the cumulative fold runs inside a keys=[] GLOBAL AGG on the
+    // sorted histogram array (q_mix_domain_balance's construction — a
+    // global WINDOW over the histogram would serialize it through one
+    // task for no reason; the array is bounded by the score's value
+    // range, corpus-independent).
+    Q(
+      "q_quality_auc",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |f AS (SELECT doc_id,
+        |  CAST(3 * ((len(list_distinct(w)) * 10000) // len(w))
+        |     + 2 * ((len(list_filter(w, x -> x IN ('the','a','row','data','value'))) * 10000) // len(w))
+        |     - abs((CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) * 10000) // len(w) - 45000) AS BIGINT) AS s,
+        |  CAST(len(w) >= 50 AND len(w) <= 100000
+        |    AND list_sum(list_transform(w, x -> length(x))) >= 3 * len(w)
+        |    AND list_sum(list_transform(w, x -> length(x))) <= 10 * len(w)
+        |    AND len(list_filter(w, x -> x IN ('the','a','row','data','value'))) >= 2
+        |    AND len(list_distinct(w)) * 2 >= len(w)
+        |    AND list_max(list_transform(w, x -> length(x))) <= 15 AS BIGINT) AS keep
+        | FROM t),
+        |h AS (SELECT s, CAST(SUM(keep) AS BIGINT) AS np,
+        |        CAST(SUM(1 - keep) AS BIGINT) AS nn FROM f GROUP BY s),
+        |w2 AS (SELECT np, nn,
+        |        COALESCE(SUM(nn) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn
+        |       FROM h),
+        |u AS (SELECT CAST(SUM(np * (2 * cn + nn)) AS BIGINT) AS u2,
+        |        CAST(SUM(np) AS BIGINT) AS p, CAST(SUM(nn) AS BIGINT) AS n FROM w2),
+        |op AS (SELECT CAST(SUM(CASE WHEN s >= 15000 AND keep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |         CAST(SUM(CASE WHEN s >= 15000 AND keep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp
+        |       FROM f)
+        |SELECT p + n AS n_docs, p AS n_pos, n AS n_neg,
+        |  CAST(u2 * 1000000 // (2 * p * n) AS BIGINT) AS auc_x1e6,
+        |  tp, fp,
+        |  CAST(CASE WHEN tp + fp > 0 THEN tp * 10000 // (tp + fp) ELSE 0 END AS BIGINT) AS precision_x1e4,
+        |  CAST(tp * 10000 // p AS BIGINT) AS recall_x1e4
+        |FROM u, op""",
+    ) { (s, dir) =>
+      val f = Tables.spread(Tables.documents(s, dir))
+        .withColumn("w", split(col("text"), " "))
+        .select(
+          expr("""CAST(3 * ((size(array_distinct(w)) * 10000L) div size(w))
+                 |   + 2 * ((size(filter(w, x -> x IN ('the','a','row','data','value'))) * 10000L) div size(w))
+                 |   - abs((aggregate(transform(w, x -> length(x)), 0L, (a, b) -> a + b) * 10000L) div size(w) - 45000L) AS BIGINT)""".stripMargin)
+            .as("s"),
+          expr("""CAST(size(w) >= 50 AND size(w) <= 100000
+                 |  AND aggregate(transform(w, x -> length(x)), 0L, (a, b) -> a + b) >= 3 * size(w)
+                 |  AND aggregate(transform(w, x -> length(x)), 0L, (a, b) -> a + b) <= 10 * size(w)
+                 |  AND size(filter(w, x -> x IN ('the','a','row','data','value'))) >= 2
+                 |  AND size(array_distinct(w)) * 2 >= size(w)
+                 |  AND array_max(transform(w, x -> length(x))) <= 15 AS BIGINT)""".stripMargin)
+            .as("keep"))
+      f.groupBy("s")
+        .agg(sum(col("keep")).cast("long").as("np"),
+          sum(lit(1L) - col("keep")).cast("long").as("nn"),
+          sum(when(col("s") >= 15000 && col("keep") === 1, 1L).otherwise(0L)).as("tps"),
+          sum(when(col("s") >= 15000 && col("keep") === 0, 1L).otherwise(0L)).as("fps"))
+        // keys=[] global agg: the histogram (bounded by the score's value
+        // range) folds to ONE row — sort_array + a struct-accumulator
+        // fold computes the rank statistic without a global window
+        .agg(
+          expr("""aggregate(
+                 |  sort_array(collect_list(named_struct('s', s, 'np', np, 'nn', nn))),
+                 |  named_struct('cn', 0L, 'u2', 0L),
+                 |  (a, x) -> named_struct('cn', a.cn + x.nn, 'u2', a.u2 + x.np * (2 * a.cn + x.nn)),
+                 |  a -> a.u2)""".stripMargin).as("u2"),
+          sum(col("np")).cast("long").as("p"),
+          sum(col("nn")).cast("long").as("n"),
+          sum(col("tps")).cast("long").as("tp"),
+          sum(col("fps")).cast("long").as("fp"))
+        .select((col("p") + col("n")).as("n_docs"), col("p").as("n_pos"), col("n").as("n_neg"),
+          expr("CAST(u2 * 1000000L div (2 * p * n) AS BIGINT)").as("auc_x1e6"),
+          col("tp"), col("fp"),
+          expr("CAST(CASE WHEN tp + fp > 0 THEN tp * 10000L div (tp + fp) ELSE 0L END AS BIGINT)")
+            .as("precision_x1e4"),
+          expr("CAST(tp * 10000L div p AS BIGINT)").as("recall_x1e4"))
+    },
   )
 }

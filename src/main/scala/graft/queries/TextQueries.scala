@@ -1003,5 +1003,61 @@ object TextQueries extends QueryPack {
           row_number().over(posW).cast("long").as("pos_in_shard"))
         .orderBy("stage", "shard", "pos_in_shard")
     },
+
+    // LLM-watermark detection (r10; Kirchenbauer et al.'s green-list
+    // scheme — the provenance screen a training pipeline runs now that
+    // crawls carry machine-generated text): a watermarking sampler
+    // boosts tokens from a "green list" seeded by the previous token's
+    // hash, so watermarked text shows a green fraction far above the
+    // 1/2 a hash assigns by chance. Detection is generation-free: green
+    // bit = first md5 nibble of "prev|cur" in 0-7 (exact p = 1/2),
+    // per-doc z-test via the cross-multiplied integer inequality
+    // (2g − n)² > 9n ⇔ |z| > 3, flagged one-sided (suspect = excess
+    // greens; a deficit is hash noise, not a watermark). The corpus is
+    // un-watermarked word salad, so every 100th doc gets a synthesized
+    // 60-token green-run suffix (" zz" × 60 — 'zz|zz' hashes green) by
+    // the IDENTICAL expression in both engines (the q_text_pii suffix
+    // precedent): the detector provably FIRES on planted positives while
+    // clean docs stay in the expected false-positive band. Scale: green
+    // counting is a row-local fold over the split array — ZERO shuffles
+    // before the ordered output; docs with no bigram (nothing to test)
+    // are absent by construction, like q_dsir_importance's featureless
+    // docs.
+    Q(
+      "q_text_watermark",
+      s"""WITH d0 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 100 = 0 THEN text || repeat(' zz', 60) ELSE text END AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id, $W AS w FROM d0),
+        |g AS (SELECT doc_id,
+        |    CAST(len(w) - 1 AS BIGINT) AS n,
+        |    CAST(len(list_filter(range(0, len(w) - 1),
+        |      i -> substring(md5(w[i+1] || '|' || w[i+2]), 1, 1) <= '7')) AS BIGINT) AS ng
+        |  FROM d WHERE len(w) >= 2)
+        |SELECT doc_id, n AS n_pairs, ng AS n_green,
+        |  CAST(ng * 10000 // n AS BIGINT) AS green_x1e4,
+        |  CAST((2 * ng - n) * (2 * ng - n) * 10000 // n AS BIGINT) AS z2_x1e4,
+        |  (2 * ng > n AND (2 * ng - n) * (2 * ng - n) > 9 * n) AS suspect
+        |FROM g ORDER BY doc_id""",
+    ) { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("text",
+          when(col("doc_id") % 100 === 0, concat(col("text"), expr("repeat(' zz', 60)")))
+            .otherwise(col("text")))
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"),
+          (size(col("w")) - 1).cast("long").as("n"),
+          expr("""CAST(size(filter(sequence(0, size(w) - 2),
+                 |  i -> substring(md5(concat(element_at(w, i + 1), '|', element_at(w, i + 2))), 1, 1) <= '7')) AS BIGINT)""".stripMargin)
+            .as("ng"))
+        .select(col("doc_id"), col("n").as("n_pairs"), col("ng").as("n_green"),
+          expr("CAST(ng * 10000 div n AS BIGINT)").as("green_x1e4"),
+          expr("CAST((2 * ng - n) * (2 * ng - n) * 10000 div n AS BIGINT)").as("z2_x1e4"),
+          (col("ng") * 2 > col("n") &&
+            (col("ng") * 2 - col("n")) * (col("ng") * 2 - col("n")) > col("n") * 9)
+            .as("suspect"))
+        .orderBy("doc_id")
+    },
   )
 }

@@ -735,6 +735,28 @@ class PlanAuditSpec extends AnyFunSuite {
       "both collapses (key counts, size distribution) must be two-phase")
   }
 
+  test("q_quality_auc folds the rank statistic in a global agg — no global window, no join") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val root = physicalRoot("q_quality_auc")
+    assert(root.collect { case w: WindowExec => w }.isEmpty,
+      "the cumulative rank fold must run inside the keys=[] agg, not a window")
+    assert(root.collect { case j: BaseJoinExec => j }.isEmpty,
+      "score and label are row-local over one tokenization — no join")
+    assert("HashAggregate".r.findAllIn(root.toString).size >= 2,
+      "the score histogram must be two-phase before the global fold")
+  }
+
+  test("q_text_watermark is one scan, row-local — no shuffle before the ordered output") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val root = physicalRoot("q_text_watermark")
+    // the only exchange allowed is the final total-order sort's range
+    // partitioning — green counting itself never shuffles a row
+    val nonSort = root.collect { case e: ShuffleExchangeExec => e }
+      .filterNot(_.outputPartitioning.toString.toLowerCase.contains("range"))
+    assert(nonSort.isEmpty, s"watermark detection must not shuffle: ${nonSort.map(_.nodeName)}")
+  }
+
   test("q_retrieval_ndcg rides one ranking scan; label histogram attaches as a broadcast") {
     import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
     import org.apache.spark.sql.execution.window.WindowExec
