@@ -650,6 +650,102 @@ object AggQueries extends QueryPack {
         .orderBy("cohort_week")
     },
 
+    // Multi-touch attribution (r10) — the conversion-credit models next
+    // to funnel/retention: each purchase credits the touch events
+    // (view/click/signup) of the SAME user in the 7 days strictly
+    // before it, under three standard models at once — first-touch,
+    // last-touch, and linear (every in-window touch shares x1e4
+    // equally); touchless purchases credit 'direct'. Join-free: both
+    // roles live in one events relation, so the in-window touch
+    // evidence attaches to each purchase row via user-keyed RANGE
+    // windows over unix SECONDS (identical integers in both engines).
+    // First/last selection is tie-deterministic WITHOUT depending on
+    // peer-row order inside the RANGE frame: each touch packs
+    // (sec-offset, event_id mod 1e5, channel code) into one BIGINT and
+    // the frame takes MIN/MAX of the packed key — equal keys imply an
+    // equal trailing channel code, so the decoded channel is unique
+    // even on full collisions (the key stays < ~3e14 for a 10-year
+    // second span — BIGINT-safe at any realistic scale). Scale: ONE
+    // corpus pass, one user-keyed exchange shared by all three window
+    // expressions, then a 4-row rollup.
+    Q(
+      "q_attribution",
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec, event_id,
+        |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'signup' THEN 3 END AS code
+        |  FROM events WHERE event_type IN ('view','click','signup','purchase')),
+        |k AS (SELECT user_id, event_type, sec,
+        |    CASE WHEN code IS NOT NULL
+        |         THEN (sec - 1704067200) * 1000000 + (event_id % 100000) * 10 + code END AS tkey,
+        |    CASE WHEN code = 1 THEN 1 ELSE 0 END AS isv,
+        |    CASE WHEN code = 2 THEN 1 ELSE 0 END AS isc,
+        |    CASE WHEN code = 3 THEN 1 ELSE 0 END AS iss
+        |  FROM e),
+        |w AS (SELECT user_id, event_type,
+        |    MIN(tkey) OVER fr AS fkey, MAX(tkey) OVER fr AS lkey,
+        |    SUM(isv) OVER fr AS nv, SUM(isc) OVER fr AS nc, SUM(iss) OVER fr AS ns
+        |  FROM k
+        |  WINDOW fr AS (PARTITION BY user_id ORDER BY sec
+        |                RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)),
+        |p AS (SELECT COALESCE(nv, 0) + COALESCE(nc, 0) + COALESCE(ns, 0) AS n,
+        |        fkey, lkey, COALESCE(nv, 0) AS nv, COALESCE(nc, 0) AS nc, COALESCE(ns, 0) AS ns
+        |      FROM w WHERE event_type = 'purchase'),
+        |c AS (SELECT ch.channel, ch.code2,
+        |        CAST(SUM(CASE WHEN p.n = 0 THEN CASE WHEN ch.code2 = 0 THEN 1 ELSE 0 END
+        |                      WHEN p.fkey % 10 = ch.code2 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch,
+        |        CAST(SUM(CASE WHEN p.n = 0 THEN CASE WHEN ch.code2 = 0 THEN 1 ELSE 0 END
+        |                      WHEN p.lkey % 10 = ch.code2 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch,
+        |        CAST(SUM(CASE WHEN p.n = 0 THEN CASE WHEN ch.code2 = 0 THEN 10000 ELSE 0 END
+        |                      ELSE (CASE ch.code2 WHEN 1 THEN p.nv WHEN 2 THEN p.nc
+        |                            WHEN 3 THEN p.ns ELSE 0 END) * 10000 // p.n END) AS BIGINT) AS linear_x1e4
+        |      FROM p, (VALUES ('view', 1), ('click', 2), ('signup', 3), ('direct', 0)) ch(channel, code2)
+        |      GROUP BY ch.channel, ch.code2)
+        |SELECT channel, first_touch, last_touch, linear_x1e4 FROM c ORDER BY channel""",
+    ) { (s, dir) =>
+      val fr = Window.partitionBy("user_id").orderBy("sec")
+        .rangeBetween(-604800L, -1L)
+      val k = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click", "signup", "purchase"))
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts) div 1000000L").as("sec"), col("event_id"))
+        .withColumn("code",
+          when(col("event_type") === "view", 1L)
+            .when(col("event_type") === "click", 2L)
+            .when(col("event_type") === "signup", 3L))
+        .withColumn("tkey",
+          when(col("code").isNotNull,
+            (col("sec") - 1704067200L) * 1000000L + (col("event_id") % 100000L) * 10L + col("code")))
+      // all five frame aggregates in ONE projection, so Catalyst plans a
+      // single Window operator (chained withColumn interposes Projects
+      // that defeat the window-collapse rule → four passes over the data)
+      val p = k
+        .select(col("user_id"), col("event_type"),
+          min(col("tkey")).over(fr).as("fkey"),
+          max(col("tkey")).over(fr).as("lkey"),
+          coalesce(sum(when(col("code") === 1, 1L).otherwise(0L)).over(fr), lit(0L)).as("nv"),
+          coalesce(sum(when(col("code") === 2, 1L).otherwise(0L)).over(fr), lit(0L)).as("nc"),
+          coalesce(sum(when(col("code") === 3, 1L).otherwise(0L)).over(fr), lit(0L)).as("ns"))
+        .filter(col("event_type") === "purchase")
+        .withColumn("n", col("nv") + col("nc") + col("ns"))
+      val channels = Seq(("view", 1L), ("click", 2L), ("signup", 3L), ("direct", 0L))
+      import s.implicits._
+      val ch = channels.toDF("channel", "code2")
+      p.crossJoin(broadcast(ch))
+        .groupBy("channel")
+        .agg(
+          sum(when(col("n") === 0, when(col("code2") === 0, 1L).otherwise(0L))
+            .otherwise(when(col("fkey") % 10 === col("code2"), 1L).otherwise(0L)))
+            .cast("long").as("first_touch"),
+          sum(when(col("n") === 0, when(col("code2") === 0, 1L).otherwise(0L))
+            .otherwise(when(col("lkey") % 10 === col("code2"), 1L).otherwise(0L)))
+            .cast("long").as("last_touch"),
+          sum(when(col("n") === 0, when(col("code2") === 0, 10000L).otherwise(0L))
+            .otherwise(expr("""(CASE code2 WHEN 1 THEN nv WHEN 2 THEN nc
+                              | WHEN 3 THEN ns ELSE 0 END) * 10000L div n""".stripMargin)))
+            .cast("long").as("linear_x1e4"))
+        .orderBy("channel")
+    },
+
     // Mode (most frequent value) per group with a DETERMINISTIC tie-break
     // (count DESC, then lexicographic) — max_by alone ties arbitrarily,
     // which can never hash-match across engines. Two-phase: one partial-

@@ -735,6 +735,26 @@ class PlanAuditSpec extends AnyFunSuite {
       "both collapses (key counts, size distribution) must be two-phase")
   }
 
+  test("q_attribution shares one user-keyed frame across all five window expressions") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val root = physicalRoot("q_attribution")
+    // both event roles live in ONE relation: no shuffled join anywhere,
+    // and the only join is the broadcast of the 4-row channel table
+    assert(root.collect {
+      case j: SortMergeJoinExec => j: Any
+      case j: ShuffledHashJoinExec => j: Any
+    }.isEmpty, "attribution must not self-join events")
+    assert(root.collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty)
+    // all five frame aggregates (min/max key + three counts) must land
+    // in ONE window operator over the user partitioning
+    val windows = root.collect { case w: WindowExec => w }
+    assert(windows.size == 1 && windows.head.partitionSpec.nonEmpty,
+      s"expected one shared user-keyed window, got ${windows.size}")
+    assert(windows.head.windowExpression.size >= 5,
+      "min/max/three counts must share the single frame pass")
+  }
+
   test("q_quality_auc folds the rank statistic in a global agg — no global window, no join") {
     import org.apache.spark.sql.execution.joins.BaseJoinExec
     import org.apache.spark.sql.execution.window.WindowExec
