@@ -495,6 +495,42 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_attribution conserves credit: Σfirst = Σlast = purchases, linear ≈ 1 per conversion") {
+    val purchases = Tables.events(spark, sf).filter(col("event_type") === "purchase").count()
+    val rows = q("q_attribution").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).sorted.toSeq == Seq("click", "direct", "signup", "view"))
+    assert(rows.map(_._2).sum == purchases, "first-touch credit must sum to conversions")
+    assert(rows.map(_._3).sum == purchases, "last-touch credit must sum to conversions")
+    // linear shares floor-divide per conversion: the total loses at most
+    // (channels-1) units of 1e-4 per conversion, never gains
+    val lin = rows.map(_._4).sum
+    assert(lin <= purchases * 10000 && lin >= purchases * 10000 - purchases * 3,
+      s"linear credit $lin outside [${purchases * 10000 - purchases * 3}, ${purchases * 10000}]")
+  }
+
+  test("q_quality_auc is a valid rank statistic and its operating point is consistent") {
+    val r = q("q_quality_auc").collect().head
+    val (nDocs, nPos, nNeg, auc, tp, fp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(nPos + nNeg == nDocs && nPos > 0 && nNeg > 0)
+    assert(auc >= 0L && auc <= 1000000L, s"AUC $auc outside [0, 1e6]")
+    assert(tp <= nPos && fp <= nNeg, "operating point exceeds its class totals")
+  }
+
+  test("q_text_watermark flags every planted green-run doc; clean flags stay in the z>3 band") {
+    val rows = q("q_text_watermark").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    val flagged = rows.filter(_._2).keys.toSet
+    val planted = rows.keys.filter(_ % 100 == 0).toSet
+    assert(planted.subsetOf(flagged), s"planted docs ${planted -- flagged} escaped detection")
+    // a one-sided z>3 test false-positives at ~0.13% per clean doc; allow
+    // the band without letting a broken threshold flood through
+    val naturals = (flagged -- planted).size
+    assert(naturals <= math.max(2, rows.size / 100),
+      s"$naturals clean docs flagged — threshold band broken")
+  }
+
   test("n-gram queries survive documents shorter than the n-gram order") {
     import spark.implicits._
     // Spark's slice() throws on a negative length, so an unguarded
@@ -508,7 +544,7 @@ class LlmOpsSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$dir/documents.parquet")
     for (name <- Seq("q_ngram_lm", "q_lm_score", "q_cooccur", "q_dsir_importance",
-        "q_curriculum_order", "q_tokenizer_fertility")) {
+        "q_curriculum_order", "q_tokenizer_fertility", "q_text_watermark")) {
       val rows = SparkEntry.queries(name)(spark, dir.toString).collect()
       assert(rows.length >= 0, name)
     }
