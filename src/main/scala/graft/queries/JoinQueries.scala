@@ -1043,6 +1043,251 @@ object JoinQueries extends QueryPack {
            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)""")
     },
 
+    // TPC-H Q2 shape (minimum-cost supplier): the CORRELATED SCALAR MIN
+    // over a second relation — for each part of a size/type slice, the
+    // region's suppliers quoting the minimum supply cost, top-100 by
+    // account balance. (No partsupp in this testdata: the pair's quoted
+    // cost is played by its minimum shipped unit price, price_x1e2 div
+    // qty — integral, so truncating div and flooring // agree.) Spark-
+    // first the correlated MIN decorrelates to a WINDOW over the
+    // (part, supplier) aggregate: the fact collapses to pair-grain in
+    // ONE keyed shuffle, the region filter rides a broadcast dim join,
+    // and the per-part minimum is a partition-min over the aggregate-
+    // sized candidates — never a rejoin, never a second fact scan. At
+    // 100 TB the only corpus-scale work is the pair rollup; everything
+    // after runs on Σ pairs of a 1/12 part slice.
+    Q(
+      "q_sql_q2",
+      """WITH pf AS (SELECT p_partkey, p_name FROM part
+        |            WHERE p_size <= 15 AND p_type = 'STANDARD'),
+        |rs AS (SELECT s_suppkey, s_name,
+        |         CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_x1e2, n_name
+        |       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |         JOIN region ON n_regionkey = r_regionkey
+        |       WHERE r_name = 'EUROPE'),
+        |ps AS (SELECT l_partkey, l_suppkey,
+        |         MIN(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |             // CAST(l_quantity AS BIGINT)) AS cost_x1e2
+        |       FROM lineitem JOIN pf ON l_partkey = p_partkey GROUP BY 1, 2),
+        |cand AS (SELECT * FROM ps JOIN rs ON l_suppkey = s_suppkey),
+        |mn AS (SELECT l_partkey, MIN(cost_x1e2) AS m FROM cand GROUP BY 1)
+        |SELECT bal_x1e2, s_name, n_name, l_partkey AS p_partkey, p_name, cost_x1e2
+        |FROM cand JOIN mn USING (l_partkey) JOIN pf ON l_partkey = pf.p_partkey
+        |WHERE cost_x1e2 = m
+        |ORDER BY bal_x1e2 DESC, n_name, s_name, p_partkey LIMIT 100""",
+    ) { (s, dir) =>
+      val pf = Tables.part(s, dir)
+        .filter(col("p_size") <= 15 && col("p_type") === "STANDARD")
+        .select("p_partkey", "p_name")
+      // region-filtered suppliers: nation/region broadcast onto the
+      // supplier dim; the result grows with SF so it stays unhinted for
+      // the candidate join below (AQE broadcasts it while small)
+      val rs = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+            .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          Dec.asLong(col("s_acctbal"), 2).as("bal_x1e2"), col("n_name"))
+      // pair-grain quoted cost: the ONE corpus-scale shuffle
+      val ps = Tables.lineitem(s, dir)
+        .join(pf.select("p_partkey"), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr("""CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                 |div CAST(l_quantity AS BIGINT)""".stripMargin).as("unit"))
+        .groupBy("l_partkey", "l_suppkey").agg(min("unit").as("cost_x1e2"))
+      // correlated MIN as a partition-min window over the aggregate-
+      // sized candidate set (≤ |slice| · |region suppliers| rows)
+      val w = Window.partitionBy("l_partkey")
+      ps.join(rs, col("l_suppkey") === col("s_suppkey"))
+        .withColumn("m", min(col("cost_x1e2")).over(w))
+        .filter(col("cost_x1e2") === col("m"))
+        .join(pf, col("l_partkey") === col("p_partkey"))
+        .select(col("bal_x1e2"), col("s_name"), col("n_name"),
+          col("l_partkey").as("p_partkey"), col("p_name"), col("cost_x1e2"))
+        .orderBy(col("bal_x1e2").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    },
+
+    // TPC-H Q9 shape (product-type profit): the profit breakdown star —
+    // the fact through part (name-pattern filter), supplier, orders (for
+    // the year), and the SUPPLIER's nation, grouped (nation, year). The
+    // spec's ps_supplycost·l_quantity term has no partsupp to come from
+    // here; the tax charge plays the cost's role so the measure keeps
+    // its sum-of-differences form: amount = price·(1−disc) − price·tax,
+    // exact x1e4 (price_x1e2 · (factor_x1e2 − tax_x1e2)). Submitted as
+    // raw SQL TEXT — the planner's job is the join ORDER: part filters
+    // hardest and attaches first, supplier/nation broadcast, and the
+    // fact shuffles only on its orders key.
+    Q(
+      "q_sql_q9",
+      """WITH j AS (
+        |  SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      * (CAST(CAST(100 * (1 - l_discount) AS DECIMAL(5,2)) AS BIGINT)
+        |         - CAST(CAST(100 * l_tax AS DECIMAL(5,2)) AS BIGINT)) AS amount_x1e4
+        |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |    JOIN part ON p_partkey = l_partkey
+        |    JOIN orders ON o_orderkey = l_orderkey
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%red%')
+        |SELECT nation, CAST(o_year AS BIGINT) AS o_year,
+        |  CAST(SUM(amount_x1e4) AS BIGINT) AS profit_x1e4,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM j GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""",
+    ) { (s, dir) =>
+      sqlOverViews(s,
+        "lineitem" -> Tables.lineitem(s, dir),
+        "supplier" -> Tables.supplier(s, dir),
+        "part" -> Tables.part(s, dir),
+        "orders" -> Tables.orders(s, dir),
+        "nation" -> Tables.nation(s, dir))("""
+        WITH j AS (
+          SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+            CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+              * (CAST(CAST(100 * (1 - l_discount) AS DECIMAL(5,2)) AS BIGINT)
+                 - CAST(CAST(100 * l_tax AS DECIMAL(5,2)) AS BIGINT)) AS amount_x1e4
+          FROM {lineitem} JOIN {supplier} ON s_suppkey = l_suppkey
+            JOIN {part} ON p_partkey = l_partkey
+            JOIN {orders} ON o_orderkey = l_orderkey
+            JOIN {nation} ON s_nationkey = n_nationkey
+          WHERE p_name LIKE '%red%')
+        SELECT nation, CAST(o_year AS BIGINT) AS o_year,
+          CAST(SUM(amount_x1e4) AS BIGINT) AS profit_x1e4,
+          CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM j GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC""")
+    },
+
+    // TPC-H Q11 shape (important stock identification): per-part value
+    // held by one nation's suppliers, kept when the part's value exceeds
+    // a GLOBAL threshold — the scalar-subquery-over-the-same-aggregate
+    // query. The spec's fixed fraction scales with 1/SF (a constant
+    // multiplier keeps nothing at 100× the parts); here the threshold is
+    // self-scaling — value · n_parts > 2 · total, i.e. twice the mean
+    // part value — which is the comparison the spec's fraction encodes
+    // at its calibrated SF, stated scale-freely. All-integer cross-
+    // multiply: no division anywhere. Spark-first: the per-part value
+    // aggregates ONCE; total and count derive FROM that same plan as a
+    // 1-row broadcast (the q15 max-of-aggregate pattern), so AQE serves
+    // both consumers from one part-keyed exchange instead of scanning
+    // the fact twice like the literal HAVING-subquery translation.
+    Q(
+      "q_sql_q11",
+      """WITH val AS (
+        |  SELECT l_partkey, CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS value_x1e2
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |  GROUP BY 1)
+        |SELECT l_partkey AS p_partkey, value_x1e2
+        |FROM val, (SELECT SUM(value_x1e2) AS t, COUNT(*) AS n FROM val)
+        |WHERE value_x1e2 * n > 2 * t
+        |ORDER BY value_x1e2 DESC, p_partkey""",
+    ) { (s, dir) =>
+      // supplier⋈nation⋈region pre-reduced, broadcast onto the fact: only
+      // the region's lines survive the scan-side semi shape; the one
+      // corpus shuffle is the part rollup. (The spec scopes to one
+      // nation; a region here so the tiny-SF supplier table still lands
+      // members — the plan shape is identical.)
+      val ns = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+            .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val value = Tables.lineitem(s, dir)
+        // explicit null-key filter (the q15 lesson): the threshold branch
+        // below must stay structurally identical to this one for AQE to
+        // reuse the part-keyed exchange
+        .filter(col("l_partkey").isNotNull)
+        .join(ns, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+          .cast("long").as("value_x1e2"))
+      // global threshold derived FROM the same aggregate: 1 row, broadcast
+      val thresh = value.agg(sum("value_x1e2").as("t"), count(lit(1)).as("n"))
+      value.join(broadcast(thresh))
+        .filter(col("value_x1e2") * col("n") > lit(2L) * col("t"))
+        .select(col("l_partkey").as("p_partkey"), col("value_x1e2"))
+        .orderBy(col("value_x1e2").desc, col("p_partkey"))
+    },
+
+    // TPC-H Q12 shape (shipping modes and order priority): the two-fact
+    // CONDITIONAL COUNT join — lines of a ship-year, split per mode into
+    // critical (urgent/high) vs other order priorities. (l_shipmode
+    // doesn't exist in this testdata; l_returnflag's A/R classes play the
+    // mode's role with the same filter-then-group shape.) Submitted as
+    // raw SQL TEXT: the mode+year filters push to the lineitem scan, the
+    // priority CASE rides the orders side, and the only shuffle is the
+    // orderkey equi-join — the canonical fact-to-fact join with both
+    // sides pre-filtered and column-pruned at the scan.
+    Q(
+      "q_sql_q12",
+      """SELECT l_returnflag AS ship_mode,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_returnflag IN ('A', 'R')
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""",
+    ) { (s, dir) =>
+      sqlOverViews(s,
+        "orders" -> Tables.orders(s, dir),
+        "lineitem" -> Tables.lineitem(s, dir))("""
+        SELECT l_returnflag AS ship_mode,
+          CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM {orders} JOIN {lineitem} ON o_orderkey = l_orderkey
+        WHERE l_returnflag IN ('A', 'R')
+          AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")
+    },
+
+    // TPC-H Q16 shape (parts/supplier relationship): DISTINCT-COUNT of
+    // suppliers per part attribute group, minus an excluded-supplier
+    // NOT-IN set — the anti-join + multi-key distinct aggregation. (No
+    // partsupp: the supplier-part relationship is the pairs the fact
+    // actually shipped; the spec's complaints pattern-match becomes the
+    // negative-balance suppliers.) Spark-first: the part attribute slice
+    // joins BEFORE the pair dedup so the distinct runs on the slice, the
+    // exclusion is a LEFT ANTI against a supplier-sized set (never NOT IN
+    // null-traps — keys are non-null by schema), and countDistinct plans
+    // the standard two-phase partial distinct on (brand, type, size).
+    Q(
+      "q_sql_q16",
+      """SELECT p_brand, p_type, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |      WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)) pr
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    ) { (s, dir) =>
+      val excl = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      val slice = Tables.part(s, dir)
+        .filter(col("p_brand") =!= "Brand#45" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+        // excl is supplier-scale (grows with SF): unhinted, AQE decides
+        .join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(slice, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).cast("long").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+
     // Node-similarity Jaccard over the customer–part co-purchase graph
     // (r8): "customers like you" / collaborative-filtering candidate
     // generation — for every customer pair sharing a purchased part,

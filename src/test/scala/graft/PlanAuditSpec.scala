@@ -534,6 +534,57 @@ class PlanAuditSpec extends AnyFunSuite {
         "over one fact scan — the spec's nested subqueries read lineitem twice")
   }
 
+  test("q_sql_q2 scans the fact once; the correlated MIN is a window over the pair rollup") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = SparkEntry.queries("q_sql_q2")(spark, sf)
+    df.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => Nil
+      }
+      p +: (p.children ++ nested ++ p.subqueries).flatMap(walk)
+    }
+    val all = walk(df.queryExecution.executedPlan)
+    // the spec's correlated `= (SELECT MIN(..))` reads the pair relation
+    // (and through it the fact) twice; the window-min decorrelation reads
+    // it once — pin the scan count, not exchange reuse (the q17 lesson)
+    assert(all.filter(p => p.nodeName.contains("Scan") &&
+      p.toString.contains("lineitem"))
+      .map(System.identityHashCode).distinct.size == 1,
+      "q2 must scan lineitem exactly once")
+    assert(all.exists(_.nodeName.contains("Window")),
+      "the per-part minimum must be a partition-min window over the " +
+        "aggregate-sized candidates, not a rejoin")
+  }
+
+  test("q_sql_q11 derives the global threshold FROM the per-part value aggregate") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val df = SparkEntry.queries("q_sql_q11")(spark, sf)
+    df.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => Nil
+      }
+      p +: (p.children ++ nested ++ p.subqueries).flatMap(walk)
+    }
+    val all = walk(df.queryExecution.executedPlan)
+    assert(all.collect { case r: ReusedExchangeExec => r }.nonEmpty,
+      "the (t, n) threshold row and the kept-parts filter must consume ONE " +
+        "part-keyed value exchange — the literal HAVING-subquery translation " +
+        "aggregates the fact twice")
+    assert(all.filter(p => p.nodeName.contains("Scan") &&
+      p.toString.contains("lineitem"))
+      .map(System.identityHashCode).distinct.size == 1,
+      "q11 must scan lineitem exactly once")
+  }
+
   test("q_agg_weighted_median derives both prefix levels from ONE rollup exchange") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
