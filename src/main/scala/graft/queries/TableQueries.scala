@@ -1983,5 +1983,77 @@ object TableQueries extends QueryPack {
         .withColumn("policy_kept", lit(kept))
         .orderBy("name")
     },
+
+    // SQL text front end over the GOVERNED table layer (GraftSql): the
+    // reference serves its Iceberg tables to plain spark.sql through the
+    // Iceberg catalog plugin (docker-compose.yml:58-81); this scenario
+    // drives that capability end-to-end over a GraftCatalog — INSERT INTO
+    // lands a commit, VERSION AS OF reads history, a scalar subquery and
+    // the outer query both resolve graft relations, and — the semantic a
+    // raw-file catalog shortcut would get WRONG — an equality delete
+    // committed between the reads is APPLIED by the SQL head read,
+    // because every substituted relation goes through the same
+    // merge-on-read plan as the Scala API. Oracle: DuckDB recomputes all
+    // stages from the raw lineitem slices.
+    Q(
+      "t_sql_frontend",
+      """WITH a AS (SELECT CAST(l_quantity AS BIGINT) AS qty, l_returnflag
+        |           FROM lineitem WHERE l_linenumber = 1),
+        |b AS (SELECT CAST(l_quantity AS BIGINT) AS qty, l_returnflag
+        |      FROM lineitem WHERE l_linenumber = 2),
+        |head AS (SELECT * FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |         WHERE l_returnflag <> 'R'),
+        |v0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0, CAST(SUM(qty) AS BIGINT) AS s0 FROM a),
+        |ins AS (SELECT CAST(COUNT(*) AS BIGINT) AS bi FROM b),
+        |abv AS (SELECT CAST(COUNT(*) AS BIGINT) AS na
+        |        FROM head, (SELECT SUM(qty) AS t, COUNT(*) AS c FROM head)
+        |        WHERE qty * c > t)
+        |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(qty) AS BIGINT) AS sum_qty,
+        |  n0 AS v0_n, s0 AS v0_sum_qty, bi AS ins_rows,
+        |  CAST(1 AS BIGINT) AS ins_version, na AS n_above_mean
+        |FROM head, v0, ins, abv
+        |GROUP BY l_returnflag, n0, s0, bi, na
+        |ORDER BY l_returnflag""",
+    ) { (s, dir) =>
+      val cat = GraftCatalog(s, Files.createTempDirectory("graft_sqlfe").toString)
+      cat.createNamespace("sqlfe")
+      val t = cat.createTable("sqlfe", "li")
+      def slice(ln: Int): DataFrame = graft.Tables.lineitem(s, dir)
+        .filter(col("l_linenumber") === ln)
+        .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"),
+          col("l_returnflag"))
+      t.append(slice(1))                                          // seq 0
+      // INSERT INTO through SQL text: the source rides a temp view, the
+      // target resolves through the catalog, the commit is a real append
+      val srcView = s"sqlfe_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      slice(2).createOrReplaceTempView(srcView)
+      val ins = try graft.sql.GraftSql.sql(s, cat,
+          s"INSERT INTO graft.sqlfe.li SELECT * FROM $srcView").collect().head
+        finally s.catalog.dropTempView(srcView)                   // seq 1
+      // equality delete BETWEEN the SQL reads: head reads below must
+      // apply it (merge-on-read through the SQL path, not a raw scan)
+      import s.implicits._
+      t.delete(Seq("R").toDF("l_returnflag"), Seq("l_returnflag")) // seq 2
+      val byFlag = graft.sql.GraftSql.sql(s, cat,
+        """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(qty) AS BIGINT) AS sum_qty
+          |FROM graft.sqlfe.li GROUP BY l_returnflag""".stripMargin)
+      val v0 = graft.sql.GraftSql.sql(s, cat,
+        """SELECT CAST(COUNT(*) AS BIGINT) AS v0_n,
+          |  CAST(SUM(qty) AS BIGINT) AS v0_sum_qty
+          |FROM graft.sqlfe.li VERSION AS OF 0""".stripMargin)
+      // scalar subqueries over the SAME graft relation as the outer query
+      val abv = graft.sql.GraftSql.sql(s, cat,
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_above_mean
+          |FROM graft.sqlfe.li
+          |WHERE qty * (SELECT COUNT(*) FROM graft.sqlfe.li)
+          |      > (SELECT SUM(qty) FROM graft.sqlfe.li)""".stripMargin)
+      byFlag
+        .crossJoin(broadcast(v0))
+        .withColumn("ins_rows", lit(ins.getLong(1)))
+        .withColumn("ins_version", lit(ins.getLong(2)))
+        .crossJoin(broadcast(abv))
+        .orderBy("l_returnflag")
+    },
   )
 }

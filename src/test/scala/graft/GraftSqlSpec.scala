@@ -1,0 +1,160 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sql.GraftSql
+import graft.table.GraftCatalog
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL text front end (GraftSql) against the Scala API it must agree
+  * with: every SQL read goes through the same merge-on-read plan as
+  * GraftTable.read, so deletes, time travel, self-joins and subqueries
+  * behave identically in both entry paths.
+  */
+class GraftSqlSpec extends AnyFunSuite {
+  import SparkSessionFixture.spark
+  import spark.implicits._
+
+  private def freshCat(): GraftCatalog =
+    GraftCatalog(spark, Files.createTempDirectory("graft_sqlspec").toString)
+
+  private def items = Seq(("A", "small", 2), ("B", "medium", 15),
+    ("C", "medium", 10), ("D", "small", 20), ("E", "large", 20))
+    .toDF("name", "size", "count")
+
+  test("SELECT resolves 3-part and 2-part graft names; head equals read()") {
+    val cat = freshCat()
+    cat.createNamespace("ns")
+    cat.createTable("ns", "t").append(items)
+    val viaSql = GraftSql.sql(spark, cat, "SELECT name, count FROM graft.ns.t")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val viaApi = cat.openTable("ns", "t").read()
+      .select("name", "count").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(viaSql == viaApi && viaSql.size == 5)
+    cat.createNamespace("default")
+    cat.createTable("default", "t2").append(items.limit(2))
+    assert(GraftSql.sql(spark, cat, "SELECT * FROM graft.t2").count() == 2)
+  }
+
+  test("an equality delete committed between reads is applied by the SQL head read") {
+    val cat = freshCat()
+    cat.createNamespace("ns")
+    val t = cat.createTable("ns", "t")
+    t.append(items) // seq 0
+    assert(GraftSql.sql(spark, cat, "SELECT * FROM graft.ns.t").count() == 5)
+    t.delete(Seq("small").toDF("size"), Seq("size")) // seq 1: drops A, D
+    val after = GraftSql.sql(spark, cat, "SELECT name FROM graft.ns.t")
+      .collect().map(_.getString(0)).toSet
+    assert(after == Set("B", "C", "E"),
+      "a raw-file read would still serve the deleted rows — the SQL path " +
+        "must go through the merge-on-read plan")
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF read history; head keeps moving") {
+    val cat = freshCat()
+    cat.createNamespace("ns")
+    val t = cat.createTable("ns", "t")
+    t.append(items.limit(2)) // seq 0
+    Thread.sleep(15)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(15)
+    t.append(items.except(items.limit(2))) // seq 1
+    assert(GraftSql.sql(spark, cat,
+      "SELECT * FROM graft.ns.t VERSION AS OF 0").count() == 2)
+    assert(GraftSql.sql(spark, cat, "SELECT * FROM graft.ns.t").count() == 5)
+    val tsLit = new java.sql.Timestamp(betweenMs).toInstant.toString
+    val atTs = GraftSql.sql(spark, cat,
+      s"SELECT * FROM graft.ns.t TIMESTAMP AS OF '$tsLit'").count()
+    assert(atTs == 2, s"timestamp travel to $tsLit should see only seq 0")
+  }
+
+  test("self-join and mixed-version join of one table deduplicate attributes") {
+    val cat = freshCat()
+    cat.createNamespace("ns")
+    val t = cat.createTable("ns", "t")
+    t.append(items) // seq 0
+    t.delete(Seq("E").toDF("name"), Seq("name")) // seq 1
+    // self-join at head: 4 rows joined to themselves on name
+    assert(GraftSql.sql(spark, cat,
+      """SELECT a.name FROM graft.ns.t a JOIN graft.ns.t b
+        |ON a.name = b.name""".stripMargin).count() == 4)
+    // v0 (5 rows) LEFT ANTI head (4 rows) = exactly the deleted key
+    val gone = GraftSql.sql(spark, cat,
+      """SELECT v.name FROM graft.ns.t VERSION AS OF 0 v
+        |LEFT ANTI JOIN graft.ns.t h ON v.name = h.name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(gone == Seq("E"))
+  }
+
+  test("scalar subqueries over graft relations resolve inside WHERE") {
+    val cat = freshCat()
+    cat.createNamespace("ns")
+    cat.createTable("ns", "t").append(items)
+    val above = GraftSql.sql(spark, cat,
+      """SELECT name FROM graft.ns.t
+        |WHERE count * (SELECT COUNT(*) FROM graft.ns.t)
+        |      > (SELECT SUM(count) FROM graft.ns.t)""".stripMargin)
+      .collect().map(_.getString(0)).toSet
+    // mean count = 67/5 = 13.4 → B(15), D(20), E(20)
+    assert(above == Set("B", "D", "E"))
+  }
+
+  test("INSERT INTO appends by name, reports the commit, and conforms column order") {
+    val cat = freshCat()
+    cat.createNamespace("ns")
+    val t = cat.createTable("ns", "t")
+    t.append(items) // seq 0
+    val src = s"gsql_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // source columns deliberately REORDERED: INSERT is by-name
+    Seq((7, "F", "tiny"), (8, "G", "tiny")).toDF("count", "name", "size")
+      .createOrReplaceTempView(src)
+    val summary = try GraftSql.sql(spark, cat,
+        s"INSERT INTO graft.ns.t SELECT * FROM $src").collect().head
+      finally spark.catalog.dropTempView(src)
+    assert(summary.getString(0) == "ns.t")
+    assert(summary.getLong(1) == 2L)
+    assert(summary.getLong(2) == 1L) // the append's new sequence number
+    val f = GraftSql.sql(spark, cat,
+      "SELECT count FROM graft.ns.t WHERE name = 'F'").collect()
+    assert(f.map(_.getInt(0)).toSeq == Seq(7), "by-name insert must land " +
+      "the reordered source's count column in the table's count column")
+  }
+
+  test("unsupported forms fail loudly, not silently") {
+    val cat = freshCat()
+    cat.createNamespace("ns")
+    cat.createTable("ns", "t").append(items)
+    intercept[IllegalArgumentException] { // missing table → catalog error
+      GraftSql.sql(spark, cat, "SELECT * FROM graft.ns.nope").collect()
+    }
+    intercept[IllegalArgumentException] { // INSERT OVERWRITE unsupported
+      GraftSql.sql(spark, cat,
+        "INSERT OVERWRITE TABLE graft.ns.t SELECT * FROM graft.ns.t")
+    }
+    intercept[IllegalArgumentException] { // non-graft INSERT target
+      GraftSql.sql(spark, cat, "INSERT INTO other.tbl SELECT 1")
+    }
+    // non-graft SELECT relations are left to Spark's own resolution —
+    // an unknown plain name still errors through the normal analyzer
+    intercept[Exception] {
+      GraftSql.sql(spark, cat, "SELECT * FROM definitely_not_a_view").collect()
+    }
+  }
+
+  test("SQL reads keep column pruning and filter pushdown on the snapshot scan") {
+    val cat = freshCat()
+    cat.createNamespace("ns")
+    cat.createTable("ns", "t").append(items)
+    val df = GraftSql.sql(spark, cat,
+      "SELECT name FROM graft.ns.t WHERE size = 'small'")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(size), EqualTo(size,small)]"),
+      s"the size predicate must reach the parquet scan:\n$plan")
+    assert("ReadSchema: [^\n]*name".r.findFirstIn(plan).isDefined &&
+      !plan.contains("count:int"), // count column pruned away
+      s"only name+size should be read:\n$plan")
+  }
+}
