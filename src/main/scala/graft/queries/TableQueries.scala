@@ -2055,5 +2055,50 @@ object TableQueries extends QueryPack {
         .crossJoin(broadcast(abv))
         .orderBy("l_returnflag")
     },
+
+    // SQL DML over the governed table layer (GraftSql): DELETE, UPDATE
+    // and MERGE statements routed onto the table's NATIVE rewrite shapes
+    // — DELETE's equality predicate becomes a merge-on-read equality
+    // delete (zero data I/O), UPDATE becomes the stats/bloom-pruned
+    // copy-on-write updateWhereEq, and MERGE's update-or-insert (+
+    // conditional DELETE clause) becomes one atomic mixed commit via
+    // merge(). A predicate the native shapes can't serve fails loudly
+    // instead of silently rewriting the table — the 100 TB contract.
+    // Golden oracle: the B1 items fixture's lineage is hand-computed.
+    Q(
+      "t_sql_dml",
+      """SELECT * FROM (VALUES
+        |  ('B', 'medium', 50, CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
+        |  ('C', 'medium', 110, CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
+        |  ('F', 'tiny', 7, CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)))
+        |  AS t(name, size, count, del_version, upd_version, mrg_version)
+        |ORDER BY name""",
+    ) { (s, _) =>
+      import s.implicits._
+      val cat = GraftCatalog(s, Files.createTempDirectory("graft_sqldml").toString)
+      cat.createNamespace("dml")
+      val t = cat.createTable("dml", "items")
+      t.append(items(s))                                          // seq 0
+      def dml(text: String): Long =
+        graft.sql.GraftSql.sql(s, cat, text).collect().head.getLong(2)
+      val delV = dml("DELETE FROM graft.dml.items WHERE size = 'small'") // -A,-D
+      val updV = dml(
+        "UPDATE graft.dml.items SET count = count + 100 WHERE name = 'C'")
+      val srcView = s"dml_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      Seq(("B", "medium", 50), ("E", "large", 0), ("F", "tiny", 7))
+        .toDF("name", "size", "count").createOrReplaceTempView(srcView)
+      val mrgV = try dml(
+          s"""MERGE INTO graft.dml.items AS t USING $srcView AS s ON t.name = s.name
+             |WHEN MATCHED AND s.count = 0 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        finally s.catalog.dropTempView(srcView)
+      graft.sql.GraftSql.sql(s, cat,
+        "SELECT name, size, count FROM graft.dml.items")
+        .withColumn("del_version", lit(delV))
+        .withColumn("upd_version", lit(updV))
+        .withColumn("mrg_version", lit(mrgV))
+        .orderBy("name")
+    },
   )
 }

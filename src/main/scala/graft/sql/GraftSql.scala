@@ -3,9 +3,11 @@ package graft.sql
 import graft.table.GraftCatalog
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, Between, Cast, EqualTo, Expression, GreaterThanOrEqual, In, LessThanOrEqual, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.graft.SparkShims
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
 
@@ -77,8 +79,164 @@ object GraftSql {
           StructType(Seq(StructField("table", StringType, nullable = false),
             StructField("rows_appended", LongType, nullable = false),
             StructField("new_version", LongType, nullable = false))))
+      case del: DeleteFromTable =>
+        val (ns, tbl) = targetIdent(del.table, prefix, "DELETE")
+        val t = cat.openTable(ns, tbl)
+        val seq = deleteByPredicate(spark, t, del.condition)
+        dmlSummary(spark, s"$ns.$tbl", "delete", seq)
+
+      case up: UpdateTable =>
+        val (ns, tbl) = targetIdent(up.table, prefix, "UPDATE")
+        val keyPred = up.condition.map(splitConj).getOrElse(Nil) match {
+          case Seq(EqualTo(a: UnresolvedAttribute, l: Literal)) => (a.name, lit2Scala(l))
+          case Seq(EqualTo(l: Literal, a: UnresolvedAttribute)) => (a.name, lit2Scala(l))
+          case other => throw new IllegalArgumentException(
+            "UPDATE supports exactly `WHERE <col> = <literal>` (the table " +
+              s"layer's copy-on-write updateWhereEq); got: $other")
+        }
+        val set = up.assignments.map {
+          case Assignment(a: UnresolvedAttribute, v) => a.name -> expr(unqualified(v).sql)
+          case a => throw new IllegalArgumentException(s"unsupported SET target: $a")
+        }.toMap
+        val t = cat.openTable(ns, tbl)
+        val seq = t.updateWhereEq(keyPred._1, keyPred._2, set)
+        dmlSummary(spark, s"$ns.$tbl", "update", seq)
+
+      case mg: MergeIntoTable =>
+        val (ns, tbl) = targetIdent(mg.targetTable, prefix, "MERGE")
+        require(mg.notMatchedBySourceActions.isEmpty,
+          "WHEN NOT MATCHED BY SOURCE is not supported")
+        // matched: UPDATE SET * (optionally preceded by a conditional
+        // DELETE); not-matched: INSERT * — the upsert family the table
+        // layer's merge() implements as ONE atomic mixed commit
+        val deleteWhen = mg.matchedActions match {
+          case Seq(UpdateStarAction(None)) => expr("false")
+          case Seq(DeleteAction(Some(c)), UpdateStarAction(None)) => expr(unqualified(c).sql)
+          case Seq(DeleteAction(None)) if mg.notMatchedActions.nonEmpty => expr("true")
+          case other => throw new IllegalArgumentException(
+            "MERGE supports WHEN MATCHED THEN UPDATE SET * (optionally " +
+              s"after WHEN MATCHED AND <cond> THEN DELETE); got: $other")
+        }
+        val insertWhen = mg.notMatchedActions match {
+          case Seq(InsertStarAction(None)) => expr("true")
+          case Seq(InsertStarAction(Some(c))) => expr(unqualified(c).sql)
+          case Seq() => expr("false")
+          case other => throw new IllegalArgumentException(
+            s"MERGE supports WHEN NOT MATCHED [AND <cond>] THEN INSERT *; got: $other")
+        }
+        val keyCols = splitConj(mg.mergeCondition).map {
+          case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+              if a.nameParts.last == b.nameParts.last => a.nameParts.last
+          case other => throw new IllegalArgumentException(
+            "MERGE ON must be a conjunction of target.<k> = source.<k> " +
+              s"same-name equi predicates; got: $other")
+        }
+        val src = SparkShims.ofRows(spark, substitute(spark, cat, mg.sourceTable, prefix))
+        val t = cat.openTable(ns, tbl)
+        val seq = t.merge(src, keyCols, deleteWhen = deleteWhen, insertWhen = insertWhen)
+        dmlSummary(spark, s"$ns.$tbl", "merge", seq)
+
       case plan =>
         SparkShims.ofRows(spark, substitute(spark, cat, plan, prefix))
+    }
+  }
+
+  /** DELETE WHERE routing onto the table layer's native delete shapes:
+    * equality conjunction → one MoR equality-delete commit (zero data
+    * I/O); single-column IN → multi-key equality delete; closed numeric
+    * range → stats-pruned deleteWhereRange (aligned files drop
+    * metadata-only). Anything else fails loudly — a silent full-table
+    * rewrite is never the right surprise at 100 TB.
+    */
+  private def deleteByPredicate(spark: SparkSession, t: graft.table.GraftTable,
+      cond: Expression): Long = {
+    val conj = splitConj(cond)
+    val eqs = conj.collect {
+      case EqualTo(a: UnresolvedAttribute, l: Literal) => (a.name, l)
+      case EqualTo(l: Literal, a: UnresolvedAttribute) => (a.name, l)
+    }
+    val ins = conj.collect {
+      case In(a: UnresolvedAttribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        (a.name, vs.map(v => lit2Scala(v.asInstanceOf[Literal])))
+    }
+    val los = conj.collect {
+      case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) => (a.name, lit2Scala(l))
+      case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) => (a.name, lit2Scala(l))
+      case Between(a: UnresolvedAttribute, lo: Literal, _, _) => (a.name, lit2Scala(lo))
+      // the parser emits BETWEEN as an unresolved function call
+      case f: UnresolvedFunction if f.nameParts == Seq("between") =>
+        f.arguments match {
+          case Seq(a: UnresolvedAttribute, lo: Literal, _) => (a.name, lit2Scala(lo))
+        }
+    }
+    val his = conj.collect {
+      case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) => (a.name, lit2Scala(l))
+      case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) => (a.name, lit2Scala(l))
+      case Between(a: UnresolvedAttribute, _, hi: Literal, _) => (a.name, lit2Scala(hi))
+      case f: UnresolvedFunction if f.nameParts == Seq("between") =>
+        f.arguments match {
+          case Seq(a: UnresolvedAttribute, _, hi: Literal) => (a.name, lit2Scala(hi))
+        }
+    }
+    (eqs, ins, los, his) match {
+      case (es, Seq(), Seq(), Seq()) if es.nonEmpty && es.size == conj.size &&
+          es.map(_._1).distinct.size == es.size =>
+        val keys = spark.createDataFrame(
+          java.util.List.of(Row(es.map(e => lit2Scala(e._2)): _*)),
+          StructType(es.map(e => StructField(e._1, e._2.dataType))))
+        t.delete(keys, es.map(_._1))
+      case (Seq(), Seq((c, vs)), Seq(), Seq()) if conj.size == 1 =>
+        val dt = conj.head.asInstanceOf[In].list.head.dataType
+        val keys = spark.createDataFrame(
+          vs.map(v => Row(v)).asJava, StructType(Seq(StructField(c, dt))))
+        t.delete(keys, Seq(c))
+      case (Seq(), Seq(), Seq((cl, lo)), Seq((ch, hi)))
+          if cl == ch && conj.size <= 2 => // one Between or a >=/<= pair
+        t.deleteWhereRange(cl, lo, hi).seq
+      case _ => throw new IllegalArgumentException(
+        "DELETE supports `<col> = <lit> [AND ...]` (equality delete), " +
+          "`<col> IN (<lits>)`, or `<col> BETWEEN <lo> AND <hi>`; got: " + cond.sql)
+    }
+  }
+
+  private def dmlSummary(spark: SparkSession, table: String, op: String,
+      seq: Long): DataFrame =
+    spark.createDataFrame(
+      java.util.List.of(Row(table, op, seq)),
+      StructType(Seq(StructField("table", StringType, nullable = false),
+        StructField("op", StringType, nullable = false),
+        StructField("new_version", LongType, nullable = false))))
+
+  private def targetIdent(table: LogicalPlan, prefix: String,
+      stmt: String): (String, String) = table match {
+    case u: UnresolvedRelation if isGraft(u.multipartIdentifier, prefix) =>
+      splitIdent(u.multipartIdentifier, prefix)
+    // the parser wraps DML targets in an alias node sometimes (MERGE ... AS t)
+    case p if p.children.size == 1 => targetIdent(p.children.head, prefix, stmt)
+    case other => throw new IllegalArgumentException(
+      s"$stmt target is not a $prefix.* table: $other")
+  }
+
+  private def splitConj(c: Expression): Seq[Expression] = c match {
+    case And(l, r) => splitConj(l) ++ splitConj(r)
+    case e => Seq(e)
+  }
+
+  /** strip alias qualifiers (t.col / s.col → col) so a clause condition
+    * evaluates against the merge source's bare columns.
+    */
+  private def unqualified(e: Expression): Expression = e.transform {
+    case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
+  }
+
+  private def lit2Scala(l: Literal): Any =
+    CatalystTypeConverters.convertToScala(l.value, l.dataType)
+
+  private implicit class JavaListOps[A](s: Seq[A]) {
+    def asJava: java.util.List[A] = {
+      val out = new java.util.ArrayList[A](s.size)
+      s.foreach(out.add)
+      out
     }
   }
 

@@ -144,6 +144,79 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("DELETE routes equality / IN / BETWEEN onto the native delete shapes") {
+    val cat = freshCat()
+    cat.createNamespace("ns")
+    val t = cat.createTable("ns", "t")
+    t.append(items) // seq 0
+    // single equality → MoR equality delete
+    val d1 = GraftSql.sql(spark, cat,
+      "DELETE FROM graft.ns.t WHERE name = 'A'").collect().head
+    assert(d1.getString(1) == "delete" && d1.getLong(2) == 1L)
+    assert(GraftSql.sql(spark, cat, "SELECT * FROM graft.ns.t").count() == 4)
+    // IN list → multi-key equality delete
+    GraftSql.sql(spark, cat, "DELETE FROM graft.ns.t WHERE name IN ('B', 'C')")
+    assert(GraftSql.sql(spark, cat, "SELECT name FROM graft.ns.t")
+      .collect().map(_.getString(0)).toSet == Set("D", "E"))
+    // multi-column equality conjunction → one composite equality key
+    GraftSql.sql(spark, cat,
+      "DELETE FROM graft.ns.t WHERE size = 'small' AND count = 20") // drops D only
+    assert(GraftSql.sql(spark, cat, "SELECT name FROM graft.ns.t")
+      .collect().map(_.getString(0)).toSeq == Seq("E"))
+    // numeric BETWEEN → stats-pruned range delete
+    GraftSql.sql(spark, cat, "DELETE FROM graft.ns.t WHERE count BETWEEN 15 AND 25")
+    assert(GraftSql.sql(spark, cat, "SELECT * FROM graft.ns.t").count() == 0)
+    // anything else fails loudly instead of rewriting the table
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, cat, "DELETE FROM graft.ns.t WHERE name = 'A' OR count = 2")
+    }
+  }
+
+  test("UPDATE maps to copy-on-write updateWhereEq; expressions round-trip") {
+    val cat = freshCat()
+    cat.createNamespace("ns")
+    val t = cat.createTable("ns", "t")
+    t.append(items) // seq 0
+    val u = GraftSql.sql(spark, cat,
+      "UPDATE graft.ns.t SET count = count * 10 + 1, size = 'resized' WHERE name = 'B'")
+      .collect().head
+    assert(u.getString(1) == "update")
+    val b = GraftSql.sql(spark, cat,
+      "SELECT count, size FROM graft.ns.t WHERE name = 'B'").collect().head
+    assert(b.getInt(0) == 151 && b.getString(1) == "resized")
+    assert(GraftSql.sql(spark, cat, "SELECT * FROM graft.ns.t").count() == 5)
+    intercept[IllegalArgumentException] { // full-table update unsupported
+      GraftSql.sql(spark, cat, "UPDATE graft.ns.t SET count = 0")
+    }
+  }
+
+  test("MERGE INTO upserts, honors a conditional DELETE clause, joins on the ON keys") {
+    val cat = freshCat()
+    cat.createNamespace("ns")
+    val t = cat.createTable("ns", "t")
+    t.append(items) // seq 0
+    val src = s"gsql_merge_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // B updated (count 15→99), E deleted (count 0 fires the clause),
+    // F inserted; A/C/D untouched
+    Seq(("B", "medium", 99), ("E", "large", 0), ("F", "tiny", 7))
+      .toDF("name", "size", "count").createOrReplaceTempView(src)
+    val m = try GraftSql.sql(spark, cat,
+        s"""MERGE INTO graft.ns.t AS t USING $src AS s ON t.name = s.name
+           |WHEN MATCHED AND s.count = 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect().head
+      finally spark.catalog.dropTempView(src)
+    assert(m.getString(1) == "merge")
+    val got = GraftSql.sql(spark, cat, "SELECT name, count FROM graft.ns.t")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(got == Map("A" -> 2, "B" -> 99, "C" -> 10, "D" -> 20, "F" -> 7))
+    intercept[IllegalArgumentException] { // bespoke SET lists unsupported
+      GraftSql.sql(spark, cat,
+        s"""MERGE INTO graft.ns.t USING graft.ns.t s ON graft.ns.t.name = s.name
+           |WHEN MATCHED THEN UPDATE SET count = 1""".stripMargin)
+    }
+  }
+
   test("SQL reads keep column pruning and filter pushdown on the snapshot scan") {
     val cat = freshCat()
     cat.createNamespace("ns")
