@@ -2076,11 +2076,14 @@ object TableQueries extends QueryPack {
     ) { (s, _) =>
       import s.implicits._
       val cat = GraftCatalog(s, Files.createTempDirectory("graft_sqldml").toString)
-      cat.createNamespace("dml")
-      val t = cat.createTable("dml", "items")
-      t.append(items(s))                                          // seq 0
       def dml(text: String): Long =
         graft.sql.GraftSql.sql(s, cat, text).collect().head.getLong(2)
+      // the table itself is born through SQL: CREATE NAMESPACE + CTAS
+      graft.sql.GraftSql.sql(s, cat, "CREATE NAMESPACE graft.dml")
+      val seedView = s"dml_seed_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      items(s).createOrReplaceTempView(seedView)
+      try dml(s"CREATE TABLE graft.dml.items AS SELECT * FROM $seedView") // seq 0
+      finally s.catalog.dropTempView(seedView)
       val delV = dml("DELETE FROM graft.dml.items WHERE size = 'small'") // -A,-D
       val updV = dml(
         "UPDATE graft.dml.items SET count = count + 100 WHERE name = 'C'")

@@ -1,12 +1,13 @@
 package graft.sql
 
-import graft.table.GraftCatalog
+import graft.table.{GraftCatalog, PartitionSpec, Transform}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedFunction, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, Between, Cast, EqualTo, Expression, GreaterThanOrEqual, In, LessThanOrEqual, Literal, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, CreateNamespace, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, ReplaceTableAsSelect, TableSpecBase, UnresolvedTableSpec, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, Transform => V2Transform}
 import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.graft.SparkShims
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
@@ -136,9 +137,123 @@ object GraftSql {
         val seq = t.merge(src, keyCols, deleteWhen = deleteWhen, insertWhen = insertWhen)
         dmlSummary(spark, s"$ns.$tbl", "merge", seq)
 
+      case cta: CreateTableAsSelect =>
+        createAs(spark, cat, cta.name, cta.partitioning, cta.query,
+          cta.tableSpec, prefix, ifNotExists = cta.ignoreIfExists,
+          replace = false)
+
+      case rta: ReplaceTableAsSelect =>
+        createAs(spark, cat, rta.name, rta.partitioning, rta.query,
+          rta.tableSpec, prefix, ifNotExists = false, replace = true)
+
+      case dt: DropTable =>
+        val (ns, tbl) = identParts(dt.child, prefix, "DROP TABLE")
+        val dropped = cat.dropTable(ns, tbl)
+        if (!dropped && !dt.ifExists) throw new IllegalArgumentException(
+          s"table $ns.$tbl does not exist (use DROP TABLE IF EXISTS)")
+        dmlSummary(spark, s"$ns.$tbl", if (dropped) "drop" else "drop_noop", -1L)
+
+      case cn: CreateNamespace =>
+        val ns = cn.name match {
+          case u: UnresolvedNamespace if u.multipartIdentifier.length == 2 &&
+              u.multipartIdentifier.head == prefix => u.multipartIdentifier(1)
+          case other => throw new IllegalArgumentException(
+            s"CREATE NAMESPACE target is not $prefix.<ns>: $other")
+        }
+        cat.createNamespace(ns) // idempotent, like the REST catalog's 409-tolerance
+        dmlSummary(spark, ns, "create_namespace", -1L)
+
       case plan =>
         SparkShims.ofRows(spark, substitute(spark, cat, plan, prefix))
     }
+  }
+
+  /** CREATE TABLE AS SELECT / REPLACE TABLE AS SELECT: resolve the query
+    * (which may itself read graft tables), create-or-replace through the
+    * catalog, land the result as the seed commit. PARTITIONED BY maps
+    * onto the table layer's own transforms — identity, bucket(n, col),
+    * days(col), truncate(w, col) — so a CTAS lays the table out exactly
+    * like the Scala appendPartitioned path would.
+    */
+  private def createAs(spark: SparkSession, cat: GraftCatalog,
+      nameP: LogicalPlan, partitioning: Seq[V2Transform], query: LogicalPlan,
+      spec: TableSpecBase, prefix: String, ifNotExists: Boolean,
+      replace: Boolean): DataFrame = {
+    val (ns, tbl) = identParts(nameP, prefix, "CREATE TABLE")
+    spec match {
+      case u: UnresolvedTableSpec =>
+        require(u.location.isEmpty && u.provider.isEmpty && u.serde.isEmpty &&
+            !u.external && u.constraints.isEmpty,
+          "CREATE TABLE supports only TBLPROPERTIES and PARTITIONED BY " +
+            "clauses (no LOCATION/USING/SERDE/EXTERNAL/CONSTRAINT)")
+      case _ => ()
+    }
+    if (!replace && cat.tableExists(ns, tbl)) {
+      if (ifNotExists) return dmlSummary(spark, s"$ns.$tbl", "create_noop", -1L)
+      throw new IllegalArgumentException(
+        s"table $ns.$tbl already exists (use IF NOT EXISTS or REPLACE TABLE)")
+    }
+    val df = SparkShims.ofRows(spark, substitute(spark, cat, query, prefix))
+    val specs = partitioning.map(v2ToGraftTransform(_, df.schema))
+    cat.createNamespace(ns)
+    val t = cat.createTable(ns, tbl) // exists→drop→create (REPLACE semantics)
+    spec match {
+      case u: UnresolvedTableSpec if u.properties.nonEmpty =>
+        t.setProperties(u.properties)
+      case _ => ()
+    }
+    val seq =
+      if (specs.isEmpty) t.append(df)
+      else t.appendPartitioned(df, specs, Nil, Nil)
+    dmlSummary(spark, s"$ns.$tbl",
+      if (replace) "replace_as_select" else "create_as_select", seq)
+  }
+
+  /** map a connector (SQL-surface) partition transform to the table
+    * layer's transform of the same semantics; unknown transforms refuse.
+    * Identity on a STRING column maps to the string truncate at width
+    * 255 — the partition value is the (almost always whole) prefix, a
+    * COARSER grouping that prunes correctly for equality and range
+    * probes (Iceberg's own identity-vs-truncate relationship).
+    */
+  private def v2ToGraftTransform(t: V2Transform,
+      schema: StructType): PartitionSpec = {
+    def refCol: String = {
+      val refs = t.references()
+      require(refs.length == 1 && refs(0).fieldNames().length == 1,
+        s"partition transform must reference one top-level column: $t")
+      refs(0).fieldNames()(0)
+    }
+    def isString(c: String): Boolean =
+      schema.fields.exists(f => f.name == c && f.dataType == StringType)
+    def intArg: Int = t.arguments().collectFirst {
+      case l: V2Literal[_] => l.value() match {
+        case i: java.lang.Integer => i.intValue()
+        case l2: java.lang.Long => l2.intValue()
+      }
+    }.getOrElse(throw new IllegalArgumentException(
+      s"transform ${t.name()} needs an integer argument: $t"))
+    t.name() match {
+      case "identity" if isString(refCol) =>
+        PartitionSpec(refCol, Transform.TruncateStr(255))
+      case "identity" => PartitionSpec(refCol, Transform.Identity)
+      case "bucket" => PartitionSpec(refCol, Transform.Bucket(intArg))
+      case "days" => PartitionSpec(refCol, Transform.EpochDay)
+      case "truncate" if isString(refCol) =>
+        PartitionSpec(refCol, Transform.TruncateStr(intArg))
+      case "truncate" => PartitionSpec(refCol, Transform.Truncate(intArg.toLong))
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition transform $other (identity, bucket, days, " +
+          "truncate map onto the table layer's transforms)")
+    }
+  }
+
+  private def identParts(p: LogicalPlan, prefix: String,
+      stmt: String): (String, String) = p match {
+    case u: UnresolvedIdentifier if isGraft(u.nameParts, prefix) =>
+      splitIdent(u.nameParts, prefix)
+    case other => throw new IllegalArgumentException(
+      s"$stmt target is not a $prefix.* table: $other")
   }
 
   /** DELETE WHERE routing onto the table layer's native delete shapes:

@@ -217,6 +217,57 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("CTAS creates, seeds, partitions and stamps properties; DROP TABLE honors IF EXISTS") {
+    val cat = freshCat()
+    GraftSql.sql(spark, cat, "CREATE NAMESPACE graft.ddl")
+    items.createOrReplaceTempView("gsql_ctas_src")
+    val c = try GraftSql.sql(spark, cat,
+        """CREATE TABLE graft.ddl.t
+          |PARTITIONED BY (size, bucket(4, count))
+          |TBLPROPERTIES ('quality.tier' = 'gold')
+          |AS SELECT * FROM gsql_ctas_src""".stripMargin).collect().head
+      finally spark.catalog.dropTempView("gsql_ctas_src")
+    // seq 0 is the TBLPROPERTIES commit, seq 1 the seed data commit
+    assert(c.getString(1) == "create_as_select" && c.getLong(2) == 1L)
+    val t = cat.openTable("ddl", "t")
+    assert(t.read().count() == 5)
+    assert(t.properties().get("quality.tier").contains("gold"))
+    // the CTAS layout is the table layer's own hidden partitioning: an
+    // equality probe on the partition column prunes files like a Scala
+    // appendPartitioned write would
+    assert(t.readEq("size", "small").count() == 2)
+    // IF NOT EXISTS no-ops on the existing table; a bare CREATE refuses
+    assert(GraftSql.sql(spark, cat,
+      "CREATE TABLE IF NOT EXISTS graft.ddl.t AS SELECT 1 AS x")
+      .collect().head.getString(1) == "create_noop")
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, cat, "CREATE TABLE graft.ddl.t AS SELECT 1 AS x")
+    }
+    // REPLACE resets history and schema; reads through graft SQL see it
+    GraftSql.sql(spark, cat,
+      "REPLACE TABLE graft.ddl.t AS SELECT 42 AS answer")
+    val replaced = GraftSql.sql(spark, cat, "SELECT answer FROM graft.ddl.t")
+    assert(replaced.collect().map(_.getInt(0)).toSeq == Seq(42))
+    // CTAS may read graft tables in its own query
+    GraftSql.sql(spark, cat,
+      "CREATE TABLE graft.ddl.t2 AS SELECT answer * 2 AS a2 FROM graft.ddl.t")
+    assert(GraftSql.sql(spark, cat, "SELECT a2 FROM graft.ddl.t2")
+      .collect().head.getInt(0) == 84)
+    // DROP
+    assert(GraftSql.sql(spark, cat, "DROP TABLE graft.ddl.t2")
+      .collect().head.getString(1) == "drop")
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, cat, "DROP TABLE graft.ddl.t2")
+    }
+    assert(GraftSql.sql(spark, cat, "DROP TABLE IF EXISTS graft.ddl.t2")
+      .collect().head.getString(1) == "drop_noop")
+    // unsupported clauses refuse loudly
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, cat,
+        "CREATE TABLE graft.ddl.t3 USING parquet AS SELECT 1 AS x")
+    }
+  }
+
   test("SQL reads keep column pruning and filter pushdown on the snapshot scan") {
     val cat = freshCat()
     cat.createNamespace("ns")
