@@ -378,8 +378,11 @@ object GraftSql {
     }
   }
 
+  private val MetaTables = Set("snapshots", "partitions", "refs", "files")
+
   private def isGraft(ident: Seq[String], prefix: String): Boolean =
-    (ident.length == 2 || ident.length == 3) && ident.head == prefix
+    ident.head == prefix && (ident.length == 2 || ident.length == 3 ||
+      (ident.length == 4 && MetaTables.contains(ident(3))))
 
   private def splitIdent(ident: Seq[String], prefix: String): (String, String) =
     ident match {
@@ -392,11 +395,29 @@ object GraftSql {
   private def readPlan(spark: SparkSession, cat: GraftCatalog,
       ident: Seq[String], prefix: String,
       ts: Option[Expression], ver: Option[String]): LogicalPlan = {
+    // graft.<ns>.<table>.<meta> — the Iceberg metadata tables
+    if (ident.length == 4) {
+      require(ts.isEmpty && ver.isEmpty,
+        s"metadata table ${ident.mkString(".")} does not support time travel")
+      val t = cat.openTable(ident(1), ident(2))
+      val df = ident(3) match {
+        case "snapshots" => t.snapshotsMeta
+        case "partitions" => t.partitionsMeta
+        case "refs" => t.refsMeta
+        case "files" => t.filesMeta
+      }
+      return df.queryExecution.analyzed
+    }
     val (ns, tbl) = splitIdent(ident, prefix)
     val t = cat.openTable(ns, tbl)
     val df = (ts, ver) match {
       case (None, None) => t.read()
-      case (None, Some(v)) => t.read(asOf = java.lang.Long.parseLong(v))
+      case (None, Some(v)) if v.forall(_.isDigit) => t.read(asOf = v.toLong)
+      case (None, Some(v)) => // VERSION AS OF '<tag-or-branch>' (Iceberg refs)
+        if (t.tags.contains(v)) t.readTag(v)
+        else if (t.branches.contains(v)) t.branch(v).read()
+        else throw new IllegalArgumentException(
+          s"no tag or branch named '$v' on $ns.$tbl")
       case (Some(e), None) => t.readAsOfTime(tsMillis(e))
       case (Some(_), Some(_)) => throw new IllegalArgumentException(
         "specify VERSION AS OF or TIMESTAMP AS OF, not both")

@@ -268,6 +268,39 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("metadata tables and tag/branch refs resolve in SQL") {
+    val cat = freshCat()
+    cat.createNamespace("ns")
+    val t = cat.createTable("ns", "t")
+    t.append(items) // seq 0
+    t.tag("train-v1")
+    t.delete(Seq("A").toDF("name"), Seq("name")) // seq 1
+    val br = t.createBranch("audit")
+    br.append(Seq(("Z", "huge", 99)).toDF("name", "size", "count"))
+    // snapshots metadata table through SQL, filterable like any relation
+    val snaps = GraftSql.sql(spark, cat,
+      "SELECT seq, action FROM graft.ns.t.snapshots ORDER BY seq")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(snaps == Seq((0L, "add"), (1L, "delete")))
+    // refs lists main + the tag + the branch
+    val refs = GraftSql.sql(spark, cat,
+      "SELECT name, kind FROM graft.ns.t.refs ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(refs == Seq(("audit", "branch"), ("main", "branch"), ("train-v1", "tag")))
+    // VERSION AS OF a tag name reads the tagged snapshot (5 rows, pre-delete)
+    assert(GraftSql.sql(spark, cat,
+      "SELECT * FROM graft.ns.t VERSION AS OF 'train-v1'").count() == 5)
+    // VERSION AS OF a branch name reads the branch head (4 + Z = 5 rows)
+    val branchRows = GraftSql.sql(spark, cat,
+      "SELECT name FROM graft.ns.t VERSION AS OF 'audit'")
+      .collect().map(_.getString(0)).toSet
+    assert(branchRows == Set("B", "C", "D", "E", "Z"))
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, cat,
+        "SELECT * FROM graft.ns.t VERSION AS OF 'no-such-ref'").collect()
+    }
+  }
+
   test("SQL reads keep column pruning and filter pushdown on the snapshot scan") {
     val cat = freshCat()
     cat.createNamespace("ns")
