@@ -4,9 +4,9 @@ import graft.table.{GraftCatalog, PartitionSpec, Transform}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedFunction, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedFunction, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedTable}
 import org.apache.spark.sql.catalyst.expressions.{And, Between, Cast, EqualTo, Expression, GreaterThanOrEqual, In, LessThanOrEqual, Literal, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, CreateNamespace, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, ReplaceTableAsSelect, TableSpecBase, UnresolvedTableSpec, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, Assignment, CreateNamespace, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, ReplaceTableAsSelect, SetTableProperties, TableSpecBase, UnresolvedTableSpec, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, Transform => V2Transform}
 import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.graft.SparkShims
@@ -162,6 +162,42 @@ object GraftSql {
         }
         cat.createNamespace(ns) // idempotent, like the REST catalog's 409-tolerance
         dmlSummary(spark, ns, "create_namespace", -1L)
+
+      case ac: AddColumns =>
+        val (ns, tbl) = targetIdent(ac.table, prefix, "ALTER TABLE")
+        val t = cat.openTable(ns, tbl)
+        val seqs = ac.columnsToAdd.map { c =>
+          require(c.path.isEmpty && c.comment.isEmpty && c.position.isEmpty,
+            "ADD COLUMNS supports top-level `<name> <type> [DEFAULT <lit>]` " +
+              "only (no nested paths, comments, or position clauses)")
+          t.addColumn(c.colName, c.dataType, c.default.map(_.originalSQL))
+        }
+        dmlSummary(spark, s"$ns.$tbl", "add_columns", seqs.last)
+
+      case rc: RenameColumn =>
+        val (ns, tbl) = targetIdent(rc.table, prefix, "ALTER TABLE")
+        require(rc.column.name.length == 1,
+          s"RENAME COLUMN supports top-level columns only: ${rc.column.name}")
+        val seq = cat.openTable(ns, tbl).renameColumn(rc.column.name.head, rc.newName)
+        dmlSummary(spark, s"$ns.$tbl", "rename_column", seq)
+
+      case alc: AlterColumns =>
+        val (ns, tbl) = targetIdent(alc.table, prefix, "ALTER TABLE")
+        val t = cat.openTable(ns, tbl)
+        val seqs = alc.specs.map { sp =>
+          require(sp.column.name.length == 1 && sp.newDataType.isDefined &&
+              sp.newNullability.isEmpty && sp.newComment.isEmpty &&
+              sp.newPosition.isEmpty,
+            "ALTER COLUMN supports `<top-level col> TYPE <wider type>` only " +
+              "(the table layer's widenColumn — id-stable promotion)")
+          t.widenColumn(sp.column.name.head, sp.newDataType.get)
+        }
+        dmlSummary(spark, s"$ns.$tbl", "alter_column_type", seqs.last)
+
+      case sp: SetTableProperties =>
+        val (ns, tbl) = targetIdent(sp.table, prefix, "ALTER TABLE")
+        val seq = cat.openTable(ns, tbl).setProperties(sp.properties)
+        dmlSummary(spark, s"$ns.$tbl", "set_properties", seq)
 
       case plan =>
         SparkShims.ofRows(spark, substitute(spark, cat, plan, prefix))
@@ -326,6 +362,8 @@ object GraftSql {
       stmt: String): (String, String) = table match {
     case u: UnresolvedRelation if isGraft(u.multipartIdentifier, prefix) =>
       splitIdent(u.multipartIdentifier, prefix)
+    case u: UnresolvedTable if isGraft(u.multipartIdentifier, prefix) =>
+      splitIdent(u.multipartIdentifier, prefix) // ALTER TABLE targets
     // the parser wraps DML targets in an alias node sometimes (MERGE ... AS t)
     case p if p.children.size == 1 => targetIdent(p.children.head, prefix, stmt)
     case other => throw new IllegalArgumentException(

@@ -301,6 +301,36 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER TABLE: add column with default, rename, widen type, set properties") {
+    val cat = freshCat()
+    cat.createNamespace("ns")
+    val t = cat.createTable("ns", "t")
+    t.append(items) // seq 0
+    // ADD COLUMNS with a DEFAULT: old rows serve the default on read
+    GraftSql.sql(spark, cat,
+      "ALTER TABLE graft.ns.t ADD COLUMNS (score INT DEFAULT 7)")
+    assert(GraftSql.sql(spark, cat,
+      "SELECT DISTINCT score FROM graft.ns.t").collect().map(_.getInt(0)).toSeq
+      == Seq(7))
+    // RENAME COLUMN: reads resolve the new name across old epochs
+    GraftSql.sql(spark, cat, "ALTER TABLE graft.ns.t RENAME COLUMN count TO qty")
+    assert(GraftSql.sql(spark, cat,
+      "SELECT qty FROM graft.ns.t WHERE name = 'B'").collect().head.getInt(0) == 15)
+    // ALTER COLUMN TYPE: id-stable widen, old epochs upcast on read
+    GraftSql.sql(spark, cat, "ALTER TABLE graft.ns.t ALTER COLUMN qty TYPE BIGINT")
+    assert(GraftSql.sql(spark, cat,
+      "SELECT qty FROM graft.ns.t WHERE name = 'B'").collect().head.getLong(0) == 15L)
+    // SET TBLPROPERTIES lands as table properties
+    GraftSql.sql(spark, cat,
+      "ALTER TABLE graft.ns.t SET TBLPROPERTIES ('quality.tier' = 'silver')")
+    assert(cat.openTable("ns", "t").properties()
+      .get("quality.tier").contains("silver"))
+    // narrowing refuses (widenColumn's contract), surfaced through SQL
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, cat, "ALTER TABLE graft.ns.t ALTER COLUMN qty TYPE INT")
+    }
+  }
+
   test("SQL reads keep column pruning and filter pushdown on the snapshot scan") {
     val cat = freshCat()
     cat.createNamespace("ns")
