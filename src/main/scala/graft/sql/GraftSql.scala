@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedFunction, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedTable}
 import org.apache.spark.sql.catalyst.expressions.{And, Between, Cast, EqualTo, Expression, GreaterThanOrEqual, In, LessThanOrEqual, Literal, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, Assignment, CreateNamespace, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, ReplaceTableAsSelect, SetTableProperties, TableSpecBase, UnresolvedTableSpec, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, Assignment, CreateNamespace, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, ReplaceTableAsSelect, SetTableProperties, TableSpecBase, UnresolvedTableSpec, UnresolvedWith, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, Transform => V2Transform}
 import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.graft.SparkShims
@@ -401,6 +401,13 @@ object GraftSql {
   private def substitute(spark: SparkSession, cat: GraftCatalog,
       plan: LogicalPlan, prefix: String): LogicalPlan = {
     val relsDone = plan.transformDown {
+      // CTE definitions are NOT in `children` (UnresolvedWith carries
+      // them beside its child), so a naive tree walk misses a graft
+      // relation inside WITH — substitute each definition explicitly
+      case w: UnresolvedWith =>
+        w.copy(cteRelations = w.cteRelations.map { case (n, sa, maxRec) =>
+          (n, sa.copy(child = substitute(spark, cat, sa.child, prefix)), maxRec)
+        })
       case tt: RelationTimeTravel => tt.relation match {
         case u: UnresolvedRelation if isGraft(u.multipartIdentifier, prefix) =>
           readPlan(spark, cat, u.multipartIdentifier, prefix,

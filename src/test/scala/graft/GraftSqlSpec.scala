@@ -89,6 +89,22 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(gone == Seq("E"))
   }
 
+  test("CTE definitions and set-operation branches resolve graft relations") {
+    val cat = freshCat()
+    cat.createNamespace("ns")
+    cat.createTable("ns", "t").append(items)
+    // WITH bodies are NOT plan children — a naive walk misses them
+    assert(GraftSql.sql(spark, cat,
+      """WITH big AS (SELECT * FROM graft.ns.t WHERE count >= 15),
+        |     med AS (SELECT * FROM graft.ns.t WHERE size = 'medium')
+        |SELECT * FROM big JOIN med ON big.name = med.name""".stripMargin)
+      .count() == 1) // big={B,D,E} ∩-by-name med={B,C} → B alone
+    assert(GraftSql.sql(spark, cat,
+      """SELECT * FROM graft.ns.t
+        |UNION ALL SELECT * FROM (SELECT * FROM graft.ns.t)""".stripMargin)
+      .count() == 10)
+  }
+
   test("scalar subqueries over graft relations resolve inside WHERE") {
     val cat = freshCat()
     cat.createNamespace("ns")
