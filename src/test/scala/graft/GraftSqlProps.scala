@@ -119,14 +119,24 @@ object GraftSqlProps extends Properties("graft-sql-differential") {
       val sqlT = cat.createTable("fz", "t")
       val apiT = GraftTable.createOrReplace(spark, root.resolve("api").toString)
       ops.foreach { op => applySql(cat, op); applyApi(apiT, op) }
+      // the SQL-built table is also READ through SQL text (head and every
+      // VERSION AS OF), so the comparison exercises the front end's read
+      // path at every snapshot, not just its write path
+      def snapSql(k: Long): Seq[(String, String, Int)] = {
+        import spark.implicits._
+        val rel = if (k == Long.MaxValue) "graft.fz.t"
+          else s"graft.fz.t VERSION AS OF $k"
+        GraftSql.sql(spark, cat, s"SELECT name, size, count FROM $rel")
+          .as[(String, String, Int)].collect().toSeq.sorted
+      }
       val headOk = sqlT.headSeq == apiT.headSeq &&
-        snap(sqlT, Long.MaxValue) == snap(apiT, Long.MaxValue)
+        snapSql(Long.MaxValue) == snap(apiT, Long.MaxValue)
       val historyOk = (0L to math.max(sqlT.headSeq, 0L)).forall { k =>
-        snap(sqlT, k) == snap(apiT, k)
+        snapSql(k) == snap(apiT, k)
       }
       if (!(headOk && historyOk)) {
         println(s"SQL/API DIVERGENCE ops=$ops\n sql head=${sqlT.headSeq} " +
-          s"${snap(sqlT, Long.MaxValue)}\n api head=${apiT.headSeq} " +
+          s"${snapSql(Long.MaxValue)}\n api head=${apiT.headSeq} " +
           s"${snap(apiT, Long.MaxValue)}")
       }
       headOk && historyOk
