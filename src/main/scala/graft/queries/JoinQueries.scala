@@ -1090,15 +1090,25 @@ object JoinQueries extends QueryPack {
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_name"),
           Dec.asLong(col("s_acctbal"), 2).as("bal_x1e2"), col("n_name"))
-      // pair-grain quoted cost: the ONE corpus-scale shuffle
+      // pair-grain quoted cost over ONE explicit l_partkey exchange (the
+      // q17 key-prefix pattern): the partkey hash partitioning satisfies
+      // both the (partkey, suppkey) rollup's clustering AND the window's
+      // partitionBy below, so the window adds no exchange of its own
       val ps = Tables.lineitem(s, dir)
         .join(pf.select("p_partkey"), col("l_partkey") === col("p_partkey"))
         .select(col("l_partkey"), col("l_suppkey"),
           expr("""CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
                  |div CAST(l_quantity AS BIGINT)""".stripMargin).as("unit"))
+        .repartition(col("l_partkey"))
         .groupBy("l_partkey", "l_suppkey").agg(min("unit").as("cost_x1e2"))
       // correlated MIN as a partition-min window over the aggregate-
-      // sized candidate set (≤ |slice| · |region suppliers| rows)
+      // sized candidate set (≤ |slice| · |region suppliers| rows).
+      // part IS scanned twice (slice filter here, p_name join below) —
+      // deliberately: carrying p_name through the corpus-scale pair
+      // rollup would widen the ONE fact shuffle by a string column to
+      // save an aggregate-sized broadcast join of a filtered dim — the
+      // wrong trade at 100 TB (the scan audit's documented-dim-rescan
+      // class, like Q8's dual-role nation)
       val w = Window.partitionBy("l_partkey")
       ps.join(rs, col("l_suppkey") === col("s_suppkey"))
         .withColumn("m", min(col("cost_x1e2")).over(w))
