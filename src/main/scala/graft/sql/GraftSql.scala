@@ -73,8 +73,12 @@ object GraftSql {
         // NAME (widening as needed) — SQL INSERT here is by-name, the
         // unambiguous contract for evolved schemas
         val src = SparkShims.ofRows(spark, substitute(spark, cat, ins.query, prefix))
-        val n = src.count()
         val seq = t.append(src)
+        // rows_appended from the commit's OWN per-file row counts — a
+        // driver-side count() would re-evaluate the source (two scans of
+        // an arbitrary query, and a second answer if it's non-deterministic)
+        val n = t.snapshots.find(_.seq == seq)
+          .map(_.fileRows.sum).getOrElse(-1L)
         spark.createDataFrame(
           java.util.List.of(Row(s"$ns.$tbl", n, seq)),
           StructType(Seq(StructField("table", StringType, nullable = false),
