@@ -64,16 +64,29 @@ object GraftSql {
             s"INSERT target is not a $prefix.* table: $other")
         }
         require(ins.partitionSpec.isEmpty && ins.userSpecifiedCols.isEmpty &&
-            !ins.overwrite && !ins.ifPartitionNotExists,
-          "only plain `INSERT INTO <table> <query>` is supported " +
-            "(no PARTITION clause, column list, or OVERWRITE)")
+            !ins.ifPartitionNotExists,
+          "only `INSERT [OVERWRITE] <table> <query>` is supported " +
+            "(no PARTITION clause or column list)")
         val (ns, tbl) = splitIdent(ident, prefix)
         val t = cat.openTable(ns, tbl)
         // append() conforms the batch to the table's current schema by
         // NAME (widening as needed) — SQL INSERT here is by-name, the
         // unambiguous contract for evolved schemas
         val src = SparkShims.ofRows(spark, substitute(spark, cat, ins.query, prefix))
-        val seq = t.append(src)
+        val seq = if (ins.overwrite) {
+          // INSERT OVERWRITE = DYNAMIC partition overwrite (the daily-
+          // backfill op): the spec comes from the table's own layout, so
+          // only partitions the batch touches are replaced — never the
+          // whole table (Spark's dangerous non-dynamic default)
+          val specs = t.snapshots.reverse.collectFirst {
+            case e if e.partSpec.nonEmpty => e.partSpec
+          }.toSeq.flatMap(_.split('+').toSeq).flatMap(Transform.parse)
+          require(specs.size == 1, if (specs.isEmpty)
+            "INSERT OVERWRITE requires a partitioned table (dynamic " +
+              "partition overwrite); this table has no partitioned layout"
+          else "INSERT OVERWRITE supports single-dimension layouts")
+          t.overwritePartitions(src, PartitionSpec(specs.head._1, specs.head._2))
+        } else t.append(src)
         // rows_appended from the commit's OWN per-file row counts — a
         // driver-side count() would re-evaluate the source (two scans of
         // an arbitrary query, and a second answer if it's non-deterministic)

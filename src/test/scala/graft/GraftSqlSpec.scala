@@ -146,7 +146,7 @@ class GraftSqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { // missing table → catalog error
       GraftSql.sql(spark, cat, "SELECT * FROM graft.ns.nope").collect()
     }
-    intercept[IllegalArgumentException] { // INSERT OVERWRITE unsupported
+    intercept[IllegalArgumentException] { // OVERWRITE needs a partitioned layout
       GraftSql.sql(spark, cat,
         "INSERT OVERWRITE TABLE graft.ns.t SELECT * FROM graft.ns.t")
     }
@@ -282,6 +282,28 @@ class GraftSqlSpec extends AnyFunSuite {
       GraftSql.sql(spark, cat,
         "CREATE TABLE graft.ddl.t3 USING parquet AS SELECT 1 AS x")
     }
+  }
+
+  test("INSERT OVERWRITE replaces only the touched partitions (dynamic overwrite)") {
+    val cat = freshCat()
+    GraftSql.sql(spark, cat, "CREATE NAMESPACE graft.ns")
+    val seed = s"gsql_ow_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    items.createOrReplaceTempView(seed)
+    try GraftSql.sql(spark, cat,
+        s"CREATE TABLE graft.ns.t PARTITIONED BY (size) AS SELECT * FROM $seed")
+      finally spark.catalog.dropTempView(seed)
+    val src = s"gsql_ow2_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // touches only size='small': A/D replaced by X, medium/large intact
+    Seq(("X", "small", 1)).toDF("name", "size", "count")
+      .createOrReplaceTempView(src)
+    try GraftSql.sql(spark, cat,
+        s"INSERT OVERWRITE TABLE graft.ns.t SELECT * FROM $src")
+      finally spark.catalog.dropTempView(src)
+    val got = GraftSql.sql(spark, cat, "SELECT name FROM graft.ns.t")
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("X", "B", "C", "E"),
+      "only the small partition may be replaced — dynamic overwrite, " +
+        "never the whole table")
   }
 
   test("metadata tables and tag/branch refs resolve in SQL") {
