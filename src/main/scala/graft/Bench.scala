@@ -67,44 +67,80 @@ object Bench {
     // stay single-shot: fresh state IS their timing.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
     val maxExtra = sys.env.getOrElse("SPARK_GRAFT_MAX_EXTRA", "2").toInt.max(0)
-    val perQuery = selected.map { case (name, fn) =>
-      def rep(i: Int): Double = {
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-          }
-        // a crash must not masquerade as a fast run: failed reps report
-        // -1 and are excluded; -1 stands only when EVERY rep failed
-        val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-        // per-rep progress to stderr AS IT COMPLETES: if the run is killed
-        // or the stdout line is lost, the partial timings still diagnose
-        // which query was slow (VERDICT r3: two driver rounds lost detail)
-        System.err.println(f"[bench] r$i $name%-28s ${sec}%8.3f s")
-        sec
-      }
-      var ts = (1 to passes).map(rep).filter(_ >= 0).toList
-      def unsettled: Boolean = {
-        val sorted = ts.sorted
-        sorted.size < 2 || sorted(1) > sorted(0) * 1.2
-      }
+    def isSettled(ts: List[Double]): Boolean = {
+      val sorted = ts.sorted
+      sorted.size >= 2 && sorted(1) <= sorted(0) * 1.2
+    }
+    def repOf(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        i: Int): Double = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      // a crash must not masquerade as a fast run: failed reps report
+      // -1 and are excluded; -1 stands only when EVERY rep failed
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // per-rep progress to stderr AS IT COMPLETES: if the run is killed
+      // or the stdout line is lost, the partial timings still diagnose
+      // which query was slow (VERDICT r3: two driver rounds lost detail)
+      System.err.println(f"[bench] r$i $name%-28s ${sec}%8.3f s")
+      sec
+    }
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    selected.foreach { case (name, fn) =>
+      var ts = (1 to passes).map(repOf(name, fn, _)).filter(_ >= 0).toList
       var extra = 0
-      while (extra < maxExtra && unsettled) {
+      while (extra < maxExtra && !isSettled(ts)) {
         extra += 1
-        val s = rep(passes + extra)
+        val s = repOf(name, fn, passes + extra)
         if (s >= 0) ts ::= s
       }
-      // self-describing sample (VERDICT r9 #2): the record carries how
-      // many reps ran and how far apart the best two landed, so a reader
-      // can tell a real regression from an uncorroborated contended
-      // sample without diffing rounds. spread_pct = -1 when fewer than
-      // two reps succeeded (definitionally uncorroborated).
+      timings(name) = ts
+    }
+    // END-OF-RUN SETTLE SWEEPS (r11, VERDICT r10 #6): two consecutive
+    // driver rounds came in contended (r9: 3 uncorroborated entries,
+    // r10: 13 + a guard rejection). Mid-run contention is bursty — an
+    // entry that failed to corroborate often settles when retried in a
+    // different time window — so after the suite, re-run ONLY the
+    // still-unsettled entries, one rep per sweep, up to two sweeps,
+    // hard-capped by a wall-clock budget so a pathologically loaded box
+    // cannot double the bench. Entries whose every rep crashed are
+    // excluded (retrying a crasher buys nothing).
+    val settleBudgetS =
+      sys.env.getOrElse("SPARK_GRAFT_SETTLE_BUDGET_S", "120").toDouble
+    val settleT0 = System.nanoTime()
+    def settleSpent: Double = (System.nanoTime() - settleT0) / 1e9
+    var sweep = 0
+    while (sweep < 2 && settleSpent < settleBudgetS &&
+        timings.exists { case (_, ts) => ts.nonEmpty && !isSettled(ts) }) {
+      sweep += 1
+      val pending = selected.collect {
+        case (name, fn) if timings(name).nonEmpty && !isSettled(timings(name)) =>
+          (name, fn)
+      }
+      System.err.println(s"[bench] settle sweep $sweep: ${pending.size} " +
+        s"unsettled entries (${pending.map(_._1).take(8).mkString(", ")})")
+      pending.foreach { case (name, fn) =>
+        if (settleSpent < settleBudgetS) {
+          val s = repOf(name, fn, 90 + sweep)
+          if (s >= 0) timings(name) = s :: timings(name)
+        }
+      }
+    }
+    // self-describing sample (VERDICT r9 #2): the record carries how
+    // many reps ran and how far apart the best two landed, so a reader
+    // can tell a real regression from an uncorroborated contended
+    // sample without diffing rounds. spread_pct = -1 when fewer than
+    // two reps succeeded (definitionally uncorroborated).
+    val perQuery = timings.toSeq.map { case (name, ts) =>
       val sorted = ts.sorted
       val spreadPct =
         if (sorted.size < 2) -1.0 else 100.0 * (sorted(1) - sorted(0)) / sorted(0)
-      name -> QSample(if (ts.isEmpty) -1.0 else ts.min, ts.size, spreadPct, unsettled)
+      name -> QSample(if (ts.isEmpty) -1.0 else ts.min, ts.size, spreadPct,
+        !isSettled(ts))
     }
     // decoupled-ingest CONCURRENCY stress (VERDICT r5 #5 → r7 #6,
     // scaling toward decouple.rs:25-28's 200 writers × 100 files): 64
@@ -142,12 +178,18 @@ object Bench {
         val rowsPer = 50
         val src = Files.createTempDirectory("graft_stress_src")
         val t0 = System.nanoTime()
+        // ONE malformed line rides at the end of every file (r11,
+        // VERDICT r10 #2 — the reference's parse-error discipline,
+        // kafka-bench.rs:203-256: per-message errors counted, loop
+        // continues). A malformed row must neither kill its micro-batch
+        // epoch nor land in the table; it must be COUNTED.
         val threads = (0 until writers).map { w =>
           new Thread {
             override def run(): Unit =
               (0 until filesPer).foreach { f =>
                 val lines = (0 until rowsPer).map(i =>
-                  s"""{"name":"w$w-f$f-r$i","size":"${Seq("small", "medium", "large")(i % 3)}","count":${w * 1000 + f * 50 + i}}""")
+                  s"""{"name":"w$w-f$f-r$i","size":"${Seq("small", "medium", "large")(i % 3)}","count":${w * 1000 + f * 50 + i}}""") :+
+                  s"""{"name":"w$w-f$f-broken","size":"sm"""
                 Files.write(src.resolve(f"part-$w%02d-$f%02d.json"),
                   lines.mkString("\n").getBytes)
               }
@@ -158,15 +200,26 @@ object Bench {
         val table = GraftTable.createOrReplace(spark,
           Files.createTempDirectory("graft_stress_tbl").toString)
         val commitNanos = new java.util.concurrent.atomic.AtomicLong(0)
+        // PERMISSIVE capture: _corrupt_record in the schema routes
+        // malformed lines to a column instead of an epoch-killing error
         val stream = graft.sources.JsonFileSource(
-          src.toString, "name STRING, size STRING, count INT",
+          src.toString, "name STRING, size STRING, count INT, _corrupt_record STRING",
           maxFilesPerTrigger = 64).load(spark)
+        // accumulator inside the ONE append pass — a separate count()
+        // action would re-read every batch file and distort the drain/
+        // commit-share timings the scenario exists to measure (exact in
+        // local mode: no task retries to double-count)
+        val corruptAcc = spark.sparkContext.longAccumulator("corrupt_lines")
         val t1 = System.nanoTime()
         val q = stream.writeStream
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val ci = b.schema.fieldIndex("_corrupt_record")
+            val clean = b.filter { r: org.apache.spark.sql.Row =>
+              if (!r.isNullAt(ci)) { corruptAcc.add(1L); false } else true
+            }.drop("_corrupt_record")
             val c0 = System.nanoTime()
-            table.append(b)
+            table.append(clean)
             commitNanos.addAndGet(System.nanoTime() - c0); ()
           }
           .start()
@@ -177,7 +230,10 @@ object Bench {
         val commits = table.snapshots.size
         val rows = table.read().count()
         val want = writers.toLong * filesPer * rowsPer
+        val wantCorrupt = writers.toLong * filesPer
         require(rows == want, s"ingest stress lost rows: $rows != $want")
+        require(corruptAcc.value == wantCorrupt,
+          s"corrupt accounting broken: ${corruptAcc.value} != $wantCorrupt planted")
         require(commits <= writers * filesPer / 64 + 1,
           s"ingest stress over-committed: $commits commits")
         // NOTE: foreachBatch's append includes the batch's parquet WRITE
@@ -186,13 +242,15 @@ object Bench {
         // bound on what the single committer adds
         System.err.println(
           f"[bench] x_ingest_stress: $rows rows / $writers writers, $commits commits, " +
+            f"${corruptAcc.value} malformed lines counted+skipped, " +
             f"write ${writeSec}%.3f s + drain ${drainSec}%.3f s " +
             f"(append+commit ${commitSec}%.3f s = ${100 * commitSec / sec}%.0f%% of total) " +
             f"= ${sec}%.3f s (${rows / sec}%.0f rows/s)")
         val stages = s"""{"writers":$writers,"files_per":$filesPer,""" +
           f""""write_s":${writeSec}%.3f,"drain_s":${drainSec}%.3f,""" +
           f""""commit_s":${commitSec}%.3f,"commit_share_pct":${100 * commitSec / sec}%.1f,""" +
-          f""""total_s":${sec}%.3f,"rows":$rows,"commits":$commits}"""
+          f""""total_s":${sec}%.3f,"rows":$rows,"commits":$commits,""" +
+          s""""corrupt_rows":${corruptAcc.value}}"""
         // the full-parameter run's shares persist in their own sidecar so
         // a later default-parameter bench run cannot clobber the evidence
         if (stressFull) Files.writeString(Paths.get("STRESS_FULL.json"), stages)
@@ -538,6 +596,37 @@ object Bench {
           }
         }.toMap
     }
+    // FLOOR DECOMPOSITION (r11, VERDICT r10 #7): q_stream_session's
+    // fixed floor splits into (a) the AvailableNow lifecycle + state-
+    // store commit — measured here by running the SAME streaming stack
+    // with a trivial stateful agg (groupBy count, no session merging) at
+    // floor scale — and (b) the session-window merge on top. Recording
+    // the lifecycle share next to floor_s lets a reader attribute the
+    // entry's ratio: if (a) ≈ floor, the cost is engine lifecycle (no
+    // plan to fix); only a large (b) would implicate the session
+    // operator itself.
+    val floorLifecycleS: Option[Double] = {
+      val floorDir = Paths.get(sfDir).resolveSibling("sf0.001")
+      if (!Files.isDirectory(floorDir) || floorDir.toString == sfDir ||
+          !floors.contains("q_stream_session")) None
+      else try {
+        val t0 = System.nanoTime()
+        val sink = "graft_floor_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = Tables.eventsStream(spark, floorDir.toString)
+          .groupBy(org.apache.spark.sql.functions.col("event_type"))
+          .count()
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("complete").format("memory").queryName(sink)
+          .start()
+        try q.awaitTermination() finally spark.catalog.dropTempView(sink)
+        val f = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] floor lifecycle (trivial stateful agg)  ${f}%8.3f s (sf0.001)")
+        Some(f)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] floor lifecycle failed: ${e.getMessage}"); None
+      }
+    }
     // the x_* stress scenarios are single-shot BY DESIGN (fresh state is
     // their timing) — one rep, settled by construction, spread n/a
     val results = perQuery ++
@@ -572,8 +661,10 @@ object Bench {
     def record: String = {
       val detail = results.map { case (k, s) =>
         val floor = floors.get(k).map(f => s",\"floor_s\":${fmt(f, 3)}").getOrElse("")
+        val lifec = floorLifecycleS.filter(_ => k == "q_stream_session")
+          .map(f => s",\"floor_lifecycle_s\":${fmt(f, 3)}").getOrElse("")
         s"\"$k\":{\"secs\":${fmt(s.secs, 3)},\"reps\":${s.reps}," +
-          s"\"spread_pct\":${fmt(s.spreadPct, 1)}$floor}"
+          s"\"spread_pct\":${fmt(s.spreadPct, 1)}$floor$lifec}"
       }.mkString("{", ",", "}")
       val qs = results.map { case (k, s) => s"\"$k\":${fmt(s.secs, 3)}" }
         .mkString("{", ",", "}")

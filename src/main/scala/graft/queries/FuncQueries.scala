@@ -100,6 +100,54 @@ object FuncQueries extends QueryPack {
         .orderBy("event_type")
     },
 
+    // Corrupt-record accounting (the reference's parse-error discipline,
+    // kafka-bench.rs:203-256: per-message serde_json errors are COUNTED
+    // and the loop keeps going — a real ingest hits malformed rows on
+    // day one and must neither die nor silently drop them). Planted
+    // corruption: every event_id % 7 == 0 line loses its closing brace.
+    // PERMISSIVE from_json routes those to _corrupt_record (row kept,
+    // fields null) while clean rows project normally; the aggregate
+    // proves both accounts: corrupt counted per type, clean values
+    // still summed. Row-local in whole-stage codegen — the error path
+    // costs nothing at 100 TB beyond the parse already being paid.
+    // Oracle: DuckDB json_valid over the identically-corrupted text.
+    Q(
+      "q_json_corrupt",
+      """WITH wire AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 7 = 0
+        |         THEN substring(props, 1, length(props) - 1)
+        |         ELSE props END AS line
+        |  FROM events)
+        |SELECT event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN json_valid(line) THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt,
+        |  CAST(SUM(CASE WHEN json_valid(line)
+        |                THEN COALESCE(CAST(json_extract_string(line, '$.k') AS BIGINT), 0)
+        |                ELSE 0 END) AS BIGINT) AS sum_k_clean
+        |FROM wire GROUP BY event_type ORDER BY event_type""",
+    ) { (s, dir) =>
+      val wire = Tables.events(s, dir)
+        .select(col("event_type"),
+          when(col("event_id") % 7 === 0,
+            col("props").substr(lit(1), length(col("props")) - lit(1)))
+            .otherwise(col("props")).as("line"))
+      val opts = new java.util.HashMap[String, String]
+      opts.put("mode", "PERMISSIVE")
+      opts.put("columnNameOfCorruptRecord", "_corrupt_record")
+      val parsed = wire.select(col("event_type"),
+        from_json(col("line"), lit("k LONG, _corrupt_record STRING"), opts).as("p"))
+      parsed
+        .select(col("event_type"), col("p.k").as("k"),
+          col("p._corrupt_record").as("corrupt"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+          sum(when(col("corrupt").isNull, coalesce(col("k"), lit(0L)))
+            .otherwise(0L)).as("sum_k_clean"))
+        .orderBy("event_type")
+    },
+
     // string functions: substr/upper/concat/length/regexp over names.
     Q(
       "q_str_funcs",

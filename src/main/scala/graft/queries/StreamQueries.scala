@@ -80,6 +80,29 @@ object StreamQueries extends QueryPack {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Run `body` with the RocksDB state store provider (in Spark 4 core,
+    * no extra jar). Session windows hold per-user merging state that
+    * grows with the key space — the HDFS-backed default keeps ALL of it
+    * on the JVM heap, which is the thing that falls over at warehouse
+    * scale; RocksDB spills to native memory/disk and compacts. Measured
+    * locally it is also ~10% faster per run on the session entry (r10
+    * verdict #7: floor decomposition showed lifecycle+state-commit
+    * dominating, floor_lifecycle_s in BENCH_LOCAL). Conf is restored
+    * after the run so the other stream entries keep their settled
+    * provider.
+    */
+  private[graft] def withRocksDbState[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   private def rmTree(p: java.nio.file.Path): Unit = {
     val w = Files.walk(p)
     try w.sorted(java.util.Comparator.reverseOrder())
@@ -273,6 +296,16 @@ object StreamQueries extends QueryPack {
         |SELECT user_id, sid, MIN(tus) AS session_start_us, MAX(tus) AS session_end_us, COUNT(*) AS n
         |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""",
     ) { (s, dir) =>
+      // state-store provider: measured both (r11). Warm within one JVM
+      // RocksDB edges the HDFS-backed default (~1.15 vs ~1.28 s/run at
+      // sf0.01), but each bench rep opens a FRESH checkpoint and pays
+      // RocksDB's per-instance cold init, which at bench scale exceeds
+      // the win — and the floor decomposition (floor_lifecycle_s in
+      // BENCH_LOCAL) attributes the entry's fixed cost to the streaming
+      // lifecycle, not session merging. So the ENTRY keeps the default
+      // provider; a warehouse-scale deployment (per-user state that
+      // cannot live on the JVM heap) flips to RocksDB via
+      // withRocksDbState — equivalence is spec-pinned in StreamingSpec.
       val sessions = streamedEvents(s, dir) { ev =>
         ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
           .agg(count(lit(1)).as("n"))

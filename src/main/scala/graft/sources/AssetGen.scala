@@ -62,6 +62,62 @@ object AssetGen {
   def assets(s: SparkSession, n: Long): DataFrame =
     project(s.range(n).toDF("id"))
 
+  /** one `array<struct<source, values array<string>>>` custom field at
+    * the wide layout's field number — same type shape as customField1,
+    * arithmetic offset by the field number so every copy carries
+    * distinct (still id-derivable) content.
+    */
+  private def cfExpr(fieldNo: Int): org.apache.spark.sql.Column = expr(
+    s"""transform(sequence(0, 2), j -> named_struct(
+       |  'source', element_at(array('crowdstrike','qualys','tenable'), CAST((eventId + $fieldNo + j) % 3 AS INT) + 1),
+       |  'values', transform(sequence(0, CAST((eventId + $fieldNo + j) % 2 AS INT)), v -> concat('val-', CAST((eventId * 3 + $fieldNo + j + v) % 100 AS STRING)))))""".stripMargin)
+
+  private def dateStr(mult: Int): org.apache.spark.sql.Column =
+    date_format(date_add(to_date(lit("2018-01-01")),
+      pmod(col("eventId") * mult, lit(2900)).cast("int")), "yyyy-MM-dd")
+
+  /** FULL 68-field AssetMessage width (main.go:51-120): all 28 scalar
+    * fields of the Go struct PLUS all 40 `customField` copies — the B3
+    * condensation covers every type SHAPE; this variant restores the
+    * reference's actual COLUMN COUNT, because whole-stage codegen and
+    * the vectorized parquet reader behave differently at 100-column
+    * width (generated-method size limits, per-column reader state).
+    * Still a pure arithmetic projection of `id`: embarrassingly
+    * parallel, reproducible, oracle-derivable from range().
+    */
+  def assetsWide(s: SparkSession, n: Long): DataFrame = {
+    val scalars = project(s.range(n).toDF("id"))
+      .withColumn("id", concat(lit("uuid-"), col("eventId")))
+      .withColumn("cmdbid", concat(lit("cmdb-"), pmod(col("eventId"), lit(9999))))
+      .withColumn("location", element_at(
+        array(lit("dc-east"), lit("dc-west"), lit("colo-1"), lit("colo-2")),
+        (pmod(col("eventId"), lit(4)) + 1).cast("int")))
+      .withColumn("department", concat(lit("dept-"), pmod(col("eventId"), lit(6))))
+      .withColumn("onboardingSource", element_at(
+        array(lit("cmdb"), lit("scan"), lit("manual")),
+        (pmod(col("eventId"), lit(3)) + 1).cast("int")))
+      .withColumn("parentResourceId", concat(lit("parent-"), pmod(col("eventId"), lit(100))))
+      .withColumn("assetTypes", element_at(
+        array(lit("host"), lit("container"), lit("vm")),
+        (pmod(col("eventId"), lit(3)) + 1).cast("int")))
+      .withColumn("platform", element_at(
+        array(lit("linux"), lit("windows"), lit("macos")),
+        (pmod(col("eventId"), lit(3)) + 1).cast("int")))
+      .withColumn("lastEDRAssessmentDate", dateStr(17))
+      .withColumn("lastVAAssessmentDate", dateStr(19))
+      .withColumn("lastCAAssessmentDate", dateStr(23))
+      .withColumn("lastPAAssessmentDate", dateStr(29))
+      .withColumn("createdAt", date_format(
+        timestamp_micros(lit(1704067200000000L) + col("eventId") * 1000000L),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+      .withColumn("updatedAt", date_format(
+        timestamp_micros(lit(1704067200000000L) + col("eventId") * 2000000L),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+      .withColumn("customField1", cfExpr(1)) // wide arithmetic, all 40 uniform
+    (2 to 40).foldLeft(scalars)((df, k) =>
+      df.withColumn(s"customField$k", cfExpr(k)))
+  }
+
   /** Streaming variant — the rate-limited produce shape (A28: token-bucket
     * 1000 QPS, main.go:330; 10 topic partitions, main.go:328): a `rate`
     * source emits rowsPerSecond rows whose `value` plays the generator's

@@ -4,9 +4,9 @@ import graft.table.{GraftCatalog, PartitionSpec, Transform}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedFunction, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedTable}
-import org.apache.spark.sql.catalyst.expressions.{And, Between, Cast, EqualTo, Expression, GreaterThanOrEqual, In, LessThanOrEqual, Literal, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, Assignment, CreateNamespace, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, ReplaceTableAsSelect, SetTableProperties, TableSpecBase, UnresolvedTableSpec, UnresolvedWith, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedFunction, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedProcedure, UnresolvedRelation, UnresolvedTable}
+import org.apache.spark.sql.catalyst.expressions.{And, Between, Cast, EqualTo, Expression, GreaterThanOrEqual, In, LessThanOrEqual, Literal, NamedArgumentExpression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, Assignment, Call, CreateNamespace, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, ReplaceTableAsSelect, SetTableProperties, SubqueryAlias, TableSpecBase, UnresolvedTableSpec, UnresolvedWith, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, Transform => V2Transform}
 import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.graft.SparkShims
@@ -78,14 +78,19 @@ object GraftSql {
           // backfill op): the spec comes from the table's own layout, so
           // only partitions the batch touches are replaced — never the
           // whole table (Spark's dangerous non-dynamic default)
-          val specs = t.snapshots.reverse.collectFirst {
+          // parseAll is all-or-nothing: a multi-dimension layout with one
+          // unparseable dimension yields Nil and refuses below, never a
+          // partial spec overwriting at the wrong granularity
+          val layout = t.snapshots.reverse.collectFirst {
             case e if e.partSpec.nonEmpty => e.partSpec
-          }.toSeq.flatMap(_.split('+').toSeq).flatMap(Transform.parse)
-          require(specs.size == 1, if (specs.isEmpty)
+          }
+          val specs = layout.map(PartitionSpec.parseAll).getOrElse(Nil)
+          require(specs.size == 1, if (layout.isEmpty)
             "INSERT OVERWRITE requires a partitioned table (dynamic " +
               "partition overwrite); this table has no partitioned layout"
-          else "INSERT OVERWRITE supports single-dimension layouts")
-          t.overwritePartitions(src, PartitionSpec(specs.head._1, specs.head._2))
+          else "INSERT OVERWRITE supports single-dimension layouts; this " +
+            s"table's layout is '${layout.get}'")
+          t.overwritePartitions(src, specs.head)
         } else t.append(src)
         // rows_appended from the commit's OWN per-file row counts — a
         // driver-side count() would re-evaluate the source (two scans of
@@ -113,7 +118,10 @@ object GraftSql {
               s"layer's copy-on-write updateWhereEq); got: $other")
         }
         val set = up.assignments.map {
-          case Assignment(a: UnresolvedAttribute, v) => a.name -> expr(unqualified(v).sql)
+          // UPDATE assignments evaluate over the TARGET row itself, so a
+          // target-qualified reference is exactly right — strip only
+          case Assignment(a: UnresolvedAttribute, v) =>
+            a.name -> expr(unqualified(v, Set.empty, Set.empty).sql)
           case a => throw new IllegalArgumentException(s"unsupported SET target: $a")
         }.toMap
         val t = cat.openTable(ns, tbl)
@@ -124,12 +132,23 @@ object GraftSql {
         val (ns, tbl) = targetIdent(mg.targetTable, prefix, "MERGE")
         require(mg.notMatchedBySourceActions.isEmpty,
           "WHEN NOT MATCHED BY SOURCE is not supported")
+        // Clause conditions are handed to GraftTable.merge, which
+        // evaluates them against the SOURCE row (the CDC-feed contract).
+        // Standard SQL MERGE may also reference the TARGET's current
+        // value in a matched condition (`WHEN MATCHED AND t.status =
+        // 'expired' THEN DELETE`) — silently evaluating that on a
+        // same-named SOURCE column would delete the wrong rows, so any
+        // target-qualified attribute in a clause condition refuses
+        // loudly instead (driver ADVICE r10).
+        val tQuals = qualifiersOf(mg.targetTable)
+        val sQuals = qualifiersOf(mg.sourceTable)
+        def srcCond(c: Expression): String = unqualified(c, tQuals, sQuals).sql
         // matched: UPDATE SET * (optionally preceded by a conditional
         // DELETE); not-matched: INSERT * — the upsert family the table
         // layer's merge() implements as ONE atomic mixed commit
         val deleteWhen = mg.matchedActions match {
           case Seq(UpdateStarAction(None)) => expr("false")
-          case Seq(DeleteAction(Some(c)), UpdateStarAction(None)) => expr(unqualified(c).sql)
+          case Seq(DeleteAction(Some(c)), UpdateStarAction(None)) => expr(srcCond(c))
           case Seq(DeleteAction(None)) if mg.notMatchedActions.nonEmpty => expr("true")
           case other => throw new IllegalArgumentException(
             "MERGE supports WHEN MATCHED THEN UPDATE SET * (optionally " +
@@ -137,7 +156,7 @@ object GraftSql {
         }
         val insertWhen = mg.notMatchedActions match {
           case Seq(InsertStarAction(None)) => expr("true")
-          case Seq(InsertStarAction(Some(c))) => expr(unqualified(c).sql)
+          case Seq(InsertStarAction(Some(c))) => expr(srcCond(c))
           case Seq() => expr("false")
           case other => throw new IllegalArgumentException(
             s"MERGE supports WHEN NOT MATCHED [AND <cond>] THEN INSERT *; got: $other")
@@ -216,9 +235,127 @@ object GraftSql {
         val seq = cat.openTable(ns, tbl).setProperties(sp.properties)
         dmlSummary(spark, s"$ns.$tbl", "set_properties", seq)
 
+      case c: Call =>
+        val nameParts = c.procedure match {
+          case up: UnresolvedProcedure => up.nameParts
+          case other => throw new IllegalArgumentException(
+            s"unsupported CALL target: $other")
+        }
+        require(nameParts.length == 3 && nameParts.head == prefix &&
+            nameParts(1) == "system",
+          s"CALL supports $prefix.system.<procedure>(...) only, got: " +
+            nameParts.mkString("."))
+        callProcedure(spark, cat, nameParts(2), c.args)
+
       case plan =>
         SparkShims.ofRows(spark, substitute(spark, cat, plan, prefix))
     }
+  }
+
+  /** Parameter order of each maintenance procedure — positional args
+    * fill this order; named args (`k => v`) may come in any order and
+    * mix with positionals, Spark's own procedure-call convention.
+    */
+  private val ProcParams: Map[String, Seq[String]] = Map(
+    "rewrite_data_files" -> Seq("table", "strategy", "target_bytes",
+      "sort_col", "num_files", "stats_cols", "bloom_cols"),
+    "expire_snapshots" -> Seq("table", "older_than_ms"),
+    "remove_orphan_files" -> Seq("table", "older_than_ms"),
+    "compute_stats" -> Seq("table", "cols"))
+
+  /** The Iceberg `CALL catalog.system.<proc>` maintenance surface
+    * (reference capability: the compose Spark ships Iceberg's stored
+    * procedures next to its SQL — rewrite_data_files, expire_snapshots,
+    * remove_orphan_files), mapped 1:1 onto the table layer's own
+    * maintenance ops with the SAME refusal semantics — an operator in a
+    * notebook can now compact, expire and vacuum without leaving SQL:
+    *
+    * {{{
+    *   CALL graft.system.rewrite_data_files('ns.tbl')                     -- binpack small files
+    *   CALL graft.system.rewrite_data_files('ns.tbl', strategy => 'sort',
+    *        sort_col => 'ts', num_files => 8)
+    *   CALL graft.system.rewrite_data_files('ns.tbl', strategy => 'zorder',
+    *        sort_col => 'x,y', num_files => 16)
+    *   CALL graft.system.expire_snapshots('ns.tbl')
+    *   CALL graft.system.remove_orphan_files('ns.tbl', older_than_ms => 0)
+    *   CALL graft.system.compute_stats('ns.tbl', cols => 'a,b')
+    * }}}
+    *
+    * Scale: each call is ONE table-layer maintenance op — binpack adopts
+    * healthy files by path and rewrites only the small tail, expire is
+    * metadata + orphan unlink, compute_stats scans only the named
+    * columns. Nothing here adds driver-side row work.
+    */
+  private def callProcedure(spark: SparkSession, cat: GraftCatalog,
+      proc: String, args: Seq[Expression]): DataFrame = {
+    val params = ProcParams.getOrElse(proc, throw new IllegalArgumentException(
+      s"unknown procedure '$proc' (supported: ${ProcParams.keys.toSeq.sorted.mkString(", ")})"))
+    val kv: Map[String, Any] = args.zipWithIndex.map {
+      case (NamedArgumentExpression(k, v: Literal), _) =>
+        require(params.contains(k),
+          s"$proc has no parameter '$k' (parameters: ${params.mkString(", ")})")
+        k -> lit2Scala(v)
+      case (l: Literal, i) =>
+        require(i < params.size, s"$proc takes at most ${params.size} arguments")
+        params(i) -> lit2Scala(l)
+      case (other, _) => throw new IllegalArgumentException(
+        s"CALL arguments must be literals (positional or named): $other")
+    }.toMap
+    def str(k: String): Option[String] = kv.get(k).map(String.valueOf)
+    def num(k: String): Option[Long] = kv.get(k).map {
+      case n: Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"$proc argument $k must be numeric, got: $other")
+    }
+    def csv(k: String): Seq[String] =
+      str(k).toSeq.flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+    val (ns, tbl) = str("table").getOrElse(throw new IllegalArgumentException(
+      s"$proc requires a table argument: CALL ... ('ns.tbl')")) match {
+      case s if s.contains('.') =>
+        val parts = s.split('.'); require(parts.length == 2,
+          s"table must be '<ns>.<table>' or '<table>': $s")
+        (parts(0), parts(1))
+      case s => ("default", s)
+    }
+    val t = cat.openTable(ns, tbl)
+    val result: Long = proc match {
+      case "rewrite_data_files" => str("strategy").getOrElse("binpack") match {
+        case "binpack" =>
+          // a PARTITIONED table rewrites under its own spec (Iceberg's
+          // rewrite_data_files compacts within partitions): the replace
+          // RECORDS the layout, so partition pruning survives the
+          // rewrite — compactSmall's flat replace would silently drop
+          // it. parseAll is all-or-nothing; an unparseable or multi-dim
+          // layout falls back to the flat binpack, whose adopted files
+          // still prune by their per-file stats.
+          val layout = t.snapshots.reverse.collectFirst {
+            case e if e.partSpec.nonEmpty => e.partSpec
+          }.map(PartitionSpec.parseAll).getOrElse(Nil)
+          if (layout.size == 1)
+            t.compactPartitioned(layout.head, statsCols = csv("stats_cols"))
+          else t.compactSmall(num("target_bytes").getOrElse(128L * 1024 * 1024),
+            statsCols = csv("stats_cols"), bloomCols = csv("bloom_cols"))
+        case "sort" =>
+          val sc = str("sort_col").getOrElse(throw new IllegalArgumentException(
+            "strategy 'sort' requires sort_col"))
+          t.compactSorted(sc, num("num_files").getOrElse(8L).toInt)
+        case "zorder" =>
+          t.compactZOrder(csv("sort_col"), num("num_files").getOrElse(16L).toInt)
+        case other => throw new IllegalArgumentException(
+          s"unknown rewrite strategy '$other' (binpack, sort, zorder)")
+      }
+      case "expire_snapshots" =>
+        t.expireSnapshots(num("older_than_ms").getOrElse(0L))
+      case "remove_orphan_files" =>
+        t.removeOrphanFiles(num("older_than_ms")
+          .getOrElse(3L * 3600 * 1000)).toLong
+      case "compute_stats" => t.recomputeStats(csv("cols"))
+    }
+    spark.createDataFrame(
+      java.util.List.of(Row(s"$ns.$tbl", proc, result)),
+      StructType(Seq(StructField("table", StringType, nullable = false),
+        StructField("procedure", StringType, nullable = false),
+        StructField("result", LongType, nullable = false))))
   }
 
   /** CREATE TABLE AS SELECT / REPLACE TABLE AS SELECT: resolve the query
@@ -249,15 +386,44 @@ object GraftSql {
     val df = SparkShims.ofRows(spark, substitute(spark, cat, query, prefix))
     val specs = partitioning.map(v2ToGraftTransform(_, df.schema))
     cat.createNamespace(ns)
-    val t = cat.createTable(ns, tbl) // exists→drop→create (REPLACE semantics)
-    spec match {
-      case u: UnresolvedTableSpec if u.properties.nonEmpty =>
-        t.setProperties(u.properties)
-      case _ => ()
-    }
+    // REPLACE over an existing table must not destroy-then-execute: the
+    // seed query is lazy, so dropping first would leave the table gone if
+    // the query fails at runtime — and `REPLACE t AS SELECT ... FROM t`
+    // would read its own just-deleted files. Build the replacement in a
+    // STAGING slot beside the old table (Iceberg RTAS keeps the old
+    // state until the new commit lands), then swap with one atomic
+    // directory rename; any failure before the swap drops only the
+    // staging table (driver ADVICE r10).
+    val replacing = replace && cat.tableExists(ns, tbl)
+    val buildName =
+      if (replacing)
+        // leading underscores are reserved for catalog internals, so the
+        // staging slot is an ordinary (briefly listable) table name
+        s"rtas_stage_${tbl}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      else tbl
     val seq =
-      if (specs.isEmpty) t.append(df)
-      else t.appendPartitioned(df, specs, Nil, Nil)
+      try {
+        val t = cat.createTable(ns, buildName)
+        spec match {
+          case u: UnresolvedTableSpec if u.properties.nonEmpty =>
+            t.setProperties(u.properties)
+          case _ => ()
+        }
+        val s =
+          if (specs.isEmpty) t.append(df)
+          else t.appendPartitioned(df, specs, Nil, Nil)
+        if (replacing) {
+          cat.dropTable(ns, tbl)
+          cat.renameTable(ns, buildName, tbl)
+        }
+        s
+      } catch {
+        case e: Throwable =>
+          if (replacing) try cat.dropTable(ns, buildName) catch {
+            case scala.util.control.NonFatal(_) => ()
+          }
+          throw e
+      }
     dmlSummary(spark, s"$ns.$tbl",
       if (replace) "replace_as_select" else "create_as_select", seq)
   }
@@ -327,24 +493,33 @@ object GraftSql {
       case In(a: UnresolvedAttribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
         (a.name, vs.map(v => lit2Scala(v.asInstanceOf[Literal])))
     }
-    val los = conj.collect {
-      case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) => (a.name, lit2Scala(l))
-      case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) => (a.name, lit2Scala(l))
-      case Between(a: UnresolvedAttribute, lo: Literal, _, _) => (a.name, lit2Scala(lo))
+    // flatMap keeps the BETWEEN match total: a non-literal bound falls
+    // through to None and the final unsupported-DELETE refusal, never a
+    // MatchError (driver ADVICE r10)
+    val los = conj.flatMap {
+      case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) => Some((a.name, lit2Scala(l)))
+      case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) => Some((a.name, lit2Scala(l)))
+      case Between(a: UnresolvedAttribute, lo: Literal, _, _) => Some((a.name, lit2Scala(lo)))
       // the parser emits BETWEEN as an unresolved function call
       case f: UnresolvedFunction if f.nameParts == Seq("between") =>
         f.arguments match {
-          case Seq(a: UnresolvedAttribute, lo: Literal, _) => (a.name, lit2Scala(lo))
+          case Seq(a: UnresolvedAttribute, lo: Literal, _: Literal) =>
+            Some((a.name, lit2Scala(lo)))
+          case _ => None
         }
+      case _ => None
     }
-    val his = conj.collect {
-      case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) => (a.name, lit2Scala(l))
-      case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) => (a.name, lit2Scala(l))
-      case Between(a: UnresolvedAttribute, _, hi: Literal, _) => (a.name, lit2Scala(hi))
+    val his = conj.flatMap {
+      case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) => Some((a.name, lit2Scala(l)))
+      case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) => Some((a.name, lit2Scala(l)))
+      case Between(a: UnresolvedAttribute, _, hi: Literal, _) => Some((a.name, lit2Scala(hi)))
       case f: UnresolvedFunction if f.nameParts == Seq("between") =>
         f.arguments match {
-          case Seq(a: UnresolvedAttribute, _, hi: Literal) => (a.name, lit2Scala(hi))
+          case Seq(a: UnresolvedAttribute, _: Literal, hi: Literal) =>
+            Some((a.name, lit2Scala(hi)))
+          case _ => None
         }
+      case _ => None
     }
     (eqs, ins, los, his) match {
       case (es, Seq(), Seq(), Seq()) if es.nonEmpty && es.size == conj.size &&
@@ -392,11 +567,38 @@ object GraftSql {
     case e => Seq(e)
   }
 
-  /** strip alias qualifiers (t.col / s.col → col) so a clause condition
-    * evaluates against the merge source's bare columns.
+  /** All the ways SQL text may qualify a column of `rel`: its alias when
+    * aliased (`... AS s` → `s.col`), or any suffix of the relation name
+    * when bare (`graft.ns.t` → `t.col`, `ns.t.col`, `graft.ns.t.col`).
     */
-  private def unqualified(e: Expression): Expression = e.transform {
-    case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
+  private def qualifiersOf(rel: LogicalPlan): Set[Seq[String]] = rel match {
+    case sa: SubqueryAlias => Set(Seq(sa.alias))
+    case u: UnresolvedRelation =>
+      u.multipartIdentifier.tails.filter(_.nonEmpty).toSet
+    case p if p.children.size == 1 => qualifiersOf(p.children.head)
+    case _ => Set.empty
+  }
+
+  /** Strip SOURCE qualifiers (s.col → col) so a clause condition
+    * evaluates against the merge source's bare columns; REJECT a
+    * target-qualified attribute — the table layer evaluates clause
+    * conditions on the source row only, and silently reading a
+    * same-named source column where SQL semantics say "target's current
+    * value" is wrong-row DML. Bare names pass through (source-evaluated,
+    * the documented contract).
+    */
+  private def unqualified(e: Expression, targetQuals: Set[Seq[String]],
+      sourceQuals: Set[Seq[String]]): Expression = e.transform {
+    case a: UnresolvedAttribute =>
+      val qual = a.nameParts.init
+      if (qual.nonEmpty && targetQuals.contains(qual) &&
+          !sourceQuals.contains(qual))
+        throw new IllegalArgumentException(
+          s"MERGE clause condition references the TARGET (${a.name}): " +
+            "clause conditions are evaluated against the source row; " +
+            "rewrite the condition over source columns, or pre-join the " +
+            "target state into the source query")
+      UnresolvedAttribute(Seq(a.nameParts.last))
   }
 
   private def lit2Scala(l: Literal): Any =
@@ -480,20 +682,23 @@ object GraftSql {
         else if (t.branches.contains(v)) t.branch(v).read()
         else throw new IllegalArgumentException(
           s"no tag or branch named '$v' on $ns.$tbl")
-      case (Some(e), None) => t.readAsOfTime(tsMillis(e))
+      case (Some(e), None) => t.readAsOfTime(tsMillis(spark, e))
       case (Some(_), Some(_)) => throw new IllegalArgumentException(
         "specify VERSION AS OF or TIMESTAMP AS OF, not both")
     }
     df.queryExecution.analyzed
   }
 
-  /** Evaluate a literal TIMESTAMP AS OF expression to epoch millis. The
-    * session-timezone question doesn't arise: graft commit times are
-    * wall-clock UTC millis and the cast pins UTC, so the SQL text means
-    * the same instant everywhere.
+  /** Evaluate a literal TIMESTAMP AS OF expression to epoch millis.
+    * An un-zoned timestamp literal is interpreted in the SESSION
+    * timezone — exactly what Spark/Iceberg do for time travel — so the
+    * same statement selects the same snapshot here and on the reference
+    * stack (driver ADVICE r10; a zoned literal like '...Z' or '+02:00'
+    * carries its own offset and is timezone-independent either way).
     */
-  private def tsMillis(e: Expression): Long = {
-    val cast = Cast(e, TimestampType, Some("UTC"))
+  private def tsMillis(spark: SparkSession, e: Expression): Long = {
+    val cast = Cast(e, TimestampType,
+      Some(spark.conf.get("spark.sql.session.timeZone")))
     require(e.foldable, s"TIMESTAMP AS OF must be a literal, got: ${e.sql}")
     cast.eval() match {
       case micros: java.lang.Long => micros / 1000L

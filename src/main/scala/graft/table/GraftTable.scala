@@ -2980,7 +2980,18 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     // its re-stamp races with nothing.
     val savedProps = properties()
     log.expireBefore(keepFrom)
-    val touchedBySurvivors = log.entries().flatMap(_.props.keys).toSet
+    // pendingEntries too: a STAGED entry's props land when its txn
+    // publishes, and they must win over this re-stamp exactly like a
+    // committed survivor's. Today the only staged props are txn.*
+    // watermarks (which max-fold safely either way), but making the key
+    // set structural means a future staged-props kind — say a governance
+    // assignment inside a transaction — cannot re-open the lost-update
+    // window (r10 verdict watch item). The trade: an ABANDONED stage
+    // suppresses its keys' re-stamp (the pre-expiration value is lost
+    // with the dropped entry) — bounded by the txn abandonment horizon
+    // and strictly safer than clobbering a published assignment.
+    val touchedBySurvivors =
+      (log.entries() ++ log.pendingEntries).flatMap(_.props.keys).toSet
     val droppedOnly = savedProps.filter { case (k, _) => !touchedBySurvivors.contains(k) }
     if (droppedOnly.nonEmpty)
       log.commit("props", props = droppedOnly)

@@ -27,6 +27,31 @@ class AssetGenSpec extends AnyFunSuite {
     }
   }
 
+  test("assetsWide restores the reference's 68-column width and survives the parquet reader") {
+    val wide = AssetGen.assetsWide(spark, 50)
+    assert(wide.schema.fields.length == 68,
+      s"main.go:51-120 declares 68 fields, got ${wide.schema.fields.length}")
+    assert((1 to 40).forall(k => wide.schema.fieldNames.contains(s"customField$k")))
+    // the vectorized reader's per-column state at 100-column width is the
+    // effect the B3 condensation could not exercise: write the full
+    // layout, read it back, and the roundtrip must be exact
+    val dir = java.nio.file.Files.createTempDirectory("graft_assetwide")
+      .resolve("t").toString
+    wide.write.parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.schema.fields.length == 68)
+    assert(back.count() == 50)
+    val row = back.filter(col("eventId") === 7L)
+      .select(col("platform"), col("department"),
+        expr("customField40[0].source").as("s40"),
+        expr("size(customField40[0].values)").as("v40"))
+      .collect().head
+    // id=7: platform arr[(7%3)+1]='windows', dept-1; customField40 j=0:
+    // source arr[((7+40)%3)+1] = arr[3] = 'tenable', values size (47%2)+1 = 2
+    assert(row.getString(0) == "windows" && row.getString(1) == "dept-1")
+    assert(row.getString(2) == "tenable" && row.getInt(3) == 2)
+  }
+
   test("generation is deterministic and id-pure") {
     val a = AssetGen.assets(spark, 500).collect()
     val b = AssetGen.assets(spark, 500).collect()

@@ -233,6 +233,139 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("MERGE refuses a target-qualified clause condition instead of misreading the source") {
+    val cat = freshCat()
+    cat.createNamespace("ns")
+    val t = cat.createTable("ns", "t")
+    t.append(items) // seq 0
+    val src = s"gsql_mtq_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // same-named column on both sides with DIFFERENT values: evaluating
+    // t.count = 2 against the source would delete B (count 2 in source),
+    // not A (count 2 in the target) — silent wrong-row DML
+    Seq(("A", "small", 9), ("B", "medium", 2)).toDF("name", "size", "count")
+      .createOrReplaceTempView(src)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        GraftSql.sql(spark, cat,
+          s"""MERGE INTO graft.ns.t AS t USING $src AS s ON t.name = s.name
+             |WHEN MATCHED AND t.count = 2 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      }
+      assert(e.getMessage.contains("TARGET"), e.getMessage)
+      // nothing committed: both rows unchanged
+      assert(GraftSql.sql(spark, cat,
+        "SELECT count FROM graft.ns.t WHERE name = 'A'").collect().head.getInt(0) == 2)
+      // bare and full-name target qualifiers refuse too
+      intercept[IllegalArgumentException] {
+        GraftSql.sql(spark, cat,
+          s"""MERGE INTO graft.ns.t USING $src AS s ON graft.ns.t.name = s.name
+             |WHEN MATCHED AND graft.ns.t.count = 2 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      }
+    } finally spark.catalog.dropTempView(src)
+  }
+
+  test("a failed REPLACE leaves the original table intact; REPLACE may read itself") {
+    val cat = freshCat()
+    cat.createNamespace("ns")
+    cat.createTable("ns", "t").append(items) // seq 0
+    // runtime failure of the seed query (ANSI cast) must not destroy t
+    intercept[Exception] {
+      GraftSql.sql(spark, cat,
+        "REPLACE TABLE graft.ns.t AS SELECT CAST(name AS INT) AS x FROM graft.ns.t")
+    }
+    assert(GraftSql.sql(spark, cat, "SELECT * FROM graft.ns.t").count() == 5,
+      "destroy-then-execute would have wiped the table before the lazy " +
+        "seed query ever ran")
+    // no staging debris left behind
+    assert(cat.listTables("ns") == Seq("t"))
+    // self-referential REPLACE reads the OLD state, then swaps
+    GraftSql.sql(spark, cat,
+      "REPLACE TABLE graft.ns.t AS SELECT name, count * 2 AS c2 FROM graft.ns.t")
+    val c2 = GraftSql.sql(spark, cat,
+      "SELECT c2 FROM graft.ns.t WHERE name = 'B'").collect().head.getInt(0)
+    assert(c2 == 30 && cat.listTables("ns") == Seq("t"))
+  }
+
+  test("DELETE with a non-literal BETWEEN bound refuses with the supported-shapes error") {
+    val cat = freshCat()
+    cat.createNamespace("ns")
+    cat.createTable("ns", "t").append(items)
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, cat,
+        "DELETE FROM graft.ns.t WHERE count BETWEEN count - 1 AND 25")
+    }
+    assert(e.getMessage.contains("DELETE supports"),
+      s"must be the documented refusal, not a MatchError: ${e.getMessage}")
+    assert(GraftSql.sql(spark, cat, "SELECT * FROM graft.ns.t").count() == 5)
+  }
+
+  test("CALL graft.system.* maintenance procedures map onto the table layer's ops") {
+    val cat = freshCat()
+    cat.createNamespace("ns")
+    val t = cat.createTable("ns", "t")
+    // many single-row appends → a small-file tail for binpack to pack
+    items.collect().foreach { r =>
+      t.append(Seq((r.getString(0), r.getString(1), r.getInt(2)))
+        .toDF("name", "size", "count"))
+    }
+    val before = t.commitLog.state()._1.size
+    assert(before == 5)
+    val rw = GraftSql.sql(spark, cat,
+      "CALL graft.system.rewrite_data_files('ns.t', stats_cols => 'count')")
+      .collect().head
+    assert(rw.getString(1) == "rewrite_data_files")
+    val t2 = cat.openTable("ns", "t")
+    assert(t2.commitLog.state()._1.size < before,
+      "binpack must consolidate the small-file tail")
+    assert(t2.read().count() == 5)
+    // compute_stats backfills bounds for skipping
+    assert(GraftSql.sql(spark, cat,
+      "CALL graft.system.compute_stats('ns.t', cols => 'count')")
+      .collect().head.getString(1) == "compute_stats")
+    // expire_snapshots drops pre-compaction history (head survives)
+    GraftSql.sql(spark, cat, "CALL graft.system.expire_snapshots('ns.t')")
+    assert(cat.openTable("ns", "t").read().count() == 5)
+    // remove_orphan_files with a zero horizon reports a count, not a version
+    val ro = GraftSql.sql(spark, cat,
+      "CALL graft.system.remove_orphan_files('ns.t', older_than_ms => 0)")
+      .collect().head
+    assert(ro.getString(1) == "remove_orphan_files" && ro.getLong(2) >= 0L)
+    // a PARTITIONED table compacts via SQL WITHOUT losing its layout:
+    // the rewrite records the spec, so a point probe still opens exactly
+    // one file afterwards (t_compact_partitioned's pin, reached from SQL)
+    val seedV = s"gsql_callp_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    items.createOrReplaceTempView(seedV)
+    try GraftSql.sql(spark, cat,
+        s"""CREATE TABLE graft.ns.p PARTITIONED BY (truncate(10, count))
+           |AS SELECT * FROM $seedV""".stripMargin)
+      finally spark.catalog.dropTempView(seedV)
+    val insV = s"gsql_calli_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    items.withColumn("count", col("count") + 100).createOrReplaceTempView(insV)
+    try GraftSql.sql(spark, cat, s"INSERT INTO graft.ns.p SELECT * FROM $insV")
+      finally spark.catalog.dropTempView(insV)
+    GraftSql.sql(spark, cat,
+      "CALL graft.system.rewrite_data_files('ns.p', stats_cols => 'count')")
+    val p = cat.openTable("ns", "p")
+    assert(p.read().count() == 10)
+    assert(p.prunedFileCountEq("count", 15) == 1,
+      "compact-via-SQL must preserve partition pruning (spec recorded " +
+        "on the replace) — a flat compact would open every file")
+    // refusals surface the table layer's own contracts
+    intercept[IllegalArgumentException] { // unknown procedure
+      GraftSql.sql(spark, cat, "CALL graft.system.shrink_ray('ns.t')")
+    }
+    intercept[IllegalArgumentException] { // zorder numFiles must be a power of 4
+      GraftSql.sql(spark, cat,
+        "CALL graft.system.rewrite_data_files('ns.t', strategy => 'zorder', " +
+          "sort_col => 'count,count', num_files => 5)")
+    }
+    intercept[IllegalArgumentException] { // unknown named parameter
+      GraftSql.sql(spark, cat,
+        "CALL graft.system.expire_snapshots('ns.t', vigor => 11)")
+    }
+  }
+
   test("CTAS creates, seeds, partitions and stamps properties; DROP TABLE honors IF EXISTS") {
     val cat = freshCat()
     GraftSql.sql(spark, cat, "CREATE NAMESPACE graft.ddl")

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sql.{GraftSql, TpchGoverned}
+import graft.table.GraftCatalog
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TPC-H through the SQL front end over GOVERNED tables (r10 verdict
+  * #1): the q_sql_q* entries read temp views over raw parquet; GraftSql
+  * reads graft tables through merge-on-read snapshot plans. Here the two
+  * paths meet at real plan-shape complexity — the governed results must
+  * be bit-identical to the temp-view entries, and the plan properties
+  * that make these queries viable at 100 TB (pushdown and pruning
+  * reaching the scan, dims broadcasting, no nested-loop fallback) must
+  * hold THROUGH the substituted MoR plans, where the scan is the table
+  * layer's snapshot read rather than a plain parquet relation.
+  */
+class GraftSqlTpchSpec extends AnyFunSuite {
+  import SparkSessionFixture.{spark, sf}
+
+  // one governed warehouse for the suite: CTAS all 7 tables via GraftSql
+  private lazy val cat: GraftCatalog = {
+    val c = GraftCatalog(spark,
+      Files.createTempDirectory("graft_tpchspec").toString)
+    TpchGoverned.load(spark, c, sf)
+    c
+  }
+
+  private def governed(q: String): DataFrame = GraftSql.sql(spark, cat, q)
+
+  private def entryRows(name: String): Seq[org.apache.spark.sql.Row] =
+    SparkEntry.queries(name)(spark, sf).collect().toSeq
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("Q1/Q5/Q9/Q21 over graft.tpch.* match the raw-parquet entries row for row") {
+    assert(governed(TpchGoverned.Q1).collect().toSeq == entryRows("q_sql_q1"))
+    assert(governed(TpchGoverned.Q5).collect().toSeq == entryRows("q_sql_q5"))
+    assert(governed(TpchGoverned.Q9).collect().toSeq == entryRows("q_sql_q9"))
+    // q_sql_q21's hand-tuned single-exchange plan and the SQL text's
+    // COUNT(DISTINCT) rewrite are different PLANS of the same answer —
+    // result parity is exactly what proves the governed path safe to
+    // swap in under existing SQL workloads
+    assert(governed(TpchGoverned.Q21).collect().toSeq == entryRows("q_sql_q21"))
+  }
+
+  test("Q1 pushdown and column pruning reach the MoR snapshot scan") {
+    val p = planOf(governed(TpchGoverned.Q1))
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"),
+      s"the shipdate predicate must reach the governed parquet scan:\n$p")
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty &&
+      readSchemas.forall(l => !l.contains("l_comment") && !l.contains("l_orderkey")),
+      s"unused lineitem columns must prune at the snapshot scan: $readSchemas")
+  }
+
+  test("Q5's star keeps broadcast dims and hash joins under the governed tables") {
+    val p = planOf(governed(TpchGoverned.Q5))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"region/nation/supplier must broadcast, not shuffle:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"nested-loop fallback:\n$p")
+    // the orders date window prunes at the governed orders scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"the date filter must push into the orders snapshot scan:\n$p")
+  }
+
+  test("governed reads stay MoR: a delete between runs changes Q1 through SQL") {
+    // seed a throwaway governed copy, delete one flag, re-run Q1's
+    // aggregate — the SQL path must see the equality delete (a raw file
+    // scan would not). This is the semantic difference between name
+    // resolution via DSv2 file scans and the plan-substitution front end.
+    val t = cat.openTable("tpch", "lineitem")
+    val before = governed(
+      "SELECT COUNT(*) AS n FROM graft.tpch.lineitem").collect().head.getLong(0)
+    import spark.implicits._
+    t.delete(Seq("R").toDF("l_returnflag"), Seq("l_returnflag"))
+    val after = governed(
+      "SELECT COUNT(*) AS n FROM graft.tpch.lineitem").collect().head.getLong(0)
+    val rFlag = governed(
+      "SELECT COUNT(*) AS n FROM graft.tpch.lineitem WHERE l_returnflag = 'R'")
+      .collect().head.getLong(0)
+    assert(after < before && rFlag == 0L,
+      "the equality delete must apply to every SQL read")
+    t.rollbackTo(t.headSeq - 1) // restore for other tests (suite order safe)
+  }
+}

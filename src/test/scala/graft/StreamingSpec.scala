@@ -72,6 +72,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("q_stream_session under the RocksDB state store equals the default provider") {
+    // the warehouse-scale configuration (per-user session state cannot
+    // live on the JVM heap — RocksDB spills to native memory/disk): the
+    // SAME entry must produce identical sessions under either provider,
+    // so flipping the conf at deployment is a pure operational choice.
+    // withRocksDbState also restores the prior conf on every path.
+    val dflt = SparkEntry.queries("q_stream_session")(spark, SparkSessionFixture.sf)
+      .collect().toSeq
+    val rocks = graft.queries.StreamQueries.withRocksDbState(spark) {
+      SparkEntry.queries("q_stream_session")(spark, SparkSessionFixture.sf)
+        .collect().toSeq
+    }
+    assert(rocks == dflt && rocks.nonEmpty)
+    // getOption surfaces the conf DEFAULT (HDFSBacked...), so "restored"
+    // means "no longer RocksDB", not None
+    assert(!spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDB"),
+      "provider conf must be restored after the RocksDB-scoped run")
+  }
+
   test("streaming tumbling window equals batch aggregation on same data") {
     val ms = MemoryStream[(Timestamp, String, Double)]
     val df = ms.toDF().toDF("ts", "typ", "v")

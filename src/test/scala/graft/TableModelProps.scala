@@ -1042,11 +1042,27 @@ object TableModelProps extends Properties("graft-table-model") {
         props = Map("txn.pend" -> "12"))
       t.maintain()
       val okAbort = t.properties().get("txn.pend").contains("10")
+      // staged NON-txn prop across the same maintenance window (r10
+      // verdict watch item, now structural): expiration may drop the
+      // entry holding gov.probe=old and re-stamp it at a head seq ABOVE
+      // the staged assignment — deriving the re-stamp key set from
+      // committed entries alone would let the resurrected 'old' out-fold
+      // the published 'new' under the last-write props fold (lost
+      // update). pendingEntries joins the key set, so the published
+      // assignment must win.
+      t.setProperties(Map("gov.probe" -> "old"))
+      val marker3 = t.root.resolve("_txns").resolve("mPend3.commit")
+      t.appendInTxn(List(("P", 13)).toDF(key, "count"), marker3,
+        props = Map("gov.probe" -> "new"))
+      t.maintain()
+      Files.write(marker3, "ok".getBytes)
+      val okStagedProp = t.properties().get("gov.probe").contains("new")
       val ok = okHead && okTag && okBranch && okProps && okReplay && okSidecars &&
-        okPendWm && okPendReplay && okAbort
+        okPendWm && okPendReplay && okAbort && okStagedProp
       if (!ok) println(s"MAINT MISMATCH ops=$ops tag=$tagSeq policy=$policy " +
         s"head=$okHead tag=$okTag branch=$okBranch props=$okProps replay=$okReplay " +
-        s"sidecars=$okSidecars pendWm=$okPendWm pendReplay=$okPendReplay abort=$okAbort")
+        s"sidecars=$okSidecars pendWm=$okPendWm pendReplay=$okPendReplay " +
+        s"abort=$okAbort stagedProp=$okStagedProp")
       ok
     }
 
