@@ -4,13 +4,13 @@ import graft.table.{GraftCatalog, PartitionSpec, Transform}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedFunction, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedProcedure, UnresolvedRelation, UnresolvedTable}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedFunction, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedProcedure, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView}
 import org.apache.spark.sql.catalyst.expressions.{And, Between, Cast, EqualTo, Expression, GreaterThanOrEqual, In, LessThanOrEqual, Literal, NamedArgumentExpression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, Assignment, Call, CreateNamespace, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, ReplaceTableAsSelect, SetTableProperties, SubqueryAlias, TableSpecBase, UnresolvedTableSpec, UnresolvedWith, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, Assignment, Call, CreateNamespace, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, ReplaceTableAsSelect, SetTableProperties, ShowCreateTable, ShowTableProperties, ShowTables, SubqueryAlias, TableSpecBase, UnresolvedTableSpec, UnresolvedWith, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, Transform => V2Transform}
 import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.graft.SparkShims
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType, TimestampType}
 
 /** SQL text front end over the graft table layer — the BI/notebook entry
   * path for GOVERNED tables, completing what `sqlOverViews` gives the raw
@@ -235,6 +235,96 @@ object GraftSql {
         val seq = cat.openTable(ns, tbl).setProperties(sp.properties)
         dmlSummary(spark, s"$ns.$tbl", "set_properties", seq)
 
+      // ── catalog inspection (the notebook/BI discovery surface) ──
+      case st: ShowTables =>
+        val nss = st.namespace match {
+          case u: UnresolvedNamespace if u.multipartIdentifier == Seq(prefix) =>
+            cat.namespaces // SHOW TABLES IN graft → whole warehouse
+          case u: UnresolvedNamespace if u.multipartIdentifier.length == 2 &&
+              u.multipartIdentifier.head == prefix =>
+            Seq(u.multipartIdentifier(1))
+          case other => throw new IllegalArgumentException(
+            s"SHOW TABLES supports IN $prefix[.<ns>]: $other")
+        }
+        val rx = st.pattern.map(p =>
+          ("(?i)^(" + p.replace("*", ".*").replace("|", ")|(") + ")$").r)
+        val rows = for {
+          ns <- nss
+          t <- cat.listTables(ns)
+          if rx.forall(_.matches(t))
+        } yield Row(ns, t, false)
+        spark.createDataFrame(rows.asJava,
+          StructType(Seq(StructField("namespace", StringType, nullable = false),
+            StructField("tableName", StringType, nullable = false),
+            StructField("isTemporary", BooleanType, nullable = false))))
+
+      case d: DescribeRelation =>
+        require(d.partitionSpec.isEmpty, "DESCRIBE ... PARTITION is not supported")
+        val (ns, tbl) = targetIdent(d.relation, prefix, "DESCRIBE")
+        val t = cat.openTable(ns, tbl)
+        val cols = t.schemaAt().map(_.fields.toSeq).getOrElse(Nil)
+          .map(f => Row(f.name, f.dataType.catalogString,
+            if (f.nullable) null else "not null"))
+        val extra = if (!d.isExtended) Nil else {
+          val layout = t.snapshots.reverse.collectFirst {
+            case e if e.partSpec.nonEmpty => e.partSpec
+          }.getOrElse("none")
+          Row("# Partitioning", layout, null) +:
+            t.properties().toSeq.sortBy(_._1).map { case (k, v) =>
+              Row(s"# Property: $k", v, null)
+            }
+        }
+        spark.createDataFrame((cols ++ extra).asJava,
+          StructType(Seq(StructField("col_name", StringType, nullable = false),
+            StructField("data_type", StringType, nullable = false),
+            StructField("comment", StringType, nullable = true))))
+
+      case sc: ShowCreateTable =>
+        val (ns, tbl) = targetIdent(sc.child, prefix, "SHOW CREATE TABLE")
+        val t = cat.openTable(ns, tbl)
+        val cols = t.schemaAt().map(_.fields.toSeq).getOrElse(Nil)
+          .map(f => s"  ${f.name} ${f.dataType.sql}").mkString(",\n")
+        // the layout renders back in CTAS transform syntax: PARTITIONED
+        // BY / TBLPROPERTIES clauses paste verbatim into this front
+        // end's own `CREATE TABLE ... AS SELECT` (the column list is
+        // informational — graft tables take their schema from the seed)
+        def sqlTransform(p: PartitionSpec): String = p.transform match {
+          case Transform.Identity => p.col
+          case Transform.Bucket(n) => s"bucket($n, ${p.col})"
+          case Transform.EpochDay => s"days(${p.col})"
+          case Transform.Truncate(w) => s"truncate($w, ${p.col})"
+          case Transform.TruncateStr(w) => s"truncate($w, ${p.col})"
+        }
+        val partLine = t.snapshots.reverse.collectFirst {
+          case e if e.partSpec.nonEmpty => e.partSpec
+        }.map(PartitionSpec.parseAll).getOrElse(Nil) match {
+          case Nil => ""
+          case specs => specs.map(sqlTransform)
+            .mkString("\nPARTITIONED BY (", ", ", ")")
+        }
+        val propLine = t.properties().toSeq.sortBy(_._1) match {
+          case Nil => ""
+          case ps => ps.map { case (k, v) => s"'$k' = '$v'" }
+            .mkString("\nTBLPROPERTIES (", ", ", ")")
+        }
+        spark.createDataFrame(
+          java.util.List.of(Row(
+            s"CREATE TABLE $prefix.$ns.$tbl (\n$cols)$partLine$propLine")),
+          StructType(Seq(StructField("createtab_stmt", StringType, nullable = false))))
+
+      case sp: ShowTableProperties =>
+        val (ns, tbl) = targetIdent(sp.table, prefix, "SHOW TBLPROPERTIES")
+        val props = cat.openTable(ns, tbl).properties()
+        val rows = sp.propertyKey match {
+          case Some(k) => Seq(Row(k, props.getOrElse(k,
+            throw new IllegalArgumentException(
+              s"table $ns.$tbl has no property '$k'"))))
+          case None => props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+        }
+        spark.createDataFrame(rows.asJava,
+          StructType(Seq(StructField("key", StringType, nullable = false),
+            StructField("value", StringType, nullable = false))))
+
       case c: Call =>
         val nameParts = c.procedure match {
           case up: UnresolvedProcedure => up.nameParts
@@ -261,6 +351,7 @@ object GraftSql {
       "sort_col", "num_files", "stats_cols", "bloom_cols"),
     "expire_snapshots" -> Seq("table", "older_than_ms"),
     "remove_orphan_files" -> Seq("table", "older_than_ms"),
+    "rewrite_position_deletes" -> Seq("table"),
     "compute_stats" -> Seq("table", "cols"))
 
   /** The Iceberg `CALL catalog.system.<proc>` maintenance surface
@@ -278,6 +369,7 @@ object GraftSql {
     *        sort_col => 'x,y', num_files => 16)
     *   CALL graft.system.expire_snapshots('ns.tbl')
     *   CALL graft.system.remove_orphan_files('ns.tbl', older_than_ms => 0)
+    *   CALL graft.system.rewrite_position_deletes('ns.tbl')
     *   CALL graft.system.compute_stats('ns.tbl', cols => 'a,b')
     * }}}
     *
@@ -349,6 +441,7 @@ object GraftSql {
       case "remove_orphan_files" =>
         t.removeOrphanFiles(num("older_than_ms")
           .getOrElse(3L * 3600 * 1000)).toLong
+      case "rewrite_position_deletes" => t.rewritePositionDeletes()
       case "compute_stats" => t.recomputeStats(csv("cols"))
     }
     spark.createDataFrame(
@@ -556,6 +649,8 @@ object GraftSql {
       splitIdent(u.multipartIdentifier, prefix)
     case u: UnresolvedTable if isGraft(u.multipartIdentifier, prefix) =>
       splitIdent(u.multipartIdentifier, prefix) // ALTER TABLE targets
+    case u: UnresolvedTableOrView if isGraft(u.multipartIdentifier, prefix) =>
+      splitIdent(u.multipartIdentifier, prefix) // DESCRIBE/SHOW targets
     // the parser wraps DML targets in an alias node sometimes (MERGE ... AS t)
     case p if p.children.size == 1 => targetIdent(p.children.head, prefix, stmt)
     case other => throw new IllegalArgumentException(

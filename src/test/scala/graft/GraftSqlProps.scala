@@ -36,6 +36,10 @@ object GraftSqlProps extends Properties("graft-sql-differential") {
   private case class DeleteRange(lo: Int, hi: Int) extends Op
   private case class UpdateEq(name: String, delta: Int) extends Op
   private case class Merge(rows: List[Row], deleteZero: Boolean) extends Op
+  // r11: SQL CALL maintenance mid-lineage — the API twin runs the same
+  // table-layer op, so sequence numbers stay aligned and every snapshot
+  // must still agree: maintenance rewrites files, never visible rows
+  private case class MaintOp(stats: Boolean) extends Op
 
   private val genName = Gen.oneOf("A", "B", "C", "D", "E", "F")
   private val genRow: Gen[Row] = for {
@@ -52,7 +56,8 @@ object GraftSqlProps extends Properties("graft-sql-differential") {
       yield DeleteRange(math.min(a, b), math.max(a, b))),
     2 -> (for { n <- genName; d <- Gen.chooseNum(-5, 50) } yield UpdateEq(n, d)),
     2 -> (for { rows <- Gen.nonEmptyListOf(genRow); dz <- Gen.oneOf(true, false) }
-      yield Merge(rows.groupBy(_._1).map(_._2.head).toList.take(3), dz)))
+      yield Merge(rows.groupBy(_._1).map(_._2.head).toList.take(3), dz)),
+    1 -> Gen.oneOf(true, false).map(MaintOp))
 
   private val genOps: Gen[List[Op]] = for {
     seed <- Gen.nonEmptyListOf(genRow).map(_.take(5))
@@ -90,6 +95,11 @@ object GraftSqlProps extends Properties("graft-sql-differential") {
            |${delClause}WHEN MATCHED THEN UPDATE SET *
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       finally spark.catalog.dropTempView(v)
+    case MaintOp(stats) =>
+      if (stats) GraftSql.sql(spark, cat,
+        "CALL graft.system.compute_stats('fz.t', cols => 'count')")
+      else GraftSql.sql(spark, cat,
+        "CALL graft.system.rewrite_data_files('fz.t')")
   }
 
   private def applyApi(t: GraftTable, op: Op): Unit = op match {
@@ -104,6 +114,11 @@ object GraftSqlProps extends Properties("graft-sql-differential") {
     case Merge(rows, dz) =>
       t.merge(df(rows), Seq("name"),
         deleteWhen = if (dz) col("count") === 0 else org.apache.spark.sql.functions.lit(false))
+    case MaintOp(stats) =>
+      // same defaults the CALL surface maps to, so both lineages commit
+      // (or no-op) identically and version numbers stay comparable
+      if (stats) t.recomputeStats(Seq("count"))
+      else t.compactSmall(128L * 1024 * 1024)
   }
 
   private def snap(t: GraftTable, asOf: Long): Seq[(String, String, Int)] = {

@@ -502,6 +502,52 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("SHOW TABLES / DESCRIBE / SHOW TBLPROPERTIES inspect the catalog from SQL") {
+    val cat = freshCat()
+    cat.createNamespace("ns")
+    cat.createNamespace("other")
+    val t = cat.createTable("ns", "t")
+    t.appendPartitioned(items,
+      Seq(graft.table.PartitionSpec("count", graft.table.Transform.Truncate(10))),
+      Nil, Nil)
+    t.setProperties(Map("quality.tier" -> "gold"))
+    cat.createTable("ns", "t2").append(items.limit(1))
+    cat.createTable("other", "z").append(items.limit(1))
+    // namespace-scoped, warehouse-wide, and LIKE-filtered listings
+    val inNs = GraftSql.sql(spark, cat, "SHOW TABLES IN graft.ns")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(inNs == Set(("ns", "t"), ("ns", "t2")))
+    assert(GraftSql.sql(spark, cat, "SHOW TABLES IN graft").count() == 3)
+    assert(GraftSql.sql(spark, cat, "SHOW TABLES IN graft.ns LIKE 't2'")
+      .collect().map(_.getString(1)).toSeq == Seq("t2"))
+    // DESCRIBE: column rows; EXTENDED adds partitioning + properties
+    val cols = GraftSql.sql(spark, cat, "DESCRIBE TABLE graft.ns.t")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(cols.map(_._1) == Seq("name", "size", "count"))
+    assert(cols.find(_._1 == "count").get._2 == "int")
+    val ext = GraftSql.sql(spark, cat, "DESCRIBE TABLE EXTENDED graft.ns.t")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(ext("# Partitioning") == "truncate(10,count)")
+    assert(ext("# Property: quality.tier") == "gold")
+    // SHOW TBLPROPERTIES: full map and single-key form
+    val props = GraftSql.sql(spark, cat, "SHOW TBLPROPERTIES graft.ns.t")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props.get("quality.tier").contains("gold"))
+    assert(GraftSql.sql(spark, cat,
+      "SHOW TBLPROPERTIES graft.ns.t ('quality.tier')")
+      .collect().head.getString(1) == "gold")
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, cat, "SHOW TBLPROPERTIES graft.ns.t ('nope')")
+    }
+    // SHOW CREATE TABLE: columns + layout + properties in CTAS syntax
+    val ddl = GraftSql.sql(spark, cat, "SHOW CREATE TABLE graft.ns.t")
+      .collect().head.getString(0)
+    assert(ddl.contains("CREATE TABLE graft.ns.t"), ddl)
+    assert(ddl.contains("count INT"), ddl)
+    assert(ddl.contains("PARTITIONED BY (truncate(10, count))"), ddl)
+    assert(ddl.contains("'quality.tier' = 'gold'"), ddl)
+  }
+
   test("SQL reads keep column pruning and filter pushdown on the snapshot scan") {
     val cat = freshCat()
     cat.createNamespace("ns")
