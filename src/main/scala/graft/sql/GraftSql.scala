@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedFunction, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedProcedure, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView}
 import org.apache.spark.sql.catalyst.expressions.{And, Between, Cast, EqualTo, Expression, GreaterThanOrEqual, In, LessThanOrEqual, Literal, NamedArgumentExpression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, Assignment, Call, CreateNamespace, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, ReplaceTableAsSelect, SetTableProperties, ShowCreateTable, ShowTableProperties, ShowTables, SubqueryAlias, TableSpecBase, UnresolvedTableSpec, UnresolvedWith, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, Assignment, Call, CreateNamespace, CreateTableAsSelect, CreateTable, DeleteAction, DeleteFromTable, DescribeRelation, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, ReplaceTableAsSelect, SetTableProperties, ShowCreateTable, ShowTableProperties, ShowTables, SubqueryAlias, TableSpecBase, UnresolvedTableSpec, UnresolvedWith, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, Transform => V2Transform}
 import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.graft.SparkShims
@@ -73,24 +73,31 @@ object GraftSql {
         // NAME (widening as needed) — SQL INSERT here is by-name, the
         // unambiguous contract for evolved schemas
         val src = SparkShims.ofRows(spark, substitute(spark, cat, ins.query, prefix))
+        // the table's live layout, parsed all-or-nothing: a multi-
+        // dimension layout with one unparseable dimension yields Nil,
+        // never a partial spec acting at the wrong granularity
+        val layout = t.snapshots.reverse.collectFirst {
+          case e if e.partSpec.nonEmpty => e.partSpec
+        }
+        val specs = layout.map(PartitionSpec.parseAll).getOrElse(Nil)
         val seq = if (ins.overwrite) {
           // INSERT OVERWRITE = DYNAMIC partition overwrite (the daily-
           // backfill op): the spec comes from the table's own layout, so
           // only partitions the batch touches are replaced — never the
           // whole table (Spark's dangerous non-dynamic default)
-          // parseAll is all-or-nothing: a multi-dimension layout with one
-          // unparseable dimension yields Nil and refuses below, never a
-          // partial spec overwriting at the wrong granularity
-          val layout = t.snapshots.reverse.collectFirst {
-            case e if e.partSpec.nonEmpty => e.partSpec
-          }
-          val specs = layout.map(PartitionSpec.parseAll).getOrElse(Nil)
           require(specs.size == 1, if (layout.isEmpty)
             "INSERT OVERWRITE requires a partitioned table (dynamic " +
               "partition overwrite); this table has no partitioned layout"
           else "INSERT OVERWRITE supports single-dimension layouts; this " +
             s"table's layout is '${layout.get}'")
           t.overwritePartitions(src, specs.head)
+        } else if (specs.nonEmpty) {
+          // INSERT INTO a partitioned table lands partition-laid-out
+          // under the table's OWN spec (r11): a plain append would leave
+          // every new file outside the partition grid — point probes
+          // would stop pruning exactly on the freshest data, the slice a
+          // 100 TB ingest queries most
+          t.appendPartitioned(src, specs, Nil, Nil)
         } else t.append(src)
         // rows_appended from the commit's OWN per-file row counts — a
         // driver-side count() would re-evaluate the source (two scans of
@@ -177,6 +184,22 @@ object GraftSql {
         createAs(spark, cat, cta.name, cta.partitioning, cta.query,
           cta.tableSpec, prefix, ifNotExists = cta.ignoreIfExists,
           replace = false)
+
+      case ct: CreateTable =>
+        // bare CREATE TABLE (cols): an EMPTY seed commit stamps the
+        // declared schema (and the partition layout), so INSERT INTO
+        // conforms by name from the first batch — the create-then-ingest
+        // shape every streaming pipeline starts with
+        require(ct.columns.forall(c => c.comment.isEmpty &&
+            c.defaultValue.isEmpty && c.generationExpression.isEmpty &&
+            c.identityColumnSpec.isEmpty),
+          "CREATE TABLE supports plain `name TYPE` columns (defaults land " +
+            "via ALTER TABLE ADD COLUMNS ... DEFAULT)")
+        val empty = spark.createDataFrame(
+          new java.util.ArrayList[Row](), ct.tableSchema)
+        createAs(spark, cat, ct.name, ct.partitioning,
+          empty.queryExecution.analyzed, ct.tableSpec, prefix,
+          ifNotExists = ct.ignoreIfExists, replace = false, bare = true)
 
       case rta: ReplaceTableAsSelect =>
         createAs(spark, cat, rta.name, rta.partitioning, rta.query,
@@ -461,7 +484,7 @@ object GraftSql {
   private def createAs(spark: SparkSession, cat: GraftCatalog,
       nameP: LogicalPlan, partitioning: Seq[V2Transform], query: LogicalPlan,
       spec: TableSpecBase, prefix: String, ifNotExists: Boolean,
-      replace: Boolean): DataFrame = {
+      replace: Boolean, bare: Boolean = false): DataFrame = {
     val (ns, tbl) = identParts(nameP, prefix, "CREATE TABLE")
     spec match {
       case u: UnresolvedTableSpec =>
@@ -518,7 +541,8 @@ object GraftSql {
           throw e
       }
     dmlSummary(spark, s"$ns.$tbl",
-      if (replace) "replace_as_select" else "create_as_select", seq)
+      if (replace) "replace_as_select"
+      else if (bare) "create" else "create_as_select", seq)
   }
 
   /** map a connector (SQL-surface) partition transform to the table

@@ -502,6 +502,48 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("bare CREATE TABLE stamps schema+layout; INSERT INTO lands partition-laid-out") {
+    val cat = freshCat()
+    GraftSql.sql(spark, cat, "CREATE NAMESPACE graft.ns")
+    val c = GraftSql.sql(spark, cat,
+      """CREATE TABLE graft.ns.t (name STRING, size STRING, count INT)
+        |PARTITIONED BY (truncate(10, count))
+        |TBLPROPERTIES ('quality.tier' = 'bronze')""".stripMargin)
+      .collect().head
+    assert(c.getString(1) == "create")
+    val t = cat.openTable("ns", "t")
+    // the declared schema is live BEFORE any data arrives
+    assert(t.schemaAt().map(_.fieldNames.toSeq).contains(Seq("name", "size", "count")))
+    assert(t.read().count() == 0)
+    assert(t.properties().get("quality.tier").contains("bronze"))
+    // INSERT INTO (source deliberately reordered: by-name) must land
+    // PARTITIONED under the declared layout — point probes prune from
+    // the very first batch
+    val src = s"gsql_bare_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    items.select("count", "name", "size").createOrReplaceTempView(src)
+    try GraftSql.sql(spark, cat, s"INSERT INTO graft.ns.t SELECT * FROM $src")
+      finally spark.catalog.dropTempView(src)
+    val t2 = cat.openTable("ns", "t")
+    assert(t2.read().count() == 5)
+    assert(t2.prunedFileCountEq("count", 15) == 1,
+      "INSERT INTO must preserve the table's partition layout, not " +
+        "append an unpartitioned blob outside the grid")
+    assert(GraftSql.sql(spark, cat,
+      "SELECT name FROM graft.ns.t WHERE count = 15").collect()
+      .map(_.getString(0)).toSeq == Seq("B"))
+    // IF NOT EXISTS no-ops; a second bare CREATE refuses
+    assert(GraftSql.sql(spark, cat,
+      "CREATE TABLE IF NOT EXISTS graft.ns.t (x INT)")
+      .collect().head.getString(1) == "create_noop")
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, cat, "CREATE TABLE graft.ns.t (x INT)")
+    }
+    intercept[IllegalArgumentException] { // defaults belong to ALTER
+      GraftSql.sql(spark, cat,
+        "CREATE TABLE graft.ns.d (x INT DEFAULT 7)")
+    }
+  }
+
   test("SHOW TABLES / DESCRIBE / SHOW TBLPROPERTIES inspect the catalog from SQL") {
     val cat = freshCat()
     cat.createNamespace("ns")
