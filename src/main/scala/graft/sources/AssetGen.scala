@@ -86,36 +86,41 @@ object AssetGen {
     * parallel, reproducible, oracle-derivable from range().
     */
   def assetsWide(s: SparkSession, n: Long): DataFrame = {
-    val scalars = project(s.range(n).toDF("id"))
-      .withColumn("id", concat(lit("uuid-"), col("eventId")))
-      .withColumn("cmdbid", concat(lit("cmdb-"), pmod(col("eventId"), lit(9999))))
-      .withColumn("location", element_at(
+    val base = project(s.range(n).toDF("id"))
+    // ONE projection for all 53 added/replaced columns — a withColumn
+    // per column would stack 50+ Project nodes and pay an analyzer pass
+    // each (the classic withColumn-in-a-loop trap; r11 review)
+    val wideScalars: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "id" -> concat(lit("uuid-"), col("eventId")),
+      "cmdbid" -> concat(lit("cmdb-"), pmod(col("eventId"), lit(9999))),
+      "location" -> element_at(
         array(lit("dc-east"), lit("dc-west"), lit("colo-1"), lit("colo-2")),
-        (pmod(col("eventId"), lit(4)) + 1).cast("int")))
-      .withColumn("department", concat(lit("dept-"), pmod(col("eventId"), lit(6))))
-      .withColumn("onboardingSource", element_at(
+        (pmod(col("eventId"), lit(4)) + 1).cast("int")),
+      "department" -> concat(lit("dept-"), pmod(col("eventId"), lit(6))),
+      "onboardingSource" -> element_at(
         array(lit("cmdb"), lit("scan"), lit("manual")),
-        (pmod(col("eventId"), lit(3)) + 1).cast("int")))
-      .withColumn("parentResourceId", concat(lit("parent-"), pmod(col("eventId"), lit(100))))
-      .withColumn("assetTypes", element_at(
+        (pmod(col("eventId"), lit(3)) + 1).cast("int")),
+      "parentResourceId" -> concat(lit("parent-"), pmod(col("eventId"), lit(100))),
+      "assetTypes" -> element_at(
         array(lit("host"), lit("container"), lit("vm")),
-        (pmod(col("eventId"), lit(3)) + 1).cast("int")))
-      .withColumn("platform", element_at(
+        (pmod(col("eventId"), lit(3)) + 1).cast("int")),
+      "platform" -> element_at(
         array(lit("linux"), lit("windows"), lit("macos")),
-        (pmod(col("eventId"), lit(3)) + 1).cast("int")))
-      .withColumn("lastEDRAssessmentDate", dateStr(17))
-      .withColumn("lastVAAssessmentDate", dateStr(19))
-      .withColumn("lastCAAssessmentDate", dateStr(23))
-      .withColumn("lastPAAssessmentDate", dateStr(29))
-      .withColumn("createdAt", date_format(
+        (pmod(col("eventId"), lit(3)) + 1).cast("int")),
+      "lastEDRAssessmentDate" -> dateStr(17),
+      "lastVAAssessmentDate" -> dateStr(19),
+      "lastCAAssessmentDate" -> dateStr(23),
+      "lastPAAssessmentDate" -> dateStr(29),
+      "createdAt" -> date_format(
         timestamp_micros(lit(1704067200000000L) + col("eventId") * 1000000L),
-        "yyyy-MM-dd'T'HH:mm:ss'Z'"))
-      .withColumn("updatedAt", date_format(
+        "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+      "updatedAt" -> date_format(
         timestamp_micros(lit(1704067200000000L) + col("eventId") * 2000000L),
         "yyyy-MM-dd'T'HH:mm:ss'Z'"))
-      .withColumn("customField1", cfExpr(1)) // wide arithmetic, all 40 uniform
-    (2 to 40).foldLeft(scalars)((df, k) =>
-      df.withColumn(s"customField$k", cfExpr(k)))
+    base.select(
+      base.columns.filterNot(_ == "customField1").map(col).toSeq ++
+        wideScalars.map { case (name, c) => c.as(name) } ++
+        (1 to 40).map(k => cfExpr(k).as(s"customField$k")): _*)
   }
 
   /** Streaming variant — the rate-limited produce shape (A28: token-bucket

@@ -76,10 +76,8 @@ object GraftSql {
         // the table's live layout, parsed all-or-nothing: a multi-
         // dimension layout with one unparseable dimension yields Nil,
         // never a partial spec acting at the wrong granularity
-        val layout = t.snapshots.reverse.collectFirst {
-          case e if e.partSpec.nonEmpty => e.partSpec
-        }
-        val specs = layout.map(PartitionSpec.parseAll).getOrElse(Nil)
+        val layout = t.currentLayout
+        val specs = t.currentSpecs
         val seq = if (ins.overwrite) {
           // INSERT OVERWRITE = DYNAMIC partition overwrite (the daily-
           // backfill op): the spec comes from the table's own layout, so
@@ -126,9 +124,11 @@ object GraftSql {
         }
         val set = up.assignments.map {
           // UPDATE assignments evaluate over the TARGET row itself, so a
-          // target-qualified reference is exactly right — strip only
+          // target-qualified reference is exactly right — strip it, and
+          // refuse nothing
           case Assignment(a: UnresolvedAttribute, v) =>
-            a.name -> expr(unqualified(v, Set.empty, Set.empty).sql)
+            a.name -> expr(
+              unqualified(v, strip = qualifiersOf(up.table), refuse = Set.empty).sql)
           case a => throw new IllegalArgumentException(s"unsupported SET target: $a")
         }.toMap
         val t = cat.openTable(ns, tbl)
@@ -149,7 +149,8 @@ object GraftSql {
         // loudly instead (driver ADVICE r10).
         val tQuals = qualifiersOf(mg.targetTable)
         val sQuals = qualifiersOf(mg.sourceTable)
-        def srcCond(c: Expression): String = unqualified(c, tQuals, sQuals).sql
+        def srcCond(c: Expression): String =
+          unqualified(c, strip = sQuals, refuse = tQuals).sql
         // matched: UPDATE SET * (optionally preceded by a conditional
         // DELETE); not-matched: INSERT * — the upsert family the table
         // layer's merge() implements as ONE atomic mixed commit
@@ -289,10 +290,7 @@ object GraftSql {
           .map(f => Row(f.name, f.dataType.catalogString,
             if (f.nullable) null else "not null"))
         val extra = if (!d.isExtended) Nil else {
-          val layout = t.snapshots.reverse.collectFirst {
-            case e if e.partSpec.nonEmpty => e.partSpec
-          }.getOrElse("none")
-          Row("# Partitioning", layout, null) +:
+          Row("# Partitioning", t.currentLayout.getOrElse("none"), null) +:
             t.properties().toSeq.sortBy(_._1).map { case (k, v) =>
               Row(s"# Property: $k", v, null)
             }
@@ -318,9 +316,7 @@ object GraftSql {
           case Transform.Truncate(w) => s"truncate($w, ${p.col})"
           case Transform.TruncateStr(w) => s"truncate($w, ${p.col})"
         }
-        val partLine = t.snapshots.reverse.collectFirst {
-          case e if e.partSpec.nonEmpty => e.partSpec
-        }.map(PartitionSpec.parseAll).getOrElse(Nil) match {
+        val partLine = t.currentSpecs match {
           case Nil => ""
           case specs => specs.map(sqlTransform)
             .mkString("\nPARTITIONED BY (", ", ", ")")
@@ -372,7 +368,7 @@ object GraftSql {
   private val ProcParams: Map[String, Seq[String]] = Map(
     "rewrite_data_files" -> Seq("table", "strategy", "target_bytes",
       "sort_col", "num_files", "stats_cols", "bloom_cols"),
-    "expire_snapshots" -> Seq("table", "older_than_ms"),
+    "expire_snapshots" -> Seq("table", "orphan_older_than_ms"),
     "remove_orphan_files" -> Seq("table", "older_than_ms"),
     "rewrite_position_deletes" -> Seq("table"),
     "compute_stats" -> Seq("table", "cols"))
@@ -405,17 +401,30 @@ object GraftSql {
       proc: String, args: Seq[Expression]): DataFrame = {
     val params = ProcParams.getOrElse(proc, throw new IllegalArgumentException(
       s"unknown procedure '$proc' (supported: ${ProcParams.keys.toSeq.sorted.mkString(", ")})"))
-    val kv: Map[String, Any] = args.zipWithIndex.map {
+    // positional args bind in declared order and must precede every
+    // named arg — accepting a positional AFTER a named one would bind it
+    // by absolute index to the wrong parameter (r11 review); duplicate
+    // bindings refuse rather than last-write-wins
+    var sawNamed = false
+    val bound: Seq[(String, Any)] = args.zipWithIndex.map {
       case (NamedArgumentExpression(k, v: Literal), _) =>
+        sawNamed = true
         require(params.contains(k),
           s"$proc has no parameter '$k' (parameters: ${params.mkString(", ")})")
         k -> lit2Scala(v)
       case (l: Literal, i) =>
+        require(!sawNamed,
+          s"$proc: positional argument at position ${i + 1} follows a " +
+            "named argument; name it instead")
         require(i < params.size, s"$proc takes at most ${params.size} arguments")
         params(i) -> lit2Scala(l)
       case (other, _) => throw new IllegalArgumentException(
         s"CALL arguments must be literals (positional or named): $other")
-    }.toMap
+    }
+    require(bound.map(_._1).distinct.size == bound.size,
+      s"$proc: a parameter is bound more than once: " +
+        bound.map(_._1).diff(bound.map(_._1).distinct).mkString(", "))
+    val kv: Map[String, Any] = bound.toMap
     def str(k: String): Option[String] = kv.get(k).map(String.valueOf)
     def num(k: String): Option[Long] = kv.get(k).map {
       case n: Number => n.longValue()
@@ -443,12 +452,17 @@ object GraftSql {
           // it. parseAll is all-or-nothing; an unparseable or multi-dim
           // layout falls back to the flat binpack, whose adopted files
           // still prune by their per-file stats.
-          val layout = t.snapshots.reverse.collectFirst {
-            case e if e.partSpec.nonEmpty => e.partSpec
-          }.map(PartitionSpec.parseAll).getOrElse(Nil)
-          if (layout.size == 1)
+          val layout = t.currentSpecs
+          if (layout.size == 1) {
+            // the layout-preserving rewrite takes neither target_bytes
+            // nor bloom_cols — refusing beats silently dropping an
+            // argument the operator believes took effect (r11 review)
+            require(num("target_bytes").isEmpty && csv("bloom_cols").isEmpty,
+              "rewrite_data_files on a partitioned table rewrites under " +
+                "the table's own spec and supports only stats_cols; omit " +
+                "target_bytes/bloom_cols")
             t.compactPartitioned(layout.head, statsCols = csv("stats_cols"))
-          else t.compactSmall(num("target_bytes").getOrElse(128L * 1024 * 1024),
+          } else t.compactSmall(num("target_bytes").getOrElse(128L * 1024 * 1024),
             statsCols = csv("stats_cols"), bloomCols = csv("bloom_cols"))
         case "sort" =>
           val sc = str("sort_col").getOrElse(throw new IllegalArgumentException(
@@ -460,7 +474,15 @@ object GraftSql {
           s"unknown rewrite strategy '$other' (binpack, sort, zorder)")
       }
       case "expire_snapshots" =>
-        t.expireSnapshots(num("older_than_ms").getOrElse(0L))
+        // NOT Iceberg's age-based snapshot cutoff: graft retention is
+        // ref-aware (tags pin their history; untagged history below
+        // head expires), and the argument gates only the orphan FILE
+        // sweep — named orphan_older_than_ms to say so. The SQL surface
+        // defaults to the 3h in-flight-writer grace period (a notebook
+        // operator usually runs BESIDE live ingest); provable immediate
+        // reclamation (the GDPR-erasure contract) passes an explicit 0.
+        t.expireSnapshots(num("orphan_older_than_ms")
+          .getOrElse(3L * 3600 * 1000))
       case "remove_orphan_files" =>
         t.removeOrphanFiles(num("older_than_ms")
           .getOrElse(3L * 3600 * 1000)).toLong
@@ -511,12 +533,10 @@ object GraftSql {
     // directory rename; any failure before the swap drops only the
     // staging table (driver ADVICE r10).
     val replacing = replace && cat.tableExists(ns, tbl)
-    val buildName =
-      if (replacing)
-        // leading underscores are reserved for catalog internals, so the
-        // staging slot is an ordinary (briefly listable) table name
-        s"rtas_stage_${tbl}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      else tbl
+    // leading underscores are reserved for catalog internals, so the
+    // staging/aside slots are ordinary (briefly listable) table names
+    val stamp = java.util.UUID.randomUUID().toString.replace("-", "")
+    val buildName = if (replacing) s"rtas_stage_${tbl}_$stamp" else tbl
     val seq =
       try {
         val t = cat.createTable(ns, buildName)
@@ -529,12 +549,33 @@ object GraftSql {
           if (specs.isEmpty) t.append(df)
           else t.appendPartitioned(df, specs, Nil, Nil)
         if (replacing) {
-          cat.dropTable(ns, tbl)
-          cat.renameTable(ns, buildName, tbl)
+          // swap = rename-old-ASIDE → rename-new-in → drop-old: at no
+          // point is the replacement the only copy while a destructive
+          // step can still fail (r11 review — the previous drop-then-
+          // rename could lose BOTH copies if the rename threw and the
+          // cleanup dropped the staging table). Every rename is one
+          // atomic directory move; a failure of the second restores the
+          // old table from the aside slot before rethrowing. Residual
+          // window: a hard kill BETWEEN the renames leaves the table
+          // recoverable-by-rename under the aside name (never deleted).
+          val aside = s"rtas_old_${tbl}_$stamp"
+          cat.renameTable(ns, tbl, aside)
+          try cat.renameTable(ns, buildName, tbl)
+          catch {
+            case e: Throwable =>
+              try cat.renameTable(ns, aside, tbl)
+              catch { case scala.util.control.NonFatal(_) => () }
+              throw e
+          }
+          // old copy retires last; a failure here leaves debris under
+          // the aside name but the swapped table is live and complete
+          cat.dropTable(ns, aside)
         }
         s
       } catch {
         case e: Throwable =>
+          // drop only the STAGING build (pre-swap failures); after a
+          // successful swap buildName no longer resolves and this no-ops
           if (replacing) try cat.dropTable(ns, buildName) catch {
             case scala.util.control.NonFatal(_) => ()
           }
@@ -698,26 +739,34 @@ object GraftSql {
     case _ => Set.empty
   }
 
-  /** Strip SOURCE qualifiers (s.col → col) so a clause condition
-    * evaluates against the merge source's bare columns; REJECT a
-    * target-qualified attribute — the table layer evaluates clause
-    * conditions on the source row only, and silently reading a
-    * same-named source column where SQL semantics say "target's current
-    * value" is wrong-row DML. Bare names pass through (source-evaluated,
-    * the documented contract).
+  /** Strip `strip`-qualified attributes down to their column (+ nested
+    * field) path — `s.col` → `col`, `s.meta.flag` → `meta.flag` — and
+    * REFUSE `refuse`-qualified ones. For MERGE clause conditions, strip
+    * = source, refuse = target: the table layer evaluates the condition
+    * on the source row only, and silently reading a same-named source
+    * column where SQL semantics say "target's current value" is
+    * wrong-row DML. Prefix matching (not exact-init equality) so nested
+    * target references like `t.meta.flag` cannot slip past the refusal
+    * (r11 review). Bare or foreign-qualified names pass through for the
+    * analyzer to judge.
     */
-  private def unqualified(e: Expression, targetQuals: Set[Seq[String]],
-      sourceQuals: Set[Seq[String]]): Expression = e.transform {
-    case a: UnresolvedAttribute =>
-      val qual = a.nameParts.init
-      if (qual.nonEmpty && targetQuals.contains(qual) &&
-          !sourceQuals.contains(qual))
-        throw new IllegalArgumentException(
-          s"MERGE clause condition references the TARGET (${a.name}): " +
-            "clause conditions are evaluated against the source row; " +
-            "rewrite the condition over source columns, or pre-join the " +
-            "target state into the source query")
-      UnresolvedAttribute(Seq(a.nameParts.last))
+  private def unqualified(e: Expression, strip: Set[Seq[String]],
+      refuse: Set[Seq[String]]): Expression = e.transform {
+    case a: UnresolvedAttribute if a.nameParts.length > 1 =>
+      val parts = a.nameParts
+      def prefixOf(quals: Set[Seq[String]]): Option[Seq[String]] =
+        quals.filter(q => parts.length > q.length && parts.startsWith(q))
+          .toSeq.sortBy(-_.length).headOption
+      prefixOf(strip) match {
+        case Some(q) => UnresolvedAttribute(parts.drop(q.length))
+        case None if prefixOf(refuse).isDefined =>
+          throw new IllegalArgumentException(
+            s"MERGE clause condition references the TARGET (${a.name}): " +
+              "clause conditions are evaluated against the source row; " +
+              "rewrite the condition over source columns, or pre-join the " +
+              "target state into the source query")
+        case None => a
+      }
   }
 
   private def lit2Scala(l: Literal): Any =

@@ -262,6 +262,14 @@ class GraftSqlSpec extends AnyFunSuite {
              |WHEN MATCHED AND graft.ns.t.count = 2 THEN DELETE
              |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
       }
+      // NESTED-FIELD target references cannot slip past the refusal
+      // (prefix match, not exact qualifier equality)
+      intercept[IllegalArgumentException] {
+        GraftSql.sql(spark, cat,
+          s"""MERGE INTO graft.ns.t AS t USING $src AS s ON t.name = s.name
+             |WHEN MATCHED AND t.meta.flag = 2 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      }
     } finally spark.catalog.dropTempView(src)
   }
 

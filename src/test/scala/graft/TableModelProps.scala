@@ -1057,12 +1057,31 @@ object TableModelProps extends Properties("graft-table-model") {
       t.maintain()
       Files.write(marker3, "ok".getBytes)
       val okStagedProp = t.properties().get("gov.probe").contains("new")
+      // abandoned txn.* stage across DETERMINISTIC expiration (r11
+      // review): commit watermark wmx=5, stage an entry carrying wmx=9
+      // whose marker never publishes, then expire. The re-stamp must
+      // RESTORE 5 even though the pending stage touches the key —
+      // txn.* folds by MAX, so a re-stamp can never clobber a later
+      // publish, while SUPPRESSING it would erase the watermark
+      // entirely (invisible stage + dropped entry = no fold input) and
+      // a replayed batch at version 5 would double-append.
+      t.appendIdempotent(List(("X", 5)).toDF(key, "count"), "wmx", 5)
+      val marker4 = t.root.resolve("_txns").resolve("mPend4.commit")
+      t.appendInTxn(List(("X", 9)).toDF(key, "count"), marker4,
+        props = Map("txn.wmx" -> "9"))
+      t.expireSnapshots()
+      val okAbandonWm = t.properties().get("txn.wmx").contains("5")
+      val beforeWmx = t.read().count()
+      t.appendIdempotent(List(("X", 99)).toDF(key, "count"), "wmx", 5)
+      val okAbandonReplay = t.read().count() == beforeWmx
       val ok = okHead && okTag && okBranch && okProps && okReplay && okSidecars &&
-        okPendWm && okPendReplay && okAbort && okStagedProp
+        okPendWm && okPendReplay && okAbort && okStagedProp &&
+        okAbandonWm && okAbandonReplay
       if (!ok) println(s"MAINT MISMATCH ops=$ops tag=$tagSeq policy=$policy " +
         s"head=$okHead tag=$okTag branch=$okBranch props=$okProps replay=$okReplay " +
         s"sidecars=$okSidecars pendWm=$okPendWm pendReplay=$okPendReplay " +
-        s"abort=$okAbort stagedProp=$okStagedProp")
+        s"abort=$okAbort stagedProp=$okStagedProp abandonWm=$okAbandonWm " +
+        s"abandonReplay=$okAbandonReplay")
       ok
     }
 
