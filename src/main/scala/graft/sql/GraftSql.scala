@@ -88,15 +88,18 @@ object GraftSql {
               "partition overwrite); this table has no partitioned layout"
           else "INSERT OVERWRITE supports single-dimension layouts; this " +
             s"table's layout is '${layout.get}'")
-          t.overwritePartitions(src, specs.head)
+          t.overwritePartitions(src, specs.head,
+            statsCols = t.writeStatsCols, bloomCols = t.writeBloomCols)
         } else if (specs.nonEmpty) {
           // INSERT INTO a partitioned table lands partition-laid-out
           // under the table's OWN spec (r11): a plain append would leave
           // every new file outside the partition grid — point probes
           // would stop pruning exactly on the freshest data, the slice a
-          // 100 TB ingest queries most
-          t.appendPartitioned(src, specs, Nil, Nil)
-        } else t.append(src)
+          // 100 TB ingest queries most. write.stats-cols/write.bloom-cols
+          // properties stamp per-file skipping metadata as declared.
+          t.appendPartitioned(src, specs, t.writeStatsCols, t.writeBloomCols)
+        } else t.append(src,
+          statsCols = t.writeStatsCols, bloomCols = t.writeBloomCols)
         // rows_appended from the commit's OWN per-file row counts — a
         // driver-side count() would re-evaluate the source (two scans of
         // an arbitrary query, and a second answer if it's non-deterministic)
@@ -545,9 +548,12 @@ object GraftSql {
             t.setProperties(u.properties)
           case _ => ()
         }
+        // TBLPROPERTIES landed above, so a declared write.stats-cols /
+        // write.bloom-cols applies to the seed commit itself
         val s =
-          if (specs.isEmpty) t.append(df)
-          else t.appendPartitioned(df, specs, Nil, Nil)
+          if (specs.isEmpty)
+            t.append(df, statsCols = t.writeStatsCols, bloomCols = t.writeBloomCols)
+          else t.appendPartitioned(df, specs, t.writeStatsCols, t.writeBloomCols)
         if (replacing) {
           // swap = rename-old-ASIDE → rename-new-in → drop-old: at no
           // point is the replacement the only copy while a destructive

@@ -1903,6 +1903,21 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     props.get("maint.stats-cols").toSeq
       .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
 
+  private def csvProp(key: String): Seq[String] =
+    properties().get(key).toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+
+  /** Write-time skipping declaration (the `write.*` table-property
+    * convention, Iceberg's write.metadata/parquet.bloom-filter-enabled
+    * family): columns every PROPERTY-DRIVEN writer should record
+    * per-file min/max stats (resp. bloom filters) for at append time.
+    * The SQL front end consults these on INSERT/CTAS — a table declared
+    * once is skipping-capable from its first batch, whoever writes it —
+    * while Scala callers keep their explicit per-call arguments.
+    */
+  def writeStatsCols: Seq[String] = csvProp("write.stats-cols")
+  def writeBloomCols: Seq[String] = csvProp("write.bloom-cols")
+
   /** head (or as-of) table properties: fold of every entry's assignments
     * in seq order, empty-value unsets winning like any later write.
     */

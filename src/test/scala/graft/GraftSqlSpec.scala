@@ -552,6 +552,32 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("write.stats-cols property makes SQL-written batches skipping-capable") {
+    val cat = freshCat()
+    GraftSql.sql(spark, cat, "CREATE NAMESPACE graft.ns")
+    val seed = s"gsql_ws_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    items.createOrReplaceTempView(seed)
+    // declared ONCE at create time; every later SQL writer inherits it
+    try GraftSql.sql(spark, cat,
+        s"""CREATE TABLE graft.ns.t
+           |TBLPROPERTIES ('write.stats-cols' = 'count')
+           |AS SELECT * FROM $seed""".stripMargin)
+      finally spark.catalog.dropTempView(seed)
+    val src = s"gsql_ws2_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    items.withColumn("count", col("count") + 100).createOrReplaceTempView(src)
+    try GraftSql.sql(spark, cat, s"INSERT INTO graft.ns.t SELECT * FROM $src")
+      finally spark.catalog.dropTempView(src)
+    val t = cat.openTable("ns", "t")
+    val total = t.commitLog.state()._1.size
+    // count=2 lives only in the seed batch: a point probe must open
+    // strictly fewer files than a stats-blind read would
+    assert(t.prunedFileCountEq("count", 2) < total,
+      s"per-file stats from write.stats-cols must prune (opened all $total)")
+    assert(GraftSql.sql(spark, cat,
+      "SELECT name FROM graft.ns.t WHERE count = 102").collect()
+      .map(_.getString(0)).toSeq == Seq("A"))
+  }
+
   test("SHOW TABLES / DESCRIBE / SHOW TBLPROPERTIES inspect the catalog from SQL") {
     val cat = freshCat()
     cat.createNamespace("ns")
