@@ -90,6 +90,54 @@ object TpchGoverned {
     FROM j GROUP BY nation, o_year
     ORDER BY nation, o_year DESC"""
 
+  val Q3: String = """
+    SELECT l_orderkey,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS revenue_x1e6,
+      o_orderdate, o_orderpriority
+    FROM graft.tpch.customer JOIN graft.tpch.orders ON c_custkey = o_custkey
+    JOIN graft.tpch.lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue_x1e6 DESC, l_orderkey
+    LIMIT 10"""
+
+  val Q6: String = """
+    SELECT
+      CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               * CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_x1e4,
+      CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM graft.tpch.lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24"""
+
+  val Q18: String = """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+      CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS totalprice_x1e2,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) * 100 AS BIGINT) AS sum_qty_x1e2
+    FROM graft.tpch.customer JOIN graft.tpch.orders ON c_custkey = o_custkey
+    JOIN graft.tpch.lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM graft.tpch.lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY totalprice_x1e2 DESC, o_orderkey
+    LIMIT 100"""
+
+  val Recursive: String = """
+    WITH RECURSIVE walk(node, anc, depth) AS (
+      SELECT p_partkey AS node, p_partkey AS anc, 0 AS depth FROM graft.tpch.part
+      UNION ALL
+      SELECT node, anc DIV 10 AS anc, depth + 1 AS depth FROM walk WHERE anc > 9
+    )
+    SELECT anc AS root, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      CAST(SUM(node) AS BIGINT) AS sum_partkey,
+      CAST(MAX(depth) AS BIGINT) AS max_depth
+    FROM walk WHERE anc <= 9
+    GROUP BY anc ORDER BY root"""
+
   val Q21: String = """
     WITH st AS (SELECT l_orderkey,
             COUNT(DISTINCT l_suppkey) AS nsupp,

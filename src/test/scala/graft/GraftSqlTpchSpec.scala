@@ -49,6 +49,18 @@ class GraftSqlTpchSpec extends AnyFunSuite {
     assert(governed(TpchGoverned.Q21).collect().toSeq == entryRows("q_sql_q21"))
   }
 
+  test("Q3/Q6/Q18 and the recursive CTE also match over governed tables") {
+    assert(governed(TpchGoverned.Q3).collect().toSeq == entryRows("q_sql_q3"))
+    assert(governed(TpchGoverned.Q6).collect().toSeq == entryRows("q_sql_q6"))
+    // Q18's entry is the single-scan DataFrame treatment; the SQL text's
+    // IN-HAVING form plans differently but must answer identically
+    assert(governed(TpchGoverned.Q18).collect().toSeq == entryRows("q_sql_q18"))
+    // WITH RECURSIVE iterates UnionLoop over a substituted MoR relation —
+    // the anchor is the snapshot read, each step only the frontier
+    assert(governed(TpchGoverned.Recursive).collect().toSeq ==
+      entryRows("q_sql_recursive"))
+  }
+
   test("Q1 pushdown and column pruning reach the MoR snapshot scan") {
     val p = planOf(governed(TpchGoverned.Q1))
     assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"),
