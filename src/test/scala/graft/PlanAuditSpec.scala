@@ -60,6 +60,35 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_json_corrupt parses row-local in codegen; one keyed agg exchange plus the output sort") {
+    val p = plan("q_json_corrupt")
+    // the corrupt/clean routing is a projection over the scan — the only
+    // exchanges are the (event_type) aggregation and the oracle-mandated
+    // output sort; a plan that shuffled the raw lines before parsing
+    // would pay corpus I/O twice at 100 TB
+    val exchanges = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges <= 2, s"$exchanges exchanges; parse must stay pre-shuffle:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial agg expected before the exchange")
+  }
+
+  test("q_asset_wide explodes once and aggregates keyed — no per-field shuffle") {
+    val p = plan("q_asset_wide")
+    // 40 customFields flatten into ONE Generate; the rollup is the
+    // Expand-based multi-distinct rewrite (two distinct aggregates →
+    // partial agg under each exchange) plus the output sort — every
+    // exchange carries aggregate-sized pre-combined state. 40 separate
+    // explode-shuffle rounds — or a join per field — would multiply the
+    // width cost by the fan-out instead.
+    assert(p.linesIterator.count(_.contains("Generate")) <= 2,
+      s"one explode expected:\n$p")
+    val exchanges = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges <= 3, s"$exchanges exchanges:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "partial aggregation must precede every exchange")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "wide-field rollup must not join")
+  }
+
   test("q_sim_topk probes broadcast against the scan (no shuffle of the big side)") {
     val p = plan("q_sim_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
