@@ -75,9 +75,11 @@ object GraftSql {
         val src = SparkShims.ofRows(spark, substitute(spark, cat, ins.query, prefix))
         // the table's live layout, parsed all-or-nothing: a multi-
         // dimension layout with one unparseable dimension yields Nil,
-        // never a partial spec acting at the wrong granularity
+        // never a partial spec acting at the wrong granularity. ONE
+        // layout fold + ONE properties fold serve the whole statement.
         val layout = t.currentLayout
-        val specs = t.currentSpecs
+        val specs = layout.map(PartitionSpec.parseAll).getOrElse(Nil)
+        val (wStats, wBlooms) = t.writeSkippingCols
         val seq = if (ins.overwrite) {
           // INSERT OVERWRITE = DYNAMIC partition overwrite (the daily-
           // backfill op): the spec comes from the table's own layout, so
@@ -89,7 +91,7 @@ object GraftSql {
           else "INSERT OVERWRITE supports single-dimension layouts; this " +
             s"table's layout is '${layout.get}'")
           t.overwritePartitions(src, specs.head,
-            statsCols = t.writeStatsCols, bloomCols = t.writeBloomCols)
+            statsCols = wStats, bloomCols = wBlooms)
         } else if (specs.nonEmpty) {
           // INSERT INTO a partitioned table lands partition-laid-out
           // under the table's OWN spec (r11): a plain append would leave
@@ -97,9 +99,8 @@ object GraftSql {
           // would stop pruning exactly on the freshest data, the slice a
           // 100 TB ingest queries most. write.stats-cols/write.bloom-cols
           // properties stamp per-file skipping metadata as declared.
-          t.appendPartitioned(src, specs, t.writeStatsCols, t.writeBloomCols)
-        } else t.append(src,
-          statsCols = t.writeStatsCols, bloomCols = t.writeBloomCols)
+          t.appendPartitioned(src, specs, wStats, wBlooms)
+        } else t.append(src, statsCols = wStats, bloomCols = wBlooms)
         // rows_appended from the commit's OWN per-file row counts — a
         // driver-side count() would re-evaluate the source (two scans of
         // an arbitrary query, and a second answer if it's non-deterministic)
@@ -540,6 +541,9 @@ object GraftSql {
     // staging/aside slots are ordinary (briefly listable) table names
     val stamp = java.util.UUID.randomUUID().toString.replace("-", "")
     val buildName = if (replacing) s"rtas_stage_${tbl}_$stamp" else tbl
+    // set when the swap could not be rolled back: the replacement under
+    // buildName may then be the only complete copy — never delete it
+    var keepBuildOnFailure = false
     val seq =
       try {
         val t = cat.createTable(ns, buildName)
@@ -550,10 +554,10 @@ object GraftSql {
         }
         // TBLPROPERTIES landed above, so a declared write.stats-cols /
         // write.bloom-cols applies to the seed commit itself
+        val (wStats, wBlooms) = t.writeSkippingCols
         val s =
-          if (specs.isEmpty)
-            t.append(df, statsCols = t.writeStatsCols, bloomCols = t.writeBloomCols)
-          else t.appendPartitioned(df, specs, t.writeStatsCols, t.writeBloomCols)
+          if (specs.isEmpty) t.append(df, statsCols = wStats, bloomCols = wBlooms)
+          else t.appendPartitioned(df, specs, wStats, wBlooms)
         if (replacing) {
           // swap = rename-old-ASIDE → rename-new-in → drop-old: at no
           // point is the replacement the only copy while a destructive
@@ -569,8 +573,14 @@ object GraftSql {
           try cat.renameTable(ns, buildName, tbl)
           catch {
             case e: Throwable =>
+              // restore the old table; if even the restore fails, BOTH
+              // copies must survive under their slot names for manual
+              // recovery — deleting the finished replacement here would
+              // destroy the only complete build (r11 review)
               try cat.renameTable(ns, aside, tbl)
-              catch { case scala.util.control.NonFatal(_) => () }
+              catch {
+                case scala.util.control.NonFatal(_) => keepBuildOnFailure = true
+              }
               throw e
           }
           // old copy retires last; a failure here leaves debris under
@@ -580,9 +590,15 @@ object GraftSql {
         s
       } catch {
         case e: Throwable =>
-          // drop only the STAGING build (pre-swap failures); after a
-          // successful swap buildName no longer resolves and this no-ops
-          if (replacing) try cat.dropTable(ns, buildName) catch {
+          // drop whatever THIS statement created and can safely retire:
+          // the staging build on pre-swap REPLACE failures (after a
+          // successful swap buildName no longer resolves and this
+          // no-ops), or the half-created target of a plain CREATE whose
+          // seed query failed — leaving it would make a retry refuse
+          // with "already exists" on an empty table (r11 review). The
+          // existence checks above guarantee a !replacing target was
+          // created by this very call.
+          if (!keepBuildOnFailure) try cat.dropTable(ns, buildName) catch {
             case scala.util.control.NonFatal(_) => ()
           }
           throw e

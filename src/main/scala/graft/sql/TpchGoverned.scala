@@ -11,7 +11,8 @@ import org.apache.spark.sql.SparkSession
   * reference capability: the compose Spark querying the Iceberg
   * catalog, docker-compose.yml:58-81). The `t_sql_tpch` driver entry
   * gates Q5 against the raw-parquet oracle; GraftSqlTpchSpec widens to
-  * Q1/Q9/Q21 result parity with the temp-view entries plus plan pins
+  * Q1/Q3/Q6/Q9/Q18/Q21 + the recursive CTE result parity with the
+  * temp-view entries plus plan pins
   * (pushdown/pruning must reach the substituted MoR snapshot scans).
   *
   * The query texts are the Spark-dialect twins of the q_sql_q* entries'

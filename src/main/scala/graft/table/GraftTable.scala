@@ -1903,20 +1903,22 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     props.get("maint.stats-cols").toSeq
       .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
 
-  private def csvProp(key: String): Seq[String] =
-    properties().get(key).toSeq
-      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
-
   /** Write-time skipping declaration (the `write.*` table-property
     * convention, Iceberg's write.metadata/parquet.bloom-filter-enabled
-    * family): columns every PROPERTY-DRIVEN writer should record
-    * per-file min/max stats (resp. bloom filters) for at append time.
-    * The SQL front end consults these on INSERT/CTAS — a table declared
-    * once is skipping-capable from its first batch, whoever writes it —
-    * while Scala callers keep their explicit per-call arguments.
+    * family): (stats columns, bloom columns) every PROPERTY-DRIVEN
+    * writer should record per-file skipping metadata for at append
+    * time. ONE properties() fold serves both (per-statement metadata
+    * cost doctrine). The SQL front end consults this on INSERT/CTAS —
+    * a table declared once is skipping-capable from its first batch,
+    * whoever writes it — while Scala callers keep their explicit
+    * per-call arguments.
     */
-  def writeStatsCols: Seq[String] = csvProp("write.stats-cols")
-  def writeBloomCols: Seq[String] = csvProp("write.bloom-cols")
+  def writeSkippingCols: (Seq[String], Seq[String]) = {
+    val p = properties()
+    def csv(key: String): Seq[String] = p.get(key).toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    (csv("write.stats-cols"), csv("write.bloom-cols"))
+  }
 
   /** head (or as-of) table properties: fold of every entry's assignments
     * in seq order, empty-value unsets winning like any later write.
@@ -3000,20 +3002,26 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     // committed survivor's — making the key set structural means a
     // staged-props kind (say a governance assignment inside a txn)
     // cannot re-open the lost-update window (r10 verdict watch item).
-    // EXCEPT txn.* watermarks: those fold by MAX, so a re-stamp can
-    // never clobber a later published value — and suppressing their
-    // re-stamp WOULD be a real bug: an ABANDONED stage carrying
-    // txn.app=12 would silently erase the committed watermark 10 when
-    // expiration drops its entry (invisible stage + no re-stamp = no
-    // watermark at all), and a replayed batch at version 10 would
-    // double-append — the exactly-once hole the re-stamp exists to
-    // close (r11 review). Last-write-fold keys accept the narrower
-    // trade: an abandoned stage suppresses their re-stamp until the
-    // abandonment horizon retires it — strictly safer than a re-stamp
-    // racing (and out-folding) a concurrent publish.
+    // EXCEPT numeric txn.* watermarks: those fold by MAX (and only
+    // those — the fold keeps last-write for non-numeric txn.* values,
+    // so the exemption tests the VALUES, not just the prefix; r11
+    // review), so a re-stamp can never clobber a later published
+    // value — and suppressing their re-stamp WOULD be a real bug: an
+    // ABANDONED stage carrying txn.app=12 would silently erase the
+    // committed watermark 10 when expiration drops its entry
+    // (invisible stage + no re-stamp = no fold input at all), and a
+    // replayed batch at version 10 would double-append — the
+    // exactly-once hole the re-stamp exists to close. Last-write-fold
+    // keys accept the narrower trade: an abandoned stage suppresses
+    // their re-stamp until the abandonment horizon retires it —
+    // strictly safer than a re-stamp racing (and out-folding) a
+    // concurrent publish.
+    val pendingSuppressed = log.pendingEntries.flatMap(_.props.toSeq).collect {
+      case (k, v) if !(k.startsWith("txn.") && v.toLongOption.isDefined &&
+          savedProps.get(k).forall(_.toLongOption.isDefined)) => k
+    }.toSet
     val touchedBySurvivors =
-      log.entries().flatMap(_.props.keys).toSet ++
-        log.pendingEntries.flatMap(_.props.keys).filterNot(_.startsWith("txn."))
+      log.entries().flatMap(_.props.keys).toSet ++ pendingSuppressed
     val droppedOnly = savedProps.filter { case (k, _) => !touchedBySurvivors.contains(k) }
     if (droppedOnly.nonEmpty)
       log.commit("props", props = droppedOnly)

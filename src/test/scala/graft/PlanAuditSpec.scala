@@ -68,7 +68,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // would pay corpus I/O twice at 100 TB
     val exchanges = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange.*"""))
     assert(exchanges <= 2, s"$exchanges exchanges; parse must stay pre-shuffle:\n$p")
-    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial agg expected before the exchange")
+    // count DISTINCT node ids — formatted explain prints each node twice
+    // (tree line + detail header), so a raw substring count of 2 would
+    // be satisfied by a single final-only aggregate (r11 review)
+    assert(raw"\((\d+)\) HashAggregate".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet.size >= 2,
+      s"partial agg expected before the exchange:\n$p")
   }
 
   test("q_asset_wide explodes once and aggregates keyed — no per-field shuffle") {
@@ -83,8 +88,9 @@ class PlanAuditSpec extends AnyFunSuite {
       s"one explode expected:\n$p")
     val exchanges = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange.*"""))
     assert(exchanges <= 3, s"$exchanges exchanges:\n$p")
-    assert("HashAggregate".r.findAllIn(p).size >= 2,
-      "partial aggregation must precede every exchange")
+    assert(raw"\((\d+)\) HashAggregate".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet.size >= 2, // distinct node ids, see above
+      s"partial aggregation must precede every exchange:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       "wide-field rollup must not join")
   }
