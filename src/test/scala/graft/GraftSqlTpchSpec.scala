@@ -38,27 +38,24 @@ class GraftSqlTpchSpec extends AnyFunSuite {
   private def planOf(df: DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
-  test("Q1/Q5/Q9/Q21 over graft.tpch.* match the raw-parquet entries row for row") {
-    assert(governed(TpchGoverned.Q1).collect().toSeq == entryRows("q_sql_q1"))
-    assert(governed(TpchGoverned.Q5).collect().toSeq == entryRows("q_sql_q5"))
-    assert(governed(TpchGoverned.Q9).collect().toSeq == entryRows("q_sql_q9"))
-    // q_sql_q21's hand-tuned single-exchange plan and the SQL text's
-    // COUNT(DISTINCT) rewrite are different PLANS of the same answer —
-    // result parity is exactly what proves the governed path safe to
-    // swap in under existing SQL workloads
-    assert(governed(TpchGoverned.Q21).collect().toSeq == entryRows("q_sql_q21"))
-  }
-
-  test("Q3/Q6/Q18 and the recursive CTE also match over governed tables") {
-    assert(governed(TpchGoverned.Q3).collect().toSeq == entryRows("q_sql_q3"))
-    assert(governed(TpchGoverned.Q6).collect().toSeq == entryRows("q_sql_q6"))
-    // Q18's entry is the single-scan DataFrame treatment; the SQL text's
-    // IN-HAVING form plans differently but must answer identically
-    assert(governed(TpchGoverned.Q18).collect().toSeq == entryRows("q_sql_q18"))
-    // WITH RECURSIVE iterates UnionLoop over a substituted MoR relation —
-    // the anchor is the snapshot read, each step only the frontier
-    assert(governed(TpchGoverned.Recursive).collect().toSeq ==
-      entryRows("q_sql_recursive"))
+  test("all 22 TPC-H texts + the recursive CTE over graft.tpch.* match " +
+      "the raw-parquet entries row for row") {
+    // the full parity sweep (r11 verdict #1): for the hand-tuned
+    // DataFrame entries (Q2/Q11/Q15/Q16/Q17/Q20/Q21) the governed text
+    // is the LITERAL correlated-subquery / nested-IN formulation — a
+    // different PLAN of the same answer, which is exactly what proves
+    // the governed path safe to swap in under existing BI SQL: plan
+    // substitution has to survive the analyzer's decorrelation, which
+    // rewrites the substituted MoR subplans into joins/aggregates the
+    // statement never spelled
+    val mismatches = TpchGoverned.all.flatMap { case (name, text) =>
+      val g = governed(text).collect().toSeq
+      val e = entryRows(name)
+      if (g == e) None
+      else Some(s"$name: governed ${g.size} rows vs entry ${e.size}; " +
+        s"first diff: ${g.zipAll(e, null, null).find(p => p._1 != p._2)}")
+    }
+    assert(mismatches.isEmpty, mismatches.mkString("\n"))
   }
 
   test("Q1 pushdown and column pruning reach the MoR snapshot scan") {
@@ -80,6 +77,41 @@ class GraftSqlTpchSpec extends AnyFunSuite {
     // the orders date window prunes at the governed orders scan
     assert(p.contains("GreaterThanOrEqual(o_orderdate"),
       s"the date filter must push into the orders snapshot scan:\n$p")
+  }
+
+  test("Q4's EXISTS decorrelates to a semi join over the governed scans") {
+    val p = planOf(governed(TpchGoverned.Q4))
+    assert(p.contains("LeftSemi"),
+      s"the EXISTS must plan as a LEFT SEMI join, never a row-multiplying inner:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop fallback under decorrelation:\n$p")
+    // the quarter window still prunes at the governed orders scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"the date filter must push into the orders snapshot scan:\n$p")
+  }
+
+  test("Q19's OR-of-conjuncts keeps the hash equi-join and pushes the " +
+      "brand disjunction to the part scan") {
+    val p = planOf(governed(TpchGoverned.Q19))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the common p_partkey equi-key must keep the join hash-based:\n$p")
+    // the part-only disjunction (brand OR brand OR brand) reaches the
+    // substituted part scan as a pushed filter
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("Brand#12") && pushed.contains("Brand#34"),
+      s"the brand disjunction must push into the part snapshot scan:\n$pushed")
+  }
+
+  test("Q17/Q2's correlated scalar subqueries decorrelate to aggregate " +
+      "joins over the MoR scans (no nested-loop, no value blowup)") {
+    for (q <- Seq(TpchGoverned.Q17, TpchGoverned.Q2)) {
+      val p = planOf(governed(q))
+      assert(!p.contains("CartesianProduct"),
+        s"decorrelation must produce equi-joins on the correlation key:\n$p")
+      // the part slice reaches the substituted part scan as pushed filters
+      assert(p.contains("PushedFilters") && (p.contains("p_brand") || p.contains("p_type")),
+        s"the part slice must push into the part snapshot scan:\n$p")
+    }
   }
 
   test("governed reads stay MoR: a delete between runs changes Q1 through SQL") {
