@@ -5,9 +5,10 @@ import graft.table.{GraftCatalog, PartitionSpec, Transform}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedFunction, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedProcedure, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView}
-import org.apache.spark.sql.catalyst.expressions.{And, Between, Cast, EqualTo, Expression, GreaterThanOrEqual, In, LessThanOrEqual, Literal, NamedArgumentExpression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, Assignment, Call, CreateNamespace, CreateTableAsSelect, CreateTable, DeleteAction, DeleteFromTable, DescribeRelation, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, ReplaceTableAsSelect, SetTableProperties, ShowCreateTable, ShowTableProperties, ShowTables, SubqueryAlias, TableSpecBase, UnresolvedTableSpec, UnresolvedWith, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{And, Between, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, NamedArgumentExpression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, Assignment, Call, CreateNamespace, CreateTableAsSelect, CreateTable, DeleteAction, DeleteFromTable, DescribeRelation, DropTable, Filter, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, ReplaceTableAsSelect, SetTableProperties, ShowCreateTable, ShowTableProperties, ShowTables, SubqueryAlias, TableSpecBase, UnresolvedHint, UnresolvedTableSpec, UnresolvedWith, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, Transform => V2Transform}
+import org.apache.spark.sql.execution.command.ExplainCommand
 import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.graft.SparkShims
 import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType, TimestampType}
@@ -69,10 +70,33 @@ object GraftSql {
             "(no PARTITION clause or column list)")
         val (ns, tbl) = splitIdent(ident, prefix)
         val t = cat.openTable(ns, tbl)
+        // replay-safe ingest from SQL (r11 verdict #6): `INSERT INTO t
+        // SELECT /*+ TXN('appId', version) */ ...` routes onto the table
+        // layer's appendIdempotent — the Delta txnAppId/txnVersion
+        // contract, so an ETL tool that crashes between writing and
+        // recording its offset can replay the same statement without
+        // double-appending. The hint is the one SQL surface Spark
+        // reserves for out-of-band plan directives; it is stripped here
+        // (Spark itself would warn-drop an unknown hint, silently losing
+        // the idempotence the caller asked for).
+        var txn: Option[(String, Long)] = None
+        val queryNoHint = ins.query.transformDown {
+          case h: UnresolvedHint if h.name.equalsIgnoreCase("TXN") =>
+            require(txn.isEmpty, "at most one TXN hint per INSERT")
+            txn = Some(h.parameters match {
+              case Seq(Literal(a, StringType), Literal(v, _)) if v != null &&
+                  (v.isInstanceOf[Int] || v.isInstanceOf[Long]) =>
+                (a.toString, v.asInstanceOf[Number].longValue())
+              case other => throw new IllegalArgumentException(
+                "TXN hint takes ('appId', version): a string literal and " +
+                  s"an integer literal; got: $other")
+            })
+            h.child
+        }
         // append() conforms the batch to the table's current schema by
         // NAME (widening as needed) — SQL INSERT here is by-name, the
         // unambiguous contract for evolved schemas
-        val src = SparkShims.ofRows(spark, substitute(spark, cat, ins.query, prefix))
+        val src = SparkShims.ofRows(spark, substitute(spark, cat, queryNoHint, prefix))
         // the table's live layout, parsed all-or-nothing: a multi-
         // dimension layout with one unparseable dimension yields Nil,
         // never a partial spec acting at the wrong granularity. ONE
@@ -80,6 +104,35 @@ object GraftSql {
         val layout = t.currentLayout
         val specs = layout.map(PartitionSpec.parseAll).getOrElse(Nil)
         val (wStats, wBlooms) = t.writeSkippingCols
+        if (txn.isDefined) {
+          require(!ins.overwrite,
+            "TXN (idempotent) INSERT supports INSERT INTO only — an " +
+              "idempotent dynamic-partition OVERWRITE replay would need " +
+              "the overwritten state recorded, which the watermark is not")
+          require(specs.isEmpty,
+            "TXN INSERT into a partition-laid-out table is not supported " +
+              "from SQL yet; use the Scala CatalogTxn.appendPartitioned " +
+              "path for partitioned exactly-once ingest")
+          val (app, ver) = txn.get
+          // the no-op detection reads the watermark, not the head seq: a
+          // concurrent writer on a DIFFERENT appId may advance the head
+          // between the check and the call, and the contract (one live
+          // committer per appId, Delta's) makes the watermark itself
+          // stable for the duration of this statement
+          val replayed = t.properties().get(s"txn.$app").exists(_.toLong >= ver)
+          val seq = t.appendIdempotent(src, app, ver,
+            statsCols = wStats, bloomCols = wBlooms)
+          // a replayed (version ≤ watermark) call returns the CURRENT
+          // head as a no-op: report rows_appended = 0, never the prior
+          // commit's row count
+          val n = if (replayed) 0L
+            else t.snapshots.find(_.seq == seq).map(_.fileRows.sum).getOrElse(-1L)
+          return spark.createDataFrame(
+            java.util.List.of(Row(s"$ns.$tbl", n, seq)),
+            StructType(Seq(StructField("table", StringType, nullable = false),
+              StructField("rows_appended", LongType, nullable = false),
+              StructField("new_version", LongType, nullable = false))))
+        }
         val seq = if (ins.overwrite) {
           // INSERT OVERWRITE = DYNAMIC partition overwrite (the daily-
           // backfill op): the spec comes from the table's own layout, so
@@ -359,6 +412,40 @@ object GraftSql {
           s"CALL supports $prefix.system.<procedure>(...) only, got: " +
             nameParts.mkString("."))
         callProcedure(spark, cat, nameParts(2), c.args)
+
+      // EXPLAIN [EXTENDED|FORMATTED|CODEGEN|COST] <query> over graft
+      // relations (r11 verdict #2): a notebook user tuning a slow
+      // governed query needs to SEE whether pushdown and partition
+      // pruning reached the substituted snapshot scan without dropping
+      // to Scala. The session parser already wraps the statement in
+      // ExplainCommand; substitute the inner plan exactly like a SELECT
+      // and render the requested mode — the text is the plan the query
+      // WOULD run, same analyzer/optimizer pipeline, zero data I/O.
+      case ec: ExplainCommand =>
+        ec.logicalPlan match {
+          case _: InsertIntoStatement | _: DeleteFromTable | _: UpdateTable |
+              _: MergeIntoTable | _: CreateTableAsSelect | _: CreateTable |
+              _: ReplaceTableAsSelect | _: DropTable | _: Call =>
+            throw new IllegalArgumentException(
+              "EXPLAIN supports read queries over graft relations; DML/DDL " +
+                "statements execute eagerly here and have no lazy plan to show")
+          case inner =>
+            // collect per-relation scan notes DURING substitution: the
+            // Spark plan text cannot show graft's manifest-level file
+            // pruning (the pruned plan simply lists fewer files), so
+            // EXPLAIN appends a Graft Scans section saying, per governed
+            // relation, how many of the snapshot's data files the probe
+            // actually opens — the number an operator tunes against
+            val notes = new scala.collection.mutable.ArrayBuffer[String]()
+            val df = SparkShims.ofRows(spark,
+              substitute(spark, cat, inner, prefix, Some(notes)))
+            val text = df.queryExecution.explainString(ec.mode) +
+              (if (notes.isEmpty) ""
+               else notes.distinct.mkString("\n== Graft Scans ==\n", "\n", "\n"))
+            spark.createDataFrame(
+              java.util.List.of(Row(text)),
+              StructType(Seq(StructField("plan", StringType, nullable = false))))
+        }
 
       case plan =>
         SparkShims.ofRows(spark, substitute(spark, cat, plan, prefix))
@@ -805,18 +892,54 @@ object GraftSql {
   /** Replace every graft relation in the tree (and in subquery
     * expressions) with its snapshot's analyzed read plan. transformDown
     * so a RelationTimeTravel parent claims its child UnresolvedRelation
-    * before a bottom-up pass could rewrite the child to a head read.
+    * before a bottom-up pass could rewrite the child to a head read —
+    * and so a Filter directly over a relation claims it first for the
+    * predicate-pruned read (below).
+    *
+    * `notes` (EXPLAIN only) collects one line per governed scan saying
+    * how many of the snapshot's data files the plan opens.
     */
   private def substitute(spark: SparkSession, cat: GraftCatalog,
-      plan: LogicalPlan, prefix: String): LogicalPlan = {
+      plan: LogicalPlan, prefix: String,
+      notes: Option[scala.collection.mutable.ArrayBuffer[String]] = None): LogicalPlan = {
     val relsDone = plan.transformDown {
       // CTE definitions are NOT in `children` (UnresolvedWith carries
       // them beside its child), so a naive tree walk misses a graft
       // relation inside WITH — substitute each definition explicitly
       case w: UnresolvedWith =>
         w.copy(cteRelations = w.cteRelations.map { case (n, sa, maxRec) =>
-          (n, sa.copy(child = substitute(spark, cat, sa.child, prefix)), maxRec)
+          (n, sa.copy(child = substitute(spark, cat, sa.child, prefix, notes)), maxRec)
         })
+      // WHERE directly over one graft relation: route literal equality /
+      // range conjuncts through the table layer's manifest-level file
+      // pruning (readEq/readRange — the hidden-partitioning + per-file-
+      // stats path), so a SQL point probe opens only the matching files
+      // instead of every live file. Parquet row-group pushdown still
+      // applies on the survivors; the original Filter stays in the tree,
+      // so an over-eager prune can never change results — pruning only
+      // removes files whose recorded stats PROVE they cannot match.
+      case f: Filter =>
+        val (rel, rebuild): (Option[UnresolvedRelation], LogicalPlan => LogicalPlan) =
+          f.child match {
+            case u: UnresolvedRelation => (Some(u), identity[LogicalPlan])
+            case sa: SubqueryAlias => sa.child match {
+              case u: UnresolvedRelation => (Some(u), p => sa.copy(child = p))
+              case _ => (None, identity[LogicalPlan])
+            }
+            case _ => (None, identity[LogicalPlan])
+          }
+        rel match {
+          case Some(u) if isGraft(u.multipartIdentifier, prefix) &&
+              u.multipartIdentifier.length <= 3 =>
+            val (ns, tbl) = splitIdent(u.multipartIdentifier, prefix)
+            val pruned = sniffedRead(spark, cat.openTable(ns, tbl),
+              s"$prefix.$ns.$tbl", f.condition, notes)
+            pruned match {
+              case Some(p) => f.copy(child = rebuild(p))
+              case None => f // no usable conjunct: the relation case below runs
+            }
+          case _ => f
+        }
       case tt: RelationTimeTravel => tt.relation match {
         case u: UnresolvedRelation if isGraft(u.multipartIdentifier, prefix) =>
           readPlan(spark, cat, u.multipartIdentifier, prefix,
@@ -824,11 +947,129 @@ object GraftSql {
         case other => tt // someone else's time travel — leave it alone
       }
       case u: UnresolvedRelation if isGraft(u.multipartIdentifier, prefix) =>
-        readPlan(spark, cat, u.multipartIdentifier, prefix, None, None)
+        val p = readPlan(spark, cat, u.multipartIdentifier, prefix, None, None)
+        notes.foreach { ns =>
+          if (u.multipartIdentifier.length <= 3) {
+            val (n, t) = splitIdent(u.multipartIdentifier, prefix)
+            val total = cat.openTable(n, t).commitLog.state()._1.size
+            ns += s"$prefix.$n.$t: full snapshot scan ($total data files)"
+          }
+        }
+        p
     }
     relsDone.transformAllExpressions {
       case se: SubqueryExpression =>
-        se.withNewPlan(substitute(spark, cat, se.plan, prefix))
+        se.withNewPlan(substitute(spark, cat, se.plan, prefix, notes))
+    }
+  }
+
+  /** Sniff a parsed WHERE (sitting directly over one graft relation) for
+    * the table layer's native prune shapes, and return the PRUNED read
+    * plan when one applies: `col = <lit>` → readEq (per-file stats,
+    * blooms, and every partition dimension incl. bucket), closed or open
+    * numeric range → readRange, string range → readRangeStr (hidden
+    * partitioning: the caller names only the source column). First
+    * usable conjunct wins — the remaining conjuncts still filter, they
+    * just don't prune. Columns are matched by EXACT name against the
+    * snapshot schema; a miss (or a non-literal) simply falls back to the
+    * full snapshot scan. At 100 TB this is the difference between a SQL
+    * point probe opening 3 files and opening 300,000.
+    */
+  private def sniffedRead(spark: SparkSession, t: graft.table.GraftTable,
+      relName: String, cond: Expression,
+      notes: Option[scala.collection.mutable.ArrayBuffer[String]]): Option[LogicalPlan] = {
+    val fields: Set[String] =
+      t.schemaAt().map(_.fields.map(_.name).toSet).getOrElse(Set.empty)
+    def colOf(a: UnresolvedAttribute): Option[String] =
+      Some(a.nameParts.last).filter(fields.contains)
+    // prune-safe literal kinds: numeric + string match the stats/
+    // partition-value renderings the write side records; anything else
+    // (timestamps, intervals, binary) falls back to the unpruned scan
+    def eqLit(l: Literal): Option[Any] = lit2Scala(l) match {
+      case v: Int => Some(v)
+      case v: Long => Some(v)
+      case v: String => Some(v)
+      case v: java.math.BigDecimal => Some(BigDecimal(v))
+      case _ => None
+    }
+    def numLit(l: Literal): Option[BigDecimal] = lit2Scala(l) match {
+      case v: Int => Some(BigDecimal(v))
+      case v: Long => Some(BigDecimal(v))
+      case v: java.math.BigDecimal => Some(BigDecimal(v))
+      case _ => None
+    }
+    def strLit(l: Literal): Option[String] = lit2Scala(l) match {
+      case v: String => Some(v)
+      case _ => None
+    }
+    val conj = splitConj(cond)
+    def note(col: String, opened: Int): Unit = notes.foreach { ns =>
+      val total = t.commitLog.state()._1.size
+      ns += s"$relName: probe on '$col' prunes to $opened of $total data files " +
+        "(per-file stats + partition values + blooms)"
+    }
+    // 1. equality probe — the strongest prune (stats + bucket + bloom)
+    val eq = conj.iterator.flatMap {
+      case EqualTo(a: UnresolvedAttribute, l: Literal) =>
+        for { c <- colOf(a); v <- eqLit(l) } yield (c, v)
+      case EqualTo(l: Literal, a: UnresolvedAttribute) =>
+        for { c <- colOf(a); v <- eqLit(l) } yield (c, v)
+      case _ => None
+    }.nextOption()
+    eq match {
+      case Some((c, v)) =>
+        note(c, t.prunedFileCountEq(c, v))
+        return Some(t.readEq(c, v).queryExecution.analyzed)
+      case None => ()
+    }
+    // 2. range probe: a closed BETWEEN, or any >=/>/<=/<  pair on one
+    // column (strict bounds prune with their closed superset — sound,
+    // the residual Filter still applies the strict comparison)
+    def bounds(colLit: PartialFunction[Expression, Option[(String, Literal)]])
+        : Map[String, Literal] =
+      conj.flatMap(e => colLit.lift(e).flatten).toMap
+    val nLos = bounds {
+      case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) => colOf(a).map(_ -> l)
+      case GreaterThan(a: UnresolvedAttribute, l: Literal) => colOf(a).map(_ -> l)
+      case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) => colOf(a).map(_ -> l)
+      case LessThan(l: Literal, a: UnresolvedAttribute) => colOf(a).map(_ -> l)
+      case Between(a: UnresolvedAttribute, lo: Literal, _, _) => colOf(a).map(_ -> lo)
+      case f: UnresolvedFunction if f.nameParts == Seq("between") =>
+        f.arguments match {
+          case Seq(a: UnresolvedAttribute, lo: Literal, _: Literal) =>
+            colOf(a).map(_ -> lo)
+          case _ => None
+        }
+    }
+    val nHis = bounds {
+      case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) => colOf(a).map(_ -> l)
+      case LessThan(a: UnresolvedAttribute, l: Literal) => colOf(a).map(_ -> l)
+      case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) => colOf(a).map(_ -> l)
+      case GreaterThan(l: Literal, a: UnresolvedAttribute) => colOf(a).map(_ -> l)
+      case Between(a: UnresolvedAttribute, _, hi: Literal, _) => colOf(a).map(_ -> hi)
+      case f: UnresolvedFunction if f.nameParts == Seq("between") =>
+        f.arguments match {
+          case Seq(a: UnresolvedAttribute, _: Literal, hi: Literal) =>
+            colOf(a).map(_ -> hi)
+          case _ => None
+        }
+    }
+    val ranged = nLos.keySet.intersect(nHis.keySet).toSeq.sorted.iterator.flatMap { c =>
+      (numLit(nLos(c)), numLit(nHis(c))) match {
+        case (Some(lo), Some(hi)) =>
+          Some((c, t.prunedFileCount(c, lo, hi),
+            () => t.readRange(c, lo, hi)))
+        case _ => (strLit(nLos(c)), strLit(nHis(c))) match {
+          case (Some(lo), Some(hi)) =>
+            Some((c, t.prunedFileCountStr(c, lo, hi),
+              () => t.readRangeStr(c, lo, hi)))
+          case _ => None
+        }
+      }
+    }.nextOption()
+    ranged.map { case (c, opened, build) =>
+      note(c, opened)
+      build().queryExecution.analyzed
     }
   }
 

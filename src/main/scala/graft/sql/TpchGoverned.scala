@@ -35,19 +35,27 @@ object TpchGoverned {
     * per table; at warehouse scale this is the one-off governed import
     * of an existing lake directory.
     */
-  def load(s: SparkSession, cat: GraftCatalog, dir: String): Unit = {
+  def load(s: SparkSession, cat: GraftCatalog, dir: String): Unit =
+    loadTables(s, cat, dir, Seq("region", "nation", "customer", "supplier",
+      "part", "orders", "lineitem"))
+
+  /** Subset loader for scenarios that govern only the tables their query
+    * touches (a per-run CTAS of all 7 would be paid for nothing).
+    */
+  def loadTables(s: SparkSession, cat: GraftCatalog, dir: String,
+      names: Seq[String]): Unit = {
     GraftSql.sql(s, cat, "CREATE NAMESPACE graft.tpch")
-    val sources = Seq(
-      "region" -> Tables.region(s, dir),
-      "nation" -> Tables.nation(s, dir),
-      "customer" -> Tables.customer(s, dir),
-      "supplier" -> Tables.supplier(s, dir),
-      "part" -> Tables.part(s, dir),
-      "orders" -> Tables.orders(s, dir),
-      "lineitem" -> Tables.lineitem(s, dir))
-    sources.foreach { case (name, df) =>
+    val sources: Map[String, () => org.apache.spark.sql.DataFrame] = Map(
+      "region" -> (() => Tables.region(s, dir)),
+      "nation" -> (() => Tables.nation(s, dir)),
+      "customer" -> (() => Tables.customer(s, dir)),
+      "supplier" -> (() => Tables.supplier(s, dir)),
+      "part" -> (() => Tables.part(s, dir)),
+      "orders" -> (() => Tables.orders(s, dir)),
+      "lineitem" -> (() => Tables.lineitem(s, dir)))
+    names.foreach { name =>
       val v = s"tpch_load_${name}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      df.createOrReplaceTempView(v)
+      sources(name)().createOrReplaceTempView(v)
       try GraftSql.sql(s, cat,
         s"CREATE TABLE graft.tpch.$name AS SELECT * FROM $v")
       finally s.catalog.dropTempView(v)

@@ -624,6 +624,116 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(ddl.contains("'quality.tier' = 'gold'"), ddl)
   }
 
+  test("EXPLAIN shows the pushed filter AND the manifest-level file prune " +
+      "for a governed read") {
+    val cat = freshCat()
+    GraftSql.sql(spark, cat, "CREATE NAMESPACE graft.ns")
+    GraftSql.sql(spark, cat,
+      """CREATE TABLE graft.ns.t (name STRING, size STRING, count INT)
+        |PARTITIONED BY (truncate(10, count))""".stripMargin)
+    // three partition-separated batches so a point probe has files to prune
+    for (shift <- Seq(0, 100, 200)) {
+      val src = s"gsql_ex_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      items.withColumn("count", col("count") + shift).createOrReplaceTempView(src)
+      try GraftSql.sql(spark, cat, s"INSERT INTO graft.ns.t SELECT * FROM $src")
+        finally spark.catalog.dropTempView(src)
+    }
+    val plan = GraftSql.sql(spark, cat,
+      "EXPLAIN FORMATTED SELECT name FROM graft.ns.t WHERE count = 115")
+      .collect().head.getString(0)
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(count,115)"),
+      s"the probe must reach the parquet scan as a pushed filter:\n$plan")
+    // the Graft Scans section reports the manifest-level prune the Spark
+    // plan text cannot show: the probe opens a strict subset of the files
+    val note = plan.linesIterator.find(_.startsWith("graft.ns.t: probe"))
+    assert(note.isDefined, s"expected a Graft Scans note:\n$plan")
+    val counts = "prunes to (\\d+) of (\\d+)".r.findFirstMatchIn(note.get).get
+    assert(counts.group(1).toInt < counts.group(2).toInt,
+      s"the point probe must open fewer files than the snapshot holds: $note")
+    assert(counts.group(2).toInt >= 3, s"expected >=3 live files: $note")
+    // EXPLAIN of eager DML refuses — there is no lazy plan to show
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, cat, "EXPLAIN DELETE FROM graft.ns.t WHERE count = 1")
+    }
+    // and the PRUNED read answers exactly like the full scan
+    assert(GraftSql.sql(spark, cat,
+      "SELECT name FROM graft.ns.t WHERE count = 115").collect()
+      .map(_.getString(0)).toSeq == Seq("B"))
+  }
+
+  test("SQL point probes route through the table layer's pruned read and " +
+      "still apply MoR deletes") {
+    val cat = freshCat()
+    cat.createNamespace("ns")
+    val t = cat.createTable("ns", "t")
+    t.appendPartitioned(items,
+      Seq(graft.table.PartitionSpec("count", graft.table.Transform.Truncate(10))),
+      Nil, Nil)
+    t.appendPartitioned(items.withColumn("count", col("count") + 100)
+        .withColumn("name", concat(col("name"), lit("2"))),
+      Seq(graft.table.PartitionSpec("count", graft.table.Transform.Truncate(10))),
+      Nil, Nil)
+    // an equality delete lands between the writes and the probe: the
+    // pruned SQL read must still anti-join it away (readEq IS the MoR path)
+    t.delete(Seq("B2").toDF("name"), Seq("name"))
+    assert(GraftSql.sql(spark, cat,
+      "SELECT name FROM graft.ns.t WHERE count = 115").collect().isEmpty,
+      "the deleted row must not resurface through the pruned SQL read")
+    assert(GraftSql.sql(spark, cat,
+      "SELECT name FROM graft.ns.t WHERE count = 15").collect()
+      .map(_.getString(0)).toSeq == Seq("B"))
+    // range probes prune too, and strict bounds keep strict semantics
+    assert(GraftSql.sql(spark, cat,
+      "SELECT name FROM graft.ns.t WHERE count > 102 AND count < 115")
+      .collect().map(_.getString(0)).toSeq == Seq("C2"),
+      "strict bounds must filter strictly (102 and 115 excluded) even " +
+        "though pruning uses the closed superset")
+    // a BETWEEN probe on a string column rides lexicographic stats
+    assert(GraftSql.sql(spark, cat,
+      "SELECT count FROM graft.ns.t WHERE name BETWEEN 'E' AND 'E2'")
+      .collect().map(_.getInt(0)).toSet == Set(20, 120))
+  }
+
+  test("INSERT with a TXN hint is replay-safe (exactly-once from SQL)") {
+    val cat = freshCat()
+    cat.createNamespace("ns")
+    cat.createTable("ns", "t").append(items.limit(1)) // seq 0
+    val src = s"gsql_txn_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    items.limit(3).createOrReplaceTempView(src)
+    try {
+      def ins(ver: Int): org.apache.spark.sql.Row = GraftSql.sql(spark, cat,
+        s"INSERT INTO graft.ns.t SELECT /*+ TXN('etl', $ver) */ * FROM $src")
+        .collect().head
+      val first = ins(1)
+      assert(first.getLong(1) == 3 && first.getLong(2) == 1,
+        s"first TXN insert must append 3 rows at seq 1: $first")
+      // the REPLAY (same appId, same version — the crashed-ETL retry)
+      // must be a no-op: zero rows appended, head unchanged
+      val replay = ins(1)
+      assert(replay.getLong(1) == 0 && replay.getLong(2) == 1,
+        s"replayed TXN insert must no-op: $replay")
+      assert(GraftSql.sql(spark, cat,
+        "SELECT COUNT(*) AS n FROM graft.ns.t").collect().head.getLong(0) == 4)
+      // the NEXT version appends; a stale version after it no-ops too
+      assert(ins(2).getLong(1) == 3)
+      assert(ins(1).getLong(1) == 0, "a far-stale replay must no-op")
+      // independent appIds never interact
+      assert(GraftSql.sql(spark, cat,
+        s"INSERT INTO graft.ns.t SELECT /*+ TXN('backfill', 1) */ * FROM $src")
+        .collect().head.getLong(1) == 3)
+      // malformed hints refuse loudly instead of silently dropping the
+      // idempotence the caller asked for
+      intercept[IllegalArgumentException] {
+        GraftSql.sql(spark, cat,
+          s"INSERT INTO graft.ns.t SELECT /*+ TXN(42, 1) */ * FROM $src")
+      }
+      intercept[IllegalArgumentException] {
+        GraftSql.sql(spark, cat,
+          s"INSERT OVERWRITE graft.ns.t SELECT /*+ TXN('etl', 9) */ * FROM $src")
+      }
+    } finally spark.catalog.dropTempView(src)
+  }
+
   test("SQL reads keep column pruning and filter pushdown on the snapshot scan") {
     val cat = freshCat()
     cat.createNamespace("ns")
