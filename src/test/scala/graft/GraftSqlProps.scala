@@ -156,4 +156,49 @@ object GraftSqlProps extends Properties("graft-sql-differential") {
       }
       headOk && historyOk
     }
+
+  // r12 (VERDICT r11 #3): INTERLEAVED two-writer arm. INSERTs commute,
+  // so the one exact invariant under a nondeterministic interleaving is
+  // multiset equality: whatever order the CAS serializes the commits in,
+  // the final table must hold exactly the union of both writers' batches
+  // and the head must count every statement — no lost commit, no double
+  // apply, regardless of which writer won each seq.
+  private val genBatches: Gen[List[List[Row]]] =
+    Gen.listOfN(4, Gen.nonEmptyListOf(genRow).map(_.take(3)))
+
+  property("two interleaved SQL INSERT writers lose nothing: final state " +
+      "is the exact multiset union") =
+    forAll(genBatches, genBatches) { (b1, b2) =>
+      val root = Files.createTempDirectory("prop_sqlrace")
+      val cat = GraftCatalog(spark, root.resolve("wh").toString)
+      cat.createNamespace("fz")
+      cat.createTable("fz", "t").append(df(Seq(("Z", "seed", -1)))) // seq 0
+      def insertAll(batches: List[List[Row]]): Unit = batches.foreach { rows =>
+        val v = s"sqlprop2_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        df(rows).createOrReplaceTempView(v)
+        try GraftSql.sql(spark, cat, s"INSERT INTO graft.fz.t SELECT * FROM $v")
+        finally spark.catalog.dropTempView(v)
+      }
+      val errs = Array[Throwable](null, null)
+      val t1 = new Thread(() => try insertAll(b1)
+        catch { case e: Throwable => errs(0) = e })
+      val t2 = new Thread(() => try insertAll(b2)
+        catch { case e: Throwable => errs(1) = e })
+      t1.start(); t2.start(); t1.join(120000); t2.join(120000)
+      val t = cat.openTable("fz", "t")
+      val expected = (Seq(("Z", "seed", -1)) ++ b1.flatten ++ b2.flatten)
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val got = {
+        import spark.implicits._
+        GraftSql.sql(spark, cat, "SELECT name, size, count FROM graft.fz.t")
+          .as[(String, String, Int)].collect().toSeq
+          .groupBy(identity).view.mapValues(_.size).toMap
+      }
+      val ok = errs.forall(_ == null) && got == expected &&
+        t.headSeq == (b1.size + b2.size).toLong
+      if (!ok) println(s"INTERLEAVE DIVERGENCE errs=${errs.toSeq} " +
+        s"head=${t.headSeq} expected ${b1.size + b2.size} commits\n" +
+        s" got=$got\n exp=$expected")
+      ok
+    }
 }
