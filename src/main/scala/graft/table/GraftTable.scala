@@ -1123,15 +1123,28 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     // scans catalog table logs — a branch log still referencing a marker
     // after main checkpointed (which strips ITS references) would see the
     // marker vacuumed and its committed entries silently flip to pending
-    seedLog(bRoot.resolve("_log"), es.map(e => e.copy(
-      dataFiles = e.dataFiles.map(branchRel),
-      deleteFiles = e.deleteFiles.map(branchRel),
-      // bloom sidecars travel like data files: the seed `..`-steps to
-      // the owning table's _log/_puffin, so a rename moves both together
-      bloomsRef = if (e.bloomsRef.isEmpty) "" else branchRel(e.bloomsRef),
-      txnMarker = "")))
-    Files.writeString(bRoot.resolve("_base"),
-      es.lastOption.map(_.seq).getOrElse(-1L).toString)
+    //
+    // PENDING txn stages seed too, marker PRESERVED (r12): a staged-but-
+    // unpublished (or abandoned) transaction claimed its seq on main, and
+    // the branch must not re-mint it — a branch commit reusing a burned
+    // seq shifts the branch's history one snapshot against main's, so a
+    // rollback/time-travel target inside the branch (and the straight
+    // line after publish) resolves to the WRONG snapshot. The marker
+    // reference keeps the stage pending on the branch exactly as it is
+    // on main (presumed abort until the marker lands).
+    val pending = log.pendingEntries
+    seedLog(bRoot.resolve("_log"), (es.map(_.copy(txnMarker = "")) ++ pending)
+      .sortBy(_.seq).map(e => e.copy(
+        dataFiles = e.dataFiles.map(branchRel),
+        deleteFiles = e.deleteFiles.map(branchRel),
+        // bloom sidecars travel like data files: the seed `..`-steps to
+        // the owning table's _log/_puffin, so a rename moves both together
+        bloomsRef = if (e.bloomsRef.isEmpty) "" else branchRel(e.bloomsRef),
+        txnMarker = if (e.txnMarker.isEmpty) "" else branchRel(e.txnMarker))))
+    // the base is the seq WATERMARK (burned/staged claims included), not
+    // the last committed seq: publish replays strictly above it, and the
+    // seeded pending stages must never replay as if the branch made them
+    Files.writeString(bRoot.resolve("_base"), log.headSeq().toString)
     new GraftTable(spark, bRoot)
   }
 
@@ -1171,7 +1184,11 @@ final class GraftTable(spark: SparkSession, val root: Path) {
     val bRoot = branchRoot(name)
     require(Files.exists(bRoot), s"no such branch: $name")
     val base = Files.readString(bRoot.resolve("_base")).trim.toLong
-    val head = log.entries().lastOption.map(_.seq).getOrElse(-1L)
+    // compare the CLAIMED watermark, not the last committed seq: the base
+    // counts burned/staged claims (see createBranch), and any main-side
+    // claim since the branch point — committed or staged — invalidates
+    // the audit the same way a committed advance does
+    val head = log.headSeq()
     require(head == base,
       s"main advanced past branch base ($base -> $head); re-branch and re-audit")
     // pending txn stages replay too, still carrying their marker: a
