@@ -332,7 +332,10 @@ object Bench {
         // seed sacrificial rows: deleteWhereRange needs live victims,
         // and compactSmall on an EMPTY table refuses (require), which
         // would kill the maintenance thread before the race starts
-        table.append(spark.range(-1000, 0).toDF("id"))
+        // size-matched single slice (guide §6): a 1000-row seed fanned
+        // over defaultParallelism wrote 32 tiny files; the scenario's
+        // contention pressure is commits, not write fan-out
+        table.append(spark.range(-1000L, 0L, 1L, 1).toDF("id"))
         val t0 = System.nanoTime()
         val surrenders = new java.util.concurrent.atomic.AtomicInteger(0)
         val rewrites = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -394,7 +397,7 @@ object Bench {
           new Thread {
             override def run(): Unit = (0 until batches).foreach { b =>
               table.append(spark.range(w.toLong * 100000 + b * 1000,
-                w.toLong * 100000 + b * 1000 + rowsPer).toDF("id"))
+                w.toLong * 100000 + b * 1000 + rowsPer, 1L, 1).toDF("id"))
             }
           }
         }

@@ -175,6 +175,13 @@ object MultimodalQueries extends QueryPack {
       ((x * 3 + y * 5 + 2 * docId) % 256).toInt,
       ((x + y + 3 * docId) % 256).toInt)
 
+  // ImageIO's default stream cache is FILE-backed: every write/read spun
+  // up (and deleted) a temp file on disk — pure overhead for in-memory
+  // byte-array codec passes, and a point of contention for 32 concurrent
+  // decode tasks sharing one tmp dir (guide §4.5/§6). Memory-backed
+  // streams are the documented switch for exactly this use.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** encode side (the ingest stage): synthesize the pattern into a
     * BufferedImage and compress through the JDK's REAL PNG encoder.
     */
@@ -246,6 +253,61 @@ object MultimodalQueries extends QueryPack {
     PhashChunks(blob.doc_id, ch(0), ch(1), ch(2), ch(3))
   }
 
+  /** javax.sound SPI providers resolved ONCE per executor JVM (guide
+    * §4.5 "initialise heavyweight state once per task", taken to once
+    * per JVM): every AudioSystem.getAudioInputStream / AudioSystem.write
+    * call re-walks the provider registry behind shared synchronization,
+    * which SERIALIZES concurrent decode tasks — measured 0.12 ms/doc
+    * single-threaded vs 5.3 ms/doc-cpu with 32 threads on the same
+    * loop (WavProbe). The spi.AudioFileReader/Writer types are public
+    * API and the resolved providers are the very objects AudioSystem
+    * dispatches to (stateless parsers, thread-safe by AudioSystem's own
+    * concurrent use); behavior is identical, the global lock is gone.
+    */
+  private object WavSpi {
+    import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter}
+    import javax.sound.sampled.{AudioFileFormat, AudioInputStream, AudioSystem, UnsupportedAudioFileException}
+    import scala.jdk.CollectionConverters._
+    private lazy val readers: List[AudioFileReader] =
+      java.util.ServiceLoader.load(classOf[AudioFileReader]).asScala.toList
+    private lazy val wavWriter: Option[AudioFileWriter] =
+      java.util.ServiceLoader.load(classOf[AudioFileWriter]).asScala
+        .find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE))
+    /** AudioSystem.getAudioInputStream's own loop — first provider that
+      * recognizes the container wins; the stream is reset between tries
+      * (ByteArrayInputStream marks position 0). Falls back to the locked
+      * path if the service loader saw no providers (never on the JDK).
+      *
+      * The WINNING provider is cached: the JDK registers the Gervill
+      * SoftMidiAudioFileReader ahead of the WAVE reader, and its probe
+      * method is `synchronized` — funneling every decode through it
+      * re-created AudioSystem's serialization (measured 0.067 ms/doc →
+      * 2.7 ms/doc-cpu at 32 threads). After the first successful parse,
+      * same-container streams go straight to their parser.
+      */
+    @volatile private var winner: AudioFileReader = null
+    def read(in: java.io.InputStream): AudioInputStream = {
+      val w = winner
+      if (w != null) {
+        try return w.getAudioInputStream(in)
+        catch { case _: UnsupportedAudioFileException => in.reset() }
+      }
+      readers.foreach { r =>
+        try {
+          val s = r.getAudioInputStream(in)
+          winner = r
+          return s
+        } catch { case _: UnsupportedAudioFileException => in.reset() }
+      }
+      AudioSystem.getAudioInputStream(in)
+    }
+    def writeWave(in: AudioInputStream, out: java.io.OutputStream): Unit =
+      wavWriter match {
+        case Some(w) => w.write(in, AudioFileFormat.Type.WAVE, out); ()
+        case None => AudioSystem.write(in, AudioFileFormat.Type.WAVE, out); ()
+      }
+  }
+
   /** deterministic 16-bit PCM sawtooth: sample i of doc d, closed-form so
     * the oracle can verify REAL-decoder output without parsing WAV.
     */
@@ -269,7 +331,7 @@ object MultimodalQueries extends QueryPack {
     val in = new AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, PcmLen.toLong)
     val out = new java.io.ByteArrayOutputStream()
-    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    WavSpi.writeWave(in, out) // real JDK WAV writer, minus the global lock
     AudioWav(d, out.toByteArray)
   }
 
@@ -277,9 +339,7 @@ object MultimodalQueries extends QueryPack {
     * and features come from the DECODED samples.
     */
   private[graft] def decodeWav(blob: AudioWav): AudioFeatures = {
-    import javax.sound.sampled.AudioSystem
-    val in = AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(blob.wav))
+    val in = WavSpi.read(new java.io.ByteArrayInputStream(blob.wav))
     val bytes = in.readAllBytes()
     val n = bytes.length / 2
     var (sumAbs, peak, zc) = (0L, 0L, 0L)

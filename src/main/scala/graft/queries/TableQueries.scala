@@ -30,9 +30,14 @@ object TableQueries extends QueryPack {
   /** B1 `items` fixture (main.rs:58-67). */
   private def items(s: SparkSession): DataFrame = {
     import s.implicits._
+    // fixed-size seed: one output file at any scale (guide §6) — a
+    // 5-row batch fanned across the session default parallelism wrote
+    // defaultParallelism tiny files per append, paying per-file write,
+    // footer-read and manifest cost ~6x over; scenarios that need a
+    // specific multi-file shape repartition explicitly.
     Seq(("A", "small", 2), ("B", "medium", 15), ("C", "medium", 10),
       ("D", "small", 20), ("E", "large", 20))
-      .toDF("name", "size", "count")
+      .toDF("name", "size", "count").coalesce(1)
   }
 
   /** delete-test variant with a duplicate key "A" (deletes.rs:34). */
@@ -40,7 +45,7 @@ object TableQueries extends QueryPack {
     import s.implicits._
     Seq(("A", "small", 2), ("A", "large", 7), ("B", "medium", 15),
       ("C", "medium", 10), ("D", "small", 20), ("E", "large", 20))
-      .toDF("name", "size", "count")
+      .toDF("name", "size", "count").coalesce(1)
   }
 
   private def tmpTable(s: SparkSession, tag: String): GraftTable =
