@@ -105,6 +105,18 @@ object GraftFunctions {
       "graft_minhash_sig",
       (children: Seq[Expression]) => MinHashSig(children(0)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_packed_pairs",
+      (children: Seq[Expression]) => PackedPairs(children(0)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles",
+      (children: Seq[Expression]) => Shingles(children(0)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_hs",
+      (children: Seq[Expression]) => MinHashHs(children(0)),
+      "scala_udf")
   }
 }
 
@@ -127,5 +139,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[MinHashSig].getCanonicalName, "graft_minhash_sig"),
       (children: Seq[Expression]) => MinHashSig(children(0))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_packed_pairs"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[PackedPairs].getCanonicalName, "graft_packed_pairs"),
+      (children: Seq[Expression]) => PackedPairs(children(0))))
   }
 }

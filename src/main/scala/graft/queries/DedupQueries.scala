@@ -66,7 +66,9 @@ object DedupQueries extends QueryPack {
     * would throw). Shared by the shingle-Jaccard and MinHash pipelines so
     * the shingle definition can never desynchronize between them.
     */
-  private val trigramsExpr: String =
+  // kept private[graft]: NativeFnSpec asserts graft_shingles /
+  // graft_minhash_hs parity against this HOF definition on real corpus text
+  private[graft] val trigramsExpr: String =
     """CASE WHEN size(w) >= 3
       |  THEN array_distinct(transform(sequence(0, size(w) - 3),
       |    i -> concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
@@ -83,8 +85,10 @@ object DedupQueries extends QueryPack {
   private def shingled(s: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.documents(s, dir))
       .withColumn("w", split(col("text"), " "))
-      .select(col("doc_id"),
-        expr(s"transform($trigramsExpr, x -> xxhash64(x))").as("shingles"))
+      // graft_shingles = the native one-pass twin of
+      // transform($trigramsExpr, x -> xxhash64(x)) — same distinct
+      // trigram strings, same xxhash64 static, no per-element lambdas
+      .select(col("doc_id"), expr("graft_shingles(w)").as("shingles"))
       // materialization boundary: without it, downstream projections that
       // explode `shingles` AND reference it again (size, array_min
       // signatures) re-evaluate the whole HOF construction per OUTPUT row
@@ -117,11 +121,10 @@ object DedupQueries extends QueryPack {
       // re-evaluate the md5 transform once per row just for the guard.
       .filter(size(col("w")) >= 3)
       .select(col(idCol),
-        // ONE md5 per distinct shingle; h1/h2 are slices of its hex
-        expr(s"""transform(transform($trigramsExpr, x -> md5(x)),
-                |  h -> named_struct('h1', CAST(CONV(substring(h, 1, 15), 16, 10) AS BIGINT),
-                |    'h2', CAST(CONV(substring(h, 16, 15), 16, 10) AS BIGINT) % 72057594037927936L))""".stripMargin)
-          .as("hs"))
+        // ONE md5 per distinct shingle; h1/h2 are slices of its digest —
+        // graft_minhash_hs is the native twin of the transform∘transform
+        // hex pipeline (md5 → CONV(substring) h1/h2), bit-identical values
+        expr("graft_minhash_hs(w)").as("hs"))
       // materialization boundary — same rationale as shingled()
       .repartition(col(idCol))
       .select(col(idCol), expr("transform(hs, p -> p.h1)").as("bh"), col("hs"))

@@ -1334,11 +1334,13 @@ object JoinQueries extends QueryPack {
         .filter(size(col("cs")) <= maxDeg)
       // pairs ride as ONE packed BIGINT (c1 << 32 | c2, c1 < c2 because
       // cs is sorted): Σdeg² of them per corpus — a narrow explode and a
-      // single-long shuffle key instead of a struct
-      val pairs = byPart.filter(size(col("cs")) >= 2).select(explode(expr(
-          """flatten(transform(cs, (x, i) ->
-            |  transform(slice(cs, i + 2, size(cs)),
-            |    y -> x * 4294967296L + y)))""".stripMargin)).as("pk"))
+      // single-long shuffle key instead of a struct. graft_packed_pairs
+      // is the native codegen twin of the flatten/transform/slice HOF
+      // (identical values and order): the interpreted form allocated an
+      // O(deg) slice copy per element — O(deg²) copied cells per part —
+      // through per-element lambda dispatch (guide §1.2 "per-task work").
+      val pairs = byPart.filter(size(col("cs")) >= 2)
+        .select(explode(expr("graft_packed_pairs(cs)")).as("pk"))
         .groupBy("pk").agg(count(lit(1)).as("i"))
         .select(expr("pk div 4294967296L").as("c1"),
           expr("pk % 4294967296L").as("c2"), col("i"))
