@@ -1623,13 +1623,31 @@ object JoinQueries extends QueryPack {
       val keys = Tables.spread(Tables.customer(s, dir).select(col("c_name").as("name")))
         .select(col("name"), explode(expr(variants)).as("kv"))
         .select(col("name"), xxhash64(col("kv")).as("k"))
-      val pairs = keys.select(col("name").as("name_a"), col("k"))
-        .join(keys.select(col("name").as("name_b"), col("k")), Seq("k"))
+      // bucket-collect instead of the self-join (r12, the dedup-family
+      // plan shape): the join form evaluated the scan→explode→hash
+      // subtree TWICE (once per branch — the probed plan showed two
+      // Generates, one under a BroadcastExchange of the whole keyed
+      // relation); grouping by k derives it once and expands pairs
+      // in-row. collect_set: two deletions of one name can coincide
+      // (e.g. "aab"), which the join form deduped via the same distinct.
+      val buckets = keys.groupBy("k")
+        .agg(sort_array(collect_set(col("name"))).as("ns"))
+        .filter(size(col("ns")) > 1)
+      val pairs = buckets
+        .select(explode(col("ns")).as("name_a"), col("ns"))
+        .select(col("name_a"), explode(col("ns")).as("name_b"))
         .filter(col("name_a") < col("name_b"))
         .select("name_a", "name_b").distinct()
+      // THRESHOLD levenshtein (r12): the verify computes ~1M candidate
+      // distances but only keeps ≤ 1 — the bounded form early-exits the
+      // DP at the band instead of filling len×len cells per pair
+      // (O(len·k) vs O(len²)); for kept pairs it returns the exact
+      // distance, for rejected ones -1, so the kept set and the emitted
+      // dist are unchanged.
       pairs
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-        .filter(col("dist") <= 1)
+        .withColumn("dist",
+          levenshtein(col("name_a"), col("name_b"), 1).cast("long"))
+        .filter(col("dist").between(0, 1))
         .orderBy("name_a", "name_b")
     },
 
