@@ -168,12 +168,21 @@ class PlanAuditSpec extends AnyFunSuite {
     //      plan text its child line is an Aggregate with keys=[].
     //  (b) the dedup packs' orderedOutput sink — repartition(1)+sort over a
     //      provably small pair list, documented as the oracle's total-order
-    //      artifact (SURVEY §8).
+    //      artifact (SURVEY §8) — and, since r12, the TPC-H boundedSort
+    //      sinks: entries whose FINAL output is bounded by group
+    //      cardinality (flags, priorities, nations, years, catalog
+    //      combos), where one exchange + in-partition sort replaces the
+    //      global orderBy's range-sampling pass (OPTIMIZATION_r12.md §4).
+    //      Entries whose output scales with the corpus (Q11 ∝ parts,
+    //      Q20/Q21 ∝ suppliers, per-doc results) are deliberately NOT
+    //      here and must keep failing this sweep if converted.
     // Anything else (global windows, global sorts mid-plan) is a funnel
     // that serializes the table through one task — the q_stream_watermark
     // bug class. This sweep keeps it from coming back.
     val sinkQueries = Set("q_dedup_near", "q_dedup_containment", "q_dedup_minhash",
-      "q_dedup_simhash", "q_dedup_embed")
+      "q_dedup_simhash", "q_dedup_embed",
+      "q_sql_q1", "q_sql_q4", "q_sql_q5", "q_sql_q7", "q_sql_q8", "q_sql_q9",
+      "q_sql_q12", "q_sql_q13", "q_sql_q15", "q_sql_q16", "q_sql_q22")
     // Three of the genuinely-streamed entries return a bare sink scan —
     // their registered plan is the memory table, not the streaming
     // aggregation, so this sweep cannot see inside them. That is safe by
