@@ -54,7 +54,11 @@ object PairKernel {
     */
   def compute(a: ArrayData): ArrayData = {
     val n = a.numElements()
-    require(n <= 92681, // n(n-1)/2 must stay an addressable array length
+    // n(n-1)/2 must stay an addressable array length; the Int multiply
+    // n*(n-1) itself overflows past 65536 (65536*65535/2 = 2147450880 is
+    // the largest representable pair count), so the guard bounds n there
+    // — checked via the long product so the guard can never overflow
+    require(n.toLong * (n - 1) / 2 <= Int.MaxValue && n <= 65536,
       s"graft_packed_pairs input too large: $n elements")
     val m = n * (n - 1) / 2
     var hasNull = false

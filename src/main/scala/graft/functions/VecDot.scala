@@ -144,5 +144,18 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[PackedPairs].getCanonicalName, "graft_packed_pairs"),
       (children: Seq[Expression]) => PackedPairs(children(0))))
+    // the extensions path must expose the SAME function set as
+    // GraftFunctions.register — DedupQueries requires these two, and an
+    // extensions-only session would otherwise fail analysis (ADVICE r12)
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Shingles].getCanonicalName, "graft_shingles"),
+      (children: Seq[Expression]) => Shingles(children(0))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash_hs"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinHashHs].getCanonicalName, "graft_minhash_hs"),
+      (children: Seq[Expression]) => MinHashHs(children(0))))
   }
 }

@@ -258,10 +258,30 @@ final class GraftCatalog(spark: SparkSession, warehouse: Path) {
 
   def vacuumTxnMarkers(olderThanMs: Long = 3L * 3600 * 1000): Int = {
     if (!Files.isDirectory(txnsDir)) return 0
+    // BRANCH logs reference markers too (ADVICE r12): createBranch seeds
+    // pending txn stages with their marker preserved, so a branch can
+    // hold the only remaining reference after main publishes and then
+    // checkpoints (stripping its proven-committed refs). Sweeping such a
+    // marker would silently flip the branch's seeded entry to presumed-
+    // abort — branch reads lose rows main serves. Walk each table's
+    // _branches tree (branches can themselves branch) alongside the
+    // table log.
+    def logRoots(tblDir: Path): Seq[Path] = {
+      val bDir = tblDir.resolve("_branches")
+      val subs =
+        if (!Files.isDirectory(bDir)) Nil
+        else {
+          val s = Files.list(bDir)
+          try s.iterator().asScala.filter(Files.isDirectory(_)).toSeq
+          finally s.close()
+        }
+      tblDir +: subs.flatMap(logRoots)
+    }
     val referenced: Set[Path] = (for {
       ns <- namespaces
       t <- listTables(ns)
-      m <- new CommitLog(tableDir(ns, t)).referencedMarkers
+      d <- logRoots(tableDir(ns, t))
+      m <- new CommitLog(d).referencedMarkers
     } yield Paths.get(m).toAbsolutePath.normalize).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val s = Files.list(txnsDir)

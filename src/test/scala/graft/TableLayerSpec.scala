@@ -2707,4 +2707,53 @@ class TableLayerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { cat.createNamespace("_txns") }
     intercept[IllegalArgumentException] { cat.createTable("lake", "_sneaky") }
   }
+
+  // the r12 branch-seeding semantics, pinned (ADVICE r12): pending txn
+  // stages seed with their marker preserved, the branch's first commit
+  // claims ABOVE the staged watermark (never re-mints a burned seq), the
+  // seeded stage stays pending until the marker lands on main, and
+  // publish still fast-forwards after the landing (marker mints no seq).
+  test("branch inherits staged txn claims: watermark, pending state, publish") {
+    val t = freshTable("branchtxn")
+    t.append(Seq(("A", 1)).toDF("name", "count"))                 // main seq 0
+    val marker = Files.createTempDirectory("spec_branchtxn_m").resolve("t1.commit")
+    val staged = t.appendInTxn(Seq(("T", 7)).toDF("name", "count"), marker) // claims seq 1
+    val b = t.createBranch("stage")
+    // the branch's first commit must claim a seq above the staged claim
+    val bSeq = b.append(Seq(("B", 2)).toDF("name", "count"))
+    assert(bSeq > staged, s"branch re-minted a burned seq: $bSeq <= $staged")
+    // the seeded stage stays pending on the branch (presumed abort)
+    assert(b.read().select("name").as[String].collect().sorted.toSeq == Seq("A", "B"))
+    // marker lands on main → the txn commits on main AND through the seed
+    Files.writeString(marker, s"x.x@$staged add\n")
+    assert(t.read().select("name").as[String].collect().sorted.toSeq == Seq("A", "T"))
+    assert(b.read().select("name").as[String].collect().sorted.toSeq == Seq("A", "B", "T"))
+    // publish still works: the landing minted no seq, so head == base
+    t.publishBranch("stage")
+    assert(t.read().select("name").as[String].collect().sorted.toSeq == Seq("A", "B", "T"))
+  }
+
+  // vacuumTxnMarkers must see BRANCH-log marker references (ADVICE r12):
+  // after main publishes and checkpoints (stripping its proven-committed
+  // refs), a pre-publish branch holds the only remaining reference — the
+  // sweep deleting that marker would flip the branch's seeded entry back
+  // to presumed-abort and branch reads would lose rows main serves.
+  test("marker vacuum spares markers referenced only by branch logs") {
+    val wh = Files.createTempDirectory("spec_branchvac")
+    val cat = GraftCatalog(spark, wh.toString)
+    cat.createTable("lake", "t")
+    cat.transact { txn =>
+      txn.append("lake", "t", items)
+      // branch created while the txn is still pending: seeds the staged
+      // entry with its marker reference preserved
+      cat.openTable("lake", "t").createBranch("wip"): Unit
+    } // marker lands here — committed on main and through the seed
+    val t = cat.openTable("lake", "t")
+    assert(t.branch("wip").read().count() == items.count())
+    t.checkpointMetadata() // strips main's proven-committed marker refs
+    val swept = cat.vacuumTxnMarkers(olderThanMs = 0)
+    assert(swept == 0, s"vacuum deleted $swept marker(s) a branch still references")
+    // the branch still serves the txn's rows (not flipped to presumed-abort)
+    assert(t.branch("wip").read().count() == items.count())
+  }
 }
