@@ -66,25 +66,85 @@ object ShingleKernel {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
-  def minhashHs(a: ArrayData): ArrayData = {
+  /** h1 of an md5 digest: hex chars 1-15 = (b0..b6 << 4) | (b7 >>> 4). */
+  private def digestH1(d: Array[Byte]): Long = {
+    var h1 = 0L
+    var j = 0
+    while (j < 7) { h1 = (h1 << 8) | (d(j) & 0xffL); j += 1 }
+    (h1 << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+
+  /** STRUCT-OF-ARRAYS return (r13, VERDICT r12 #1): the r12 shape — a
+    * GenericArrayData of one boxed InternalRow per shingle — allocated
+    * O(shingles) short-lived objects per document, implicated in the
+    * driver's 32-core GC pathology. Two primitive long arrays wrapped in
+    * UnsafeArrayData allocate O(1) objects per document, and downstream
+    * `bh` becomes a plain field access (hs.h1s) instead of an interpreted
+    * `transform(hs, p -> p.h1)` lambda walk.
+    */
+  def minhashHs(a: ArrayData): InternalRow = {
     val ts = trigrams(a)
     val md = md5Local.get()
-    val out = new Array[Any](ts.size)
+    val n = ts.size
+    val h1s = new Array[Long](n)
+    val h2s = new Array[Long](n)
     var i = 0
-    while (i < out.length) {
+    while (i < n) {
       md.reset()
       val d = md.digest(ts.get(i).getBytes)
-      var h1 = 0L
-      var j = 0
-      while (j < 7) { h1 = (h1 << 8) | (d(j) & 0xffL); j += 1 }
-      h1 = (h1 << 4) | ((d(7) & 0xffL) >>> 4)
+      h1s(i) = digestH1(d)
       var h2 = 0L
-      j = 8
+      var j = 8
       while (j < 15) { h2 = (h2 << 8) | (d(j) & 0xffL); j += 1 }
-      out(i) = InternalRow(h1, h2)
+      h2s(i) = h2
       i += 1
     }
-    new GenericArrayData(out)
+    InternalRow(UnsafeArrayData.fromPrimitiveArray(h1s),
+      UnsafeArrayData.fromPrimitiveArray(h2s))
+  }
+
+  /** h60 of one string: first 15 hex chars of its md5, parsed base-16 —
+    * the digest-byte twin of CAST(CONV(substring(md5(s),1,15),16,10) AS
+    * BIGINT), with no 32-char hex UTF8String and no CONV string parse.
+    */
+  def h60(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    digestH1(md.digest(s.getBytes))
+  }
+
+  /** h60 of every k-token window of `w`, in position order (NOT distinct
+    * — q_dedup_substring counts window occurrences). The HOF twin is
+    * transform(sequence(0, size(w)-k), i -> h60(concat_ws(' ',
+    * slice(w, i+1, k)))) — which copies a k-element array per window and
+    * builds hex strings; this is one pass with zero per-window arrays.
+    * Fewer than k tokens → empty (callers filter those, matching the
+    * oracles' empty range()).
+    */
+  def gramH60(a: ArrayData, k: Int): ArrayData = {
+    if (a == null) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val n = a.numElements()
+    if (n < k) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val md = md5Local.get()
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (a.isNullAt(i)) null else a.getUTF8String(i)
+      i += 1
+    }
+    val out = new Array[Long](n - k + 1)
+    val win = new Array[UTF8String](k)
+    i = 0
+    while (i <= n - k) {
+      var j = 0
+      while (j < k) { win(j) = toks(i + j); j += 1 }
+      // concatWs skips nulls exactly like the HOF's concat_ws-over-slice
+      val g = UTF8String.concatWs(Space, win: _*)
+      md.reset()
+      out(i) = digestH1(md.digest(g.getBytes))
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 }
 
@@ -96,17 +156,12 @@ private[functions] abstract class ShingleExpr extends UnaryExpression {
   }
   override def nullable: Boolean = false
   protected def kernelMethod: String
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    val a = if (v == null) null else v.asInstanceOf[ArrayData]
-    if (kernelMethod == "shingles") ShingleKernel.shingles(a)
-    else ShingleKernel.minhashHs(a)
-  }
+  protected def resultJavaType: String
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val childGen = child.genCode(ctx)
     val resultCode =
       s"""
-         |${classOf[ArrayData].getName} ${ev.value} =
+         |$resultJavaType ${ev.value} =
          |  graft.functions.ShingleKernel.$kernelMethod(
          |    ${childGen.isNull} ? null : ${childGen.value});
        """.stripMargin
@@ -120,21 +175,102 @@ private[functions] abstract class ShingleExpr extends UnaryExpression {
 case class Shingles(child: Expression) extends ShingleExpr {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def kernelMethod: String = "shingles"
+  override protected def resultJavaType: String = classOf[ArrayData].getName
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    ShingleKernel.shingles(if (v == null) null else v.asInstanceOf[ArrayData])
+  }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "graft_shingles"
 }
 
-/** `graft_minhash_hs(w: array<string>) -> array<struct<h1,h2>>` — the
-  * Kirsch–Mitzenmacher hash-pair array of the distinct 3-word shingles,
-  * md5 computed once per shingle on digest bytes (no hex, no CONV).
+/** `graft_minhash_hs(w: array<string>) ->
+  * struct<h1s:array<bigint>, h2s:array<bigint>>` — the
+  * Kirsch–Mitzenmacher hash pairs of the distinct 3-word shingles as a
+  * struct of two PRIMITIVE arrays (pair i = (h1s[i], h2s[i])), md5
+  * computed once per shingle on digest bytes (no hex, no CONV, and —
+  * r13 — no boxed row per shingle).
   */
 case class MinHashHs(child: Expression) extends ShingleExpr {
-  override def dataType: DataType = ArrayType(
-    StructType(Seq(StructField("h1", LongType, nullable = false),
-      StructField("h2", LongType, nullable = false))), containsNull = false)
+  override def dataType: DataType = StructType(Seq(
+    StructField("h1s", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("h2s", ArrayType(LongType, containsNull = false), nullable = false)))
   override protected def kernelMethod: String = "minhashHs"
+  override protected def resultJavaType: String = classOf[InternalRow].getName
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    ShingleKernel.minhashHs(if (v == null) null else v.asInstanceOf[ArrayData])
+  }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "graft_minhash_hs"
+}
+
+/** `graft_h60(s: string) -> bigint` — the shared 60-bit cross-engine
+  * hash (first 15 hex chars of md5, parsed base-16) computed straight
+  * from the digest bytes. Value-identical to
+  * `CAST(CONV(substring(md5(s), 1, 15), 16, 10) AS BIGINT)` with zero
+  * intermediate strings — the hex form allocates a 32-char UTF8String
+  * and CONV-parses it per call, which at one call per TOKEN INSTANCE
+  * (q_dedup_simhash) was the dedup family's largest garbage source.
+  * Null-propagating like md5().
+  */
+case class H60(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleKernel.h60(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.ShingleKernel.h60($s)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_h60"
+}
+
+/** `graft_gram_h60(w: array<string>, k) -> array<bigint>` — h60 of every
+  * k-token window of `w` in position order, one native pass. The HOF twin
+  * `transform(sequence(0, size(w)-k), i -> h60(concat_ws(' ',
+  * slice(w, i+1, k))))` copies a k-element array per window (slice) and
+  * pays the hex/CONV garbage per window; this allocates one primitive
+  * output array per document. `k` must be a foldable positive int.
+  */
+case class GramH60(child: Expression, kExpr: Expression) extends UnaryExpression {
+  private lazy val k: Int = kExpr.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"graft_gram_h60 window size must be an int literal, got $other")
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if kExpr.foldable &&
+        (kExpr.dataType == IntegerType || kExpr.dataType == LongType) =>
+      if (k >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName window size must be >= 1, got $k")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<string>, int literal), got ${other.simpleString}")
+  }
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    ShingleKernel.gramH60(if (v == null) null else v.asInstanceOf[ArrayData], k)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      s"""
+         |${classOf[ArrayData].getName} ${ev.value} =
+         |  graft.functions.ShingleKernel.gramH60(
+         |    ${childGen.isNull} ? null : ${childGen.value}, $k);
+       """.stripMargin
+    ev.copy(code = code"${childGen.code}$resultCode", isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_gram_h60"
 }

@@ -117,6 +117,14 @@ object GraftFunctions {
       "graft_minhash_hs",
       (children: Seq[Expression]) => MinHashHs(children(0)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_h60",
+      (children: Seq[Expression]) => H60(children(0)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gram_h60",
+      (children: Seq[Expression]) => GramH60(children(0), children(1)),
+      "scala_udf")
   }
 }
 
@@ -157,5 +165,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[MinHashHs].getCanonicalName, "graft_minhash_hs"),
       (children: Seq[Expression]) => MinHashHs(children(0))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_h60"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[H60].getCanonicalName, "graft_h60"),
+      (children: Seq[Expression]) => H60(children(0))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_gram_h60"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[GramH60].getCanonicalName, "graft_gram_h60"),
+      (children: Seq[Expression]) => GramH60(children(0), children(1))))
   }
 }

@@ -42,7 +42,9 @@ object DedupQueries extends QueryPack {
     * BIGINT). Uniform (md5 avalanche), positive, identical in both
     * engines — the primitive that makes MinHash/SimHash oracle-able.
     */
-  private[queries] def h60(e: String): String =
+  // private[graft]: NativeFnSpec pins graft_h60 / graft_gram_h60 parity
+  // against this hex-chain definition
+  private[graft] def h60(e: String): String =
     s"CAST(CONV(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
   private[queries] def h60Sql(e: String): String =
     s"CAST('0x' || substring(md5($e), 1, 15) AS BIGINT)"
@@ -123,11 +125,15 @@ object DedupQueries extends QueryPack {
       .select(col(idCol),
         // ONE md5 per distinct shingle; h1/h2 are slices of its digest —
         // graft_minhash_hs is the native twin of the transform∘transform
-        // hex pipeline (md5 → CONV(substring) h1/h2), bit-identical values
+        // hex pipeline (md5 → CONV(substring) h1/h2), bit-identical values,
+        // returned as struct-of-primitive-arrays (r13: O(1) allocations
+        // per doc instead of one boxed row per shingle)
         expr("graft_minhash_hs(w)").as("hs"))
       // materialization boundary — same rationale as shingled()
       .repartition(col(idCol))
-      .select(col(idCol), expr("transform(hs, p -> p.h1)").as("bh"), col("hs"))
+      // bh is a plain field access now — the r12 shape paid an
+      // interpreted transform(hs, p -> p.h1) lambda walk per document
+      .select(col(idCol), col("hs.h1s").as("bh"), col("hs"))
     // all 16 signature minimums in one native codegen pass over hs
     // (graft.functions.MinHashSig) — the HOF equivalent
     // transform(sequence(0,15), j -> array_min(transform(hs, ...)))
@@ -726,7 +732,11 @@ object DedupQueries extends QueryPack {
       // signed-long overflow; documents carry ≲2k tokens at every sf.
       val tokens = Tables.spread(Tables.documents(s, dir))
         .select(col("doc_id"), explode_outer(split(col("text"), " ")).as("tok"))
-        .withColumn("th", expr(h60("tok")))
+        // graft_h60 = the digest-byte twin of the md5→hex→CONV h60 chain
+        // (bit-identical; NativeFnSpec pins it). At one call per token
+        // INSTANCE the hex form allocated 3 strings per token — the
+        // r12 driver run's 32-core GC pathology lived exactly here.
+        .withColumn("th", call_function("graft_h60", col("tok")))
       val packedSums = (0 until 15).map { g =>
         val lanes = (0 until 4)
           .map(l => s"(((th >> ${g + 15 * l}) & 1) << ${16 * l})")
@@ -806,9 +816,11 @@ object DedupQueries extends QueryPack {
       // reach the window generator
       val grams = docs.filter(size(col("w")) >= k)
         .select(col("doc_id"),
-          posexplode(expr(
-            s"""transform(sequence(0, size(w) - $k),
-               |  i -> ${h60(s"concat_ws(' ', slice(w, i + 1, $k))")})""".stripMargin))
+          // graft_gram_h60 = the one-pass native twin of
+          // transform(sequence(0, size(w)-k), i -> h60(concat_ws(' ',
+          // slice(w, i+1, k)))) — the HOF copied a k-element array per
+          // window (slice) and paid the md5-hex/CONV garbage per window
+          posexplode(expr(s"graft_gram_h60(w, $k)"))
             .as(Seq("pos", "gh")))
       // shared exchange: the explicit gh repartition is exactly the
       // distribution the count window needs, so Spark adds only a local

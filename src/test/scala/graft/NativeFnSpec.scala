@@ -41,13 +41,44 @@ class NativeFnSpec extends AnyFunSuite {
       s"""transform(transform(${graft.queries.DedupQueries.trigramsExpr}, x -> md5(x)),
          |  h -> named_struct('h1', CAST(CONV(substring(h, 1, 15), 16, 10) AS BIGINT),
          |    'h2', CAST(CONV(substring(h, 16, 15), 16, 10) AS BIGINT) % 72057594037927936L))""".stripMargin)
+    // struct-of-arrays return (r13): pair i of the native form is
+    // (h1s[i], h2s[i]) — compare each lane against the HOF's struct array
     val diff = corpus
       .select(col("doc_id"), expr("graft_minhash_hs(w)").as("native"), hof.as("hofv"))
-      // struct arrays: compare as casted json to dodge nullability-only
-      // schema mismatches (the values are what must agree)
-      .filter(to_json(col("native")) =!= to_json(col("hofv")))
+      .filter(
+        to_json(col("native.h1s")) =!= to_json(expr("transform(hofv, p -> p.h1)")) ||
+        to_json(col("native.h2s")) =!= to_json(expr("transform(hofv, p -> p.h2)")))
       .count()
     assert(diff == 0L)
+  }
+
+  test("graft_h60 equals the md5-hex CONV h60 chain per token") {
+    val diff = corpus
+      .select(explode(col("w")).as("tok"))
+      .select(call_function("graft_h60", col("tok")).as("native"),
+        expr(graft.queries.DedupQueries.h60("tok")).as("hofv"))
+      .filter(not(col("native") <=> col("hofv")))
+      .count()
+    assert(diff == 0L)
+  }
+
+  test("graft_gram_h60 equals the h60-over-sliced-windows HOF") {
+    for (k <- Seq(1, 2, 8)) {
+      val hof = expr(
+        s"""transform(sequence(0, size(w) - $k),
+           |  i -> ${graft.queries.DedupQueries.h60(s"concat_ws(' ', slice(w, i + 1, $k))")})""".stripMargin)
+      val diff = corpus
+        .filter(size(col("w")) >= k) // the HOF's sequence() descends below k
+        .select(col("doc_id"), expr(s"graft_gram_h60(w, $k)").as("native"), hof.as("hofv"))
+        .filter(to_json(col("native")) =!= to_json(col("hofv")))
+        .count()
+      assert(diff == 0L, s"k=$k")
+    }
+    // under k tokens the native form is EMPTY (the oracles' empty range)
+    val short = corpus.filter(size(col("w")) < 8)
+      .select(expr("graft_gram_h60(w, 8)").as("native"))
+      .filter(size(col("native")) =!= 0).count()
+    assert(short == 0L)
   }
 
   test("graft_packed_pairs equals the flatten/transform/slice HOF") {

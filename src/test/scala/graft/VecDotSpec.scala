@@ -7,8 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
 /** fixtures for the MinHashSig codegen test: file-scope so the product
   * encoder gets a proper TypeTag.
   */
-case class MhEntry(h1: Long, h2: Long)
-case class MhDoc(hs: Seq[MhEntry])
+case class MhSoA(h1s: Seq[Long], h2s: Seq[Long])
+case class MhDoc(hs: MhSoA)
 
 /** The native dot-product and minhash-signature Expressions: interpreted
   * and codegen'd paths, mixed float/double inputs, null propagation, and
@@ -78,8 +78,9 @@ class VecDotSpec extends AnyFunSuite {
 
   // ---- graft_minhash_sig: the one-pass signature Expression ----
 
+  // the HOF form over the struct-of-arrays input (pair i = (h1s[i], h2s[i]))
   private val hofSig =
-    "transform(sequence(0, 15), j -> array_min(transform(hs, p -> p.h1 + j * p.h2)))"
+    "transform(sequence(0, 15), j -> array_min(zip_with(hs.h1s, hs.h2s, (a, b) -> a + j * b)))"
 
   test("graft_minhash_sig equals the 16-pass HOF form on random hash arrays") {
     // the pipeline's domain: h1 < 2^60, h2 < 2^56, so h1 + 15*h2 < 2^61
@@ -89,7 +90,9 @@ class VecDotSpec extends AnyFunSuite {
       Seq.fill(1 + rnd.nextInt(40))(
         (rnd.nextLong() & ((1L << 60) - 1), rnd.nextLong() & ((1L << 56) - 1))))
     val df = rows.toDF("raw")
-      .select(expr("transform(raw, p -> named_struct('h1', p._1, 'h2', p._2))").as("hs"))
+      .select(expr(
+        "named_struct('h1s', transform(raw, p -> p._1), 'h2s', transform(raw, p -> p._2))")
+        .as("hs"))
     val both = df.select(
       call_function("graft_minhash_sig", col("hs")).as("native"),
       expr(hofSig).as("hof"))
@@ -98,19 +101,23 @@ class VecDotSpec extends AnyFunSuite {
     }
   }
 
-  test("graft_minhash_sig on an empty array yields 16 nulls (array_min parity)") {
+  test("graft_minhash_sig on empty arrays yields 16 nulls (array_min parity)") {
     val df = Seq(Tuple1(Seq.empty[(Long, Long)])).toDF("raw")
-      .select(expr("transform(raw, p -> named_struct('h1', p._1, 'h2', p._2))").as("hs"))
+      .select(expr(
+        "named_struct('h1s', transform(raw, p -> p._1), 'h2s', transform(raw, p -> p._2))")
+        .as("hs"))
     val r = df.select(call_function("graft_minhash_sig", col("hs"))).collect().head
     val got = r.getSeq[Any](0)
     assert(got.length == 16 && got.forall(_ == null))
   }
 
-  test("graft_minhash_sig on a NULL array yields 16 nulls, not NULL (HOF parity)") {
-    // transform(sequence(0,15), j -> array_min(transform(NULL, ...))) is
+  test("graft_minhash_sig on NULL arrays yields 16 nulls, not NULL (HOF parity)") {
+    // transform(sequence(0,15), j -> array_min(zip_with(NULL, ...))) is
     // [null × 16], never NULL — the native form must match
     val df = Seq(Tuple1(Option.empty[Seq[(Long, Long)]])).toDF("raw")
-      .select(expr("transform(raw, p -> named_struct('h1', p._1, 'h2', p._2))").as("hs"))
+      .select(expr(
+        "named_struct('h1s', transform(raw, p -> p._1), 'h2s', transform(raw, p -> p._2))")
+        .as("hs"))
     val r = df.select(call_function("graft_minhash_sig", col("hs"))).collect().head
     assert(!r.isNullAt(0))
     val got = r.getSeq[Any](0)
@@ -123,13 +130,13 @@ class VecDotSpec extends AnyFunSuite {
     // the span, and Project-over-LocalRelation is evaluated eagerly by
     // ConvertToLocalRelation — a parquet round-trip defeats all three
     val dir = java.nio.file.Files.createTempDirectory("mhsig").toString
-    Seq(MhDoc(Seq(MhEntry(1, 2), MhEntry(3, 4)))).toDS()
+    Seq(MhDoc(MhSoA(Seq(1, 3), Seq(2, 4)))).toDS()
       .write.mode("overwrite").parquet(dir)
     val df = spark.read.parquet(dir)
       .select(call_function("graft_minhash_sig", col("hs")).as("sig"))
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [graft_minhash_sig"), plan)
-    // g_j: entry (1,2) → 1+2j always below entry (3,4) → 3+4j
+    // g_j: pair (1,2) → 1+2j always below pair (3,4) → 3+4j
     val sig = df.collect().head.getSeq[Long](0)
     assert(sig == (0 until 16).map(j => 1L + 2L * j))
   }
