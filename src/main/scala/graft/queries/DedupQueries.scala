@@ -99,22 +99,28 @@ object DedupQueries extends QueryPack {
       // explode stage at sf0.1.
       .repartition(col("doc_id"))
 
-  /** MinHash band keys per document — ONE definition shared by the batch
+  /** MinHash per-document hash pairs — ONE definition shared by the batch
     * pipeline (q_dedup_minhash) and the ONLINE ingest path
     * (t_online_neardup), so the two can never compute different keys for
     * the same text (an index probed under a drifted key silently admits
-    * every duplicate). 16 signatures via Kirsch-Mitzenmacher double
-    * hashing — ONE md5 per distinct 3-shingle yields h1 (hex 1-15) and
-    * h2 (hex 16-30, reduced mod 2^56), g_j = h1 + j·h2 — in 8 bands of
-    * 2 (s-curve knee ≈ 0.35, right for a 0.5-Jaccard threshold). Output:
-    * one row per (doc, band): idCol, `bh` (the distinct shingle h1 set,
-    * carried for the exact-Jaccard verify), `bb` struct (band, k1, k2).
-    * Docs under 3 tokens emit no rows (empty shingle set — callers
-    * needing them route through the exact md5 path instead).
+    * every duplicate). ONE md5 per distinct 3-shingle yields h1 (hex
+    * 1-15) and h2 (hex 16-30, reduced mod 2^56) for Kirsch-Mitzenmacher
+    * double hashing g_j = h1 + j·h2. Output: one row per doc — idCol,
+    * `hs` (struct<h1s,h2s> of primitive arrays), doc-keyed. Docs under 3
+    * tokens emit no rows (empty shingle set — callers needing them route
+    * through the exact md5 path instead).
+    *
+    * DECOUPLED from the band explode (r13, guide §8 / VERDICT r12 #3):
+    * the r12 shape carried `bh` — the full shingle-h1 verify payload — on
+    * every one of a doc's 8 band rows, so the band exchange shuffled the
+    * payload 8× (88 MB at sf0.1, proportionally catastrophic at 100 TB).
+    * Callers now shuffle [[minhashBandKeys]]' (id, bb) rows only and
+    * rejoin `hs.h1s` from this doc-keyed relation on the PAIR-sized
+    * candidate set.
     */
-  private[graft] def minhashBanded(docs: DataFrame, idCol: String,
-      textCol: String = "text", keepSig: Boolean = false): DataFrame = {
-    val base = docs
+  private[graft] def minhashDocs(docs: DataFrame, idCol: String,
+      textCol: String = "text"): DataFrame =
+    docs
       .withColumn("w", split(col(textCol), " "))
       // empty shingle set → NULL signatures; SQL's equi-join never
       // matches NULL band keys, so exclude <3-token docs to match the
@@ -122,34 +128,88 @@ object DedupQueries extends QueryPack {
       // constructed hs would be pushed below the repartition and
       // re-evaluate the md5 transform once per row just for the guard.
       .filter(size(col("w")) >= 3)
-      .select(col(idCol),
-        // ONE md5 per distinct shingle; h1/h2 are slices of its digest —
-        // graft_minhash_hs is the native twin of the transform∘transform
-        // hex pipeline (md5 → CONV(substring) h1/h2), bit-identical values,
-        // returned as struct-of-primitive-arrays (r13: O(1) allocations
-        // per doc instead of one boxed row per shingle)
-        expr("graft_minhash_hs(w)").as("hs"))
-      // materialization boundary — same rationale as shingled()
+      .select(col(idCol), expr("graft_minhash_hs(w)").as("hs"))
+      // materialization boundary — same rationale as shingled(); measured
+      // r13: removing it doubled task time (16.65 s vs 6.47 s warm at
+      // sf0.1) because the scan→md5→sig subtree re-derives across the
+      // band explode's branches without the concrete exchange
       .repartition(col(idCol))
-      // bh is a plain field access now — the r12 shape paid an
-      // interpreted transform(hs, p -> p.h1) lambda walk per document
-      .select(col(idCol), col("hs.h1s").as("bh"), col("hs"))
-    // all 16 signature minimums in one native codegen pass over hs
-    // (graft.functions.MinHashSig) — the HOF equivalent
-    // transform(sequence(0,15), j -> array_min(transform(hs, ...)))
-    // walks the array 16 times through interpreted lambdas
-    val sigArr = call_function("graft_minhash_sig", col("hs"))
-    val exploded = base
-      .select(col(idCol), col("bh"), sigArr.as("sig"))
-      .select(col(idCol), col("bh"), col("sig"),
+
+  /** The lightweight band-key proxy (guide §8): one row per (doc, band) —
+    * idCol and the `bb` struct (band, k1, k2). 16 signature minimums in
+    * one native codegen pass (graft.functions.MinHashSig), in 8 bands of
+    * 2 (s-curve knee ≈ 0.35, right for a 0.5-Jaccard threshold). This is
+    * the only relation the band-bucket exchange ever shuffles in the
+    * batch pipeline; verify payloads rejoin on the pair-sized candidate
+    * set ([[minhashVerify]]). `carry` projects extra per-doc columns
+    * (derived from hs) through the explode — for BOUNDED relations only
+    * (t_online_neardup's micro-batch, capped by maxFilesPerTrigger),
+    * where duplicating a payload 8× costs nothing and saves a join.
+    */
+  private[graft] def minhashBandKeys(docRel: DataFrame, idCol: String,
+      carry: Map[String, org.apache.spark.sql.Column] = Map.empty): DataFrame =
+    docRel
+      .select((col(idCol) +: carry.toSeq.map { case (n, c) => c.as(n) } :+
+        call_function("graft_minhash_sig", col("hs")).as("sig")): _*)
+      .select((col(idCol) +: carry.keys.toSeq.map(col) :+
         explode_outer(expr( // outer: skip the pushed-down non-empty guard
           "transform(sequence(0, 7), bd -> named_struct('band', bd, 'k1', element_at(sig, 2*bd+1), 'k2', element_at(sig, 2*bd+2)))"))
-          .as("bb"))
-    // `keepSig` carries the full 16-signature array to callers that score
-    // estimator quality (q_dedup_minhash_recall); the dedup paths drop it
-    // so the banded relation shuffles nothing they don't read.
-    if (keepSig) exploded else exploded.drop("sig")
+          .as("bb")): _*)
+
+  /** Attach per-doc payload columns to BOTH sides of a candidate pair set
+    * with ONE evaluation of `payload` (guide §8: the payload rejoin must
+    * not sneak the heavy subtree back in — twin per-side joins re-derive
+    * the corpus-sized scan→md5 relation once per side, because the two
+    * sides' pruned projections defeat exchange reuse). Each pair explodes
+    * to its two member ids, ONE keyed join attaches the payload, and a
+    * pair-keyed rollup pivots the two rows back to `<c>_a` / `<c>_b`
+    * columns — pair-sized, like everything after the band bucket stage.
+    * The payload side carries NO exchange of its own: at bounded pair
+    * counts AQE broadcasts the exploded pair side, so the payload is
+    * computed and consumed in place (zero payload shuffle); if the pair
+    * set ever outgrows broadcast, the planner degrades to shuffling the
+    * narrow payload ONCE by id — §8's "move the heavy bytes exactly
+    * once". `payload` must carry exactly one row per id
+    * (first(ignoreNulls) is deterministic under that contract).
+    */
+  private def pairPayload(cand: DataFrame, payload: DataFrame, idCol: String): DataFrame = {
+    val pcols = payload.columns.filter(_ != idCol).toSeq
+    val sides = cand.select(col("da"), col("db"),
+      explode(array(col("da"), col("db"))).as(idCol))
+    val aggs = pcols.flatMap { c => Seq(
+      first(when(col(idCol) === col("da"), col(c)), ignoreNulls = true).as(s"${c}_a"),
+      first(when(col(idCol) === col("db"), col(c)), ignoreNulls = true).as(s"${c}_b")) }
+    sides.join(payload, idCol)
+      .groupBy(col("da"), col("db"))
+      .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** The minhash verify payload — one NARROW row per doc (id, shingle-h1
+    * set), derived straight from the corpus with no materialization
+    * boundary: the single md5 pass lands in the same stage as the join
+    * that consumes it. Shared by q_dedup_minhash and the recall audit
+    * (which adds the signature column).
+    */
+  private def minhashPayload(docs: DataFrame, idCol: String,
+      textCol: String, withSig: Boolean): DataFrame = {
+    val base = docs
+      .withColumn("w", split(col(textCol), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col(idCol), expr("graft_minhash_hs(w)").as("hs"))
+    if (withSig)
+      base.select(col(idCol), col("hs.h1s").as("bh"),
+        call_function("graft_minhash_sig", col("hs")).as("sig"))
+    else base.select(col(idCol), col("hs.h1s").as("bh"))
+  }
+
+  /** Exact-Jaccard verify terms for a band-candidate pair set: inter/uni
+    * of the two shingle-h1 sets, payload attached via [[pairPayload]].
+    */
+  private[graft] def minhashVerify(cand: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String = "text"): DataFrame =
+    pairPayload(cand, minhashPayload(docs, idCol, textCol, withSig = false), idCol)
+      .withColumn("inter", size(array_intersect(col("bh_a"), col("bh_b"))).cast("long"))
+      .withColumn("uni", size(array_union(col("bh_a"), col("bh_b"))).cast("long"))
 
   /** Hot-bucket cap (the stop-shingle guard): candidate cost of every
     * bucketed dedup is Σ bucket² — the ONLY unbounded term in the cost
@@ -545,20 +605,22 @@ object DedupQueries extends QueryPack {
          |FROM jc WHERE inter * 2 >= uni
          |ORDER BY da, db""",
     ) { (s, dir) =>
-      val banded = minhashBanded(Tables.spread(Tables.documents(s, dir)), "doc_id")
+      val docs = Tables.spread(Tables.documents(s, dir))
+      // the band exchange carries (doc_id, bb) ONLY — the r12 shape
+      // shuffled the bh verify payload 8× through this exchange
+      // (88 MB → ~8 MB at sf0.1; guide §8: shuffle keys, not payloads).
       // group by the bucket STRUCT itself (not its fields): the grouping
       // then reuses dropHotBuckets' partitioning — zero extra exchange
-      val buckets = dropHotBuckets(banded, "bb", MaxBucketDf)
+      val buckets = dropHotBuckets(
+          minhashBandKeys(minhashDocs(docs, "doc_id"), "doc_id"), "bb", MaxBucketDf)
         .groupBy(col("bb"))
-        .agg(collect_list(struct(col("doc_id"), col("bh"))).as("members"))
-      val pairs = expandPairs(buckets)
+        .agg(collect_list(struct(col("doc_id"))).as("members"))
+      val cand = expandPairs(buckets)
         // same pair can collide in several bands — keep one copy
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .agg(first(col("a.bh")).as("sa"), first(col("b.bh")).as("sb"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
       orderedOutput(
-        pairs
-          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-          .withColumn("uni", size(array_union(col("sa"), col("sb"))).cast("long"))
+        minhashVerify(cand, docs, "doc_id")
           .filter(col("inter") * 2 >= col("uni"))
           .select(col("da"), col("db"),
             expr("CAST((inter * 10000L) div uni AS BIGINT)").as("jacc_x1e4")),
@@ -583,7 +645,7 @@ object DedupQueries extends QueryPack {
     // exact), but exactly the estimator-health signal this query exists
     // to surface, measured instead of assumed. All-integer (est·625 is exact:
     // 10000/16), same construction as q_dedup_minhash via the SHARED
-    // minhashBanded — the estimator audited is bit-for-bit the one
+    // minhashDocs/minhashBandKeys — the estimator audited is bit-for-bit the one
     // deployed. Scale: identical candidate plan to q_dedup_minhash
     // (bucket-keyed, MaxBucketDf-capped, never all-pairs); the
     // calibration rollup adds one pair-sized aggregation grouped on 17
@@ -619,20 +681,22 @@ object DedupQueries extends QueryPack {
          |  CAST(SUM(abs(est * 625 - (inter * 10000) // uni)) // COUNT(*) AS BIGINT) AS mean_err_x1e4
          |FROM jc GROUP BY est ORDER BY est16""",
     ) { (s, dir) =>
-      val banded = minhashBanded(Tables.spread(Tables.documents(s, dir)), "doc_id",
-        keepSig = true)
-      val buckets = dropHotBuckets(banded, "bb", MaxBucketDf)
+      // same §8 decoupling as q_dedup_minhash; the estimator audit
+      // additionally attaches the 16-signature array per pair side —
+      // still ONE payload evaluation via pairPayload
+      val docs = Tables.spread(Tables.documents(s, dir))
+      val buckets = dropHotBuckets(
+          minhashBandKeys(minhashDocs(docs, "doc_id"), "doc_id"), "bb", MaxBucketDf)
         .groupBy(col("bb"))
-        .agg(collect_list(struct(col("doc_id"), col("bh"), col("sig"))).as("members"))
-      val pairs = expandPairs(buckets)
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .agg(first(col("a.bh")).as("sa"), first(col("b.bh")).as("sb"),
-          first(col("a.sig")).as("ga"), first(col("b.sig")).as("gb"))
-      pairs
+        .agg(collect_list(struct(col("doc_id"))).as("members"))
+      val cand = expandPairs(buckets)
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      pairPayload(cand, minhashPayload(docs, "doc_id", "text", withSig = true), "doc_id")
         .withColumn("est16",
-          size(filter(zip_with(col("ga"), col("gb"), (x, y) => x === y), b => b)).cast("long"))
-        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-        .withColumn("uni", size(array_union(col("sa"), col("sb"))).cast("long"))
+          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)).cast("long"))
+        .withColumn("inter", size(array_intersect(col("bh_a"), col("bh_b"))).cast("long"))
+        .withColumn("uni", size(array_union(col("bh_a"), col("bh_b"))).cast("long"))
         .withColumn("jacc_x1e4", expr("(inter * 10000L) div uni"))
         .withColumn("err", abs(col("est16") * 625 - col("jacc_x1e4")))
         .groupBy("est16")

@@ -877,7 +877,7 @@ object StreamQueries extends QueryPack {
     // this closes the real gap — a REWORDED duplicate arriving epochs
     // later. Each micro-batch computes MinHash band keys through the
     // SAME construction the batch pipeline uses (DedupQueries
-    // .minhashBanded — one definition, so index and probe keys can never
+    // .minhashDocs/.minhashBandKeys — one definition, so index and probe keys can never
     // drift), drops batch-local near-dups (band-bucket candidate pairs,
     // exact-Jaccard ≥ 0.5 verify on the shingle sets, larger id loses),
     // probes the PERSISTENT band index for cross-epoch candidates with
@@ -932,8 +932,8 @@ object StreamQueries extends QueryPack {
       cat.createTable("lake", "corpus")
       cat.createTable("lake", "band_idx")
       val counts = scala.collection.concurrent.TrieMap.empty[Long, (Long, Long)]
-      // exact-Jaccard verify on the carried shingle h1 sets: banding
-      // proposes, this disposes — probabilistic recall, exact precision
+      // exact-Jaccard verify on the shingle h1 sets: banding proposes,
+      // this disposes — probabilistic recall, exact precision
       def verified(df: DataFrame): DataFrame = df
         .filter(size(array_intersect(col("sa"), col("sb"))) * 2 >=
           size(array_union(col("sa"), col("sb"))))
@@ -942,8 +942,17 @@ object StreamQueries extends QueryPack {
       val query = stream.writeStream
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
-          val bands = _root_.graft.queries.DedupQueries
-            .minhashBanded(batch, "name").persist()
+          // §8 DECOUPLING (r13, mirrors q_dedup_minhash) — scoped to
+          // where it scales: the PERSISTENT index stores band keys only
+          // (the r12 schema duplicated each doc's bh payload across its
+          // 8 index rows forever), and the landed corpus row carries the
+          // doc's ONE bh copy for future probes. The BATCH-side band
+          // rows keep carrying bh (`carry`): the micro-batch is bounded
+          // by maxFilesPerTrigger, so 8× duplication there is free and
+          // saves a per-epoch payload join.
+          val bands = _root_.graft.queries.DedupQueries.minhashBandKeys(
+            _root_.graft.queries.DedupQueries.minhashDocs(batch, "name"),
+            "name", carry = Map("bh" -> col("hs.h1s"))).persist()
           // batch-local near-dups: same-band candidates, larger id loses
           val localDups = verified(
             bands.as("a").join(bands.as("b"),
@@ -952,7 +961,9 @@ object StreamQueries extends QueryPack {
               .agg(first(col("a.bh")).as("sa"), first(col("b.bh")).as("sb")))
             .select(col("db").as("name")).distinct()
           val keptBands = bands.join(localDups, Seq("name"), "left_anti").persist()
-          // cross-epoch: ONE keyed probe of the persistent band index
+          // cross-epoch: ONE keyed probe of the persistent band index —
+          // keys only; the stored side's verify payload joins in from
+          // the CORPUS rows on the candidate-sized hit set
           val idx = cat.openTable("lake", "band_idx")
           val hits =
             if (idx.snapshots.isEmpty) s.emptyDataFrame.withColumn("name", lit(""))
@@ -961,18 +972,21 @@ object StreamQueries extends QueryPack {
               keptBands.as("n").join(idx.read().as("o"),
                 col("n.bb.band") === col("o.band") &&
                   col("n.bb.k1") === col("o.k1") && col("n.bb.k2") === col("o.k2"))
-                .groupBy(col("n.name").as("nname"), col("o.doc_id"))
-                .agg(first(col("n.bh")).as("sa"), first(col("o.bh")).as("sb")))
+                .groupBy(col("n.name").as("nname"), col("o.doc_id").as("odoc"))
+                .agg(first(col("n.bh")).as("sa"))
+                .join(cat.openTable("lake", "corpus").read()
+                  .select(col("name").as("odoc"), col("bh").as("sb")), "odoc"))
               .select(col("nname").as("name")).distinct()
           val novelBands = keptBands.join(hits, Seq("name"), "left_anti").persist()
           val novelDocs = batch.join(
-            novelBands.select("name").distinct(), Seq("name"), "left_semi").persist()
+            novelBands.groupBy("name").agg(first(col("bh")).as("bh")),
+            Seq("name")).persist()
           val nNovel = novelDocs.count()
           if (nNovel > 0) cat.transact { txn =>
-            txn.append("lake", "corpus", novelDocs.select("name", "text"))
+            txn.append("lake", "corpus", novelDocs.select("name", "text", "bh"))
             txn.appendPartitioned("lake", "band_idx",
-              novelBands.select(col("name").as("doc_id"), col("bh"),
-                col("bb.band").as("band"), col("bb.k1").as("k1"), col("bb.k2").as("k2")),
+              novelBands.select(col("name").as("doc_id"), col("bb.band").as("band"),
+                col("bb.k1").as("k1"), col("bb.k2").as("k2")),
               _root_.graft.table.PartitionSpec("k1",
                 _root_.graft.table.Transform.Bucket(8))): Unit
           }
