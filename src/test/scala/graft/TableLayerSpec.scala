@@ -2708,6 +2708,31 @@ class TableLayerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { cat.createTable("lake", "_sneaky") }
   }
 
+  // readEqIn = one pruned MoR plan over the union of per-value file sets
+  // (r13): rows must equal the unioned per-value readEq results, and the
+  // probe must open only the files the per-value prunes admit.
+  test("readEqIn matches unioned readEq rows and prunes to the same files") {
+    val t = freshTable("eqin")
+    // identity-partitioned on count%3 buckets via three disjoint appends
+    // with per-file stats — each value's rows land in separate files
+    Seq(2, 10, 20).foreach { v =>
+      t.append(Seq(("A", "x", v), ("B", "y", v)).toDF("name", "size", "count")
+        .repartition(1), statsCols = Seq("count"))
+    }
+    t.delete(Seq(("B", "y", 10)).toDF("name", "size", "count"),
+      Seq("name", "size", "count")) // MoR delete must apply through the read
+    val got = t.readEqIn("count", Seq(2, 20)).orderBy("name", "count").collect()
+    val want = (t.readEq("count", 2) unionByName t.readEq("count", 20))
+      .orderBy("name", "count").collect()
+    assert(got.toSeq == want.toSeq)
+    assert(got.length == 4)
+    // pruning: the two-value probe opens 2 of the 3 data files
+    assert(t.prunedFileCountEqIn("count", Seq(2, 20)) == 2,
+      "multi-value probe must open only the per-value pruned files")
+    // MoR correctness through the merged state: the deleted row is absent
+    assert(t.readEqIn("count", Seq(10)).count() == 1)
+  }
+
   // the r12 branch-seeding semantics, pinned (ADVICE r12): pending txn
   // stages seed with their marker preserved, the branch's first commit
   // claims ABOVE the staged watermark (never re-mints a burned seq), the
