@@ -25,7 +25,24 @@ object Q {
 }
 
 /** A bundle of queries implementing one slice of SURVEY.md §2. */
-trait QueryPack { def queries: Seq[Q] }
+trait QueryPack {
+  def queries: Seq[Q]
+
+  /** Deterministic total order for a GROUP-BOUNDED output (r12 §4,
+    * widened in r13): a final global orderBy pays a range-sampling pass
+    * (which re-runs the final stage) plus a range exchange even for a
+    * handful of group rows. One shuffle of the already-small result to a
+    * single partition + in-partition sort gives the same total order in
+    * one pass. Apply ONLY where the output is bounded by group
+    * cardinality (flags, statuses, nations, event types, fixed metric
+    * pairs, probe sets) — corpus- or timespan-scaled outputs keep the
+    * scalable range sort, and every converted entry must name itself in
+    * PlanAuditSpec's single-partition-funnel allowlist.
+    */
+  protected def boundedSort(df: DataFrame,
+      cols: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
+}
 
 /** Exact-arithmetic helpers for oracle determinism (SURVEY.md §7.5):
   * inputs are cast to decimals wide enough to hold their true scale, so

@@ -64,7 +64,7 @@ object AggQueries extends QueryPack {
           round(sum(price).cast("double") / count(lit(1)) * 1e6)
             .cast("long").as("avg_price_x1e6"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(boundedSort(_, col("l_returnflag"), col("l_linestatus")))
     },
 
     Q(
@@ -81,7 +81,7 @@ object AggQueries extends QueryPack {
           countDistinct(col("l_suppkey")).as("n_supp"),
           countDistinct(col("l_partkey")).as("n_part"),
           count(lit(1)).as("n"))
-        .orderBy("l_returnflag")
+        .transform(boundedSort(_, col("l_returnflag")))
     },
 
     // ROLLUP over region → nation with sentinel labels (no NULL-order traps).
@@ -114,7 +114,7 @@ object AggQueries extends QueryPack {
           coalesce(col("r_name"), lit("(all)")).as("region"),
           coalesce(col("n_name"), lit("(all)")).as("nation"),
           col("g_region"), col("g_nation"), col("sum_bal_x1e2"), col("n"))
-        .orderBy("region", "nation")
+        .transform(boundedSort(_, col("region"), col("nation")))
     },
 
     Q(
@@ -139,7 +139,7 @@ object AggQueries extends QueryPack {
           coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
           coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
           col("g_rf"), col("g_ls"), col("sum_qty_x1e4"), col("n"))
-        .orderBy("rf", "ls")
+        .transform(boundedSort(_, col("rf"), col("ls")))
     },
 
     // HLL sketch — algorithm-specific, so rows-only checked (§2B no-oracle);
@@ -175,7 +175,7 @@ object AggQueries extends QueryPack {
           Dec.asLong(sum(Dec.d4(col("l_quantity"))), 4).as("sum_qty_x1e4"),
           Dec.asLong(count(lit(1)) * sum(q2 * q2) - sum(Dec.d4(col("l_quantity"))) * sum(Dec.d4(col("l_quantity"))), 4)
             .as("var_num_x1e4"))
-        .orderBy("l_linestatus")
+        .transform(boundedSort(_, col("l_linestatus")))
     },
 
     // exact percentiles (quartiles + median) per group. Cross-engine
@@ -202,7 +202,7 @@ object AggQueries extends QueryPack {
           expr("CAST(percentile(l_quantity, 0.25) * 100 AS BIGINT)").as("p25_x1e2"),
           expr("CAST(percentile(l_quantity, 0.5)  * 100 AS BIGINT)").as("p50_x1e2"),
           expr("CAST(percentile(l_quantity, 0.75) * 100 AS BIGINT)").as("p75_x1e2"))
-        .orderBy("l_returnflag")
+        .transform(boundedSort(_, col("l_returnflag")))
     },
 
     // Approximate quantiles (the second sketch after HLL): the
@@ -282,7 +282,7 @@ object AggQueries extends QueryPack {
         .agg(min(col("c")).as("est_n"))
         .select(col("word"), col("exact_n"), col("est_n"),
           (col("est_n") >= col("exact_n")).as("no_underestimate"))
-        .orderBy("word")
+        .transform(boundedSort(_, col("word")))
     },
 
     // Mergeable-sketch rollup (the incremental-pipeline pattern at
@@ -462,7 +462,7 @@ object AggQueries extends QueryPack {
           count(lit(1)).as("n"),
           Dec.asLong(sum(Dec.money(col("l_quantity"))), 2).as("sum_qty_x1e2"))
         .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n", "sum_qty_x1e2")
-        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+        .transform(boundedSort(_, col("g_flag"), col("g_status"), col("l_returnflag"), col("l_linestatus")))
     },
 
     // distribution ranks per partition: quartile (ntile) + integer percent
@@ -836,7 +836,7 @@ object AggQueries extends QueryPack {
         .select(col("event_type"), col("n"),
           expr("CAST(s4 div n AS BIGINT)").as("mean_x1e4"),
           col("beyond_2s"), col("beyond_3s"))
-        .orderBy("event_type")
+        .transform(boundedSort(_, col("event_type")))
     },
 
     // Time-series resample + gap-fill: hourly counts per type on a
@@ -1115,7 +1115,7 @@ object AggQueries extends QueryPack {
           expr("CAST(n_rows * 10000 div n_keys AS BIGINT)").as("mean_x1e4"),
           expr("CAST(max_key_rows * n_keys * 10000 div n_rows AS BIGINT)").as("skew_x1e4"),
           expr("CAST((max_key_rows * n_keys + n_rows - 1) div n_rows AS BIGINT)").as("salt_hint"))
-        .orderBy("event_type")
+        .transform(boundedSort(_, col("event_type")))
     },
 
     Q(
@@ -1205,7 +1205,7 @@ object AggQueries extends QueryPack {
         .select(col("event_type"), col("n").cast("long").as("n"),
           col("med2_v4").cast("long").as("med2_x1e4"),
           col("mad4").cast("long").as("mad4_x1e4"), col("n_out"))
-        .orderBy("event_type")
+        .transform(boundedSort(_, col("event_type")))
     },
 
     // Empirical-CDF attachment / quantile normalization (r8) — map each
@@ -1304,7 +1304,7 @@ object AggQueries extends QueryPack {
                  END AS BIGINT)""").as("icept_x1e6"),
           expr("""CAST(((abs(num) * 1000) div denx) * ((abs(num) * 1000) div deny)
                  AS BIGINT)""").as("r2_x1e6"))
-        .orderBy("l_returnflag")
+        .transform(boundedSort(_, col("l_returnflag")))
     },
 
     // Pairwise correlation MATRIX (r10) — Pearson correlation between
@@ -1369,7 +1369,7 @@ object AggQueries extends QueryPack {
           expr("""CAST(CASE WHEN denx = 0 OR deny = 0 THEN 0
                  ELSE ((abs(num) * 1000) div denx) * ((abs(num) * 1000) div deny)
                  END AS BIGINT)""").as("corr2_x1e6"))
-        .orderBy("ta", "tb")
+        .transform(boundedSort(_, col("ta"), col("tb")))
     },
 
     // Longest-streak / gaps-and-islands (r8) — per-user activity streaks
@@ -1476,7 +1476,7 @@ object AggQueries extends QueryPack {
             + min(when(expr("cum >= tw div 2 + 1"), col("p2"))))
             .cast("long").as("wmed2_x1e2"))
         .select(col("rf").as("l_returnflag"), col("total_w"), col("wmed2_x1e2"))
-        .orderBy("l_returnflag")
+        .transform(boundedSort(_, col("l_returnflag")))
     },
   )
 }

@@ -56,18 +56,8 @@ object JoinQueries extends QueryPack {
     * while the entries still exercise the parser/analyzer front end that
     * pure DataFrame plans bypass.
     */
-  /** Deterministic total order for a GROUP-BOUNDED result: one exchange
-    * to a single partition + in-partition sort replaces the global
-    * orderBy's range-sampling pass + range exchange (SortProbe: 0.89 s
-    * -> 0.51 s per run on a representative aggregate at sf0.1; the
-    * dedup family's orderedOutput set the precedent). Applied ONLY
-    * where the output is bounded by group cardinality (flags, nations,
-    * years, priorities, catalog combos) — corpus-sized outputs keep the
-    * scalable range sort.
-    */
-  private def boundedSort(df: DataFrame,
-      cols: org.apache.spark.sql.Column*): DataFrame =
-    df.repartition(1).sortWithinPartitions(cols: _*)
+  // boundedSort comes from QueryPack (r13: shared across packs; SortProbe
+  // measured 0.89 s -> 0.51 s per run on a representative aggregate)
 
   private def sqlOverViews(s: SparkSession, views: (String, DataFrame)*)(
       sql: String): DataFrame = {

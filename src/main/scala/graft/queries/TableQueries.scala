@@ -1925,20 +1925,27 @@ object TableQueries extends QueryPack {
       // its row-level effects.
       val log = src.readChangelog(fromSeq = 0)
         .select("name", "size", "count", "change_type", "change_seq").cache()
-      var nIns = 0L; var nDel = 0L
-      log.select("change_seq").distinct().orderBy("change_seq")
-        .as[Long].collect().foreach { sq =>
+      // epoch plan + insert/delete tallies from ONE metadata-sized
+      // aggregate collect (r13, guide §5 driver round-trips): the r12
+      // loop paid two extra count() actions per epoch just to report
+      // n_inserts/n_deletes. The apply loop itself stays sequential —
+      // replaying commits in order IS the scenario.
+      val epochCounts = log.groupBy("change_seq", "change_type").count()
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val nIns = epochCounts.collect { case ((_, "insert"), n) => n }.sum
+      val nDel = epochCounts.collect { case ((_, "delete"), n) => n }.sum
+      epochCounts.keys.map(_._1).toSeq.distinct.sorted.foreach { sq =>
         val epoch = log.filter(col("change_seq") === sq)
         val ins = epoch.filter(col("change_type") === "insert")
           .select("name", "size", "count")
         val del = epoch.filter(col("change_type") === "delete")
           .select("name", "size", "count")
-        nIns += ins.count(); nDel += del.count()
         replica.appendAndDelete(ins, del, equalityCols = Seq("name", "size", "count"))
       }
-      // replica ≡ source, both directions
-      require(replica.read().exceptAll(src.read()).isEmpty
-        && src.read().exceptAll(replica.read()).isEmpty,
+      // replica ≡ source, both directions — ONE action for both legs
+      require(replica.read().exceptAll(src.read())
+        .unionAll(src.read().exceptAll(replica.read())).isEmpty,
         "replica diverged from source after CDC apply")
       replica.read()
         .withColumn("n_inserts", lit(nIns))

@@ -41,6 +41,16 @@ object TpchGoverned {
 
   /** Subset loader for scenarios that govern only the tables their query
     * touches (a per-run CTAS of all 7 would be paid for nothing).
+    *
+    * The per-table CTAS jobs are INDEPENDENT (distinct target tables,
+    * distinct commit logs, uniquely named temp views), so they run from a
+    * small driver thread pool (guide §2.6 — overlap independent jobs):
+    * the next table's scan+write back-fills executors idled by the
+    * current one's single-threaded commit tail. Sequentially the 7 loads
+    * paid 7 × (view + parse + CTAS write + stats + commit) of wall
+    * end-to-end; commit correctness is untouched because no two threads
+    * share a table (the SQL front end's cross-thread discipline is
+    * exercised separately in GraftSqlRaceSpec).
     */
   def loadTables(s: SparkSession, cat: GraftCatalog, dir: String,
       names: Seq[String]): Unit = {
@@ -53,12 +63,22 @@ object TpchGoverned {
       "part" -> (() => Tables.part(s, dir)),
       "orders" -> (() => Tables.orders(s, dir)),
       "lineitem" -> (() => Tables.lineitem(s, dir)))
-    names.foreach { name =>
+    def loadOne(name: String): Unit = {
       val v = s"tpch_load_${name}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       sources(name)().createOrReplaceTempView(v)
       try GraftSql.sql(s, cat,
-        s"CREATE TABLE graft.tpch.$name AS SELECT * FROM $v")
+        s"CREATE TABLE graft.tpch.$name AS SELECT * FROM $v"): Unit
       finally s.catalog.dropTempView(v)
+    }
+    if (names.size <= 1) names.foreach(loadOne)
+    else {
+      // 3 in flight fills the commit-latency gaps without flooding the
+      // scheduler (guide §2.6: "2-3 jobs in flight is plenty")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(3, names.size))
+      try names.map(n => pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = loadOne(n)
+      })).foreach(_.get())
+      finally pool.shutdown()
     }
   }
 

@@ -182,7 +182,16 @@ class PlanAuditSpec extends AnyFunSuite {
     val sinkQueries = Set("q_dedup_near", "q_dedup_containment", "q_dedup_minhash",
       "q_dedup_simhash", "q_dedup_embed",
       "q_sql_q1", "q_sql_q4", "q_sql_q5", "q_sql_q7", "q_sql_q8", "q_sql_q9",
-      "q_sql_q12", "q_sql_q13", "q_sql_q15", "q_sql_q16", "q_sql_q22")
+      "q_sql_q12", "q_sql_q13", "q_sql_q15", "q_sql_q16", "q_sql_q22",
+      // r13 boundedSort widening: outputs bounded by group cardinality —
+      // return flags (3) × line statuses (2), regions (5) × nations (25),
+      // event types (5), fixed metric pairs, the CMS probe's LIMIT 10 set.
+      // Corpus-/timespan-scaled outputs (per-doc, per-user, per-window)
+      // stay range-sorted and must keep failing this sweep if converted.
+      "q_agg_group", "q_agg_distinct", "q_agg_rollup", "q_agg_cube",
+      "q_agg_stats", "q_agg_percentile", "q_sketch_cms", "q_agg_grouping_sets",
+      "q_anomaly_sigma", "q_skew_stats", "q_anomaly_mad", "q_agg_regr",
+      "q_agg_corr_matrix", "q_agg_weighted_median")
     // Three of the genuinely-streamed entries return a bare sink scan —
     // their registered plan is the memory table, not the streaming
     // aggregation, so this sweep cannot see inside them. That is safe by
