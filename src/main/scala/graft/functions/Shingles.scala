@@ -113,6 +113,68 @@ object ShingleKernel {
     digestH1(md.digest(s.getBytes))
   }
 
+  /** All n-character grams of `s` in position order — the one-pass twin
+    * of transform(sequence(1, length(s)-(n-1)), i -> substring(s, i, n)).
+    * The HOF pays interpreted per-element dispatch plus an O(chars)
+    * byte-walk per substring call (substringSQL re-seeks from the string
+    * start every time — O(chars²) per document); this walks the
+    * codepoint boundaries once and emits zero-copy byte-range views.
+    * Fewer than n chars → empty (callers filter, matching the oracle's
+    * empty range()).
+    */
+  def charNgrams(s: UTF8String, n: Int): ArrayData = {
+    if (s == null) return new GenericArrayData(new Array[Any](0))
+    val bytes = s.getBytes
+    val len = bytes.length
+    // codepoint start offsets (starts(numChars) = len sentinel)
+    val starts = new Array[Int](len + 1)
+    var nc = 0
+    var i = 0
+    while (i < len) {
+      starts(nc) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      nc += 1
+    }
+    starts(nc) = len
+    if (nc < n) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](nc - n + 1)
+    i = 0
+    while (i <= nc - n) {
+      out(i) = UTF8String.fromBytes(bytes, starts(i), starts(i + n) - starts(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** `w` cut into fixed `width`-token lines, joined with single spaces —
+    * the one-pass twin of transform(sequence(0, ceil(size(w)/width)-1),
+    * i -> array_join(slice(w, i*width+1, width), ' ')). The HOF copies a
+    * width-element slice array per line and dispatches interpreted
+    * lambdas; concatWs skips null tokens exactly like array_join.
+    */
+  def fixedLines(a: ArrayData, width: Int): ArrayData = {
+    if (a == null) return new GenericArrayData(new Array[Any](0))
+    val n = a.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](0))
+    val lines = (n + width - 1) / width
+    val out = new Array[Any](lines)
+    val win = new Array[UTF8String](width)
+    var li = 0
+    while (li < lines) {
+      val base = li * width
+      val m = math.min(width, n - base)
+      var j = 0
+      while (j < m) {
+        win(j) = if (a.isNullAt(base + j)) null else a.getUTF8String(base + j)
+        j += 1
+      }
+      while (j < width) { win(j) = null; j += 1 } // short tail: nulls skip
+      out(li) = UTF8String.concatWs(Space, win: _*)
+      li += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** h60 of every k-token window of `w`, in position order (NOT distinct
     * — q_dedup_substring counts window occurrences). The HOF twin is
     * transform(sequence(0, size(w)-k), i -> h60(concat_ws(' ',
@@ -239,6 +301,88 @@ case class H60(child: Expression) extends UnaryExpression {
   * pays the hex/CONV garbage per window; this allocates one primitive
   * output array per document. `k` must be a foldable positive int.
   */
+/** `graft_char_ngrams(s: string, n) -> array<string>` — every n-char gram
+  * of `s` in position order, one native pass over the codepoint
+  * boundaries (see [[ShingleKernel.charNgrams]]). `n` must be a foldable
+  * positive int.
+  */
+case class CharNgrams(child: Expression, nExpr: Expression) extends UnaryExpression {
+  private lazy val n: Int = nExpr.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"graft_char_ngrams size must be an int literal, got $other")
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if nExpr.foldable &&
+        (nExpr.dataType == IntegerType || nExpr.dataType == LongType) =>
+      if (n >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName size must be >= 1, got $n")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (string, int literal), got ${other.simpleString}")
+  }
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    ShingleKernel.charNgrams(if (v == null) null else v.asInstanceOf[UTF8String], n)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      s"""
+         |${classOf[ArrayData].getName} ${ev.value} =
+         |  graft.functions.ShingleKernel.charNgrams(
+         |    ${childGen.isNull} ? null : ${childGen.value}, $n);
+       """.stripMargin
+    ev.copy(code = code"${childGen.code}$resultCode", isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_char_ngrams"
+}
+
+/** `graft_lines(w: array<string>, width) -> array<string>` — `w` cut into
+  * fixed width-token lines joined with single spaces, one native pass
+  * (see [[ShingleKernel.fixedLines]]). `width` must be a foldable
+  * positive int.
+  */
+case class FixedLines(child: Expression, widthExpr: Expression) extends UnaryExpression {
+  private lazy val width: Int = widthExpr.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"graft_lines width must be an int literal, got $other")
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if widthExpr.foldable &&
+        (widthExpr.dataType == IntegerType || widthExpr.dataType == LongType) =>
+      if (width >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName width must be >= 1, got $width")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<string>, int literal), got ${other.simpleString}")
+  }
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    ShingleKernel.fixedLines(if (v == null) null else v.asInstanceOf[ArrayData], width)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      s"""
+         |${classOf[ArrayData].getName} ${ev.value} =
+         |  graft.functions.ShingleKernel.fixedLines(
+         |    ${childGen.isNull} ? null : ${childGen.value}, $width);
+       """.stripMargin
+    ev.copy(code = code"${childGen.code}$resultCode", isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_lines"
+}
+
 case class GramH60(child: Expression, kExpr: Expression) extends UnaryExpression {
   private lazy val k: Int = kExpr.eval(null) match {
     case i: Int => i

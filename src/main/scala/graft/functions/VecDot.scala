@@ -125,6 +125,14 @@ object GraftFunctions {
       "graft_gram_h60",
       (children: Seq[Expression]) => GramH60(children(0), children(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_char_ngrams",
+      (children: Seq[Expression]) => CharNgrams(children(0), children(1)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lines",
+      (children: Seq[Expression]) => FixedLines(children(0), children(1)),
+      "scala_udf")
   }
 }
 
@@ -175,5 +183,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[GramH60].getCanonicalName, "graft_gram_h60"),
       (children: Seq[Expression]) => GramH60(children(0), children(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_char_ngrams"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CharNgrams].getCanonicalName, "graft_char_ngrams"),
+      (children: Seq[Expression]) => CharNgrams(children(0), children(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_lines"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[FixedLines].getCanonicalName, "graft_lines"),
+      (children: Seq[Expression]) => FixedLines(children(0), children(1))))
   }
 }

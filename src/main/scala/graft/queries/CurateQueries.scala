@@ -289,9 +289,19 @@ object CurateQueries extends QueryPack {
       val grams = Tables.spread(docs)
         .filter(length(col("text")) >= 3)
         .select(col("doc_id"), col("lang"),
-          explode(expr(
-            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
-            .as("gm"))
+          // graft_char_ngrams = the one-pass native twin of
+          // transform(sequence(1, length(text)-2), i -> substring(text, i, 3))
+          // — the HOF's substring re-seeks from the string start per gram
+          // (O(chars²)/doc) through interpreted lambdas (NativeFnSpec pins
+          // parity). This relation is derived twice (profile + prediction
+          // branches), so the kernel pays off double.
+          explode(expr("graft_char_ngrams(text, 3)")).as("gm"))
+      // NOTE (r13, measured and rejected): collapsing the two gram
+      // consumers onto one shared (doc, lang, gm) rollup shuffled MORE
+      // (9.8 → 20.2 MB, task time flat) — the profile branch's (lang, gm)
+      // partial aggregation collapses map-side onto a tiny key domain,
+      // which the per-doc-keyed rollup forfeits. The two-branch shape
+      // stays; the native gram kernel is where the win was.
       val profRank = Window.partitionBy("plang").orderBy(col("c").desc, col("gm"))
       val prof = grams.groupBy(col("lang").as("plang"), col("gm"))
         .agg(count(lit(1)).as("c"))

@@ -948,10 +948,12 @@ object DedupQueries extends QueryPack {
       val d = Tables.spread(Tables.documents(s, dir))
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) > 0) // sequence(0, -1) would count DOWN
-      val lines = d.select(col("doc_id"), posexplode(expr(
-        """transform(sequence(0, CAST(ceil(size(w)/10.0) AS INT) - 1),
-          |  i -> array_join(slice(w, i*10+1, 10), ' '))""".stripMargin))
-        .as(Seq("pos", "line")))
+      val lines = d.select(col("doc_id"),
+        // graft_lines = the one-pass native twin of
+        // transform(sequence(0, ceil(size(w)/10)-1),
+        //   i -> array_join(slice(w, i*10+1, 10), ' ')) — the HOF copied
+        // a 10-element slice array per line (NativeFnSpec pins parity)
+        posexplode(expr("graft_lines(w, 10)")).as(Seq("pos", "line")))
       val hot = lines.groupBy("line")
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") > 2)

@@ -81,6 +81,41 @@ class NativeFnSpec extends AnyFunSuite {
     assert(short == 0L)
   }
 
+  test("graft_char_ngrams equals the substring-per-position HOF") {
+    for (n <- Seq(1, 3)) {
+      val hof = expr(
+        s"transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n))")
+      val diff = Tables.documents(spark, dir)
+        .select(col("text"))
+        .unionByName(spark.createDataFrame(Seq(
+          Tuple1("abc"), Tuple1("ab"), Tuple1("héllo wörld"), Tuple1("日本語テキスト")))
+          .toDF("text"))
+        .filter(length(col("text")) >= n)
+        .select(expr(s"graft_char_ngrams(text, $n)").as("native"), hof.as("hofv"))
+        .filter(to_json(col("native")) =!= to_json(col("hofv")))
+        .count()
+      assert(diff == 0L, s"n=$n")
+    }
+    // under n chars the native form is EMPTY (callers filter, oracle range())
+    val short = spark.createDataFrame(Seq(Tuple1("ab"), Tuple1("")))
+      .toDF("text")
+      .select(expr("graft_char_ngrams(text, 3)").as("native"))
+      .filter(size(col("native")) =!= 0).count()
+    assert(short == 0L)
+  }
+
+  test("graft_lines equals the array_join-over-slice HOF") {
+    val hof = expr(
+      """transform(sequence(0, CAST(ceil(size(w)/10.0) AS INT) - 1),
+        |  i -> array_join(slice(w, i*10+1, 10), ' '))""".stripMargin)
+    val diff = corpus
+      .filter(size(col("w")) > 0) // the HOF's sequence() descends on empty
+      .select(col("doc_id"), expr("graft_lines(w, 10)").as("native"), hof.as("hofv"))
+      .filter(to_json(col("native")) =!= to_json(col("hofv")))
+      .count()
+    assert(diff == 0L)
+  }
+
   test("graft_packed_pairs equals the flatten/transform/slice HOF") {
     // pack 32-bit-domain values like the call site does (customer keys):
     // the HOF's ANSI multiply overflows on full 64-bit hashes, a domain
