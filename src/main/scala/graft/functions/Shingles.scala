@@ -175,6 +175,36 @@ object ShingleKernel {
     new GenericArrayData(out)
   }
 
+  /** Every k-token window of `w` joined with single spaces, in position
+    * order — the string form of [[gramH60]] (no hash): the one-pass twin
+    * of transform(sequence(0, size(w)-k), i -> concat_ws(' ',
+    * slice(w, i+1, k))), and of per-position struct packers whose fields
+    * are space-free tokens (split(' ') output — the join is injective
+    * there, so grouping by the joined string equals grouping by the
+    * struct). Fewer than k tokens → empty.
+    */
+  def gramStrings(a: ArrayData, k: Int): ArrayData = {
+    if (a == null) return new GenericArrayData(new Array[Any](0))
+    val n = a.numElements()
+    if (n < k) return new GenericArrayData(new Array[Any](0))
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (a.isNullAt(i)) null else a.getUTF8String(i)
+      i += 1
+    }
+    val out = new Array[Any](n - k + 1)
+    val win = new Array[UTF8String](k)
+    i = 0
+    while (i <= n - k) {
+      var j = 0
+      while (j < k) { win(j) = toks(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(Space, win: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** h60 of every k-token window of `w`, in position order (NOT distinct
     * — q_dedup_substring counts window occurrences). The HOF twin is
     * transform(sequence(0, size(w)-k), i -> h60(concat_ws(' ',
@@ -292,6 +322,47 @@ case class H60(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "graft_h60"
+}
+
+/** `graft_word_grams(w: array<string>, k) -> array<string>` — every
+  * k-token window of `w` joined with single spaces, in position order,
+  * one native pass (see [[ShingleKernel.gramStrings]]). `k` must be a
+  * foldable positive int.
+  */
+case class WordGrams(child: Expression, kExpr: Expression) extends UnaryExpression {
+  private lazy val k: Int = kExpr.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"graft_word_grams window size must be an int literal, got $other")
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if kExpr.foldable &&
+        (kExpr.dataType == IntegerType || kExpr.dataType == LongType) =>
+      if (k >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName window size must be >= 1, got $k")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<string>, int literal), got ${other.simpleString}")
+  }
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    ShingleKernel.gramStrings(if (v == null) null else v.asInstanceOf[ArrayData], k)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      s"""
+         |${classOf[ArrayData].getName} ${ev.value} =
+         |  graft.functions.ShingleKernel.gramStrings(
+         |    ${childGen.isNull} ? null : ${childGen.value}, $k);
+       """.stripMargin
+    ev.copy(code = code"${childGen.code}$resultCode", isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_word_grams"
 }
 
 /** `graft_gram_h60(w: array<string>, k) -> array<bigint>` — h60 of every

@@ -133,6 +133,10 @@ object GraftFunctions {
       "graft_lines",
       (children: Seq[Expression]) => FixedLines(children(0), children(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_word_grams",
+      (children: Seq[Expression]) => WordGrams(children(0), children(1)),
+      "scala_udf")
   }
 }
 
@@ -193,5 +197,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[FixedLines].getCanonicalName, "graft_lines"),
       (children: Seq[Expression]) => FixedLines(children(0), children(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_word_grams"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[WordGrams].getCanonicalName, "graft_word_grams"),
+      (children: Seq[Expression]) => WordGrams(children(0), children(1))))
   }
 }

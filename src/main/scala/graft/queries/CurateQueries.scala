@@ -491,14 +491,19 @@ object CurateQueries extends QueryPack {
         |FROM sc, th ORDER BY doc_id""",
     ) { (s, dir) =>
       val isEn = col("lang") === "en"
-      val fw = Window.partitionBy("a", "b")
+      // bigram features as ONE space-joined string (r13): tokens come from
+      // split(text, ' ') so they cannot contain the delimiter — grouping/
+      // windowing by "a b" partitions identically to the (a, b) struct,
+      // and graft_word_grams is the one-pass native twin of the
+      // interpreted slice+struct transform (which copied the token array
+      // and allocated a struct per bigram). Narrower window key through
+      // the feature-marginal shuffle too.
+      val fw = Window.partitionBy("g")
       val tf = Tables.spread(Tables.documents(s, dir))
         .withColumn("w", split(col("text"), " "))
-        .select(col("doc_id"), col("lang"), explode(expr(
-          "transform(slice(w, 1, greatest(size(w) - 1, 0)), (x, i) -> struct(x AS a, w[i + 1] AS b))"))
-          .as("g"))
-        .select(col("doc_id"), col("lang"), col("g.a").as("a"), col("g.b").as("b"))
-        .groupBy("doc_id", "lang", "a", "b").agg(count(lit(1)).as("nd"))
+        .select(col("doc_id"), col("lang"),
+          explode(expr("graft_word_grams(w, 2)")).as("g"))
+        .groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("nd"))
       val tot = tf.agg(
         sum(col("nd")).cast("long").as("total_r"),
         sum(when(isEn, col("nd")).otherwise(0L)).cast("long").as("total_t"))

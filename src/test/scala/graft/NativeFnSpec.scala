@@ -116,6 +116,23 @@ class NativeFnSpec extends AnyFunSuite {
     assert(diff == 0L)
   }
 
+  test("graft_word_grams equals the concat_ws-over-slice HOF") {
+    for (k <- Seq(1, 2, 8)) {
+      val hof = expr(
+        s"transform(sequence(0, size(w) - $k), i -> concat_ws(' ', slice(w, i + 1, $k)))")
+      val diff = corpus
+        .filter(size(col("w")) >= k)
+        .select(col("doc_id"), expr(s"graft_word_grams(w, $k)").as("native"), hof.as("hofv"))
+        .filter(to_json(col("native")) =!= to_json(col("hofv")))
+        .count()
+      assert(diff == 0L, s"k=$k")
+    }
+    val short = corpus.filter(size(col("w")) < 2)
+      .select(expr("graft_word_grams(w, 2)").as("native"))
+      .filter(size(col("native")) =!= 0).count()
+    assert(short == 0L)
+  }
+
   test("graft_packed_pairs equals the flatten/transform/slice HOF") {
     // pack 32-bit-domain values like the call site does (customer keys):
     // the HOF's ANSI multiply overflows on full 64-bit hashes, a domain
