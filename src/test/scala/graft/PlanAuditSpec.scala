@@ -804,11 +804,13 @@ class PlanAuditSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.window.WindowExec
     val root = physicalRoot("q_dsir_importance")
     val p = root.toString
-    // marginals are (a, b)-partitioned windows over the tf relation —
-    // an aggregate-then-rejoin would fork the corpus scan
+    // marginals are feature-keyed windows over the tf relation (r13: the
+    // bigram feature is ONE space-joined string, so the key is a single
+    // column) — an aggregate-then-rejoin would fork the corpus scan, and
+    // an EMPTY partition spec would serialize the corpus through one task
     val windows = root.collect { case w: WindowExec => w }
-    assert(windows.nonEmpty && windows.forall(_.partitionSpec.size >= 2),
-      "feature marginals must window by (a, b), never globally")
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "feature marginals must window by the feature key, never globally")
     // totals and threshold are 1-row broadcasts; no shuffled join anywhere
     assert(root.collect {
       case j: SortMergeJoinExec => j: Any
